@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query: the Spark implementation plus (when SQL-expressible)
+  * the ANSI/DuckDB oracle that must hash-match it on the same parquet inputs.
+  *
+  * Conventions that keep the hash-compare deterministic (SURVEY.md §5.3):
+  *   - every floating-point output column is `round(_, 4..6)` in BOTH the
+  *     Spark code and the oracle SQL (partial-aggregation order makes raw
+  *     double sums non-bitwise-reproducible);
+  *   - aggregate / computed columns carry identical aliases on both sides
+  *     (the driver sorts columns by name before hashing);
+  *   - results with per-row identity carry an ORDER BY on a unique key;
+  *   - no ANY_VALUE over multi-valued groups, no approx sketches, no
+  *     unsorted collect_list.
+  */
+final case class GraftQuery(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver-generated test data.
+  *
+  * Mirrors the reference's raw-table layer (m-lab/etl-schema
+  * `views/ndt_raw` pass-through scans — see SURVEY.md §2.1 S1): every
+  * downstream operator reads through these entry points so that storage
+  * layout (partitioning, glob resolution) is decided in exactly one place.
+  *
+  * At 100 TB these would be date-partitioned directories
+  * (`.../table/date=YYYY-MM-DD/part-*.parquet`); the loader API is the same
+  * either way — `spark.read.parquet` handles both a single file and a
+  * partitioned directory tree, and Catalyst prunes partitions from `date`
+  * predicates automatically.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf directory.
+    *
+    * `events.ts` is physically Parquet INT64 TIMESTAMP(NANOS), which Spark 4
+    * rejects by default. We read it as raw nanos (legacy conf) and rebuild a
+    * microsecond timestamp with *integer* division — nanosecond epochs
+    * exceed 2^53, so double math would corrupt them.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Wildcard-family scan (reference: `FROM `...statistics.cities_2*``,
+    * views/statistics/v0_cities.sql:1 — SURVEY §2.1 S4): a path glob that
+    * unions every suffix-matched file/table by position.
+    */
+  def loadGlob(spark: SparkSession, sfDir: String, glob: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$glob")
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's parameterized TABLE FUNCTION surface re-expressed as
+  * DataFrame-returning Scala defs (SURVEY.md §2.10, §3.3).
+  *
+  * Reference: `functions/ops.ndt7_download_pdf_autonode.sql` builds a
+  * log-spaced histogram by CROSS JOINing every sample with every bin and
+  * summing a 0/1 indicator (O(n·bins)), then normalizes with a
+  * partition-total window (pdf) and a running-sum window (cdf).
+  *
+  * Here the cross join is rewritten to direct O(n) bin assignment
+  * (`floor((log10(x) − log10(xmin)) / step)`) — at 100 TB the cross-join
+  * form multiplies the fact table by the bin count before aggregating,
+  * while direct assignment is one map + one small-key aggregation. Empty
+  * bins are restored by a tiny groups×bins frame (broadcast), preserving
+  * the reference's "every bin present" output shape
+  * (ops.ndt7_download_pdf_autonode.sql:39-56). The windows then run over
+  * ≤(groups·bins) rows — constant-size, no skew.
+  */
+object Ops {
+
+  /** Number of log bins for a given range/step, matching the reference's
+    * `GENERATE_ARRAY(LOG(xmin,10), LOG(xmax,10), step)` edge count minus 1.
+    */
+  def numLogBins(xmin: Double, xmax: Double, step: Double): Int =
+    math.floor((math.log10(xmax) - math.log10(xmin)) / step).toInt
+
+  /** Log-spaced pdf + cdf of `valueCol` per `groupCol`.
+    *
+    * Output: groupCol, bin, bin_cnt, xright, pdf, cdf — one row per
+    * (group, bin) incl. empty bins, like the reference TVF.
+    */
+  def logPdfCdf(df: DataFrame, valueCol: String, groupCol: String,
+      xmin: Double, xmax: Double, step: Double): DataFrame = {
+    val spark = df.sparkSession
+    val nb = numLogBins(xmin, xmax, step)
+    require(nb > 0, s"empty histogram: [$xmin,$xmax] step $step")
+
+    val lgMin = log10(lit(xmin))
+    val bin = least(
+      floor((log10(col(valueCol)) - lgMin) / step), lit(nb - 1))
+      .cast("int").as("bin")
+
+    // O(n) bin assignment + partial-aggregated count: the only pass over
+    // the (potentially 100 TB) fact table.
+    val counts = df
+      .filter(col(valueCol).between(xmin, xmax))
+      .groupBy(col(groupCol), bin)
+      .agg(count(lit(1)).as("bin_cnt"))
+
+    // groups × bins completeness frame — tiny, broadcast.
+    val bins = spark.range(nb).select(col("id").cast("int").as("bin"))
+    val frame = df.select(groupCol).distinct().crossJoin(broadcast(bins))
+
+    val full = frame
+      .join(counts, Seq(groupCol, "bin"), "left")
+      .withColumn("bin_cnt", coalesce(col("bin_cnt"), lit(0L)))
+
+    val byGroup = Window.partitionBy(groupCol)
+    val running = byGroup.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    full
+      .withColumn("pdf_raw", col("bin_cnt") / sum("bin_cnt").over(byGroup))
+      .select(
+        col(groupCol), col("bin"), col("bin_cnt"),
+        round(pow(10.0, lgMin + (col("bin") + 1) * step), 6).as("xright"),
+        round(col("pdf_raw"), 6).as("pdf"),
+        round(sum("pdf_raw").over(running), 6).as("cdf"))
+  }
+
+  /** Geometric mean of `valueCol` per group — the reference's
+    * ops.ndt7_geomean TVF (EXP(AVG(LN(x))), guarded to x > 0:
+    * functions/ops.ndt7_geomean_autonode.sql:19-25,37).
+    */
+  def geomean(df: DataFrame, valueCol: String, groupCols: Seq[String])
+      : DataFrame =
+    df.filter(col(valueCol) > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(round(exp(avg(log(col(valueCol)))), 4).as("geomean"),
+        count(lit(1)).as("cnt"))
+
+  /** The reference's "complete" TVF pattern: the union of the same
+    * computation over two populations, tagged by source
+    * (functions/ops.ndt7_download_pdf_complete.sql:10-17).
+    */
+  def logPdfCdfComplete(a: DataFrame, aTag: String, b: DataFrame, bTag: String,
+      valueCol: String, groupCol: String,
+      xmin: Double, xmax: Double, step: Double): DataFrame =
+    logPdfCdf(a, valueCol, groupCol, xmin, xmax, step)
+      .withColumn("src", lit(aTag))
+      .unionAll(
+        logPdfCdf(b, valueCol, groupCol, xmin, xmax, step)
+          .withColumn("src", lit(bTag)))
+}

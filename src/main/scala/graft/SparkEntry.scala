@@ -13,7 +13,8 @@ object SparkEntry {
   /** All declared queries, in module order. */
   def allQueries: Seq[GraftQuery] =
     _root_.graft.queries.Relational.all ++
-      _root_.graft.queries.Functions.all
+      _root_.graft.queries.Functions.all ++
+      _root_.graft.queries.LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

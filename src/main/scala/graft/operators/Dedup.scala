@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Document deduplication suite for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - exact dedup is one hash-shuffle on a 16-byte key — the cheapest op
+  *     in the suite; Catalyst partial-aggregates the counts map-side.
+  *   - n-gram Jaccard's shingle self-join is quadratic in the worst case;
+  *     it is the *verify* step, not the *candidate* step. At scale,
+  *     candidates come from MinHash LSH buckets (`minhashLshPairs`), so
+  *     the join fan-out is bounded by band-bucket sizes, and hot buckets
+  *     (boilerplate shingles) should be capped — see `maxBucket`.
+  *   - all signature math is built-in HOFs over arrays (codegen'd), no
+  *     UDFs, no driver-side loops; everything is a single distributed
+  *     pass + bounded joins.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * Output: text_hash, keep_id, dup_cnt.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct word-n-gram shingle sets per doc: (id, shingle_hashes). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextOps.shingleHashSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
+    * explode shingles → self-join on shingle → count common → Jaccard.
+    * Output: doc_a, doc_b, jaccard (≥ threshold).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val common = inv.as("x")
+      .join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs: signature → banded bucketing →
+    * candidate pairs → exact-Jaccard verification on the candidate set
+    * only. numHashes = bands × rowsPerBand.
+    *
+    * `maxBucket` drops pathological buckets (a shingle-band shared by a
+    * huge boilerplate cluster) before the pair blow-up — the standard
+    * guard when this runs over billions of docs. Pass Int.MaxValue for
+    * exact-parity runs (the oracle-checked query does).
+    *
+    * Output: doc_a, doc_b, jaccard (≥ threshold).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sigs = sets.withColumn("sig",
+      TextOps.minhashSignature(col("sh"), numHashes))
+
+    // (doc_id, band_idx, band_key): band key is the joined signature slice.
+    val bandRows = sigs.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), "-"))).as(Seq("band_idx", "band_key")))
+
+    val pruned =
+      if (maxBucket == Int.MaxValue) bandRows
+      else {
+        val hot = bandRows.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") > maxBucket)
+        bandRows.join(hot, Seq("band_idx", "band_key"), "left_anti")
+      }
+
+    // Candidate pairs from shared buckets; carry both shingle sets along
+    // so verification needs no extra join against the corpus.
+    val cands = pruned.as("x")
+      .join(pruned.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sha"), col("y.sh").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    cands
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc 60-bit SimHash over whitespace-token hashes.
+    * Output: doc_id, simhash.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextOps.simhash60(
+        transform(TextOps.tokens(col(textCol)), t => TextOps.hash32(t)))
+        .as("simhash"))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using the
+    * pigeonhole band trick: split the 60-bit hash into `bandsCount` bands;
+    * any pair within distance d < bandsCount must agree on ≥1 band, so the
+    * self-join runs per-band on equality, never all-pairs.
+    * Output: doc_a, doc_b, hamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bandsCount: Int = 4): DataFrame = {
+    require(maxHamming < bandsCount, "need maxHamming < bands (pigeonhole)")
+    val bits = 60
+    val bandBits = bits / bandsCount
+    val mask = (1L << bandBits) - 1
+    val sh = simhash(df, idCol, textCol)
+    val bandRows = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bandsCount).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band_idx", "band_val")))
+    bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs (brute force; the scale path buckets
+    * candidates first — see Similarity.lshTopK). Norms are precomputed
+    * per row so the pair stage does one dot product, not three.
+    * Output: id_a, id_b, cosine (≥ threshold).
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = df.select(
+      col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm",
+        sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+    withNorm.as("x").join(withNorm.as("y"), col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
+        (aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b),
+          lit(0.0d), (acc, v) => acc + v) /
+          (col("x.norm") * col("y.norm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

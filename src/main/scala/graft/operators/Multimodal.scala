@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns with typed
+  * metadata, processed per-partition.
+  *
+  * The decode step is a clearly-marked deterministic STUB (the container
+  * ships no image/audio codecs); everything around it — the schema shape
+  * (binary payload + metadata struct), the `Dataset[T]` encoder plumbing,
+  * the `mapPartitions` batch processing, partition sizing — is the real
+  * engine surface and is exercised by tests and an oracle-checked query.
+  *
+  * At 100 TB: media bytes dominate row size, so these tables should be
+  * stored with the binary column in its own Parquet column chunk (free
+  * with columnar storage) and read with pushdown filters on metadata only;
+  * `mapPartitions` keeps per-batch decoder state (a real codec would be
+  * initialized once per partition, not per row).
+  */
+object Multimodal {
+
+  /** One media row: payload + minimal typed metadata. */
+  case class MediaRow(doc_id: Long, media: Array[Byte], mime: String,
+      n_bytes: Long)
+
+  /** "Decoded" features — in a real deployment width/height/frames come
+    * from the codec; here they are deterministic functions of the bytes.
+    */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
+      mime: String, fake_width: Int, fake_height: Int)
+
+  /** Wrap a text corpus as a media table: UTF-8 bytes as the payload.
+    * (Stand-in for reading real image/audio bytes; schema is the point.)
+    */
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("media"),
+      lit("text/plain").as("mime"),
+      octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** STUB decoder: a real implementation would hand `bytes` to a codec.
+    * This fake is deterministic (first-64-byte weighted checksum) so the
+    * pipeline around it is testable end-to-end.
+    */
+  def stubDecode(bytes: Array[Byte]): (Long, Int, Int) = {
+    // ??? <- real codec goes here (image decode / audio PCM / video frames)
+    var sum = 0L
+    var i = 0
+    val n = math.min(bytes.length, 64)
+    while (i < n) { sum += (bytes(i) & 0xFF).toLong * (i + 1); i += 1 }
+    val checksum = sum % 997
+    (checksum, (checksum % 64).toInt + 1, (checksum % 48).toInt + 1)
+  }
+
+  /** Per-partition feature extraction over the media table — the
+    * `mapPartitions` shape a real decoder needs (one decoder instance per
+    * partition, streamed batches, no per-row setup).
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder init happens here (stubbed)
+        rows.map { r =>
+          val (checksum, w, h) = stubDecode(r.media)
+          MediaFeatures(r.doc_id, r.n_bytes, checksum, r.mime, w, h)
+        }
+      }
+  }
+
+  /** Deterministic frame-ish sampling stub: pick every `stride`-th byte
+    * offset of the payload as a "frame" marker — exercises the
+    * explode-to-frames schema (one row per sampled frame).
+    */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media.select(col("doc_id"), col("n_bytes"),
+      posexplode(sequence(lit(0), (col("n_bytes") - 1) / stride))
+        .as(Seq("frame_idx", "frame_offset_raw")))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * stride).as("frame_offset"))
+}

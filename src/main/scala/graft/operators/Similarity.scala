@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths, per the pipeline contract:
+  *   - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *     One shuffle-free map over candidates per query batch (queries are
+  *     broadcast), then a bounded per-query window for top-k.
+  *   - `lshTopK`: random-hyperplane LSH bucketing — the 100 TB path. The
+  *     hyperplanes use deterministic integer weights (no RNG state), so
+  *     results are reproducible across engines and runs; candidates are
+  *     only pairs sharing a bucket, turning O(n·q) into O(bucket sizes).
+  *
+  * All vector math is double-precision built-in HOFs (zip_with/aggregate)
+  * inside codegen; norms are precomputed once per side.
+  */
+object Similarity {
+
+  private def asDouble(vec: Column): Column =
+    transform(vec, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
+
+  /** Exact cosine top-k: for each query vector (rows matching
+    * `isQuery`), the k nearest non-self candidates.
+    * Output: q_id, cand_id, cosine, rank.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val queries = base.filter(isQuery)
+      .select(col("vid").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = base.as("c")
+      .join(broadcast(queries), col("q_id") =!= col("vid"))
+      .select(col("q_id"), col("vid").as("cand_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic integer hyperplane weight for (plane j, dim i):
+    * ((2j+3)(i+17)) mod 101 − 50 ∈ [−50, 50]. Reproducible in any SQL
+    * engine; no RNG state to persist or broadcast.
+    */
+  private def planeWeight(j: Column, i: Column): Column =
+    ((j * 2 + 3) * (i + 17)) % 101 - 50
+
+  /** Sign-bucket of a vector under `planes` hyperplanes: bit j is set iff
+    * Σ_i v[i]·w(j,i) > 0.
+    */
+  def lshBucket(vec: Column, planes: Int): Column =
+    (0 until planes).map { j =>
+      when(aggregate(
+        transform(vec, (x, i) => x * planeWeight(lit(j), i)),
+        lit(0.0d), (acc, v) => acc + v) > 0,
+        lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: queries only score candidates in their own bucket.
+    * Output: q_id, cand_id, cosine, rank (per-query top-k within bucket).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, planes: Int, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val queries = base.filter(isQuery)
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val scored = base.as("c")
+      .join(broadcast(queries),
+        col("qb") === col("bucket") && col("q_id") =!= col("vid"))
+      .select(col("q_id"), col("vid").as("cand_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

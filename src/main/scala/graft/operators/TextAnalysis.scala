@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Single-pass, per-row column math only — no shuffles, no UDFs; at
+  * 100 TB these run at scan speed and pipeline into whatever filter or
+  * aggregation follows.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword-hit
+    * language heuristic. (A real deployment swaps in bigger lists; the
+    * mechanism — count profile hits per language, argmax with a fixed
+    * priority order — is the operator.)
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+
+  /** Language-ID heuristic: stopword-profile hit counts + argmax with
+    * fixed priority (en > de > es > fr; "und" when nothing hits).
+    * Output: doc_id, s_en, s_de, s_es, s_fr, pred_lang.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val scores = StopwordProfiles.map { case (lang, words) =>
+      lang -> hitCount(toks, words)
+    }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    df.select(
+      col(idCol).as("doc_id"),
+      en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"))
+      .withColumn("pred_lang",
+        when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0,
+          "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"),
+            "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+  }
+
+  /** Quality metrics + a composite score.
+    * Output: doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    * stop_ratio, quality_score — all ratios rounded for cross-engine
+    * stability.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val txt = col(textCol)
+    val toks = TextOps.tokens(txt)
+    val allStop = StopwordProfiles.flatMap(_._2).distinct
+    df.select(
+      col(idCol).as("doc_id"),
+      length(txt).as("n_chars"),
+      size(toks).as("n_tokens"),
+      hitCount(toks, allStop).as("stop_hits"),
+      length(regexp_replace(txt, "[A-Za-z0-9 ]", "")).as("punct_chars"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"), 4).as("avg_token_len"),
+        round(col("punct_chars").cast("double") / col("n_chars"), 4)
+          .as("punct_ratio"),
+        round(col("stop_hits").cast("double") / col("n_tokens"), 4)
+          .as("stop_ratio"))
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast("double") / 100, lit(1.0)) *
+          (lit(0.5) + lit(0.5) * least(col("stop_ratio") * 5, lit(1.0))) *
+          (lit(1.0) - least(col("punct_ratio") * 2, lit(1.0))), 4))
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex tokenizer
+    * (alnum runs | single non-alnum-non-space), the standard
+    * pre-tokenization shape. Output: doc_id, ws_tokens, regex_tokens,
+    * chars_per_token.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val txt = col(textCol)
+    df.select(
+      col(idCol).as("doc_id"),
+      size(TextOps.tokens(txt)).as("ws_tokens"),
+      size(expr(
+        s"regexp_extract_all($textCol, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)"))
+        .as("regex_tokens"),
+      length(txt).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("ws_tokens"), 4))
+  }
+
+  /** Position-weighted rolling document fingerprint:
+    * Σ_i h(tok_i) · ((i mod 64) + 1)  mod 1_000_000_007.
+    * Order-sensitive (re-ordered docs fingerprint differently), pure
+    * integer math (engine-portable), single map pass.
+    * Output: doc_id, fingerprint.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      (aggregate(
+        transform(TextOps.tokens(col(textCol)),
+          (t, i) => TextOps.hash32(t) * ((i % 64) + 1)),
+        lit(0L), (acc, v) => acc + v) % 1000000007L).as("fingerprint"))
+}

@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline operators as declared queries: dedup suite,
+  * ANN similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle-parity notes: DuckDB list lambdas are 1-indexed where Spark's
+  * are 0-indexed — every positional formula below adjusts by (i−1) on the
+  * DuckDB side; hashes are the portable md5-hex-prefix int (TextOps.hash32).
+  */
+object LlmOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // Shared DuckDB fragments.
+  private val duckShingleSets =
+    """sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2]),
+      |      g -> ('0x' || substr(md5(g),1,8))::BIGINT)) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3)""".stripMargin
+
+  private val duckVecNorm =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
+
+  private val allStopwordsSql = TextAnalysis.StopwordProfiles
+    .flatMap(_._2).distinct.map(w => s"t = '$w'").mkString(" OR ")
+
+  private def hitsSql(words: Seq[String]): String =
+    "len(list_filter(string_split(text,' '), t -> " +
+      words.map(w => s"t = '$w'").mkString(" OR ") + "))"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q30_dedup_exact",
+      "Exact dedup: hash-groupBy on md5(text), keep min id — one " +
+        "16-byte-key shuffle at any scale.",
+      (s, d) => Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("text_hash"),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             |  count(*) AS dup_cnt
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    GraftQuery(
+      "q31_dedup_ngram_jaccard",
+      "Exact 3-gram Jaccard near-dup pairs via shingle inverted index " +
+        "(Spark) vs all-pairs list_intersect (oracle) — same result, " +
+        "different algorithm.",
+      (s, d) => Dedup.ngramJaccardPairs(
+        t(s, d, "documents"), "doc_id", "text", 3, 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $duckShingleSets,
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS common,
+              |    len(a.sh) AS sa, len(b.sh) AS sb
+              |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(common AS DOUBLE)/(sa+sb-common), 4) AS jaccard
+              |FROM pairs
+              |WHERE CAST(common AS DOUBLE)/(sa+sb-common) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GraftQuery(
+      "q32_dedup_minhash_lsh",
+      "MinHash(32) + LSH(8 bands × 4 rows) candidate generation, " +
+        "exact-Jaccard verification on candidates only — the 100 TB " +
+        "near-dup path.",
+      (s, d) => Dedup.minhashLshPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $duckShingleSets,
+              |sigs AS (
+              |  SELECT doc_id, sh,
+              |    list_transform(range(0,32), j ->
+              |      list_min(list_transform(sh, h ->
+              |        (h*(2*j+1) + (j*j*31+7)) % 2147483647))) AS sig
+              |  FROM sets),
+              |bandrows AS (
+              |  SELECT doc_id, sh, CAST(b.range AS INT) AS band_idx,
+              |    array_to_string(list_transform(
+              |      sig[b.range*4+1 : b.range*4+4],
+              |      x -> CAST(x AS VARCHAR)), '-') AS band_key
+              |  FROM sigs, range(0,8) b),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    x.sh AS sha, y.sh AS shb
+              |  FROM bandrows x JOIN bandrows y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |   AND x.doc_id < y.doc_id)
+              |SELECT doc_a, doc_b,
+              |  round(CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+              |    (len(sha)+len(shb)-len(list_intersect(sha, shb))), 4)
+              |    AS jaccard
+              |FROM cands
+              |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+              |    (len(sha)+len(shb)-len(list_intersect(sha, shb))) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GraftQuery(
+      "q33_dedup_simhash",
+      "Per-doc 60-bit SimHash from token hashes — pure HOF integer math, " +
+        "scan-speed at any scale (pairing via banded Hamming join in " +
+        "Dedup.simhashPairs).",
+      (s, d) => Dedup.simhash(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH hs AS (
+             |  SELECT doc_id, list_transform(string_split(text,' '),
+             |    t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS h
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(list_sum(list_transform(range(0,60), k ->
+             |    CASE WHEN list_sum(list_transform(h, v ->
+             |        ((((v*(k+1)) % 2147483647) >> 5) % 2) * 2 - 1)) > 0
+             |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT)
+             |    AS simhash
+             |FROM hs ORDER BY doc_id""".stripMargin)),
+
+    GraftQuery(
+      "q34_dedup_embedding",
+      "Embedding-cosine near-dup pairs (threshold 0.45), norms " +
+        "precomputed; brute-force baseline for the LSH-bucketed path.",
+      (s, d) => Dedup.embeddingCosinePairs(
+        t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $duckVecNorm
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |  round(list_sum(list_transform(range(1,65),
+              |    i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm), 4) AS cosine
+              |FROM n a JOIN n b ON a.vec_id < b.vec_id
+              |WHERE list_sum(list_transform(range(1,65),
+              |    i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.45
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    GraftQuery(
+      "q35_ann_brute_topk",
+      "Exact cosine top-5 per query vector (vec_id % 100 = 0): " +
+        "broadcast queries over one candidate scan + bounded window.",
+      (s, d) => Similarity.bruteForceTopK(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vid") % 100 === 0, 5)
+        .select(col("q_id"), col("cand_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $duckVecNorm,
+              |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+              |scored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM q JOIN n c ON c.vec_id != q.vec_id),
+              |ranked AS (SELECT *, row_number() OVER (
+              |  PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, cand_id, round(cosine, 4) AS cosine, rank
+              |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    GraftQuery(
+      "q36_ann_lsh_topk",
+      "LSH-bucketed ANN (4 deterministic integer hyperplanes → 16 " +
+        "buckets): queries score only their own bucket — the scale path.",
+      (s, d) => Similarity.lshTopK(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vid") % 100 === 0, planes = 4, k = 3)
+        .select(col("q_id"), col("cand_id"),
+          round(col("cosine"), 4).as("cosine"), col("rank"))
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $duckVecNorm,
+              |b AS (SELECT vec_id, v, nrm,
+              |  CAST(list_sum(list_transform(range(0,4), j ->
+              |    CASE WHEN list_sum(list_transform(v, (x,i) ->
+              |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
+              |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+              |    AS bucket
+              |  FROM n),
+              |q AS (SELECT * FROM b WHERE vec_id % 100 = 0),
+              |scored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM q JOIN b c
+              |    ON c.bucket = q.bucket AND c.vec_id != q.vec_id),
+              |ranked AS (SELECT *, row_number() OVER (
+              |  PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, cand_id, round(cosine, 4) AS cosine, rank
+              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    GraftQuery(
+      "q37_text_langid",
+      "Stopword-profile language ID: per-language hit counts, fixed-" +
+        "priority argmax (heuristic mechanism, scan-speed).",
+      (s, d) => TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id,
+              |    ${hitsSql(TextAnalysis.StopwordProfiles(0)._2)} AS s_en,
+              |    ${hitsSql(TextAnalysis.StopwordProfiles(1)._2)} AS s_de,
+              |    ${hitsSql(TextAnalysis.StopwordProfiles(2)._2)} AS s_es,
+              |    ${hitsSql(TextAnalysis.StopwordProfiles(3)._2)} AS s_fr
+              |  FROM documents)
+              |SELECT doc_id, s_en, s_de, s_es, s_fr,
+              |  CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'und'
+              |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              |    WHEN s_es >= s_fr THEN 'es'
+              |    ELSE 'fr' END AS pred_lang
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    GraftQuery(
+      "q38_text_quality",
+      "Quality metrics: token/char counts, punctuation + stopword " +
+        "ratios, composite score (ratios rounded before composing, " +
+        "both engines).",
+      (s, d) => TextAnalysis.qualityScore(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, length(text) AS n_chars,
+              |    len(string_split(text,' ')) AS n_tokens,
+              |    len(list_filter(string_split(text,' '),
+              |      t -> $allStopwordsSql)) AS stop_hits,
+              |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+              |      AS punct_chars
+              |  FROM documents),
+              |r AS (
+              |  SELECT doc_id, n_chars, n_tokens,
+              |    round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+              |      AS avg_token_len,
+              |    round(CAST(punct_chars AS DOUBLE) / n_chars, 4)
+              |      AS punct_ratio,
+              |    round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio
+              |  FROM m)
+              |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+              |  stop_ratio,
+              |  round(least(n_tokens / 100.0, 1.0) *
+              |    (0.5 + 0.5 * least(stop_ratio * 5, 1.0)) *
+              |    (1.0 - least(punct_ratio * 2, 1.0)), 4) AS quality_score
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    GraftQuery(
+      "q39_token_count",
+      "Token counting: whitespace split + BPE-ish regex pre-tokenizer " +
+        "(alnum runs | single punct).",
+      (s, d) => TextAnalysis.tokenCounts(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text,' ')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
+             |    AS regex_tokens,
+             |  length(text) AS n_chars,
+             |  round(CAST(length(text) AS DOUBLE) /
+             |    len(string_split(text,' ')), 4) AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    GraftQuery(
+      "q40_fingerprint",
+      "Position-weighted rolling document fingerprint — order-sensitive " +
+        "integer hash, single map pass.",
+      (s, d) => TextAnalysis.fingerprint(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(list_sum(list_transform(string_split(text,' '),
+             |    (t,i) -> ('0x'||substr(md5(t),1,8))::BIGINT *
+             |             (((i-1) % 64) + 1))) % 1000000007 AS BIGINT)
+             |    AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    GraftQuery(
+      "q41_multimodal_features",
+      "Multimodal plumbing: text→binary media table, mapPartitions " +
+        "feature extraction with a deterministic stub decoder (schema, " +
+        "encoders, and batch shape are the real surface).",
+      (s, d) => Multimodal.extractFeatures(
+        Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
+        .toDF()
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT doc_id, length(text) AS n_chars,
+             |    CAST(list_sum(list_transform(
+             |      range(1, least(length(text), 64) + 1),
+             |      i -> ord(substr(text, i, 1)) * i)) % 997 AS BIGINT)
+             |      AS checksum
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes, checksum,
+             |  'text/plain' AS mime,
+             |  CAST(checksum % 64 + 1 AS INT) AS fake_width,
+             |  CAST(checksum % 48 + 1 AS INT) AS fake_height
+             |FROM c ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -16,9 +16,15 @@ object SparkEntry {
       _root_.graft.queries.Functions.all ++
       _root_.graft.queries.LlmOps.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The pdf/cdf histogram TVF — the reference's marquee table function
+    * (functions/ops.ndt7_download_pdf_autonode.sql) — exercising scan,
+    * filter, O(n) binning, broadcast completeness frame, and both window
+    * shapes in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    allQueries.head.run(spark, "/root/testdata/sf0.001")
+    allQueries.find(_.name == "q20_ops_pdf_cdf").get
+      .run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

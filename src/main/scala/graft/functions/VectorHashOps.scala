@@ -1,0 +1,253 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Codegen'd kernels for the vector / signature math on the LLM-ops hot
+  * path.
+  *
+  * Spark's higher-order functions (transform/aggregate/zip_with) are
+  * CodegenFallback — every lambda step is an interpreted Expression eval.
+  * For 2M candidate pairs × 64-dim dots (or 5 000 docs × 300 tokens × 60
+  * SimHash bits) that interpretation dominated the sf0.1 bench (40 s+ per
+  * query). These expressions keep identical semantics (same formulas the
+  * DuckDB oracle replicates) but run as tight JVM loops invoked from
+  * whole-stage codegen — the preference order SURVEY.md §7.3 sets out:
+  * native `Expression` with `doGenCode` over UDF over interpreted chain.
+  */
+object VectorHashOps {
+  final val P31: Long = 2147483647L
+
+  /** Σ a[i]·b[i], left-to-right (same order as zip_with+aggregate and the
+    * oracle's list_sum, so results stay bit-identical).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** 60-bit SimHash over token hashes; bit k set iff
+    * Σ_h (((h·(k+1) mod p) >> 5) & 1)·2−1 > 0. Single pass per document.
+    */
+  def simhash60(hashes: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var k = 0
+      while (k < 60) {
+        val bit = (((h * (k + 1)) % P31) >>> 5) & 1L
+        counts(k) += (bit.toInt * 2) - 1
+        k += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var k = 0
+    while (k < 60) { if (counts(k) > 0) out |= 1L << k; k += 1 }
+    out
+  }
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Portable 32-bit string hash: first 4 bytes of md5 as an unsigned int
+    * (identical to `conv(substring(md5(s),1,8),16,10)` / the oracle's
+    * `('0x'||substr(md5(s),1,8))::BIGINT`).
+    */
+  def md5Prefix32(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** Distinct hashed word-n-gram shingles of a token array, single pass
+    * (first-occurrence order — downstream consumers are set ops, order
+    * never observable). Semantics identical to
+    * TextOps.shingles → hash32 → array_distinct.
+    */
+  def shingleHashSet(tokens: ArrayData, n: Int): ArrayData = {
+    val numToks = tokens.numElements()
+    if (numToks < n) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[String](numToks)
+    var i = 0
+    while (i < numToks) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i <= numToks - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(md5Prefix32(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Hash each token (portable md5-prefix32), preserving order/duplicates —
+    * the SimHash input. Identical to transform(tokens, hash32).
+    */
+  def tokenHashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = md5Prefix32(tokens.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of tokens present in `words` (duplicates counted — occurrence
+    * semantics, same as filter(toks, t -> t IN (...)) |> size).
+    */
+  def countIn(tokens: ArrayData, words: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Int = {
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (words.contains(tokens.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** MinHash signature, sig[j] = min_h (h·(2j+1) + (31j²+7)) mod p. */
+  def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val out = new Array[Long](numHashes)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (h * (2 * j + 1) + (31L * j * j + 7)) % P31
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** vec_dot(array<double>, array<double>) → double. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorHashOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorHashOps.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDot = copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** simhash60(array<long>) → long. */
+case class SimHash60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.simhash60(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorHashOps.simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash60Expr =
+    copy(child = c)
+  override def prettyName: String = "simhash60"
+}
+
+/** shingle_hash_set(array<string> tokens, n literal) → array<long>. */
+case class ShingleHashSetExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.shingleHashSet(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.shingleHashSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashSetExpr =
+    copy(child = c)
+  override def prettyName: String = "shingle_hash_set"
+}
+
+/** token_hashes(array<string>) → array<long> (order-preserving). */
+case class TokenHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.tokenHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.tokenHashes($c)")
+  override protected def withNewChildInternal(c: Expression): TokenHashesExpr =
+    copy(child = c)
+  override def prettyName: String = "token_hashes"
+}
+
+/** stop_hits(array<string> tokens, words): occurrences of any listed word.
+  * The word set rides into generated code as a codegen reference object —
+  * one hash probe per token, no per-token OR chain.
+  */
+case class StopHitsExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.countIn(v.asInstanceOf[ArrayData], wordSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopWords", wordSet,
+      "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.countIn($c, $setRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): StopHitsExpr =
+    copy(child = c)
+  override def prettyName: String = "stop_hits"
+}
+
+/** minhash_sig(array<long>, numHashes literal) → array<long>. */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.minhashSig(v.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.minhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}

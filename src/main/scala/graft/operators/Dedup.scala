@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextOps
+import graft.functions.{GraftFunctions, TextOps}
 
 /** Document deduplication suite for training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
@@ -29,12 +29,18 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Distinct word-n-gram shingle sets per doc: (id, shingle_hashes). */
+  /** Distinct word-n-gram shingle sets per doc: (id, shingle_hashes).
+    * Uses the codegen'd single-pass kernel; semantics identical to
+    * TextOps.shingleHashSet (asserted by DedupSpec).
+    */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    GraftFunctions.registerAll(df.sparkSession)
     df.select(col(idCol).as("doc_id"),
-        TextOps.shingleHashSet(col(textCol), n).as("sh"))
+        GraftFunctions.shingleHashSet(TextOps.tokens(col(textCol)), n)
+          .as("sh"))
       .filter(size(col("sh")) > 0)
+  }
 
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     * explode shingles → self-join on shingle → count common → Jaccard.
@@ -43,20 +49,21 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("sz"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val common = inv.as("x")
+    // Carry the set size through the explode: the Jaccard denominator then
+    // falls out of the pair aggregation directly — no back-joins against
+    // the corpus (which would re-shingle it twice).
+    val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    inv.as("x")
       .join(inv.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("common"),
+        first(col("x.sz")).as("sa"), first(col("y.sz")).as("sb"))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("common"))).as("jaccard"))
+          (col("sa") + col("sb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -75,9 +82,10 @@ object Dedup {
       shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
+    GraftFunctions.registerAll(df.sparkSession)
     val sets = shingleSets(df, idCol, textCol, shingleN)
     val sigs = sets.withColumn("sig",
-      TextOps.minhashSignature(col("sh"), numHashes))
+      GraftFunctions.minhashSig(col("sh"), numHashes))
 
     // (doc_id, band_idx, band_key): band key is the joined signature slice.
     val bandRows = sigs.select(
@@ -119,11 +127,13 @@ object Dedup {
   /** Per-doc 60-bit SimHash over whitespace-token hashes.
     * Output: doc_id, simhash.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftFunctions.registerAll(df.sparkSession)
     df.select(col(idCol).as("doc_id"),
-      TextOps.simhash60(
-        transform(TextOps.tokens(col(textCol)), t => TextOps.hash32(t)))
+      GraftFunctions.simhash60(
+        GraftFunctions.tokenHashes(TextOps.tokens(col(textCol))))
         .as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, using the
     * pigeonhole band trick: split the 60-bit hash into `bandsCount` bands;
@@ -161,15 +171,14 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    GraftFunctions.registerAll(df.sparkSession)
     val withNorm = df.select(
       col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("norm",
-        sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(GraftFunctions.vecDot(col("v"), col("v"))))
     withNorm.as("x").join(withNorm.as("y"), col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
-        (aggregate(zip_with(col("x.v"), col("y.v"), (a, b) => a * b),
-          lit(0.0d), (acc, v) => acc + v) /
+        (GraftFunctions.vecDot(col("x.v"), col("y.v")) /
           (col("x.norm") * col("y.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }

@@ -24,11 +24,12 @@ object Similarity {
   private def asDouble(vec: Column): Column =
     transform(vec, x => x.cast("double"))
 
+  // Codegen'd dot-product kernel (GraftFunctions.vecDot); HOF chains are
+  // CodegenFallback and interpreted ~50x slower on the pair hot path.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.GraftFunctions.vecDot(a, b)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0d), (a, x) => a + x * x))
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Exact cosine top-k: for each query vector (rows matching
     * `isQuery`), the k nearest non-self candidates.
@@ -36,6 +37,7 @@ object Similarity {
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     val queries = base.filter(isQuery)
@@ -73,6 +75,7 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, planes: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), planes))

@@ -25,14 +25,17 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "y", "es"),
     "fr" -> Seq("le", "la", "les", "et", "est"))
 
+  // Codegen'd set-membership count (GraftFunctions.stopHits); the HOF
+  // filter chain is interpreted and was the slowest scan in the bench.
   private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => words.map(t === _).reduce(_ || _)))
+    graft.functions.GraftFunctions.stopHits(toks, words)
 
   /** Language-ID heuristic: stopword-profile hit counts + argmax with
     * fixed priority (en > de > es > fr; "und" when nothing hits).
     * Output: doc_id, s_en, s_de, s_es, s_fr, pred_lang.
     */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val toks = TextOps.tokens(col(textCol))
     val scores = StopwordProfiles.map { case (lang, words) =>
       lang -> hitCount(toks, words)
@@ -59,6 +62,7 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val txt = col(textCol)
     val toks = TextOps.tokens(txt)
     val allStop = StopwordProfiles.flatMap(_._2).distinct

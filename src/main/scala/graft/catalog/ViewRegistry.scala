@@ -1,0 +1,105 @@
+package graft.catalog
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The reference's view-deployment lifecycle on Spark (SURVEY.md §3.1).
+  *
+  * m-lab/etl-schema deploys ~80 SQL views with a Go tool that (1) renders
+  * `{{.ProjectID}}` templates (/root/reference/cmd/bq_create_view/
+  * main.go:240-244), (2) regex-extracts referenced tables for dependency
+  * ordering and ACLs (findTables, main.go:42-53), and (3) creates views in
+  * strict dependency order because BigQuery validates each view body at
+  * CREATE time (/root/reference/views/create_dataset_views.sh:35-157).
+  *
+  * Here the same lifecycle is native: templates render with plain
+  * substitution, dependencies come from *parsing* the SQL and collecting
+  * `UnresolvedRelation`s (strictly more robust than the reference's regex —
+  * comments and string literals can't fool the parser), deployment order is
+  * a topological sort, and Catalyst's analyzer performs the validation the
+  * reference delegates to BigQuery.
+  */
+final case class ViewDef(name: String, sqlTemplate: String,
+    description: String = "")
+
+class ViewRegistry(spark: SparkSession) {
+
+  /** Render `{{.Key}}` template variables (the reference's Go
+    * text/template contract, views/README.md:17-19).
+    */
+  def render(template: String, vars: Map[String, String]): String =
+    vars.foldLeft(template) { case (acc, (k, v)) =>
+      acc.replace(s"{{.$k}}", v)
+    }
+
+  /** Table/view names referenced by a SQL text, from the parsed plan.
+    * CTE aliases are subtracted (they are definitions, not dependencies).
+    */
+  def dependencies(sql: String): Set[String] = {
+    val plan: LogicalPlan = spark.sessionState.sqlParser.parsePlan(sql)
+    val cteNames = mutable.Set[String]()
+    val refs = mutable.Set[String]()
+    // CTE definition plans are innerChildren of UnresolvedWith, which
+    // `foreach` does not traverse — walk them explicitly.
+    def walk(p: LogicalPlan): Unit = p.foreach {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.foreach { case (name, cte, _) =>
+          cteNames += name.toLowerCase
+          walk(cte)
+        }
+      case r: UnresolvedRelation =>
+        refs += r.multipartIdentifier.mkString(".").toLowerCase
+      case other =>
+        other.subqueries.foreach(walk) // scalar/EXISTS subqueries
+    }
+    walk(plan)
+    (refs -- cteNames).toSet
+  }
+
+  /** Topologically sort views by their dependencies *within the set*
+    * (external tables are assumed present, as in the reference where raw
+    * tables exist before any view deploys). Deterministic: ties break by
+    * name. Throws on cycles.
+    */
+  def topoSort(views: Seq[ViewDef], vars: Map[String, String])
+      : Seq[ViewDef] = {
+    val byName = views.map(v => v.name.toLowerCase -> v).toMap
+    val deps: Map[String, Set[String]] = views.map { v =>
+      v.name.toLowerCase ->
+        (dependencies(render(v.sqlTemplate, vars)) & byName.keySet)
+    }.toMap
+    val sorted = mutable.ArrayBuffer[ViewDef]()
+    val done = mutable.Set[String]()
+    val inProgress = mutable.Set[String]()
+    def visit(n: String): Unit = {
+      if (done(n)) return
+      if (inProgress(n)) sys.error(s"view dependency cycle at $n")
+      inProgress += n
+      deps(n).toSeq.sorted.foreach(visit)
+      inProgress -= n
+      done += n
+      sorted += byName(n)
+    }
+    views.map(_.name.toLowerCase).sorted.foreach(visit)
+    sorted.toSeq
+  }
+
+  /** Deploy all views in dependency order as (replaceable) temp views.
+    * Catalyst validates each body eagerly — the reference's "each view
+    * must be created before being used in other view definitions"
+    * invariant (schema/views_standardsql/README.md:20-22) holds by
+    * construction. Returns the deployment order.
+    */
+  def deployAll(views: Seq[ViewDef], vars: Map[String, String] = Map.empty)
+      : Seq[String] = {
+    val ordered = topoSort(views, vars)
+    ordered.foreach { v =>
+      val body = render(v.sqlTemplate, vars)
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW ${v.name} AS $body")
+    }
+    ordered.map(_.name)
+  }
+}

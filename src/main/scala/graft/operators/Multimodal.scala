@@ -78,7 +78,8 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame =
     media.select(col("doc_id"), col("n_bytes"),
-      posexplode(sequence(lit(0), (col("n_bytes") - 1) / stride))
+      posexplode(sequence(lit(0L),
+        floor((col("n_bytes") - 1) / stride).cast("long")))
         .as(Seq("frame_idx", "frame_offset_raw")))
       .select(col("doc_id"), col("frame_idx"),
         (col("frame_idx") * stride).as("frame_offset"))

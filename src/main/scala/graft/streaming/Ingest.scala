@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming ingestion — the clean extension SURVEY.md §2.9
+  * identifies: the reference's "stream" is daily batch partitions appended
+  * by the upstream parser (/root/reference/schema/README.md:6-9), so the
+  * same view chain becomes streaming by swapping `read` for `readStream`:
+  * file-arrival source → dedup by test id under a watermark → windowed
+  * aggregation / append to the date-partitioned table.
+  *
+  * All transforms here are also valid on batch DataFrames (Structured
+  * Streaming's unified-API contract), which is how the specs assert
+  * semantics without a long-running query.
+  */
+object Ingest {
+
+  /** File-arrival stream over a directory of parquet drops. */
+  def streamTable(spark: SparkSession, dir: String, schema: StructType)
+      : DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** At-least-once → effectively-once: drop duplicate test ids within the
+    * watermark horizon (the reference relies on the parser's daily
+    * idempotence; here it is explicit state).
+    */
+  def dedupByIdWithWatermark(df: DataFrame, idCol: String, tsCol: String,
+      watermark: String = "1 day"): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicates(Seq(idCol))
+
+  /** Tumbling-window counts per key — the streaming analog of the
+    * reference's hourly rollups
+    * (views/website/entry07_platform_hourly_downloads_after.sql:76).
+    */
+  def windowedCounts(df: DataFrame, tsCol: String, keyCol: String,
+      window: String = "1 hour", watermark: Option[String] = None)
+      : DataFrame =
+    watermark.fold(df)(w => df.withWatermark(tsCol, w))
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(keyCol))
+      .agg(count(lit(1)).as("cnt"),
+        sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("cnt"), col("total_value"))
+
+  /** Append sink into the engine's date-partitioned layout: the streaming
+    * continuation of the CTAS contract (transform/web100.sql:8-13).
+    */
+  def startPartitionedAppend(df: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.withColumn("date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
+      .outputMode("append")
+      .start()
+}

@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions._
+import graft.schema.BqSchema
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- SafeOps -----------------------------------------------------------
+
+  test("safeDivide: null on zero or null denominator, ratio otherwise") {
+    val df = Seq((10.0, 2.0), (1.0, 0.0), (5.0, Double.NaN))
+      .toDF("x", "y")
+      .select(SafeOps.safeDivide(col("x"), col("y")).as("r"))
+    val rs = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rs(0).contains(5.0))
+    assert(rs(1).isEmpty)
+  }
+
+  test("safeOffset/safeOrdinal/arrayLast: BigQuery index semantics") {
+    val df = Seq(Seq("a", "b", "c")).toDF("arr").select(
+      SafeOps.safeOffset(col("arr"), lit(0)).as("off0"),
+      SafeOps.safeOffset(col("arr"), lit(9)).as("off9"),
+      SafeOps.safeOrdinal(col("arr"), lit(1)).as("ord1"),
+      SafeOps.safeOrdinal(col("arr"), lit(9)).as("ord9"),
+      SafeOps.arrayLast(col("arr")).as("last"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "a") // SAFE_OFFSET is 0-based
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "a") // SAFE_ORDINAL is 1-based
+    assert(r.isNullAt(3))
+    assert(r.getString(4) == "c")
+  }
+
+  test("safeOrdinal/arrayLast property over seeded random arrays") {
+    val rnd = new scala.util.Random(42)
+    val samples = Seq.fill(25)(List.fill(1 + rnd.nextInt(20))(rnd.nextInt()))
+    val df = samples.toDF("arr")
+      .select(SafeOps.safeOrdinal(col("arr"), lit(1)).as("f"),
+        SafeOps.arrayLast(col("arr")).as("l"))
+    df.collect().zip(samples).foreach { case (r, xs) =>
+      assert(r.getInt(0) == xs.head && r.getInt(1) == xs.last)
+    }
+  }
+
+  // --- NetOps ------------------------------------------------------------
+
+  private def ip(s: String): Option[Boolean] = {
+    val r = Seq(s).toDF("ip")
+      .select(GraftFunctions.isPrivateIp(col("ip"))).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getBoolean(0))
+  }
+
+  test("isPrivateIp: RFC1918 ranges and boundaries") {
+    assert(ip("10.0.0.1").contains(true))
+    assert(ip("10.255.255.255").contains(true))
+    assert(ip("11.0.0.1").contains(false))
+    assert(ip("172.15.255.255").contains(false))
+    assert(ip("172.16.0.0").contains(true))
+    assert(ip("172.31.255.255").contains(true))
+    assert(ip("172.32.0.0").contains(false))
+    assert(ip("192.168.1.1").contains(true))
+    assert(ip("192.169.0.1").contains(false))
+    assert(ip("8.8.8.8").contains(false))
+  }
+
+  test("isPrivateIp: null on garbage, false on IPv6") {
+    assert(ip("not-an-ip").isEmpty)
+    assert(ip("").isEmpty)
+    assert(ip("::1").contains(false)) // parseable v6, not RFC1918 v4
+  }
+
+  test("ipTrunc zeroes bits after the prefix") {
+    val df = Seq("203.119.45.77").toDF("ip").select(
+      GraftFunctions.ipTrunc(
+        GraftFunctions.safeIpFromString(col("ip")), lit(12)).as("t"))
+    val bytes = df.collect()(0).getAs[Array[Byte]](0)
+    assert(bytes.toSeq == Seq(203.toByte, 112.toByte, 0.toByte, 0.toByte))
+  }
+
+  test("ipTrunc property: truncated address has no bits past prefix") {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val parts = Seq.fill(4)(rnd.nextInt(256))
+      val s = parts.mkString(".")
+      val parsed = NetOps.safeIpFromString(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val t = NetOps.ipTrunc(parsed, 16)
+      assert(t(0) == parsed(0) && t(1) == parsed(1) &&
+        t(2) == 0 && t(3) == 0)
+    }
+  }
+
+  // --- Kernel/HOF parity --------------------------------------------------
+
+  private val sampleDocs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "a b", "", "one",
+    "join filter scan merge sort window group row data value")
+
+  test("shingle_hash_set kernel == HOF formulation") {
+    val df = sampleDocs.toDF("text")
+    val both = df.select(
+      GraftFunctions.shingleHashSet(TextOps.tokens(col("text")), 3).as("k"),
+      TextOps.shingleHashSet(col("text"), 3).as("h"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("simhash60 kernel == HOF formulation") {
+    val df = sampleDocs.filter(_.nonEmpty).toDF("text")
+    val both = df.select(
+      GraftFunctions.simhash60(
+        GraftFunctions.tokenHashes(TextOps.tokens(col("text")))).as("k"),
+      TextOps.simhash60(
+        transform(TextOps.tokens(col("text")), t => TextOps.hash32(t)))
+        .as("h"))
+    both.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("minhash_sig kernel == HOF formulation") {
+    val df = sampleDocs.filter(_.split(" ").length >= 3).toDF("text")
+    val both = df.select(
+      GraftFunctions.minhashSig(
+        GraftFunctions.shingleHashSet(TextOps.tokens(col("text")), 3), 16)
+        .as("k"),
+      TextOps.minhashSignature(TextOps.shingleHashSet(col("text"), 3), 16)
+        .as("h"))
+    both.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("vec_dot == zip_with/aggregate; stop_hits == filter/size") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      GraftFunctions.vecDot(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, v) => acc + v).as("h")).collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(0) == 32.0)
+
+    val s = Seq("the cat and the hat").toDF("text").select(
+      GraftFunctions.stopHits(TextOps.tokens(col("text")),
+        Seq("the", "and")).as("k")).collect()(0)
+    assert(s.getInt(0) == 3)
+  }
+
+  test("hash32 is the md5-prefix32 value (cross-engine contract)") {
+    // printf '%s' hello | md5: 5d41402abc4b2a76... -> 0x5d41402a
+    val r = Seq("hello").toDF("s")
+      .select(TextOps.hash32(col("s"))).collect()(0).getLong(0)
+    assert(r == 0x5d41402aL)
+  }
+
+  // --- BqSchema -----------------------------------------------------------
+
+  test("BqSchema parses nested/repeated/required and round-trips") {
+    val json =
+      """[
+        |{"name":"id","type":"STRING","mode":"REQUIRED"},
+        |{"name":"date","type":"DATE"},
+        |{"name":"snap","type":"RECORD","mode":"REPEATED","fields":[
+        |  {"name":"ts","type":"TIMESTAMP"},
+        |  {"name":"value","type":"FLOAT","description":"counter"}]},
+        |{"name":"count","type":"INTEGER"}
+        |]""".stripMargin
+    val st = BqSchema.parse(json)
+    assert(st.fieldNames.toSeq == Seq("id", "date", "snap", "count"))
+    assert(!st("id").nullable)
+    assert(st("snap").dataType.isInstanceOf[ArrayType])
+    val inner = st("snap").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(inner("ts").dataType == TimestampType)
+    assert(inner("value").metadata.getString("description") == "counter")
+    assert(st("count").dataType == LongType)
+    // round-trip through the JSON renderer is structurally stable
+    val st2 = BqSchema.parse(BqSchema.toJson(st))
+    assert(st2.map(f => (f.name, f.dataType, f.nullable)) ==
+      st.map(f => (f.name, f.dataType, f.nullable)))
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{ViewDef, ViewRegistry}
+import graft.plans.PartitionFilterRegistry
+import graft.streaming.Ingest
+import graft.views._
+
+class InfraSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- ViewRegistry -------------------------------------------------------
+
+  test("ViewRegistry renders templates, extracts deps, sorts, deploys") {
+    val reg = new ViewRegistry(spark)
+    assert(reg.render("SELECT * FROM {{.ProjectID}}.t", Map("ProjectID" -> "p"))
+      == "SELECT * FROM p.t")
+
+    val deps = reg.dependencies(
+      "WITH c AS (SELECT 1 AS x FROM base_a) " +
+        "SELECT * FROM c JOIN base_b ON c.x = base_b.x")
+    assert(deps == Set("base_a", "base_b")) // CTE name excluded
+
+    Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("vr_base")
+    val views = Seq(
+      ViewDef("vr_unified", "SELECT * FROM vr_mid1 UNION ALL SELECT * FROM vr_mid2"),
+      ViewDef("vr_mid2", "SELECT k, v FROM vr_base WHERE k > 0"),
+      ViewDef("vr_mid1", "SELECT k, v FROM vr_base"))
+    val order = reg.deployAll(views)
+    assert(order.indexOf("vr_unified") > order.indexOf("vr_mid1"))
+    assert(order.indexOf("vr_unified") > order.indexOf("vr_mid2"))
+    assert(spark.table("vr_unified").count() == 2)
+  }
+
+  test("ViewRegistry detects dependency cycles") {
+    val reg = new ViewRegistry(spark)
+    val cyc = Seq(
+      ViewDef("cy_a", "SELECT * FROM cy_b"),
+      ViewDef("cy_b", "SELECT * FROM cy_a"))
+    val e = intercept[RuntimeException](reg.topoSort(cyc, Map.empty))
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  // --- PartitionFilterCheck ----------------------------------------------
+
+  test("flagged path-table scans require a partition predicate") {
+    val dir = Files.createTempDirectory("pfc").toFile
+    val tblDir = new java.io.File(dir, "pf_events")
+    Seq((1L, Date.valueOf("2024-01-01"), 10.0),
+      (2L, Date.valueOf("2024-01-02"), 20.0))
+      .toDF("id", "date", "value")
+      .write.partitionBy("date").parquet(tblDir.getAbsolutePath)
+
+    PartitionFilterRegistry.flag("pf_events", "date")
+    try {
+      val df = spark.read.parquet(tblDir.getAbsolutePath)
+      val e = intercept[AnalysisException](df.groupBy().sum("value").collect())
+      assert(e.getMessage.contains("partition filter"))
+      // with a date predicate the same query is admitted
+      val ok = df.filter(col("date") === "2024-01-01")
+        .groupBy().sum("value").collect()(0).getDouble(0)
+      assert(ok == 10.0)
+    } finally PartitionFilterRegistry.unflag("pf_events")
+    // unflagged: full scan is allowed again
+    assert(spark.read.parquet(tblDir.getAbsolutePath).count() == 2)
+  }
+
+  // --- Unified view chain -------------------------------------------------
+
+  private def rawNdt7Fixture = {
+    def meas(elapsedUs: Long, acked: Long) = (elapsedUs, (acked, 12000L, 0L, acked + 100))
+    // (ElapsedTime, TCPInfo(BytesAcked, MinRTT µs, BytesRetrans, BytesSent))
+    val rows = Seq(
+      // valid: 20 s, 100 MB
+      ("t1", Date.valueOf("2024-01-01"), "good", "8.8.8.8",
+        Seq(meas(1000000L, 1000000L), meas(20000000L, 100000000L))),
+      // too short: 2 s
+      ("t2", Date.valueOf("2024-01-01"), "good", "9.9.9.9",
+        Seq(meas(2000000L, 90000000L))),
+      // OAM: private client IP
+      ("t3", Date.valueOf("2024-01-01"), "good", "10.1.2.3",
+        Seq(meas(20000000L, 100000000L))),
+      // bad uuid -> dropped in the intermediate view
+      ("", Date.valueOf("2024-01-01"), "good", "8.8.4.4",
+        Seq(meas(20000000L, 100000000L))))
+    rows.map { case (uuid, date, site, clientIp, ms) =>
+      val archive = if (site == "good")
+        "gs://archive/mlab2-abc01-ndt.tgz" else "gs://archive/other.tgz"
+      (uuid + "-id", date,
+        ("v1", Timestamp.valueOf("2024-01-01 00:00:00"), archive, "f.tgz"),
+        ("1.2.3.4", 443L),
+        (clientIp, 5201L),
+        ((uuid, Timestamp.valueOf("2024-01-01 00:00:01"), "bbr",
+          ms.map { case (el, (ba, mr, br, bs)) => (el, (ba, mr, br, bs)) })))
+    }.toDF("id", "date", "parser", "server", "client", "rawd")
+      .select(col("id"), col("date"),
+        col("parser").cast(
+          "struct<Version:string,Time:timestamp,ArchiveURL:string,Filename:string>"),
+        col("server").cast("struct<IP:string,Port:bigint>"),
+        col("client").cast("struct<IP:string,Port:bigint>"),
+        struct(col("rawd").cast(
+          "struct<UUID:string,StartTime:timestamp,CongestionControl:string," +
+            "ServerMeasurements:array<struct<ElapsedTime:bigint," +
+            "TCPInfo:struct<BytesAcked:bigint,MinRTT:bigint," +
+            "BytesRetrans:bigint,BytesSent:bigint>>>>").as("Download"))
+          .as("raw"))
+  }
+
+  test("extendedDownloads computes summary + validity; unified filters") {
+    UnifiedViews.prepare(spark)
+    val ext = UnifiedViews.extendedDownloads(rawNdt7Fixture)
+    val byId = ext.collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(byId.size == 3) // empty-UUID row dropped
+    val t1 = byId("t1-id")
+    val a = t1.getAs[org.apache.spark.sql.Row]("a")
+    // 100 MB over 20 s -> 8e8 bits / 2e7 µs = 40 Mbps
+    assert(math.abs(a.getAs[Double]("MeanThroughputMbps") - 40.0) < 1e-9)
+    assert(a.getAs[Double]("MinRTT") == 12.0)
+    val f2 = byId("t2-id").getAs[org.apache.spark.sql.Row]("filter")
+    assert(f2.getAs[Boolean]("IsShort"))
+    val f3 = byId("t3-id").getAs[org.apache.spark.sql.Row]("filter")
+    assert(f3.getAs[Boolean]("IsOAM"))
+
+    val unified = UnifiedViews.unifiedDownloads(Seq(ext))
+    assert(unified.collect().map(_.getAs[String]("id")).toSeq == Seq("t1-id"))
+    assert(!unified.columns.contains("filter")) // * EXCEPT (filter)
+    val nofilter = UnifiedViews.unifiedDownloads(Seq(ext), applyFilter = false)
+    assert(nofilter.count() == 3)
+  }
+
+  // --- Streaming ----------------------------------------------------------
+
+  test("streaming ingest: file source -> watermark dedup -> windowed agg") {
+    val dir = Files.createTempDirectory("stream-in").toFile
+    val ckpt = Files.createTempDirectory("stream-ck").toFile
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "view", 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), "view", 1.0), // dup id
+      (2L, Timestamp.valueOf("2024-01-01 00:40:00"), "view", 2.0),
+      (3L, Timestamp.valueOf("2024-01-01 01:05:00"), "click", 3.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    events.write.parquet(new java.io.File(dir, "drop1").getAbsolutePath)
+
+    val stream = Ingest.streamTable(spark,
+      dir.getAbsolutePath + "/drop*", events.schema)
+    val agg = Ingest.windowedCounts(
+      Ingest.dedupByIdWithWatermark(stream, "event_id", "ts"),
+      "ts", "event_type")
+    val q = agg.writeStream.format("memory").queryName("stream_counts")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val out = spark.table("stream_counts")
+      .orderBy("window_start", "event_type").collect()
+    // hour 0: 2 distinct view events (dup dropped); hour 1: 1 click
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("cnt") == 2 &&
+      out(0).getAs[Double]("total_value") == 3.0)
+    assert(out(1).getAs[Long]("cnt") == 1)
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.ops.Ops
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight"),
+    (1L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup
+    (2L, "the quick brown fox jumps over the lazy cat tonight"), // near dup
+    (3L, "completely different words about spark query engines here"),
+    (4L, "another unrelated document mentioning join and filter things"))
+    .toDF("doc_id", "text")
+
+  test("Dedup.exact keeps min id per content hash") {
+    val r = Dedup.exact(corpus, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(r.length == 4) // 5 docs, one exact pair
+    val dup = r.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // keep_id is the min of {0,1}
+  }
+
+  test("Dedup.ngramJaccardPairs finds exact + near dups, not others") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+  }
+
+  test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 8, 4, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("Dedup.minhashLshPairs maxBucket prunes hot buckets") {
+    // With maxBucket=0 every bucket is "hot" -> no candidates survive.
+    val r = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 8, 4, 0.0,
+      maxBucket = 0)
+    assert(r.count() == 0)
+  }
+
+  test("Dedup.simhash is deterministic; identical docs collide; " +
+    "simhashPairs finds the near pair") {
+    val sh = Dedup.simhash(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxHamming = 3, bandsCount = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L))) // hamming 0
+  }
+
+  test("Dedup.embeddingCosinePairs flags identical and near vectors") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+
+  test("Similarity: brute-force top-k ranks by cosine; LSH candidates " +
+    "are a subset scored identically") {
+    val vecs = (0L until 20L).map { i =>
+      (i, (0 until 8).map(d => math.sin(i * 7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      col("vid") === 0, 5).collect()
+    assert(bf.length == 5)
+    assert(bf.map(_.getInt(3)).toSeq.sorted == Seq(1, 2, 3, 4, 5))
+    val cos = bf.map(_.getDouble(2))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding",
+      col("vid") === 0, planes = 2, k = 5).collect()
+    val bfMap = bf.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      val c = r.getLong(1)
+      if (bfMap.contains(c)) assert(bfMap(c) == r.getDouble(2))
+    }
+  }
+
+  test("TextAnalysis.langId scores profiles and falls back to und") {
+    val docs = Seq(
+      (0L, "the cat and the hat is here"),
+      (1L, "der hund und die katze"),
+      (2L, "xyzzy plugh")).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(r(0L) == "en" && r(1L) == "de" && r(2L) == "und")
+  }
+
+  test("TextAnalysis.qualityScore bounds and fields") {
+    val docs = Seq((0L, "the and of to a is " * 20 + "end")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs, "doc_id", "text").collect()(0)
+    val score = r.getAs[Double]("quality_score")
+    assert(score >= 0.0 && score <= 1.0)
+    assert(r.getAs[Double]("stop_ratio") > 0.5)
+  }
+
+  test("TextAnalysis.tokenCounts: regex tokenizer counts punct singly") {
+    val docs = Seq((0L, "hello, world! two-words")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("ws_tokens") == 3)
+    // hello , world ! two - words
+    assert(r.getAs[Int]("regex_tokens") == 7)
+  }
+
+  test("TextAnalysis.fingerprint is order-sensitive") {
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprint(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(0L) != r(1L))
+  }
+
+  test("Ops.logPdfCdf: pdf sums to 1, cdf ends at 1, all bins present") {
+    val df = Seq.tabulate(1000)(i => ("g", 1.0 + i % 97)).toDF("grp", "x")
+    val nb = Ops.numLogBins(1.0, 100.0, 0.1)
+    val r = Ops.logPdfCdf(df, "x", "grp", 1.0, 100.0, 0.1)
+      .orderBy("bin").collect()
+    assert(r.length == nb)
+    val pdfSum = r.map(_.getAs[Double]("pdf")).sum
+    assert(math.abs(pdfSum - 1.0) < 1e-4)
+    assert(math.abs(r.last.getAs[Double]("cdf") - 1.0) < 1e-4)
+    // cdf monotone
+    val cdfs = r.map(_.getAs[Double]("cdf"))
+    assert(cdfs.zip(cdfs.tail).forall { case (a, b) => b >= a - 1e-12 })
+  }
+
+  test("Ops.logPdfCdf matches the reference's cross-join semantics") {
+    // Small data: compute the histogram the reference's way (cross join
+    // every sample with every bin, sum the indicator) and compare counts.
+    val xs = Seq(1.5, 2.0, 3.7, 10.0, 55.0, 99.0)
+    val df = xs.map(("g", _)).toDF("grp", "x")
+    val nb = Ops.numLogBins(1.0, 100.0, 0.5)
+    val fast = Ops.logPdfCdf(df, "x", "grp", 1.0, 100.0, 0.5)
+      .orderBy("bin").collect().map(r => r.getAs[Long]("bin_cnt")).toSeq
+    val edges = (0 to nb).map(k => math.pow(10, 0.0 + k * 0.5))
+    val slow = (0 until nb).map { k =>
+      xs.count(x => x >= edges(k) && x < edges(k + 1) ||
+        (k == nb - 1 && x == edges(nb)))
+    }
+    // same binning up to right-edge clamp handling
+    assert(fast.map(_.toInt).sum == slow.sum)
+    assert(fast.map(_.toInt) == slow)
+  }
+
+  test("Multimodal: features are deterministic; frame sampling shape") {
+    val docs = Seq((0L, "abcdef"), (1L, "xyz")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats(0L).n_bytes == 6)
+    // checksum: sum of ('a'..'f' codes * position) % 997
+    val expect = "abcdef".zipWithIndex.map { case (c, i) => c.toInt * (i + 1) }
+      .sum % 997
+    assert(feats(0L).checksum == expect)
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    assert(frames.filter(col("doc_id") === 0L).count() == 3) // offsets 0,2,4
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §4 / builder contract "skewed
+  * keys → salting or AQE skew-join").
+  *
+  * AQE's skew-join handling covers joins; heavily-skewed *aggregations*
+  * (a handful of hot group keys holding most rows — the classic shape of
+  * per-site or per-AS rollups at 100 TB) still funnel one key into one
+  * task. `saltedAgg` runs the classic two-phase rewrite: salt the key,
+  * partially aggregate per (key, salt), then combine per key — legal for
+  * any algebraic aggregate (sum/count/min/max).
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: partial per (keys, salt) then final per
+    * keys. `partials` maps output column name → (row-level partial
+    * expression, salt-level combiner over the partial column).
+    * Example: count → (lit(1L) summed, sum of partials); sum(x) →
+    * (sum(x), sum).
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int)(
+      partials: Seq[(String, Column, String => Column)]): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head._2.as(s"__p_${partials.head._1}"),
+        partials.tail.map(p => p._2.as(s"__p_${p._1}")): _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(partials.head._3(s"__p_${partials.head._1}")
+        .as(partials.head._1),
+        partials.tail.map(p => p._3(s"__p_${p._1}").as(p._1)): _*)
+  }
+
+  /** Convenience: salted count + sum over one value column. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBuckets: Int = 16): DataFrame =
+    saltedAgg(df, keys, saltBuckets)(Seq(
+      ("cnt", count(lit(1)), c => sum(col(c))),
+      ("total", sum(col(valueCol)), c => sum(col(c)))))
+}

@@ -84,6 +84,19 @@ object Ops {
       .agg(round(exp(avg(log(col(valueCol)))), 4).as("geomean"),
         count(lit(1)).as("cnt"))
 
+  /** Approximate grouped deciles — the scale path for A5. The oracle-
+    * checked queries use exact `percentile` (deterministic across
+    * engines, SURVEY §5.3); at 100 TB exact percentiles need a full sort
+    * per group, while `percentile_approx` is a fixed-size mergeable
+    * sketch. Same output shape as the exact form.
+    */
+  def decilesApprox(df: DataFrame, valueCol: String, groupCol: String,
+      accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol),
+        lit((0 to 10).map(_ / 10.0).toArray), lit(accuracy)).as("qs"))
+      .select(col(groupCol), posexplode(col("qs")).as(Seq("idx", "qv")))
+
   /** The reference's "complete" TVF pattern: the union of the same
     * computation over two populations, tagged by source
     * (functions/ops.ndt7_download_pdf_complete.sql:10-17).

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.operators.Skew
+import graft.ops.Ops
+import graft.plans.PartitionFilterRegistry
+
+class CatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("autojoinUnion: pattern-matched tables union by name with drift") {
+    Seq((1, "a")).toDF("k", "v")
+      .createOrReplaceTempView("auto_org1_ndt")
+    Seq(("b", 2, true)).toDF("v", "k", "extra")
+      .createOrReplaceTempView("auto_org2_ndt")
+    Seq((9, "z")).toDF("k", "v")
+      .createOrReplaceTempView("other_table")
+    val u = Catalog.autojoinUnion(spark, "auto_org[0-9]+_ndt")
+    assert(u.count() == 2)
+    assert(u.columns.toSet == Set("k", "v", "extra"))
+    // drift: extra is null-filled on the branch missing it
+    assert(u.filter(col("k") === 1).collect()(0).isNullAt(
+      u.columns.indexOf("extra")))
+  }
+
+  test("materializePartitioned: idempotent CTAS + enforced partition filter") {
+    val dir = Files.createTempDirectory("ctas").toFile
+    val path = new java.io.File(dir, "mat_tbl").getAbsolutePath
+    val df = Seq((1L, Date.valueOf("2024-01-01")), (2L, Date.valueOf("2024-01-02")))
+      .toDF("id", "date")
+    try {
+      Catalog.materializePartitioned(df, path)
+      // Ignore-mode: second run is a no-op, not an error or duplicate
+      Catalog.materializePartitioned(df, path)
+      val back = spark.read.parquet(path)
+      assert(back.filter(col("date") === "2024-01-01").count() == 1)
+      // unfiltered computation is rejected (require_partition_filter)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        back.groupBy().count().collect()
+      }
+      // partition pseudo-column surfacing (S3)
+      val pd = Catalog.withPartitionDate(
+        back.filter(col("date") === "2024-01-01"))
+      assert(pd.select("partition_date").collect()(0).getDate(0) ==
+        Date.valueOf("2024-01-01"))
+    } finally PartitionFilterRegistry.unflag("mat_tbl")
+  }
+
+  test("saltedAgg matches plain groupBy aggregation") {
+    val df = (1 to 1000).map(i => (s"k${i % 3}", i.toDouble)).toDF("k", "x")
+    val salted = Skew.saltedCountSum(df, Seq("k"), "x", saltBuckets = 8)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("total"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("decilesApprox approximates the exact deciles") {
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("grp", "x")
+    val approx = Ops.decilesApprox(df, "x", "grp").orderBy("idx").collect()
+    assert(approx.length == 11)
+    val median = approx(5).getAs[Double]("qv")
+    assert(median > 4800 && median < 5200)
+  }
+}

@@ -14,6 +14,7 @@ object SparkEntry {
   def allQueries: Seq[GraftQuery] =
     _root_.graft.queries.Relational.all ++
       _root_.graft.queries.Functions.all ++
+      _root_.graft.queries.Composite.all ++
       _root_.graft.queries.LlmOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -20,6 +20,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // DataFrame handles memoized per (session, path): re-reading a table
+  // otherwise re-lists the directory and re-reads parquet footers on every
+  // query — a real catalog caches table metadata exactly like this. Keyed
+  // by session so a stopped session's relations are never reused.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
   /** Read one table from an sf directory.
     *
     * `events.ts` is physically Parquet INT64 TIMESTAMP(NANOS), which Spark 4
@@ -27,7 +34,12 @@ object Tables {
     * microsecond timestamp with *integer* division — nanosecond epochs
     * exceed 2^53, so double math would corrupt them.
     */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(spark).toString,
+      s"$sfDir/$name"), _ => loadUncached(spark, sfDir, name))
+
+  private def loadUncached(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")

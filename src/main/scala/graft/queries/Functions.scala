@@ -202,9 +202,12 @@ object Functions {
         "* REPLACE / * EXCEPT nested surgery), flattened for the oracle " +
         "(P3, P4, P5).",
       (s, d) => t(s, d, "orders")
+        // P5: whole-row-as-struct (the reference's `PreComputeNDT7 AS
+        // _internal202402` idiom, extended_ndt7_downloads.sql:177)
+        .withColumn("_internal", struct(col("*")))
         .withColumn("a", struct(
-          col("o_orderkey").as("id"),
-          col("o_totalprice").as("total"),
+          col("_internal.o_orderkey").as("id"),
+          col("_internal.o_totalprice").as("total"),
           col("o_orderpriority").as("prio")))
         .withColumn("a", col("a")
           .withField("total_r", round(col("a.total"), 0))

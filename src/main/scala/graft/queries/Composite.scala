@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
+import graft.views.UnifiedViews
 
 /** Composite view-chain queries — multi-operator chains mirroring the
   * reference's two most intricate views (SURVEY.md §3.2, §7.1 step 6).
@@ -112,6 +113,85 @@ object Composite {
              |  FROM best GROUP BY event_type)
              |SELECT event_type, CAST(r.range AS INT) AS idx,
              |  round(qs[CAST(r.range AS INT) + 1], 4) AS qv
-             |FROM g, range(11) r ORDER BY event_type, idx""".stripMargin))
+             |FROM g, range(11) r ORDER BY event_type, idx""".stripMargin)),
+
+    // The full raw → extended → unified chain (SURVEY §3.2, the flagship
+    // read path) over driver data: events are reshaped into ndt7-form
+    // nested rows (per-user ServerMeasurements arrays with TCPInfo
+    // counters), then run through the real UnifiedViews transforms —
+    // array-last final snapshot, throughput/RTT summary struct, validity
+    // flags (production regex, RFC1918 OAM, size/duration window),
+    // IsValidBest, * EXCEPT (filter). The oracle replicates the chain's
+    // arithmetic closed-form.
+    GraftQuery(
+      "q42_unified_chain",
+      "End-to-end unified-downloads chain: nested ndt7-shape build → " +
+        "extendedDownloads → unifiedDownloads (S1+P3+P4+P8+P10+A4+U1 in " +
+        "one plan).",
+      (s, d) => {
+        UnifiedViews.prepare(s)
+        val ev = t(s, d, "events")
+        val perUser = ev.groupBy("user_id").agg(
+          sort_array(collect_list(struct(
+            col("ts"), col("event_id"), col("value")))).as("evs"),
+          min("ts").as("t0"))
+        val raw = perUser.select(
+          concat(lit("uuid-"), col("user_id").cast("string")).as("id"),
+          to_date(col("t0")).as("date"),
+          struct(lit("v1").as("Version"), col("t0").as("Time"),
+            when(pmod(col("user_id"), lit(10)) =!= 0,
+              lit("gs://archive/mlab2-abc01-x.tgz"))
+              .otherwise(lit("gs://archive/other.tgz")).as("ArchiveURL"),
+            lit("f.tgz").as("Filename")).as("parser"),
+          struct(lit("1.2.3.4").as("IP"), lit(443L).as("Port")).as("server"),
+          struct(
+            when(pmod(col("user_id"), lit(7)) === 0, lit("10.0.0.1"))
+              .otherwise(lit("203.0.113.5")).as("IP"),
+            lit(5201L).as("Port")).as("client"),
+          struct(struct(
+            concat(lit("uuid-"), col("user_id").cast("string")).as("UUID"),
+            col("t0").as("StartTime"),
+            lit("bbr").as("CongestionControl"),
+            transform(col("evs"), (e, i) => struct(
+              ((i + 1).cast("long") * 500000L).as("ElapsedTime"),
+              struct(
+                ((i + 1).cast("long") * 50000L +
+                  floor(e.getField("value") * 100).cast("long"))
+                  .as("BytesAcked"),
+                (pmod(col("user_id"), lit(50)) * 1000L + 1000L).as("MinRTT"),
+                lit(0L).as("BytesRetrans"),
+                ((i + 1).cast("long") * 50000L +
+                  floor(e.getField("value") * 100).cast("long") + 1000L)
+                  .as("BytesSent")).as("TCPInfo")))
+              .as("ServerMeasurements")).as("Download")).as("raw"))
+        val unified = UnifiedViews.unifiedDownloads(
+          Seq(UnifiedViews.extendedDownloads(raw)))
+        unified.select(col("id"), col("date"),
+          round(col("a.MeanThroughputMbps"), 4).as("mbps"),
+          round(col("a.MinRTT"), 4).as("min_rtt"),
+          col("a.LossRate").as("loss_rate"))
+          .orderBy("id")
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id, count(*) AS n, min(ts) AS t0
+             |  FROM events GROUP BY user_id),
+             |last_ev AS (
+             |  SELECT user_id, value AS vlast FROM (
+             |    SELECT user_id, value, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+             |    FROM events) WHERE rn = 1),
+             |m AS (
+             |  SELECT p.user_id, n, t0,
+             |    CAST(floor(vlast * 100) AS BIGINT) AS vh
+             |  FROM per_user p JOIN last_ev l ON p.user_id = l.user_id)
+             |SELECT 'uuid-' || CAST(user_id AS VARCHAR) AS id,
+             |  CAST(t0 AS DATE) AS date,
+             |  round((n * 50000 + vh) * 8 / (n * 500000.0), 4) AS mbps,
+             |  round((user_id % 50 * 1000 + 1000) / 1000.0, 4) AS min_rtt,
+             |  0.0 AS loss_rate
+             |FROM m
+             |WHERE n >= 18 AND n <= 120
+             |  AND user_id % 10 != 0 AND user_id % 7 != 0
+             |ORDER BY id""".stripMargin))
   )
 }

@@ -47,7 +47,9 @@ object Relational {
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("net_price"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // l_linenumber is NOT unique within an order — total order needs
+        // the value columns as tie-breaks (driver may hash rows in order)
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "net_price"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
              |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
              |FROM lineitem
@@ -55,7 +57,8 @@ object Relational {
              |    AND TIMESTAMP '1997-12-31 23:59:59'
              |  AND l_returnflag IN ('A','N')
              |  AND l_discount BETWEEN 0.02 AND 0.08
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, net_price"""
+        .stripMargin)),
 
     // A1/A2 multi-key hash aggregate (TPC-H Q1 shape; reference analog:
     // website/entry07_*_after.sql:81-82 GROUP BY date, hostname)

@@ -148,6 +148,14 @@ class FunctionsSpec extends SparkTestBase {
     assert(s.getInt(0) == 3)
   }
 
+  test("registered expressions are callable from SQL text") {
+    val r = spark.sql(
+      "SELECT is_private_ip('192.168.0.1') AS p, " +
+        "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "stop_hits(array('the', 'cat', 'the'), 'the,a') AS h").collect()(0)
+    assert(r.getBoolean(0) && r.getDouble(1) == 11.0 && r.getInt(2) == 2)
+  }
+
   test("hash32 is the md5-prefix32 value (cross-engine contract)") {
     // printf '%s' hello | md5: 5d41402abc4b2a76... -> 0x5d41402a
     val r = Seq("hello").toDF("s")

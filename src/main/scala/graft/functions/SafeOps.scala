@@ -40,6 +40,16 @@ object SafeOps {
   def arrayLast(arr: Column): Column =
     get(arr, size(arr) - 1)
 
+  /** Engine-stable 4-digit rounding for non-negative doubles:
+    * floor(x·10⁴ + 0.5)/10⁴. Spark's `round` re-parses the double's
+    * shortest decimal string (BigDecimal.valueOf) while DuckDB rounds the
+    * raw binary value — on exact .xxxx5 boundaries they disagree
+    * (observed: 0.57505 → 0.5751 vs 0.575). This formula is plain double
+    * arithmetic, bit-identical in any engine given the same input.
+    */
+  def stableRound4(x: Column): Column =
+    floor(x * 10000.0 + 0.5) / 10000.0
+
   /** Geometric mean aggregate: EXP(AVG(LN(x))) exactly as the reference
     * computes it (functions/ops.ndt7_geomean_autonode.sql:19-25).
     * Caller is responsible for filtering x > 0 (the reference guards

@@ -74,16 +74,22 @@ object TextAnalysis {
       length(regexp_replace(txt, "[A-Za-z0-9 ]", "")).as("punct_chars"))
       .select(
         col("doc_id"), col("n_chars"), col("n_tokens"),
-        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") /
-          col("n_tokens"), 4).as("avg_token_len"),
-        round(col("punct_chars").cast("double") / col("n_chars"), 4)
+        // stableRound4, not round: composite ratios land on exact .xxxx5
+        // boundaries where Spark/DuckDB round() semantics diverge.
+        graft.functions.SafeOps.stableRound4(
+          (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+            col("n_tokens")).as("avg_token_len"),
+        graft.functions.SafeOps.stableRound4(
+          col("punct_chars").cast("double") / col("n_chars"))
           .as("punct_ratio"),
-        round(col("stop_hits").cast("double") / col("n_tokens"), 4)
+        graft.functions.SafeOps.stableRound4(
+          col("stop_hits").cast("double") / col("n_tokens"))
           .as("stop_ratio"))
       .withColumn("quality_score",
-        round(least(col("n_tokens").cast("double") / 100, lit(1.0)) *
-          (lit(0.5) + lit(0.5) * least(col("stop_ratio") * 5, lit(1.0))) *
-          (lit(1.0) - least(col("punct_ratio") * 2, lit(1.0))), 4))
+        graft.functions.SafeOps.stableRound4(
+          least(col("n_tokens").cast("double") / 100, lit(1.0)) *
+            (lit(0.5) + lit(0.5) * least(col("stop_ratio") * 5, lit(1.0))) *
+            (lit(1.0) - least(col("punct_ratio") * 2, lit(1.0)))))
   }
 
   /** Token counts: whitespace tokens + a BPE-ish regex tokenizer

@@ -248,17 +248,19 @@ object LlmOps {
               |  FROM documents),
               |r AS (
               |  SELECT doc_id, n_chars, n_tokens,
-              |    round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
-              |      AS avg_token_len,
-              |    round(CAST(punct_chars AS DOUBLE) / n_chars, 4)
-              |      AS punct_ratio,
-              |    round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio
+              |    floor(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+              |      * 10000 + 0.5) / 10000 AS avg_token_len,
+              |    floor(CAST(punct_chars AS DOUBLE) / n_chars
+              |      * 10000 + 0.5) / 10000 AS punct_ratio,
+              |    floor(CAST(stop_hits AS DOUBLE) / n_tokens
+              |      * 10000 + 0.5) / 10000 AS stop_ratio
               |  FROM m)
               |SELECT doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
               |  stop_ratio,
-              |  round(least(n_tokens / 100.0, 1.0) *
+              |  floor(least(n_tokens / 100.0, 1.0) *
               |    (0.5 + 0.5 * least(stop_ratio * 5, 1.0)) *
-              |    (1.0 - least(punct_ratio * 2, 1.0)), 4) AS quality_score
+              |    (1.0 - least(punct_ratio * 2, 1.0))
+              |    * 10000 + 0.5) / 10000 AS quality_score
               |FROM r ORDER BY doc_id""".stripMargin)),
 
     GraftQuery(

@@ -68,9 +68,9 @@ object Ops {
       .withColumn("pdf_raw", col("bin_cnt") / sum("bin_cnt").over(byGroup))
       .select(
         col(groupCol), col("bin"), col("bin_cnt"),
-        round(pow(10.0, lgMin + (col("bin") + 1) * step), 6).as("xright"),
-        round(col("pdf_raw"), 6).as("pdf"),
-        round(sum("pdf_raw").over(running), 6).as("cdf"))
+        (floor((pow(10.0, lgMin + (col("bin") + 1) * step)) * 1000000.0 + 0.5) / 1000000.0).as("xright"),
+        (floor((col("pdf_raw")) * 1000000.0 + 0.5) / 1000000.0).as("pdf"),
+        (floor((sum("pdf_raw").over(running)) * 1000000.0 + 0.5) / 1000000.0).as("cdf"))
   }
 
   /** Geometric mean of `valueCol` per group — the reference's
@@ -81,7 +81,7 @@ object Ops {
       : DataFrame =
     df.filter(col(valueCol) > 0)
       .groupBy(groupCols.map(col): _*)
-      .agg(round(exp(avg(log(col(valueCol)))), 4).as("geomean"),
+      .agg((floor((exp(avg(log(col(valueCol))))) * 10000.0 + 0.5) / 10000.0).as("geomean"),
         count(lit(1)).as("cnt"))
 
   /** Approximate grouped deciles — the scale path for A5. The oracle-

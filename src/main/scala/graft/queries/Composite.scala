@@ -67,14 +67,14 @@ object Composite {
           size(col("raw.exp_nodes")).as("n_hops"),
           array_join(transform(col("raw.exp_nodes"),
             h => h.getField("brand")), ",").as("brands"),
-          round(aggregate(col("raw.exp_nodes"), lit(0.0d),
-            (acc, h) => acc + h.getField("qty")), 4).as("qty_total"))
+          (floor((aggregate(col("raw.exp_nodes"), lit(0.0d),
+            (acc, h) => acc + h.getField("qty"))) * 10000.0 + 0.5) / 10000.0).as("qty_total"))
           .orderBy("l_orderkey")
       },
       Some("""SELECT l_orderkey, count(*) AS n_hops,
              |  string_agg(p_brand, ','
              |    ORDER BY l_linenumber, l_partkey, l_quantity) AS brands,
-             |  round(sum(l_quantity), 4) AS qty_total
+             |  (floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS qty_total
              |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
@@ -98,7 +98,7 @@ object Composite {
             "0.6,0.7,0.8,0.9,1.0))").as("qs"))
           .select(col("event_type"),
             posexplode(col("qs")).as(Seq("idx", "qv")))
-          .select(col("event_type"), col("idx"), round(col("qv"), 4).as("qv"))
+          .select(col("event_type"), col("idx"), (floor((col("qv")) * 10000.0 + 0.5) / 10000.0).as("qv"))
           .orderBy("event_type", "idx")
       },
       Some("""WITH best AS (
@@ -112,7 +112,7 @@ object Composite {
              |    [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qs
              |  FROM best GROUP BY event_type)
              |SELECT event_type, CAST(r.range AS INT) AS idx,
-             |  round(qs[CAST(r.range AS INT) + 1], 4) AS qv
+             |  (floor((qs[CAST(r.range AS INT) + 1]) * 10000.0 + 0.5) / 10000.0) AS qv
              |FROM g, range(11) r ORDER BY event_type, idx""".stripMargin)),
 
     // The full raw → extended → unified chain (SURVEY §3.2, the flagship
@@ -167,8 +167,8 @@ object Composite {
         val unified = UnifiedViews.unifiedDownloads(
           Seq(UnifiedViews.extendedDownloads(raw)))
         unified.select(col("id"), col("date"),
-          round(col("a.MeanThroughputMbps"), 4).as("mbps"),
-          round(col("a.MinRTT"), 4).as("min_rtt"),
+          (floor((col("a.MeanThroughputMbps")) * 10000.0 + 0.5) / 10000.0).as("mbps"),
+          (floor((col("a.MinRTT")) * 10000.0 + 0.5) / 10000.0).as("min_rtt"),
           col("a.LossRate").as("loss_rate"))
           .orderBy("id")
       },
@@ -186,8 +186,8 @@ object Composite {
              |  FROM per_user p JOIN last_ev l ON p.user_id = l.user_id)
              |SELECT 'uuid-' || CAST(user_id AS VARCHAR) AS id,
              |  CAST(t0 AS DATE) AS date,
-             |  round((n * 50000 + vh) * 8 / (n * 500000.0), 4) AS mbps,
-             |  round((user_id % 50 * 1000 + 1000) / 1000.0, 4) AS min_rtt,
+             |  (floor(((n * 50000 + vh) * 8 / (n * 500000.0)) * 10000.0 + 0.5) / 10000.0) AS mbps,
+             |  (floor(((user_id % 50 * 1000 + 1000) / 1000.0) * 10000.0 + 0.5) / 10000.0) AS min_rtt,
              |  0.0 AS loss_rate
              |FROM m
              |WHERE n >= 18 AND n <= 120

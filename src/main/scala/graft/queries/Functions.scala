@@ -59,11 +59,11 @@ object Functions {
               |      AS pdf_raw
               |  FROM fullb)
               |SELECT l_returnflag, bin, bin_cnt,
-              |  round(power(10, log10(${PdfXmin}) + (bin + 1) * ${PdfStep}), 6)
+              |  (floor((power(10, log10(${PdfXmin}) + (bin + 1) * ${PdfStep})) * 1000000.0 + 0.5) / 1000000.0)
               |    AS xright,
-              |  round(pdf_raw, 6) AS pdf,
-              |  round(sum(pdf_raw) OVER (PARTITION BY l_returnflag ORDER BY bin
-              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cdf
+              |  (floor((pdf_raw) * 1000000.0 + 0.5) / 1000000.0) AS pdf,
+              |  (floor((sum(pdf_raw) OVER (PARTITION BY l_returnflag ORDER BY bin
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0) AS cdf
               |FROM pdf_t ORDER BY l_returnflag, bin""".stripMargin)),
 
     // P8 regex predicates + extraction (REGEXP_CONTAINS 36×,
@@ -78,10 +78,10 @@ object Functions {
         .withColumn("material", regexp_extract(col("p_name"), " ([a-z]+)$", 1))
         .groupBy("p_type", "material")
         .agg(count(lit(1)).as("cnt"),
-          round(avg("p_retailprice"), 4).as("avg_price"))
+          (floor((avg("p_retailprice")) * 10000.0 + 0.5) / 10000.0).as("avg_price"))
         .orderBy("p_type", "material"),
       Some("""SELECT p_type, regexp_extract(p_name, ' ([a-z]+)$', 1) AS material,
-             |  count(*) AS cnt, round(avg(p_retailprice), 4) AS avg_price
+             |  count(*) AS cnt, (floor((avg(p_retailprice)) * 10000.0 + 0.5) / 10000.0) AS avg_price
              |FROM part WHERE regexp_matches(p_name, '^(cold|large) ')
              |GROUP BY 1, 2 ORDER BY p_type, material""".stripMargin)),
 
@@ -100,9 +100,9 @@ object Functions {
             SafeOps.safeOrdinal(parts, lit(2)).as("prio_word"),
             SafeOps.safeOffset(parts, lit(9)).as("missing"),
             SafeOps.arrayLast(parts).as("last_word"),
-            round(SafeOps.safeDivide(
+            (floor((SafeOps.safeDivide(
               col("o_totalprice"),
-              when(col("o_orderstatus") === "P", 0.0).otherwise(2.0)), 4)
+              when(col("o_orderstatus") === "P", 0.0).otherwise(2.0))) * 10000.0 + 0.5) / 10000.0)
               .as("half_price"))
           .orderBy("o_orderkey")
       },
@@ -111,8 +111,8 @@ object Functions {
              |  str_split(o_orderpriority, '-')[10] AS missing,
              |  str_split(o_orderpriority, '-')[len(str_split(o_orderpriority, '-'))]
              |    AS last_word,
-             |  round(o_totalprice / nullif(CASE WHEN o_orderstatus = 'P'
-             |    THEN 0.0 ELSE 2.0 END, 0), 4) AS half_price
+             |  (floor((o_totalprice / nullif(CASE WHEN o_orderstatus = 'P'
+             |    THEN 0.0 ELSE 2.0 END, 0)) * 10000.0 + 0.5) / 10000.0) AS half_price
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // Date/time function family (TIMESTAMP_TRUNC, UNIX_MICROS,
@@ -210,13 +210,13 @@ object Functions {
           col("_internal.o_totalprice").as("total"),
           col("o_orderpriority").as("prio")))
         .withColumn("a", col("a")
-          .withField("total_r", round(col("a.total"), 0))
+          .withField("total_r", (floor((col("a.total")) + 0.5)))
           .dropFields("total"))
         .select(col("a.id").as("id"), col("a.prio").as("prio"),
           col("a.total_r").as("total_r"))
         .orderBy("id"),
       Some("""SELECT o_orderkey AS id, o_orderpriority AS prio,
-             |  round(o_totalprice, 0) AS total_r
+             |  (floor((o_totalprice) + 0.5)) AS total_r
              |FROM orders ORDER BY id""".stripMargin)),
 
     // S4 wildcard-family scan (views/statistics/v0_cities.sql:1)
@@ -226,10 +226,10 @@ object Functions {
       (s, d) => Tables.loadGlob(s, d, "par*.parquet")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("cnt"),
-          round(sum("p_retailprice"), 4).as("total_price"))
+          (floor((sum("p_retailprice")) * 10000.0 + 0.5) / 10000.0).as("total_price"))
         .orderBy("p_brand"),
       Some("""SELECT p_brand, count(*) AS cnt,
-             |  round(sum(p_retailprice), 4) AS total_price
+             |  (floor((sum(p_retailprice)) * 10000.0 + 0.5) / 10000.0) AS total_price
              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
     // P11 correlated IN over an array → exists() higher-order function

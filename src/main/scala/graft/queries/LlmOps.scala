@@ -65,7 +65,7 @@ object LlmOps {
       (s, d) => Dedup.ngramJaccardPairs(
         t(s, d, "documents"), "doc_id", "text", 3, 0.5)
         .select(col("doc_a"), col("doc_b"),
-          round(col("jaccard"), 4).as("jaccard"))
+          (floor((col("jaccard")) * 10000.0 + 0.5) / 10000.0).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $duckShingleSets,
               |pairs AS (
@@ -74,7 +74,7 @@ object LlmOps {
               |    len(a.sh) AS sa, len(b.sh) AS sb
               |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
               |SELECT doc_a, doc_b,
-              |  round(CAST(common AS DOUBLE)/(sa+sb-common), 4) AS jaccard
+              |  (floor((CAST(common AS DOUBLE)/(sa+sb-common)) * 10000.0 + 0.5) / 10000.0) AS jaccard
               |FROM pairs
               |WHERE CAST(common AS DOUBLE)/(sa+sb-common) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
@@ -88,7 +88,7 @@ object LlmOps {
         t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"),
-          round(col("jaccard"), 4).as("jaccard"))
+          (floor((col("jaccard")) * 10000.0 + 0.5) / 10000.0).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH $duckShingleSets,
               |sigs AS (
@@ -110,8 +110,8 @@ object LlmOps {
               |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               |   AND x.doc_id < y.doc_id)
               |SELECT doc_a, doc_b,
-              |  round(CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
-              |    (len(sha)+len(shb)-len(list_intersect(sha, shb))), 4)
+              |  (floor((CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+              |    (len(sha)+len(shb)-len(list_intersect(sha, shb)))) * 10000.0 + 0.5) / 10000.0)
               |    AS jaccard
               |FROM cands
               |WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
@@ -144,12 +144,12 @@ object LlmOps {
       (s, d) => Dedup.embeddingCosinePairs(
         t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
         .select(col("id_a"), col("id_b"),
-          round(col("cosine"), 4).as("cosine"))
+          (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"))
         .orderBy("id_a", "id_b"),
       Some(s"""WITH $duckVecNorm
               |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |  round(list_sum(list_transform(range(1,65),
-              |    i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm), 4) AS cosine
+              |  (floor((list_sum(list_transform(range(1,65),
+              |    i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm)) * 10000.0 + 0.5) / 10000.0) AS cosine
               |FROM n a JOIN n b ON a.vec_id < b.vec_id
               |WHERE list_sum(list_transform(range(1,65),
               |    i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.45
@@ -163,7 +163,7 @@ object LlmOps {
         t(s, d, "embeddings"), "vec_id", "embedding",
         col("vid") % 100 === 0, 5)
         .select(col("q_id"), col("cand_id"),
-          round(col("cosine"), 4).as("cosine"), col("rank"))
+          (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"), col("rank"))
         .orderBy("q_id", "rank"),
       Some(s"""WITH $duckVecNorm,
               |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
@@ -175,7 +175,7 @@ object LlmOps {
               |ranked AS (SELECT *, row_number() OVER (
               |  PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank
               |  FROM scored)
-              |SELECT q_id, cand_id, round(cosine, 4) AS cosine, rank
+              |SELECT q_id, cand_id, (floor((cosine) * 10000.0 + 0.5) / 10000.0) AS cosine, rank
               |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     GraftQuery(
@@ -186,7 +186,7 @@ object LlmOps {
         t(s, d, "embeddings"), "vec_id", "embedding",
         col("vid") % 100 === 0, planes = 4, k = 3)
         .select(col("q_id"), col("cand_id"),
-          round(col("cosine"), 4).as("cosine"), col("rank"))
+          (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"), col("rank"))
         .orderBy("q_id", "rank"),
       Some(s"""WITH $duckVecNorm,
               |b AS (SELECT vec_id, v, nrm,
@@ -206,7 +206,7 @@ object LlmOps {
               |ranked AS (SELECT *, row_number() OVER (
               |  PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank
               |  FROM scored)
-              |SELECT q_id, cand_id, round(cosine, 4) AS cosine, rank
+              |SELECT q_id, cand_id, (floor((cosine) * 10000.0 + 0.5) / 10000.0) AS cosine, rank
               |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
     GraftQuery(
@@ -275,8 +275,8 @@ object LlmOps {
              |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))
              |    AS regex_tokens,
              |  length(text) AS n_chars,
-             |  round(CAST(length(text) AS DOUBLE) /
-             |    len(string_split(text,' ')), 4) AS chars_per_token
+             |  (floor((CAST(length(text) AS DOUBLE) /
+             |    len(string_split(text,' '))) * 10000.0 + 0.5) / 10000.0) AS chars_per_token
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     GraftQuery(

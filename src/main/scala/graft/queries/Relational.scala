@@ -45,13 +45,13 @@ object Relational {
           col("l_discount").between(0.02, 0.08))
         .select(
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          (floor((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000.0 + 0.5) / 10000.0)
             .as("net_price"))
         // l_linenumber is NOT unique within an order — total order needs
         // the value columns as tie-breaks (driver may hash rows in order)
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "net_price"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity,
-             |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+             |  (floor((l_extendedprice * (1 - l_discount)) * 10000.0 + 0.5) / 10000.0) AS net_price
              |FROM lineitem
              |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01'
              |    AND TIMESTAMP '1997-12-31 23:59:59'
@@ -68,20 +68,20 @@ object Relational {
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          (floor((sum("l_quantity")) * 10000.0 + 0.5) / 10000.0).as("sum_qty"),
+          (floor((sum("l_extendedprice")) * 10000.0 + 0.5) / 10000.0).as("sum_base_price"),
+          (floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 10000.0 + 0.5) / 10000.0)
             .as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          (floor((avg("l_quantity")) * 10000.0 + 0.5) / 10000.0).as("avg_qty"),
+          (floor((avg("l_discount")) * 1000000.0 + 0.5) / 1000000.0).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-             |  round(sum(l_quantity), 4) AS sum_qty,
-             |  round(sum(l_extendedprice), 4) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-             |  round(avg(l_quantity), 4) AS avg_qty,
-             |  round(avg(l_discount), 6) AS avg_disc,
+             |  (floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS sum_qty,
+             |  (floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS sum_base_price,
+             |  (floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) AS sum_disc_price,
+             |  (floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS avg_qty,
+             |  (floor((avg(l_discount)) * 1000000.0 + 0.5) / 1000000.0) AS avg_disc,
              |  count(*) AS count_order
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
@@ -100,12 +100,12 @@ object Relational {
         .agg(
           count(col("o_orderkey")).as("n_orders"),
           countDistinct(col("c_custkey")).as("n_customers"),
-          round(sum("o_totalprice"), 4).as("total_price"))
+          (floor((sum("o_totalprice")) * 10000.0 + 0.5) / 10000.0).as("total_price"))
         .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment,
              |  count(o_orderkey) AS n_orders,
              |  count(DISTINCT c_custkey) AS n_customers,
-             |  round(sum(o_totalprice), 4) AS total_price
+             |  (floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS total_price
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
@@ -122,10 +122,10 @@ object Relational {
             pmod(col("p_size").cast("long"), lit(10)))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("cnt"),
-          round(sum("l_extendedprice"), 4).as("sum_price"))
+          (floor((sum("l_extendedprice")) * 10000.0 + 0.5) / 10000.0).as("sum_price"))
         .orderBy("p_brand"),
       Some("""SELECT p_brand, count(*) AS cnt,
-             |  round(sum(l_extendedprice), 4) AS sum_price
+             |  (floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0) AS sum_price
              |FROM lineitem JOIN part
              |  ON l_partkey = p_partkey
              | AND CAST(floor(l_quantity) AS BIGINT) % 10 = CAST(p_size AS BIGINT) % 10
@@ -146,12 +146,12 @@ object Relational {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          (floor((sum(col("l_extendedprice") * (lit(1) - col("l_discount")))) * 10000.0 + 0.5) / 10000.0)
             .as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("r_name", "n_name"),
       Some("""SELECT r_name, n_name,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             |  (floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0) AS revenue,
              |  count(*) AS cnt
              |FROM lineitem
              |JOIN supplier ON l_suppkey = s_suppkey
@@ -171,10 +171,10 @@ object Relational {
             col("l_shipdate") >= col("o_orderdate") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 4).as("qty"))
+        .agg(count(lit(1)).as("cnt"), (floor((sum("l_quantity")) * 10000.0 + 0.5) / 10000.0).as("qty"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(*) AS cnt,
-             |  round(sum(l_quantity), 4) AS qty
+             |  (floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0) AS qty
              |FROM lineitem JOIN orders
              |  ON l_orderkey = o_orderkey
              | AND l_shipdate >= o_orderdate
@@ -206,12 +206,12 @@ object Relational {
       "value / SUM(value) OVER (PARTITION BY group) — pdf normalization (W2).",
       (s, d) => t(s, d, "events")
         .select(col("event_id"), col("event_type"),
-          round(col("value") /
-            sum("value").over(Window.partitionBy("event_type")), 6)
+          (floor((col("value") /
+            sum("value").over(Window.partitionBy("event_type"))) * 1000000.0 + 0.5) / 1000000.0)
             .as("share"))
         .orderBy("event_id"),
       Some("""SELECT event_id, event_type,
-             |  round(value / sum(value) OVER (PARTITION BY event_type), 6) AS share
+             |  (floor((value / sum(value) OVER (PARTITION BY event_type)) * 1000000.0 + 0.5) / 1000000.0) AS share
              |FROM events ORDER BY event_id""".stripMargin)),
 
     // W3 running sum with explicit ROWS frame (CDF)
@@ -222,15 +222,15 @@ object Relational {
         "reference's CDF running sum (W3).",
       (s, d) => t(s, d, "events")
         .select(col("user_id"), col("event_id"),
-          round(sum("value").over(
+          (floor((sum("value").over(
             Window.partitionBy("user_id")
               .orderBy(col("ts"), col("event_id"))
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))) * 10000.0 + 0.5) / 10000.0)
             .as("running_total"))
         .orderBy("user_id", "event_id"),
       Some("""SELECT user_id, event_id,
-             |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             |  (floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0)
              |    AS running_total
              |FROM events ORDER BY user_id, event_id""".stripMargin)),
 
@@ -291,7 +291,7 @@ object Relational {
           "0.5,0.6,0.7,0.8,0.9,1.0))").as("qs"))
         .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("idx", "qv")))
         .select(col("l_returnflag"), col("idx"),
-          round(col("qv"), 4).as("qv"))
+          (floor((col("qv")) * 10000.0 + 0.5) / 10000.0).as("qv"))
         .orderBy("l_returnflag", "idx"),
       Some("""WITH g AS (
              |  SELECT l_returnflag,
@@ -299,7 +299,7 @@ object Relational {
              |      [0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,1.0]) AS qs
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, CAST(r.range AS INT) AS idx,
-             |  round(qs[CAST(r.range AS INT) + 1], 4) AS qv
+             |  (floor((qs[CAST(r.range AS INT) + 1]) * 10000.0 + 0.5) / 10000.0) AS qv
              |FROM g, range(11) r ORDER BY l_returnflag, idx""".stripMargin)),
 
     // A6 geometric mean EXP(AVG(LN(x)))
@@ -311,11 +311,11 @@ object Relational {
       (s, d) => t(s, d, "lineitem")
         .filter(col("l_extendedprice") > 0)
         .groupBy("l_linestatus")
-        .agg(round(exp(avg(log(col("l_extendedprice")))), 4).as("geomean"),
+        .agg((floor((exp(avg(log(col("l_extendedprice"))))) * 10000.0 + 0.5) / 10000.0).as("geomean"),
           count(lit(1)).as("cnt"))
         .orderBy("l_linestatus"),
       Some("""SELECT l_linestatus,
-             |  round(exp(avg(ln(l_extendedprice))), 4) AS geomean,
+             |  (floor((exp(avg(ln(l_extendedprice)))) * 10000.0 + 0.5) / 10000.0) AS geomean,
              |  count(*) AS cnt
              |FROM lineitem WHERE l_extendedprice > 0
              |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
@@ -327,11 +327,11 @@ object Relational {
       (s, d) => t(s, d, "orders")
         .groupBy("o_custkey")
         .agg(count(lit(1)).as("cnt"),
-          round(sum("o_totalprice"), 4).as("total"))
+          (floor((sum("o_totalprice")) * 10000.0 + 0.5) / 10000.0).as("total"))
         .where(col("cnt") >= 5)
         .orderBy("o_custkey"),
       Some("""SELECT o_custkey, count(*) AS cnt,
-             |  round(sum(o_totalprice), 4) AS total
+             |  (floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0) AS total
              |FROM orders GROUP BY o_custkey HAVING count(*) >= 5
              |ORDER BY o_custkey""".stripMargin)),
 
@@ -348,7 +348,7 @@ object Relational {
         perCust
           .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
-          .agg(round(avg("cust_total"), 4).as("avg_cust_total"),
+          .agg((floor((avg("cust_total")) * 10000.0 + 0.5) / 10000.0).as("avg_cust_total"),
             count(lit(1)).as("n_cust"))
           .orderBy("c_mktsegment")
       },
@@ -356,7 +356,7 @@ object Relational {
              |  SELECT o_custkey, sum(o_totalprice) AS cust_total
              |  FROM orders GROUP BY o_custkey)
              |SELECT c_mktsegment,
-             |  round(avg(cust_total), 4) AS avg_cust_total,
+             |  (floor((avg(cust_total)) * 10000.0 + 0.5) / 10000.0) AS avg_cust_total,
              |  count(*) AS n_cust
              |FROM per_cust JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
@@ -375,16 +375,16 @@ object Relational {
         .agg(
           sum(when(col("l_discount") > 0.05, 1).otherwise(0))
             .as("high_disc_cnt"),
-          round(sum(when(col("l_linestatus") === "F",
-            col("l_extendedprice")).otherwise(0.0)), 4).as("f_price"),
+          (floor((sum(when(col("l_linestatus") === "F",
+            col("l_extendedprice")).otherwise(0.0))) * 10000.0 + 0.5) / 10000.0).as("f_price"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "qband"),
       Some("""SELECT l_returnflag,
              |  CASE WHEN l_quantity < 10 THEN 'low'
              |       WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qband,
              |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS high_disc_cnt,
-             |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice
-             |            ELSE 0 END), 4) AS f_price,
+             |  (floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice
+             |            ELSE 0 END)) * 10000.0 + 0.5) / 10000.0) AS f_price,
              |  count(*) AS cnt
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 

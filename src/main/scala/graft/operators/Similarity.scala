@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *     results are reproducible across engines and runs; candidates are
   *     only pairs sharing a bucket, turning O(n·q) into O(bucket sizes).
   *
-  * All vector math is double-precision built-in HOFs (zip_with/aggregate)
-  * inside codegen; norms are precomputed once per side.
+  * All vector math runs through the codegen'd VecDot kernel (double
+  * precision, left-to-right summation); norms are precomputed once per
+  * side.
   */
 object Similarity {
 

@@ -138,6 +138,42 @@ object LlmOps {
              |FROM hs ORDER BY doc_id""".stripMargin)),
 
     GraftQuery(
+      "q43_simhash_pairs",
+      "SimHash near-dup pairing via the pigeonhole band join: 60-bit " +
+        "hashes split into 4 bands of 15 bits; pairs agreeing on any band " +
+        "are candidates; Hamming distance (popcount of XOR) filters.",
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3, bandsCount = 4)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH hs AS (
+             |  SELECT doc_id, list_transform(string_split(text,' '),
+             |    t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS h
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(0,60), k ->
+             |      CASE WHEN list_sum(list_transform(h, v ->
+             |          ((((v*(k+1)) % 2147483647) >> 5) % 2) * 2 - 1)) > 0
+             |        THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT)
+             |      AS simhash
+             |  FROM hs),
+             |bands AS (
+             |  SELECT doc_id, simhash, CAST(b.range AS INT) AS band_idx,
+             |    (simhash >> (CAST(b.range AS INT) * 15)) & 32767
+             |      AS band_val
+             |  FROM sh, range(0,4) b),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             |    x.simhash AS ha, y.simhash AS hb
+             |  FROM bands x JOIN bands y
+             |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+             |   AND x.doc_id < y.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+             |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GraftQuery(
       "q34_dedup_embedding",
       "Embedding-cosine near-dup pairs (threshold 0.45), norms " +
         "precomputed; brute-force baseline for the LSH-bucketed path.",

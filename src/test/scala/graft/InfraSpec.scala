@@ -87,7 +87,10 @@ class InfraSpec extends SparkTestBase {
         Seq(meas(20000000L, 100000000L))),
       // bad uuid -> dropped in the intermediate view
       ("", Date.valueOf("2024-01-01"), "good", "8.8.4.4",
-        Seq(meas(20000000L, 100000000L))))
+        Seq(meas(20000000L, 100000000L))),
+      // empty measurement array -> IsComplete=false, null summary fields
+      ("t5", Date.valueOf("2024-01-01"), "good", "8.8.8.8",
+        Seq.empty[(Long, (Long, Long, Long, Long))]))
     rows.map { case (uuid, date, site, clientIp, ms) =>
       val archive = if (site == "good")
         "gs://archive/mlab2-abc01-ndt.tgz" else "gs://archive/other.tgz"
@@ -115,7 +118,14 @@ class InfraSpec extends SparkTestBase {
     UnifiedViews.prepare(spark)
     val ext = UnifiedViews.extendedDownloads(rawNdt7Fixture)
     val byId = ext.collect().map(r => r.getAs[String]("id") -> r).toMap
-    assert(byId.size == 3) // empty-UUID row dropped
+    assert(byId.size == 4) // empty-UUID row dropped; empty-array row kept
+    // empty ServerMeasurements: incomplete, null throughput, never valid
+    val t5 = byId("t5-id")
+    assert(!t5.getAs[org.apache.spark.sql.Row]("filter")
+      .getAs[Boolean]("IsComplete"))
+    assert(t5.getAs[org.apache.spark.sql.Row]("a")
+      .isNullAt(t5.getAs[org.apache.spark.sql.Row]("a")
+        .fieldIndex("MeanThroughputMbps")))
     val t1 = byId("t1-id")
     val a = t1.getAs[org.apache.spark.sql.Row]("a")
     // 100 MB over 20 s -> 8e8 bits / 2e7 µs = 40 Mbps
@@ -130,7 +140,7 @@ class InfraSpec extends SparkTestBase {
     assert(unified.collect().map(_.getAs[String]("id")).toSeq == Seq("t1-id"))
     assert(!unified.columns.contains("filter")) // * EXCEPT (filter)
     val nofilter = UnifiedViews.unifiedDownloads(Seq(ext), applyFilter = false)
-    assert(nofilter.count() == 3)
+    assert(nofilter.count() == 4)
   }
 
   // --- Streaming ----------------------------------------------------------

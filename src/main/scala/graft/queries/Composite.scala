@@ -192,6 +192,26 @@ object Composite {
              |FROM m
              |WHERE n >= 18 AND n <= 120
              |  AND user_id % 10 != 0 AND user_id % 7 != 0
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // Structured Streaming's unified API: the same transform object
+    // (graft.streaming.Ingest.windowedCounts) runs on batch DataFrames —
+    // here oracle-checked in batch mode; InfraSpec runs it as a real
+    // stream with watermark + AvailableNow trigger (SURVEY §2.9).
+    GraftQuery(
+      "q44_windowed_counts",
+      "Tumbling 1-hour window counts per key via the streaming module's " +
+        "transform, executed batch-mode (unified batch/stream API).",
+      (s, d) => graft.streaming.Ingest.windowedCounts(
+        t(s, d, "events"), "ts", "event_type")
+        .select(col("window_start"), col("event_type"), col("cnt"),
+          (floor(col("total_value") * 10000.0 + 0.5) / 10000.0)
+            .as("total_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS cnt,
+             |  floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin))
   )
 }

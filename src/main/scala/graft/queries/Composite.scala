@@ -212,6 +212,39 @@ object Composite {
              |  count(*) AS cnt,
              |  floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total_value
              |FROM events GROUP BY 1, 2
-             |ORDER BY window_start, event_type""".stripMargin))
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // Custom stateful sessionization via flatMapGroupsWithState
+    // (graft.streaming.Sessionize): typed per-user session state, batch
+    // path here oracle-checked against the SQL gaps-and-islands
+    // formulation — two execution models, identical sessions.
+    GraftQuery(
+      "q45_sessionize",
+      "Session windows (30-min inactivity gap) via typed " +
+        "flatMapGroupsWithState; oracle uses lag()+running-sum islands.",
+      (s, d) => graft.streaming.Sessionize.sessionsDf(
+        t(s, d, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"),
+          (floor(col("total_value") * 10000.0 + 0.5) / 10000.0)
+            .as("total_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL OR
+             |      ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |      THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT *, sum(new_sess) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM flagged)
+             |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             |  CAST(count(*) AS INT) AS n_events,
+             |  floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS total_value
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }

@@ -145,6 +145,52 @@ class InfraSpec extends SparkTestBase {
 
   // --- Streaming ----------------------------------------------------------
 
+  test("Sessionize: batch mode splits on gap and emits trailing session") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Ev
+    val evs = Seq(
+      Ev(1L, 1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Ev(1L, 2L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+      Ev(1L, 3L, Timestamp.valueOf("2024-01-01 01:00:00"), 4.0), // >30m gap
+      Ev(2L, 4L, Timestamp.valueOf("2024-01-01 12:00:00"), 8.0)).toDS()
+    val out = Sessionize.sessions(evs, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(out.length == 3)
+    assert(out(0).n_events == 2 && out(0).total_value == 3.0 &&
+      out(0).session_end == Timestamp.valueOf("2024-01-01 00:10:00"))
+    assert(out(1).n_events == 1 && out(1).total_value == 4.0)
+    assert(out(2).user_id == 2L && out(2).n_events == 1)
+  }
+
+  test("Sessionize: streaming mode holds open sessions in GroupState and " +
+    "emits on event-time timeout") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Ev
+    val dir = Files.createTempDirectory("sess-in").toFile
+    val ckpt = Files.createTempDirectory("sess-ck").toFile
+    val early = Seq(
+      Ev(1L, 1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Ev(1L, 2L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+      // late-clock event advances the watermark far past user 1's timeout
+      Ev(9L, 9L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.5)).toDF()
+    early.write.parquet(new java.io.File(dir, "drop1").getAbsolutePath)
+    val stream = spark.readStream.schema(early.schema)
+      .parquet(dir.getAbsolutePath + "/drop*")
+      .withWatermark("ts", "10 minutes").as[Ev]
+    val q = Sessionize.sessions(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // user 1's session closed via state timeout once the watermark
+    // (driven by the day-2 event) passed end+gap; user 9's stays open.
+    val rows = spark.table("sess_out").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L))
+    assert(rows(0).getInt(3) == 2 && rows(0).getDouble(4) == 3.0)
+  }
+
   test("streaming ingest: file source -> watermark dedup -> windowed agg") {
     val dir = Files.createTempDirectory("stream-in").toFile
     val ckpt = Files.createTempDirectory("stream-ck").toFile

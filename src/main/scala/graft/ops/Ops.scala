@@ -109,4 +109,20 @@ object Ops {
       .unionAll(
         logPdfCdf(b, valueCol, groupCol, xmin, xmax, step)
           .withColumn("src", lit(bTag)))
+
+  /** The reference's `mask BOOL` TVF argument
+    * (functions/ops.ndt7_upload_pdf_autonode.sql:8,29): when set, the
+    * group identity is replaced by a constant so distributions can be
+    * published without revealing which site produced them. Same output
+    * shape; histograms are re-aggregated across the masked groups.
+    */
+  def logPdfCdfMasked(df: DataFrame, valueCol: String, groupCol: String,
+      xmin: Double, xmax: Double, step: Double,
+      mask: Boolean): DataFrame = {
+    if (!mask) logPdfCdf(df, valueCol, groupCol, xmin, xmax, step)
+    else {
+      val masked = df.withColumn(groupCol, lit("masked"))
+      logPdfCdf(masked, valueCol, groupCol, xmin, xmax, step)
+    }
+  }
 }

@@ -63,6 +63,18 @@ class CatalogSpec extends SparkTestBase {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("logPdfCdfMasked collapses groups under one masked identity") {
+    val df = Seq(("a", 5.0), ("a", 50.0), ("b", 500.0)).toDF("grp", "x")
+    val open = Ops.logPdfCdf(df, "x", "grp", 1.0, 1000.0, 0.5)
+    assert(open.select("grp").distinct().count() == 2)
+    val masked = Ops.logPdfCdfMasked(df, "x", "grp", 1.0, 1000.0, 0.5,
+      mask = true)
+    assert(masked.select("grp").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("masked"))
+    // masked histogram re-aggregates: total count preserved
+    assert(masked.agg(sum("bin_cnt")).collect()(0).getLong(0) == 3L)
+  }
+
   test("decilesApprox approximates the exact deciles") {
     val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("grp", "x")
     val approx = Ops.decilesApprox(df, "x", "grp").orderBy("idx").collect()

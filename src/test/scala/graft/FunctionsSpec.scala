@@ -94,6 +94,28 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("ipTrunc handles IPv6 (16-byte) addresses") {
+    val parsed = NetOps.safeIpFromString(
+      org.apache.spark.unsafe.types.UTF8String.fromString("2001:db8::ff"))
+    assert(parsed != null && parsed.length == 16)
+    val t = NetOps.ipTrunc(parsed, 32) // /32: keep 2001:0db8
+    assert(t.take(4).toSeq ==
+      Seq(0x20.toByte, 0x01.toByte, 0x0d.toByte, 0xb8.toByte))
+    assert(t.drop(4).forall(_ == 0))
+    // out-of-range prefix -> null
+    assert(NetOps.ipTrunc(parsed, 129) == null)
+  }
+
+  test("stableRound4 fixes the decimal-string divergence case") {
+    // 0.57505's nearest double is 0.57504999...; Spark round() says 0.5751
+    // (shortest-string), the stable form says 0.575 (binary value) —
+    // matching what any C-rounding engine computes.
+    val r = Seq(0.57505).toDF("x").select(
+      SafeOps.stableRound4(col("x")).as("stable"),
+      round(col("x"), 4).as("spark_round")).collect()(0)
+    assert(r.getDouble(0) == 0.575 && r.getDouble(1) == 0.5751)
+  }
+
   // --- Kernel/HOF parity --------------------------------------------------
 
   private val sampleDocs = Seq(

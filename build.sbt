@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr with NO
+// "[info] "/"[error] " logger prefixes: Bench's one-line JSON contract is
+// parsed by machinery that reads raw stdout lines (round 1's bench JSON
+// arrived prefix-mangled and failed to parse).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

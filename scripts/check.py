@@ -32,18 +32,20 @@ def load_spark(outdir, name):
     ds = pads.dataset(f"{outdir}/{name}")
     tbl = ds.to_table()
     cols = sorted(tbl.column_names)
+    types = {c: str(tbl.schema.field(c).type) for c in cols}
     rows = [tuple(norm(r[c]) for c in cols) for r in tbl.to_pylist()]
-    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    return cols, types, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
 def load_oracle(con, sql):
-    rel = con.sql(sql)
-    cols_orig = rel.columns
+    arr = con.sql(sql).arrow()
+    cols_orig = arr.column_names
     order = sorted(range(len(cols_orig)), key=lambda i: cols_orig[i])
     cols = [cols_orig[i] for i in order]
-    rows = [tuple(norm(float(r[i]) if isinstance(r[i], __import__("decimal").Decimal) else r[i]) for i in order)
-            for r in rel.fetchall()]
-    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+    types = {c: str(arr.schema.field(c).type) for c in cols}
+    rows = [tuple(norm(float(r[cols_orig[i]]) if isinstance(r[cols_orig[i]], __import__("decimal").Decimal) else r[cols_orig[i]]) for i in order)
+            for r in arr.to_pylist()]
+    return cols, types, sorted(rows, key=lambda r: tuple(str(x) for x in r))
 
 
 def close(a, b):
@@ -65,19 +67,28 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            scols, srows = load_spark(outdir, name)
+            scols, stypes, srows = load_spark(outdir, name)
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            ocols, orows = load_oracle(con, sql)
+            ocols, otypes, orows = load_oracle(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
             continue
         if scols != ocols:
             print(f"FAIL {name}: columns differ spark={scols} oracle={ocols}")
+            n_fail += 1
+            continue
+        # Arrow-level TYPE equality: the driver's hash compare distinguishes
+        # int64 vs decimal128 vs double even when Python values compare ==
+        # (round-1 lesson: q17/q25/q27 failed only on this).
+        tdiff = {c: (stypes[c], otypes[c]) for c in scols
+                 if stypes[c] != otypes[c]}
+        if tdiff:
+            print(f"FAIL {name}: arrow types differ {tdiff}")
             n_fail += 1
             continue
         if len(srows) != len(orows):

@@ -49,7 +49,7 @@ object Similarity {
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -90,7 +90,7 @@ object Similarity {
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 }

@@ -43,7 +43,8 @@ object TextAnalysis {
     val Seq(en, de, es, fr) = scores.map(_._2)
     df.select(
       col(idCol).as("doc_id"),
-      en.as("s_en"), de.as("s_de"), es.as("s_es"), fr.as("s_fr"))
+      en.cast("long").as("s_en"), de.cast("long").as("s_de"),
+      es.cast("long").as("s_es"), fr.cast("long").as("s_fr"))
       .withColumn("pred_lang",
         when(col("s_en") + col("s_de") + col("s_es") + col("s_fr") === 0,
           "und")
@@ -68,8 +69,8 @@ object TextAnalysis {
     val allStop = StopwordProfiles.flatMap(_._2).distinct
     df.select(
       col(idCol).as("doc_id"),
-      length(txt).as("n_chars"),
-      size(toks).as("n_tokens"),
+      length(txt).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
       hitCount(toks, allStop).as("stop_hits"),
       length(regexp_replace(txt, "[A-Za-z0-9 ]", "")).as("punct_chars"))
       .select(
@@ -102,13 +103,14 @@ object TextAnalysis {
     val txt = col(textCol)
     df.select(
       col(idCol).as("doc_id"),
-      size(TextOps.tokens(txt)).as("ws_tokens"),
+      size(TextOps.tokens(txt)).cast("long").as("ws_tokens"),
       size(expr(
         s"regexp_extract_all($textCol, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)"))
-        .as("regex_tokens"),
-      length(txt).as("n_chars"))
+        .cast("long").as("regex_tokens"),
+      length(txt).cast("long").as("n_chars"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast("double") / col("ws_tokens"), 4))
+        graft.functions.SafeOps.stableRound4(
+          col("n_chars").cast("double") / col("ws_tokens")))
   }
 
   /** Position-weighted rolling document fingerprint:

@@ -64,7 +64,7 @@ object Composite {
         // 6. flatten deterministically for the oracle
         rebuilt.select(
           col("l_orderkey"),
-          size(col("raw.exp_nodes")).as("n_hops"),
+          size(col("raw.exp_nodes")).cast("long").as("n_hops"),
           array_join(transform(col("raw.exp_nodes"),
             h => h.getField("brand")), ",").as("brands"),
           (floor((aggregate(col("raw.exp_nodes"), lit(0.0d),
@@ -188,7 +188,7 @@ object Composite {
              |  CAST(t0 AS DATE) AS date,
              |  (floor(((n * 50000 + vh) * 8 / (n * 500000.0)) * 10000.0 + 0.5) / 10000.0) AS mbps,
              |  (floor(((user_id % 50 * 1000 + 1000) / 1000.0) * 10000.0 + 0.5) / 10000.0) AS min_rtt,
-             |  0.0 AS loss_rate
+             |  CAST(0.0 AS DOUBLE) AS loss_rate
              |FROM m
              |WHERE n >= 18 AND n <= 120
              |  AND user_id % 10 != 0 AND user_id % 7 != 0
@@ -204,7 +204,8 @@ object Composite {
         "transform, executed batch-mode (unified batch/stream API).",
       (s, d) => graft.streaming.Ingest.windowedCounts(
         t(s, d, "events"), "ts", "event_type")
-        .select(col("window_start"), col("event_type"), col("cnt"),
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("cnt"),
           (floor(col("total_value") * 10000.0 + 0.5) / 10000.0)
             .as("total_value"))
         .orderBy("window_start", "event_type"),
@@ -224,7 +225,9 @@ object Composite {
         "flatMapGroupsWithState; oracle uses lag()+running-sum islands.",
       (s, d) => graft.streaming.Sessionize.sessionsDf(
         t(s, d, "events"), gapMinutes = 30)
-        .select(col("user_id"), col("session_start"), col("session_end"),
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"),
           (floor(col("total_value") * 10000.0 + 0.5) / 10000.0)
             .as("total_value"))

@@ -125,7 +125,9 @@ object Functions {
       (s, d) => t(s, d, "events")
         .select(
           col("event_id"),
-          date_trunc("hour", col("ts")).as("hour"),
+          // timestamp_ntz: parquet gets isAdjustedToUTC=false/us — the
+          // exact Arrow type DuckDB's date_trunc returns (tz-naive).
+          date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour"),
           unix_micros(col("ts")).as("micros"),
           expr("(unix_micros(ts) - unix_micros(date_trunc('hour', ts))) div 1000")
             .as("ms_into_hour"))
@@ -216,7 +218,7 @@ object Functions {
           col("a.total_r").as("total_r"))
         .orderBy("id"),
       Some("""SELECT o_orderkey AS id, o_orderpriority AS prio,
-             |  (floor((o_totalprice) + 0.5)) AS total_r
+             |  CAST(floor((o_totalprice) + 0.5) AS BIGINT) AS total_r
              |FROM orders ORDER BY id""".stripMargin)),
 
     // S4 wildcard-family scan (views/statistics/v0_cities.sql:1)
@@ -247,8 +249,8 @@ object Functions {
           sum(when(col("has_spark"), 1).otherwise(0)).as("n_spark"))
         .orderBy("lang"),
       Some("""SELECT lang, count(*) AS n_docs,
-             |  sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
-             |      THEN 1 ELSE 0 END) AS n_spark
+             |  CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_spark
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

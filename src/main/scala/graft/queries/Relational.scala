@@ -382,7 +382,7 @@ object Relational {
       Some("""SELECT l_returnflag,
              |  CASE WHEN l_quantity < 10 THEN 'low'
              |       WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qband,
-             |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS high_disc_cnt,
+             |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS high_disc_cnt,
              |  (floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice
              |            ELSE 0 END)) * 10000.0 + 0.5) / 10000.0) AS f_price,
              |  count(*) AS cnt

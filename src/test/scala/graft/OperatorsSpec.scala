@@ -79,7 +79,7 @@ class OperatorsSpec extends SparkTestBase {
     val bf = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
       col("vid") === 0, 5).collect()
     assert(bf.length == 5)
-    assert(bf.map(_.getInt(3)).toSeq.sorted == Seq(1, 2, 3, 4, 5))
+    assert(bf.map(_.getLong(3)).toSeq.sorted == Seq(1L, 2L, 3L, 4L, 5L))
     val cos = bf.map(_.getDouble(2))
     assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
 
@@ -113,9 +113,9 @@ class OperatorsSpec extends SparkTestBase {
   test("TextAnalysis.tokenCounts: regex tokenizer counts punct singly") {
     val docs = Seq((0L, "hello, world! two-words")).toDF("doc_id", "text")
     val r = TextAnalysis.tokenCounts(docs, "doc_id", "text").collect()(0)
-    assert(r.getAs[Int]("ws_tokens") == 3)
+    assert(r.getAs[Long]("ws_tokens") == 3L)
     // hello , world ! two - words
-    assert(r.getAs[Int]("regex_tokens") == 7)
+    assert(r.getAs[Long]("regex_tokens") == 7L)
   }
 
   test("TextAnalysis.fingerprint is order-sensitive") {

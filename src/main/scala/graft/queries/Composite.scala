@@ -39,15 +39,22 @@ object Composite {
             col("l_quantity").as("qty")))).as("nodes"))
           .select(col("l_orderkey"),
             struct(lit("v1").as("Version"), col("nodes")).as("raw"))
-        // 2. explode hops (CROSS JOIN UNNEST)
-        val hops = nested.select(col("l_orderkey"), col("raw"),
+        // 2. explode hops (CROSS JOIN UNNEST). Shuffle hygiene: drop the
+        // hop array from `raw` BEFORE the explode→agg round trip — the
+        // re-collect below rebuilds it, so carrying `raw.nodes` through
+        // the second shuffle would double-ship every hop payload (at
+        // 100 TB that's the difference between shuffling metadata and
+        // shuffling the dataset twice).
+        val hops = nested.select(col("l_orderkey"),
+          col("raw").dropFields("nodes").as("raw"),
           explode(col("raw.nodes")).as("hop"))
         // 3. per-hop annotation join (annotation side broadcast)
         val ann = hops.join(
           broadcast(t(s, d, "part").select(
             col("p_partkey"), col("p_brand"))),
           col("hop.partkey") === col("p_partkey"), "left")
-        // 4. re-collect annotated hops in hop order
+        // 4. re-collect annotated hops in hop order; sum qty here with the
+        // native SUM partial-aggregate rather than a per-array HOF later
         val rebuilt = ann
           .groupBy("l_orderkey")
           .agg(first(col("raw")).as("raw"),
@@ -57,18 +64,18 @@ object Composite {
               col("hop.hop_no").as("hop_no"),
               col("hop.partkey").as("partkey"),
               col("hop.qty").as("qty"),
-              col("p_brand").as("brand")))).as("ann_nodes"))
-          // 5. * REPLACE: drop raw.nodes, graft the annotated array
-          .withColumn("raw", col("raw").dropFields("nodes")
-            .withField("exp_nodes", col("ann_nodes")))
-        // 6. flatten deterministically for the oracle
+              col("p_brand").as("brand")))).as("ann_nodes"),
+            sum(col("hop.qty")).as("qty_sum"))
+          // 5. * REPLACE: graft the annotated array onto the carried struct
+          .withColumn("raw", col("raw").withField("exp_nodes", col("ann_nodes")))
+        // 6. flatten deterministically for the oracle. No interpreted HOFs:
+        // `arr.field` extraction and array_join are codegen'd, unlike
+        // transform()/aggregate() which are CodegenFallback in Spark 4.
         rebuilt.select(
           col("l_orderkey"),
           size(col("raw.exp_nodes")).cast("long").as("n_hops"),
-          array_join(transform(col("raw.exp_nodes"),
-            h => h.getField("brand")), ",").as("brands"),
-          (floor((aggregate(col("raw.exp_nodes"), lit(0.0d),
-            (acc, h) => acc + h.getField("qty"))) * 10000.0 + 0.5) / 10000.0).as("qty_total"))
+          array_join(col("raw.exp_nodes.brand"), ",").as("brands"),
+          (floor(col("qty_sum") * 10000.0 + 0.5) / 10000.0).as("qty_total"))
           .orderBy("l_orderkey")
       },
       Some("""SELECT l_orderkey, count(*) AS n_hops,

@@ -97,6 +97,21 @@ object Ops {
         lit((0 to 10).map(_ / 10.0).toArray), lit(accuracy)).as("qs"))
       .select(col(groupCol), posexplode(col("qs")).as(Seq("idx", "qv")))
 
+  /** Approximate distinct counts — the scale path for the exact
+    * COUNT(DISTINCT) surface (q52). Exact multi-distinct plans an Expand
+    * (one input row per distinct aggregate) plus a shuffle keyed on the
+    * distinct value; at 100 TB the HLL++ sketch is a fixed-size mergeable
+    * buffer with map-side partial aggregation instead. Sketches are not
+    * cross-engine deterministic, so this is spec-tested for its error
+    * envelope rather than oracle-hashed (SURVEY §5.3 rule).
+    */
+  def approxDistinct(df: DataFrame, groupCol: String, valueCols: Seq[String],
+      relativeSD: Double = 0.01): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"),
+        valueCols.map(c =>
+          approx_count_distinct(col(c), relativeSD).as(s"approx_$c")): _*)
+
   /** The reference's "complete" TVF pattern: the union of the same
     * computation over two populations, tagged by source
     * (functions/ops.ndt7_download_pdf_complete.sql:10-17).

@@ -171,4 +171,39 @@ class OperatorsSpec extends SparkTestBase {
     val frames = Multimodal.sampleFrames(media, stride = 2)
     assert(frames.filter(col("doc_id") === 0L).count() == 3) // offsets 0,2,4
   }
+
+  test("AsOfJoin.backward: latest at-or-before per key, null before first, " +
+    "multi-key isolation") {
+    val left = Seq(
+      (1L, "k1", 5L), (2L, "k1", 10L), (3L, "k1", 15L), (4L, "k1", 30L),
+      (5L, "k2", 10L), (6L, "k3", 100L))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      ("k1", 10L, "a"), ("k1", 20L, "b"),
+      ("k2", 11L, "x")) // k2's only annotation is AFTER its event
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(got(1L) == null)  // before first annotation
+    assert(got(2L) == "a")   // exact-ts tie: annotation applies
+    assert(got(3L) == "a")   // between annotations -> earlier one
+    assert(got(4L) == "b")   // after last -> latest
+    assert(got(5L) == null)  // k2: annotation strictly later
+    assert(got(6L) == null)  // k3: no annotations at all
+    // left row count and columns preserved
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", Seq("v"))
+    assert(out.count() == 6 && out.columns.toSeq == Seq("id", "k", "ts", "v"))
+  }
+
+  test("Ops.approxDistinct: within the configured error envelope of exact") {
+    val df = (0 until 5000).map(i => (i % 2, i % 701, i % 997))
+      .toDF("g", "x", "y")
+    val got = Ops.approxDistinct(df, "g", Seq("x", "y"), relativeSD = 0.02)
+      .collect().map(r => r.getAs[Int]("g") ->
+        (r.getAs[Long]("approx_x"), r.getAs[Long]("approx_y"))).toMap
+    // exact per group: x has 701 distinct, y 997 (5000 rows cover both mods)
+    for (g <- Seq(0, 1); (approx, exact) <- Seq(got(g)._1 -> 701L, got(g)._2 -> 997L))
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"g=$g approx=$approx exact=$exact")
+  }
 }

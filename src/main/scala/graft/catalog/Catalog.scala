@@ -1,7 +1,8 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, struct}
+import org.apache.spark.sql.types.{ArrayType, StructType}
 
 /** Catalog-driven operations: the reference's introspection/codegen and
   * materialization entry points (SURVEY.md §2.1 S5/S6, §3.4).
@@ -52,4 +53,47 @@ object Catalog {
   def withPartitionDate(df: DataFrame, partitionCol: String = "date")
       : DataFrame =
     df.withColumn("partition_date", col(partitionCol).cast("date"))
+
+  /** Read a table whose parquet files were written across schema eras
+    * (columns added over time — the reference's per-era table problem,
+    * `ndt7` vs `ndt5` vs `web100` generations, SURVEY §1.3). mergeSchema
+    * unions footer schemas at planning time; rows from older files read
+    * the added columns as null. Per-file schema stays pruned/pushed —
+    * merging is a metadata operation, not a data rewrite.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Conform a frame to a declared target schema (the reference's regime:
+    * the schema JSON files declare the table, every era's rows are shaped
+    * to it before landing — SURVEY §1.3). Recursive over structs and arrays of
+    * structs: missing nullable fields materialize as typed nulls, present
+    * fields are cast, extra fields are dropped. Pure projection — codegen
+    * friendly, no shuffle, safe to run on every ingest batch.
+    */
+  def conformTo(df: DataFrame, target: StructType): DataFrame = {
+    def conformCol(source: Option[org.apache.spark.sql.types.DataType],
+        path: Column, dt: org.apache.spark.sql.types.DataType): Column =
+      (source, dt) match {
+        case (Some(s: StructType), t: StructType) =>
+          struct(t.fields.map { f =>
+            val sub = s.fields.find(_.name == f.name)
+            conformCol(sub.map(_.dataType),
+              path.getField(f.name), f.dataType).as(f.name)
+          }.toSeq: _*)
+        case (Some(ArrayType(s: StructType, _)), ArrayType(t: StructType, n)) =>
+          // element-wise struct conform via transform (planning-time
+          // generated; fine off the hot path — ingest shaping, not a scan)
+          org.apache.spark.sql.functions.transform(path,
+            e => conformCol(Some(s), e, t)).cast(ArrayType(t, n))
+        case (Some(_), t) => path.cast(t)
+        case (None, t) => lit(null).cast(t)
+      }
+    val srcFields = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    df.select(target.fields.map { f =>
+      val src = srcFields.get(f.name)
+      conformCol(src, if (src.isDefined) col(f.name) else lit(null),
+        f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
 }

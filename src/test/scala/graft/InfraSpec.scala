@@ -221,4 +221,44 @@ class InfraSpec extends SparkTestBase {
       out(0).getAs[Double]("total_value") == 3.0)
     assert(out(1).getAs[Long]("cnt") == 1)
   }
+
+  // --- Schema evolution ---------------------------------------------------
+
+  test("readEvolved merges schema eras; conformTo shapes every era to the " +
+    "declared schema") {
+    import graft.catalog.Catalog
+    val dir = Files.createTempDirectory("evolve").toFile.getAbsolutePath
+    // era 1: two columns
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(s"$dir/f1")
+    // era 2: adds a scalar and a nested struct column
+    Seq((3L, 30.0, "x", (7L, "geo")))
+      .toDF("id", "v", "tag", "meta")
+      .write.parquet(s"$dir/f2")
+    val merged = Catalog.readEvolved(spark, s"$dir/f*")
+    assert(merged.columns.sorted.toSeq == Seq("id", "meta", "tag", "v"))
+    val r1 = merged.filter(col("id") === 1L).collect()(0)
+    assert(r1.getAs[String]("tag") == null && r1.getAs[Any]("meta") == null)
+    assert(merged.count() == 3)
+
+    // declared target: meta gains a field, v becomes float, tag dropped,
+    // new nullable col appears — every era conforms to one shape
+    val target = graft.schema.BqSchema.parse("""[
+      {"name":"id","type":"INT64","mode":"REQUIRED"},
+      {"name":"v","type":"FLOAT64","mode":"NULLABLE"},
+      {"name":"added","type":"STRING","mode":"NULLABLE"},
+      {"name":"meta","type":"RECORD","mode":"NULLABLE","fields":[
+        {"name":"_1","type":"INT64","mode":"NULLABLE"},
+        {"name":"_2","type":"STRING","mode":"NULLABLE"},
+        {"name":"region","type":"STRING","mode":"NULLABLE"}]}]""")
+    val shaped = Catalog.conformTo(merged, target)
+    assert(shaped.schema.fieldNames.toSeq ==
+      Seq("id", "v", "added", "meta"))
+    val s3 = shaped.filter(col("id") === 3L).collect()(0)
+    val meta = s3.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Long]("_1") == 7L && meta.getAs[String]("_2") == "geo"
+      && meta.getAs[String]("region") == null)
+    assert(shaped.filter(col("id") === 1L).collect()(0)
+      .getAs[Any]("added") == null)
+  }
 }

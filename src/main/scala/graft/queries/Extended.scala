@@ -272,6 +272,31 @@ object Extended {
              |SELECT e.event_id, e.user_id, a.ann_value
              |FROM events e ASOF LEFT JOIN a
              |  ON e.user_id = a.user_id AND e.ts >= a.ts
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Top-k per group via the bounded-buffer Aggregator
+    // (graft.operators.TopK): map-side partial aggregation ships
+    // O(groups x k) rows through the shuffle instead of sorting all of
+    // them the way the oracle's window formulation must.
+    GraftQuery(
+      "q57_topk_per_group",
+      "Top-3 priciest lineitems per return flag via a typed UDAF " +
+        "Aggregator (bounded heap, partial-agg) vs window row_number.",
+      (s, d) => graft.operators.TopK.perGroup(
+        t(s, d, "lineitem").select(col("l_returnflag"),
+          // unique row id: 10*orderkey+linenumber (linenumber in 1..7)
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("row_id"),
+          col("l_extendedprice")),
+        "l_returnflag", "row_id", "l_extendedprice", k = 3)
+        .orderBy("l_returnflag", "rank"),
+      Some("""SELECT l_returnflag, id, score, rank FROM (
+             |  SELECT l_returnflag,
+             |    l_orderkey * 10 + l_linenumber AS id,
+             |    l_extendedprice AS score,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC,
+             |               l_orderkey * 10 + l_linenumber) AS rank
+             |  FROM lineitem)
+             |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin))
   )
 }

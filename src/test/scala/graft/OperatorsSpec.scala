@@ -195,6 +195,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.count() == 6 && out.columns.toSeq == Seq("id", "k", "ts", "v"))
   }
 
+  test("TopK.perGroup: bounded Aggregator matches window top-k incl. ties " +
+    "across partitions") {
+    // 8 partitions force the merge() path; duplicate scores force the
+    // (score desc, id asc) tie-break
+    val rows = (0L until 400L).map(i => (s"g${i % 4}", i, (i % 50).toDouble))
+    val df = spark.createDataFrame(rows).toDF("g", "id", "v").repartition(8)
+    val got = TopK.perGroup(df, "g", "id", "v", k = 5)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g")
+      .orderBy(col("v").desc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("id"),
+        r.getAs[Double]("v"), r.getAs[Int]("rank").toLong))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("Ops.approxDistinct: within the configured error envelope of exact") {
     val df = (0 until 5000).map(i => (i % 2, i % 701, i % 997))
       .toDF("g", "x", "y")

@@ -284,7 +284,9 @@ object Relational {
     GraftQuery(
       "q13_deciles",
       "Grouped exact deciles (array) exploded with position — " +
-        "posexplode = UNNEST WITH OFFSET (A5 + array ops).",
+        "posexplode = UNNEST WITH OFFSET (A5 + array ops). Scale " +
+        "alternatives: Ops.decilesByRank (rank selection, no O(distinct) " +
+        "buffer) and Ops.decilesApprox (sketch), spec-tested.",
       (s, d) => t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.0,0.1,0.2,0.3,0.4," +

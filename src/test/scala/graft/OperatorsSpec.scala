@@ -215,6 +215,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("Ops.decilesByRank matches exact percentile() on every decile") {
+    val rows = (0L until 2000L).map(i => (s"g${i % 7}", (i * 37 % 1009).toDouble))
+    val df = spark.createDataFrame(rows).toDF("g", "x").repartition(8)
+    val byRank = Ops.decilesByRank(df, "x", "g")
+      .collect().map(r => (r.getString(0), r.getAs[Int]("idx")) ->
+        r.getAs[Double]("qv")).toMap
+    val byPerc = df.groupBy("g")
+      .agg(expr("percentile(x, array(0.0,0.1,0.2,0.3,0.4,0.5,0.6,0.7," +
+        "0.8,0.9,1.0))").as("qs"))
+      .select(col("g"), posexplode(col("qs")).as(Seq("idx", "qv")))
+      .collect().map(r => (r.getString(0), r.getAs[Int]("idx")) ->
+        r.getAs[Double]("qv")).toMap
+    assert(byRank.keySet == byPerc.keySet)
+    byRank.foreach { case (k, v) =>
+      assert(math.abs(v - byPerc(k)) < 1e-9, s"$k: $v vs ${byPerc(k)}") }
+  }
+
   test("Ops.approxDistinct: within the configured error envelope of exact") {
     val df = (0 until 5000).map(i => (i % 2, i % 701, i % 997))
       .toDF("g", "x", "y")

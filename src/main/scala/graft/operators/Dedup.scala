@@ -182,4 +182,75 @@ object Dedup {
           (col("x.norm") * col("y.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Connected components over near-dup pairs — the step that turns
+    * pairwise dedup output into per-document canonical assignment (a
+    * pipeline keeps ONE doc per component, not one per pair: with docs
+    * A~B and B~C, pair-wise "keep the smaller id" would wrongly keep
+    * both A and C).
+    *
+    * HashMin label propagation: every node starts as its own label; each
+    * round takes the min of its neighbors' labels; converges to the
+    * component-minimum id in O(component diameter) rounds. Each round is
+    * one distributed join + partial-aggregated min — the standard
+    * MapReduce-era algorithm, still the right shape at 100 TB. The
+    * driver loop iterates over ROUND COUNTS (small), never over data;
+    * `localCheckpoint` truncates plan lineage each round so the
+    * iteration count doesn't compound planning cost (a durable
+    * `checkpoint` on a real cluster).
+    *
+    * Near-dup graphs are overwhelmingly tiny cliques + chains (diameter
+    * 1-3), so convergence is fast; `maxIter` only bounds adversarial
+    * chains.
+    *
+    * Input: edges (a, b) — undirected, any orientation.
+    * Output: node, component (= min node id reachable).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the (possibly expensive) edge derivation ONCE — every
+    // propagation round joins against `sym`, and without this the whole
+    // upstream pair pipeline (MinHash etc.) would re-execute per round.
+    val sym = edges.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"))
+      .unionAll(edges.select(col("b").cast("long").as("a"),
+        col("a").cast("long").as("b")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, col("b") === col("node"))
+        .groupBy("a").agg(min("component").as("nbr_min"))
+      val next = labels.join(nbrMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("component"),
+            coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.withColumnRenamed("component", "new_c")
+        .join(labels, "node")
+        .filter(col("new_c") < col("component")).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Canonical-document assignment: every doc mapped to the minimum id of
+    * its near-dup component (itself when it has no duplicates), plus the
+    * keep flag. Output: doc_id, canonical, keep.
+    */
+  def canonicalAssignment(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b")
+      : DataFrame = {
+    val comp = connectedComponents(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical"))
+      .withColumn("keep", col("canonical") === col("doc_id"))
+  }
 }

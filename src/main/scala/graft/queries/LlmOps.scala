@@ -349,6 +349,103 @@ object LlmOps {
              |  'text/plain' AS mime,
              |  CAST(checksum % 64 + 1 AS INT) AS fake_width,
              |  CAST(checksum % 48 + 1 AS INT) AS fake_height
-             |FROM c ORDER BY doc_id""".stripMargin))
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Pairs -> components -> canonical: the step that makes dedup output
+    // usable (keep ONE doc per component). Spark: HashMin label
+    // propagation (Dedup.connectedComponents); oracle: recursive-CTE
+    // transitive closure — different algorithms, identical assignment.
+    GraftQuery(
+      "q58_dedup_canonical",
+      "Canonical-doc assignment over MinHash-LSH near-dup components " +
+        "(iterative HashMin propagation vs WITH RECURSIVE closure).",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        Dedup.canonicalAssignment(docs, "doc_id", pairs)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $duckShingleSets,
+              |sigs AS (
+              |  SELECT doc_id, sh,
+              |    list_transform(range(0,32), j ->
+              |      list_min(list_transform(sh, h ->
+              |        (h*(2*j+1) + (j*j*31+7)) % 2147483647))) AS sig
+              |  FROM sets),
+              |bandrows AS (
+              |  SELECT doc_id, sh, CAST(b.range AS INT) AS band_idx,
+              |    array_to_string(list_transform(
+              |      sig[b.range*4+1 : b.range*4+4],
+              |      x -> CAST(x AS VARCHAR)), '-') AS band_key
+              |  FROM sigs, range(0,8) b),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    x.sh AS sha, y.sh AS shb
+              |  FROM bandrows x JOIN bandrows y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |   AND x.doc_id < y.doc_id),
+              |p AS (
+              |  SELECT doc_a, doc_b FROM cands
+              |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+              |    (len(sha)+len(shb)-len(list_intersect(sha, shb))) >= 0.5),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              |  UNION ALL SELECT doc_b, doc_a FROM p),
+              |reach(node, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+              |comp AS (SELECT node, min(r) AS canonical
+              |  FROM reach GROUP BY node)
+              |SELECT d.doc_id,
+              |  coalesce(c.canonical, d.doc_id) AS canonical,
+              |  coalesce(c.canonical, d.doc_id) = d.doc_id AS keep
+              |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Deterministic train/valid/test assignment: hash of a salted id, NOT
+    // rand() — reproducible across engines, runs, and repartitions, and
+    // stable under re-ingestion (the property a training pipeline
+    // actually needs from its splitter).
+    GraftQuery(
+      "q59_hash_split",
+      "Deterministic 80/10/10 split via portable md5-prefix hash of the " +
+        "salted doc id.",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          pmod(graft.functions.TextOps.hash32(
+            concat(lit("split:"), col("doc_id").cast("string"))), lit(100))
+            .as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid").otherwise("test"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+             |    % 100 AS bucket,
+             |  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80 THEN 'train'
+             |       WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 90 THEN 'valid'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Corpus vocabulary: token frequencies -> global top-k. The LIMIT
+    // plans as TakeOrderedAndProject over the aggregated counts — no
+    // global sort of the vocabulary.
+    GraftQuery(
+      "q60_vocab_topk",
+      "Corpus token-frequency top-200 (explode -> partial-agg count -> " +
+        "bounded TakeOrdered).",
+      (s, d) => t(s, d, "documents")
+        .select(explode(graft.functions.TextOps.tokens(col("text")))
+          .as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(200),
+      Some("""SELECT tok, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM documents)
+             |WHERE tok != ''
+             |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 200""".stripMargin))
   )
 }

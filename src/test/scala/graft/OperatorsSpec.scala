@@ -195,6 +195,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.count() == 6 && out.columns.toSeq == Seq("id", "k", "ts", "v"))
   }
 
+  test("Dedup.connectedComponents: chains, cliques, isolated nodes, " +
+    "multi-round convergence") {
+    // component 1: a 6-node CHAIN 10-11-12-13-14-15 (diameter 5 forces
+    // several HashMin rounds); component 2: a triangle; 99 is isolated
+    // (absent from edges entirely)
+    val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L), (14L, 13L),
+      (14L, 15L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("component")).toMap
+    assert((10L to 15L).forall(got(_) == 10L))
+    assert((20L to 22L).forall(got(_) == 20L))
+    assert(!got.contains(99L))
+
+    val docs = (10L to 22L).toDF("doc_id")
+    val assign = Dedup.canonicalAssignment(
+      docs, "doc_id", edges, "a", "b").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical"), r.getAs[Boolean]("keep"))).toMap
+    assert(assign(16L) == (16L, true)) // no-dup doc keeps itself
+    assert(assign(15L) == (10L, false) && assign(10L) == (10L, true))
+  }
+
   test("TopK.perGroup: bounded Aggregator matches window top-k incl. ties " +
     "across partitions") {
     // 8 partitions force the merge() path; duplicate scores force the

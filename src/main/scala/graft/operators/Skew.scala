@@ -44,4 +44,31 @@ object Skew {
     saltedAgg(df, keys, saltBuckets)(Seq(
       ("cnt", count(lit(1)), c => sum(col(c))),
       ("total", sum(col(valueCol)), c => sum(col(c)))))
+
+  /** Salted equi-join for a skewed fact side that AQE can't fix (AQE
+    * splits oversized SHUFFLE partitions, but only post-shuffle and only
+    * within one stage — persistent hot keys re-skew every downstream
+    * stage, and a broadcast is off the table when the dim side is too
+    * big). Classic rewrite: salt the fact key into `saltBuckets`
+    * sub-keys, replicate each dim row once per bucket, equi-join on
+    * (key, salt). The hot key's rows now spread over `saltBuckets` tasks
+    * at the cost of a `saltBuckets`x dim replication — use for
+    * large-fact x medium-dim joins with a known-skewed fact.
+    *
+    * Inner and left-outer only (replication preserves their semantics:
+    * each fact row still matches exactly the dim rows of its key).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltBuckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(saltBuckets > 1, "saltBuckets must be > 1")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"unsupported join type for salting: $joinType")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)).cast("int"))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(replicatedDim, keys :+ "__salt", joinType)
+      .drop("__salt")
+  }
 }

@@ -195,6 +195,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.count() == 6 && out.columns.toSeq == Seq("id", "k", "ts", "v"))
   }
 
+  test("Skew.saltedJoin: matches plain join, inner and left, salt dropped") {
+    // skewed fact: 90% of rows share key 1
+    val fact = ((1 to 900).map(i => (1L, i.toDouble)) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, i.toDouble)) ++
+      Seq((999L, -1.0))) // key with no dim match
+      .toDF("k", "v").repartition(8)
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"),
+      (5L, "d"), (6L, "e"), (7L, "f"), (8L, "g")).toDF("k", "name")
+    for (jt <- Seq("inner", "left")) {
+      val got = Skew.saltedJoin(fact, dim, Seq("k"), 8, jt)
+        .groupBy("k", "name").agg(count(lit(1)).as("n"),
+          sum("v").as("sv")).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("name")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("sv"))).toMap
+      val want = fact.join(dim, Seq("k"), jt)
+        .groupBy("k", "name").agg(count(lit(1)).as("n"),
+          sum("v").as("sv")).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("name")) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("sv"))).toMap
+      assert(got == want, s"joinType=$jt")
+    }
+    assert(!Skew.saltedJoin(fact, dim, Seq("k"), 8).columns.contains("__salt"))
+  }
+
   test("Dedup.connectedComponents: chains, cliques, isolated nodes, " +
     "multi-round convergence") {
     // component 1: a 6-node CHAIN 10-11-12-13-14-15 (diameter 5 forces

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the scale properties SCALE.md claims
+  * (pushdown, pruning, broadcast dims, zero-exchange top-k, one-shuffle
+  * as-of) asserted against the actual planned output, so a refactor that
+  * silently de-optimizes a plan fails CI, not a 100 TB run.
+  *
+  * Assertions read the pre-execution plan string (AQE initial plan) —
+  * stable across runs, no data execution needed beyond tiny sf0.001.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.allQueries.find(_.name == name).get
+    plan(q.run(spark, sf))
+  }
+
+  test("q02: filters are pushed to the parquet scan and columns pruned") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [") && p.contains("IsNotNull"),
+      s"no pushed filters in:\n$p")
+    // 11-column lineitem must not be read in full for this projection
+    assert(!p.contains("l_comment") && p.contains("ReadSchema"))
+  }
+
+  test("q06: dimension joins are broadcast, the fact side never shuffles " +
+    "for them") {
+    val p = planOf("q06_join_dims_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no BHJ in:\n$p")
+  }
+
+  test("q53: global top-k plans as TakeOrderedAndProject with zero " +
+    "exchanges") {
+    val p = planOf("q53_topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected exchange in:\n$p")
+  }
+
+  test("AsOfJoin.backward plans exactly one shuffle") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 5L)).toDF("id", "k", "ts")
+    val right = Seq(("k", 3L, 1.0)).toDF("k", "ts", "v")
+    val p = plan(graft.operators.AsOfJoin.backward(
+      left, right, Seq("k"), "ts", Seq("v")))
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "ReusedExchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+  }
+
+  test("q20: histogram binning is O(n) — no cartesian over the data side") {
+    val p = planOf("q20_ops_pdf_cdf")
+    // the only nested-loop join allowed is the bins completeness frame
+    // (broadcast of a constant-sized bins x groups frame)
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("TopK aggregator partial-aggregates map-side") {
+    val p = planOf("q57_topk_per_group")
+    // ObjectHashAggregate appears twice: partial + final
+    val n = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(n >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+}

@@ -46,6 +46,32 @@ object Ingest {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt"), col("total_value"))
 
+  /** Stream-stream equi + event-time interval join: enrich a measurement
+    * stream with an annotation stream that may arrive up to
+    * `maxDelaySec` later (either direction). Both sides carry
+    * watermarks, and the time-bound condition is what lets the engine
+    * EXPIRE join state — an unbounded stream-stream join would buffer
+    * both streams forever. State per key is bounded by
+    * watermark + maxDelay.
+    *
+    * Left columns keep their names; right payload columns must not
+    * collide (rename before calling). Valid on batch frames too (the
+    * unified-API contract) — the spec asserts batch/stream agreement.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, maxDelaySec: Long,
+      watermark: String = "1 hour", joinType: String = "inner")
+      : DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $maxDelaySec SECONDS") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelaySec SECONDS"),
+      joinType)
+      .drop(r(keyCol))
+  }
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

@@ -222,6 +222,44 @@ class InfraSpec extends SparkTestBase {
     assert(out(1).getAs[Long]("cnt") == 1)
   }
 
+  test("stream-stream interval join: bounded-state enrichment, batch and " +
+    "stream agree") {
+    val mDir = Files.createTempDirectory("ss-m").toFile.getAbsolutePath
+    val aDir = Files.createTempDirectory("ss-a").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("ss-ck").toFile.getAbsolutePath
+    val meas = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 10.0),
+      (1L, Timestamp.valueOf("2024-01-01 02:00:00"), 20.0), // no ann near
+      (2L, Timestamp.valueOf("2024-01-01 00:30:00"), 30.0))
+      .toDF("mid", "mts", "mval")
+    val anns = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:12:00"), "geoA"),
+      (2L, Timestamp.valueOf("2024-01-01 00:25:00"), "geoB"),
+      (2L, Timestamp.valueOf("2024-01-01 03:00:00"), "far"))
+      .toDF("mid", "ats", "ann")
+    meas.write.parquet(s"$mDir/d1")
+    anns.write.parquet(s"$aDir/d1")
+
+    // batch reference through the SAME transform
+    val batch = Ingest.intervalJoin(meas, anns, "mid", "mts", "ats", 600)
+      .select("mid", "mval", "ann").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(batch == Set((1L, 10.0, "geoA"), (2L, 30.0, "geoB")))
+
+    val sm = Ingest.streamTable(spark, s"$mDir/d*", meas.schema)
+    val sa = Ingest.streamTable(spark, s"$aDir/d*", anns.schema)
+    val q = Ingest.intervalJoin(sm, sa, "mid", "mts", "ats", 600)
+      .select("mid", "mval", "ann")
+      .writeStream.format("memory").queryName("ss_join")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(streamed == batch)
+  }
+
   // --- Schema evolution ---------------------------------------------------
 
   test("readEvolved merges schema eras; conformTo shapes every era to the " +

@@ -35,4 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 52-58 s total — the larger heap degrades G1 behavior on the
   // allocation-heavy pair stages). Don't raise without re-measuring.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GC_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Readers
+
+class SourcesSpec extends SparkTestBase {
+
+  private val schema = graft.schema.BqSchema.parse("""[
+    {"name":"id","type":"INT64","mode":"NULLABLE"},
+    {"name":"name","type":"STRING","mode":"NULLABLE"},
+    {"name":"score","type":"FLOAT64","mode":"NULLABLE"}]""")
+
+  test("jsonl: declared schema, malformed lines quarantined not dropped") {
+    val dir = Files.createTempDirectory("jsonl").toFile.getAbsolutePath
+    val f = new java.io.File(dir, "part.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id": 1, "name": "a", "score": 0.5}""")
+    w.println("""{"id": 2, "name": "b"}""")            // missing field: fine
+    w.println("""{"id": "not-a-number", "name": "c"}""") // type error
+    w.println("""this is not json at all""")
+    w.close()
+    val df = Readers.jsonl(spark, f.getAbsolutePath, schema)
+    val (clean, bad) = Readers.quarantine(df)
+    assert(clean.count() == 2 && bad.count() == 2)
+    assert(!clean.columns.contains(Readers.CorruptCol))
+    val r1 = clean.filter(col("id") === 1L).collect()(0)
+    assert(r1.getAs[String]("name") == "a" && r1.getAs[Double]("score") == 0.5)
+    // the raw text of the bad lines is preserved for reprocessing
+    val raw = bad.collect()
+      .map(_.getAs[String]("raw_record")).mkString("\n")
+    assert(raw.contains("not-a-number") && raw.contains("not json"))
+  }
+
+  test("csv: declared schema, header + quarantine contract") {
+    val dir = Files.createTempDirectory("csv").toFile.getAbsolutePath
+    val f = new java.io.File(dir, "part.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("id,name,score")
+    w.println("1,a,0.5")
+    w.println("oops,b,not-a-float")
+    w.close()
+    val (clean, bad) = Readers.quarantine(
+      Readers.csv(spark, f.getAbsolutePath, schema))
+    assert(clean.count() == 1 && bad.count() == 1)
+    assert(clean.collect()(0).getAs[Long]("id") == 1L)
+  }
+}

@@ -54,6 +54,24 @@ object Catalog {
       : DataFrame =
     df.withColumn("partition_date", col(partitionCol).cast("date"))
 
+  /** Bucketed materialization: co-locate a table on its join key so
+    * repeated large-large joins on that key skip the shuffle entirely
+    * (both sides read pre-hashed buckets; the join becomes a per-bucket
+    * sort-merge with NO exchange — CatalogSpec asserts the plan). At
+    * 100 TB this converts every recurring fact-fact join on the bucket
+    * key from a full-data shuffle into a metadata decision, paid once at
+    * write time. `sortBy` on the same key additionally lets the read
+    * skip the per-bucket sort when bucket counts line up.
+    */
+  def materializeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path",
+        new java.io.File("spark-warehouse", table).getAbsolutePath)
+      .saveAsTable(table)
+
   /** Read a table whose parquet files were written across schema eras
     * (columns added over time — the reference's per-era table problem,
     * `ndt7` vs `ndt5` vs `web100` generations, SURVEY §1.3). mergeSchema

@@ -82,4 +82,33 @@ class CatalogSpec extends SparkTestBase {
     val median = approx(5).getAs[Double]("qv")
     assert(median > 4800 && median < 5200)
   }
+
+  test("materializeBucketed: join of two co-bucketed tables plans with " +
+    "zero exchanges") {
+    import graft.catalog.Catalog
+    val facts = (0L until 1000L).map(i => (i % 97, i, i * 0.5))
+      .toDF("k", "id", "v")
+    val dims = (0L until 500L).map(i => (i % 97, s"n$i")).toDF("k", "name")
+    Catalog.materializeBucketed(facts, "bk_facts", "k", 8)
+    Catalog.materializeBucketed(dims, "bk_dims", "k", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the shuffle-avoidance is visible
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_facts")
+        .join(spark.table("bk_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      // and it still computes the right thing
+      assert(joined.count() ==
+        facts.join(dims, "k").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_facts")
+      spark.sql("DROP TABLE IF EXISTS bk_dims")
+    }
+  }
 }

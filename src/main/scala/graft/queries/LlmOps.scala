@@ -446,6 +446,87 @@ object LlmOps {
              |  SELECT unnest(string_split(text, ' ')) AS tok
              |  FROM documents)
              |WHERE tok != ''
-             |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 200""".stripMargin))
+             |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 200""".stripMargin)),
+
+    // Gopher-style repetition signal: duplicate-token mass per doc. High
+    // ratios mark boilerplate/spam for the quality gate. Pure per-row
+    // array math — scan speed, no shuffle.
+    GraftQuery(
+      "q61_repetition",
+      "Within-doc repetition ratio: duplicate-token fraction per doc " +
+        "(array_distinct vs size).",
+      (s, d) => {
+        val toks = graft.functions.TextOps.tokens(col("text"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio",
+            graft.functions.SafeOps.stableRound4(
+              (col("n_tokens") - col("n_distinct")).cast("double") /
+                col("n_tokens")))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text,' ')) AS n_tokens,
+             |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+             |  floor((CAST(len(string_split(text,' ')) -
+             |      len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+             |    len(string_split(text,' '))) * 10000 + 0.5) / 10000
+             |    AS rep_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PII-shaped pattern counts — the redaction/filter pre-pass. Patterns
+    // stay in the RE2 ∩ Java-regex shared syntax (no lookarounds) so both
+    // engines compile them identically.
+    GraftQuery(
+      "q62_pii_flags",
+      "PII pattern counts per doc: email-like and long-digit-run " +
+        "matches, scan-speed regexp_extract_all.",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, " +
+          "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]+', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)"))
+          .cast("long").as("n_digit_runs"))
+        .withColumn("pii_flag",
+          col("n_emails") + col("n_digit_runs") > 0)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+')) AS n_emails,
+             |  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_digit_runs,
+             |  len(regexp_extract_all(text,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+')) +
+             |    len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS pii_flag
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark-contamination probe: docs containing any probe phrase.
+    // The probe list is a broadcast-sized constant; `contains` keeps it
+    // at scan speed (substring, not tokenization-sensitive).
+    GraftQuery(
+      "q63_contamination",
+      "Contamination scan: flag docs containing any benchmark probe " +
+        "phrase (broadcast-sized constant list, substring match).",
+      (s, d) => {
+        val probes = Seq("spark", "shuffle broadcast", "quality measure")
+        t(s, d, "documents").select(
+          col("doc_id"),
+          probes.map(p => when(col("text").contains(p), 1).otherwise(0))
+            .reduce(_ + _).cast("long").as("n_hits"))
+          .withColumn("contaminated", col("n_hits") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST((CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END) +
+             |  (CASE WHEN contains(text, 'shuffle broadcast') THEN 1 ELSE 0 END) +
+             |  (CASE WHEN contains(text, 'quality measure') THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_hits,
+             |  (CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END) +
+             |  (CASE WHEN contains(text, 'shuffle broadcast') THEN 1 ELSE 0 END) +
+             |  (CASE WHEN contains(text, 'quality measure') THEN 1 ELSE 0 END)
+             |    > 0 AS contaminated
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

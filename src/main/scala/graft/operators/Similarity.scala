@@ -93,4 +93,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * centroid vectors, then search only the query's own cell — the
+    * coarse-quantization path every billion-vector index uses. Centroids
+    * here are picked deterministically (every `centroidEvery`-th id) so
+    * the assignment is reproducible cross-engine; a production index
+    * would train them with k-means and broadcast the (small) codebook
+    * exactly the same way.
+    *
+    * Cell assignment: argmin over centroids of squared L2, tie-broken by
+    * centroid id — one broadcast nested-loop of |corpus| x |codebook|
+    * rows at scan speed (codegen'd VecDot), never a shuffle of the
+    * corpus. Output: q_id, cand_id, cosine, rank (top-k within cell).
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, centroidEvery: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"),
+        (col("nrm") * col("nrm")).as("cn2"))
+    val d2 = (col("nrm") * col("nrm")
+      - lit(2.0) * dot(col("v"), col("cv")) + col("cn2")).as("d2")
+    val assignW = Window.partitionBy("vid").orderBy(col("d2"), col("cid"))
+    val cells = base.crossJoin(broadcast(cents))
+      .select(col("vid"), col("v"), col("nrm"), col("cid"), d2)
+      .withColumn("rn", row_number().over(assignW))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
+    val queries = cells.filter(isQuery)
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell").as("qcell"))
+    val scored = cells.as("c")
+      .join(broadcast(queries),
+        col("qcell") === col("cell") && col("q_id") =!= col("vid"))
+      .select(col("q_id"), col("vid").as("cand_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

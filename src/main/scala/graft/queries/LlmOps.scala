@@ -246,6 +246,42 @@ object LlmOps {
               |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
     GraftQuery(
+      "q64_ann_ivf_topk",
+      "IVF ANN (deterministic every-73rd-id codebook): corpus assigned " +
+        "to nearest centroid by L2, queries search their own cell only.",
+      (s, d) => Similarity.ivfTopK(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vid") % 100 === 0, centroidEvery = 73, k = 3)
+        .select(col("q_id"), col("cand_id"),
+          (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"), col("rank"))
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $duckVecNorm,
+              |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
+              |  FROM n WHERE vec_id % 73 = 0),
+              |a0 AS (
+              |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+              |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
+              |      i -> n.v[i]*c.cv[i])) + c.cn2) AS d2
+              |  FROM n, c),
+              |cells AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM a0) WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
+              |  FROM cells WHERE vec_id % 100 = 0),
+              |scored AS (
+              |  SELECT q.q_id, cand.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.qv[i]*cand.v[i])) / (q.qn*cand.nrm) AS cosine
+              |  FROM q JOIN cells cand
+              |    ON cand.cell = q.cell AND cand.vec_id != q.q_id),
+              |ranked AS (SELECT *, row_number() OVER (
+              |  PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, cand_id,
+              |  (floor((cosine) * 10000.0 + 0.5) / 10000.0) AS cosine, rank
+              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
+    GraftQuery(
       "q37_text_langid",
       "Stopword-profile language ID: per-language hit counts, fixed-" +
         "priority argmax (heuristic mechanism, scan-speed).",

@@ -195,6 +195,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.count() == 6 && out.columns.toSeq == Seq("id", "k", "ts", "v"))
   }
 
+  test("ANN recall: IVF and LSH top-k recover most of brute-force top-k " +
+    "on clustered vectors") {
+    // 4 well-separated clusters of 50 vectors each: approx methods should
+    // recover nearly all true neighbors (deterministic data, no RNG)
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, (0 until 8).map(d =>
+        (if (d % 4 == c) 10f else 0f) + math.sin(i * 13 + d).toFloat * 0.3f))
+    }.toDF("vec_id", "embedding")
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("cand_id")))
+        .toSet
+    val isQ = col("vid") % 40 === 0
+    val exact = topSet(Similarity.bruteForceTopK(vecs, "vec_id", "embedding", isQ, 5))
+    val ivf = topSet(Similarity.ivfTopK(vecs, "vec_id", "embedding", isQ,
+      centroidEvery = 37, k = 5))
+    val lsh = topSet(Similarity.lshTopK(vecs, "vec_id", "embedding", isQ,
+      planes = 3, k = 5))
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall")
+    assert(lshRecall >= 0.6, s"LSH recall $lshRecall")
+  }
+
   test("Skew.saltedJoin: matches plain join, inner and left, salt dropped") {
     // skewed fact: 90% of rows share key 1
     val fact = ((1 to 900).map(i => (1L, i.toDouble)) ++

@@ -51,6 +51,14 @@ object Tables {
     }
   }
 
+  /** Register every table as a session temp view so the SQL-string API
+    * (`spark.sql`) works against the same catalog names the DataFrame
+    * queries use — the reference's consumers are SQL-first, and S1's
+    * "registered as a view" contract is this call.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
   /** Wildcard-family scan (reference: `FROM `...statistics.cities_2*``,
     * views/statistics/v0_cities.sql:1 — SURVEY §2.1 S4): a path glob that
     * unions every suffix-matched file/table by position.

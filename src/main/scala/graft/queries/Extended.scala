@@ -297,6 +297,39 @@ object Extended {
              |      ORDER BY l_extendedprice DESC,
              |               l_orderkey * 10 + l_linenumber) AS rank
              |  FROM lineitem)
-             |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin)),
+
+    // The SQL-string entry point: the reference's consumers write SQL
+    // against named views (S1 "registered as a view"); here the SAME
+    // text runs through spark.sql over Tables.registerViews and through
+    // the DuckDB oracle. Catalyst plans SQL and DataFrame code
+    // identically — this query exists to pin the API surface, not a new
+    // operator.
+    GraftQuery(
+      "q65_sql_surface",
+      "spark.sql over registered views: identical SQL text on both " +
+        "engines (nation-customer rollup with windowed share).",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        // 10000.0D: Spark SQL parses a bare decimal literal as DECIMAL
+        // (BIGINT/DECIMAL division then yields decimal128 output, which
+        // the oracle compare rejects); the D suffix pins DOUBLE — the
+        // same type the DataFrame API's Scala literals produce.
+        s.sql("""
+          |SELECT n_name,
+          |  count(*) AS cnt,
+          |  floor(sum(c_acctbal) * 10000.0D + 0.5D) / 10000.0D AS total_bal,
+          |  floor(sum(c_acctbal) / sum(sum(c_acctbal)) OVER ()
+          |    * 10000.0D + 0.5D) / 10000.0D AS bal_share
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+      },
+      Some("""SELECT n_name,
+             |  count(*) AS cnt,
+             |  floor(sum(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS total_bal,
+             |  floor(sum(c_acctbal) / sum(sum(c_acctbal)) OVER ()
+             |    * 10000.0 + 0.5) / 10000.0 AS bal_share
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }

@@ -49,6 +49,13 @@ object Readers {
       .option("delimiter", delimiter)
       .csv(path)
 
+  /** Columnar round-trip in ORC (Spark-native alongside parquet): same
+    * declared-schema contract, no corrupt-record channel (binary formats
+    * fail structurally, not per-record).
+    */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Split a permissive read into (clean rows without the quarantine
     * column, quarantined records as (raw_record, partial_parse)).
     *

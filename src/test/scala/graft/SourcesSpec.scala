@@ -34,6 +34,16 @@ class SourcesSpec extends SparkTestBase {
     assert(raw.contains("not-a-number") && raw.contains("not json"))
   }
 
+  test("orc: columnar round-trip with declared schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orc").toFile.getAbsolutePath
+    val data = Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "name", "score")
+    data.write.orc(s"$dir/t")
+    val back = Readers.orc(spark, s"$dir/t", schema)
+    assert(back.orderBy("id").collect().map(_.getAs[Long]("id")).toSeq ==
+      Seq(1L, 2L))
+  }
+
   test("csv: declared schema, header + quarantine contract") {
     val dir = Files.createTempDirectory("csv").toFile.getAbsolutePath
     val f = new java.io.File(dir, "part.csv")

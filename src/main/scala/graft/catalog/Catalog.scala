@@ -90,25 +90,44 @@ object Catalog {
     * friendly, no shuffle, safe to run on every ingest batch.
     */
   def conformTo(df: DataFrame, target: StructType): DataFrame = {
+    import org.apache.spark.sql.types.DataType
+    // Normalize array containsNull to true throughout the target: the
+    // element-wise rebuild (transform) always yields nullable elements
+    // and Spark refuses to cast that away, so a strict REPEATED
+    // (containsNull=false) target would make conformTo non-idempotent —
+    // and a conform pass cannot conjure non-null guarantees anyway.
+    def relax(dt: DataType): DataType = dt match {
+      case StructType(fields) =>
+        StructType(fields.map(f => f.copy(dataType = relax(f.dataType))))
+      case ArrayType(e, _) => ArrayType(relax(e), containsNull = true)
+      case other => other
+    }
     def conformCol(source: Option[org.apache.spark.sql.types.DataType],
         path: Column, dt: org.apache.spark.sql.types.DataType): Column =
       (source, dt) match {
         case (Some(s: StructType), t: StructType) =>
-          struct(t.fields.map { f =>
-            val sub = s.fields.find(_.name == f.name)
-            conformCol(sub.map(_.dataType),
-              path.getField(f.name), f.dataType).as(f.name)
-          }.toSeq: _*)
-        case (Some(ArrayType(s: StructType, _)), ArrayType(t: StructType, n)) =>
+          // guard on the source struct's nullness: struct(...) would turn
+          // a NULL struct into {all-null fields} (and flip nullability),
+          // breaking idempotence and value semantics
+          org.apache.spark.sql.functions.when(path.isNotNull,
+            struct(t.fields.map { f =>
+              val sub = s.fields.find(_.name == f.name)
+              conformCol(sub.map(_.dataType),
+                path.getField(f.name), f.dataType).as(f.name)
+            }.toSeq: _*))
+        case (Some(ArrayType(s: StructType, _)), ArrayType(t: StructType, _)) =>
           // element-wise struct conform via transform (planning-time
-          // generated; fine off the hot path — ingest shaping, not a scan)
+          // generated; fine off the hot path — ingest shaping, not a
+          // scan). No outer cast: element fields are cast individually,
+          // and casting away the lambda's containsNull=true is rejected.
           org.apache.spark.sql.functions.transform(path,
-            e => conformCol(Some(s), e, t)).cast(ArrayType(t, n))
+            e => conformCol(Some(s), e, t))
         case (Some(_), t) => path.cast(t)
         case (None, t) => lit(null).cast(t)
       }
+    val relaxed = relax(target).asInstanceOf[StructType]
     val srcFields = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    df.select(target.fields.map { f =>
+    df.select(relaxed.fields.map { f =>
       val src = srcFields.get(f.name)
       conformCol(src, if (src.isDefined) col(f.name) else lit(null),
         f.dataType).as(f.name)

@@ -286,6 +286,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("TopK property: seeded random scores with heavy ties == reference " +
+    "sort, any k") {
+    val rnd = new scala.util.Random(4242)
+    for (k <- Seq(1, 3, 7)) {
+      val rows = (0L until 500L).map(i =>
+        ("g" + rnd.nextInt(3), i, rnd.nextInt(20).toDouble)) // many ties
+      val df = spark.createDataFrame(rows).toDF("g", "id", "v")
+        .repartition(8)
+      val got = TopK.perGroup(df, "g", "id", "v", k).collect()
+        .map(r => (r.getString(0), r.getAs[Long]("rank")) -> r.getAs[Long]("id"))
+        .toMap
+      val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case (r, i) => (g, (i + 1).toLong) -> r._2 }
+      }
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("Catalog.conformTo is idempotent and null-safe on missing nests") {
+    import graft.catalog.Catalog
+    val df = Seq((1L, "x")).toDF("id", "keep")
+    val target = graft.schema.BqSchema.parse("""[
+      {"name":"id","type":"INT64","mode":"NULLABLE"},
+      {"name":"nested","type":"RECORD","mode":"NULLABLE","fields":[
+        {"name":"a","type":"STRING","mode":"NULLABLE"}]},
+      {"name":"arr","type":"RECORD","mode":"REPEATED","fields":[
+        {"name":"b","type":"INT64","mode":"NULLABLE"}]}]""")
+    val once = Catalog.conformTo(df, target)
+    val twice = Catalog.conformTo(once, target)
+    assert(once.schema == twice.schema)
+    val r = twice.collect()(0)
+    assert(r.getAs[Long]("id") == 1L && r.getAs[Any]("nested") == null)
+  }
+
   test("Ops.decilesByRank matches exact percentile() on every decile") {
     val rows = (0L until 2000L).map(i => (s"g${i % 7}", (i * 37 % 1009).toDouble))
     val df = spark.createDataFrame(rows).toDF("g", "x").repartition(8)

@@ -330,6 +330,32 @@ object Extended {
              |  floor(sum(c_acctbal) / sum(sum(c_acctbal)) OVER ()
              |    * 10000.0 + 0.5) / 10000.0 AS bal_share
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Explicit GROUPING SETS — arbitrary grouping combinations, the form
+    // ROLLUP/CUBE are sugar for. Spark exposes it only through SQL text,
+    // so this rides the spark.sql surface; same one-pass Expand plan.
+    GraftQuery(
+      "q66_grouping_sets",
+      "GROUP BY GROUPING SETS ((flag),(status),()) via spark.sql — " +
+        "arbitrary set list, one Expand pass, grouping_id disambiguation.",
+      (s, d) => {
+        Tables.registerViews(s, d)
+        s.sql("""
+          |SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  floor(sum(l_quantity) * 10000.0D + 0.5D) / 10000.0D AS sum_qty,
+          |  count(*) AS cnt
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+             |  count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
   )
 }

@@ -53,7 +53,10 @@ object Bench {
       }
     }
     val p1 = timedPass().toMap
-    val p2 = timedPass().toMap
+    // On a healthy host pass 1 sums to ~40s; if the machine is badly
+    // degraded, skip the refinement pass rather than risk the harness's
+    // wall budget — min-of-one is just pass 1.
+    val p2 = if (p1.values.sum < 90.0) timedPass().toMap else p1
     val results = SparkEntry.allQueries
       .map(q => q.name -> math.min(p1(q.name), p2(q.name)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -37,6 +37,10 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val collisions = valueCols.toSet intersect left.columns.toSet
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: " +
+        s"${collisions.mkString(", ")} — rename before joining")
     val rightSide = right.select(
       (keys :+ tsCol).map(col) ++
         valueCols.map(c => col(c).as(s"_asof_$c")): _*)

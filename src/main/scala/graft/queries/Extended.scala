@@ -356,6 +356,25 @@ object Extended {
              |  count(*) AS cnt
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // The salted-aggregation rewrite under the correctness gate: the
+    // two-phase (key, salt) -> key plan must be bit-identical to the
+    // plain GROUP BY for algebraic aggregates. Counts are integers and
+    // the double sum is floor-rounded like every other float output.
+    GraftQuery(
+      "q67_salted_agg",
+      "Skew.saltedCountSum (two-phase salted rewrite) vs plain GROUP BY " +
+        "— the skew-mitigation path is semantically transparent.",
+      (s, d) => graft.operators.Skew.saltedCountSum(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity",
+        saltBuckets = 16)
+        .select(col("l_returnflag"), col("cnt"),
+          (floor(col("total") * 10000.0 + 0.5) / 10000.0).as("total"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS cnt,
+             |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS total
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -223,16 +223,16 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels, col("b") === col("node"))
         .groupBy("a").agg(min("component").as("nbr_min"))
-      val next = labels.join(nbrMin, col("node") === col("a"), "left")
-        .select(col("node"),
+      // one join per round: keep old and new labels side by side in the
+      // materialized frame, so the convergence count reads the checkpoint
+      // instead of re-joining against the previous labels
+      val joined = labels.join(nbrMin, col("node") === col("a"), "left")
+        .select(col("node"), col("component").as("old_c"),
           least(col("component"),
             coalesce(col("nbr_min"), col("component"))).as("component"))
         .localCheckpoint(true)
-      val changed = next.withColumnRenamed("component", "new_c")
-        .join(labels, "node")
-        .filter(col("new_c") < col("component")).count()
-      converged = changed == 0
-      labels = next
+      converged = joined.filter(col("component") < col("old_c")).count() == 0
+      labels = joined.select(col("node"), col("component"))
       iter += 1
     }
     labels

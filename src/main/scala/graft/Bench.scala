@@ -29,9 +29,14 @@ object Bench {
     // swings between identical runs. One pass compiles every hot path;
     // the timed pass below then measures steady-state engine throughput —
     // standard harness methodology (JMH warmup iterations).
+    val warmDeadline = System.nanoTime() + 100L * 1000000000L
     SparkEntry.allQueries.foreach { q =>
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      // on a degraded host, cap warmup rather than blow the wall budget —
+      // un-warmed queries just measure slightly colder
+      if (System.nanoTime() < warmDeadline) {
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
 
     // Two timed passes, per-query minimum: transient host-level stalls
@@ -62,8 +67,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // debug artifact alongside the stdout contract
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_last.json"), json)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -52,8 +52,13 @@ object Dedup {
     // Carry the set size through the explode: the Jaccard denominator then
     // falls out of the pair aggregation directly — no back-joins against
     // the corpus (which would re-shingle it twice).
+    // shuffle_hash: left alone, AQE broadcasts the exploded inverted
+    // index (its size estimate fits locally) — a hash relation of the
+    // ENTIRE corpus index, which at 100 TB is an OOM, and measured
+    // 1.5-2x slower than the shuffle even at sf0.1. Shuffling on the
+    // shingle is the partitioning the pair aggregation wants anyway.
     val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("shingle"))
+      explode(col("sh")).as("shingle")).hint("shuffle_hash")
     inv.as("x")
       .join(inv.as("y"),
         col("x.shingle") === col("y.shingle") &&

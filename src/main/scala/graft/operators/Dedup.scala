@@ -111,8 +111,12 @@ object Dedup {
 
     // Candidate pairs from shared buckets; carry both shingle sets along
     // so verification needs no extra join against the corpus.
-    val cands = pruned.as("x")
-      .join(pruned.as("y"),
+    // shuffle_hash: the band-rows side carries every shingle set x bands
+    // copies — letting AQE broadcast it is an OOM at scale (same hazard
+    // as the n-gram inverted index); bucket-key shuffle is the plan.
+    val prunedH = pruned.hint("shuffle_hash")
+    val cands = prunedH.as("x")
+      .join(prunedH.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -153,10 +157,13 @@ object Dedup {
     val bandBits = bits / bandsCount
     val mask = (1L << bandBits) - 1
     val sh = simhash(df, idCol, textCol)
+    // shuffle_hash: don't let AQE broadcast the banded corpus (bands x
+    // corpus rows) — shuffle on the band key, as at scale.
     val bandRows = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bandsCount).map(b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band_idx", "band_val")))
+      .hint("shuffle_hash")
     bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -55,6 +55,17 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
   }
 
+  test("pair-generating self-joins shuffle on the key, never broadcast " +
+    "the corpus index") {
+    for (name <- Seq("q31_dedup_ngram_jaccard", "q32_dedup_minhash_lsh",
+        "q43_simhash_pairs")) {
+      val p = planOf(name)
+      assert(p.contains("ShuffledHashJoin"), s"$name lost its hint:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$name broadcasts its index:\n$p")
+    }
+  }
+
   test("q20: histogram binning is O(n) — no cartesian over the data side") {
     val p = planOf("q20_ops_pdf_cdf")
     // the only nested-loop join allowed is the bins completeness frame

@@ -563,6 +563,104 @@ object LlmOps {
              |  (CASE WHEN contains(text, 'shuffle broadcast') THEN 1 ELSE 0 END) +
              |  (CASE WHEN contains(text, 'quality measure') THEN 1 ELSE 0 END)
              |    > 0 AS contaminated
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // The pipeline flagship: quality scoring -> near-dup canonicalization
+    // -> deterministic split -> best-k per language. Every stage is an
+    // individually-oracle-checked operator; this chain is what a real
+    // training-batch assembly runs, end to end in one plan (plus the
+    // bounded component iteration).
+    GraftQuery(
+      "q68_training_batch",
+      "End-to-end batch assembly: quality score, keep canonical docs " +
+        "only, train split, top-5 quality per language.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score"))
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        val keep = Dedup.canonicalAssignment(docs, "doc_id", pairs)
+          .filter(col("keep")).select(col("doc_id"))
+        val train = docs.select(col("doc_id"), col("lang"))
+          .filter(pmod(graft.functions.TextOps.hash32(
+            concat(lit("split:"), col("doc_id").cast("string"))),
+            lit(100)) < 80)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        train.join(keep, "doc_id").join(quality, "doc_id")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("doc_id"),
+            col("quality_score"))
+          .orderBy("lang", "rank")
+      },
+      Some(s"""WITH RECURSIVE $duckShingleSets,
+              |sigs AS (
+              |  SELECT doc_id, sh,
+              |    list_transform(range(0,32), j ->
+              |      list_min(list_transform(sh, h ->
+              |        (h*(2*j+1) + (j*j*31+7)) % 2147483647))) AS sig
+              |  FROM sets),
+              |bandrows AS (
+              |  SELECT doc_id, sh, CAST(b.range AS INT) AS band_idx,
+              |    array_to_string(list_transform(
+              |      sig[b.range*4+1 : b.range*4+4],
+              |      x -> CAST(x AS VARCHAR)), '-') AS band_key
+              |  FROM sigs, range(0,8) b),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    x.sh AS sha, y.sh AS shb
+              |  FROM bandrows x JOIN bandrows y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |   AND x.doc_id < y.doc_id),
+              |p AS (
+              |  SELECT doc_a, doc_b FROM cands
+              |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+              |    (len(sha)+len(shb)-len(list_intersect(sha, shb))) >= 0.5),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              |  UNION ALL SELECT doc_b, doc_a FROM p),
+              |reach(node, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+              |comp AS (SELECT node, min(r) AS canonical
+              |  FROM reach GROUP BY node),
+              |m AS (
+              |  SELECT doc_id, length(text) AS n_chars,
+              |    len(string_split(text,' ')) AS n_tokens,
+              |    len(list_filter(string_split(text,' '),
+              |      t -> $allStopwordsSql)) AS stop_hits,
+              |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+              |      AS punct_chars
+              |  FROM documents),
+              |r AS (
+              |  SELECT doc_id,
+              |    floor(CAST(punct_chars AS DOUBLE) / n_chars
+              |      * 10000 + 0.5) / 10000 AS punct_ratio,
+              |    floor(CAST(stop_hits AS DOUBLE) / n_tokens
+              |      * 10000 + 0.5) / 10000 AS stop_ratio, n_tokens
+              |  FROM m),
+              |quality AS (
+              |  SELECT doc_id,
+              |    floor(least(n_tokens / 100.0, 1.0) *
+              |      (0.5 + 0.5 * least(stop_ratio * 5, 1.0)) *
+              |      (1.0 - least(punct_ratio * 2, 1.0))
+              |      * 10000 + 0.5) / 10000 AS quality_score
+              |  FROM r),
+              |kept AS (
+              |  SELECT d.doc_id, d.lang FROM documents d
+              |  LEFT JOIN comp c ON d.doc_id = c.node
+              |  WHERE coalesce(c.canonical, d.doc_id) = d.doc_id
+              |    AND ('0x' || substr(md5('split:' ||
+              |      CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT % 100 < 80),
+              |ranked AS (
+              |  SELECT k.lang, k.doc_id, q.quality_score,
+              |    row_number() OVER (PARTITION BY k.lang
+              |      ORDER BY q.quality_score DESC, k.doc_id) AS rank
+              |  FROM kept k JOIN quality q ON k.doc_id = q.doc_id)
+              |SELECT lang, rank, doc_id, quality_score
+              |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
   )
 }

@@ -11,32 +11,39 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  /** Idempotently register all graft expressions on the session
-    * (createOrReplaceTempFunction is itself idempotent).
+  /** Idempotently register all graft expressions on the session. Skips
+    * names already present — re-registering via
+    * createOrReplaceTempFunction logs a "function replaced" warning per
+    * name per call, and that stderr spam from every operator entry point
+    * can push the bench's one-line JSON out of a log tail.
     */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "safe_ip_from_string", es => SafeIpFromString(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "ip_trunc", es => IpTrunc(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "is_private_ip", es => IsPrivateIp(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "vec_dot", es => VecDot(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "simhash60", es => SimHash60Expr(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "minhash_sig", es => MinHashSigExpr(es(0),
-        es(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      "shingle_hash_set", es => ShingleHashSetExpr(es(0),
-        es(1).eval().asInstanceOf[Int]), "built-in")
-    reg.createOrReplaceTempFunction(
-      "token_hashes", es => TokenHashesExpr(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "stop_hits", es => StopHitsExpr(es(0),
-        es(1).eval().toString.split(',').toSeq), "built-in")
+    def register(name: String,
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+          => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    register("safe_ip_from_string", es => SafeIpFromString(es.head))
+    register("ip_trunc", es => IpTrunc(es(0), es(1)))
+    register("is_private_ip", es => IsPrivateIp(es.head))
+    register("vec_dot", es => VecDot(es(0), es(1)))
+    register("simhash60", es => SimHash60Expr(es.head))
+    register("minhash_sig", es => MinHashSigExpr(es(0),
+      es(1).eval().asInstanceOf[Int]))
+    register("shingle_hash_set", es => ShingleHashSetExpr(es(0),
+      es(1).eval().asInstanceOf[Int]))
+    register("token_hashes", es => TokenHashesExpr(es.head))
+    register("stop_hits", es => StopHitsExpr(es(0),
+      es(1).eval().toString.split(',').toSeq))
+    register("argmin_cell", es => {
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      ArgminCellExpr(es(0), es(1), Codebook.fromFlat(
+        es(2).eval().asInstanceOf[ArrayData].toLongArray(),
+        es(3).eval().asInstanceOf[ArrayData].toDoubleArray(),
+        es(4).eval().asInstanceOf[ArrayData].toDoubleArray()))
+    })
   }
 
   /** Column wrappers (require registerAll on the session first). */
@@ -61,4 +68,16 @@ object GraftFunctions {
   def stopHits(tokens: Column, words: Seq[String]): Column =
     call_function("stop_hits", tokens,
       org.apache.spark.sql.functions.lit(words.mkString(",")))
+
+  /** Nearest-centroid cell id for `v` (with precomputed norm `nrm`) over a
+    * small driver-built codebook; the codebook rides in as flattened array
+    * literals (cids, concat'd vectors, squared norms) and is rebuilt once
+    * at function resolution.
+    */
+  def argminCell(v: Column, nrm: Column, cids: Array[Long],
+      cvs: Array[Array[Double]], cn2s: Array[Double]): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("argmin_cell", v, nrm,
+      lit(cids), lit(cvs.flatten), lit(cn2s))
+  }
 }

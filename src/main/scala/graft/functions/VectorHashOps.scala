@@ -237,6 +237,76 @@ case class StopHitsExpr(child: Expression, words: Seq[String])
   override def prettyName: String = "stop_hits"
 }
 
+/** An IVF codebook: centroid ids (ascending), vectors, and squared norms.
+  * Small by construction (a production index trains thousands of centroids
+  * for billions of vectors), so it ships to executors as a codegen
+  * reference object — the "broadcast the codebook" shape — making cell
+  * assignment a pure per-row projection with zero shuffles.
+  */
+final class Codebook(val cids: Array[Long], val cvs: Array[Array[Double]],
+    val cn2s: Array[Double]) extends Serializable {
+
+  /** Nearest-centroid id by squared L2, d2 = nrm² − 2·(v·c) + |c|², ties
+    * to the smallest cid (ascending scan, strict <) — the same formula,
+    * summation order, and tie-break as the oracle's
+    * `row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)`.
+    */
+  def argmin(v: ArrayData, nrm: Double): Long = {
+    val vn2 = nrm * nrm
+    var best = 0L
+    var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < cids.length) {
+      val cv = cvs(j)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0.0d
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cv(i); i += 1 }
+      val d2 = vn2 - 2.0 * s + cn2s(j)
+      if (d2 < bestD) { bestD = d2; best = cids(j) }
+      j += 1
+    }
+    best
+  }
+}
+
+object Codebook {
+  /** Rebuild from flattened literals (the `call_function` transport):
+    * centroid j's vector is `flat[j*dim, (j+1)*dim)`. Sorts by cid so the
+    * ascending-scan tie-break holds regardless of input order.
+    */
+  def fromFlat(cids: Array[Long], flat: Array[Double],
+      cn2s: Array[Double]): Codebook = {
+    val k = cids.length
+    val dim = if (k == 0) 0 else flat.length / k
+    val idx = Array.range(0, k).sortBy(cids)
+    new Codebook(
+      idx.map(cids),
+      idx.map(j => java.util.Arrays.copyOfRange(flat, j * dim, (j + 1) * dim)),
+      idx.map(cn2s))
+  }
+}
+
+/** argmin_cell(array<double> v, double nrm) → long: nearest-centroid id
+  * over a driver-built [[Codebook]] riding into generated code as a
+  * reference object (same pattern as [[StopHitsExpr]]'s word set).
+  */
+case class ArgminCellExpr(left: Expression, right: Expression,
+    codebook: Codebook) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, nrm: Any): Any =
+    codebook.argmin(v.asInstanceOf[ArrayData], nrm.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebook", codebook,
+      "graft.functions.Codebook")
+    defineCodeGen(ctx, ev, (v, nrm) => s"$ref.argmin($v, $nrm)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ArgminCellExpr = copy(left = l, right = r)
+  override def prettyName: String = "argmin_cell"
+}
+
 /** minhash_sig(array<long>, numHashes literal) → array<long>. */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression {

@@ -103,26 +103,31 @@ object Similarity {
     * exactly the same way.
     *
     * Cell assignment: argmin over centroids of squared L2, tie-broken by
-    * centroid id — one broadcast nested-loop of |corpus| x |codebook|
-    * rows at scan speed (codegen'd VecDot), never a shuffle of the
-    * corpus. Output: q_id, cand_id, cosine, rank (top-k within cell).
+    * centroid id. The codebook is collected once on the driver (it is
+    * small by construction — a production index trains thousands of
+    * centroids for billions of vectors) and ships to executors inside the
+    * codegen'd `argmin_cell` kernel, so assignment is a pure per-row
+    * projection: the cell subtree plans exactly once, and the corpus is
+    * never shuffled or nested-loop-joined. Output: q_id, cand_id, cosine,
+    * rank (top-k within cell).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, centroidEvery: Int, k: Int): DataFrame = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
-      .select(col("vid").as("cid"), col("v").as("cv"),
+    // The one driver-side collect: |corpus|/centroidEvery codebook rows,
+    // the IVF "train then broadcast the codebook" step — not a data scan.
+    val centRows = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
+      .select(col("vid").cast("long"), col("v"),
         (col("nrm") * col("nrm")).as("cn2"))
-    val d2 = (col("nrm") * col("nrm")
-      - lit(2.0) * dot(col("v"), col("cv")) + col("cn2")).as("d2")
-    val assignW = Window.partitionBy("vid").orderBy(col("d2"), col("cid"))
-    val cells = base.crossJoin(broadcast(cents))
-      .select(col("vid"), col("v"), col("nrm"), col("cid"), d2)
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("vid"), col("v"), col("nrm"), col("cid").as("cell"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val cells = base.withColumn("cell",
+      graft.functions.GraftFunctions.argminCell(col("v"), col("nrm"),
+        centRows.map(_.getLong(0)),
+        centRows.map(_.getSeq[Double](1).toArray),
+        centRows.map(_.getDouble(2))))
     val queries = cells.filter(isQuery)
       .select(col("vid").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell"))

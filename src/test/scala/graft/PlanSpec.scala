@@ -74,6 +74,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("q64: IVF cell assignment is a per-row projection — no corpus " +
+    "shuffle, no nested-loop join, subtree plans once") {
+    val p = planOf("q64_ann_ivf_topk")
+    assert(p.contains("argmin_cell"), s"cell kernel not in plan:\n$p")
+    assert(!p.contains("hashpartitioning(vid"),
+      s"corpus shuffled on vid:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"codebook nested-loop survived:\n$p")
+    // the only window is the final per-query top-k, not cell assignment
+    val windows = "Window".r.findAllIn(p).length
+    assert("RunningWindowFunction|WindowGroupLimit|Window".r
+      .findAllIn(p).nonEmpty && !p.contains("partitionBy(vid"),
+      s"cell-assign window survived:\n$p")
+    assert(windows <= 4, s"expected only the top-k window, plan:\n$p")
+  }
+
   test("TopK aggregator partial-aggregates map-side") {
     val p = planOf("q57_topk_per_group")
     // ObjectHashAggregate appears twice: partial + final

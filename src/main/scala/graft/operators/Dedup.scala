@@ -44,10 +44,21 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     * explode shingles → self-join on shingle → count common → Jaccard.
+    *
+    * `maxPosting` is the hot-shingle guard (the analog of
+    * `minhashLshPairs.maxBucket`): a boilerplate shingle shared by a
+    * million docs is a 10¹²-pair blow-up in the self-join, so postings
+    * lists longer than the cap are dropped before pairing. Common (high
+    * document-frequency) shingles carry no near-dup signal anyway —
+    * dropping them under-counts `common` slightly, the same
+    * approximation the LSH bucket cap makes. `Int.MaxValue` (the
+    * default) disables the cap for exact-parity runs.
+    *
     * Output: doc_a, doc_b, jaccard (≥ threshold).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double,
+      maxPosting: Int = Int.MaxValue): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
     // Carry the set size through the explode: the Jaccard denominator then
     // falls out of the pair aggregation directly — no back-joins against
@@ -57,8 +68,17 @@ object Dedup {
     // ENTIRE corpus index, which at 100 TB is an OOM, and measured
     // 1.5-2x slower than the shuffle even at sf0.1. Shuffling on the
     // shingle is the partitioning the pair aggregation wants anyway.
-    val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("shingle")).hint("shuffle_hash")
+    val inv0 = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val pruned =
+      if (maxPosting == Int.MaxValue) inv0
+      else {
+        val hot = inv0.groupBy("shingle")
+          .agg(count(lit(1)).as("posting_n"))
+          .filter(col("posting_n") > maxPosting)
+        inv0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val inv = pruned.hint("shuffle_hash")
     inv.as("x")
       .join(inv.as("y"),
         col("x.shingle") === col("y.shingle") &&

@@ -33,6 +33,34 @@ import graft.functions.SafeOps
   */
 object UnifiedViews {
 
+  /** Name/Value pair list type shared by every era's ClientMetadata /
+    * ServerMetadata (the reference's modernized-metadata shape,
+    * extended_web100_downloads.sql:53-66).
+    */
+  val MetaPairsType = "array<struct<Name:string,Value:string>>"
+
+  /** Site-name production regex (extended_ndt7_downloads.sql:69-70). */
+  private def isProductionArchive(url: Column): Column =
+    url.rlike("mlab[1-3]-[a-z]{3}[0-9c][0-9t]")
+
+  /** RFC1918 client check standing in for the reference's OAM IP list +
+    * _IsRFC1918 pair (extended_ndt7_downloads.sql:51-67) — one flag in
+    * our 8-flag filter contract.
+    */
+  private def isOamClient(ip: Column): Column =
+    coalesce(graft.functions.GraftFunctions.isPrivateIp(ip), lit(false))
+
+  /** Optional field of `raw.Download`: present → pass through, absent →
+    * typed null (older archives predate client metadata).
+    */
+  private def optDownloadField(raw: DataFrame, field: String): Column = {
+    import org.apache.spark.sql.types.StructType
+    val dl = raw.schema("raw").dataType.asInstanceOf[StructType]("Download")
+      .dataType.asInstanceOf[StructType]
+    if (dl.fieldNames.contains(field)) col(s"raw.Download.$field")
+    else lit(null).cast(MetaPairsType)
+  }
+
   /** Intermediate view: reshape one era's raw rows into the standard
     * columns + validity filter. Mirrors extended_ndt7_downloads.sql.
     */
@@ -53,6 +81,7 @@ object UnifiedViews {
       .withColumn("a", struct(
         col("raw.Download.UUID").as("UUID"),
         col("raw.Download.StartTime").as("TestTime"),
+        lit("Download").as("Direction"), // (:89)
         col("raw.Download.CongestionControl").as("CongestionControl"),
         // MeanThroughputMbps = bytes·8 / elapsed(µs): both µs and Mbps
         // carry the 1e6, so the ratio needs no further scaling (:88).
@@ -61,20 +90,190 @@ object UnifiedViews {
         (minRttUs.cast("double") / 1000.0).as("MinRTT"),
         SafeOps.safeDivide(bytesRetrans.cast("double"),
           bytesSent.cast("double")).as("LossRate")))
+      // metadata struct (:96-103): view name, protocol, client/server
+      // metadata passed through from raw, parser provenance array
+      .withColumn("metadata", struct(
+        lit("extended_ndt7_downloads").as("View"),
+        concat(lit("ndt7"),
+          when(col("client.IP").contains(":"), lit("-IPv6"))
+            .otherwise(lit("-IPv4")),
+          when(col("server.Port") === 443, lit("-WSS"))
+            .when(col("server.Port") === 80, lit("-WS"))
+            .otherwise(lit("-unknown"))).as("Protocol"), // (:42-48)
+        optDownloadField(raw, "ClientMetadata").as("ClientMetadata"),
+        optDownloadField(raw, "ServerMetadata").as("ServerMetadata"),
+        array(col("parser")).as("Tables")))
       .withColumn("filter", struct(
         (size(meas) > 0).as("IsComplete"),
-        col("parser.ArchiveURL").rlike("mlab[1-3]-[a-z]{3}[0-9c][0-9t]")
-          .as("IsProduction"), // site-name regex (:69-70)
+        isProductionArchive(col("parser.ArchiveURL")).as("IsProduction"),
         lit(false).as("IsError"),
-        graft.functions.GraftFunctions.isPrivateIp(col("client.IP"))
-          .isNotNull.and(coalesce(
-            graft.functions.GraftFunctions.isPrivateIp(col("client.IP")),
-            lit(false))).as("IsOAM"), // RFC1918 check (:61-67)
+        isOamClient(col("client.IP")).as("IsOAM"),
         lit(false).as("IsPlatformAnomaly"),
         (bytesAcked < StandardColumns.MinTransferBytes).as("IsSmall"),
         (durationMs < StandardColumns.MinDurationMs).as("IsShort"),
         (durationMs > StandardColumns.MaxDurationMs).as("IsLong")))
-      .select("id", "date", "parser", "server", "client", "a", "filter")
+      .select("id", "date", "parser", "server", "client", "a", "metadata",
+        "filter")
+  }
+
+  /** ndt5-era intermediate view: the join-enriched branch. The raw table
+    * carries the S2C control record; the TCP counters live in a SEPARATE
+    * same-grain raw table, LEFT JOINed USING (date, id) so tests without
+    * a tcpinfo row survive with IsComplete=false — the reference shape at
+    * extended_ndt5_downloads.sql:76-81.
+    *
+    * At 100 TB this is a raw↔raw shuffle join on (date, id) — both sides
+    * are date-partitioned, so the join only pairs within a date partition
+    * and each side must arrive pre-filtered by the same date window
+    * (PartitionFilterCheck's contract); nothing here is broadcastable.
+    *
+    * Input contracts:
+    *   raw: id, date, parser, server, client, raw STRUCT<
+    *     S2C: STRUCT<UUID, StartTime, EndTime, ClientIP, Error>,
+    *     Control: STRUCT<Protocol, MessageProtocol,
+    *       ClientMetadata/ServerMetadata: MetaPairsType>>
+    *   tcpinfo: id, date, parser, FinalSnapshot STRUCT<
+    *     CongestionAlgorithm, TCPInfo: STRUCT<BytesAcked, BytesSent,
+    *       BytesRetrans, MinRTT(µs)>>
+    *
+    * (The reference's raw ndt5 table carries a precomputed `a` summary;
+    * our raw contract has none, so the summary is derived in-view from
+    * FinalSnapshot — same output schema.)
+    */
+  def extendedNdt5Downloads(raw: DataFrame, tcpinfo: DataFrame): DataFrame = {
+    // Valid-S2C guard (extended_ndt5_downloads.sql:19-21)
+    val dl = raw.filter(col("raw.S2C").isNotNull &&
+      col("raw.S2C.UUID").isNotNull &&
+      !col("raw.S2C.UUID").isin("", "ERROR_DISCOVERING_UUID"))
+    val tcp = tcpinfo.select(col("date"), col("id"),
+      col("parser").as("TCPparser"), col("FinalSnapshot"))
+    val joined = dl.join(tcp, Seq("date", "id"), "left") // (:76-81)
+    val fin = col("FinalSnapshot")
+    val tcpi = fin.getField("TCPInfo")
+    val durationMs = // TIMESTAMP_DIFF(EndTime, StartTime, MILLISECOND) (:16)
+      unix_millis(col("raw.S2C.EndTime").cast("timestamp")) -
+        unix_millis(col("raw.S2C.StartTime").cast("timestamp"))
+    val acked = tcpi.getField("BytesAcked")
+    joined.select(col("id"), col("date"), col("parser"), col("server"),
+      col("client"),
+      struct(
+        col("raw.S2C.UUID").as("UUID"),
+        col("raw.S2C.StartTime").as("TestTime"),
+        lit("Download").as("Direction"),
+        fin.getField("CongestionAlgorithm").as("CongestionControl"),
+        SafeOps.safeDivide(acked * 8.0, (durationMs * 1000L).cast("double"))
+          .as("MeanThroughputMbps"),
+        (tcpi.getField("MinRTT").cast("double") / 1000.0).as("MinRTT"),
+        SafeOps.safeDivide(tcpi.getField("BytesRetrans").cast("double"),
+          tcpi.getField("BytesSent").cast("double")).as("LossRate"))
+        .as("a"),
+      struct(
+        lit("extended_ndt5_downloads").as("View"),
+        // CONCAT("ndt5-", IPv4/IPv6, Protocol[, "-"MessageProtocol]) (:37-44)
+        concat(lit("ndt5-"),
+          when(col("raw.S2C.ClientIP").contains(":"), lit("IPv6-"))
+            .otherwise(lit("IPv4-")),
+          col("raw.Control.Protocol"),
+          when(col("raw.Control.Protocol") === "plain",
+            concat(lit("-"), col("raw.Control.MessageProtocol")))
+            .otherwise(lit(""))).as("Protocol"),
+        col("raw.Control.ClientMetadata").as("ClientMetadata"),
+        col("raw.Control.ServerMetadata").as("ServerMetadata"),
+        array(col("parser"), col("TCPparser")).as("Tables")) // (:103)
+        .as("metadata"),
+      struct(
+        fin.isNotNull.as("IsComplete"), // FinalSnapshot IS NOT NULL (:110)
+        isProductionArchive(col("parser.ArchiveURL")).as("IsProduction"),
+        (col("raw.S2C.Error").isNotNull && col("raw.S2C.Error") =!= "")
+          .as("IsError"), // (:15)
+        isOamClient(col("client.IP")).as("IsOAM"),
+        lit(false).as("IsPlatformAnomaly"),
+        (acked < StandardColumns.MinTransferBytes).as("IsSmall"),
+        (durationMs < StandardColumns.MinDurationMs).as("IsShort"),
+        (durationMs > StandardColumns.MaxDurationMs).as("IsLong"))
+        .as("filter"))
+  }
+
+  /** web100-era intermediate view: the metadata-synthesis branch. The old
+    * flat connection/snap counters are modernized in-view: ClientMetadata
+    * and ServerMetadata are BUILT as literal Name/Value struct arrays
+    * (`array(struct(lit(...), col(...)))`) — the
+    * extended_web100_downloads.sql:53-66 idiom.
+    *
+    * Input contract: id, date, parser, server, client, raw STRUCT<
+    *   connection: STRUCT<data_direction, client_application,
+    *     client_browser, client_hostname, client_ip, server_hostname,
+    *     server_ip, websockets, tls, start_time>,
+    *   web100: STRUCT<snap: STRUCT<Duration, State, SndLimTimeRwin,
+    *     SndLimTimeCwnd, SndLimTimeSnd (µs), HCThruOctetsAcked,
+    *     MinRTT(ms), SegsRetrans, SegsOut>>>
+    */
+  def extendedWeb100Downloads(raw: DataFrame): DataFrame = {
+    val conn = col("raw.connection")
+    val snap = col("raw.web100.snap")
+    // downloads only (data_direction = 1, :16)
+    val dl = raw.filter(conn.getField("data_direction") === 1)
+    // Time transferring data, ms (:39-41)
+    val measurementMs = (snap.getField("SndLimTimeRwin") +
+      snap.getField("SndLimTimeCwnd") + snap.getField("SndLimTimeSnd")) *
+      0.001
+    val acked = snap.getField("HCThruOctetsAcked")
+    val isComplete = snap.getField("Duration").isNotNull && // (:28-35)
+      snap.getField("State").isNotNull &&
+      conn.getField("server_ip").isNotNull &&
+      conn.getField("client_ip").isNotNull &&
+      snap.getField("SndLimTimeRwin").isNotNull &&
+      snap.getField("SndLimTimeCwnd").isNotNull &&
+      snap.getField("SndLimTimeSnd").isNotNull
+    dl.select(col("id"), col("date"), col("parser"), col("server"),
+      col("client"),
+      struct(
+        col("id").as("UUID"), // web100 predates UUIDs; id stands in
+        conn.getField("start_time").as("TestTime"),
+        lit("Download").as("Direction"),
+        lit("reno").as("CongestionControl"), // (:104)
+        SafeOps.safeDivide(acked * 0.008, measurementMs)
+          .as("MeanThroughputMbps"), // (:106)
+        (snap.getField("MinRTT") * 1.0).as("MinRTT"),
+        SafeOps.safeDivide(snap.getField("SegsRetrans").cast("double"),
+          snap.getField("SegsOut").cast("double")).as("LossRate"))
+        .as("a"),
+      struct(
+        lit("extended_web100_downloads").as("View"),
+        // CONCAT("Web100", IPv, WSS/WS/SSL/PLAIN) (:44-50)
+        concat(lit("Web100"),
+          when(conn.getField("client_ip").contains(":"), lit("-IPv6"))
+            .otherwise(lit("-IPv4")),
+          when(conn.getField("websockets"),
+            when(conn.getField("tls"), lit("-WSS")).otherwise(lit("-WS")))
+            .otherwise(
+              when(conn.getField("tls"), lit("-SSL"))
+                .otherwise(lit("-PLAIN")))).as("Protocol"),
+        // the array(struct(lit Name, col Value)) literal idiom (:53-61)
+        array(
+          struct(lit("client_application").as("Name"),
+            conn.getField("client_application").as("Value")),
+          struct(lit("client_browser").as("Name"),
+            conn.getField("client_browser").as("Value")),
+          struct(lit("client_hostname").as("Name"),
+            conn.getField("client_hostname").as("Value")))
+          .as("ClientMetadata"),
+        array( // (:62-65)
+          struct(lit("server_hostname").as("Name"),
+            conn.getField("server_hostname").as("Value")),
+          struct(lit("server_ip").as("Name"),
+            conn.getField("server_ip").as("Value"))).as("ServerMetadata"),
+        array(col("parser")).as("Tables")).as("metadata"),
+      struct(
+        isComplete.as("IsComplete"),
+        isProductionArchive(col("parser.ArchiveURL")).as("IsProduction"),
+        lit(false).as("IsError"), // (:37)
+        isOamClient(col("client.IP")).as("IsOAM"),
+        lit(false).as("IsPlatformAnomaly"),
+        (acked < StandardColumns.MinTransferBytes).as("IsSmall"),
+        (measurementMs < StandardColumns.MinDurationMs).as("IsShort"),
+        (measurementMs > StandardColumns.MaxDurationMs).as("IsLong"))
+        .as("filter"))
   }
 
   /** IsValidBest (unified_downloads.sql:47-60): complete, production,

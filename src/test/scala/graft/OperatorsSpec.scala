@@ -33,6 +33,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
   }
 
+  test("Dedup.ngramJaccardPairs maxPosting bounds a boilerplate cluster") {
+    // 30 docs all sharing one boilerplate prefix shingle ("terms of
+    // service apply"), each with a unique tail: uncapped, the shared
+    // shingle alone makes every doc a candidate pair of every other
+    // (30*29/2 = 435 self-join rows through that one posting list).
+    val boiler = (0L until 30L).map(i =>
+      (i, s"terms of service apply doc$i unique tail $i content"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.0)
+    assert(uncapped.count() == 435) // every pair shares >= 1 shingle
+    // Cap postings at 10: the 30-doc boilerplate shingles are dropped,
+    // and no pair shares a rare shingle, so nothing survives.
+    val capped = Dedup.ngramJaccardPairs(boiler, "doc_id", "text", 3, 0.0,
+      maxPosting = 10)
+    assert(capped.count() == 0)
+    // Default (no cap) is bit-identical to the pre-cap behavior on the
+    // oracle corpus.
+    val before = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val after = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+      maxPosting = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(before == after)
+  }
+
   test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -90,6 +90,25 @@ class PlanSpec extends SparkTestBase {
     assert(windows <= 4, s"expected only the top-k window, plan:\n$p")
   }
 
+  test("q69: the unified date window pushes into every era's scan leg") {
+    // 4 scans of the partition column: ndt7, ndt5, web100 branches get
+    // the consumer's post-union filter via Catalyst pushdown; the ndt5
+    // tcpinfo side carries it from the view (left-join right side).
+    // Inspect scan-node metadata, not the plan string — the rendered
+    // PushedFilters list is truncated per node.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = SparkEntry.allQueries.find(_.name == "q69_three_era_unified").get
+    val scans = q.run(spark, sf).queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "")
+    }
+    assert(scans.length == 4, s"expected 4 era scan legs, got $scans")
+    scans.foreach { pf =>
+      assert(pf.contains("GreaterThanOrEqual(o_orderdate") &&
+        pf.contains("LessThan(o_orderdate"),
+        s"date window missing from a scan leg: $pf")
+    }
+  }
+
   test("TopK aggregator partial-aggregates map-side") {
     val p = planOf("q57_topk_per_group")
     // ObjectHashAggregate appears twice: partial + final

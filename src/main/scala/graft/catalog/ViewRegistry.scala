@@ -25,6 +25,27 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 final case class ViewDef(name: String, sqlTemplate: String,
     description: String = "")
 
+object ViewDef {
+
+  /** Description from a SQL template's leading `--` comment lines — the
+    * reference's awk contract (views/create_view_lib.sh:32-33:
+    * `awk '/^--/ {print substr($0, 3)} /^SELECT/ {exit(0)}'`): every
+    * line starting with `--` before the first line starting with SELECT,
+    * with the `--` prefix (and one conventional following space)
+    * stripped.
+    */
+  def descriptionFrom(sqlTemplate: String): String =
+    sqlTemplate.linesIterator
+      .takeWhile(!_.startsWith("SELECT"))
+      .filter(_.startsWith("--"))
+      .map(_.drop(2).stripPrefix(" "))
+      .mkString("\n").trim
+
+  /** A ViewDef whose description is extracted from the template itself. */
+  def fromSql(name: String, sqlTemplate: String): ViewDef =
+    ViewDef(name, sqlTemplate, descriptionFrom(sqlTemplate))
+}
+
 class ViewRegistry(spark: SparkSession) {
 
   /** Render `{{.Key}}` template variables (the reference's Go

@@ -215,6 +215,34 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Embedding near-dup pairs via random-hyperplane LSH buckets — the
+    * 100 TB path for [[embeddingCosinePairs]]: vectors are sign-bucketed
+    * under `planes` deterministic hyperplanes (Similarity.lshBucket, the
+    * same codebook-free bucketing the ANN path uses), and only same-bucket
+    * pairs are scored — O(Σ bucket²) instead of O(n²). The bucket
+    * self-join is shuffle-pinned like every pair-generating self-join
+    * here (AQE would broadcast the bucketed corpus).
+    *
+    * Output: id_a, id_b, cosine (≥ threshold, within-bucket only).
+    */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, threshold: Double): DataFrame = {
+    GraftFunctions.registerAll(df.sparkSession)
+    val base = df.select(
+      col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(GraftFunctions.vecDot(col("v"), col("v"))))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+      .hint("shuffle_hash")
+    base.as("x")
+      .join(base.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
+        (GraftFunctions.vecDot(col("x.v"), col("y.v")) /
+          (col("x.norm") * col("y.norm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Connected components over near-dup pairs — the step that turns
     * pairwise dedup output into per-document canonical assignment (a
     * pipeline keeps ONE doc per component, not one per pair: with docs

@@ -183,18 +183,22 @@ object Ops {
           .withColumn("src", lit(bTag)))
 
   /** The reference's `mask BOOL` TVF argument
-    * (functions/ops.ndt7_upload_pdf_autonode.sql:8,29): when set, the
-    * group identity is replaced by a constant so distributions can be
-    * published without revealing which site produced them. Same output
-    * shape; histograms are re-aggregated across the masked groups.
+    * (functions/ops.ndt7_upload_pdf_autonode.sql:8,29): when set, samples
+    * whose masking metric falls inside a known measurement-artifact band
+    * are excluded before binning (`IF(mask, NOT a.MeanThroughputMbps
+    * BETWEEN 0.42 AND 0.43, TRUE)` — an ndt7-upload artifact spike), so
+    * published distributions re-aggregate over the surviving samples
+    * only. The reference always masks on MeanThroughputMbps even when
+    * plotting another field, hence the separate `maskCol` (defaults to
+    * `valueCol`). NULL masking metrics are excluded under mask, like the
+    * reference's three-valued NOT BETWEEN.
     */
   def logPdfCdfMasked(df: DataFrame, valueCol: String, groupCol: String,
-      xmin: Double, xmax: Double, step: Double,
-      mask: Boolean): DataFrame = {
-    if (!mask) logPdfCdf(df, valueCol, groupCol, xmin, xmax, step)
-    else {
-      val masked = df.withColumn(groupCol, lit("masked"))
-      logPdfCdf(masked, valueCol, groupCol, xmin, xmax, step)
-    }
+      xmin: Double, xmax: Double, step: Double, mask: Boolean,
+      maskCol: String = null,
+      bandLo: Double = 0.42, bandHi: Double = 0.43): DataFrame = {
+    val mc = Option(maskCol).getOrElse(valueCol)
+    val in = if (mask) df.filter(!col(mc).between(bandLo, bandHi)) else df
+    logPdfCdf(in, valueCol, groupCol, xmin, xmax, step)
   }
 }

@@ -22,6 +22,14 @@ object Functions {
   private val PdfStep = 0.1
   private val PdfNb = Ops.numLogBins(PdfXmin, PdfXmax, PdfStep)
 
+  // Uploads-direction TVF window (q71): metric is a synthetic Mbps in
+  // [~0.01, ~1.05], so the reference's 0.42-0.43 artifact band is
+  // populated and mask=true visibly changes the histogram.
+  private val UpXmin = 0.005
+  private val UpXmax = 2.0
+  private val UpStep = 0.1
+  private val UpNb = Ops.numLogBins(UpXmin, UpXmax, UpStep)
+
   val all: Seq[GraftQuery] = Seq(
 
     // The flagship TVF: log-histogram pdf+cdf (reference
@@ -60,6 +68,54 @@ object Functions {
               |  FROM fullb)
               |SELECT l_returnflag, bin, bin_cnt,
               |  (floor((power(10, log10(${PdfXmin}) + (bin + 1) * ${PdfStep})) * 1000000.0 + 0.5) / 1000000.0)
+              |    AS xright,
+              |  (floor((pdf_raw) * 1000000.0 + 0.5) / 1000000.0) AS pdf,
+              |  (floor((sum(pdf_raw) OVER (PARTITION BY l_returnflag ORDER BY bin
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000.0 + 0.5) / 1000000.0) AS cdf
+              |FROM pdf_t ORDER BY l_returnflag, bin""".stripMargin)),
+
+    // The uploads-direction TVF with the mask argument
+    // (functions/ops.ndt7_upload_pdf_autonode.sql:8,29): mask=true drops
+    // the 0.42-0.43 Mbps measurement-artifact band before binning, and
+    // the histogram re-aggregates over the survivors.
+    GraftQuery(
+      "q71_ops_upload_pdf_masked",
+      "Uploads pdf/cdf TVF, mask=true: the 0.42-0.43 Mbps artifact band " +
+        "is excluded before binning; same O(n) bin assignment and window " +
+        "pair as q20 (TVF mask arg).",
+      (s, d) => Ops.logPdfCdfMasked(
+        t(s, d, "lineitem")
+          .withColumn("upload_mbps", col("l_extendedprice") / 100000.0),
+        "upload_mbps", "l_returnflag", UpXmin, UpXmax, UpStep, mask = true)
+        .orderBy("l_returnflag", "bin"),
+      Some(s"""WITH src AS (
+              |  SELECT l_returnflag, l_extendedprice / 100000.0 AS m
+              |  FROM lineitem
+              |  WHERE NOT (l_extendedprice / 100000.0 BETWEEN 0.42 AND 0.43)),
+              |counts AS (
+              |  SELECT l_returnflag,
+              |    LEAST(CAST(floor((log10(m) - log10(${UpXmin}))
+              |      / ${UpStep}) AS INT), ${UpNb - 1}) AS bin,
+              |    count(*) AS bin_cnt
+              |  FROM src
+              |  WHERE m BETWEEN ${UpXmin} AND ${UpXmax}
+              |  GROUP BY 1, 2),
+              |frame AS (
+              |  SELECT g.l_returnflag, CAST(r.range AS INT) AS bin
+              |  FROM (SELECT DISTINCT l_returnflag FROM src) g,
+              |       range(${UpNb}) r),
+              |fullb AS (
+              |  SELECT f.l_returnflag, f.bin,
+              |    COALESCE(c.bin_cnt, 0) AS bin_cnt
+              |  FROM frame f LEFT JOIN counts c
+              |    ON c.l_returnflag = f.l_returnflag AND c.bin = f.bin),
+              |pdf_t AS (
+              |  SELECT l_returnflag, bin, bin_cnt,
+              |    bin_cnt / (sum(bin_cnt) OVER (PARTITION BY l_returnflag))
+              |      AS pdf_raw
+              |  FROM fullb)
+              |SELECT l_returnflag, bin, bin_cnt,
+              |  (floor((power(10, log10(${UpXmin}) + (bin + 1) * ${UpStep})) * 1000000.0 + 0.5) / 1000000.0)
               |    AS xright,
               |  (floor((pdf_raw) * 1000000.0 + 0.5) / 1000000.0) AS pdf,
               |  (floor((sum(pdf_raw) OVER (PARTITION BY l_returnflag ORDER BY bin

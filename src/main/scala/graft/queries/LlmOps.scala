@@ -192,6 +192,34 @@ object LlmOps {
               |ORDER BY id_a, id_b""".stripMargin)),
 
     GraftQuery(
+      "q70_dedup_embedding_lsh",
+      "Embedding near-dup pairs via LSH buckets (4 deterministic " +
+        "hyperplanes): only same-bucket pairs scored — the 100 TB " +
+        "embedding-dedup path; q34 is its brute-force baseline.",
+      (s, d) => Dedup.embeddingLshPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        planes = 3, threshold = 0.3)
+        .select(col("id_a"), col("id_b"),
+          (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $duckVecNorm,
+              |b AS (SELECT vec_id, v, nrm,
+              |  CAST(list_sum(list_transform(range(0,3), j ->
+              |    CASE WHEN list_sum(list_transform(v, (x,i) ->
+              |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
+              |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+              |    AS bucket
+              |  FROM n)
+              |SELECT a.vec_id AS id_a, y.vec_id AS id_b,
+              |  (floor((list_sum(list_transform(range(1,65),
+              |    i -> a.v[i]*y.v[i])) / (a.nrm*y.nrm)) * 10000.0 + 0.5) / 10000.0) AS cosine
+              |FROM b a JOIN b y
+              |  ON a.bucket = y.bucket AND a.vec_id < y.vec_id
+              |WHERE list_sum(list_transform(range(1,65),
+              |    i -> a.v[i]*y.v[i])) / (a.nrm*y.nrm) >= 0.3
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    GraftQuery(
       "q35_ann_brute_topk",
       "Exact cosine top-5 per query vector (vec_id % 100 = 0): " +
         "broadcast queries over one candidate scan + bounded window.",

@@ -63,16 +63,19 @@ class CatalogSpec extends SparkTestBase {
     assert(salted.toSeq == plain.toSeq)
   }
 
-  test("logPdfCdfMasked collapses groups under one masked identity") {
-    val df = Seq(("a", 5.0), ("a", 50.0), ("b", 500.0)).toDF("grp", "x")
+  test("logPdfCdfMasked drops the artifact band before binning") {
+    val df = Seq(("a", 5.0), ("a", 50.0), ("a", 425.0), ("b", 500.0))
+      .toDF("grp", "x")
     val open = Ops.logPdfCdf(df, "x", "grp", 1.0, 1000.0, 0.5)
-    assert(open.select("grp").distinct().count() == 2)
+    assert(open.agg(sum("bin_cnt")).collect()(0).getLong(0) == 4L)
+    // mask on, band [400, 450]: the 425 sample is excluded, the rest
+    // re-aggregate; mask=false is exactly logPdfCdf
     val masked = Ops.logPdfCdfMasked(df, "x", "grp", 1.0, 1000.0, 0.5,
-      mask = true)
-    assert(masked.select("grp").distinct().collect()
-      .map(_.getString(0)).toSeq == Seq("masked"))
-    // masked histogram re-aggregates: total count preserved
+      mask = true, bandLo = 400.0, bandHi = 450.0)
     assert(masked.agg(sum("bin_cnt")).collect()(0).getLong(0) == 3L)
+    val unmasked = Ops.logPdfCdfMasked(df, "x", "grp", 1.0, 1000.0, 0.5,
+      mask = false, bandLo = 400.0, bandHi = 450.0)
+    assert(unmasked.agg(sum("bin_cnt")).collect()(0).getLong(0) == 4L)
   }
 
   test("decilesApprox approximates the exact deciles") {

@@ -211,4 +211,49 @@ class FunctionsSpec extends SparkTestBase {
     assert(st2.map(f => (f.name, f.dataType, f.nullable)) ==
       st.map(f => (f.name, f.dataType, f.nullable)))
   }
+
+  test("BqSchema golden: the real reference table schemas parse with " +
+    "full structure and round-trip") {
+    def totalFields(st: StructType): Int = st.fields.map { f =>
+      1 + (f.dataType match {
+        case s: StructType => totalFields(s)
+        case ArrayType(s: StructType, _) => totalFields(s)
+        case _ => 0
+      })
+    }.sum
+    def depth(st: StructType): Int = 1 + st.fields.map(_.dataType match {
+      case s: StructType => depth(s)
+      case ArrayType(s: StructType, _) => depth(s)
+      case _ => 0
+    }).max
+
+    // ndt.json: the 322-line web100 schema — 9 top-level fields, 296
+    // total (web100_log_entry.snap alone holds the ~250 kernel counters),
+    // 4 levels deep.
+    val ndt = BqSchema.parseFile("/root/reference/schema/ndt.json")
+    assert(ndt.fields.length == 9, s"ndt top-level: ${ndt.fieldNames.toSeq}")
+    assert(totalFields(ndt) == 296, s"ndt total fields: ${totalFields(ndt)}")
+    assert(depth(ndt) == 4)
+    val snap = ndt("web100_log_entry").dataType.asInstanceOf[StructType]
+    assert(snap.fieldNames.contains("snap"))
+    assert(ndt("anomalies").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("no_meta", "snaplog_error", "num_snaps",
+        "blacklist_flags"))
+
+    // switch.json: REPEATED RECORD time series (sample array).
+    val sw = BqSchema.parseFile("/root/reference/schema/switch.json")
+    assert(sw.fields.length == 9)
+    val sample = sw("sample")
+    assert(sample.dataType.isInstanceOf[ArrayType] &&
+      sample.dataType.asInstanceOf[ArrayType]
+        .elementType.isInstanceOf[StructType],
+      s"sample should be REPEATED RECORD: ${sample.dataType}")
+
+    // round-trip both goldens through the renderer
+    for (st <- Seq(ndt, sw)) {
+      val rt = BqSchema.parse(BqSchema.toJson(st))
+      assert(rt.map(f => (f.name, f.dataType, f.nullable)) ==
+        st.map(f => (f.name, f.dataType, f.nullable)))
+    }
+  }
 }

@@ -37,6 +37,33 @@ class InfraSpec extends SparkTestBase {
     assert(spark.table("vr_unified").count() == 2)
   }
 
+  test("ViewDef.fromSql extracts the leading-comment description " +
+    "(create_view_lib.sh awk contract)") {
+    val sql =
+      """-- NDT5 download data in standard columns plus annotations.
+        |-- This contributes one portion of the unified views.
+        |--
+        |-- Use with caution!
+        |
+        |WITH downloads AS (SELECT 1 AS x)
+        |SELECT * FROM downloads -- not part of the description
+        |""".stripMargin
+    val v = ViewDef.fromSql("extended_test", sql)
+    assert(v.description ==
+      "NDT5 download data in standard columns plus annotations.\n" +
+        "This contributes one portion of the unified views.\n\n" +
+        "Use with caution!")
+    // on the real reference template the awk output matches
+    val refSql = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/views/ndt_intermediate/" +
+        "extended_ndt5_downloads.sql")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val d = ViewDef.descriptionFrom(refSql)
+    assert(d.startsWith("NDT5 download data in standard columns"))
+    assert(d.contains("custom unified views"))
+    assert(!d.contains("SELECT")) // extraction stops at the body
+  }
+
   test("ViewRegistry detects dependency cycles") {
     val reg = new ViewRegistry(spark)
     val cyc = Seq(

@@ -58,7 +58,7 @@ class PlanSpec extends SparkTestBase {
   test("pair-generating self-joins shuffle on the key, never broadcast " +
     "the corpus index") {
     for (name <- Seq("q31_dedup_ngram_jaccard", "q32_dedup_minhash_lsh",
-        "q43_simhash_pairs")) {
+        "q43_simhash_pairs", "q70_dedup_embedding_lsh")) {
       val p = planOf(name)
       assert(p.contains("ShuffledHashJoin"), s"$name lost its hint:\n$p")
       assert(!p.contains("BroadcastHashJoin"),

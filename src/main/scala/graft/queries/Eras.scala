@@ -52,14 +52,20 @@ object Eras {
     concat(lit(era + "-"), k.cast("string"))
 
   /** ndt7-era raw rows (o_orderkey ≡ 0 mod 3): nested ServerMeasurements
-    * with the final snapshot carrying the real counters.
+    * with the final snapshot carrying the real counters (incl. the
+    * TotalRetrans/RTT pair feeding the obsolete IsValid2021 flags), and
+    * an `early_exit` ClientMetadata entry on every 23rd test.
     */
   private def ndt7Raw(orders: DataFrame): DataFrame = {
     def m(elapsed: Column, retrans: Column) = struct(
       elapsed.as("ElapsedTime"),
       struct(acked.as("BytesAcked"), (rtt * 1000L).as("MinRTT"),
-        retrans.as("BytesRetrans"), (acked + 1000L).as("BytesSent"))
+        retrans.as("BytesRetrans"), (acked + 1000L).as("BytesSent"),
+        retrans.as("TotalRetrans"),
+        when(k % 12 === 0, rtt * 5000L).otherwise(rtt * 1500L).as("RTT"))
         .as("TCPInfo"))
+    def metaPair(name: Column, value: Column) =
+      struct(name.as("Name"), value.as("Value"))
     orders.filter(k % 3 === 0).select(
       idCol("ndt7").as("id"), col("o_orderdate").as("date"),
       parserCol("v1", "f.tgz").as("parser"), serverCol.as("server"),
@@ -68,10 +74,14 @@ object Eras {
         idCol("ndt7").as("UUID"),
         col("o_orderdate").as("StartTime"),
         lit("bbr").as("CongestionControl"),
-        array(struct(lit("client_name").as("Name"),
-          col("o_orderpriority").as("Value"))).as("ClientMetadata"),
-        array(struct(lit("server_hostname").as("Name"),
-          lit("mlab2.example").as("Value"))).as("ServerMetadata"),
+        when(k % 23 === 0, array(
+          metaPair(lit("client_name"), col("o_orderpriority")),
+          metaPair(lit("early_exit"), lit("1"))))
+          .otherwise(array(
+            metaPair(lit("client_name"), col("o_orderpriority"))))
+          .as("ClientMetadata"),
+        array(metaPair(lit("server_hostname"), lit("mlab2.example")))
+          .as("ServerMetadata"),
         array(
           m(lit(500000L), lit(0L)), // mid-test snapshot, superseded
           m((k % 80 + 10L) * 1000000L, (k % 4) * 25L))
@@ -123,7 +133,9 @@ object Eras {
         parserCol("v2", "tcp.tgz").as("parser"),
         struct(lit("cubic").as("CongestionAlgorithm"),
           struct(acked.as("BytesAcked"), (acked + 1000L).as("BytesSent"),
-            ((k % 2) * 50L).as("BytesRetrans"), (rtt * 1000L).as("MinRTT"))
+            ((k % 2) * 50L).as("BytesRetrans"), (rtt * 1000L).as("MinRTT"),
+            ((k % 2) * 5L).as("TotalRetrans"),
+            when(k % 6 === 0, rtt * 4000L).otherwise(rtt * 1000L).as("RTT"))
             .as("TCPInfo")).as("FinalSnapshot"))
 
   /** web100-era raw rows (≡ 2 mod 3): flat connection/snap counters. */
@@ -155,11 +167,36 @@ object Eras {
           acked.as("HCThruOctetsAcked"),
           rtt.as("MinRTT"),
           (c % 3).as("SegsRetrans"),
-          ((k % 97) + 50L).as("SegsOut")).as("snap")).as("web100"))
+          ((k % 97) + 50L).as("SegsOut"),
+          (c % 4).as("OctetsRetrans"),
+          when(c % 5 === 0, rtt * 3 + 1200L).otherwise(rtt)
+            .as("SmoothedRTT")).as("snap")).as("web100"))
         .as("raw"))
 
   private def round4(x: Column): Column =
     floor(x * 10000.0 + 0.5) / 10000.0
+
+  /** The consumer's date window, on the unified `date` column. */
+  private val dateWindow: Column =
+    col("date") >= lit("1993-01-01").cast("timestamp") &&
+      col("date") < lit("1997-01-01").cast("timestamp")
+
+  /** The three era branches in the reference union's per-branch column
+    * list (unified_downloads.sql:86-91), shared by q69/q72.
+    */
+  private def unifiedBranches(s: SparkSession, d: String): Seq[DataFrame] = {
+    UnifiedViews.prepare(s)
+    val orders = t(s, d, "orders")
+    Seq(
+      UnifiedViews.extendedDownloads(ndt7Raw(orders)),
+      UnifiedViews.extendedNdt5Downloads(ndt5Raw(orders),
+        ndt5TcpInfo(orders,
+          col("o_orderdate") >= lit("1993-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))),
+      UnifiedViews.extendedWeb100Downloads(web100Raw(orders)))
+      .map(_.select("id", "date", "a", "metadata", "client", "server",
+        "filter"))
+  }
 
   val all: Seq[GraftQuery] = Seq(
     GraftQuery(
@@ -169,21 +206,7 @@ object Eras {
         "metadata-literal web100, one date window pushed into every leg " +
         "(U1+J1+P4+P6+S1; unified_downloads.sql:86-98).",
       (s, d) => {
-        UnifiedViews.prepare(s)
-        val orders = t(s, d, "orders")
-        val dateWindow = col("date") >= lit("1993-01-01").cast("timestamp") &&
-          col("date") < lit("1997-01-01").cast("timestamp")
-        val branches = Seq(
-          UnifiedViews.extendedDownloads(ndt7Raw(orders)),
-          UnifiedViews.extendedNdt5Downloads(ndt5Raw(orders),
-            ndt5TcpInfo(orders,
-              col("o_orderdate") >= lit("1993-01-01").cast("timestamp") &&
-                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))),
-          UnifiedViews.extendedWeb100Downloads(web100Raw(orders)))
-          // the reference union's per-branch column list (:86-91)
-          .map(_.select("id", "date", "a", "metadata", "client", "server",
-            "filter"))
-        UnifiedViews.unifiedDownloads(branches)
+        UnifiedViews.unifiedDownloads(unifiedBranches(s, d))
           .filter(dateWindow)
           .select(col("id"), to_date(col("date")).as("date"),
             col("metadata.View").as("view_name"),
@@ -213,7 +236,8 @@ object Eras {
              |    'ndt7' || CASE WHEN k % 17 = 0 THEN '-IPv6'
              |      ELSE '-IPv4' END || '-WSS' AS protocol,
              |    CAST(1 AS BIGINT) AS n_tables,
-             |    pri AS meta_vals,
+             |    CASE WHEN k % 23 = 0 THEN pri || '|1' ELSE pri END
+             |      AS meta_vals,
              |    'bbr' AS cc,
              |    (acked * 8.0) / CAST((k % 80 + 10) * 1000000 AS DOUBLE)
              |      AS mbps,

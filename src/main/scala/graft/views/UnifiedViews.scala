@@ -43,23 +43,47 @@ object UnifiedViews {
   private def isProductionArchive(url: Column): Column =
     url.rlike("mlab[1-3]-[a-z]{3}[0-9c][0-9t]")
 
-  /** RFC1918 client check standing in for the reference's OAM IP list +
-    * _IsRFC1918 pair (extended_ndt7_downloads.sql:51-67) — one flag in
-    * our 8-flag filter contract.
+  /** The reference's OAM client-IP list (script-exporter VMs, e2e-test
+    * addresses — extended_ndt7_downloads.sql:51-58; one shared list here
+    * where the reference carries slight per-era variants).
     */
-  private def isOamClient(ip: Column): Column =
+  val OamIps: Seq[String] = Seq(
+    "35.193.254.117", "35.225.75.192", "35.192.37.249",
+    "23.228.128.99", "2605:a601:f1ff:fffe::99",
+    "45.56.98.222", "2600:3c03::f03c:91ff:fe33:819",
+    "35.202.153.90", "35.188.150.110")
+
+  private def isOamClient(ip: Column): Column = ip.isin(OamIps: _*)
+
+  /** The deprecated-but-still-filtered RFC1918 check
+    * (extended_ndt7_downloads.sql:60-67), its own flag beside IsOAM as in
+    * the reference.
+    */
+  private def isRfc1918Client(ip: Column): Column =
     coalesce(graft.functions.GraftFunctions.isPrivateIp(ip), lit(false))
+
+  /** Does a dotted field path resolve in this frame's schema? Arrays are
+    * traversed into their element type. Used for flags whose source
+    * counters only exist in some archive eras.
+    */
+  private def hasPath(df: DataFrame, path: String): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    def walk(dt: DataType, parts: List[String]): Boolean = (dt, parts) match {
+      case (_, Nil) => true
+      case (ArrayType(e, _), _) => walk(e, parts)
+      case (s: StructType, head :: rest) if s.fieldNames.contains(head) =>
+        walk(s(head).dataType, rest)
+      case _ => false
+    }
+    walk(StructType(df.schema.fields), path.split('.').toList)
+  }
 
   /** Optional field of `raw.Download`: present → pass through, absent →
     * typed null (older archives predate client metadata).
     */
-  private def optDownloadField(raw: DataFrame, field: String): Column = {
-    import org.apache.spark.sql.types.StructType
-    val dl = raw.schema("raw").dataType.asInstanceOf[StructType]("Download")
-      .dataType.asInstanceOf[StructType]
-    if (dl.fieldNames.contains(field)) col(s"raw.Download.$field")
+  private def optDownloadField(raw: DataFrame, field: String): Column =
+    if (hasPath(raw, s"raw.Download.$field")) col(s"raw.Download.$field")
     else lit(null).cast(MetaPairsType)
-  }
 
   /** Intermediate view: reshape one era's raw rows into the standard
     * columns + validity filter. Mirrors extended_ndt7_downloads.sql.
@@ -108,10 +132,27 @@ object UnifiedViews {
         isProductionArchive(col("parser.ArchiveURL")).as("IsProduction"),
         lit(false).as("IsError"),
         isOamClient(col("client.IP")).as("IsOAM"),
+        isRfc1918Client(col("client.IP")).as("_IsRFC1918"),
         lit(false).as("IsPlatformAnomaly"),
         (bytesAcked < StandardColumns.MinTransferBytes).as("IsSmall"),
         (durationMs < StandardColumns.MinDurationMs).as("IsShort"),
-        (durationMs > StandardColumns.MaxDurationMs).as("IsLong")))
+        (durationMs > StandardColumns.MaxDurationMs).as("IsLong"),
+        // "early_exit" IN (SELECT Name FROM UNNEST(ClientMetadata)) (:40)
+        (if (hasPath(raw, "raw.Download.ClientMetadata"))
+          coalesce(exists(col("raw.Download.ClientMetadata"),
+            m => m.getField("Name") === "early_exit"), lit(false))
+        else lit(false)).as("IsEarlyExit"),
+        // Obsolete congestion flags, still feeding IsValid2021 (:72-75)
+        (if (hasPath(raw, "raw.Download.ServerMeasurements.TCPInfo.TotalRetrans"))
+          coalesce(fin.getField("TCPInfo").getField("TotalRetrans") > 0,
+            lit(false))
+        else lit(false)).as("_IsCongested"),
+        (if (hasPath(raw, "raw.Download.ServerMeasurements.TCPInfo.RTT"))
+          coalesce(
+            fin.getField("TCPInfo").getField("RTT") >
+              fin.getField("TCPInfo").getField("MinRTT") * 2 &&
+              fin.getField("TCPInfo").getField("RTT") > 1000, lit(false))
+        else lit(false)).as("_IsBloated")))
       .select("id", "date", "parser", "server", "client", "a", "metadata",
         "filter")
   }
@@ -187,10 +228,20 @@ object UnifiedViews {
         (col("raw.S2C.Error").isNotNull && col("raw.S2C.Error") =!= "")
           .as("IsError"), // (:15)
         isOamClient(col("client.IP")).as("IsOAM"),
+        isRfc1918Client(col("client.IP")).as("_IsRFC1918"),
         lit(false).as("IsPlatformAnomaly"),
         (acked < StandardColumns.MinTransferBytes).as("IsSmall"),
         (durationMs < StandardColumns.MinDurationMs).as("IsShort"),
-        (durationMs > StandardColumns.MaxDurationMs).as("IsLong"))
+        (durationMs > StandardColumns.MaxDurationMs).as("IsLong"),
+        lit(false).as("IsEarlyExit"), // not supported for ndt5 (:119)
+        // (TotalRetrans > 0), (RTT > 2·MinRTT AND RTT > 1000) (:71-74)
+        (if (hasPath(tcpinfo, "FinalSnapshot.TCPInfo.TotalRetrans"))
+          coalesce(tcpi.getField("TotalRetrans") > 0, lit(false))
+        else lit(false)).as("_IsCongested"),
+        (if (hasPath(tcpinfo, "FinalSnapshot.TCPInfo.RTT"))
+          coalesce(tcpi.getField("RTT") > tcpi.getField("MinRTT") * 2 &&
+            tcpi.getField("RTT") > 1000, lit(false))
+        else lit(false)).as("_IsBloated"))
         .as("filter"))
   }
 
@@ -269,33 +320,67 @@ object UnifiedViews {
         isProductionArchive(col("parser.ArchiveURL")).as("IsProduction"),
         lit(false).as("IsError"), // (:37)
         isOamClient(col("client.IP")).as("IsOAM"),
+        isRfc1918Client(col("client.IP")).as("_IsRFC1918"),
         lit(false).as("IsPlatformAnomaly"),
         (acked < StandardColumns.MinTransferBytes).as("IsSmall"),
         (measurementMs < StandardColumns.MinDurationMs).as("IsShort"),
-        (measurementMs > StandardColumns.MaxDurationMs).as("IsLong"))
+        (measurementMs > StandardColumns.MaxDurationMs).as("IsLong"),
+        lit(false).as("IsEarlyExit"), // not present in web100 data (:130)
+        // OctetsRetrans > 0; SmoothedRTT > 2·MinRTT AND > 1000 (:88-91)
+        (if (hasPath(raw, "raw.web100.snap.OctetsRetrans"))
+          coalesce(snap.getField("OctetsRetrans") > 0, lit(false))
+        else lit(false)).as("_IsCongested"),
+        (if (hasPath(raw, "raw.web100.snap.SmoothedRTT"))
+          coalesce(
+            snap.getField("SmoothedRTT") > snap.getField("MinRTT") * 2 &&
+              snap.getField("SmoothedRTT") > 1000, lit(false))
+        else lit(false)).as("_IsBloated"))
         .as("filter"))
   }
 
   /** IsValidBest (unified_downloads.sql:47-60): complete, production,
-    * non-error, non-OAM, non-anomalous, and inside the size/duration
-    * window.
+    * non-error, non-OAM, non-anomalous, inside the size/duration window
+    * (short tests rescued by early-exit), and not RFC1918.
     */
   def isValidBest: Column =
     col("filter.IsComplete") && col("filter.IsProduction") &&
       !col("filter.IsError") && !col("filter.IsOAM") &&
       !col("filter.IsPlatformAnomaly") && !col("filter.IsSmall") &&
-      !col("filter.IsShort") && !col("filter.IsLong")
+      (!col("filter.IsShort") || col("filter.IsEarlyExit")) &&
+      !col("filter.IsLong") && !col("filter._IsRFC1918")
+
+  /** IsValid2023 (unified_downloads.sql:62-73): the pre-early-exit
+    * understanding — IsValidBest without the rescue clause.
+    */
+  def isValid2023: Column =
+    col("filter.IsComplete") && col("filter.IsProduction") &&
+      !col("filter.IsError") && !col("filter.IsOAM") &&
+      !col("filter.IsPlatformAnomaly") && !col("filter.IsSmall") &&
+      !col("filter.IsShort") && !col("filter.IsLong") &&
+      !col("filter._IsRFC1918")
+
+  /** IsValid2021 (unified_downloads.sql:75-88): pre-2022 semantics,
+    * additionally requiring evidence the path was actually stressed
+    * (congested or bloated).
+    */
+  def isValid2021: Column =
+    isValid2023 && (col("filter._IsCongested") || col("filter._IsBloated"))
 
   /** Unified view: positional UNION ALL of era branches (all already in
-    * standard-columns shape), validity filter, `* EXCEPT (filter)`.
-    * `applyFilter=false` is the `_nofilter` variant the reference
-    * generates with sed (create_dataset_views.sh:107-108).
+    * standard-columns shape), the three IsValid* vintages as columns,
+    * validity filter, `* EXCEPT (filter)`. `applyFilter=false` is the
+    * `_nofilter` variant the reference generates with sed
+    * (create_dataset_views.sh:107-108).
     */
   def unifiedDownloads(branches: Seq[DataFrame],
       applyFilter: Boolean = true): DataFrame = {
     require(branches.nonEmpty, "unifiedDownloads: no branches")
     val unioned = branches.reduce(_ unionAll _)
-    val kept = if (applyFilter) unioned.filter(isValidBest) else unioned
+      .withColumn("IsValidBest", isValidBest)
+      .withColumn("IsValid2023", isValid2023)
+      .withColumn("IsValid2021", isValid2021)
+    val kept =
+      if (applyFilter) unioned.filter(col("IsValidBest")) else unioned
     kept.drop("filter") // SELECT * EXCEPT (filter)  (:102)
   }
 

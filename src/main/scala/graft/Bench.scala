@@ -69,11 +69,15 @@ object Bench {
     val p2 = if (p1.values.sum < nQueries * 2.0) timedPass().toMap else p1
     val results = SparkEntry.allQueries
       .map(q => q.name -> math.min(p1(q.name), p2(q.name)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal values: the driver parses this line from a bounded log
+    // tail, and 70+ queries at full double precision overflow that window
+    // (rounds 1-3 all recorded "parsed": null). ~1ms resolution is ample.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // debug artifact alongside the stdout contract
     try java.nio.file.Files.writeString(

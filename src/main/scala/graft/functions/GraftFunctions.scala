@@ -11,20 +11,28 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  /** Idempotently register all graft expressions on the session. Skips
-    * names already present — re-registering via
-    * createOrReplaceTempFunction logs a "function replaced" warning per
-    * name per call, and that stderr spam from every operator entry point
-    * can push the bench's one-line JSON out of a log tail.
+  // Sessions already registered on. Keyed weakly so a dropped session
+  // doesn't leak; checking our own record (rather than
+  // FunctionRegistry.functionExists) means a future Spark builtin that
+  // happens to collide with a graft name can't silently shadow ours —
+  // first registerAll on a session always installs graft's builders.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register all graft expressions on the session — once
+    * per session, so the per-name "function replaced" warnings from
+    * createOrReplaceTempFunction can't spam stderr from every operator
+    * entry point (that spam once pushed the bench's one-line JSON out of
+    * a log tail).
     */
   def registerAll(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     def register(name: String,
         builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
           => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      if (!reg.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
     register("safe_ip_from_string", es => SafeIpFromString(es.head))
     register("ip_trunc", es => IpTrunc(es(0), es(1)))
     register("is_private_ip", es => IsPrivateIp(es.head))

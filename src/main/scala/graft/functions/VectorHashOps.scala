@@ -245,6 +245,9 @@ case class StopHitsExpr(child: Expression, words: Seq[String])
   */
 final class Codebook(val cids: Array[Long], val cvs: Array[Array[Double]],
     val cn2s: Array[Double]) extends Serializable {
+  // An empty codebook would silently assign every row to a nonexistent
+  // cell 0 (argmin's `best` initializer) — fail construction instead.
+  require(cids.nonEmpty, "Codebook requires at least one centroid")
 
   /** Nearest-centroid id by squared L2, d2 = nrm² − 2·(v·c) + |c|², ties
     * to the smallest cid (ascending scan, strict <) — the same formula,

@@ -112,17 +112,29 @@ object Similarity {
     * rank (top-k within cell).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      isQuery: Column, centroidEvery: Int, k: Int): DataFrame = {
+      isQuery: Column, centroidEvery: Int, k: Int,
+      maxCentroids: Int = 4096): DataFrame = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
     // The one driver-side collect: |corpus|/centroidEvery codebook rows,
     // the IVF "train then broadcast the codebook" step — not a data scan.
-    val centRows = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
+    // Invariant: the codebook must stay driver-sized. every-Nth selection
+    // grows linearly with the corpus, so a fixed `centroidEvery` at 100 TB
+    // would collect the corpus — `maxCentroids` hard-caps the collect by
+    // deterministic stride-thinning (same cap a trained k-means codebook
+    // has by construction). Default 4096 × 64 dims × 8 B ≈ 2 MB shipped.
+    val picked = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
       .select(col("vid").cast("long"), col("v"),
         (col("nrm") * col("nrm")).as("cn2"))
       .collect()
       .sortBy(_.getLong(0))
+    require(picked.nonEmpty,
+      s"ivfTopK: no centroid ids divisible by $centroidEvery — empty codebook")
+    val stride = (picked.length + maxCentroids - 1) / maxCentroids
+    val centRows = picked.indices.collect {
+      case j if j % stride == 0 => picked(j)
+    }.toArray
     val cells = base.withColumn("cell",
       graft.functions.GraftFunctions.argminCell(col("v"), col("nrm"),
         centRows.map(_.getLong(0)),

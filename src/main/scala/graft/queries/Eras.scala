@@ -176,13 +176,21 @@ object Eras {
   private def round4(x: Column): Column =
     floor(x * 10000.0 + 0.5) / 10000.0
 
+  /** One pair of window bounds, applied to whichever date column a leg
+    * exposes — the unified `date` and the tcpinfo leg's `o_orderdate`
+    * predicates are derived from the same constants so they can't drift
+    * (a drifted tcpinfo window would silently join rows outside the
+    * consumer window, and no row-count check would catch it).
+    */
+  private val (dateLo, dateHi) = ("1993-01-01", "1997-01-01")
+  private def windowOn(c: Column): Column =
+    c >= lit(dateLo).cast("timestamp") && c < lit(dateHi).cast("timestamp")
+
   /** The consumer's date window, on the unified `date` column. */
-  private val dateWindow: Column =
-    col("date") >= lit("1993-01-01").cast("timestamp") &&
-      col("date") < lit("1997-01-01").cast("timestamp")
+  private val dateWindow: Column = windowOn(col("date"))
 
   /** The three era branches in the reference union's per-branch column
-    * list (unified_downloads.sql:86-91), shared by q69/q72.
+    * list (unified_downloads.sql:86-91), consumed by q69.
     */
   private def unifiedBranches(s: SparkSession, d: String): Seq[DataFrame] = {
     UnifiedViews.prepare(s)
@@ -190,9 +198,7 @@ object Eras {
     Seq(
       UnifiedViews.extendedDownloads(ndt7Raw(orders)),
       UnifiedViews.extendedNdt5Downloads(ndt5Raw(orders),
-        ndt5TcpInfo(orders,
-          col("o_orderdate") >= lit("1993-01-01").cast("timestamp") &&
-            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))),
+        ndt5TcpInfo(orders, windowOn(col("o_orderdate")))),
       UnifiedViews.extendedWeb100Downloads(web100Raw(orders)))
       .map(_.select("id", "date", "a", "metadata", "client", "server",
         "filter"))

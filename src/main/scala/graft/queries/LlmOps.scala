@@ -193,9 +193,9 @@ object LlmOps {
 
     GraftQuery(
       "q70_dedup_embedding_lsh",
-      "Embedding near-dup pairs via LSH buckets (4 deterministic " +
-        "hyperplanes): only same-bucket pairs scored — the 100 TB " +
-        "embedding-dedup path; q34 is its brute-force baseline.",
+      "Embedding near-dup pairs via LSH buckets (3 deterministic " +
+        "hyperplanes, 8 buckets): only same-bucket pairs scored — the " +
+        "100 TB embedding-dedup path; q34 is its brute-force baseline.",
       (s, d) => Dedup.embeddingLshPairs(
         t(s, d, "embeddings"), "vec_id", "embedding",
         planes = 3, threshold = 0.3)

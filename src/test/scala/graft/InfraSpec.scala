@@ -160,8 +160,12 @@ class InfraSpec extends SparkTestBase {
     assert(a.getAs[Double]("MinRTT") == 12.0)
     val f2 = byId("t2-id").getAs[org.apache.spark.sql.Row]("filter")
     assert(f2.getAs[Boolean]("IsShort"))
+    // 10.1.2.3 is RFC1918, not on the OAM VM list — the two flags are
+    // separate in the reference (extended_ndt7_downloads.sql:51-67) and
+    // both independently exclude the row from IsValidBest.
     val f3 = byId("t3-id").getAs[org.apache.spark.sql.Row]("filter")
-    assert(f3.getAs[Boolean]("IsOAM"))
+    assert(f3.getAs[Boolean]("_IsRFC1918"))
+    assert(!f3.getAs[Boolean]("IsOAM"))
 
     val unified = UnifiedViews.unifiedDownloads(Seq(ext))
     assert(unified.collect().map(_.getAs[String]("id")).toSeq == Seq("t1-id"))

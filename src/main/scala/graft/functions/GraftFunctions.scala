@@ -45,6 +45,8 @@ object GraftFunctions {
     register("token_hashes", es => TokenHashesExpr(es.head))
     register("stop_hits", es => StopHitsExpr(es(0),
       es(1).eval().toString.split(',').toSeq))
+    register("vocab_encode", es => VocabEncodeExpr(es(0),
+      es(1).eval().toString.split(',').toSeq))
     register("argmin_cell", es => {
       import org.apache.spark.sql.catalyst.util.ArrayData
       ArgminCellExpr(es(0), es(1), Codebook.fromFlat(
@@ -76,6 +78,15 @@ object GraftFunctions {
   def stopHits(tokens: Column, words: Seq[String]): Column =
     call_function("stop_hits", tokens,
       org.apache.spark.sql.functions.lit(words.mkString(",")))
+
+  /** Token-id encoding against `vocab` (id = index+1, OOV → 0). The vocab
+    * rides in comma-joined (like [[stopHits]]'s word list), so vocabulary
+    * tokens must not contain commas — whitespace-tokenized corpora never
+    * do.
+    */
+  def vocabEncode(tokens: Column, vocab: Seq[String]): Column =
+    call_function("vocab_encode", tokens,
+      org.apache.spark.sql.functions.lit(vocab.mkString(",")))
 
   /** Nearest-centroid cell id for `v` (with precomputed norm `nrm`) over a
     * small driver-built codebook; the codebook rides in as flattened array

@@ -131,6 +131,23 @@ object VectorHashOps {
     c
   }
 
+  /** Token→id encoding against a fixed vocabulary: one hash probe per
+    * token, OOV → 0. Order/duplicates preserved (the training consumer
+    * needs the id sequence, not a bag).
+    */
+  def encodeIds(tokens: ArrayData,
+      vocab: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer]): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val id = vocab.get(tokens.getUTF8String(i))
+      out(i) = if (id == null) 0 else id.intValue()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature, sig[j] = min_h (h·(2j+1) + (31j²+7)) mod p. */
   def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
     val out = new Array[Long](numHashes)
@@ -308,6 +325,40 @@ case class ArgminCellExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): ArgminCellExpr = copy(left = l, right = r)
   override def prettyName: String = "argmin_cell"
+}
+
+/** vocab_encode(array<string> tokens) → array<int>: token ids against a
+  * broadcast-sized vocabulary riding into generated code as a reference
+  * object (same pattern as [[StopHitsExpr]]). Id = 1-based rank in the
+  * transport order; out-of-vocabulary → 0 (the unk id). This keeps
+  * tokenization a pure per-row projection — the explode→join→regroup
+  * alternative shuffles the full token stream (≈10× the corpus) twice.
+  */
+case class VocabEncodeExpr(child: Expression, vocabTokens: Seq[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  @transient private lazy val vocab: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    vocabTokens.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), Integer.valueOf(i + 1))
+    }
+    m
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.encodeIds(v.asInstanceOf[ArrayData], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocab", vocab,
+      "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.encodeIds($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): VocabEncodeExpr =
+    copy(child = c)
+  override def prettyName: String = "vocab_encode"
 }
 
 /** minhash_sig(array<long>, numHashes literal) → array<long>. */

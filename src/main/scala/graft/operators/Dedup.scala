@@ -34,11 +34,11 @@ object Dedup {
     * TextOps.shingleHashSet (asserted by DedupSpec).
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, extra: Seq[String] = Nil): DataFrame = {
     GraftFunctions.registerAll(df.sparkSession)
-    df.select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id") +:
         GraftFunctions.shingleHashSet(TextOps.tokens(col(textCol)), n)
-          .as("sh"))
+          .as("sh") +: extra.map(col): _*)
       .filter(size(col("sh")) > 0)
   }
 
@@ -103,22 +103,29 @@ object Dedup {
     *
     * Output: doc_a, doc_b, jaccard (≥ threshold).
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val numHashes = bands * rowsPerBand
+  /** (doc_id, sh, band_idx, band_key) LSH band rows: MinHash signature
+    * sliced into `bands` keys of `rowsPerBand` joined values each.
+    */
+  private def bandRowsOf(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     GraftFunctions.registerAll(df.sparkSession)
-    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sets = shingleSets(df, idCol, textCol, shingleN, extra)
     val sigs = sets.withColumn("sig",
-      GraftFunctions.minhashSig(col("sh"), numHashes))
-
-    // (doc_id, band_idx, band_key): band key is the joined signature slice.
-    val bandRows = sigs.select(
-      col("doc_id"), col("sh"),
+      GraftFunctions.minhashSig(col("sh"), bands * rowsPerBand))
+    sigs.select(
+      col("doc_id") +: col("sh") +: extra.map(col) :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         array_join(
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")), "-"))).as(Seq("band_idx", "band_key")))
+            x => x.cast("string")), "-")))
+        .as(Seq("band_idx", "band_key")): _*)
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bandRows = bandRowsOf(df, idCol, textCol, shingleN, bands, rowsPerBand)
 
     val pruned =
       if (maxBucket == Int.MaxValue) bandRows
@@ -151,6 +158,57 @@ object Dedup {
           (size(col("sha")) + size(col("shb")) - col("common")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental dedup: screen a NEW batch against the EXISTING corpus —
+    * the shape an operating pipeline actually runs (yesterday's corpus is
+    * already deduped; today's crawl only needs new-vs-old and new-vs-new
+    * handled separately, not an all-corpus re-pairing).
+    *
+    * Same MinHash+LSH machinery as [[minhashLshPairs]], but the bucket
+    * join is new→old only: band rows are computed once over the whole
+    * frame, split by `isNew`, and joined new×old on the band key —
+    * asymmetric, so corpus×corpus pairs are never generated. At scale the
+    * old side's band rows are a precomputed index you'd persist between
+    * runs; the join stays shuffle-pinned like every pair generator here.
+    *
+    * Output: one row per NEW doc — doc_id, dup_of (smallest matching old
+    * id at jaccard ≥ threshold, null when none), n_matches, is_dup.
+    */
+  def minhashLshIncremental(df: DataFrame, idCol: String, textCol: String,
+      isNew: Column, shingleN: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val bandRows = bandRowsOf(
+      df.withColumn("is_new", isNew), idCol, textCol,
+      shingleN, bands, rowsPerBand, extra = Seq("is_new"))
+    val pruned =
+      if (maxBucket == Int.MaxValue) bandRows
+      else {
+        val hot = bandRows.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") > maxBucket)
+        bandRows.join(hot, Seq("band_idx", "band_key"), "left_anti")
+      }
+    val newSide = pruned.filter(col("is_new"))
+      .select(col("doc_id"), col("sh"), col("band_idx"), col("band_key"))
+      .hint("shuffle_hash")
+    val oldSide = pruned.filter(!col("is_new"))
+      .select(col("doc_id").as("old_id"), col("sh").as("sho"),
+        col("band_idx"), col("band_key"))
+      .hint("shuffle_hash")
+    val matches = newSide.join(oldSide, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("old_id"), col("sh"), col("sho"))
+      .dropDuplicates("doc_id", "old_id")
+      .withColumn("common", size(array_intersect(col("sh"), col("sho"))))
+      .filter(col("common").cast("double") /
+        (size(col("sh")) + size(col("sho")) - col("common")) >= threshold)
+      .groupBy("doc_id")
+      .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_matches"))
+    df.filter(isNew).select(col(idCol).as("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
   }
 
   /** Per-doc 60-bit SimHash over whitespace-token hashes.

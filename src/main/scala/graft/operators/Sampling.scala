@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Deterministic stratified sampling — the data-mixing primitive of a
+  * training pipeline ("keep 30% of crawl, 100% of books, 50% of en, …").
+  *
+  * Membership is decided by a portable salted hash of the row id, NOT
+  * `rand()`: the sample is reproducible across engines, runs, executors,
+  * and repartitions, and stable under re-ingestion — appending new rows
+  * never flips the decision for existing ones (the property that keeps a
+  * resumed pipeline consistent with its earlier shards).
+  *
+  * Scale: a pure per-row projection + filter — no shuffle, no state; the
+  * rate table is a broadcast-sized CASE chain folded into the scan.
+  */
+object Sampling {
+
+  /** Keep each row iff hash(salt:id) mod 10000 < rate(stratum)·10000.
+    * `rates` maps stratum values to [0,1] keep-rates; unlisted strata use
+    * `defaultRate`. Adds `bucket` (the hash draw in [0,10000)) so the
+    * decision is auditable downstream.
+    */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "sample"): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    val bucket = pmod(TextOps.hash32(
+      concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(10000))
+    val rateCol: Column = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket)
+      .filter(col("bucket") < (rateCol * 10000.0).cast("long"))
+  }
+}

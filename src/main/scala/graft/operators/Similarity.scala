@@ -111,35 +111,44 @@ object Similarity {
     * never shuffled or nested-loop-joined. Output: q_id, cand_id, cosine,
     * rank (top-k within cell).
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-      isQuery: Column, centroidEvery: Int, k: Int,
-      maxCentroids: Int = 4096): DataFrame = {
+  /** (vid, v, nrm, cell) for the whole corpus: cell = argmin-L2 centroid
+    * over the deterministic every-`centroidEvery`-th-id codebook.
+    *
+    * The one driver-side collect: |corpus|/centroidEvery codebook rows,
+    * the IVF "train then broadcast the codebook" step — not a data scan.
+    * Invariant: the codebook must stay driver-sized. every-Nth selection
+    * grows linearly with the corpus, so a fixed `centroidEvery` at 100 TB
+    * would collect the corpus — `maxCentroids` hard-caps the collect by
+    * deterministic stride-thinning (same cap a trained k-means codebook
+    * has by construction). Default 4096 × 64 dims × 8 B ≈ 2 MB shipped.
+    */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, maxCentroids: Int): DataFrame = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    // The one driver-side collect: |corpus|/centroidEvery codebook rows,
-    // the IVF "train then broadcast the codebook" step — not a data scan.
-    // Invariant: the codebook must stay driver-sized. every-Nth selection
-    // grows linearly with the corpus, so a fixed `centroidEvery` at 100 TB
-    // would collect the corpus — `maxCentroids` hard-caps the collect by
-    // deterministic stride-thinning (same cap a trained k-means codebook
-    // has by construction). Default 4096 × 64 dims × 8 B ≈ 2 MB shipped.
     val picked = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
       .select(col("vid").cast("long"), col("v"),
         (col("nrm") * col("nrm")).as("cn2"))
       .collect()
       .sortBy(_.getLong(0))
     require(picked.nonEmpty,
-      s"ivfTopK: no centroid ids divisible by $centroidEvery — empty codebook")
+      s"no centroid ids divisible by $centroidEvery — empty codebook")
     val stride = (picked.length + maxCentroids - 1) / maxCentroids
     val centRows = picked.indices.collect {
       case j if j % stride == 0 => picked(j)
     }.toArray
-    val cells = base.withColumn("cell",
+    base.withColumn("cell",
       graft.functions.GraftFunctions.argminCell(col("v"), col("nrm"),
         centRows.map(_.getLong(0)),
         centRows.map(_.getSeq[Double](1).toArray),
         centRows.map(_.getDouble(2))))
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, centroidEvery: Int, k: Int,
+      maxCentroids: Int = 4096): DataFrame = {
+    val cells = assignCells(df, idCol, vecCol, centroidEvery, maxCentroids)
     val queries = cells.filter(isQuery)
       .select(col("vid").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell").as("qcell"))
@@ -152,5 +161,21 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+  }
+
+  /** One Lloyd (k-means) refinement step over the IVF codebook: assign
+    * every vector to its nearest current centroid (the per-row argmin
+    * kernel — zero shuffles), then recompute each cell's centroid as the
+    * member mean (VecAgg partial-aggregated buffers — one O(cells)
+    * shuffle). Iterating this is exactly how a production IVF index
+    * trains its codebook; each step is two narrow passes at any scale.
+    *
+    * Output: cell, centroid (array<double>), n_members.
+    */
+  def kmeansStep(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, dim: Int,
+      maxCentroids: Int = 4096): DataFrame = {
+    val cells = assignCells(df, idCol, vecCol, centroidEvery, maxCentroids)
+    VecAgg.meanPool(cells.select(col("cell"), col("v")), "cell", "v", dim)
   }
 }

@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.{GraftFunctions, TextOps}
+import graft.operators.{Dedup, Pack, Sampling, Similarity, VecAgg}
+
+/** Training-pipeline assembly operators, round 4: sequence packing,
+  * stratified sampling, incremental dedup, vocabulary encoding, embedding
+  * pooling, snapshot merge, k-means codebook refinement.
+  *
+  * Same oracle-parity conventions as LlmOps (stable floor-rounding on
+  * float outputs, identical aliases both sides, DuckDB lambdas 1-indexed).
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val duckVecNorm =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
+
+  // q32's signature/band construction, shared by the incremental oracle.
+  private val duckShingleSets =
+    """sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2]),
+      |      g -> ('0x' || substr(md5(g),1,8))::BIGINT)) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3)""".stripMargin
+
+  private val duckBandRows =
+    """sigs AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(range(0,32), j ->
+      |      list_min(list_transform(sh, h ->
+      |        (h*(2*j+1) + (j*j*31+7)) % 2147483647))) AS sig
+      |  FROM sets),
+      |bandrows AS (
+      |  SELECT doc_id, sh, CAST(b.range AS INT) AS band_idx,
+      |    array_to_string(list_transform(
+      |      sig[b.range*4+1 : b.range*4+4],
+      |      x -> CAST(x AS VARCHAR)), '-') AS band_key
+      |  FROM sigs, range(0,8) b)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Packing: concatenate all docs' tokens in id order, split every 512.
+    // The Spark side is the two-phase distributed prefix sum (no
+    // unpartitioned window over the corpus); the oracle is the naive
+    // global running sum — same arithmetic, different execution shape.
+    GraftQuery(
+      "q72_pack_sequences",
+      "Sequence packing at context 512 via two-phase distributed prefix " +
+        "sum (block totals -> broadcast offsets -> per-block windows); " +
+        "one row per doc x pack overlap.",
+      (s, d) => Pack.packSequences(
+        t(s, d, "documents"), "doc_id",
+        size(TextOps.tokens(col("text"))), contextLen = 512, blockLen = 100)
+        .orderBy("doc_id", "pack_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, len(string_split(text,' ')) AS ntok
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, ntok,
+             |    CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS strt
+             |  FROM tk WHERE ntok > 0),
+             |seg AS (
+             |  SELECT doc_id, ntok, strt,
+             |    unnest(range(strt // 512, (strt + ntok - 1) // 512 + 1))
+             |      AS pack_id
+             |  FROM c)
+             |SELECT doc_id, pack_id,
+             |  greatest(strt, pack_id*512) - pack_id*512 AS seg_start,
+             |  least(strt+ntok, (pack_id+1)*512) - greatest(strt, pack_id*512)
+             |    AS seg_tokens
+             |FROM seg ORDER BY doc_id, pack_id""".stripMargin)),
+
+    // Deterministic data mixing: per-stratum keep-rates decided by a
+    // salted portable hash, reproducible across engines/runs/repartitions.
+    GraftQuery(
+      "q73_stratified_sample",
+      "Stratified deterministic sampling: keep 35% of en, 80% of zh, " +
+        "60% otherwise, by salted md5 hash — pure scan-speed filter.",
+      (s, d) => Sampling.stratified(
+        t(s, d, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.35, "zh" -> 0.8), defaultRate = 0.6)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+             |      % 10000 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, lang, bucket FROM h
+             |WHERE bucket < CAST(floor(
+             |  CASE lang WHEN 'en' THEN 0.35 WHEN 'zh' THEN 0.8
+             |    ELSE 0.6 END * 10000.0) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Incremental dedup: today's batch (doc_id % 10 = 0) screened against
+    // the standing corpus — new->old band joins only, never corpus x
+    // corpus.
+    GraftQuery(
+      "q74_incremental_dedup",
+      "Incremental MinHash-LSH dedup: new batch vs existing corpus via " +
+        "asymmetric band-bucket join; per new doc the smallest matching " +
+        "old id at jaccard >= 0.5.",
+      (s, d) => Dedup.minhashLshIncremental(
+        t(s, d, "documents"), "doc_id", "text",
+        isNew = col("doc_id") % 10 === 0,
+        shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("doc_id"),
+      Some(s"""WITH $duckShingleSets,
+              |$duckBandRows,
+              |newb AS (SELECT * FROM bandrows WHERE doc_id % 10 = 0),
+              |oldb AS (SELECT * FROM bandrows WHERE doc_id % 10 != 0),
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS old_id,
+              |    x.sh AS sha, y.sh AS shb
+              |  FROM newb x JOIN oldb y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key),
+              |m AS (
+              |  SELECT doc_id, min(old_id) AS dup_of,
+              |    count(*) AS n_matches
+              |  FROM cand
+              |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+              |    (len(sha)+len(shb)-len(list_intersect(sha, shb))) >= 0.5
+              |  GROUP BY doc_id)
+              |SELECT d.doc_id, m.dup_of,
+              |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+              |  m.dup_of IS NOT NULL AS is_dup
+              |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+              |WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id""".stripMargin)),
+
+    // Vocabulary encoding: ids against the corpus top-100 vocab. The
+    // vocab is a bounded driver collect (like the IVF codebook); encoding
+    // itself is the zero-shuffle vocab_encode kernel — the explode->join->
+    // regroup alternative shuffles the full token stream twice.
+    GraftQuery(
+      "q75_token_ids",
+      "Token-id encoding against the corpus top-100 vocabulary " +
+        "(id = frequency rank, OOV = 0) via the codegen'd vocab_encode " +
+        "kernel — per-row projection, no token-stream shuffle.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val vocab = docs
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(100)
+          .collect().map(_.getString(0)).toSeq
+        GraftFunctions.registerAll(s)
+        docs.select(col("doc_id"),
+          GraftFunctions.vocabEncode(TextOps.tokens(col("text")), vocab)
+            .as("ids"))
+          .select(col("doc_id"),
+            array_join(transform(col("ids"), _.cast("string")), ",")
+              .as("ids_str"),
+            size(col("ids")).cast("long").as("n_tokens"),
+            size(filter(col("ids"), _ === 0)).cast("long").as("n_oov"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (
+             |  SELECT tok, count(*) AS cnt FROM (
+             |    SELECT unnest(string_split(text,' ')) AS tok
+             |    FROM documents)
+             |  WHERE tok != '' GROUP BY tok),
+             |vocab AS (
+             |  SELECT tok,
+             |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT)
+             |      AS id
+             |  FROM tf ORDER BY cnt DESC, tok LIMIT 100),
+             |pt AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(string_split(text,' '),
+             |      (x,i) -> {'tok': x, 'pos': i})) AS u
+             |  FROM documents),
+             |m AS (
+             |  SELECT pt.doc_id, pt.u.pos AS pos,
+             |    coalesce(v.id, 0) AS id
+             |  FROM pt LEFT JOIN vocab v ON pt.u.tok = v.tok)
+             |SELECT doc_id,
+             |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_str,
+             |  CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Mean pooling per cluster over NORMALIZED vectors — the VecAgg
+    // Aggregator ships O(clusters) buffers, not dim x corpus rows.
+    GraftQuery(
+      "q76_embedding_pool",
+      "Per-cluster mean pooling of normalized embeddings via the VecAgg " +
+        "partial-aggregated buffer UDAF (vec_id % 16 clusters).",
+      (s, d) => {
+        GraftFunctions.registerAll(s)
+        val base = t(s, d, "embeddings").select(
+          (col("vec_id") % 16).as("cluster"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        val u = base.withColumn("nrm",
+          sqrt(GraftFunctions.vecDot(col("v"), col("v"))))
+          .select(col("cluster"),
+            transform(col("v"), x => x / col("nrm")).as("u"))
+        VecAgg.meanPool(u, "cluster", "u", 64)
+          .select(col("cluster"),
+            posexplode(col("centroid")).as(Seq("dim", "x")),
+            col("n_members"))
+          .select(col("cluster"), col("dim"),
+            (floor(col("x") * 10000.0 + 0.5) / 10000.0).as("c"),
+            col("n_members"))
+          .orderBy("cluster", "dim")
+      },
+      Some(s"""WITH $duckVecNorm,
+              |u AS (SELECT vec_id % 16 AS cluster,
+              |  list_transform(v, x -> x/nrm) AS u FROM n),
+              |pe AS (SELECT cluster,
+              |  unnest(list_transform(u, (x,i) -> {'d': i, 'x': x})) AS s
+              |  FROM u)
+              |SELECT cluster, CAST(s.d - 1 AS INT) AS dim,
+              |  floor(avg(s.x) * 10000.0 + 0.5) / 10000.0 AS c,
+              |  CAST(count(*) AS BIGINT) AS n_members
+              |FROM pe GROUP BY cluster, s.d ORDER BY cluster, dim""".stripMargin)),
+
+    // Snapshot merge (SCD-latest upsert): base corpus + delta batch,
+    // keep the highest-version row per key — one partial-aggregated
+    // max_by shuffle, no window sort of the corpus.
+    GraftQuery(
+      "q77_snapshot_merge",
+      "Snapshot upsert merge: base (v1) + delta (v2, doc_id % 7 = 0) -> " +
+        "latest row per key via max_by aggregation (no window sort).",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs.select(col("doc_id"), col("text"), col("lang"),
+          col("source"), lit(1L).as("version"))
+        val delta = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" updated")).as("text"), col("lang"),
+            lit("delta").as("source"), lit(2L).as("version"))
+        base.unionByName(delta).groupBy("doc_id")
+          .agg(max("version").as("version"),
+            max_by(col("source"), col("version")).as("source"),
+            max_by(md5(col("text")), col("version")).as("text_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text, lang, source,
+             |    CAST(1 AS BIGINT) AS version FROM documents),
+             |delta AS (
+             |  SELECT doc_id, text || ' updated' AS text, lang,
+             |    'delta' AS source, CAST(2 AS BIGINT) AS version
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+             |SELECT doc_id, max(version) AS version,
+             |  arg_max(source, version) AS source,
+             |  arg_max(md5(text), version) AS text_hash
+             |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // One Lloyd step of IVF codebook training: per-row argmin assignment
+    // (zero shuffles) + per-cell mean via VecAgg (O(cells) shuffle).
+    GraftQuery(
+      "q78_kmeans_step",
+      "K-means refinement step over the every-73rd-id codebook: argmin " +
+        "cell assignment (kernel) then per-cell member mean (VecAgg).",
+      (s, d) => Similarity.kmeansStep(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        centroidEvery = 73, dim = 64)
+        .select(col("cell"),
+          posexplode(col("centroid")).as(Seq("dim", "x")),
+          col("n_members"))
+        .select(col("cell"), col("dim"),
+          (floor(col("x") * 10000.0 + 0.5) / 10000.0).as("c"),
+          col("n_members"))
+        .orderBy("cell", "dim"),
+      Some(s"""WITH $duckVecNorm,
+              |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
+              |  FROM n WHERE vec_id % 73 = 0),
+              |a0 AS (
+              |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+              |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
+              |      i -> n.v[i]*c.cv[i])) + c.cn2) AS d2
+              |  FROM n, c),
+              |cells AS (SELECT vec_id, v, cid AS cell FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM a0) WHERE rn = 1),
+              |pe AS (SELECT cell,
+              |  unnest(list_transform(v, (x,i) -> {'d': i, 'x': x})) AS s
+              |  FROM cells)
+              |SELECT cell, CAST(s.d - 1 AS INT) AS dim,
+              |  floor(avg(s.x) * 10000.0 + 0.5) / 10000.0 AS c,
+              |  CAST(count(*) AS BIGINT) AS n_members
+              |FROM pe GROUP BY cell, s.d ORDER BY cell, dim""".stripMargin))
+  )
+}

@@ -374,4 +374,129 @@ class OperatorsSpec extends SparkTestBase {
       assert(math.abs(approx - exact).toDouble / exact < 0.1,
         s"g=$g approx=$approx exact=$exact")
   }
+
+  test("Pack.packSequences: two-phase prefix sum equals the naive global " +
+    "window, and packs tile the token stream exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 200L).map(i => (i, (i * 31 % 97 + 1).toInt))
+      .toDF("doc_id", "ntok").repartition(8)
+    val got = Pack.packSequences(docs, "doc_id", col("ntok"),
+      contextLen = 64, blockLen = 16)
+      .orderBy("doc_id", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // naive oracle: one global running sum
+    val naive = docs.withColumn("start", coalesce(sum("ntok").over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .flatMap { case (id, n, start) =>
+        (start / 64 to (start + n - 1) / 64).map { p =>
+          val s = math.max(start, p * 64)
+          (id, p, s - p * 64, math.min(start + n, (p + 1) * 64) - s)
+        }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == naive.toSeq)
+    // tiling: per pack, segments sum to 64 (except the final pack)
+    val perPack = got.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    val lastPack = perPack.keys.max
+    perPack.foreach { case (p, tot) =>
+      if (p != lastPack) assert(tot == 64L, s"pack $p has $tot tokens") }
+  }
+
+  test("Sampling.stratified is deterministic and stable under append " +
+    "and repartition") {
+    val base = (0L until 2000L).map(i =>
+      (i, if (i % 3 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val kept1 = Sampling.stratified(base, "doc_id", "lang",
+      Map("en" -> 0.3), 0.7).select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept2 = Sampling.stratified(base.repartition(13), "doc_id", "lang",
+      Map("en" -> 0.3), 0.7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2) // repartition-stable
+    // appending rows never flips existing decisions
+    val appended = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val kept3 = Sampling.stratified(appended, "doc_id", "lang",
+      Map("en" -> 0.3), 0.7).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept3.filter(_ < 2000L) == kept1)
+    // rates land near their targets
+    val enRate = kept1.count(_ % 3 == 0).toDouble / (2000 / 3 + 1)
+    val zhRate = kept1.count(_ % 3 != 0).toDouble / (2000 - 2000 / 3 - 1)
+    assert(math.abs(enRate - 0.3) < 0.05, s"en rate $enRate")
+    assert(math.abs(zhRate - 0.7) < 0.05, s"zh rate $zhRate")
+  }
+
+  test("VecAgg.meanPool equals explode-and-regroup, with map-side " +
+    "partial aggregation") {
+    val rows = (0 until 300).map(i =>
+      (i % 5, Seq(i.toDouble, (i * 2).toDouble, (i % 7).toDouble)))
+    val df = rows.toDF("g", "v").repartition(8)
+    val pooled = VecAgg.meanPool(df, "g", "v", 3).collect()
+      .map(r => r.getInt(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    val oracle = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> Seq(0, 1, 2).map(d => vs.map(_._2(d)).sum / vs.size)
+    }
+    assert(pooled.keySet == oracle.keySet)
+    pooled.foreach { case (g, (c, n)) =>
+      assert(n == rows.count(_._1 == g).toLong)
+      c.zip(oracle(g)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"g=$g: $c vs ${oracle(g)}") }
+    }
+    val p = VecAgg.meanPool(df, "g", "v", 3)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
+  test("Dedup.minhashLshIncremental screens new-vs-old only, never " +
+    "new-vs-new") {
+    import spark.implicits._
+    // docs 0,1 old near-dups; doc 10 new dup of them; docs 20,21 new
+    // exact dups of EACH OTHER but of nothing old.
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (10L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (20L, "completely novel content about distributed query engines ok"),
+      (21L, "completely novel content about distributed query engines ok"),
+      (30L, "unique new document with no twin anywhere in the corpus"))
+      .toDF("doc_id", "text")
+    val r = Dedup.minhashLshIncremental(docs, "doc_id", "text",
+      isNew = col("doc_id") >= 10L, shingleN = 3, bands = 8,
+      rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), Option(x.get(1)).map(_.asInstanceOf[Long]),
+        x.getBoolean(3))).toSeq
+    assert(r == Seq(
+      (10L, Some(0L), true),   // min matching OLD id
+      (20L, None, false),      // new-new dup is NOT reported
+      (21L, None, false),
+      (30L, None, false)))
+  }
+
+  test("vocab_encode maps tokens to 1-based vocab ranks, OOV to 0, " +
+    "preserving order and duplicates") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.registerAll(spark)
+    val df = Seq((1L, Seq("b", "a", "zzz", "b", "c"))).toDF("id", "toks")
+    val ids = df.select(GraftFunctions.vocabEncode(col("toks"),
+      Seq("a", "b", "c")).as("ids")).collect()(0).getSeq[Int](0)
+    assert(ids == Seq(2, 1, 0, 2, 3))
+  }
+
+  test("Similarity.kmeansStep: centroids are the member means of their " +
+    "argmin cells") {
+    // two tight clusters around (0,0) and (100,100); centroid seeds are
+    // one member of each (ids 0 and 3 with centroidEvery=3)
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(100.0, 100.0)), (4L, Seq(101.0, 100.0)), (5L, Seq(100.0, 101.0)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.kmeansStep(vecs, "vec_id", "embedding",
+      centroidEvery = 3, dim = 2)
+      .orderBy("cell").collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1), x.getLong(2)))
+    assert(r.length == 2)
+    assert(r(0) == ((0L, Seq(1.0 / 3, 1.0 / 3), 3L)))
+    assert(r(1) == ((3L, Seq(100.0 + 1.0 / 3, 100.0 + 1.0 / 3), 3L)))
+  }
 }

@@ -109,6 +109,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q72: pack prefix-sum windows partition by block; block offsets " +
+    "are broadcast back, never shuffling the corpus") {
+    val p = planOf("q72_pack_sequences")
+    // the corpus-side running sum must be partitioned (by block); the
+    // only unpartitioned window is over the aggregated |blocks| frame
+    assert(p.contains("windowspecdefinition(block"),
+      s"corpus window not partitioned by block:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"block offsets not broadcast:\n$p")
+  }
+
   test("TopK aggregator partial-aggregates map-side") {
     val p = planOf("q57_topk_per_group")
     // ObjectHashAggregate appears twice: partial + final

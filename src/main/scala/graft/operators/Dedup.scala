@@ -92,6 +92,54 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact duplicated-n-gram statistics — the substring-level dedup
+    * signal (cf. "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, which removes repeated ≥50-token spans):
+    * a positional n-gram is "duplicated" when the same n-gram occurs in
+    * ≥ `minDocs` DISTINCT documents; each document reports how much of
+    * it is covered by duplicated grams. Downstream either drops
+    * high-fraction docs or cuts the flagged spans.
+    *
+    * Scale shape: positional gram hashes (per-row projection) → ONE
+    * groupBy on the gram hash for document frequencies (the inverted
+    * index — partial-aggregated, carries one long per gram occurrence) →
+    * join back on the same key (partitioning reused, shuffle-pinned so
+    * AQE can't broadcast a corpus-sized gram table) → per-doc
+    * re-aggregation. Unlike the pair generators there is no quadratic
+    * blow-up to cap: the frequency table has one row per distinct gram,
+    * so a boilerplate gram costs one aggregate row, not a self-join
+    * explosion.
+    *
+    * Output: doc_id, n_grams, n_dup_grams, dup_fraction (4-dp floor
+    * rounding, 0.0 for docs shorter than n tokens).
+    */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    GraftFunctions.registerAll(df.sparkSession)
+    val grams = df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          .as("gs"))
+      .select(col("doc_id"), explode_outer(
+        transform(col("gs"), g => TextOps.hash32(g))).as("g"))
+    val docFreq = grams.filter(col("g").isNotNull)
+      .groupBy("g").agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .hint("shuffle_hash")
+    grams.hint("shuffle_hash")
+      .join(docFreq, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("g")).as("n_grams"),
+        count(col("df")).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (floor(when(col("n_grams") === 0, 0.0)
+          .otherwise(col("n_dup_grams").cast("double") / col("n_grams"))
+          * 10000.0 + 0.5) / 10000.0).as("dup_fraction"))
+  }
+
   /** MinHash + LSH near-dup pairs: signature → banded bucketing →
     * candidate pairs → exact-Jaccard verification on the candidate set
     * only. numHashes = bands × rowsPerBand.

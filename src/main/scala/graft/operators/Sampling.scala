@@ -38,4 +38,37 @@ object Sampling {
     df.withColumn("bucket", bucket)
       .filter(col("bucket") < (rateCol * 10000.0).cast("long"))
   }
+
+  /** Mixture upsampling with replacement — the "books ×2.5, crawl ×0.4"
+    * epoch-weighting step of a training mix. Every row is replicated
+    * floor(weight) times plus one more iff its salted hash draw lands
+    * under frac(weight) — so expected copies = weight exactly, decided
+    * deterministically per row (reproducible, repartition-stable, and
+    * append-stable like [[stratified]]).
+    *
+    * Scale: per-row `explode(sequence(...))` — no shuffle; the weight
+    * table is a literal CASE chain folded into the scan.
+    *
+    * Output: the input row + copy_idx (1..n_copies); rows with zero
+    * copies are dropped.
+    */
+  def upsample(df: DataFrame, idCol: String, stratumCol: String,
+      weights: Map[String, Double], defaultWeight: Double,
+      salt: String = "mix"): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(_ >= 0),
+      "weights must be >= 0")
+    val draw = pmod(TextOps.hash32(
+      concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(10000))
+    val wCol: Column = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (stratum, w)) =>
+        when(col(stratumCol) === stratum, lit(w)).otherwise(acc)
+    }
+    val copies = floor(wCol).cast("long") +
+      when(draw < ((wCol - floor(wCol)) * 10000.0).cast("long"), 1L)
+        .otherwise(0L)
+    df.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("n_copies")
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 import graft.functions.{GraftFunctions, TextOps}
-import graft.operators.{Dedup, Pack, Sampling, Similarity, VecAgg}
+import graft.operators.{Chunk, Dedup, Order, Pack, Sampling, Similarity, VecAgg}
 
 /** Training-pipeline assembly operators, round 4: sequence packing,
   * stratified sampling, incremental dedup, vocabulary encoding, embedding
@@ -301,6 +301,115 @@ object Pipeline {
               |SELECT cell, CAST(s.d - 1 AS INT) AS dim,
               |  floor(avg(s.x) * 10000.0 + 0.5) / 10000.0 AS c,
               |  CAST(count(*) AS BIGINT) AS n_members
-              |FROM pe GROUP BY cell, s.d ORDER BY cell, dim""".stripMargin))
+              |FROM pe GROUP BY cell, s.d ORDER BY cell, dim""".stripMargin)),
+
+    // Sliding-window chunking (RAG/encoder prep): 32-token windows every
+    // 24 tokens — a per-row flatMap at scan speed, zero shuffles.
+    GraftQuery(
+      "q79_chunk_sliding",
+      "Sliding-window chunking: 32-token windows, stride 24, content-" +
+        "hashed per chunk — pure per-row explode, no shuffle.",
+      (s, d) => Chunk.slidingWindows(
+        t(s, d, "documents"), "doc_id", "text", window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, toks,
+             |    unnest(range(0, greatest(len(toks)-1, 0)+1, 24)) AS strt
+             |  FROM tk),
+             |w AS (SELECT doc_id, strt, toks[strt+1 : strt+32] AS w FROM st)
+             |SELECT doc_id, CAST(strt // 24 AS BIGINT) AS chunk_idx,
+             |  CAST(strt AS BIGINT) AS chunk_start,
+             |  CAST(len(w) AS BIGINT) AS n_chunk_tokens,
+             |  ('0x' || substr(md5(array_to_string(w,' ')),1,8))::BIGINT
+             |    AS chunk_hash
+             |FROM w ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Substring-level dedup signal: positional 5-grams occurring in >= 2
+    // distinct docs; per-doc duplicated-coverage fraction.
+    GraftQuery(
+      "q80_dup_ngram_spans",
+      "Exact duplicated-5-gram coverage per doc (Lee et al.-style " +
+        "substring dedup signal): one gram-hash groupBy + same-key join " +
+        "back, shuffle-pinned.",
+      (s, d) => Dedup.dupNgramStats(
+        t(s, d, "documents"), "doc_id", "text", n = 5, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks
+             |  FROM documents),
+             |e AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, len(toks)-4),
+             |    i -> ('0x' || substr(md5(
+             |      array_to_string(toks[i+1 : i+5],' ')),1,8))::BIGINT))
+             |    AS g
+             |  FROM tk),
+             |fr AS (
+             |  SELECT g FROM e GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |per AS (
+             |  SELECT e.doc_id, count(*) AS n_grams,
+             |    sum(CASE WHEN fr.g IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+             |  FROM e LEFT JOIN fr ON e.g = fr.g GROUP BY e.doc_id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_grams,
+             |  floor(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+             |    ELSE coalesce(per.n_dup, 0) * 1.0 / per.n_grams END
+             |    * 10000.0 + 0.5) / 10000.0 AS dup_fraction
+             |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Deterministic global shuffle order via the two-phase rank (hash
+    // range-bucketed blocks; only the |blocks| offsets frame is ever
+    // single-partition). Oracle is the naive global row_number.
+    GraftQuery(
+      "q81_global_shuffle",
+      "Deterministic training order: contiguous global position in " +
+        "salted-hash order via block-bucketed two-phase ranking.",
+      (s, d) => Order.globalIndex(
+        t(s, d, "documents"), "doc_id", salt = "shuffle", nBlocks = 64)
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('shuffle:' ||
+             |      CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+             |  FROM documents)
+             |SELECT doc_id, h,
+             |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+             |    AS pos
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // Mixture upsampling with replacement: en x2.5, zh x0.4, else x1.0 —
+    // expected copies = weight, decided by deterministic hash draw.
+    GraftQuery(
+      "q82_upsample_mixture",
+      "Epoch-weighted mixture upsampling (en x2.5, zh x0.4, default " +
+        "x1.0): floor(w) copies + one more under the fractional hash " +
+        "draw — per-row explode, reproducible.",
+      (s, d) => Sampling.upsample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang",
+        weights = Map("en" -> 2.5, "zh" -> 0.4), defaultWeight = 1.0)
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy("doc_id", "copy_idx"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, lang,
+             |    CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 0.4
+             |      ELSE 1.0 END AS wt,
+             |    ('0x' || substr(md5('mix:' ||
+             |      CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000 AS draw
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang,
+             |    CAST(floor(wt) AS BIGINT) +
+             |      CASE WHEN draw < CAST(floor((wt - floor(wt)) * 10000.0)
+             |        AS BIGINT) THEN 1 ELSE 0 END AS n
+             |  FROM w)
+             |SELECT doc_id, lang,
+             |  CAST(unnest(range(1, n+1)) AS BIGINT) AS copy_idx
+             |FROM c WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin))
   )
 }

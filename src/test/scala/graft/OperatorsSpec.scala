@@ -483,6 +483,77 @@ class OperatorsSpec extends SparkTestBase {
     assert(ids == Seq(2, 1, 0, 2, 3))
   }
 
+  test("Chunk.slidingWindows tiles docs with the right overlap and " +
+    "plans with zero exchanges") {
+    val docs = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val r = Chunk.slidingWindows(docs, "doc_id", "text", 20, 15)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // doc 1: starts 0,15,30,45 → lengths 20,20,20,5; doc 2: one chunk of 3
+    assert(r.toSeq == Seq((1L, 0L, 0L, 20L), (1L, 1L, 15L, 20L),
+      (1L, 2L, 30L, 20L), (1L, 3L, 45L, 5L), (2L, 0L, 0L, 3L)))
+    val p = Chunk.slidingWindows(docs, "doc_id", "text", 20, 15)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
+  }
+
+  test("Dedup.dupNgramStats: shared spans counted, unique docs zero, " +
+    "short docs report zero grams") {
+    val docs = Seq(
+      (1L, "one two three four five six alpha"),   // shares 5-gram span w/ 2
+      (2L, "one two three four five six beta"),
+      (3L, "totally different words here apart beyond gamma"),
+      (4L, "tiny doc")) // < 5 tokens
+      .toDF("doc_id", "text")
+    val r = Dedup.dupNgramStats(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // docs 1/2: 3 grams each, the 2 grams inside "one..six" shared
+    assert(r.toSeq == Seq((1L, 3L, 2L), (2L, 3L, 2L), (3L, 3L, 0L),
+      (4L, 0L, 0L)))
+  }
+
+  test("Order.globalIndex equals the naive global row_number and is " +
+    "contiguous across blocks") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextOps
+    val docs = (0L until 500L).map(Tuple1(_)).toDF("doc_id").repartition(8)
+    val got = Order.globalIndex(docs, "doc_id", nBlocks = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val naive = docs.withColumn("h", TextOps.hash32(
+        concat(lit("shuffle:"), col("doc_id").cast("string"))))
+      .withColumn("pos",
+        row_number().over(Window.orderBy("h", "doc_id")).cast("long") - 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naive)
+    assert(got.values.map(_._2).toSeq.sorted == (0L until 500L).toSeq)
+  }
+
+  test("Sampling.upsample: copy counts are floor(w)/ceil(w) with the " +
+    "right expectation, deterministic across repartition") {
+    val docs = (0L until 3000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "other")).toDF("doc_id", "lang")
+    val up = Sampling.upsample(docs, "doc_id", "lang",
+      Map("en" -> 2.3), defaultWeight = 0.5)
+    val counts = up.groupBy("doc_id", "lang").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // en docs get 2 or 3 copies; others 0 (absent) or 1
+    counts.foreach { case (id, lang, n) =>
+      if (lang == "en") assert(n == 2L || n == 3L, s"doc $id: $n")
+      else assert(n == 1L, s"doc $id: $n")
+    }
+    val enMean = counts.filter(_._2 == "en").map(_._3).sum.toDouble / 1500
+    val otherKept = counts.count(_._2 == "other").toDouble / 1500
+    assert(math.abs(enMean - 2.3) < 0.05, s"en mean $enMean")
+    assert(math.abs(otherKept - 0.5) < 0.05, s"other keep $otherKept")
+    val again = Sampling.upsample(docs.repartition(11), "doc_id", "lang",
+      Map("en" -> 2.3), defaultWeight = 0.5)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == counts.map(c => c._1 -> c._3).toMap)
+  }
+
   test("Similarity.kmeansStep: centroids are the member means of their " +
     "argmin cells") {
     // two tight clusters around (0,0) and (100,100); centroid seeds are

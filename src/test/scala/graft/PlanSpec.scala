@@ -58,7 +58,8 @@ class PlanSpec extends SparkTestBase {
   test("pair-generating self-joins shuffle on the key, never broadcast " +
     "the corpus index") {
     for (name <- Seq("q31_dedup_ngram_jaccard", "q32_dedup_minhash_lsh",
-        "q43_simhash_pairs", "q70_dedup_embedding_lsh")) {
+        "q43_simhash_pairs", "q70_dedup_embedding_lsh",
+        "q80_dup_ngram_spans")) {
       val p = planOf(name)
       assert(p.contains("ShuffledHashJoin"), s"$name lost its hint:\n$p")
       assert(!p.contains("BroadcastHashJoin"),
@@ -116,6 +117,15 @@ class PlanSpec extends SparkTestBase {
     // only unpartitioned window is over the aggregated |blocks| frame
     assert(p.contains("windowspecdefinition(block"),
       s"corpus window not partitioned by block:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"block offsets not broadcast:\n$p")
+  }
+
+  test("q81: global-order ranking windows partition by block with " +
+    "offsets broadcast — the corpus is never globally sorted") {
+    val p = planOf("q81_global_shuffle")
+    assert(p.contains("windowspecdefinition(block"),
+      s"rank window not partitioned by block:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"block offsets not broadcast:\n$p")
   }

@@ -140,6 +140,52 @@ object Dedup {
           * 10000.0 + 0.5) / 10000.0).as("dup_fraction"))
   }
 
+  /** The APPLY side of [[dupNgramStats]]: cut every token covered by a
+    * duplicated n-gram out of the document (Lee et al.'s ExactSubstr
+    * treatment — duplicated spans are removed, the unique remainder
+    * kept).
+    *
+    * Same inverted-index shape as the stats pass, plus: duplicated gram
+    * occurrences explode to their n covered token positions, positions
+    * collapse to a per-doc set (collect_set — bounded by doc length, not
+    * corpus size), and the cut itself is a per-row indexed `filter` HOF
+    * against that set. One gram-key shuffle + one doc-key shuffle; the
+    * rewritten corpus never moves between executors.
+    *
+    * Output: doc_id, n_tokens, n_removed, clean_hash (portable 32-bit
+    * hash of the space-joined remainder).
+    */
+  def cutDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val grams = docs.select(col("doc_id"),
+        when(size(col("toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          .as("gs"))
+      .select(col("doc_id"), posexplode(
+        transform(col("gs"), g => TextOps.hash32(g))).as(Seq("p", "g")))
+    val dupGrams = grams
+      .groupBy("g").agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .hint("shuffle_hash")
+    val covered = grams.hint("shuffle_hash")
+      .join(dupGrams, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("c"))
+      .groupBy("doc_id").agg(collect_set(col("c")).as("cov"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov",
+        coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("cov")).cast("long").as("n_removed"),
+        TextOps.hash32(array_join(
+          filter(col("toks"), (_, i) => !array_contains(col("cov"), i)),
+          " ")).as("clean_hash"))
+  }
+
   /** MinHash + LSH near-dup pairs: signature → banded bucketing →
     * candidate pairs → exact-Jaccard verification on the candidate set
     * only. numHashes = bands × rowsPerBand.

@@ -410,6 +410,99 @@ object Pipeline {
              |  FROM w)
              |SELECT doc_id, lang,
              |  CAST(unnest(range(1, n+1)) AS BIGINT) AS copy_idx
-             |FROM c WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin))
+             |FROM c WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin)),
+
+    // Apply side of q80: tokens covered by any duplicated 5-gram are cut;
+    // the unique remainder is re-hashed. Corpus text never shuffles —
+    // only gram hashes and position sets do.
+    GraftQuery(
+      "q83_cut_dup_spans",
+      "Duplicated-span removal (ExactSubstr treatment): cut every token " +
+        "covered by a 5-gram shared across docs; output the cleaned " +
+        "remainder's hash and removal counts.",
+      (s, d) => Dedup.cutDupSpans(
+        t(s, d, "documents"), "doc_id", "text", n = 5, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks
+             |  FROM documents),
+             |e AS (
+             |  SELECT doc_id, u.p AS p, u.g AS g FROM (
+             |    SELECT doc_id, unnest(list_transform(range(0, len(toks)-4),
+             |      i -> {'p': i, 'g': ('0x' || substr(md5(
+             |        array_to_string(toks[i+1 : i+5],' ')),1,8))::BIGINT}))
+             |      AS u
+             |    FROM tk)),
+             |fr AS (
+             |  SELECT g FROM e GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |cv AS (
+             |  SELECT doc_id, c FROM (
+             |    SELECT e.doc_id AS doc_id, unnest(range(e.p, e.p + 5)) AS c
+             |    FROM e JOIN fr ON e.g = fr.g)
+             |  GROUP BY doc_id, c),
+             |covs AS (
+             |  SELECT doc_id, count(*) AS n_removed, list(c) AS cov
+             |  FROM cv GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             |  CAST(coalesce(covs.n_removed, 0) AS BIGINT) AS n_removed,
+             |  ('0x' || substr(md5(coalesce(array_to_string(
+             |    list_filter(t.toks, (x, i) -> NOT list_contains(
+             |      coalesce(covs.cov, CAST([] AS BIGINT[])), i - 1)),
+             |    ' '), '')),1,8))::BIGINT AS clean_hash
+             |FROM tk t LEFT JOIN covs ON t.doc_id = covs.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // Unigram surprisal scoring: -mean ln p(token) under the corpus
+    // unigram LM (top-100 vocab, OOV smoothed to 1/total). The frequency
+    // table rides in as a literal logprob array indexed by vocab_encode's
+    // ids — scoring is a per-row projection, no token-stream shuffle.
+    GraftQuery(
+      "q84_unigram_surprisal",
+      "Per-doc unigram surprisal (-mean ln p) under the corpus top-100 " +
+        "unigram LM with 1/total OOV smoothing, via vocab_encode ids -> " +
+        "broadcast logprob lookup.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        GraftFunctions.registerAll(s)
+        val tf = docs
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        val total = tf.count()
+        val top = tf.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(100).collect()
+        val vocab = top.map(_.getString(0)).toSeq
+        val lps = math.log(1.0 / total) +:
+          top.map(r => math.log(r.getLong(1).toDouble / total)).toSeq
+        docs.select(col("doc_id"),
+          GraftFunctions.vocabEncode(TextOps.tokens(col("text")), vocab)
+            .as("ids"))
+          .select(col("doc_id"),
+            size(col("ids")).cast("long").as("n_tokens"),
+            (floor(-aggregate(
+              transform(col("ids"),
+                id => element_at(lit(lps.toArray), id + 1)),
+              lit(0.0), (acc, x) => acc + x) / size(col("ids"))
+              * 10000.0 + 0.5) / 10000.0).as("surprisal"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH alltok AS (
+             |  SELECT doc_id, unnest(string_split(text,' ')) AS tok
+             |  FROM documents),
+             |tf AS (
+             |  SELECT tok, count(*) AS cnt FROM alltok
+             |  WHERE tok != '' GROUP BY tok),
+             |tot AS (SELECT sum(cnt) AS total FROM tf),
+             |vocab AS (
+             |  SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT 100),
+             |lp AS (
+             |  SELECT a.doc_id,
+             |    CASE WHEN v.tok IS NULL
+             |      THEN ln(1.0 / (SELECT total FROM tot))
+             |      ELSE ln(v.cnt * 1.0 / (SELECT total FROM tot)) END AS l
+             |  FROM alltok a LEFT JOIN vocab v ON a.tok = v.tok)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  floor((-avg(l)) * 10000.0 + 0.5) / 10000.0 AS surprisal
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -514,6 +514,28 @@ class OperatorsSpec extends SparkTestBase {
       (4L, 0L, 0L)))
   }
 
+  test("Dedup.cutDupSpans removes exactly the covered positions and " +
+    "hashes the remainder") {
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "one two three four five six alpha"),
+      (2L, "one two three four five six beta"),
+      (3L, "totally different words here apart beyond gamma"),
+      (4L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val r = Dedup.cutDupSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    def h(s: String): Long = spark.range(1)
+      .select(TextOps.hash32(lit(s))).collect()(0).getLong(0)
+    // docs 1/2 share grams at starts 0 and 1 → positions 0..5 covered;
+    // the unique 7th token survives. 3 and 4 are untouched.
+    assert(r.toSeq == Seq(
+      (1L, 7L, 6L, h("alpha")), (2L, 7L, 6L, h("beta")),
+      (3L, 7L, 0L, h("totally different words here apart beyond gamma")),
+      (4L, 2L, 0L, h("tiny doc"))))
+  }
+
   test("Order.globalIndex equals the naive global row_number and is " +
     "contiguous across blocks") {
     import org.apache.spark.sql.expressions.Window

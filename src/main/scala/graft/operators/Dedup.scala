@@ -260,11 +260,16 @@ object Dedup {
     * handled separately, not an all-corpus re-pairing).
     *
     * Same MinHash+LSH machinery as [[minhashLshPairs]], but the bucket
-    * join is new→old only: band rows are computed once over the whole
-    * frame, split by `isNew`, and joined new×old on the band key —
-    * asymmetric, so corpus×corpus pairs are never generated. At scale the
-    * old side's band rows are a precomputed index you'd persist between
-    * runs; the join stays shuffle-pinned like every pair generator here.
+    * join is new→old only: the band index is computed ONCE and
+    * materialized (`localCheckpoint`, same device as
+    * [[connectedComponents]]'s edges — splitting the lazy frame by
+    * `isNew` would otherwise evaluate the whole shingle→MinHash pipeline
+    * twice, doubling the dominant scan phase; a branch-side filter can't
+    * be fenced from Catalyst's predicate pushdown any other way). The
+    * materialized index is exactly the artifact a production run persists
+    * between days. The asymmetric new×old join then never generates
+    * corpus×corpus pairs, and stays shuffle-pinned like every pair
+    * generator here.
     *
     * Output: one row per NEW doc — doc_id, dup_of (smallest matching old
     * id at jaccard ≥ threshold, null when none), n_matches, is_dup.
@@ -276,13 +281,13 @@ object Dedup {
       df.withColumn("is_new", isNew), idCol, textCol,
       shingleN, bands, rowsPerBand, extra = Seq("is_new"))
     val pruned =
-      if (maxBucket == Int.MaxValue) bandRows
+      (if (maxBucket == Int.MaxValue) bandRows
       else {
         val hot = bandRows.groupBy("band_idx", "band_key")
           .agg(count(lit(1)).as("bucket_n"))
           .filter(col("bucket_n") > maxBucket)
         bandRows.join(hot, Seq("band_idx", "band_key"), "left_anti")
-      }
+      }).localCheckpoint(true)
     val newSide = pruned.filter(col("is_new"))
       .select(col("doc_id"), col("sh"), col("band_idx"), col("band_key"))
       .hint("shuffle_hash")

@@ -121,6 +121,20 @@ class PlanSpec extends SparkTestBase {
       s"block offsets not broadcast:\n$p")
   }
 
+  test("q74: the incremental band index materializes once — the " +
+    "shingle/MinHash pipeline is not evaluated per join side") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val q = SparkEntry.allQueries.find(_.name == "q74_incremental_dedup").get
+    val plan = q.run(spark, sf).queryExecution.sparkPlan
+    val fileScans = plan.collect { case s: FileSourceScanExec => s }
+    // the only parquet scan is the id-only base of the final left join;
+    // both join sides read the checkpointed band index
+    assert(fileScans.length == 1,
+      s"expected 1 file scan, got ${fileScans.length}:\n$plan")
+    assert(plan.toString.contains("ExistingRDD"),
+      s"band index not checkpointed:\n$plan")
+  }
+
   test("q81: global-order ranking windows partition by block with " +
     "offsets broadcast — the corpus is never globally sorted") {
     val p = planOf("q81_global_shuffle")

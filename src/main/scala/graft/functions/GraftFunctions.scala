@@ -20,6 +20,37 @@ object GraftFunctions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  /** The full (name → expression builder) surface, shared by
+    * [[registerAll]] (manual, per-session) and
+    * `graft.plans.GraftExtensions` (`injectFunction`, the idiomatic
+    * `spark.sql.extensions` route — sessions built with the extension
+    * need no registration call at all).
+    */
+  private[graft] val builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "safe_ip_from_string" -> (es => SafeIpFromString(es.head)),
+    "ip_trunc" -> (es => IpTrunc(es(0), es(1))),
+    "is_private_ip" -> (es => IsPrivateIp(es.head)),
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "simhash60" -> (es => SimHash60Expr(es.head)),
+    "minhash_sig" -> (es => MinHashSigExpr(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    "shingle_hash_set" -> (es => ShingleHashSetExpr(es(0),
+      es(1).eval().asInstanceOf[Int])),
+    "token_hashes" -> (es => TokenHashesExpr(es.head)),
+    "stop_hits" -> (es => StopHitsExpr(es(0),
+      es(1).eval().toString.split(',').toSeq)),
+    "vocab_encode" -> (es => VocabEncodeExpr(es(0),
+      es(1).eval().toString.split(',').toSeq)),
+    "argmin_cell" -> (es => {
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      ArgminCellExpr(es(0), es(1), Codebook.fromFlat(
+        es(2).eval().asInstanceOf[ArrayData].toLongArray(),
+        es(3).eval().asInstanceOf[ArrayData].toDoubleArray(),
+        es(4).eval().asInstanceOf[ArrayData].toDoubleArray()))
+    }))
+
   /** Idempotently register all graft expressions on the session — once
     * per session, so the per-name "function replaced" warnings from
     * createOrReplaceTempFunction can't spam stderr from every operator
@@ -29,31 +60,9 @@ object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
-    def register(name: String,
-        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
-          => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    builders.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
-    register("safe_ip_from_string", es => SafeIpFromString(es.head))
-    register("ip_trunc", es => IpTrunc(es(0), es(1)))
-    register("is_private_ip", es => IsPrivateIp(es.head))
-    register("vec_dot", es => VecDot(es(0), es(1)))
-    register("simhash60", es => SimHash60Expr(es.head))
-    register("minhash_sig", es => MinHashSigExpr(es(0),
-      es(1).eval().asInstanceOf[Int]))
-    register("shingle_hash_set", es => ShingleHashSetExpr(es(0),
-      es(1).eval().asInstanceOf[Int]))
-    register("token_hashes", es => TokenHashesExpr(es.head))
-    register("stop_hits", es => StopHitsExpr(es(0),
-      es(1).eval().toString.split(',').toSeq))
-    register("vocab_encode", es => VocabEncodeExpr(es(0),
-      es(1).eval().toString.split(',').toSeq))
-    register("argmin_cell", es => {
-      import org.apache.spark.sql.catalyst.util.ArrayData
-      ArgminCellExpr(es(0), es(1), Codebook.fromFlat(
-        es(2).eval().asInstanceOf[ArrayData].toLongArray(),
-        es(3).eval().asInstanceOf[ArrayData].toDoubleArray(),
-        es(4).eval().asInstanceOf[ArrayData].toDoubleArray()))
-    })
+    }
   }
 
   /** Column wrappers (require registerAll on the session first). */

@@ -274,6 +274,46 @@ object Dedup {
     * Output: one row per NEW doc — doc_id, dup_of (smallest matching old
     * id at jaccard ≥ threshold, null when none), n_matches, is_dup.
     */
+  /** The persistable LSH band index of a corpus — (doc_id, sh, band_idx,
+    * band_key). This is the artifact an operating pipeline writes once
+    * per corpus snapshot and screens every future batch against
+    * ([[screenAgainstIndex]], `streaming.Ingest.startDedupScreen`).
+    */
+  def lshBandIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    bandRowsOf(df, idCol, textCol, shingleN, bands, rowsPerBand)
+
+  /** Screen a batch of new docs against a prebuilt [[lshBandIndex]]:
+    * asymmetric new→index band join, exact-Jaccard verification on
+    * candidates, one decision row per new doc (same output contract as
+    * [[minhashLshIncremental]]). The new side's band rows are a per-row
+    * projection computed in flight — also valid on a streaming frame,
+    * which is how the per-micro-batch streaming screen reuses this
+    * unchanged.
+    */
+  def screenAgainstIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, oldIndex: DataFrame, shingleN: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    val newBand = bandRowsOf(newDocs, idCol, textCol, shingleN, bands,
+      rowsPerBand).hint("shuffle_hash")
+    val old = oldIndex.select(col("doc_id").as("old_id"),
+      col("sh").as("sho"), col("band_idx"), col("band_key"))
+      .hint("shuffle_hash")
+    val matches = newBand.join(old, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("old_id"), col("sh"), col("sho"))
+      .dropDuplicates("doc_id", "old_id")
+      .withColumn("common", size(array_intersect(col("sh"), col("sho"))))
+      .filter(col("common").cast("double") /
+        (size(col("sh")) + size(col("sho")) - col("common")) >= threshold)
+      .groupBy("doc_id")
+      .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_matches"))
+    newDocs.select(col(idCol).as("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
   def minhashLshIncremental(df: DataFrame, idCol: String, textCol: String,
       isNew: Column, shingleN: Int, bands: Int, rowsPerBand: Int,
       threshold: Double, maxBucket: Int = Int.MaxValue): DataFrame = {

@@ -80,11 +80,23 @@ class PartitionFilterCheck(spark: SparkSession)
     }
 }
 
-/** Session extensions installing the partition-filter check:
+/** Session extensions installing the partition-filter check and graft's
+  * native function surface:
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. A session built
+  * this way resolves `vec_dot`, `minhash_sig`, `is_private_ip`, … in SQL
+  * text with no registration call — the idiomatic deployment route;
+  * `GraftFunctions.registerAll` remains for plain sessions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectCheckRule(spark => new PartitionFilterCheck(spark))
+    graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        b))
+    }
+  }
 }

@@ -72,6 +72,32 @@ object Ingest {
       .drop(r(keyCol))
   }
 
+  /** Streaming incremental dedup: screen every arriving micro-batch of
+    * documents against a static, prebuilt corpus band index
+    * (`Dedup.lshBandIndex`) and append one decision row per new doc.
+    *
+    * `foreachBatch` is the right harness here — the screen aggregates
+    * per doc over its band matches, which is a batch-scoped aggregation
+    * (each doc's bands arrive together in its micro-batch), not
+    * cross-batch streaming state; the static index is the only standing
+    * state and it lives outside the stream. This is the daily-crawl
+    * topology: yesterday's corpus indexed once, today's docs screened as
+    * they land.
+    */
+  def startDedupScreen(newDocs: DataFrame, oldIndex: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.screenAgainstIndex(batch, idCol, textCol,
+            oldIndex, shingleN, bands, rowsPerBand, threshold)
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

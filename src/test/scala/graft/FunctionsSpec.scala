@@ -256,4 +256,18 @@ class FunctionsSpec extends SparkTestBase {
         st.map(f => (f.name, f.dataType, f.nullable)))
     }
   }
+
+  test("GraftExtensions injects the kernel surface: a fresh session " +
+    "resolves graft functions in SQL with no registerAll call") {
+    // newSession() builds fresh session state from the same extensions;
+    // GraftFunctions.registerAll has never run on it (per-session keying)
+    val s2 = spark.newSession()
+    val d = s2.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d == 11.0)
+    val ip = s2.sql("SELECT is_private_ip('10.1.2.3') AS p")
+      .collect()(0).getBoolean(0)
+    assert(ip)
+  }
 }

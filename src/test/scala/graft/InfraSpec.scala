@@ -222,6 +222,52 @@ class InfraSpec extends SparkTestBase {
     assert(rows(0).getInt(3) == 2 && rows(0).getDouble(4) == 3.0)
   }
 
+  test("streaming dedup screen: micro-batches against a static band " +
+    "index agree with the batch incremental operator") {
+    import graft.operators.Dedup
+    val inDir = Files.createTempDirectory("scr-in").toFile
+    val outDir = Files.createTempDirectory("scr-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("scr-ck").toFile.getAbsolutePath
+    val oldDocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (1L, "some other standing corpus document with its own words here"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (11L, "fresh unique text that matches nothing in the old corpus"),
+      (12L, "some other standing corpus document with its own words here"))
+      .toDF("doc_id", "text")
+    // two drops → two micro-batches
+    newDocs.filter(col("doc_id") < 12L).write
+      .parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    newDocs.filter(col("doc_id") === 12L).write
+      .parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+
+    val index = Dedup.lshBandIndex(oldDocs, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 4)
+    val stream = Ingest.streamTable(spark,
+      inDir.getAbsolutePath + "/drop*", newDocs.schema)
+    val q = Ingest.startDedupScreen(stream, index, "doc_id", "text",
+      shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+      outDir = outDir, checkpointDir = ckpt)
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(outDir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getBoolean(3))).toSeq
+    val batch = Dedup.minhashLshIncremental(
+      oldDocs.unionByName(newDocs), "doc_id", "text",
+      isNew = col("doc_id") >= 10L, shingleN = 3, bands = 8,
+      rowsPerBand = 4, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getBoolean(3))).toSeq
+    assert(got == batch)
+    assert(got == Seq((10L, Some(0L), true), (11L, None, false),
+      (12L, Some(1L), true)))
+  }
+
   test("streaming ingest: file source -> watermark dedup -> windowed agg") {
     val dir = Files.createTempDirectory("stream-in").toFile
     val ckpt = Files.createTempDirectory("stream-ck").toFile

@@ -175,7 +175,9 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + (n - 1))).as("c"))
       .groupBy("doc_id").agg(collect_set(col("c")).as("cov"))
-    docs.join(covered, Seq("doc_id"), "left")
+    // covered is corpus-sized at scale (every doc with any dup span) —
+    // pin the join so AQE can't broadcast it off a small-SF estimate
+    docs.join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("cov",
         coalesce(col("cov"), array().cast("array<int>")))
       .select(col("doc_id"),
@@ -308,7 +310,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_matches"))
     newDocs.select(col(idCol).as("doc_id"))
-      .join(matches, Seq("doc_id"), "left")
+      .join(matches.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .withColumn("is_dup", col("dup_of").isNotNull)
@@ -344,7 +346,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_matches"))
     df.filter(isNew).select(col(idCol).as("doc_id"))
-      .join(matches, Seq("doc_id"), "left")
+      .join(matches.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"))
       .withColumn("is_dup", col("dup_of").isNotNull)

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 import graft.functions.{GraftFunctions, TextOps}
-import graft.operators.{Chunk, Dedup, Order, Pack, Sampling, Similarity, VecAgg}
+import graft.operators.{BloomScreen, Chunk, Dedup, Order, Pack, Sampling,
+  Similarity, VecAgg}
 
 /** Training-pipeline assembly operators, round 4: sequence packing,
   * stratified sampling, incremental dedup, vocabulary encoding, embedding
@@ -503,6 +504,25 @@ object Pipeline {
              |  FROM alltok a LEFT JOIN vocab v ON a.tok = v.tok)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
              |  floor((-avg(l)) * 10000.0 + 0.5) / 10000.0 AS surprisal
-             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-gated exact screening: only bloom-positive candidates pay the
+    // confirmation join; output is exact (the oracle is a plain EXISTS).
+    GraftQuery(
+      "q85_bloom_screen",
+      "Bloom-accelerated exact-dup screen of the new batch (doc_id % 10 " +
+        "= 0) against the standing corpus: sketch probe at scan speed, " +
+        "confirm join only for candidates — output exact.",
+      (s, d) => BloomScreen.exactScreen(
+        t(s, d, "documents"), "doc_id", "text",
+        isNew = col("doc_id") % 10 === 0,
+        expectedItems = 10000L, fpp = 0.01)
+        .orderBy("doc_id"),
+      Some("""SELECT d.doc_id,
+             |  EXISTS(SELECT 1 FROM documents o
+             |    WHERE o.doc_id % 10 != 0 AND md5(o.text) = md5(d.text))
+             |    AS is_dup
+             |FROM documents d WHERE d.doc_id % 10 = 0
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

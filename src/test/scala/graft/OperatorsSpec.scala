@@ -576,6 +576,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == counts.map(c => c._1 -> c._3).toMap)
   }
 
+  test("BloomScreen.exactScreen equals a plain anti/semi join and the " +
+    "candidate set stays near fpp") {
+    // 2000 old docs; 400 new: 200 true dups of old, 200 unique
+    val rows = (0L until 2000L).map(i => (i, s"old document number $i")) ++
+      (10000L until 10200L).map(i => (i, s"old document number ${i - 10000}")) ++
+      (20000L until 20200L).map(i => (i, s"fresh unique text $i"))
+    val df = rows.toDF("doc_id", "text")
+    val got = BloomScreen.exactScreen(df, "doc_id", "text",
+      isNew = col("doc_id") >= 10000L, expectedItems = 2000L, fpp = 0.01)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size == 400)
+    (10000L until 10200L).foreach(i => assert(got(i), s"missed dup $i"))
+    (20000L until 20200L).foreach(i => assert(!got(i), s"false dup $i"))
+    // the bloom routes few non-dups into the confirm join
+    val bloom = df.filter(col("doc_id") < 10000L)
+      .select(md5(col("text")).as("h")).stat.bloomFilter("h", 2000L, 0.01)
+    val falsePos = (20000L until 20200L).count(i =>
+      bloom.mightContainString(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"fresh unique text $i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString))
+    assert(falsePos <= 20, s"bloom fpp blew up: $falsePos/200")
+  }
+
   test("Similarity.kmeansStep: centroids are the member means of their " +
     "argmin cells") {
     // two tight clusters around (0,0) and (100,100); centroid seeds are

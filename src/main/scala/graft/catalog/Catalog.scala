@@ -72,6 +72,43 @@ object Catalog {
         new java.io.File("spark-warehouse", table).getAbsolutePath)
       .saveAsTable(table)
 
+  /** Compact a parquet directory to ~`targetFileMB` files per partition —
+    * the small-files remedy for streaming/incremental appends (a year of
+    * micro-batch appends leaves thousands of KB-sized files per date;
+    * every reader then pays open/footer cost per file and the driver
+    * pays listing). File count is computed from the actual byte size on
+    * disk, the rewrite is one `repartition(n)` job — no data logic, safe
+    * to run as maintenance on any partition. Returns files written.
+    */
+  def compact(spark: SparkSession, path: String, outPath: String,
+      targetFileMB: Int = 512): Int = {
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(path))
+    }
+    val n = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    n
+  }
+
+  /** Clustered write: range-partition + sort rows by `clusterCols` before
+    * writing, so parquet row-group min/max statistics become selective —
+    * a range predicate on the cluster key then skips whole row groups /
+    * files at scan time (the poor-man's Z-order; for one key, exactly
+    * Z-order). At 100 TB this is the difference between "pushdown prunes
+    * row groups" being theoretical and actual: unsorted data has every
+    * row group spanning the full key range, so min/max filters never
+    * eliminate anything.
+    */
+  def writeClustered(df: DataFrame, outPath: String,
+      clusterCols: Seq[String], files: Int): Unit =
+    df.repartitionByRange(files, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+
   /** Read a table whose parquet files were written across schema eras
     * (columns added over time — the reference's per-era table problem,
     * `ndt7` vs `ndt5` vs `web100` generations, SURVEY §1.3). mergeSchema

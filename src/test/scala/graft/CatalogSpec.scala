@@ -114,4 +114,37 @@ class CatalogSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bk_dims")
     }
   }
+
+  test("Catalog.compact merges a small-files directory to the byte-size " +
+    "target") {
+    val in = Files.createTempDirectory("compact-in").toFile.getAbsolutePath
+    val out = Files.createTempDirectory("compact-out").toFile.getAbsolutePath
+    (0 until 5000).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+      .repartition(40).write.mode("overwrite").parquet(in)
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(in) == 40)
+    val n = Catalog.compact(spark, in, out, targetFileMB = 1024)
+    assert(n == 1 && files(out) == 1)
+    // content preserved
+    assert(spark.read.parquet(out).count() == 5000)
+  }
+
+  test("Catalog.writeClustered yields disjoint per-file key ranges " +
+    "(row-group skipping becomes real)") {
+    val out = Files.createTempDirectory("clus-out").toFile.getAbsolutePath
+    val df = (0 until 20000)
+      .map(i => ((i * 2654435761L) % 100000L, i.toLong)).toDF("k", "v")
+      .repartition(16) // scrambled input
+    Catalog.writeClustered(df, out, Seq("k"), files = 8)
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length == 8)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+    }
+  }
 }

@@ -523,6 +523,78 @@ object Pipeline {
              |    WHERE o.doc_id % 10 != 0 AND md5(o.text) = md5(d.text))
              |    AS is_dup
              |FROM documents d WHERE d.doc_id % 10 = 0
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Round-4 flagship chain: substring-dedup gate -> deterministic
+    // mixture sampling -> sequence packing -> per-pack summary. Every
+    // stage is individually oracle-checked (q80, q73, q72); this runs
+    // them end-to-end the way a corpus build would.
+    GraftQuery(
+      "q86_corpus_build",
+      "Training-corpus assembly: drop docs >= 50% covered by duplicated " +
+        "5-grams, stratified-sample the rest (en 80%, else 90%), pack " +
+        "the survivors' token stream at context 512, summarize per pack.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val keep = Dedup.dupNgramStats(docs, "doc_id", "text", n = 5)
+          .filter(col("dup_fraction") < 0.5).select("doc_id")
+        val gated = docs.join(keep.hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+        val sampled = Sampling.stratified(gated, "doc_id", "lang",
+          rates = Map("en" -> 0.8), defaultRate = 0.9, salt = "corpus")
+        Pack.packSequences(sampled, "doc_id",
+          size(graft.functions.TextOps.tokens(col("text"))),
+          contextLen = 512, blockLen = 100)
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("seg_tokens").as("n_tokens"))
+          .orderBy("pack_id")
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text,' ') AS toks
+             |  FROM documents),
+             |e AS (
+             |  SELECT doc_id, unnest(list_transform(range(0, len(toks)-4),
+             |    i -> ('0x' || substr(md5(
+             |      array_to_string(toks[i+1 : i+5],' ')),1,8))::BIGINT))
+             |    AS g
+             |  FROM tk),
+             |fr AS (
+             |  SELECT g FROM e GROUP BY g
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |per AS (
+             |  SELECT e.doc_id, count(*) AS n_grams,
+             |    sum(CASE WHEN fr.g IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+             |  FROM e LEFT JOIN fr ON e.g = fr.g GROUP BY e.doc_id),
+             |keep AS (
+             |  SELECT d.doc_id, d.lang, d.text FROM documents d
+             |  LEFT JOIN per ON d.doc_id = per.doc_id
+             |  WHERE floor(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0.0
+             |    ELSE coalesce(per.n_dup, 0) * 1.0 / per.n_grams END
+             |    * 10000.0 + 0.5) / 10000.0 < 0.5),
+             |samp AS (
+             |  SELECT doc_id, text FROM keep
+             |  WHERE ('0x' || substr(md5('corpus:' ||
+             |      CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000
+             |    < CAST(floor(CASE lang WHEN 'en' THEN 0.8 ELSE 0.9 END
+             |        * 10000.0) AS BIGINT)),
+             |tk2 AS (
+             |  SELECT doc_id, len(string_split(text,' ')) AS ntok
+             |  FROM samp),
+             |c AS (
+             |  SELECT doc_id, ntok,
+             |    CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS strt
+             |  FROM tk2 WHERE ntok > 0),
+             |seg AS (
+             |  SELECT doc_id, ntok, strt,
+             |    unnest(range(strt // 512, (strt + ntok - 1) // 512 + 1))
+             |      AS pack_id
+             |  FROM c)
+             |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(least(strt+ntok, (pack_id+1)*512)
+             |    - greatest(strt, pack_id*512)) AS BIGINT) AS n_tokens
+             |FROM seg GROUP BY pack_id ORDER BY pack_id""".stripMargin))
   )
 }

@@ -31,7 +31,7 @@ object Dedup {
 
   /** Distinct word-n-gram shingle sets per doc: (id, shingle_hashes).
     * Uses the codegen'd single-pass kernel; semantics identical to
-    * TextOps.shingleHashSet (asserted by DedupSpec).
+    * TextOps.shingleHashSet (asserted by FunctionsSpec).
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int, extra: Seq[String] = Nil): DataFrame = {

@@ -30,10 +30,13 @@ object Order {
       nBlocks: Int = 1024): DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")
     val blockWidth = (1L << 32) / nBlocks + 1
+    // Materialized once (3 longs/row): the counts phase and the ranking
+    // phase both read it; lazy, the upstream would evaluate twice.
     val rows = df.select(col(idCol).as("doc_id"))
       .withColumn("h", TextOps.hash32(
         concat(lit(s"$salt:"), col("doc_id").cast("string"))))
       .withColumn("block", (col("h") / blockWidth).cast("long"))
+      .localCheckpoint(true)
 
     val wBlocks = Window.orderBy("block")
       .rowsBetween(Window.unboundedPreceding, -1)

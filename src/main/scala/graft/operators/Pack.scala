@@ -38,10 +38,15 @@ object Pack {
   def packSequences(df: DataFrame, idCol: String, nTok: Column,
       contextLen: Long, blockLen: Long): DataFrame = {
     require(contextLen > 0 && blockLen > 0, "contextLen/blockLen must be > 0")
+    // Materialize the 3-long-per-doc frame once: both phases below read
+    // it, and a lazy frame would re-evaluate the ENTIRE upstream chain
+    // (e.g. q86's dedup gate + sampling) per consumer. 24 bytes/doc —
+    // the cheapest possible fence.
     val docs = df
       .select(col(idCol).cast("long").as("doc_id"), nTok.cast("long").as("ntok"))
       .filter(col("ntok") > 0)
       .withColumn("block", expr(s"doc_id div $blockLen"))
+      .localCheckpoint(true)
 
     // Phase 2: block totals → running offsets. |blocks| rows only; the
     // single-partition window here is over the aggregated frame, never

@@ -144,6 +144,15 @@ class PlanSpec extends SparkTestBase {
       s"block offsets not broadcast:\n$p")
   }
 
+  test("q86: the pack-input fence holds — the dedup-gate upstream " +
+    "evaluates once, not once per prefix-sum phase") {
+    val q = SparkEntry.allQueries.find(_.name == "q86_corpus_build").get
+    val p = q.run(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"), s"pack input not fenced:\n$p")
+    val ex = "Exchange ".r.findAllIn(p).length
+    assert(ex <= 8, s"q86 exchange count regressed to $ex (fence lost?)")
+  }
+
   test("TopK aggregator partial-aggregates map-side") {
     val p = planOf("q57_topk_per_group")
     // ObjectHashAggregate appears twice: partial + final

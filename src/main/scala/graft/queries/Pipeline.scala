@@ -595,6 +595,88 @@ object Pipeline {
              |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(least(strt+ntok, (pack_id+1)*512)
              |    - greatest(strt, pack_id*512)) AS BIGINT) AS n_tokens
-             |FROM seg GROUP BY pack_id ORDER BY pack_id""".stripMargin))
+             |FROM seg GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
+
+    // Int8 scalar quantization of embeddings (4x storage cut for ANN
+    // shards): per-vector min/max affine map to 0..255, deterministic
+    // floor(+0.5) rounding. Pure per-row projection, zero shuffles.
+    GraftQuery(
+      "q87_embedding_quantize",
+      "Per-vector int8 scalar quantization: affine map to 0..255 with " +
+        "position-weighted checksum and max reconstruction error — " +
+        "scan-speed projection.",
+      (s, d) => {
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val mn = array_min(v)
+        val scale = (array_max(v) - mn) / 255.0
+        val q = transform(v, x =>
+          when(scale === 0.0, lit(0L))
+            .otherwise(floor((x - mn) / scale + 0.5).cast("long")))
+        val deq = zip_with(q, v, (qi, xi) =>
+          abs(mn + qi * scale - xi))
+        t(s, d, "embeddings").select(
+          col("vec_id"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+          aggregate(zip_with(q,
+              sequence(lit(1), size(col("embedding"))).cast("array<long>"),
+              (qi, i) => qi * i),
+            lit(0L), (acc, x) => acc + x).as("q_checksum"),
+          (floor(aggregate(deq, lit(0.0),
+            (acc, x) => greatest(acc, x)) * 10000.0 + 0.5) / 10000.0)
+            .as("max_err"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |b AS (
+             |  SELECT vec_id, v, list_min(v) AS mn,
+             |    (list_max(v) - list_min(v)) / 255.0 AS scale
+             |  FROM v),
+             |q AS (
+             |  SELECT vec_id, v, mn, scale,
+             |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+             |      ELSE CAST(floor((x - mn) / scale + 0.5) AS BIGINT)
+             |      END) AS q
+             |  FROM b)
+             |SELECT vec_id,
+             |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+             |  CAST(list_sum(list_transform(q, (x, i) -> x * i))
+             |    AS BIGINT) AS q_checksum,
+             |  floor(list_max(list_transform(range(1, len(v) + 1),
+             |    i -> abs(mn + q[i] * scale - v[i]))) * 10000.0 + 0.5)
+             |    / 10000.0 AS max_err
+             |FROM q ORDER BY vec_id""".stripMargin)),
+
+    // Text normalization: the canonicalization pass before exact dedup —
+    // lowercase, strip non-alphanumerics, collapse whitespace.
+    GraftQuery(
+      "q88_text_normalize",
+      "Canonical text normalization (lowercase, punctuation -> space, " +
+        "whitespace collapse) with normalized hash and token count — " +
+        "scan-speed projection.",
+      (s, d) => {
+        val norm = trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          graft.functions.TextOps.hash32(norm).as("norm_hash"),
+          when(norm === "", 0L)
+            .otherwise(size(split(norm, " "))).cast("long")
+            .as("n_norm_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+             |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+             |    AS nt
+             |  FROM documents)
+             |SELECT doc_id,
+             |  ('0x' || substr(md5(nt),1,8))::BIGINT AS norm_hash,
+             |  CAST(CASE WHEN nt = '' THEN 0
+             |    ELSE len(string_split(nt, ' ')) END AS BIGINT)
+             |    AS n_norm_tokens
+             |FROM n ORDER BY doc_id""".stripMargin))
   )
 }

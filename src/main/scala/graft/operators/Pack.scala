@@ -79,4 +79,39 @@ object Pack {
           greatest(col("start"), col("pack_id") * contextLen))
           .as("seg_tokens"))
   }
+
+  /** Size-balanced bin assignment: row i goes to bin
+    * floor(cumBytes(i) / targetBytes) in id order — the scheduling
+    * primitive for multimodal/GPU batch assembly ("fill each batch to
+    * ~64 MB of payload") and for size-bounded shard writes. Unlike
+    * [[packSequences]] rows are atomic (a row never splits across bins),
+    * so a bin can exceed the target by at most one row's size.
+    *
+    * Same two-phase distributed prefix sum; the per-row frame is
+    * materialized once ([[packSequences]]'s fence rationale).
+    *
+    * Output: doc_id, bytes, bin.
+    */
+  def binPackBySize(df: DataFrame, idCol: String, bytesCol: Column,
+      targetBytes: Long, blockLen: Long): DataFrame = {
+    require(targetBytes > 0 && blockLen > 0,
+      "targetBytes/blockLen must be > 0")
+    val rows = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        bytesCol.cast("long").as("bytes"))
+      .withColumn("block", expr(s"doc_id div $blockLen"))
+      .localCheckpoint(true)
+    val wBlocks = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy("block").agg(sum("bytes").as("bb"))
+      .select(col("block"),
+        coalesce(sum("bb").over(wBlocks), lit(0L)).as("boff"))
+    val wIn = Window.partitionBy("block").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.join(broadcast(offsets), "block")
+      .withColumn("start",
+        col("boff") + coalesce(sum("bytes").over(wIn), lit(0L)))
+      .select(col("doc_id"), col("bytes"),
+        expr(s"start div $targetBytes").as("bin"))
+  }
 }

@@ -677,6 +677,76 @@ object Pipeline {
              |  CAST(CASE WHEN nt = '' THEN 0
              |    ELSE len(string_split(nt, ' ')) END AS BIGINT)
              |    AS n_norm_tokens
-             |FROM n ORDER BY doc_id""".stripMargin))
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // The injected-kernel SQL surface: graft's native expressions called
+    // from PURE SQL TEXT (GraftExtensions injectFunction route) — the
+    // kernel's sequential fold matches DuckDB's list_sum order exactly.
+    GraftQuery(
+      "q89_sql_kernels",
+      "Native kernels via SQL text: vec_dot squared-norm and stop_hits " +
+        "over registered views — the SparkSessionExtensions function " +
+        "surface under the correctness gate.",
+      (s, d) => {
+        graft.Tables.registerViews(s, d)
+        graft.functions.GraftFunctions.registerAll(s)
+        s.sql("""
+          |SELECT doc_id,
+          |  CAST(stop_hits(split(text, ' '), 'the,and,of,to,a')
+          |    AS BIGINT) AS hits,
+          |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin)
+          .unionByName(
+            s.sql("""
+              |SELECT vec_id + 1000000 AS doc_id,
+              |  CAST(floor(vec_dot(
+              |      transform(embedding, x -> CAST(x AS DOUBLE)),
+              |      transform(embedding, x -> CAST(x AS DOUBLE)))
+              |    * 10000.0D + 0.5D) AS BIGINT) AS hits,
+              |  CAST(size(embedding) AS BIGINT) AS n_tokens
+              |FROM embeddings ORDER BY doc_id""".stripMargin))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    len(list_filter(string_split(text, ' '),
+             |      t -> list_contains(['the','and','of','to','a'], t)))
+             |      AS hits,
+             |    len(string_split(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |e AS (
+             |  SELECT vec_id + 1000000 AS doc_id,
+             |    CAST(floor(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+             |      * 10000.0 + 0.5) AS BIGINT) AS hits,
+             |    len(embedding) AS n_tokens
+             |  FROM embeddings)
+             |SELECT doc_id, CAST(hits AS BIGINT) AS hits,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens
+             |FROM (SELECT * FROM d UNION ALL SELECT * FROM e)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Size-balanced bin assignment (GPU-batch / shard-write scheduling):
+    // fill each bin to ~4 KB of payload in id order, rows atomic.
+    GraftQuery(
+      "q90_binpack_bytes",
+      "Byte-balanced bin packing: bin = payload-stream start offset div " +
+        "4096, via the two-phase prefix sum; per-bin doc/byte summary.",
+      (s, d) => Pack.binPackBySize(
+        t(s, d, "documents"), "doc_id", length(col("text")),
+        targetBytes = 4096L, blockLen = 100L)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("n_bytes"))
+        .orderBy("bin"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, length(text) AS bytes,
+             |    CAST(coalesce(sum(length(text)) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS strt
+             |  FROM documents)
+             |SELECT strt // 4096 AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(bytes) AS BIGINT) AS n_bytes
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
   )
 }

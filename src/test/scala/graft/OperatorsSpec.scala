@@ -403,6 +403,27 @@ class OperatorsSpec extends SparkTestBase {
       if (p != lastPack) assert(tot == 64L, s"pack $p has $tot tokens") }
   }
 
+  test("Pack.binPackBySize: start-offset bins match the naive global " +
+    "prefix and only oversized rows overflow the target") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 300L).map(i => (i, (i * 17 % 97 + 1)))
+      .toDF("doc_id", "bytes").repartition(8)
+    val got = Pack.binPackBySize(docs, "doc_id", col("bytes"),
+      targetBytes = 256L, blockLen = 32L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val naive = docs.withColumn("start", coalesce(sum("bytes").over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2) / 256L)).toMap
+    assert(got == naive)
+    // every bin's bytes <= target + its last row's size (rows atomic)
+    val perBin = got.values.groupBy(_._2).view
+      .mapValues(vs => (vs.map(_._1).sum, vs.map(_._1).max))
+    perBin.foreach { case (bin, (tot, mx)) =>
+      assert(tot <= 256L + mx, s"bin $bin holds $tot bytes (max row $mx)") }
+  }
+
   test("Sampling.stratified is deterministic and stable under append " +
     "and repartition") {
     val base = (0L until 2000L).map(i =>

@@ -71,4 +71,31 @@ object Skew {
     saltedFact.join(replicatedDim, keys :+ "__salt", joinType)
       .drop("__salt")
   }
+
+  /** Hot-key detection in ONE pass via Count-Min sketch — the decision
+    * input the salting rewrites need. At 100 TB you cannot afford a full
+    * `groupBy(key).count()` (that shuffle IS the skew problem) just to
+    * learn which keys are hot; the CMS aggregates map-side into a fixed
+    * `depth×width` counter grid (mergeable, no shuffle of data rows) and
+    * the driver then probes only the candidate keys.
+    *
+    * `candidates`: keys worth probing — typically a cheap distinct sample
+    * or domain knowledge. CMS never under-counts, so every truly-hot key
+    * is returned (one-sided error); an over-threshold estimate for a cold
+    * key can occur with probability ~1/e^depth and at worst wastes one
+    * salt decision.
+    *
+    * Returns candidate keys whose estimated count ≥ threshold, with
+    * estimates.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, candidates: Seq[String],
+      threshold: Long, eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): Seq[(String, Long)] = {
+    val cms = df.select(col(keyCol).cast("string").as("k"))
+      .stat.countMinSketch("k", eps, confidence, seed)
+    candidates.flatMap { k =>
+      val est = cms.estimateCount(k)
+      if (est >= threshold) Some(k -> est) else None
+    }
+  }
 }

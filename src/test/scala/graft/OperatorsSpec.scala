@@ -597,6 +597,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == counts.map(c => c._1 -> c._3).toMap)
   }
 
+  test("Skew.hotKeys finds every truly-hot key via the one-pass CMS " +
+    "with near-exact estimates") {
+    // 100k rows: key "hot" holds 60%, "warm" 20%, the rest spread thin
+    val df = (0 until 100000).map { i =>
+      if (i % 10 < 6) "hot" else if (i % 10 < 8) "warm" else s"cold${i % 997}"
+    }.toDF("k").repartition(16)
+    val cands = Seq("hot", "warm", "cold1", "nosuch")
+    val found = Skew.hotKeys(df, "k", cands, threshold = 10000L).toMap
+    assert(found.contains("hot") && found.contains("warm"))
+    assert(!found.contains("cold1") && !found.contains("nosuch"))
+    // CMS never under-counts; over-count stays within eps*n = 100
+    assert(found("hot") >= 60000L && found("hot") <= 60100L)
+    assert(found("warm") >= 20000L && found("warm") <= 20100L)
+  }
+
   test("BloomScreen.exactScreen equals a plain anti/semi join and the " +
     "candidate set stays near fpp") {
     // 2000 old docs; 400 new: 200 true dups of old, 200 unique

@@ -757,6 +757,68 @@ object Pipeline {
              |SELECT strt // 4096 AS bin,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(bytes) AS BIGINT) AS n_bytes
-             |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // TF-IDF top terms per document — the retrieval-side text
+    // representation: per-doc term frequencies (one groupBy), corpus
+    // document frequencies (one groupBy on the term), idf join back on
+    // the term key (shuffle-pinned — the term table is corpus-sized at
+    // scale), top-5 per doc via the partial-group-limit window.
+    GraftQuery(
+      "q91_tfidf_topterms",
+      "Top-5 TF-IDF terms per doc: tf x ln(N/df), deterministic " +
+        "(tfidf desc, term) tie-break, WindowGroupLimit-bounded top-k.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val n = docs.count()
+        val terms = docs
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+        val tf = terms.groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = terms.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .hint("shuffle_hash")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tfidf_raw").desc, col("tok"))
+        tf.hint("shuffle_hash").join(dfreq, Seq("tok"))
+          .withColumn("tfidf_raw",
+            col("tf") * log(lit(n.toDouble) / col("df")))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("doc_id"), col("rank"), col("tok"),
+            (floor(col("tfidf_raw") * 10000.0 + 0.5) / 10000.0)
+              .as("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents)
+             |  WHERE tok != ''),
+             |tf AS (
+             |  SELECT doc_id, tok, count(*) AS tf
+             |  FROM terms GROUP BY doc_id, tok),
+             |dfreq AS (
+             |  SELECT tok, count(*) AS df FROM (
+             |    SELECT DISTINCT doc_id, tok FROM terms)
+             |  GROUP BY tok),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.tok,
+             |    tf.tf * ln((SELECT n FROM n) * 1.0 / dfreq.df)
+             |      AS tfidf_raw
+             |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok),
+             |ranked AS (
+             |  SELECT doc_id, tok, tfidf_raw,
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tfidf_raw DESC, tok) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT doc_id, rank, tok,
+             |  floor(tfidf_raw * 10000.0 + 0.5) / 10000.0 AS tfidf
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY doc_id, rank""".stripMargin))
   )
 }

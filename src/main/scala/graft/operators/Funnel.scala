@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel / sequential-pattern analysis over an event stream: how far
+  * each user progressed through an ordered step sequence (view → click →
+  * purchase), where a later step only counts after an earlier one.
+  *
+  * Scale shape: ONE shuffle on the user key; each user's events collect
+  * into an array sorted by (ts, event_id) — bounded by per-user activity,
+  * the same bound sessionization already assumes — and the stage count is
+  * a left fold over that array (the subsequence-matching scan), evaluated
+  * per row. No self-joins, no per-step passes: a k-step funnel costs the
+  * same one shuffle as a 2-step funnel. The oracle deliberately uses the
+  * other classic formulation (per-step min-chaining with row-tuple
+  * comparisons) so the two algorithms check each other.
+  */
+object Funnel {
+
+  /** Output: user_id, stage (0..steps.length — steps completed in
+    * order), n_events (user's total event count).
+    */
+  def stages(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val evs = df.select(col(userCol).as("user_id"),
+        struct(col(tsCol).as("ts"), col(idCol).as("eid"),
+          col(typeCol).as("t")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"),
+        count(lit(1)).as("n_events"))
+    // fold state = stages matched so far; advance when the next event
+    // matches the CURRENT step (conditions keyed on acc are disjoint)
+    val stage = aggregate(col("evs"), lit(0), (acc, e) => {
+      val t = e.getField("t")
+      steps.zipWithIndex.foldLeft(acc) { case (els, (s, i)) =>
+        when(acc === i && t === s, lit(i + 1)).otherwise(els)
+      }
+    })
+    evs.select(col("user_id"), stage.cast("long").as("stage"),
+      col("n_events"))
+  }
+}

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 import graft.functions.{GraftFunctions, TextOps}
-import graft.operators.{BloomScreen, Chunk, Dedup, Order, Pack, Sampling,
-  Similarity, VecAgg}
+import graft.operators.{BloomScreen, Chunk, Dedup, Funnel, Order, Pack,
+  Sampling, Similarity, VecAgg}
 
 /** Training-pipeline assembly operators, round 4: sequence packing,
   * stratified sampling, incremental dedup, vocabulary encoding, embedding
@@ -819,6 +819,53 @@ object Pipeline {
              |SELECT doc_id, rank, tok,
              |  floor(tfidf_raw * 10000.0 + 0.5) / 10000.0 AS tfidf
              |FROM ranked WHERE rank <= 5
-             |ORDER BY doc_id, rank""".stripMargin))
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // Funnel progression per user: one user-key shuffle + array fold on
+    // the Spark side vs per-step min-chaining in the oracle — two
+    // different classic algorithms checking each other.
+    GraftQuery(
+      "q92_funnel_stages",
+      "view -> click -> purchase funnel progression per user via a " +
+        "single-shuffle ordered-array fold (ties broken by event_id).",
+      (s, d) => Funnel.stages(t(s, d, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        steps = Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_id, event_type FROM events),
+             |r1 AS (
+             |  SELECT user_id, ts, event_id FROM (
+             |    SELECT user_id, ts, event_id, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |    FROM e WHERE event_type = 'view') WHERE rn = 1),
+             |r2 AS (
+             |  SELECT user_id, ts, event_id FROM (
+             |    SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+             |      PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+             |    FROM e JOIN r1 ON e.user_id = r1.user_id
+             |    WHERE e.event_type = 'click'
+             |      AND (e.ts, e.event_id) > (r1.ts, r1.event_id))
+             |  WHERE rn = 1),
+             |r3 AS (
+             |  SELECT user_id, ts, event_id FROM (
+             |    SELECT e.user_id, e.ts, e.event_id, row_number() OVER (
+             |      PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+             |    FROM e JOIN r2 ON e.user_id = r2.user_id
+             |    WHERE e.event_type = 'purchase'
+             |      AND (e.ts, e.event_id) > (r2.ts, r2.event_id))
+             |  WHERE rn = 1)
+             |SELECT u.user_id,
+             |  CAST(CASE WHEN r3.user_id IS NOT NULL THEN 3
+             |    WHEN r2.user_id IS NOT NULL THEN 2
+             |    WHEN r1.user_id IS NOT NULL THEN 1
+             |    ELSE 0 END AS BIGINT) AS stage,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM e u
+             |LEFT JOIN r1 ON u.user_id = r1.user_id
+             |LEFT JOIN r2 ON u.user_id = r2.user_id
+             |LEFT JOIN r3 ON u.user_id = r3.user_id
+             |GROUP BY u.user_id, r1.user_id, r2.user_id, r3.user_id
+             |ORDER BY u.user_id""".stripMargin))
   )
 }

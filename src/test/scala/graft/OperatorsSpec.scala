@@ -597,6 +597,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(again == counts.map(c => c._1 -> c._3).toMap)
   }
 
+  test("Funnel.stages counts only in-order progressions") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      // user 1: full funnel in order
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"),
+      (1L, ts(3), 3L, "purchase"),
+      // user 2: purchase BEFORE view/click — only stage 1 (the view)
+      (2L, ts(1), 4L, "purchase"), (2L, ts(2), 5L, "view"),
+      // user 3: click first doesn't count; then view → click = stage 2
+      (3L, ts(1), 6L, "click"), (3L, ts(2), 7L, "view"),
+      (3L, ts(3), 8L, "click"),
+      // user 4: nothing relevant
+      (4L, ts(1), 9L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = Funnel.stages(events, "user_id", "ts", "event_id",
+      "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, 3L, 3L), (2L, 1L, 2L), (3L, 2L, 3L),
+      (4L, 0L, 1L)))
+  }
+
   test("Skew.hotKeys finds every truly-hot key via the one-pass CMS " +
     "with near-exact estimates") {
     // 100k rows: key "hot" holds 60%, "warm" 20%, the rest spread thin

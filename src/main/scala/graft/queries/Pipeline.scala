@@ -866,6 +866,47 @@ object Pipeline {
              |LEFT JOIN r2 ON u.user_id = r2.user_id
              |LEFT JOIN r3 ON u.user_id = r3.user_id
              |GROUP BY u.user_id, r1.user_id, r2.user_id, r3.user_id
-             |ORDER BY u.user_id""".stripMargin))
+             |ORDER BY u.user_id""".stripMargin)),
+
+    // Cohort retention matrix: users cohorted by signup week, counted
+    // distinct per week offset — two partial-aggregated groupBys and one
+    // pinned user-key join.
+    GraftQuery(
+      "q93_cohort_retention",
+      "Weekly cohort retention: signup-week cohorts x week offset -> " +
+        "distinct active users (offset >= 0).",
+      (s, d) => {
+        val events = t(s, d, "events")
+        val cohorts = events.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        events.select(col("user_id"),
+            date_trunc("week", col("ts")).as("week"))
+          .hint("shuffle_hash")
+          .join(cohorts.hint("shuffle_hash"), Seq("user_id"))
+          .withColumn("week_offset",
+            (datediff(col("week"), col("cohort_week")) / 7)
+              .cast("long"))
+          .filter(col("week_offset") >= 0)
+          .groupBy("cohort_week", "week_offset")
+          .agg(count_distinct(col("user_id")).as("n_users"))
+          .select(col("cohort_week").cast("timestamp_ntz").as("cohort_week"),
+            col("week_offset"), col("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH cohorts AS (
+             |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |act AS (
+             |  SELECT e.user_id, c.cohort_week,
+             |    datediff('day', c.cohort_week,
+             |      date_trunc('week', e.ts)) // 7 AS week_offset
+             |  FROM events e JOIN cohorts c ON e.user_id = c.user_id)
+             |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+             |  CAST(week_offset AS BIGINT) AS week_offset,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM act WHERE week_offset >= 0
+             |GROUP BY cohort_week, week_offset
+             |ORDER BY cohort_week, week_offset""".stripMargin))
   )
 }

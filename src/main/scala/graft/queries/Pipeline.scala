@@ -8,9 +8,13 @@ import graft.functions.{GraftFunctions, TextOps}
 import graft.operators.{BloomScreen, Chunk, Dedup, Funnel, Order, Pack,
   Sampling, Similarity, VecAgg}
 
-/** Training-pipeline assembly operators, round 4: sequence packing,
-  * stratified sampling, incremental dedup, vocabulary encoding, embedding
-  * pooling, snapshot merge, k-means codebook refinement.
+/** Training-pipeline assembly + analytics operators (round 4): sequence
+  * packing, stratified sampling + upsampling, incremental dedup,
+  * vocabulary encoding + surprisal, embedding pooling / quantization,
+  * snapshot merge, k-means refinement, chunking, dup-span stats +
+  * cutting, global shuffle order, Bloom screening, text normalization,
+  * bin packing, SQL-kernel surface, TF-IDF, funnel, cohort retention,
+  * and the corpus-build flagship chain (q86).
   *
   * Same oracle-parity conventions as LlmOps (stable floor-rounding on
   * float outputs, identical aliases both sides, DuckDB lambdas 1-indexed).

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Order, Pack, Sampling}
+
+/** Property-based invariants for the distributed prefix-sum operators and
+  * deterministic sampling — randomized doc sizes / id gaps / rates, so
+  * the block-boundary arithmetic is exercised far beyond the oracle
+  * corpus's shapes (id gaps, singleton blocks, oversized docs, rate 0/1).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // scalatestplus bridge isn't on the offline classpath; drive scalacheck
+  // Gens directly with fixed seeds (deterministic CI, still randomized
+  // shapes)
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val docsGen = for {
+    n <- Gen.choose(1, 120)
+    gaps <- Gen.listOfN(n, Gen.choose(1L, 9L))
+    sizes <- Gen.listOfN(n, Gen.choose(1, 300))
+  } yield gaps.scanLeft(0L)(_ + _).tail.zip(sizes)
+
+  test("packSequences: segments tile every pack exactly for random " +
+    "sizes, gapped ids, and context/block combinations") {
+    val cases = samples(for {
+      docs <- docsGen
+      ctx <- Gen.choose(8L, 96L)
+      blockLen <- Gen.choose(2L, 40L)
+    } yield (docs, ctx, blockLen), 5)
+    cases.foreach { case (docs, ctx, blockLen) =>
+        val df = docs.toDF("doc_id", "ntok")
+        val segs = Pack.packSequences(df, "doc_id", col("ntok"), ctx,
+          blockLen).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val total = docs.map(_._2.toLong).sum
+        // token conservation
+        assert(segs.map(_._4).sum == total)
+        // every pack except the last is exactly full; none exceed ctx
+        val perPack = segs.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+        val last = perPack.keys.max
+        perPack.foreach { case (p, t) =>
+          assert(t <= ctx)
+          if (p != last) assert(t == ctx, s"pack $p has $t/$ctx") }
+        // segments of one doc are contiguous in the stream
+        segs.groupBy(_._1).foreach { case (_, ss) =>
+          val sorted = ss.sortBy(_._2)
+          sorted.sliding(2).foreach {
+            case Array((_, p1, s1, t1), (_, p2, s2, _)) =>
+              assert(p2 == p1 + 1 && s2 == 0L && s1 + t1 == ctx)
+            case _ => ()
+          }
+        }
+    }
+  }
+
+  test("globalIndex: positions are a permutation of [0, N) matching the " +
+    "naive rank for random id sets and block counts") {
+    val cases = samples(for {
+      ids <- Gen.nonEmptyListOf(Gen.choose(0L, 100000L)).map(_.distinct)
+      nBlocks <- Gen.choose(1, 64)
+    } yield (ids, nBlocks), 5)
+    cases.foreach { case (ids, nBlocks) =>
+      {
+        val df = ids.map(Tuple1(_)).toDF("doc_id")
+        val got = Order.globalIndex(df, "doc_id", nBlocks = nBlocks)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val naive = df.withColumn("h", graft.functions.TextOps.hash32(
+            concat(lit("shuffle:"), col("doc_id").cast("string"))))
+          .withColumn("pos", row_number().over(
+            Window.orderBy("h", "doc_id")).cast("long") - 1L)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(got == naive)
+      }
+    }
+  }
+
+  test("stratified: rate 0 keeps nothing, rate 1 keeps everything, and " +
+    "membership is monotone in the rate") {
+    samples(Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)), 3)
+      .foreach { case (r1, r2) =>
+      val df = (0L until 400L).map(i => (i, "s")).toDF("doc_id", "st")
+      def kept(r: Double) = Sampling.stratified(df, "doc_id", "st",
+        Map.empty, r).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept(0.0).isEmpty)
+      assert(kept(1.0).size == 400)
+      val (lo, hi) = if (r1 <= r2) (r1, r2) else (r2, r1)
+      assert(kept(lo).subsetOf(kept(hi)), s"not monotone at $lo <= $hi")
+    }
+  }
+}

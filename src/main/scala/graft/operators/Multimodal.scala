@@ -72,6 +72,40 @@ object Multimodal {
       }
   }
 
+  /** Pack payload bytes into a minimal binary container: 4-byte magic
+    * "GRFT" + big-endian u16 width + u16 height + payload. Unlike the
+    * pixel codec (stubbed — no codecs in the container), the CONTAINER
+    * layer is real: header synthesis and parsing are honest byte-level
+    * operations, the part of multimodal ingestion an engine actually
+    * owns (magic validation, field extraction, payload slicing —
+    * the same shape as RIFF/PNG/BMP headers).
+    */
+  def packContainer(df: DataFrame, idCol: String, payload: org.apache.spark.sql.Column,
+      width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column)
+      : DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      concat(lit("GRFT".getBytes("UTF-8")),
+        unhex(lpad(hex(width.cast("int")), 4, "0")),
+        unhex(lpad(hex(height.cast("int")), 4, "0")),
+        payload).as("media"))
+
+  /** Parse the container header back out of the binary column — real
+    * byte-level parsing via the hex projection (codegen'd built-ins, no
+    * UDF): magic check, big-endian u16 fields, payload length and a
+    * payload digest. Output: doc_id, magic_ok, width, height,
+    * payload_bytes, payload_md5.
+    */
+  def parseContainer(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), upper(hex(col("media"))).as("hs"),
+        octet_length(col("media")).as("nb"))
+      .select(col("doc_id"),
+        (substring(col("hs"), 1, 8) === lit("47524654")).as("magic_ok"),
+        conv(substring(col("hs"), 9, 4), 16, 10).cast("long").as("width"),
+        conv(substring(col("hs"), 13, 4), 16, 10).cast("long").as("height"),
+        (col("nb") - 8).cast("long").as("payload_bytes"),
+        md5(substring(col("hs"), 17, Int.MaxValue)).as("payload_md5"))
+
   /** Deterministic frame-ish sampling stub: pick every `stride`-th byte
     * offset of the payload as a "frame" marker — exercises the
     * explode-to-frames schema (one row per sampled frame).

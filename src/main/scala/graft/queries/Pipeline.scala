@@ -911,6 +911,41 @@ object Pipeline {
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM act WHERE week_offset >= 0
              |GROUP BY cohort_week, week_offset
-             |ORDER BY cohort_week, week_offset""".stripMargin))
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // Real binary-container round trip: synthesize GRFT header + payload,
+    // parse it back with byte-level built-ins (magic, BE u16 fields,
+    // payload digest). The pixel codec stays stubbed; the container layer
+    // — the engine-owned part of multimodal ingestion — is genuine.
+    GraftQuery(
+      "q94_media_container",
+      "Binary container pack/parse round trip: GRFT magic + big-endian " +
+        "u16 dims + payload, parsed via the hex projection — codegen'd " +
+        "built-ins, no UDF.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val media = graft.operators.Multimodal.packContainer(
+          docs, "doc_id", encode(col("text"), "UTF-8"),
+          width = col("doc_id") % 64 + 1, height = col("doc_id") % 48 + 1)
+        graft.operators.Multimodal.parseContainer(media)
+          .orderBy("doc_id")
+      },
+      Some("""WITH enc AS (
+             |  SELECT doc_id, ('GRFT'::BLOB ||
+             |    from_hex(lpad(to_hex(doc_id % 64 + 1), 4, '0')) ||
+             |    from_hex(lpad(to_hex(doc_id % 48 + 1), 4, '0')) ||
+             |    text::BLOB) AS media
+             |  FROM documents),
+             |hx AS (
+             |  SELECT doc_id, upper(hex(media)) AS hs,
+             |    octet_length(media) AS nb
+             |  FROM enc)
+             |SELECT doc_id,
+             |  substring(hs, 1, 8) = '47524654' AS magic_ok,
+             |  ('0x' || substring(hs, 9, 4))::BIGINT AS width,
+             |  ('0x' || substring(hs, 13, 4))::BIGINT AS height,
+             |  CAST(nb - 8 AS BIGINT) AS payload_bytes,
+             |  md5(substring(hs, 17)) AS payload_md5
+             |FROM hx ORDER BY doc_id""".stripMargin))
   )
 }

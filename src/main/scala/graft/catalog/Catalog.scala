@@ -88,7 +88,10 @@ object Catalog {
         else if (f.getName.endsWith(".parquet")) f.length else 0L
       walk(new java.io.File(path))
     }
-    val n = math.max(1, (bytes / (targetFileMB * 1024L * 1024L)).toInt)
+    // ceiling division: floor would leave files up to ~2x the target
+    // (1023 MB at target 512 -> one 1 GB file)
+    val target = targetFileMB * 1024L * 1024L
+    val n = math.max(1, ((bytes + target - 1) / target).toInt)
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(outPath)
     n

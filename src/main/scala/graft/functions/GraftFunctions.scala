@@ -42,7 +42,7 @@ object GraftFunctions {
     "stop_hits" -> (es => StopHitsExpr(es(0),
       es(1).eval().toString.split(',').toSeq)),
     "vocab_encode" -> (es => VocabEncodeExpr(es(0),
-      es(1).eval().toString.split(',').toSeq)),
+      splitVocab(es(1).eval().toString))),
     "argmin_cell" -> (es => {
       import org.apache.spark.sql.catalyst.util.ArrayData
       ArgminCellExpr(es(0), es(1), Codebook.fromFlat(
@@ -88,14 +88,24 @@ object GraftFunctions {
     call_function("stop_hits", tokens,
       org.apache.spark.sql.functions.lit(words.mkString(",")))
 
-  /** Token-id encoding against `vocab` (id = index+1, OOV → 0). The vocab
-    * rides in comma-joined (like [[stopHits]]'s word list), so vocabulary
-    * tokens must not contain commas — whitespace-tokenized corpora never
-    * do.
+  /** Vocab transport separator: U+0001 cannot appear in whitespace-split
+    * tokens of ordinary text (unlike a comma, which corpus-derived vocabs
+    * WILL eventually contain — "hello," is one whitespace token); a token
+    * containing it is rejected loudly rather than silently shifting every
+    * id after it.
     */
-  def vocabEncode(tokens: Column, vocab: Seq[String]): Column =
+  private val VocabSep = '\u0001'
+  private def splitVocab(s: String): Seq[String] =
+    if (s.isEmpty) Seq.empty
+    else s.split(VocabSep).toSeq
+
+  /** Token-id encoding against `vocab` (id = index+1, OOV → 0). */
+  def vocabEncode(tokens: Column, vocab: Seq[String]): Column = {
+    require(vocab.forall(t => !t.contains(VocabSep)),
+      "vocab tokens must not contain the \\u0001 transport separator")
     call_function("vocab_encode", tokens,
-      org.apache.spark.sql.functions.lit(vocab.mkString(",")))
+      org.apache.spark.sql.functions.lit(vocab.mkString(VocabSep.toString)))
+  }
 
   /** Nearest-centroid cell id for `v` (with precomputed norm `nrm`) over a
     * small driver-built codebook; the codebook rides in as flattened array

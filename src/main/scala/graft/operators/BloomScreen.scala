@@ -33,12 +33,19 @@ object BloomScreen {
     */
   def exactScreen(df: DataFrame, idCol: String, textCol: String,
       isNew: Column, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    // Fenced once (3 small columns/row): the bloom build plus three
+    // consumers below would otherwise re-scan and re-hash the corpus
+    // four times. NULL text hashes to null and can never be an exact
+    // dup of anything — dropped from the old side, screened as
+    // not-dup on the new side (the probe also null-guards).
     val hashed = df.select(col(idCol).as("doc_id"),
       md5(col(textCol)).as("h"), isNew.as("is_new"))
-    val old = hashed.filter(!col("is_new"))
+      .localCheckpoint(true)
+    val old = hashed.filter(!col("is_new") && col("h").isNotNull)
     val bloom = old.stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
     val bc = df.sparkSession.sparkContext.broadcast(bloom)
-    val probe = udf((h: String) => bc.value.mightContainString(h))
+    val probe = udf((h: String) =>
+      h != null && bc.value.mightContainString(h))
     val newRows = hashed.filter(col("is_new"))
     // only bloom-positive candidates reach the exchange; the semi join
     // confirms against the true hash set (fpp-sized false-positive cost)

@@ -118,13 +118,9 @@ object Dedup {
     GraftFunctions.registerAll(df.sparkSession)
     val grams = df.select(col(idCol).as("doc_id"),
         TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"),
-        when(size(col("toks")) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
-            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
-          .as("gs"))
       .select(col("doc_id"), explode_outer(
-        transform(col("gs"), g => TextOps.hash32(g))).as("g"))
+        transform(TextOps.shingles(col("toks"), n),
+          g => TextOps.hash32(g))).as("g"))
     val docFreq = grams.filter(col("g").isNotNull)
       .groupBy("g").agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
@@ -159,13 +155,9 @@ object Dedup {
       n: Int, minDocs: Int = 2): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"),
       TextOps.tokens(col(textCol)).as("toks"))
-    val grams = docs.select(col("doc_id"),
-        when(size(col("toks")) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("toks")) - n),
-            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
-          .as("gs"))
-      .select(col("doc_id"), posexplode(
-        transform(col("gs"), g => TextOps.hash32(g))).as(Seq("p", "g")))
+    val grams = docs.select(col("doc_id"), posexplode(
+        transform(TextOps.shingles(col("toks"), n),
+          g => TextOps.hash32(g))).as(Seq("p", "g")))
     val dupGrams = grams
       .groupBy("g").agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDocs)
@@ -276,6 +268,29 @@ object Dedup {
     * Output: one row per NEW doc — doc_id, dup_of (smallest matching old
     * id at jaccard ≥ threshold, null when none), n_matches, is_dup.
     */
+  /** Shared decision tail of both screening paths: band-key join →
+    * pair dedup → exact-Jaccard gate → per-new-doc summary, left-joined
+    * back onto the full new-id set. Keeping the Jaccard formula and the
+    * output contract in ONE place — [[screenAgainstIndex]] and
+    * [[minhashLshIncremental]] are asserted equal by InfraSpec, but only
+    * on one corpus shape.
+    */
+  private def screenDecisions(newBand: DataFrame, oldBand: DataFrame,
+      newIds: DataFrame, threshold: Double): DataFrame = {
+    val matches = newBand.join(oldBand, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("old_id"), col("sh"), col("sho"))
+      .dropDuplicates("doc_id", "old_id")
+      .withColumn("common", size(array_intersect(col("sh"), col("sho"))))
+      .filter(col("common").cast("double") /
+        (size(col("sh")) + size(col("sho")) - col("common")) >= threshold)
+      .groupBy("doc_id")
+      .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_matches"))
+    newIds.join(matches.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
   /** The persistable LSH band index of a corpus — (doc_id, sh, band_idx,
     * band_key). This is the artifact an operating pipeline writes once
     * per corpus snapshot and screens every future batch against
@@ -301,19 +316,8 @@ object Dedup {
     val old = oldIndex.select(col("doc_id").as("old_id"),
       col("sh").as("sho"), col("band_idx"), col("band_key"))
       .hint("shuffle_hash")
-    val matches = newBand.join(old, Seq("band_idx", "band_key"))
-      .select(col("doc_id"), col("old_id"), col("sh"), col("sho"))
-      .dropDuplicates("doc_id", "old_id")
-      .withColumn("common", size(array_intersect(col("sh"), col("sho"))))
-      .filter(col("common").cast("double") /
-        (size(col("sh")) + size(col("sho")) - col("common")) >= threshold)
-      .groupBy("doc_id")
-      .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_matches"))
-    newDocs.select(col(idCol).as("doc_id"))
-      .join(matches.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
-      .withColumn("is_dup", col("dup_of").isNotNull)
+    screenDecisions(newBand, old,
+      newDocs.select(col(idCol).as("doc_id")), threshold)
   }
 
   def minhashLshIncremental(df: DataFrame, idCol: String, textCol: String,
@@ -337,19 +341,8 @@ object Dedup {
       .select(col("doc_id").as("old_id"), col("sh").as("sho"),
         col("band_idx"), col("band_key"))
       .hint("shuffle_hash")
-    val matches = newSide.join(oldSide, Seq("band_idx", "band_key"))
-      .select(col("doc_id"), col("old_id"), col("sh"), col("sho"))
-      .dropDuplicates("doc_id", "old_id")
-      .withColumn("common", size(array_intersect(col("sh"), col("sho"))))
-      .filter(col("common").cast("double") /
-        (size(col("sh")) + size(col("sho")) - col("common")) >= threshold)
-      .groupBy("doc_id")
-      .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_matches"))
-    df.filter(isNew).select(col(idCol).as("doc_id"))
-      .join(matches.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"))
-      .withColumn("is_dup", col("dup_of").isNotNull)
+    screenDecisions(newSide, oldSide,
+      df.filter(isNew).select(col(idCol).as("doc_id")), threshold)
   }
 
   /** Per-doc 60-bit SimHash over whitespace-token hashes.

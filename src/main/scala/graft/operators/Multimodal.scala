@@ -83,10 +83,13 @@ object Multimodal {
   def packContainer(df: DataFrame, idCol: String, payload: org.apache.spark.sql.Column,
       width: org.apache.spark.sql.Column, height: org.apache.spark.sql.Column)
       : DataFrame =
+    // pmod 65536: u16 wrap is DEFINED; without it, lpad(hex(w), 4)
+    // keeps the FIRST four hex chars of an oversized value — a garbage
+    // field that still parses as valid
     df.select(col(idCol).cast("long").as("doc_id"),
       concat(lit("GRFT".getBytes("UTF-8")),
-        unhex(lpad(hex(width.cast("int")), 4, "0")),
-        unhex(lpad(hex(height.cast("int")), 4, "0")),
+        unhex(lpad(hex(pmod(width.cast("long"), lit(65536L))), 4, "0")),
+        unhex(lpad(hex(pmod(height.cast("long"), lit(65536L))), 4, "0")),
         payload).as("media"))
 
   /** Parse the container header back out of the binary column — real

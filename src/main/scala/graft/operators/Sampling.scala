@@ -35,8 +35,11 @@ object Sampling {
       case (acc, (stratum, r)) =>
         when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
     }
+    // floor(x + 0.5): a bare cast truncates the IEEE product, so a rate
+    // like 0.57 (double 5699.999...) would yield threshold 5699 instead
+    // of the documented rate·10000 = 5700
     df.withColumn("bucket", bucket)
-      .filter(col("bucket") < (rateCol * 10000.0).cast("long"))
+      .filter(col("bucket") < floor(rateCol * 10000.0 + 0.5).cast("long"))
   }
 
   /** Mixture upsampling with replacement — the "books ×2.5, crawl ×0.4"
@@ -64,8 +67,8 @@ object Sampling {
         when(col(stratumCol) === stratum, lit(w)).otherwise(acc)
     }
     val copies = floor(wCol).cast("long") +
-      when(draw < ((wCol - floor(wCol)) * 10000.0).cast("long"), 1L)
-        .otherwise(0L)
+      when(draw < floor((wCol - floor(wCol)) * 10000.0 + 0.5).cast("long"),
+        1L).otherwise(0L)
     df.withColumn("n_copies", copies)
       .filter(col("n_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))

@@ -27,6 +27,7 @@ object VecAgg {
     override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
     override def reduce(b: (Array[Double], Long), v: Seq[Double])
         : (Array[Double], Long) = {
+      if (v == null) return b // null vectors contribute nothing
       val (sums, n) = b
       var i = 0
       val m = math.min(dim, v.length)

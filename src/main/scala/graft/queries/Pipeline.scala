@@ -112,7 +112,7 @@ object Pipeline {
              |SELECT doc_id, lang, bucket FROM h
              |WHERE bucket < CAST(floor(
              |  CASE lang WHEN 'en' THEN 0.35 WHEN 'zh' THEN 0.8
-             |    ELSE 0.6 END * 10000.0) AS BIGINT)
+             |    ELSE 0.6 END * 10000.0 + 0.5) AS BIGINT)
              |ORDER BY doc_id""".stripMargin)),
 
     // Incremental dedup: today's batch (doc_id % 10 = 0) screened against
@@ -410,8 +410,8 @@ object Pipeline {
              |c AS (
              |  SELECT doc_id, lang,
              |    CAST(floor(wt) AS BIGINT) +
-             |      CASE WHEN draw < CAST(floor((wt - floor(wt)) * 10000.0)
-             |        AS BIGINT) THEN 1 ELSE 0 END AS n
+             |      CASE WHEN draw < CAST(floor((wt - floor(wt)) * 10000.0
+             |        + 0.5) AS BIGINT) THEN 1 ELSE 0 END AS n
              |  FROM w)
              |SELECT doc_id, lang,
              |  CAST(unnest(range(1, n+1)) AS BIGINT) AS copy_idx
@@ -581,7 +581,7 @@ object Pipeline {
              |  WHERE ('0x' || substr(md5('corpus:' ||
              |      CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10000
              |    < CAST(floor(CASE lang WHEN 'en' THEN 0.8 ELSE 0.9 END
-             |        * 10000.0) AS BIGINT)),
+             |        * 10000.0 + 0.5) AS BIGINT)),
              |tk2 AS (
              |  SELECT doc_id, len(string_split(text,' ')) AS ntok
              |  FROM samp),

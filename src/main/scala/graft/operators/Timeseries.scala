@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.SafeOps
+
+/** Time-series repair and history operators over an event stream: daily
+  * gap-filling with linear interpolation, and SCD-2 (slowly-changing-
+  * dimension type 2) validity-range compression of per-day states.
+  *
+  * Scale shape (both): aggregate to the (key, day) grain first — one
+  * shuffle — then everything else is per-key windows over that already-
+  * reduced frame. Gap days are synthesized MAP-SIDE from each observed
+  * row's lead() via sequence+explode (bounded by `maxGapDays`), never by
+  * joining a dense calendar spine against the corpus: a spine join would
+  * shuffle |keys|×|days| rows to fill gaps that are typically a small
+  * fraction of the grid.
+  */
+object Timeseries {
+
+  /** Daily per-key value series with interior gaps filled by linear
+    * interpolation between the surrounding observed days.
+    *
+    * Output: one row per key per day from its first to its last observed
+    * day — `user_id, day, filled, is_observed`. Interior gaps longer than
+    * `maxGapDays` are left unfilled (the observed endpoints still emit):
+    * at scale an unbounded sequence() on a pathological key (two events a
+    * decade apart) would explode one row into thousands.
+    *
+    * The daily aggregate is stable-rounded BEFORE interpolating so the
+    * interpolation arithmetic runs on exactly-reproducible inputs (raw
+    * double partial-agg sums are association-order-dependent).
+    */
+  def dailyGapFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxGapDays: Int = 90): DataFrame = {
+    val obs = df
+      .groupBy(col(keyCol).as("user_id"),
+        to_date(col(tsCol)).as("day"))
+      .agg(SafeOps.stableRound4(sum(valueCol)).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val led = obs
+      .withColumn("nday", lead("day", 1).over(w))
+      .withColumn("nv", lead("v", 1).over(w))
+      .withColumn("gap", datediff(col("nday"), col("day")))
+    // each observed row emits itself plus its interior gap days (none
+    // when the gap exceeds maxGapDays — only the endpoints appear)
+    led
+      .withColumn("d", explode(when(
+          col("gap").isNotNull && col("gap") <= maxGapDays,
+          sequence(col("day"), date_sub(col("nday"), 1)))
+        .otherwise(array(col("day")))))
+      .select(col("user_id"), col("d").as("day"),
+        SafeOps.stableRound4(
+          when(col("d") === col("day"), col("v"))
+            .otherwise(col("v") + (col("nv") - col("v")) *
+              datediff(col("d"), col("day")) / col("gap")))
+          .as("filled"),
+        (col("d") === col("day")).as("is_observed"))
+  }
+
+  /** SCD-2 change history: compress each key's per-day states into
+    * validity ranges, keeping only the days where the state CHANGED.
+    *
+    * State of a day = the value of the key's LAST event that day
+    * (ordered by (ts, event id) so concurrent-timestamp ties are
+    * deterministic). Output: `user_id, valid_from, valid_to, value,
+    * is_current` — `valid_to` is the next change's day (exclusive),
+    * null on the current row.
+    *
+    * Values are stable-rounded before the change comparison: the filter
+    * is an equality on doubles and must agree bit-for-bit with any
+    * re-computation of the same history.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("eid").desc)
+    val daily = df
+      .select(col(keyCol).as("user_id"), to_date(col(tsCol)).as("day"),
+        col(tsCol).as("ts"), col(idCol).as("eid"),
+        col(valueCol).as("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"),
+        SafeOps.stableRound4(col("value")).as("value"))
+    val byDay = Window.partitionBy("user_id").orderBy("day")
+    val changed = daily
+      .withColumn("prev", lag("value", 1).over(byDay))
+      .filter(col("prev").isNull || col("prev") =!= col("value"))
+    changed
+      .withColumn("valid_to", lead("day", 1).over(byDay))
+      .select(col("user_id"), col("day").as("valid_from"),
+        col("valid_to"), col("value"),
+        col("valid_to").isNull.as("is_current"))
+  }
+}

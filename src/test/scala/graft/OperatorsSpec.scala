@@ -675,4 +675,61 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(0) == ((0L, Seq(1.0 / 3, 1.0 / 3), 3L)))
     assert(r(1) == ((3L, Seq(100.0 + 1.0 / 3, 100.0 + 1.0 / 3), 3L)))
   }
+
+  private lazy val series = Seq(
+    // user 1: days 1, 4 (gap of 2 interior days), 5
+    (1L, "2024-01-01 10:00:00", 10.0, 100L),
+    (1L, "2024-01-04 09:00:00", 40.0, 101L),
+    (1L, "2024-01-05 09:00:00", 50.0, 102L),
+    // user 2: one observation only — no gaps, no lead
+    (2L, "2024-01-02 12:00:00", 7.0, 103L),
+    // user 3: gap wider than maxGap (3 with maxGapDays=2)
+    (3L, "2024-01-01 08:00:00", 1.0, 104L),
+    (3L, "2024-01-04 08:00:00", 4.0, 105L))
+    .toDF("user_id", "ts_s", "value", "event_id")
+    .withColumn("ts", to_timestamp(col("ts_s")))
+
+  test("Timeseries.dailyGapFill interpolates interior gaps linearly") {
+    val r = Timeseries.dailyGapFill(series, "user_id", "ts", "value",
+        maxGapDays = 2)
+      .orderBy("user_id", "day").collect()
+      .map(x => (x.getLong(0), x.getDate(1).toString, x.getDouble(2),
+        x.getBoolean(3)))
+    // user 1: 01→04 is a 3-day gap > maxGap=2 → endpoints only;
+    // 04→05 adjacent → both observed, nothing synthesized
+    assert(r.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq(("2024-01-01", 10.0, true), ("2024-01-04", 40.0, true),
+        ("2024-01-05", 50.0, true)))
+    // user 2: single day passes through
+    assert(r.filter(_._1 == 2L).toSeq ==
+      Seq((2L, "2024-01-02", 7.0, true)))
+    // user 3 with maxGap=5 would interpolate; re-run to check the math
+    val r3 = Timeseries.dailyGapFill(series.filter(col("user_id") === 3),
+        "user_id", "ts", "value", maxGapDays = 5)
+      .orderBy("day").collect()
+      .map(x => (x.getDate(1).toString, x.getDouble(2), x.getBoolean(3)))
+    assert(r3.toSeq == Seq(("2024-01-01", 1.0, true),
+      ("2024-01-02", 2.0, false), ("2024-01-03", 3.0, false),
+      ("2024-01-04", 4.0, true)))
+  }
+
+  test("Timeseries.scd2 compresses unchanged days and marks current") {
+    val evs = Seq(
+      // user 1: day1 value 5 (last event of day wins: ts tie → max eid),
+      // day2 value 5 (unchanged → compressed), day3 value 9
+      (1L, "2024-01-01 10:00:00", 4.0, 1L),
+      (1L, "2024-01-01 10:00:00", 5.0, 2L),
+      (1L, "2024-01-02 11:00:00", 5.0, 3L),
+      (1L, "2024-01-03 09:00:00", 9.0, 4L))
+      .toDF("user_id", "ts_s", "value", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val r = Timeseries.scd2(evs, "user_id", "ts", "event_id", "value")
+      .orderBy("valid_from").collect()
+      .map(x => (x.getDate(1).toString,
+        Option(x.getDate(2)).map(_.toString), x.getDouble(3),
+        x.getBoolean(4)))
+    assert(r.toSeq == Seq(
+      ("2024-01-01", Some("2024-01-03"), 5.0, false),
+      ("2024-01-03", None, 9.0, true)))
+  }
 }

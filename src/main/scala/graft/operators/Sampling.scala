@@ -42,6 +42,76 @@ object Sampling {
       .filter(col("bucket") < floor(rateCol * 10000.0 + 0.5).cast("long"))
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual-LM recipe:
+    * p_s ∝ c_s^α with α<1 flattens the stratum distribution so
+    * low-resource strata keep proportionally more). Per-stratum keep
+    * rate = min(1, targetFraction·N·c_s^α / (Σ_t c_t^α · c_s)), decided
+    * per row by the same portable salted hash as [[stratified]].
+    *
+    * α is fixed at 0.5 so the power is `sqrt` — IEEE-correctly-rounded
+    * in every engine — and the per-stratum √c is FIXED-POINTED to 1e-6
+    * (`floor(sqrt(c)·10⁶)` as an integer) before the cross-strata sum:
+    * a raw double Σ√c would depend on summation order and could flip a
+    * row at the keep-threshold boundary between engines/runs. With
+    * integer sums, every arithmetic step is bit-reproducible.
+    *
+    * Scale: two tiny aggregates (|strata| rows) + a broadcast join of
+    * the rates back onto the corpus — one map-side decision per row, no
+    * corpus shuffle.
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, stratumCol: String,
+      targetFraction: Double, salt: String = "temp"): DataFrame = {
+    require(targetFraction > 0 && targetFraction <= 1,
+      "targetFraction must be in (0,1]")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("sp", floor(sqrt(col("c")) * 1e6).cast("long"))
+    val tot = counts.agg(sum("c").as("n_total"),
+      sum("sp").as("sum_sp"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("stratum"),
+        // (T·(N/c))·(sp/SP): divide-before-multiply keeps every
+        // operand under 2^53 (an SP·c integer product would overflow
+        // long at corpus scale) and the op sequence identical in any
+        // IEEE engine
+        least(lit(1.0), lit(targetFraction) *
+          (col("n_total").cast("double") / col("c").cast("double")) *
+          (col("sp").cast("double") / col("sum_sp").cast("double")))
+          .as("rate"))
+    val bucket = pmod(TextOps.hash32(
+      concat(lit(s"$salt:"), col(idCol).cast("string"))), lit(10000))
+    df.join(broadcast(rates), col(stratumCol) === col("stratum"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") <
+        floor(col("rate") * 10000.0 + 0.5).cast("long"))
+      .drop("stratum")
+  }
+
+  /** Weighted sampling WITHOUT replacement, k per stratum
+    * (Efraimidis–Spirakis via exponential keys): draw u ~ hash-uniform
+    * (0,1], keep the k smallest e = -ln(u)/w. Rows with weight w are
+    * selected with probability proportional to w, no row twice, and the
+    * sample is reproducible and stable under re-ingestion (each row's
+    * key never changes; only the rank-k cutoff can).
+    *
+    * Scale: one window per stratum — Spark's WindowGroupLimit plants a
+    * partial top-k BEFORE the exchange for row_number()<=k filters, so
+    * the shuffle carries ≤k rows per stratum per input partition, not
+    * the corpus.
+    */
+  def weightedSampleK(df: DataFrame, idCol: String, stratumCol: String,
+      weight: Column, k: Int, salt: String = "wsample"): DataFrame = {
+    val u = (pmod(TextOps.hash32(concat(lit(s"$salt:"),
+      col(idCol).cast("string"))), lit(1000000)) + 1) / 1000000.0
+    val keyed = df.withColumn("w", weight)
+      .filter(col("w") > 0)
+      .withColumn("e", -log(u) / col("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("e"), col(idCol))
+    keyed.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+  }
+
   /** Mixture upsampling with replacement — the "books ×2.5, crawl ×0.4"
     * epoch-weighting step of a training mix. Every row is replicated
     * floor(weight) times plus one more iff its salted hash draw lands

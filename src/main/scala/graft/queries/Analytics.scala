@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 import graft.functions.SafeOps
-import graft.operators.Timeseries
+import graft.operators.{Sampling, Timeseries}
 
 /** Time-series / reshaping analytics (round 4): daily gap-filling with
   * linear interpolation, SCD-2 change-history compression, and UNPIVOT.
@@ -122,6 +122,85 @@ object Analytics {
              |        AS avg_bal
              |    FROM customer GROUP BY 1)
              |  ON n_cust, total_bal, avg_bal INTO NAME metric VALUE val)
-             |ORDER BY c_nationkey, metric""".stripMargin))
+             |ORDER BY c_nationkey, metric""".stripMargin)),
+
+    // Temperature-scaled mixture: α=0.5 flattens the language
+    // distribution; √c is fixed-pointed to 1e-6 before the cross-strata
+    // sum so the keep-rate arithmetic is bit-reproducible (see
+    // Sampling.temperatureMixture).
+    GraftQuery(
+      "q98_temperature_mixture",
+      "Temperature-scaled (alpha=0.5) language-mixture sampling at " +
+        "target fraction 0.3: per-lang keep rates from fixed-point " +
+        "sqrt-counts, decided per row by the portable salted hash.",
+      (s, d) => Sampling.temperatureMixture(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", targetFraction = 0.3, salt = "temp")
+        .select(col("doc_id"), col("lang"),
+          SafeOps.stableRound4(col("rate")).as("rate"),
+          col("bucket").cast("long").as("bucket"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+             |  SELECT lang, count(*) AS c,
+             |    CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS sp
+             |  FROM documents GROUP BY lang),
+             |tot AS (
+             |  SELECT CAST(sum(c) AS BIGINT) AS n_total,
+             |    CAST(sum(sp) AS BIGINT) AS sum_sp
+             |  FROM c),
+             |r AS (
+             |  SELECT lang, least(1.0, 0.3 *
+             |      (CAST(tot.n_total AS DOUBLE) / CAST(c.c AS DOUBLE)) *
+             |      (CAST(c.sp AS DOUBLE) / CAST(tot.sum_sp AS DOUBLE)))
+             |    AS rate
+             |  FROM c, tot),
+             |h AS (
+             |  SELECT d.doc_id, d.lang, r.rate,
+             |    ('0x' || substr(md5('temp:' ||
+             |      CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT % 10000
+             |      AS bucket
+             |  FROM documents d JOIN r ON d.lang = r.lang)
+             |SELECT doc_id, lang,
+             |  floor(rate * 10000.0 + 0.5) / 10000.0 AS rate,
+             |  CAST(bucket AS BIGINT) AS bucket
+             |FROM h
+             |WHERE bucket < CAST(floor(rate * 10000.0 + 0.5) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Weighted sampling without replacement: 10 docs per language,
+    // P(select) ∝ ln(1+n_chars), via Efraimidis–Spirakis exponential
+    // keys on the deterministic hash draw.
+    GraftQuery(
+      "q99_weighted_sample_k",
+      "Weighted sampling without replacement (10 per lang, weight " +
+        "ln(1+n_chars)) via Efraimidis-Spirakis exponential keys; " +
+        "WindowGroupLimit keeps the top-k shuffle at k rows/partition.",
+      (s, d) => Sampling.weightedSampleK(
+        t(s, d, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "doc_id", "lang", weight = log(lit(1.0) + col("n_chars")),
+        k = 10, salt = "wsample")
+        .select(col("doc_id"), col("lang"),
+          SafeOps.stableRound4(col("w")).as("w"),
+          SafeOps.stableRound4(col("e")).as("e"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("lang", "rank"),
+      Some("""WITH keyed AS (
+             |  SELECT doc_id, lang, ln(1.0 + n_chars) AS w,
+             |    -ln((('0x' || substr(md5('wsample:' ||
+             |        CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 1000000
+             |        + 1) / 1000000.0) / ln(1.0 + n_chars) AS e
+             |  FROM documents WHERE ln(1.0 + n_chars) > 0),
+             |ranked AS (
+             |  SELECT doc_id, lang, w, e,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY e, doc_id) AS rank
+             |  FROM keyed)
+             |SELECT doc_id, lang,
+             |  floor(w * 10000.0 + 0.5) / 10000.0 AS w,
+             |  floor(e * 10000.0 + 0.5) / 10000.0 AS e,
+             |  CAST(rank AS BIGINT) AS rank
+             |FROM ranked WHERE rank <= 10
+             |ORDER BY lang, rank""".stripMargin))
   )
 }

@@ -713,6 +713,36 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-04", 4.0, true)))
   }
 
+  test("Sampling.temperatureMixture flattens toward low-resource strata") {
+    // 900 'hi' vs 100 'lo' rows: α=0.5 rates satisfy
+    // r_lo/r_hi = sqrt(c_hi/c_lo) = 3 — the low-resource stratum keeps
+    // proportionally 3x more
+    val df = (0 until 1000).map(i =>
+      (i.toLong, if (i < 900) "hi" else "lo")).toDF("doc_id", "lang")
+    val rates = Sampling.temperatureMixture(df, "doc_id", "lang", 0.3)
+      .groupBy("lang").agg(first("rate").as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(rates("lo")._1 / rates("hi")._1 - 3.0) < 1e-9)
+    // kept counts track rate·c (hash draws are uniform to ~1%-ish)
+    val total = rates("hi")._2 + rates("lo")._2
+    assert(total > 200 && total < 400) // target 300
+  }
+
+  test("Sampling.weightedSampleK: k per stratum, no row twice, " +
+      "weight-biased") {
+    val df = (0 until 400).map { i =>
+      // half the rows get 20x the weight via a big n_chars
+      (i.toLong, "s", if (i % 2 == 0) 1000000L else 2L)
+    }.toDF("doc_id", "lang", "n_chars")
+    val r = Sampling.weightedSampleK(df, "doc_id", "lang",
+        log(lit(1.0) + col("n_chars")), k = 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(r.length == 50 && r.distinct.length == 50)
+    // heavy rows (even ids, ~12.6x the weight) should dominate
+    assert(r.count(_ % 2 == 0) > 35)
+  }
+
   test("Timeseries.scd2 compresses unchanged days and marks current") {
     val evs = Seq(
       // user 1: day1 value 5 (last event of day wins: ts tie → max eid),

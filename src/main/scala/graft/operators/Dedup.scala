@@ -92,6 +92,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed n-gram CONTAINMENT pairs — the asymmetric near-dup
+    * relation Jaccard misses: a short document quoted wholesale inside a
+    * much longer one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a
+    * Jaccard threshold never flags it. Containment catches
+    * quote-inclusion, boilerplate wrapping, and sub-document copies.
+    *
+    * Same inverted-index + `maxPosting` hot-shingle guard as
+    * [[ngramJaccardPairs]]; the only differences are the directed join
+    * (a ≠ b, both orders) and the |A| denominator.
+    *
+    * Output: doc_a, doc_b, containment — fraction of doc_a's shingles
+    * also in doc_b, ≥ threshold.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxPosting: Int = Int.MaxValue): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n)
+    val inv0 = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val pruned =
+      if (maxPosting == Int.MaxValue) inv0
+      else {
+        val hot = inv0.groupBy("shingle")
+          .agg(count(lit(1)).as("posting_n"))
+          .filter(col("posting_n") > maxPosting)
+        inv0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val inv = pruned.hint("shuffle_hash")
+    inv.as("x")
+      .join(inv.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"), first(col("x.sz")).as("sa"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / col("sa")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact duplicated-n-gram statistics — the substring-level dedup
     * signal (cf. "Deduplicating Training Data Makes Language Models
     * Better", Lee et al. 2022, which removes repeated ≥50-token spans):

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph ranking over a corpus-sized node set — the companion
+  * to [[Dedup.connectedComponents]]'s HashMin propagation: where
+  * components tell you WHICH docs form a near-dup cluster, PageRank over
+  * the same pair graph scores how CENTRAL each doc is (the natural
+  * canonical-pick when clusters are large and min-id is arbitrary).
+  *
+  * Scale shape: edges (+ out-degrees) materialize ONCE behind a
+  * localCheckpoint — without the fence the upstream pair generator
+  * (MinHash/LSH or the shingle index) would re-execute every iteration.
+  * Each iteration is one edge→rank equi-join and one groupBy(dst) — the
+  * same two-shuffle round as components — with per-round checkpoints
+  * truncating lineage. The rank join is shuffle-pinned: the rank table
+  * has one row per NODE (corpus-sized at 100 TB), and AQE's small-SF
+  * size estimate would otherwise broadcast it.
+  *
+  * Determinism: each iteration's ranks are fixed-pointed to 1e-9
+  * (`floor(r·10⁹+0.5)/10⁹`) so the next round's inputs are
+  * bit-identical regardless of the association order of the incoming-
+  * contribution sums (per-add error ~1e-16 « the 1e-9 grid).
+  */
+object Graph {
+
+  /** `iterations` rounds of PageRank with teleport `1-damping`.
+    * `nodes` is the full node universe (one column `nodeCol`) — isolated
+    * nodes keep the teleport-only rank; dangling nodes (no out-edges)
+    * leak their mass to teleport, the convention that needs no global
+    * redistribution pass.
+    *
+    * Output: node, rank (raw), rel_rank (rank·|nodes| — ≈1.0 for an
+    * average node, the scale-free form worth reading).
+    */
+  def pageRank(nodes: DataFrame, nodeCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val round9 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1e9 + 0.5) / 1e9
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").localCheckpoint(true)
+    val ids = nodes.select(col(nodeCol).as("node")).localCheckpoint(true)
+    val n = ids.count()
+    val teleport = (1.0 - damping) / n.toDouble
+    var ranks = ids.withColumn("r", lit(1.0) / n.toDouble)
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = ed
+        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("deg")).as("m"))
+      ranks = ids
+        .join(contrib.hint("shuffle_hash"),
+          col("node") === col("dst"), "left")
+        .select(col("node"),
+          round9(lit(teleport) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank"),
+      (col("r") * n.toDouble).as("rel_rank"))
+  }
+}

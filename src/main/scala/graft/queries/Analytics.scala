@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 import graft.functions.SafeOps
-import graft.operators.{Sampling, Timeseries}
+import graft.operators.{Dedup, Graph, Sampling, Timeseries}
 
 /** Time-series / reshaping analytics (round 4): daily gap-filling with
   * linear interpolation, SCD-2 change-history compression, and UNPIVOT.
@@ -18,6 +18,20 @@ object Analytics {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
+
+  // q31's shingle-set CTE (LlmOps.duckShingleSets), shared by the
+  // containment and PageRank oracles.
+  private val duckShingleSets =
+    """sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2]),
+      |      g -> ('0x' || substr(md5(g),1,8))::BIGINT)) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3)""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -201,6 +215,102 @@ object Analytics {
              |  floor(e * 10000.0 + 0.5) / 10000.0 AS e,
              |  CAST(rank AS BIGINT) AS rank
              |FROM ranked WHERE rank <= 10
-             |ORDER BY lang, rank""".stripMargin))
+             |ORDER BY lang, rank""".stripMargin)),
+
+    // Asymmetric containment: |A∩B|/|A| flags quote-inclusion and
+    // sub-document copies that a symmetric Jaccard threshold misses.
+    GraftQuery(
+      "qA0_containment_pairs",
+      "Directed 3-gram containment pairs (|A intersect B| / |A| >= 0.6) " +
+        "via the shingle inverted index — catches short docs quoted " +
+        "inside long ones where Jaccard ~ |A|/|B| stays tiny.",
+      (s, d) => Dedup.containmentPairs(
+        t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
+        .select(col("doc_a"), col("doc_b"),
+          SafeOps.stableRound4(col("containment")).as("containment"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $duckShingleSets,
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS common,
+              |    len(a.sh) AS sa
+              |  FROM sets a JOIN sets b ON a.doc_id != b.doc_id)
+              |SELECT doc_a, doc_b,
+              |  floor((CAST(common AS DOUBLE) / sa) * 10000.0 + 0.5)
+              |    / 10000.0 AS containment
+              |FROM p WHERE CAST(common AS DOUBLE) / sa >= 0.6
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // PageRank over the near-dup pair graph: centrality-based canonical
+    // scoring. The oracle unrolls the same three fixed-point iterations
+    // over the all-pairs edge set.
+    GraftQuery(
+      "qA1_pagerank_dedup_graph",
+      "3-iteration PageRank (damping 0.85, 1e-9 per-round fixpoint) " +
+        "over the symmetrized 3-gram-Jaccard near-dup graph, all docs " +
+        "as nodes; rel_rank = rank x n.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.5)
+        val edges = pairs.select(col("doc_a").as("src"),
+            col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b"), col("doc_a")))
+        Graph.pageRank(docs, "doc_id", edges, "src", "dst",
+          iterations = 3, damping = 0.85)
+          .select(col("node").as("doc_id"),
+            SafeOps.stableRound4(col("rel_rank")).as("rel_rank"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingleSets,
+              |pr AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS common,
+              |    len(a.sh) AS sa, len(b.sh) AS sb
+              |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+              |pp AS (
+              |  SELECT doc_a, doc_b FROM pr
+              |  WHERE CAST(common AS DOUBLE)/(sa+sb-common) >= 0.5),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pp
+              |  UNION ALL SELECT doc_b, doc_a FROM pp),
+              |deg AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
+              |nn AS (SELECT count(*) AS n FROM documents),
+              |r0 AS (SELECT doc_id AS node,
+              |    CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS r
+              |  FROM documents),
+              |c1 AS (SELECT e.b AS dst, sum(r.r / d.deg) AS m
+              |  FROM e JOIN r0 r ON e.a = r.node
+              |  JOIN deg d ON e.a = d.a GROUP BY e.b),
+              |r1 AS (SELECT r0.node, floor((
+              |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+              |      / (SELECT n FROM nn)
+              |    + CAST(0.85 AS DOUBLE) * coalesce(c1.m,
+              |        CAST(0.0 AS DOUBLE)))
+              |    * 1000000000.0 + 0.5) / 1000000000.0 AS r
+              |  FROM r0 LEFT JOIN c1 ON r0.node = c1.dst),
+              |c2 AS (SELECT e.b AS dst, sum(r.r / d.deg) AS m
+              |  FROM e JOIN r1 r ON e.a = r.node
+              |  JOIN deg d ON e.a = d.a GROUP BY e.b),
+              |r2 AS (SELECT r1.node, floor((
+              |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+              |      / (SELECT n FROM nn)
+              |    + CAST(0.85 AS DOUBLE) * coalesce(c2.m,
+              |        CAST(0.0 AS DOUBLE)))
+              |    * 1000000000.0 + 0.5) / 1000000000.0 AS r
+              |  FROM r1 LEFT JOIN c2 ON r1.node = c2.dst),
+              |c3 AS (SELECT e.b AS dst, sum(r.r / d.deg) AS m
+              |  FROM e JOIN r2 r ON e.a = r.node
+              |  JOIN deg d ON e.a = d.a GROUP BY e.b),
+              |r3 AS (SELECT r2.node, floor((
+              |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+              |      / (SELECT n FROM nn)
+              |    + CAST(0.85 AS DOUBLE) * coalesce(c3.m,
+              |        CAST(0.0 AS DOUBLE)))
+              |    * 1000000000.0 + 0.5) / 1000000000.0 AS r
+              |  FROM r2 LEFT JOIN c3 ON r2.node = c3.dst)
+              |SELECT node AS doc_id,
+              |  floor((r * (SELECT n FROM nn)) * 10000.0 + 0.5)
+              |    / 10000.0 AS rel_rank
+              |FROM r3 ORDER BY doc_id""".stripMargin))
   )
 }

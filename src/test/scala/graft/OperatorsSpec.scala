@@ -713,6 +713,44 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-04", 4.0, true)))
   }
 
+  test("Dedup.containmentPairs flags subset docs that Jaccard misses") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), // fully quoted inside doc 1
+      (1L, "alpha beta gamma delta " +
+        "one two three four five six seven eight nine ten eleven " +
+        "twelve thirteen fourteen fifteen sixteen"),
+      (2L, "totally unrelated content with other words entirely here"))
+      .toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 0→1 containment = 1.0 (every 3-gram of doc 0 appears in doc 1);
+    // the reverse direction and doc 2 stay below threshold
+    assert(c.toSeq == Seq((0L, 1L, 1.0)))
+    // symmetric Jaccard on the same pair stays below 0.5 — the signal
+    // containment exists to catch
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .filter(col("doc_a") === 0 && col("doc_b") === 1)
+      .collect()(0).getDouble(2)
+    assert(j < 0.2)
+  }
+
+  test("Graph.pageRank conserves mass and ranks hubs above leaves") {
+    // star graph: 0 at the center of 1..4, plus isolated node 5
+    val nodes = (0L to 5L).toDF("id")
+    val spokes = (1L to 4L).map(i => (i, 0L))
+    val edges = (spokes ++ spokes.map(_.swap)).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, "id", edges, "src", "dst",
+        iterations = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // hub outranks spokes outranks the isolated node
+    assert(r(0L) > r(1L) && r(1L) > r(5L))
+    assert(math.abs(r(1L) - r(4L)) < 1e-12) // spokes symmetric
+    // node 5 is dangling (no out-edges): its share of the mass leaks to
+    // teleport by the documented convention, so the total settles below
+    // 1 by roughly that share (1/6 ≈ 0.17) but no more
+    assert(r.values.sum > 0.8 && r.values.sum < 1.0)
+  }
+
   test("Sampling.temperatureMixture flattens toward low-resource strata") {
     // 900 'hi' vs 100 'lo' rows: α=0.5 rates satisfy
     // r_lo/r_hi = sqrt(c_hi/c_lo) = 3 — the low-resource stratum keeps

@@ -178,4 +178,68 @@ object Similarity {
     val cells = assignCells(df, idCol, vecCol, centroidEvery, maxCentroids)
     VecAgg.meanPool(cells.select(col("cell"), col("v")), "cell", "v", dim)
   }
+
+  /** All-pairs term-frequency cosine over SPARSE text vectors via the
+    * inverted index — the classic similarity-join for bag-of-words
+    * representations (cf. Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07). Dense-embedding cosine
+    * ([[bruteForceTopK]]/[[lshTopK]]) scores every dimension; here a
+    * pair is scored ONLY on shared terms, so the join fans out by
+    * posting list, not by |corpus|².
+    *
+    * Numeric determinism: the pair dot product is an exact INTEGER sum
+    * (tf_a·tf_b over shared terms — summation order irrelevant), and
+    * the per-doc norms are square roots of exact integer sums, so the
+    * final cosine is the same IEEE double in any engine. No
+    * accumulation-order drift, unlike a naive float-weight sum.
+    *
+    * Scale shape: one (doc,term) groupBy for tf, one doc groupBy for
+    * norms, posting-list self-join pinned to shuffle-hash (both sides
+    * corpus-sized — an AQE broadcast would OOM), `maxPosting` drops
+    * stopword-grade terms whose |posting|² pair blow-up dominates cost
+    * while contributing least signal (default ∞ for oracle parity).
+    * Norms join back on the doc key — the pair table's partitioning is
+    * reused for doc_a; doc_b's side is one more hash exchange.
+    *
+    * Output: doc_a < doc_b, dotp (exact), cosine ≥ threshold.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxPosting: Int = Int.MaxValue): DataFrame = {
+    import graft.functions.TextOps
+    val tf0 = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val tf =
+      if (maxPosting == Int.MaxValue) tf0
+      else {
+        val hot = tf0.groupBy("tok").agg(count(lit(1)).as("posting_n"))
+          .filter(col("posting_n") > maxPosting)
+        tf0.join(hot, Seq("tok"), "left_anti")
+      }
+    // keep the exact integer norm-square; the pair cosine divides by
+    // sqrt(n2_a * n2_b) in ONE square root so identical vectors come
+    // out exactly 1.0 (sqrt(x)*sqrt(x) != x in floating point)
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+      .hint("shuffle_hash")
+    val postings = tf.hint("shuffle_hash")
+    val pairs = postings.as("x")
+      .join(postings.as("y"),
+        col("x.tok") === col("y.tok") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dotp"))
+    pairs
+      .join(norms.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n2", "n2_a"), Seq("doc_a"))
+      .join(norms.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n2", "n2_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("dotp"),
+        (col("dotp").cast("double") /
+          sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
 import graft.functions.SafeOps
-import graft.operators.{Dedup, Graph, Sampling, Timeseries}
+import graft.operators.{Dedup, Graph, Sampling, Similarity, Timeseries}
 
 /** Time-series / reshaping analytics (round 4): daily gap-filling with
   * linear interpolation, SCD-2 change-history compression, and UNPIVOT.
@@ -311,6 +311,49 @@ object Analytics {
               |SELECT node AS doc_id,
               |  floor((r * (SELECT n FROM nn)) * 10000.0 + 0.5)
               |    / 10000.0 AS rel_rank
-              |FROM r3 ORDER BY doc_id""".stripMargin))
+              |FROM r3 ORDER BY doc_id""".stripMargin)),
+
+    // Sparse bag-of-words cosine: pairs are scored only on SHARED
+    // terms via the posting-list self-join — the third pair-generation
+    // family next to set-overlap (Jaccard/containment) and dense
+    // embeddings. Integer dot product + integer-norm square roots keep
+    // the double bit-identical across engines.
+    GraftQuery(
+      "qA2_sparse_cosine_pairs",
+      "All-pairs TF cosine >= 0.65 over the token inverted index " +
+        "(integer dot / sqrt of integer norms — engine-exact), " +
+        "shuffle-pinned posting self-join, maxPosting stopword guard " +
+        "at scale.",
+      (s, d) => Similarity.sparseCosinePairs(
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.65)
+        .select(col("doc_a"), col("doc_b"), col("dotp"),
+          SafeOps.stableRound4(col("cosine")).as("cosine"))
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  WHERE tok != '' GROUP BY doc_id, tok),
+             |nrm AS (
+             |  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
+             |  FROM tf GROUP BY doc_id),
+             |p AS (
+             |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             |    CAST(sum(x.tf * y.tf) AS BIGINT) AS dotp
+             |  FROM tf x JOIN tf y
+             |    ON x.tok = y.tok AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, dotp,
+             |  floor((CAST(dotp AS DOUBLE) /
+             |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)))
+             |    * 10000.0 + 0.5) / 10000.0 AS cosine
+             |FROM p
+             |JOIN nrm na ON p.doc_a = na.doc_id
+             |JOIN nrm nb ON p.doc_b = nb.doc_id
+             |WHERE CAST(dotp AS DOUBLE) /
+             |    sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             |  >= 0.65
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }

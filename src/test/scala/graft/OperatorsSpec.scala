@@ -58,6 +58,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(before == after)
   }
 
+  test("Similarity.sparseCosinePairs scores shared terms only, " +
+    "integer-exact") {
+    val pairs = Similarity.sparseCosinePairs(corpus, "doc_id", "text", 0.0)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // exact dup pair: identical tf vectors -> cosine exactly 1.0
+    assert(pairs((0L, 1L))._2 == 1.0)
+    // docs 3 and 4 share no token -> no shared-term posting row, so the
+    // pair never materializes (the inverted index prunes it, unlike a
+    // dense all-pairs scorer)
+    assert(!pairs.contains((3L, 4L)))
+    // dot product is the exact integer overlap: docs 0 and 2 share
+    // 7 single-occurrence tokens plus "the" (tf 2x2) -> 7 + 4 = 11
+    assert(pairs((0L, 2L))._1 == 11L)
+    // threshold filters: near-dup survives 0.9, cross-topic does not
+    val strict = Similarity.sparseCosinePairs(corpus, "doc_id", "text", 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("Similarity.sparseCosinePairs maxPosting drops stopword-grade " +
+    "terms") {
+    // 30 docs sharing one stopword; pairs exist only through it
+    val boiler = (0L until 30L).map(i => (i, s"common word$i"))
+      .toDF("doc_id", "text")
+    assert(Similarity.sparseCosinePairs(boiler, "doc_id", "text", 0.0)
+      .count() == 435)
+    assert(Similarity.sparseCosinePairs(boiler, "doc_id", "text", 0.0,
+      maxPosting = 10).count() == 0)
+  }
+
   test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

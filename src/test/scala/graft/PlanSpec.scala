@@ -59,7 +59,7 @@ class PlanSpec extends SparkTestBase {
     "the corpus index") {
     for (name <- Seq("q31_dedup_ngram_jaccard", "q32_dedup_minhash_lsh",
         "q43_simhash_pairs", "q70_dedup_embedding_lsh",
-        "q80_dup_ngram_spans")) {
+        "q80_dup_ngram_spans", "qA2_sparse_cosine_pairs")) {
       val p = planOf(name)
       assert(p.contains("ShuffledHashJoin"), s"$name lost its hint:\n$p")
       assert(!p.contains("BroadcastHashJoin"),

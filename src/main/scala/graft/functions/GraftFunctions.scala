@@ -39,6 +39,7 @@ object GraftFunctions {
     "shingle_hash_set" -> (es => ShingleHashSetExpr(es(0),
       es(1).eval().asInstanceOf[Int])),
     "token_hashes" -> (es => TokenHashesExpr(es.head)),
+    "char_entropy" -> (es => CharEntropyExpr(es.head)),
     "stop_hits" -> (es => StopHitsExpr(es(0),
       es(1).eval().toString.split(',').toSeq)),
     "vocab_encode" -> (es => VocabEncodeExpr(es(0),
@@ -84,6 +85,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(n))
   def tokenHashes(tokens: Column): Column =
     call_function("token_hashes", tokens)
+  def charEntropy(text: Column): Column =
+    call_function("char_entropy", text)
   def stopHits(tokens: Column, words: Seq[String]): Column =
     call_function("stop_hits", tokens,
       org.apache.spark.sql.functions.lit(words.mkString(",")))

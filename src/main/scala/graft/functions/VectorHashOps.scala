@@ -131,6 +131,39 @@ object VectorHashOps {
     c
   }
 
+  /** Shannon entropy (nats) of a string's code-point distribution:
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n. A low-entropy text (repeated chars,
+    * binary-ish runs, keyboard mashing) is a classic corpus-quality
+    * reject signal. Counts accumulate in ASCENDING code-point order
+    * (sorted run-length scan), so the floating-point sum is
+    * reproducible — the oracle mirrors with an ORDER BY ch list sum.
+    * Empty string → 0.0.
+    */
+  def charEntropy(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n == 0) return 0.0d
+    val cps = new Array[Int](n)
+    var i = 0
+    var j = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps)
+    var acc = 0.0d
+    var run = 1L
+    var k = 1
+    while (k <= n) {
+      if (k < n && cps(k) == cps(k - 1)) run += 1
+      else { acc += run * Math.log(run.toDouble); run = 1L }
+      k += 1
+    }
+    Math.log(n.toDouble) - acc / n
+  }
+
   /** Token→id encoding against a fixed vocabulary: one hash probe per
     * token, OOV → 0. Order/duplicates preserved (the training consumer
     * needs the id sequence, not a bag).
@@ -223,6 +256,25 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenHashesExpr =
     copy(child = c)
   override def prettyName: String = "token_hashes"
+}
+
+/** char_entropy(string) → double: Shannon entropy of the code-point
+  * distribution, the per-row scan-speed quality signal (no explode, no
+  * char-stream shuffle — the naive formulation shuffles |corpus|×|doc|
+  * single-character rows through a groupBy).
+  */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.charEntropy(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.charEntropy($c)")
+  override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
+    copy(child = c)
+  override def prettyName: String = "char_entropy"
 }
 
 /** stop_hits(array<string> tokens, words): occurrences of any listed word.

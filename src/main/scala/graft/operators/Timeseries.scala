@@ -95,4 +95,45 @@ object Timeseries {
         col("valid_to"), col("value"),
         col("valid_to").isNull.as("is_current"))
   }
+
+  /** Greedy cooldown deduplication: per key, keep an event only if at
+    * least `cooldown` has elapsed since the last KEPT event — the
+    * notification-throttling / temporal-near-dup semantics. This is NOT
+    * expressible as a plain window over lag(): whether an event is kept
+    * depends on which earlier events were kept, a sequential decision.
+    * (lag-based suppression would re-anchor on suppressed events: three
+    * events at t, t+0.6c, t+1.2c keep {t, t+1.2c} here, but lag-based
+    * keeps only {t} because each event is within c of its predecessor.)
+    *
+    * Scale shape: ONE shuffle on the key; events collect into a
+    * (ts, id)-sorted array — the same per-key-activity bound
+    * sessionization and [[Funnel.stages]] already assume — and the kept
+    * set is a left fold with the kept-array as state. Timestamps fold
+    * as exact integer microseconds, so the keep/suppress decision is
+    * bit-identical in any engine.
+    *
+    * Output: one row per kept event — key, ts, id.
+    */
+  def cooldownDedup(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, cooldownSec: Long): DataFrame = {
+    val cdUs = cooldownSec * 1000000L
+    val evs = df.select(
+        struct(keyCols.map(col): _*).as("k"),
+        struct(unix_micros(col(tsCol)).as("t"),
+          col(idCol).as("eid")).as("e"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    // fold state = the kept array; seed with a typed empty slice so the
+    // accumulator's struct type matches the elements'
+    val kept = aggregate(col("evs"), slice(col("evs"), 1, 0),
+      (acc, e) => when(
+        size(acc) === 0 ||
+          e.getField("t") - element_at(acc, -1).getField("t") >= cdUs,
+        concat(acc, array(e))).otherwise(acc))
+    val flat = evs.select(col("k"), explode(kept).as("e"))
+    val keyOut = keyCols.map(n => col("k").getField(n).as(n))
+    flat.select(keyOut :+
+      timestamp_micros(col("e.t")).as(tsCol) :+
+      col("e.eid").as(idCol): _*)
+  }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.functions.SafeOps
-import graft.operators.{Dedup, Graph, Sampling, Similarity, Timeseries}
+import graft.functions.{GraftFunctions, SafeOps}
+import graft.operators.{Dedup, Diff, Graph, Sampling, Similarity, Timeseries}
 
 /** Time-series / reshaping analytics (round 4): daily gap-filling with
   * linear interpolation, SCD-2 change-history compression, and UNPIVOT.
@@ -354,6 +354,141 @@ object Analytics {
              |WHERE CAST(dotp AS DOUBLE) /
              |    sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
              |  >= 0.65
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Snapshot diff: the derive-a-delta side of dataset versioning
+    // (q77 snapshot_merge is the apply side). Two synthetic snapshots
+    // of orders — ~1% of keys dropped from each side, price bumped on
+    // the 11-divisible keys — diffed into added/removed/changed rows.
+    GraftQuery(
+      "qA3_snapshot_diff",
+      "Dataset-version diff of two orders snapshots: full-outer " +
+        "sort-merge on the key, null-safe per-column compare, " +
+        "changed-column list; unchanged keys filtered before output.",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val old = orders.filter(col("o_orderkey") % 97 =!= 3)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+        val cur = orders.filter(col("o_orderkey") % 89 =!= 5)
+        Diff.snapshotDiff(old, cur, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+          // comma-joined for the oracle compare (list physical types
+          // diverge across engines; same convention as q18/q28)
+          .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH old AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+             |         ELSE o_totalprice END AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 97 != 3),
+             |cur AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey % 89 != 5)
+             |SELECT coalesce(old.o_orderkey, cur.o_orderkey)
+             |    AS o_orderkey,
+             |  CASE WHEN old.o_orderkey IS NULL THEN 'added'
+             |       WHEN cur.o_orderkey IS NULL THEN 'removed'
+             |       ELSE 'changed' END AS status,
+             |  CASE WHEN old.o_orderkey IS NULL
+             |         OR cur.o_orderkey IS NULL
+             |       THEN ''
+             |       ELSE array_to_string(CAST(
+             |         (CASE WHEN old.o_orderstatus IS DISTINCT FROM
+             |                    cur.o_orderstatus
+             |               THEN ['o_orderstatus'] ELSE [] END ||
+             |          CASE WHEN old.o_totalprice IS DISTINCT FROM
+             |                    cur.o_totalprice
+             |               THEN ['o_totalprice'] ELSE [] END)
+             |         AS VARCHAR[]), ',') END AS changed_cols
+             |FROM old FULL OUTER JOIN cur
+             |  ON old.o_orderkey = cur.o_orderkey
+             |WHERE old.o_orderkey IS NULL OR cur.o_orderkey IS NULL
+             |   OR old.o_orderstatus IS DISTINCT FROM cur.o_orderstatus
+             |   OR old.o_totalprice IS DISTINCT FROM cur.o_totalprice
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Greedy cooldown dedup: keep an event only if >= 7 days past the
+    // last KEPT event of the same (user, type) — a sequential decision
+    // no plain window expresses. The Spark fold and the DuckDB
+    // list-reduce both run on exact integer microseconds.
+    GraftQuery(
+      "qA4_cooldown_dedup",
+      "Per-(user, event_type) greedy 7-day cooldown dedup: one key " +
+        "shuffle, (ts, id)-sorted array, kept-set left fold on exact " +
+        "integer microseconds.",
+      (s, d) => Timeseries.cooldownDedup(
+        t(s, d, "events"), Seq("user_id", "event_type"), "ts",
+        "event_id", cooldownSec = 7L * 86400L)
+        // timestamp_ntz: parquet gets isAdjustedToUTC=false/us, same
+        // physical type as DuckDB's make_timestamp (q23 convention)
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+        .orderBy("user_id", "event_type", "ts", "event_id"),
+      // Oracle: recursive frontier — each round keeps, per key, the
+      // (t, eid)-least event >= last kept + cooldown (a list-fold
+      // formulation would be natural, but DuckDB 1.0's reduce()
+      // corrupts list accumulators past ~12 elements).
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS t,
+             |    event_id AS eid
+             |  FROM events),
+             |first AS (
+             |  SELECT user_id, event_type, t, eid FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY user_id, event_type
+             |      ORDER BY t, eid) AS rn FROM ev) WHERE rn = 1),
+             |kept AS (
+             |  SELECT user_id, event_type, t, eid FROM first
+             |  UNION ALL
+             |  SELECT k.user_id, k.event_type, nxt.t, nxt.eid
+             |  FROM kept k JOIN LATERAL (
+             |    SELECT min({'t': e.t, 'eid': e.eid}) AS m
+             |    FROM ev e
+             |    WHERE e.user_id = k.user_id
+             |      AND e.event_type = k.event_type
+             |      AND e.t >= k.t + 604800000000
+             |  ) s ON s.m IS NOT NULL
+             |  CROSS JOIN LATERAL (
+             |    SELECT s.m.t AS t, s.m.eid AS eid) nxt)
+             |SELECT user_id, event_type, make_timestamp(t) AS ts,
+             |  eid AS event_id
+             |FROM kept
+             |ORDER BY user_id, event_type, ts, event_id""".stripMargin)),
+
+    // Character-entropy quality signal: per-row codegen'd kernel — the
+    // naive formulation (explode to one row per CHARACTER, groupBy)
+    // shuffles a corpus-sized char stream; the kernel is a projection
+    // at scan speed. The oracle IS that naive formulation, with an
+    // ORDER BY ch list-sum mirroring the kernel's ascending-code-point
+    // accumulation so the doubles match bit-for-bit.
+    GraftQuery(
+      "qA5_char_entropy",
+      "Shannon entropy (nats) of each doc's character distribution — " +
+        "low-entropy = repeated-char / mashed text reject signal; " +
+        "per-row kernel vs explode+groupBy oracle.",
+      (s, d) => {
+        GraftFunctions.registerAll(s)
+        t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+          SafeOps.stableRound4(
+            GraftFunctions.charEntropy(col("text"))).as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(string_split(text, '')) AS c
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM ch GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT doc_id, sum(cnt) AS n,
+             |    list_sum(list(cnt * ln(cnt) ORDER BY c)) AS s
+             |  FROM cnt GROUP BY doc_id)
+             |SELECT d.doc_id, d.n_chars,
+             |  floor((ln(a.n) - a.s / a.n) * 10000.0 + 0.5) / 10000.0
+             |    AS entropy
+             |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -170,6 +170,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(s.getInt(0) == 3)
   }
 
+  test("char_entropy: uniform/constant/empty/null cases, codegen'd") {
+    val df = Seq(("abab"), ("aaaa"), ("")).toDF("text")
+      .select(GraftFunctions.charEntropy(col("text")).as("h"))
+    val r = df.collect().map(_.getDouble(0))
+    assert(r(0) == math.log(2.0)) // two equiprobable symbols -> ln 2
+    assert(r(1) == 0.0) // constant string carries no information
+    assert(r(2) == 0.0) // empty defined as 0
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(GraftFunctions.charEntropy(col("text"))).collect()(0)
+    assert(n.isNullAt(0)) // null-safe
+  }
+
   test("registered expressions are callable from SQL text") {
     val r = spark.sql(
       "SELECT is_private_ip('192.168.0.1') AS p, " +

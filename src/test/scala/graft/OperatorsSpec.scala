@@ -91,6 +91,36 @@ class OperatorsSpec extends SparkTestBase {
       maxPosting = 10).count() == 0)
   }
 
+  test("Diff.snapshotDiff classifies added/removed/changed, null-safe") {
+    val old = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+        (3L, Some("c"), 30.0), (4L, None: Option[String], 40.0))
+      .toDF("k", "s", "v")
+    val cur = Seq((1L, Some("a"), 10.0), (2L, Some("B"), 20.0),
+        (4L, Some("d"), 40.0), (5L, Some("e"), 50.0))
+      .toDF("k", "s", "v")
+    val r = Diff.snapshotDiff(old, cur, Seq("k"), Seq("s", "v"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getSeq[String](2))).toMap
+    assert(r.size == 4) // key 1 unchanged -> absent
+    assert(r(2L) == ("changed", Seq("s")))
+    assert(r(3L) == ("removed", Seq()))
+    assert(r(4L) == ("changed", Seq("s"))) // NULL -> value is a change
+    assert(r(5L) == ("added", Seq()))
+  }
+
+  test("Timeseries.cooldownDedup anchors on KEPT events, not lag") {
+    // events at t=0, 60, 120 with cooldown 100: greedy keeps {0, 120}
+    // (120-0 >= 100); lag-based suppression would keep only {0} since
+    // each event is within 100 of its predecessor
+    val ev = Seq((1L, 0L, 10L), (1L, 60L, 11L), (1L, 120L, 12L))
+      .map { case (u, t, id) => (u, new java.sql.Timestamp(t * 1000L), id) }
+      .toDF("user_id", "ts", "event_id")
+    val kept = Timeseries.cooldownDedup(ev, Seq("user_id"), "ts",
+      "event_id", cooldownSec = 100L)
+      .collect().map(_.getLong(2)).sorted
+    assert(kept.toSeq == Seq(10L, 12L))
+  }
+
   test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -320,21 +320,27 @@ object Analytics {
     // the double bit-identical across engines.
     GraftQuery(
       "qA2_sparse_cosine_pairs",
-      "All-pairs TF cosine >= 0.65 over the token inverted index " +
+      "All-pairs TF cosine >= 0.9 over the token inverted index " +
         "(integer dot / sqrt of integer norms — engine-exact), " +
-        "shuffle-pinned posting self-join, maxPosting stopword guard " +
-        "at scale.",
+        "shuffle-pinned posting self-join, maxPosting=1000 stopword " +
+        "guard (a token in >1000 docs fans out >10^6 pairs while " +
+        "carrying the least signal; both engines drop the same terms).",
       (s, d) => Similarity.sparseCosinePairs(
-        t(s, d, "documents"), "doc_id", "text", threshold = 0.65)
+        t(s, d, "documents"), "doc_id", "text", threshold = 0.9,
+        maxPosting = 1000)
         .select(col("doc_a"), col("doc_b"), col("dotp"),
           SafeOps.stableRound4(col("cosine")).as("cosine"))
         .orderBy("doc_a", "doc_b"),
-      Some("""WITH tf AS (
+      Some("""WITH tf0 AS (
              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
              |  FROM (SELECT doc_id,
              |          unnest(string_split(text, ' ')) AS tok
              |        FROM documents)
              |  WHERE tok != '' GROUP BY doc_id, tok),
+             |tf AS (
+             |  SELECT * FROM tf0 WHERE tok NOT IN (
+             |    SELECT tok FROM tf0 GROUP BY tok
+             |    HAVING count(*) > 1000)),
              |nrm AS (
              |  SELECT doc_id, CAST(sum(tf*tf) AS BIGINT) AS n2
              |  FROM tf GROUP BY doc_id),
@@ -353,7 +359,7 @@ object Analytics {
              |JOIN nrm nb ON p.doc_b = nb.doc_id
              |WHERE CAST(dotp AS DOUBLE) /
              |    sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
-             |  >= 0.65
+             |  >= 0.9
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Snapshot diff: the derive-a-delta side of dataset versioning
@@ -489,6 +495,37 @@ object Analytics {
              |  floor((ln(a.n) - a.s / a.n) * 10000.0 + 0.5) / 10000.0
              |    AS entropy
              |FROM documents d JOIN agg a ON d.doc_id = a.doc_id
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Winsorization: per-group p10/p90 clipping of a signal column —
+    // the robust normalization step before mixing quality scores across
+    // heterogeneous sources. Group bounds are a |langs|-row frame →
+    // broadcast join back; the corpus never shuffles for the clip.
+    GraftQuery(
+      "qA6_winsorize",
+      "Per-language p10/p90 winsorized n_chars: exact interpolated " +
+        "percentile bounds (q13 convention), broadcast bounds join, " +
+        "clip as a per-row projection.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bounds = docs.groupBy("lang").agg(
+          expr("percentile(n_chars, 0.1)").as("lo"),
+          expr("percentile(n_chars, 0.9)").as("hi"))
+        docs.join(broadcast(bounds), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            SafeOps.stableRound4(
+              least(greatest(col("n_chars").cast("double"), col("lo")),
+                col("hi"))).as("clipped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT lang, quantile_cont(n_chars, 0.1) AS lo,
+             |    quantile_cont(n_chars, 0.9) AS hi
+             |  FROM documents GROUP BY lang)
+             |SELECT doc_id, d.lang, n_chars,
+             |  floor((least(greatest(CAST(n_chars AS DOUBLE), lo), hi))
+             |    * 10000.0 + 0.5) / 10000.0 AS clipped
+             |FROM documents d JOIN b ON d.lang = b.lang
+             |ORDER BY doc_id""".stripMargin))
   )
 }

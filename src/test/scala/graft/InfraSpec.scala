@@ -222,6 +222,62 @@ class InfraSpec extends SparkTestBase {
     assert(rows(0).getInt(3) == 2 && rows(0).getDouble(4) == 3.0)
   }
 
+  test("Throttle: batch mode equals Timeseries.cooldownDedup on the " +
+    "events table") {
+    import graft.operators.Timeseries
+    import graft.streaming.Throttle
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = Timeseries.cooldownDedup(events,
+      Seq("user_id", "event_type"), "ts", "event_id", 7L * 86400L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val stateful = Throttle.keptEventsDf(events, 7L * 86400L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(stateful == batch)
+    assert(stateful.nonEmpty)
+  }
+
+  test("Throttle: streaming micro-batches reproduce the batch kept set " +
+    "and expire state past the cooldown") {
+    import graft.streaming.Throttle
+    import graft.streaming.Throttle.Ev
+    val inDir = Files.createTempDirectory("thr-in").toFile
+    val ckpt = Files.createTempDirectory("thr-ck").toFile
+    val evs = Seq(
+      Ev(1L, "click", Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      Ev(1L, "click", Timestamp.valueOf("2024-01-01 00:01:00"), 2L), // < cd
+      Ev(1L, "click", Timestamp.valueOf("2024-01-01 00:02:30"), 3L), // >= cd of #1
+      Ev(2L, "view", Timestamp.valueOf("2024-01-01 00:00:30"), 4L))
+    val late = Seq( // second drop: next micro-batch
+      Ev(1L, "click", Timestamp.valueOf("2024-01-01 00:03:00"), 5L), // < cd of #3
+      Ev(1L, "click", Timestamp.valueOf("2024-01-01 00:05:00"), 6L), // >= cd of #3
+      Ev(9L, "tick", Timestamp.valueOf("2024-01-02 00:00:00"), 9L))
+    // one part-file per drop (else maxFilesPerTrigger=1 splits a drop
+    // into per-part micro-batches in arbitrary file order)
+    evs.toDF().coalesce(1).write
+      .parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    // FileStreamSource orders micro-batches by modification time; a
+    // same-second tie would let drop2 (whose day-2 event drives the
+    // watermark past drop1's timeouts) process first
+    Thread.sleep(1500)
+    late.toDF().coalesce(1).write
+      .parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val stream = spark.readStream.schema(evs.toDF().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+      .withWatermark("ts", "0 seconds").as[Ev]
+    val q = Throttle.keptEvents(stream, cooldownSec = 150L)
+      .writeStream.format("memory").queryName("thr_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val kept = spark.table("thr_out").collect().map(_.getLong(3)).toSet
+    // greedy with cd=150s: keep 1 (drop 2: 60s), keep 3 (150s >= 150s),
+    // keep 4; batch 2: drop 5 (30s after kept 3), keep 6, keep 9
+    assert(kept == Set(1L, 3L, 4L, 6L, 9L))
+  }
+
   test("streaming dedup screen: micro-batches against a static band " +
     "index agree with the batch incremental operator") {
     import graft.operators.Dedup

@@ -7,8 +7,11 @@ import graft.{GraftQuery, Tables}
 import graft.functions.{GraftFunctions, SafeOps}
 import graft.operators.{Dedup, Diff, Graph, Sampling, Similarity, Timeseries}
 
-/** Time-series / reshaping analytics (round 4): daily gap-filling with
-  * linear interpolation, SCD-2 change-history compression, and UNPIVOT.
+/** Time-series / graph / versioning analytics (round 4): daily
+  * gap-filling with linear interpolation, SCD-2 change-history
+  * compression, UNPIVOT, mixture sampling, containment dedup, PageRank,
+  * sparse-cosine pairs, snapshot diffing, cooldown dedup, char-entropy
+  * scoring, and winsorization.
   *
   * Same oracle-parity conventions as the other modules: stable
   * floor-rounding on every float output on BOTH sides, identical

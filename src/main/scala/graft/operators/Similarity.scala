@@ -179,6 +179,71 @@ object Similarity {
     VecAgg.meanPool(cells.select(col("cell"), col("v")), "cell", "v", dim)
   }
 
+  /** Full Lloyd training loop: `iterations` rounds of (argmin assign →
+    * per-cell mean → re-embed the codebook). Each round is the same two
+    * narrow passes as [[kmeansStep]] — a zero-shuffle kernel projection
+    * plus one O(cells) partial-aggregated shuffle; the codebook
+    * round-trips through the driver between rounds (bounded at
+    * `maxCentroids`, the same transport invariant as [[ivfTopK]]).
+    *
+    * Determinism: refreshed centroid coordinates are fixed-pointed to
+    * 1e-9 before re-embedding (the [[Graph.pageRank]] convention), and
+    * their norm-squares recompute from the ROUNDED coords in ascending
+    * dim order — so the next round's distance comparisons run on
+    * bit-identical inputs in any engine. Cells that lose all members
+    * drop out (standard Lloyd); labels stay the founding centroid ids.
+    *
+    * Output: cell, centroid (array<double>), n_members after the final
+    * round.
+    */
+  def kmeansTrain(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, dim: Int, iterations: Int,
+      maxCentroids: Int = 4096): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint() // scanned once, re-read per round
+    val picked = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
+      .select(col("vid").cast("long"), col("v"),
+        (col("nrm") * col("nrm")).as("cn2"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(picked.nonEmpty,
+      s"no centroid ids divisible by $centroidEvery — empty codebook")
+    val stride = (picked.length + maxCentroids - 1) / maxCentroids
+    var cids = picked.indices.collect {
+      case j if j % stride == 0 => picked(j).getLong(0) }.toArray
+    var vecs = picked.indices.collect {
+      case j if j % stride == 0 => picked(j).getSeq[Double](1).toArray }.toArray
+    var cn2s = picked.indices.collect {
+      case j if j % stride == 0 => picked(j).getDouble(2) }.toArray
+
+    def assignAndPool(): DataFrame = {
+      val cells = base.withColumn("cell",
+        graft.functions.GraftFunctions.argminCell(col("v"), col("nrm"),
+          cids, vecs, cn2s))
+      VecAgg.meanPool(cells.select(col("cell"), col("v")), "cell", "v", dim)
+    }
+
+    var round = 1
+    var means = assignAndPool()
+    while (round < iterations) {
+      val refreshed = means.collect().sortBy(_.getLong(0))
+      cids = refreshed.map(_.getLong(0))
+      vecs = refreshed.map(_.getSeq[Double](1).toArray
+        .map(x => math.floor(x * 1e9 + 0.5) / 1e9))
+      cn2s = vecs.map { v =>
+        var s = 0.0d; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        s
+      }
+      means = assignAndPool()
+      round += 1
+    }
+    means
+  }
+
   /** All-pairs term-frequency cosine over SPARSE text vectors via the
     * inverted index — the classic similarity-join for bag-of-words
     * representations (cf. Bayardo et al., "Scaling Up All Pairs

@@ -309,6 +309,78 @@ object LlmOps {
               |  (floor((cosine) * 10000.0 + 0.5) / 10000.0) AS cosine, rank
               |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
+    // Retrieval-quality eval: recall@3 of the LSH-bucketed index vs the
+    // exact top-3 — the measurement loop every production ANN deployment
+    // runs before trading accuracy for bucket pruning. Both sides reuse
+    // the declared operators; the hits join is query-set-sized.
+    GraftQuery(
+      "qA7_ann_recall",
+      "Per-query recall@3 of 4-plane LSH ANN against the exact brute-" +
+        "force top-3 (deterministic tie-breaks on both sides).",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val isQ = col("vid") % 100 === 0
+        val brute = Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", isQ, 3)
+          .select(col("q_id"), col("cand_id"))
+        val lsh = Similarity.lshTopK(
+          emb, "vec_id", "embedding", isQ, planes = 4, k = 3)
+          .select(col("q_id"), col("cand_id"))
+        val hits = brute.join(lsh, Seq("q_id", "cand_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        brute.groupBy("q_id").agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (floor((coalesce(col("n_hits"), lit(0L)).cast("double") /
+              col("n_true").cast("double")) * 10000.0 + 0.5) / 10000.0)
+              .as("recall"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH $duckVecNorm,
+              |q0 AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+              |bscored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM q0 q JOIN n c ON c.vec_id != q.vec_id),
+              |brute AS (SELECT q_id, cand_id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM bscored)
+              |  WHERE rank <= 3),
+              |bk AS (SELECT vec_id, v, nrm,
+              |  CAST(list_sum(list_transform(range(0,4), j ->
+              |    CASE WHEN list_sum(list_transform(v, (x,i) ->
+              |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
+              |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+              |    AS bucket
+              |  FROM n),
+              |lq AS (SELECT * FROM bk WHERE vec_id % 100 = 0),
+              |lscored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM lq q JOIN bk c
+              |    ON c.bucket = q.bucket AND c.vec_id != q.vec_id),
+              |lsh AS (SELECT q_id, cand_id FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM lscored)
+              |  WHERE rank <= 3),
+              |hits AS (
+              |  SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_hits
+              |  FROM brute b JOIN lsh l
+              |    ON b.q_id = l.q_id AND b.cand_id = l.cand_id
+              |  GROUP BY b.q_id),
+              |tot AS (
+              |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_true
+              |  FROM brute GROUP BY q_id)
+              |SELECT tot.q_id, coalesce(hits.n_hits, 0) AS n_hits,
+              |  floor((CAST(coalesce(hits.n_hits, 0) AS DOUBLE) /
+              |    CAST(tot.n_true AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+              |    AS recall
+              |FROM tot LEFT JOIN hits ON tot.q_id = hits.q_id
+              |ORDER BY tot.q_id""".stripMargin)),
+
     GraftQuery(
       "q37_text_langid",
       "Stopword-profile language ID: per-language hit counts, fixed-" +

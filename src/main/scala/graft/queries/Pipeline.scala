@@ -308,6 +308,63 @@ object Pipeline {
               |  CAST(count(*) AS BIGINT) AS n_members
               |FROM pe GROUP BY cell, s.d ORDER BY cell, dim""".stripMargin)),
 
+    // Full Lloyd loop (2 rounds): round-1 means are fixed-pointed to
+    // 1e-9, re-embedded as the round-2 codebook, and the corpus
+    // re-assigns against them — the oracle unrolls both rounds with the
+    // same rounding so every distance comparison runs on bit-identical
+    // inputs (the qA1 PageRank convention).
+    GraftQuery(
+      "qA8_kmeans_train",
+      "2-iteration k-means training over the every-73rd-id seed " +
+        "codebook: argmin assign -> cell means -> re-embed (1e-9 " +
+        "fixed-point) -> re-assign; two narrow passes per round.",
+      (s, d) => Similarity.kmeansTrain(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        centroidEvery = 73, dim = 64, iterations = 2)
+        .select(col("cell"),
+          posexplode(col("centroid")).as(Seq("dim", "x")),
+          col("n_members"))
+        .select(col("cell"), col("dim"),
+          (floor(col("x") * 10000.0 + 0.5) / 10000.0).as("c"),
+          col("n_members"))
+        .orderBy("cell", "dim"),
+      Some(s"""WITH $duckVecNorm,
+              |c0 AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
+              |  FROM n WHERE vec_id % 73 = 0),
+              |a0 AS (
+              |  SELECT n.vec_id, n.v, n.nrm, c0.cid,
+              |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
+              |      i -> n.v[i]*c0.cv[i])) + c0.cn2) AS d2
+              |  FROM n, c0),
+              |cells1 AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM a0) WHERE rn = 1),
+              |pe1 AS (SELECT cell,
+              |  unnest(list_transform(v, (x,i) -> {'d': i, 'x': x})) AS s
+              |  FROM cells1),
+              |m1 AS (SELECT cell, s.d AS d,
+              |  floor(avg(s.x) * 1000000000.0 + 0.5) / 1000000000.0 AS x
+              |  FROM pe1 GROUP BY cell, s.d),
+              |c1 AS (SELECT cell AS cid, list(x ORDER BY d) AS cv
+              |  FROM m1 GROUP BY cell),
+              |c1n AS (SELECT cid, cv,
+              |  list_sum(list_transform(cv, x -> x*x)) AS cn2 FROM c1),
+              |a1 AS (
+              |  SELECT n.vec_id, n.v, c1n.cid,
+              |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
+              |      i -> n.v[i]*c1n.cv[i])) + c1n.cn2) AS d2
+              |  FROM n, c1n),
+              |cells2 AS (SELECT vec_id, v, cid AS cell FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM a1) WHERE rn = 1),
+              |pe2 AS (SELECT cell,
+              |  unnest(list_transform(v, (x,i) -> {'d': i, 'x': x})) AS s
+              |  FROM cells2)
+              |SELECT cell, CAST(s.d - 1 AS INT) AS dim,
+              |  floor(avg(s.x) * 10000.0 + 0.5) / 10000.0 AS c,
+              |  CAST(count(*) AS BIGINT) AS n_members
+              |FROM pe2 GROUP BY cell, s.d ORDER BY cell, dim""".stripMargin)),
+
     // Sliding-window chunking (RAG/encoder prep): 32-token windows every
     // 24 tokens — a per-row flatMap at scan speed, zero shuffles.
     GraftQuery(

@@ -739,6 +739,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(1) == ((3L, Seq(100.0 + 1.0 / 3, 100.0 + 1.0 / 3), 3L)))
   }
 
+  test("Similarity.kmeansTrain: a captured point migrates to its true " +
+    "cluster on the second Lloyd round") {
+    // seeds = ids 0 and 4 (centroidEvery=4), placed at (4,0) and (6,0).
+    // Round 1: the point at (4.9,0) is nearer seed A=(4,0) than B=(6,0),
+    // so A captures it along with the origin cluster — A's mean drops to
+    // (1.78,0) while B's rises to (6.5,0). Round 2 against the
+    // RE-EMBEDDED codebook flips it: 4.9 is now 3.12 from A's centroid
+    // but 1.6 from B's. A one-step kmeansStep cannot see this; only the
+    // refreshed-codebook loop does.
+    val vecs = Seq(
+      (0L, Seq(4.0, 0.0)), (1L, Seq(0.0, 0.0)), (2L, Seq(0.5, 0.0)),
+      (3L, Seq(-0.5, 0.0)), (4L, Seq(6.0, 0.0)), (5L, Seq(4.9, 0.0)),
+      (6L, Seq(7.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val one = Similarity.kmeansTrain(vecs, "vec_id", "embedding",
+      centroidEvery = 4, dim = 2, iterations = 1)
+      .orderBy("cell").collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1), x.getLong(2)))
+    assert(one.map(x => (x._1, x._3)).toSeq == Seq((0L, 5L), (4L, 2L)))
+    val two = Similarity.kmeansTrain(vecs, "vec_id", "embedding",
+      centroidEvery = 4, dim = 2, iterations = 2)
+      .orderBy("cell").collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1), x.getLong(2)))
+    assert(two.map(x => (x._1, x._3)).toSeq == Seq((0L, 4L), (4L, 3L)))
+    // cell A's final mean is exact in binary: (4 + 0 + 0.5 - 0.5)/4 = 1
+    assert(two(0)._2 == Seq(1.0, 0.0))
+    // cell B's mean (6 + 4.9 + 7)/3 — partial-sum order varies, compare
+    // with tolerance
+    assert(math.abs(two(1)._2.head - 17.9 / 3) < 1e-9 &&
+      two(1)._2(1) == 0.0)
+  }
+
   private lazy val series = Seq(
     // user 1: days 1, 4 (gap of 2 interior days), 5
     (1L, "2024-01-01 10:00:00", 10.0, 100L),

@@ -21,9 +21,14 @@ object Diff {
 
   /** Output: keyCols…, status ∈ {added, removed, changed},
     * changed_cols (empty for added/removed, sorted by cmpCols order).
+    * With `withPayload` the delta also carries `new_vals` (cur's
+    * compare-struct; null for removed rows), making it an applyable CDC
+    * delta: old − removed − changed ∪ (added ∪ changed).new_vals == cur
+    * — the reconstruction invariant OperatorsSpec asserts.
     */
   def snapshotDiff(old: DataFrame, cur: DataFrame,
-      keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], cmpCols: Seq[String],
+      withPayload: Boolean = false): DataFrame = {
     require(cmpCols.nonEmpty, "cmpCols must be non-empty")
     val o = old.select(
       (keyCols.map(col) :+
@@ -42,11 +47,13 @@ object Diff {
       .otherwise(concat(cmpCols.map(n =>
         when(!(col("_old").getField(n) <=> col("_cur").getField(n)),
           array(lit(n))).otherwise(array().cast("array<string>"))): _*))
+    val base = keyCols.map(col) :+
+      status.as("status") :+
+      changedCols.as("changed_cols")
+    val out = if (withPayload) base :+ col("_cur").as("new_vals") else base
     joined
       .filter(col("_in_old").isNull || col("_in_cur").isNull ||
         !(col("_old") <=> col("_cur")))
-      .select(keyCols.map(col) :+
-        status.as("status") :+
-        changedCols.as("changed_cols"): _*)
+      .select(out: _*)
   }
 }

@@ -276,13 +276,16 @@ object Similarity {
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // fence: tf feeds both posting sides AND the norms — unfenced, the
+    // scan→explode→groupBy pipeline re-evaluates once per consumer
+    // (audited: 8 scans / 24 exchanges in the declared query's plan)
     val tf =
-      if (maxPosting == Int.MaxValue) tf0
+      (if (maxPosting == Int.MaxValue) tf0
       else {
         val hot = tf0.groupBy("tok").agg(count(lit(1)).as("posting_n"))
           .filter(col("posting_n") > maxPosting)
         tf0.join(hot, Seq("tok"), "left_anti")
-      }
+      }).localCheckpoint()
     // keep the exact integer norm-square; the pair cosine divides by
     // sqrt(n2_a * n2_b) in ONE square root so identical vectors come
     // out exactly 1.0 (sqrt(x)*sqrt(x) != x in floating point)

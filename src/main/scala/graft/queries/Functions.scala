@@ -307,6 +307,34 @@ object Functions {
       Some("""SELECT lang, count(*) AS n_docs,
              |  CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_spark
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Semi-structured extraction: schema-on-read over the JSON props
+    // column via from_json with a DECLARED schema (typed, codegen'd,
+    // null on malformed — the production path; get_json_object's
+    // per-path string probing re-parses per call). Extracted values
+    // flow straight into a relational rollup.
+    GraftQuery(
+      "qB0_json_props",
+      "JSON schema-on-read: from_json('k BIGINT') over events.props, " +
+        "rolled up per event_type (count, sum, mean of the extracted " +
+        "field).",
+      (s, d) => t(s, d, "events").select(
+        col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          (floor((avg("k")) * 10000.0 + 0.5) / 10000.0).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS sum_k,
+             |  floor((avg(CAST(json_extract_string(props, '$.k')
+             |    AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

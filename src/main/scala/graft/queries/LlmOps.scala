@@ -638,6 +638,35 @@ object LlmOps {
              |    len(regexp_extract_all(text, '[0-9]{6,}')) > 0 AS pii_flag
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // The apply side of q62: actually rewrite the text. Emails collapse
+    // first (an email's digit runs must not half-survive as
+    // "<EMAIL>123"), then standalone digit runs — same order in both
+    // engines, same RE2-and-Java-safe patterns as the flags query.
+    GraftQuery(
+      "qA9_pii_redact",
+      "PII redaction: replace email-likes then 6+-digit runs with " +
+        "typed placeholders — scan-speed regexp_replace, counts from " +
+        "the pre-redaction text.",
+      (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        expr("regexp_replace(regexp_replace(text, " +
+          "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]+', '<EMAIL>'), " +
+          "'[0-9]{6,}', '<NUM>')").as("redacted"),
+        (size(expr("regexp_extract_all(text, " +
+          "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]+', 0)")) +
+          size(expr("regexp_extract_all(text, '[0-9]{6,}', 0)")))
+          .cast("long").as("n_redactions"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(text,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+',
+             |    '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+             |  len(regexp_extract_all(text,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+')) +
+             |    len(regexp_extract_all(text, '[0-9]{6,}'))
+             |    AS n_redactions
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Benchmark-contamination probe: docs containing any probe phrase.
     // The probe list is a broadcast-sized constant; `contains` keeps it
     // at scan speed (substring, not tokenization-sensitive).

@@ -108,6 +108,33 @@ class OperatorsSpec extends SparkTestBase {
     assert(r(5L) == ("added", Seq()))
   }
 
+  test("Diff.snapshotDiff withPayload is an applyable CDC delta: " +
+    "old + delta reconstructs cur") {
+    val old = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_orderkey") % 13 =!= 1)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val cur = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_orderkey") % 11 =!= 2)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val delta = Diff.snapshotDiff(old, cur, Seq("o_orderkey"),
+      Seq("o_orderstatus", "o_totalprice"), withPayload = true)
+    // apply: drop removed+changed keys from old, union the new_vals of
+    // added+changed
+    val dropKeys = delta.filter(col("status").isin("removed", "changed"))
+      .select("o_orderkey")
+    val upserts = delta.filter(col("status").isin("added", "changed"))
+      .select(col("o_orderkey"), col("new_vals.o_orderstatus"),
+        col("new_vals.o_totalprice"))
+    val rebuilt = old.join(dropKeys, Seq("o_orderkey"), "left_anti")
+      .union(upserts)
+    assert(rebuilt.exceptAll(cur).count() == 0)
+    assert(cur.exceptAll(rebuilt).count() == 0)
+    assert(delta.filter(col("status") === "changed").count() > 0)
+  }
+
   test("Timeseries.cooldownDedup anchors on KEPT events, not lag") {
     // events at t=0, 60, 120 with cooldown 100: greedy keeps {0, 120}
     // (120-0 >= 100); lag-based suppression would keep only {0} since

@@ -529,6 +529,64 @@ object Analytics {
              |  floor((least(greatest(CAST(n_chars AS DOUBLE), lo), hi))
              |    * 10000.0 + 0.5) / 10000.0 AS clipped
              |FROM documents d JOIN b ON d.lang = b.lang
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Distribution-drift monitor: PSI (population stability index)
+    // contributions of the order-value distribution, pre-1998 vs
+    // after — the pipeline-regression gate between two ingestion
+    // periods. Bin counts are exact integers; +1 Laplace smoothing
+    // keeps one-sided bins finite; emitted per bin (the headline PSI
+    // is the consumer's sum, keeping every output an order-free exact
+    // expression).
+    GraftQuery(
+      "qB2_drift_psi",
+      "Per-bin PSI contributions of o_totalprice (50k bins), " +
+        "pre-1998 vs 1998+ orders: exact counts, Laplace-smoothed " +
+        "shares, (pA-pB)*ln(pA/pB).",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+          .withColumn("bin",
+            floor(col("o_totalprice") / 50000.0).cast("long"))
+          .withColumn("is_a", col("o_orderdate") < "1998-01-01")
+        val counts = orders.groupBy("bin").agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"))
+        val tot = counts.agg(
+          sum("n_a").as("t_a"), sum("n_b").as("t_b"),
+          count(lit(1)).as("nbins"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_a"), col("n_b"),
+            SafeOps.stableRound4(
+              (((col("n_a") + 1).cast("double") /
+                (col("t_a") + col("nbins")).cast("double")) -
+                ((col("n_b") + 1).cast("double") /
+                  (col("t_b") + col("nbins")).cast("double"))) *
+                log(((col("n_a") + 1).cast("double") /
+                  (col("t_a") + col("nbins")).cast("double")) /
+                  ((col("n_b") + 1).cast("double") /
+                    (col("t_b") + col("nbins")).cast("double"))))
+              .as("psi"))
+          .orderBy("bin")
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT)
+             |      AS bin,
+             |    CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN o_orderdate < DATE '1998-01-01'
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+             |  FROM orders GROUP BY 1),
+             |t AS (
+             |  SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+             |    CAST(sum(n_b) AS BIGINT) AS t_b,
+             |    CAST(count(*) AS BIGINT) AS nbins
+             |  FROM b)
+             |SELECT bin, n_a, n_b,
+             |  floor(((CAST(n_a + 1 AS DOUBLE) / (t_a + nbins) -
+             |          CAST(n_b + 1 AS DOUBLE) / (t_b + nbins)) *
+             |    ln((CAST(n_a + 1 AS DOUBLE) / (t_a + nbins)) /
+             |       (CAST(n_b + 1 AS DOUBLE) / (t_b + nbins))))
+             |    * 10000.0 + 0.5) / 10000.0 AS psi
+             |FROM b, t ORDER BY bin""".stripMargin))
   )
 }

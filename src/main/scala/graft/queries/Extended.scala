@@ -375,6 +375,41 @@ object Extended {
       Some("""SELECT l_returnflag, count(*) AS cnt,
              |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS total
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // The remaining ranked-window family: percent_rank, cume_dist,
+    // nth_value, first_value — relative standing within a partition.
+    // The (price, key) compound order makes every row its own peer
+    // group, so RANGE-vs-ROWS default-frame differences between
+    // engines vanish and the rank ratios are exact rationals.
+    GraftQuery(
+      "qB1_rank_stats",
+      "percent_rank / cume_dist / first_value / nth_value(2) per " +
+        "order-priority partition, deterministic compound ordering.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          (floor((percent_rank().over(w)) * 10000.0 + 0.5) / 10000.0)
+            .as("pr"),
+          (floor((cume_dist().over(w)) * 10000.0 + 0.5) / 10000.0)
+            .as("cd"),
+          first_value(col("o_totalprice")).over(w).as("cheapest"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |  floor((percent_rank() OVER w) * 10000.0 + 0.5) / 10000.0
+             |    AS pr,
+             |  floor((cume_dist() OVER w) * 10000.0 + 0.5) / 10000.0
+             |    AS cd,
+             |  first_value(o_totalprice) OVER w AS cheapest,
+             |  nth_value(o_totalprice, 2) OVER w AS second
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -40,6 +40,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int])),
     "token_hashes" -> (es => TokenHashesExpr(es.head)),
     "char_entropy" -> (es => CharEntropyExpr(es.head)),
+    "merge_pair" -> (es => MergePairExpr(es(0),
+      es(1).eval().toString, es(2).eval().toString)),
     "stop_hits" -> (es => StopHitsExpr(es(0),
       es(1).eval().toString.split(',').toSeq)),
     "vocab_encode" -> (es => VocabEncodeExpr(es(0),
@@ -87,6 +89,10 @@ object GraftFunctions {
     call_function("token_hashes", tokens)
   def charEntropy(text: Column): Column =
     call_function("char_entropy", text)
+  def mergePair(symbols: Column, a: String, b: String): Column =
+    call_function("merge_pair", symbols,
+      org.apache.spark.sql.functions.lit(a),
+      org.apache.spark.sql.functions.lit(b))
   def stopHits(tokens: Column, words: Seq[String]): Column =
     call_function("stop_hits", tokens,
       org.apache.spark.sql.functions.lit(words.mkString(",")))

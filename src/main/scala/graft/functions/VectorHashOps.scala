@@ -164,6 +164,30 @@ object VectorHashOps {
     Math.log(n.toDouble) - acc / n
   }
 
+  /** Greedy leftmost merge of one adjacent symbol pair — the BPE merge
+    * step: every non-overlapping (a, b) adjacency becomes the single
+    * symbol a+b, scanning left to right ("a a a" with pair (a,a) →
+    * ["aa", "a"], the canonical BPE greedy semantics).
+    */
+  def mergePair(arr: ArrayData,
+      a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && a.equals(arr.getUTF8String(i)) &&
+          b.equals(arr.getUTF8String(i + 1))) {
+        out.add(org.apache.spark.unsafe.types.UTF8String.concat(a, b))
+        i += 2
+      } else {
+        out.add(arr.getUTF8String(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Token→id encoding against a fixed vocabulary: one hash probe per
     * token, OOV → 0. Order/duplicates preserved (the training consumer
     * needs the id sequence, not a bag).
@@ -256,6 +280,34 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenHashesExpr =
     copy(child = c)
   override def prettyName: String = "token_hashes"
+}
+
+/** merge_pair(array<string>, a, b) → array<string>: greedy leftmost BPE
+  * merge of one adjacency. The pair rides into generated code as
+  * reference objects; the merge is a per-row projection, so one BPE
+  * round never shuffles the corpus.
+  */
+case class MergePairExpr(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+  @transient private lazy val au = UTF8String.fromString(a)
+  @transient private lazy val bu = UTF8String.fromString(b)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.mergePair(v.asInstanceOf[ArrayData], au, bu)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mergeA", au,
+      "org.apache.spark.unsafe.types.UTF8String")
+    val bRef = ctx.addReferenceObj("mergeB", bu,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.mergePair($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): MergePairExpr =
+    copy(child = c)
+  override def prettyName: String = "merge_pair"
 }
 
 /** char_entropy(string) → double: Shannon entropy of the code-point

@@ -135,6 +135,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(delta.filter(col("status") === "changed").count() > 0)
   }
 
+  test("Bpe.train learns the classic merge sequence, corpus-weighted") {
+    // words: hug x3, pug, pun, bun, hugs (weights from duplication).
+    // round 1 pairs: (u,g)=5 [hug*3 + pug + hugs], (h,u)=4, (p,u)=2,
+    // (u,n)=2, (b,u)=1, (g,s)=1 -> merge (u,g).
+    // round 2: (h,ug)=4 beats (p,ug)=1, (ug,s)=1, (u,n)=2 -> (h,ug).
+    val docs = Seq((1L, "hug hug pug pun"), (2L, "hug bun hugs"))
+      .toDF("doc_id", "text")
+    val rules = Bpe.train(docs, "text", merges = 2)
+      .orderBy("round").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getLong(3)))
+    assert(rules.toSeq == Seq((1L, "u", "g", 5L), (2L, "h", "ug", 4L)))
+  }
+
+  test("Bpe merge is greedy leftmost; segment replays rules in order") {
+    // "a a a" with pair (a,a): leftmost pair merges, third stays
+    val m = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val seg0 = Bpe.segment(m, "doc_id", "text", Seq(("a", "a")))
+      .collect()(0).getSeq[String](2)
+    assert(seg0 == Seq("aa", "a"))
+    // replaying both learned rules segments held-out words correctly
+    val docs = Seq((1L, "hugs pun")).toDF("doc_id", "text")
+    val seg = Bpe.segment(docs, "doc_id", "text",
+      Seq(("u", "g"), ("h", "ug")))
+      .collect().map(x => (x.getString(1), x.getSeq[String](2))).toMap
+    assert(seg("hugs") == Seq("hug", "s"))
+    assert(seg("pun") == Seq("p", "u", "n"))
+  }
+
   test("Timeseries.cooldownDedup anchors on KEPT events, not lag") {
     // events at t=0, 60, 120 with cooldown 100: greedy keeps {0, 120}
     // (120-0 >= 100); lag-based suppression would keep only {0} since

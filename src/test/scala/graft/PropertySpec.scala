@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Order, Pack, Sampling}
+import graft.operators.{Bpe, Order, Pack, Sampling, Timeseries}
 
 /** Property-based invariants for the distributed prefix-sum operators and
   * deterministic sampling — randomized doc sizes / id gaps / rates, so
@@ -92,6 +92,60 @@ class PropertySpec extends SparkTestBase {
       assert(kept(1.0).size == 400)
       val (lo, hi) = if (r1 <= r2) (r1, r2) else (r2, r1)
       assert(kept(lo).subsetOf(kept(hi)), s"not monotone at $lo <= $hi")
+    }
+  }
+
+  test("Bpe.segment: symbol concatenation reconstructs every word under " +
+    "random corpora and random learned-rule replays") {
+    val corpusGen = for {
+      n <- Gen.choose(1, 40)
+      words <- Gen.listOfN(n, Gen.nonEmptyListOf(
+        Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    } yield words.mkString(" ")
+    samples(Gen.zip(corpusGen, Gen.choose(1, 4)), 5).foreach {
+      case (text, merges) =>
+        val docs = Seq((1L, text)).toDF("doc_id", "text")
+        val rules = Bpe.train(docs, "text", merges).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val segs = Bpe.segment(docs, "doc_id", "text", rules)
+          .collect().map(r => (r.getString(1), r.getSeq[String](2)))
+        // lossless: merging only regroups characters, never drops any
+        segs.foreach { case (w, sym) => assert(sym.mkString == w) }
+        // compression: each applied rule can only shrink symbol counts
+        segs.foreach { case (w, sym) => assert(sym.length <= w.length) }
+    }
+  }
+
+  test("cooldownDedup: first event per key always kept; kept events are " +
+    "pairwise >= cooldown apart; suppressed events are < cooldown after " +
+    "their predecessor kept") {
+    val evGen = for {
+      n <- Gen.choose(1, 60)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 500L))
+    } yield ts
+    samples(Gen.zip(evGen, Gen.choose(10L, 120L)), 5).foreach {
+      case (ts, cd) =>
+        val df = ts.zipWithIndex.map { case (t, i) =>
+          (1L, new java.sql.Timestamp(t * 1000L), i.toLong) }
+          .toDF("user_id", "ts", "event_id")
+        val kept = Timeseries.cooldownDedup(df, Seq("user_id"), "ts",
+          "event_id", cd)
+          .collect().map(r => (r.getTimestamp(1).getTime / 1000L,
+            r.getLong(2))).sortBy(x => (x._1, x._2))
+        val all = ts.zipWithIndex
+          .map { case (t, i) => (t, i.toLong) }.sorted
+        assert(kept.head == all.head) // earliest event always kept
+        kept.toSeq.sliding(2).foreach {
+          case Seq(a, b) => assert(b._1 - a._1 >= cd)
+          case _ =>
+        }
+        // greedy maximality: every suppressed event is within cd of the
+        // latest kept event at or before it
+        val keptTs = kept.map(_._1)
+        all.filterNot(kept.contains).foreach { case (t, _) =>
+          val anchor = keptTs.filter(_ <= t).max
+          assert(t - anchor < cd)
+        }
     }
   }
 }

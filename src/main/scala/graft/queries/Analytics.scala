@@ -587,6 +587,44 @@ object Analytics {
              |    ln((CAST(n_a + 1 AS DOUBLE) / (t_a + nbins)) /
              |       (CAST(n_b + 1 AS DOUBLE) / (t_b + nbins))))
              |    * 10000.0 + 0.5) / 10000.0 AS psi
-             |FROM b, t ORDER BY bin""".stripMargin))
+             |FROM b, t ORDER BY bin""".stripMargin)),
+
+    // First-order Markov transition matrix of the event stream — the
+    // behavioral-sequence summary next to funnels (q92) and retention
+    // (q93). One user-key window pass for the lag; the matrix itself is
+    // |types|² rows. Probabilities are exact count ratios.
+    GraftQuery(
+      "qB3_transition_matrix",
+      "Per-user event-type transition counts and probabilities " +
+        "(lag window, (ts, id)-ordered), |types|^2-row output.",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val byPrev = org.apache.spark.sql.expressions.Window
+          .partitionBy("prev")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            lag("event_type", 1).over(w).as("prev"))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("cur"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("prev"), col("cur"), col("n"),
+            SafeOps.stableRound4(col("n").cast("double") /
+              sum("n").over(byPrev).cast("double")).as("p"))
+          .orderBy("prev", "cur")
+      },
+      Some("""WITH tr AS (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev,
+             |    event_type AS cur
+             |  FROM events),
+             |c AS (
+             |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+             |  FROM tr WHERE prev IS NOT NULL GROUP BY prev, cur)
+             |SELECT prev, cur, n,
+             |  floor((CAST(n AS DOUBLE) /
+             |    CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE))
+             |    * 10000.0 + 0.5) / 10000.0 AS p
+             |FROM c ORDER BY prev, cur""".stripMargin))
   )
 }

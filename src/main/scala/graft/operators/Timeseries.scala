@@ -136,4 +136,31 @@ object Timeseries {
       timestamp_micros(col("e.t")).as(tsCol) :+
       col("e.eid").as(idCol): _*)
   }
+
+  /** The custom-physical-operator form of [[cooldownDedup]]
+    * (graft.plans.CooldownDedupExec): identical greedy semantics, but
+    * instead of folding a per-key collected array it requires (key, ts,
+    * id) clustering+ordering from the planner and streams each
+    * partition with O(1) state — bounded memory even when one key holds
+    * a large share of the corpus. Emits the kept rows with ALL input
+    * columns (a filter, not a reshape).
+    */
+  def cooldownDedupStreamed(df: DataFrame, keyCols: Seq[String],
+      tsCol: String, idCol: String, cooldownSec: Long): DataFrame = {
+    val spark = df.sparkSession
+    // idempotent planner registration for sessions built without
+    // GraftExtensions (the spark.sql.extensions route injects it too)
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.CooldownStrategy)) {
+      spark.experimental.extraStrategies =
+        graft.plans.CooldownStrategy +: spark.experimental.extraStrategies
+    }
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String) = analyzed.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    org.apache.spark.sql.GraftPlanBridge.ofRows(spark,
+      graft.plans.CooldownDedup(keyCols.map(attr), attr(tsCol),
+        attr(idCol), cooldownSec * 1000000L, analyzed))
+  }
 }

@@ -91,6 +91,7 @@ class PartitionFilterCheck(spark: SparkSession)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectCheckRule(spark => new PartitionFilterCheck(spark))
+    e.injectPlannerStrategy(_ => CooldownStrategy)
     graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

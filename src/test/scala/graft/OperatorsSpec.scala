@@ -163,6 +163,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(seg("pun") == Seq("p", "u", "n"))
   }
 
+  test("cooldownDedupStreamed (custom physical operator) agrees with " +
+    "the fold-based operator on the events table") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val fold = Timeseries.cooldownDedup(events,
+      Seq("user_id", "event_type"), "ts", "event_id", 7L * 86400L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val exec = Timeseries.cooldownDedupStreamed(events,
+      Seq("user_id", "event_type"), "ts", "event_id", 7L * 86400L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(exec == fold)
+    assert(exec.nonEmpty)
+    // the streamed form is a filter: all input columns survive
+    assert(Timeseries.cooldownDedupStreamed(events,
+      Seq("user_id"), "ts", "event_id", 60L).columns.toSeq
+      == events.columns.toSeq)
+  }
+
   test("Timeseries.cooldownDedup anchors on KEPT events, not lag") {
     // events at t=0, 60, 120 with cooldown 100: greedy keeps {0, 120}
     // (120-0 >= 100); lag-based suppression would keep only {0} since

@@ -44,6 +44,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"unexpected exchange in:\n$p")
   }
 
+  test("CooldownDedupExec plans as the custom node with one exchange " +
+    "and no aggregation buffers") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val p = plan(graft.operators.Timeseries.cooldownDedupStreamed(
+      events, Seq("user_id", "event_type"), "ts", "event_id", 60L))
+    // SparkPlan.nodeName strips the Exec suffix in explain output
+    assert(p.contains("CooldownDedup "), s"custom node missing:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length -
+      "ReusedExchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+    // the whole point vs the fold form: no ObjectHashAggregate holding
+    // per-key event arrays
+    assert(!p.contains("ObjectHashAggregate"), s"aggregation buffer in:\n$p")
+  }
+
   test("AsOfJoin.backward plans exactly one shuffle") {
     import spark.implicits._
     val left = Seq((1L, "k", 5L)).toDF("id", "k", "ts")

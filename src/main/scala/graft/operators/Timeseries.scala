@@ -155,6 +155,12 @@ object Timeseries {
       spark.experimental.extraStrategies =
         graft.plans.CooldownStrategy +: spark.experimental.extraStrategies
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.PushFilterThroughCooldown)) {
+      spark.experimental.extraOptimizations =
+        graft.plans.PushFilterThroughCooldown +:
+          spark.experimental.extraOptimizations
+    }
     val analyzed = df.queryExecution.analyzed
     def attr(n: String) = analyzed.output
       .find(_.name == n)

@@ -28,6 +28,36 @@ case class CooldownDedup(groupKeys: Seq[Attribute], ts: Attribute,
     copy(child = c)
 }
 
+/** Filter pushdown THROUGH the custom node — the piece Catalyst cannot
+  * infer for an opaque operator: a predicate referencing only the group
+  * keys selects or drops WHOLE keys, and per-key greedy dedup commutes
+  * with whole-key selection, so such conjuncts move below the node
+  * (reaching the scan as PushedFilters); conjuncts touching other
+  * columns must stay above — filtering an event before the fold would
+  * change which later events are suppressed. Registered via
+  * `injectOptimizerRule` ([[GraftExtensions]]) and
+  * `experimental.extraOptimizations` (plain sessions).
+  */
+object PushFilterThroughCooldown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, cd: CooldownDedup) =>
+      val keyAttrs = AttributeSet(cd.groupKeys)
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.references.nonEmpty &&
+          p.references.subsetOf(keyAttrs) && p.deterministic)
+      if (push.isEmpty) f
+      else {
+        val below = cd.copy(child = Filter(push.reduce(And), cd.child))
+        keep.reduceOption(And).map(Filter(_, below)).getOrElse(below)
+      }
+  }
+}
+
 /** Plans [[CooldownDedup]] to [[CooldownDedupExec]]; injected via
   * [[GraftExtensions]] (`injectPlannerStrategy`) or added idempotently
   * to `spark.experimental.extraStrategies` by the API wrapper.

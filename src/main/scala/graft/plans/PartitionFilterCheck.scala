@@ -92,6 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectCheckRule(spark => new PartitionFilterCheck(spark))
     e.injectPlannerStrategy(_ => CooldownStrategy)
+    e.injectOptimizerRule(_ => PushFilterThroughCooldown)
     graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

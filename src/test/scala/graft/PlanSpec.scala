@@ -59,6 +59,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("ObjectHashAggregate"), s"aggregation buffer in:\n$p")
   }
 
+  test("PushFilterThroughCooldown: key-only filters reach the scan " +
+    "below the custom node; event-level filters stay above") {
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val deduped = graft.operators.Timeseries.cooldownDedupStreamed(
+      events, Seq("user_id", "event_type"), "ts", "event_id", 60L)
+    // key-only predicate: pushed through the node into the parquet scan
+    val pKey = plan(deduped.filter(col("user_id") === 7L))
+    assert(pKey.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      s"key filter not pushed to scan:\n$pKey")
+    // value predicate must NOT move below (it would change which events
+    // anchor the greedy fold)
+    val pVal = plan(deduped.filter(col("value") > 1.0))
+    assert(!pVal.contains("PushedFilters: [IsNotNull(value)"),
+      s"value filter wrongly pushed below the dedup:\n$pVal")
+    // and semantics commute for the key filter
+    val before = graft.operators.Timeseries.cooldownDedupStreamed(
+      events.filter(col("user_id") === 7L),
+      Seq("user_id", "event_type"), "ts", "event_id", 60L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val after = deduped.filter(col("user_id") === 7L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(before == after && before.nonEmpty)
+  }
+
   test("AsOfJoin.backward plans exactly one shuffle") {
     import spark.implicits._
     val left = Seq((1L, "k", 5L)).toDF("id", "k", "ts")

@@ -335,6 +335,45 @@ object Functions {
              |  floor((avg(CAST(json_extract_string(props, '$.k')
              |    AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k
              |FROM events GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Null-preserving explode: docs with no PII matches must SURVIVE
+    // the unnest with a null match (an inner explode silently drops
+    // them — the classic lost-rows bug in extraction pipelines). DuckDB
+    // has no outer unnest; the oracle emulates it by padding empty
+    // match lists with [NULL].
+    GraftQuery(
+      "qB4_explode_outer",
+      "explode_outer over per-doc email matches: zero-match docs kept " +
+        "with a null match, with per-doc match ordinals.",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        posexplode_outer(expr("regexp_extract_all(text, " +
+          "'[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]+', 0)"))
+          .as(Seq("match_idx", "email")))
+        .select(col("doc_id"),
+          coalesce(col("match_idx").cast("long"), lit(-1L))
+            .as("match_idx"),
+          col("email"))
+        .orderBy("doc_id", "match_idx"),
+      Some("""WITH m AS (
+             |  SELECT doc_id, regexp_extract_all(text,
+             |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]+')
+             |    AS matches
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(matches) = 0
+             |      THEN [CAST(NULL AS VARCHAR)] ELSE matches END AS ms
+             |  FROM m),
+             |u AS (
+             |  SELECT doc_id, unnest(ms) AS email,
+             |    CAST(generate_subscripts(ms, 1) - 1 AS BIGINT)
+             |      AS match_idx
+             |  FROM p)
+             |SELECT doc_id,
+             |  CASE WHEN email IS NULL THEN -1 ELSE match_idx END
+             |    AS match_idx,
+             |  email
+             |FROM u ORDER BY doc_id, match_idx""".stripMargin))
   )
 }

@@ -122,8 +122,12 @@ object Similarity {
     * deterministic stride-thinning (same cap a trained k-means codebook
     * has by construction). Default 4096 × 64 dims × 8 B ≈ 2 MB shipped.
     */
-  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
-      centroidEvery: Int, maxCentroids: Int): DataFrame = {
+  private final case class CellAssignment(cells: DataFrame,
+      cids: Array[Long], vecs: Array[Array[Double]], cn2s: Array[Double])
+
+  private def assignCellsWithCodebook(df: DataFrame, idCol: String,
+      vecCol: String, centroidEvery: Int,
+      maxCentroids: Int): CellAssignment = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -138,12 +142,20 @@ object Similarity {
     val centRows = picked.indices.collect {
       case j if j % stride == 0 => picked(j)
     }.toArray
-    base.withColumn("cell",
-      graft.functions.GraftFunctions.argminCell(col("v"), col("nrm"),
-        centRows.map(_.getLong(0)),
-        centRows.map(_.getSeq[Double](1).toArray),
-        centRows.map(_.getDouble(2))))
+    val cids = centRows.map(_.getLong(0))
+    val vecs = centRows.map(_.getSeq[Double](1).toArray)
+    val cn2s = centRows.map(_.getDouble(2))
+    CellAssignment(
+      base.withColumn("cell",
+        graft.functions.GraftFunctions.argminCell(col("v"), col("nrm"),
+          cids, vecs, cn2s)),
+      cids, vecs, cn2s)
   }
+
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int, maxCentroids: Int): DataFrame =
+    assignCellsWithCodebook(df, idCol, vecCol, centroidEvery,
+      maxCentroids).cells
 
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, centroidEvery: Int, k: Int,
@@ -157,6 +169,56 @@ object Similarity {
         col("qcell") === col("cell") && col("q_id") =!= col("vid"))
       .select(col("q_id"), col("vid").as("cand_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-probe IVF: each query searches its `nProbe` NEAREST cells
+    * instead of only its own — the standard recall lever of a
+    * production IVF index (a query near a cell boundary misses true
+    * neighbors parked one cell over; probing 2-4 cells recovers most of
+    * them for a proportional, still corpus-fraction, scan cost).
+    *
+    * Scale shape: corpus assignment is the same zero-shuffle kernel
+    * projection; the probe ranking runs only on the QUERY side — the
+    * query set explodes against the broadcast codebook (|queries| ×
+    * |codebook| rows, both bounded) and keeps the nProbe least-distance
+    * cells; candidates then join probes on the cell key with the
+    * probe side broadcast. The corpus is still touched once.
+    */
+  def ivfTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, centroidEvery: Int, k: Int, nProbe: Int,
+      maxCentroids: Int = 4096): DataFrame = {
+    val a = assignCellsWithCodebook(df, idCol, vecCol, centroidEvery,
+      maxCentroids)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val codebook = a.cids.indices
+      .map(j => (a.cids(j), a.vecs(j).toSeq, a.cn2s(j)))
+      .toDF("cid", "cv", "cn2")
+    val queries = a.cells.filter(isQuery)
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    // probe ranking: queries × codebook (both sides bounded)
+    val pw = Window.partitionBy("q_id")
+      .orderBy(col("d2").asc, col("cid").asc)
+    val probes = queries.crossJoin(broadcast(codebook))
+      .select(col("q_id"), col("qv"), col("qn"), col("cid"),
+        (col("qn") * col("qn") - lit(2.0) * dot(col("qv"), col("cv")) +
+          col("cn2")).as("d2"))
+      .withColumn("probe_rank", row_number().over(pw))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid").as("pcell"))
+    val scored = a.cells.as("c")
+      .join(broadcast(probes), col("pcell") === col("c.cell") &&
+        col("q_id") =!= col("vid"))
+      .select(col("q_id"), col("vid").as("cand_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+      // a candidate can sit in two probed cells of the same query only
+      // if cells collide — they cannot (cell is a function of the
+      // candidate), so no dedup is needed before ranking
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

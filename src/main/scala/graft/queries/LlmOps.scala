@@ -309,6 +309,53 @@ object LlmOps {
               |  (floor((cosine) * 10000.0 + 0.5) / 10000.0) AS cosine, rank
               |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
+    // Multi-probe IVF: the recall lever — each query searches its TWO
+    // nearest cells, recovering boundary-adjacent neighbors the
+    // single-cell q64 misses, at 2 cells' scan cost.
+    GraftQuery(
+      "qB5_ann_ivf_multiprobe",
+      "IVF ANN probing the 2 nearest cells per query (every-73rd-id " +
+        "codebook): probe ranking on the bounded query x codebook " +
+        "frame; the corpus is still scanned once.",
+      (s, d) => Similarity.ivfTopKMultiProbe(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vid") % 100 === 0, centroidEvery = 73, k = 3, nProbe = 2)
+        .select(col("q_id"), col("cand_id"),
+          (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"), col("rank"))
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $duckVecNorm,
+              |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
+              |  FROM n WHERE vec_id % 73 = 0),
+              |a0 AS (
+              |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+              |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
+              |      i -> n.v[i]*c.cv[i])) + c.cn2) AS d2
+              |  FROM n, c),
+              |cells AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM a0) WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+              |  FROM n WHERE vec_id % 100 = 0),
+              |pr AS (
+              |  SELECT q.q_id, q.qv, q.qn, c.cid AS cell,
+              |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+              |      (q.qn*q.qn - 2*list_sum(list_transform(range(1,65),
+              |        i -> q.qv[i]*c.cv[i])) + c.cn2), c.cid) AS prn
+              |  FROM q, c),
+              |probes AS (SELECT * FROM pr WHERE prn <= 2),
+              |scored AS (
+              |  SELECT p.q_id, cand.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> p.qv[i]*cand.v[i])) / (p.qn*cand.nrm) AS cosine
+              |  FROM probes p JOIN cells cand
+              |    ON cand.cell = p.cell AND cand.vec_id != p.q_id),
+              |ranked AS (SELECT *, row_number() OVER (
+              |  PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, cand_id,
+              |  (floor((cosine) * 10000.0 + 0.5) / 10000.0) AS cosine, rank
+              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
+
     // Retrieval-quality eval: recall@3 of the LSH-bucketed index vs the
     // exact top-3 — the measurement loop every production ANN deployment
     // runs before trading accuracy for bucket pruning. Both sides reuse

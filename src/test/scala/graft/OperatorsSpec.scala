@@ -377,6 +377,12 @@ class OperatorsSpec extends SparkTestBase {
     val lshRecall = (exact & lsh).size.toDouble / exact.size
     assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall")
     assert(lshRecall >= 0.6, s"LSH recall $lshRecall")
+    // multi-probe dominates single-cell: probing 2 cells can only add
+    // candidates, so its recall is >= the one-cell recall
+    val mp = topSet(Similarity.ivfTopKMultiProbe(vecs, "vec_id",
+      "embedding", isQ, centroidEvery = 37, k = 5, nProbe = 2))
+    val mpRecall = (exact & mp).size.toDouble / exact.size
+    assert(mpRecall >= ivfRecall, s"multi-probe $mpRecall < ivf $ivfRecall")
   }
 
   test("Skew.saltedJoin: matches plain join, inner and left, salt dropped") {

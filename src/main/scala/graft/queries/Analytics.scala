@@ -625,6 +625,50 @@ object Analytics {
              |  floor((CAST(n AS DOUBLE) /
              |    CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE))
              |    * 10000.0 + 0.5) / 10000.0 AS p
-             |FROM c ORDER BY prev, cur""".stripMargin))
+             |FROM c ORDER BY prev, cur""".stripMargin)),
+
+    // Rolling 7-day distinct users — COUNT(DISTINCT) isn't a window
+    // function in any engine, so the exact form uses the
+    // explode-to-windows trick: dedup to (day, user) pairs first (the
+    // big reduction), then each pair fans out to the <=7 window-end
+    // days it contributes to, and a plain distinct count lands per day.
+    // Scale: the fan-out multiplies the ALREADY-DEDUPED day grain, not
+    // the event stream; the sketch alternative (hll_sketch_agg per day
+    // + rolling union) trades exactness for a constant-size state.
+    GraftQuery(
+      "qB6_rolling_distinct",
+      "Exact trailing-7-day distinct active users per day: dedup to " +
+        "(day, user), explode each pair to its covered window ends, " +
+        "one distinct count per day.",
+      (s, d) => {
+        val pairs = t(s, d, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        pairs
+          .select(explode(sequence(col("day"),
+            date_add(col("day"), 6))).as("win_day"), col("user_id"))
+          .groupBy("win_day")
+          .agg(countDistinct(col("user_id")).as("active_7d"))
+          // clip partial windows past the data's edge
+          .join(broadcast(pairs.agg(max("day").as("max_day"))),
+            col("win_day") <= col("max_day"))
+          .select(col("win_day"), col("active_7d"))
+          .orderBy("win_day")
+      },
+      Some("""WITH p AS (
+             |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+             |      AS day, user_id
+             |  FROM events),
+             |x AS (
+             |  SELECT CAST(unnest(generate_series(day,
+             |      day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE)
+             |      AS win_day,
+             |    user_id
+             |  FROM p),
+             |m AS (SELECT max(day) AS max_day FROM p)
+             |SELECT win_day,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
+             |FROM x, m WHERE win_day <= max_day
+             |GROUP BY win_day ORDER BY win_day""".stripMargin))
   )
 }

@@ -98,6 +98,32 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Per-micro-batch distribution-drift screen: each arriving batch is
+    * histogrammed on `binExpr` and scored (PSI) against a STATIC
+    * baseline histogram — the ingest-path monitoring loop that catches
+    * an upstream format/mix change before it lands in the corpus. Like
+    * the dedup screen, the baseline is the only standing state; the
+    * per-batch score is one row appended to `outDir`.
+    */
+  def startDriftScreen(stream: DataFrame,
+      baseline: DataFrame, binExpr: org.apache.spark.sql.Column,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val counts = batch.groupBy(binExpr.as("bin"))
+          .agg(count(lit(1)).as("n"))
+        val psi = graft.operators.Drift.psiTotal(baseline, counts)
+        val n = batch.count()
+        Seq((batchId, n, psi)).toDF("batch_id", "n_rows", "psi")
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

@@ -278,6 +278,38 @@ class InfraSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L, 4L, 6L, 9L))
   }
 
+  test("streaming drift screen: a shifted micro-batch scores a higher " +
+    "PSI than an in-distribution one") {
+    import graft.streaming.Ingest
+    val inDir = Files.createTempDirectory("drf-in").toFile
+    val outDir = Files.createTempDirectory("drf-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("drf-ck").toFile.getAbsolutePath
+    // baseline: uniform over bins 0..4
+    val baseline = (0L until 500L).map(i => (i % 5, 100L))
+      .distinct.toDF("bin", "n")
+    // drop1 matches the baseline mix; drop2 collapses onto bin 0
+    (0L until 200L).map(i => i % 5).toDF("v").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    Thread.sleep(1500)
+    (0L until 200L).map(_ => 0L).toDF("v").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("v BIGINT"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = Ingest.startDriftScreen(stream, baseline, col("v"),
+      outDir, ckpt)
+    q.awaitTermination(60000)
+    val scores = spark.read.parquet(outDir)
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scores.length == 2)
+    assert(scores(0)._2 == 200L && scores(1)._2 == 200L)
+    assert(scores(0)._3 < 0.01, s"in-distribution batch drifted: $scores")
+    assert(scores(1)._3 > 0.25, s"shifted batch not flagged: $scores")
+    assert(scores(1)._3 > scores(0)._3)
+  }
+
   test("streaming dedup screen: micro-batches against a static band " +
     "index agree with the batch incremental operator") {
     import graft.operators.Dedup

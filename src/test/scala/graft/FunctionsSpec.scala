@@ -180,6 +180,14 @@ class FunctionsSpec extends SparkTestBase {
     val n = Seq(Option.empty[String]).toDF("text")
       .select(GraftFunctions.charEntropy(col("text"))).collect()(0)
     assert(n.isNullAt(0)) // null-safe
+    // code-point semantics: a surrogate-pair emoji is ONE symbol, so
+    // "ab🙂🙂" is {a:1, b:1, emoji:2} over n=4
+    val u = Seq("ab🙂🙂").toDF("text")
+      .select(GraftFunctions.charEntropy(col("text"))).collect()(0)
+      .getDouble(0)
+    val expected = math.log(4.0) -
+      (1 * math.log(1.0) + 1 * math.log(1.0) + 2 * math.log(2.0)) / 4.0
+    assert(u == expected)
   }
 
   test("registered expressions are callable from SQL text") {

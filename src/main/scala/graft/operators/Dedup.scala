@@ -92,6 +92,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard pairs via PREFIX FILTERING (Bayardo et al., "Scaling
+    * Up All Pairs Similarity Search", WWW'07; the ppjoin family) — the
+    * third pruning strategy next to the heuristic `maxPosting` cap and
+    * the probabilistic MinHash buckets, and the only one that prunes
+    * while staying EXACTLY equal to the all-pairs result: two sets with
+    * J ≥ t must share a token within their (|x| − ⌈t·|x|⌉ + 1)-length
+    * prefixes under any fixed global token order, so only prefix
+    * tokens are indexed. Ordering rare-df-first makes those prefixes
+    * the least-shared tokens — candidate fan-out collapses while the
+    * guarantee holds.
+    *
+    * Scale shape: one df groupBy, one per-doc prefix ranking (window
+    * over the doc key), the prefix-only self-join (shuffle-pinned),
+    * a size-ratio filter (t·sa ≤ sb ≤ sa/t is necessary for J ≥ t),
+    * then exact verification on candidates only — set intersection per
+    * candidate pair, never per corpus pair.
+    *
+    * Output: doc_a, doc_b, jaccard (≥ threshold) — bit-identical to
+    * [[ngramJaccardPairs]] (OperatorsSpec asserts equality).
+    */
+  def ngramJaccardPrefixPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "prefix filtering needs a positive threshold")
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
+    val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df_"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("df_"), col("shingle"))
+    val prefix = inv.hint("shuffle_hash")
+      .join(freq.hint("shuffle_hash"), Seq("shingle"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("shingle"), col("doc_id"), col("sz"))
+      .hint("shuffle_hash")
+    val cand = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // size-ratio necessary condition for J >= t
+          col("y.sz") >= lit(threshold) * col("x.sz") &&
+          col("x.sz") >= lit(threshold) * col("y.sz"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("common"),
+        size(col("sh_a")).as("sa"), size(col("sh_b")).as("sb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("sa") + col("sb") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Directed n-gram CONTAINMENT pairs — the asymmetric near-dup
     * relation Jaccard misses: a short document quoted wholesale inside a
     * much longer one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a

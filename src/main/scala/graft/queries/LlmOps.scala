@@ -79,6 +79,33 @@ object LlmOps {
               |WHERE CAST(common AS DOUBLE)/(sa+sb-common) >= 0.5
               |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Same result as q31 through the third pruning strategy: prefix
+    // filtering is exact (unlike maxPosting) and deterministic (unlike
+    // MinHash) — only the (sz - ceil(t*sz) + 1)-length rare-first
+    // prefix of each doc is indexed, and J >= t pairs provably share a
+    // prefix token.
+    GraftQuery(
+      "qB7_dedup_jaccard_prefix",
+      "Exact 3-gram Jaccard pairs via Bayardo prefix filtering: " +
+        "rare-df-first prefixes indexed, size-ratio pre-filter, " +
+        "verification on candidates only — bit-equal to q31.",
+      (s, d) => Dedup.ngramJaccardPrefixPairs(
+        t(s, d, "documents"), "doc_id", "text", 3, 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          (floor((col("jaccard")) * 10000.0 + 0.5) / 10000.0).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $duckShingleSets,
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS common,
+              |    len(a.sh) AS sa, len(b.sh) AS sb
+              |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b,
+              |  (floor((CAST(common AS DOUBLE)/(sa+sb-common)) * 10000.0 + 0.5) / 10000.0) AS jaccard
+              |FROM pairs
+              |WHERE CAST(common AS DOUBLE)/(sa+sb-common) >= 0.5
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
     GraftQuery(
       "q32_dedup_minhash_lsh",
       "MinHash(32) + LSH(8 bands × 4 rows) candidate generation, " +

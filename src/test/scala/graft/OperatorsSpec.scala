@@ -193,6 +193,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept.toSeq == Seq(10L, 12L))
   }
 
+  test("Dedup.ngramJaccardPrefixPairs equals the full inverted-index " +
+    "join at several thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val full = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val pref = Dedup.ngramJaccardPrefixPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(pref == full, s"prefix filter lost pairs at t=$t")
+    }
+  }
+
   test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -125,17 +125,24 @@ object Dedup {
     val prefix = inv.hint("shuffle_hash")
       .join(freq.hint("shuffle_hash"), Seq("shingle"))
       .withColumn("rk", row_number().over(w))
+      // FP-safe pigeonhole bound: t*sz can round a hair ABOVE the exact
+      // rational product (0.1*30 = 3.0000000000000004), inflating the
+      // ceil and shortening the prefix below what exactness requires.
+      // Subtracting epsilon before ceil only ever LENGTHENS the prefix
+      // (more candidates, same exact verification) — conservative-safe.
       .filter(col("rk") <=
-        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-6)) + 1)
       .select(col("shingle"), col("doc_id"), col("sz"))
       .hint("shuffle_hash")
     val cand = prefix.as("x")
       .join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("x.doc_id") < col("y.doc_id") &&
-          // size-ratio necessary condition for J >= t
-          col("y.sz") >= lit(threshold) * col("x.sz") &&
-          col("x.sz") >= lit(threshold) * col("y.sz"))
+          // size-ratio necessary condition for J >= t, relaxed by the
+          // same epsilon so an FP product rounding above the exact
+          // rational value can't exclude an exact-boundary pair
+          col("y.sz") >= lit(threshold) * col("x.sz") - lit(1e-6) &&
+          col("x.sz") >= lit(threshold) * col("y.sz") - lit(1e-6))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -243,9 +250,14 @@ object Dedup {
     * Same inverted-index shape as the stats pass, plus: duplicated gram
     * occurrences explode to their n covered token positions, positions
     * collapse to a per-doc set (collect_set — bounded by doc length, not
-    * corpus size), and the cut itself is a per-row indexed `filter` HOF
-    * against that set. One gram-key shuffle + one doc-key shuffle; the
-    * rewritten corpus never moves between executors.
+    * corpus size), and the cut itself is a per-row `array_except` of the
+    * position range minus the covered set — array_except builds a hash
+    * set over the covered positions and streams the range through it in
+    * order, so the kernel is O(T + C) per row (a per-token
+    * `array_contains` scan would be O(T·C): a long fully-covered doc
+    * with T = C = 100k would do 10^10 comparisons in one task). One
+    * gram-key shuffle + one doc-key shuffle; the rewritten corpus never
+    * moves between executors.
     *
     * Output: doc_id, n_tokens, n_removed, clean_hash (portable 32-bit
     * hash of the space-joined remainder).
@@ -271,11 +283,19 @@ object Dedup {
     docs.join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("cov",
         coalesce(col("cov"), array().cast("array<int>")))
+      // kept positions ascending (sequence order is preserved through
+      // array_except), so the remainder join is order-identical to the
+      // old per-token filter; sequence(0, -1) would DESCEND, hence the
+      // empty-doc guard
+      .withColumn("keep_pos",
+        when(size(col("toks")) === 0, array().cast("array<int>"))
+          .otherwise(array_except(
+            sequence(lit(0), size(col("toks")) - 1), col("cov"))))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("cov")).cast("long").as("n_removed"),
         TextOps.hash32(array_join(
-          filter(col("toks"), (_, i) => !array_contains(col("cov"), i)),
+          transform(col("keep_pos"), i => element_at(col("toks"), i + 1)),
           " ")).as("clean_hash"))
   }
 

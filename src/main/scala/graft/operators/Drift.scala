@@ -37,5 +37,8 @@ object Drift {
     * shift, > 0.25 action.
     */
   def psiTotal(a: DataFrame, b: DataFrame): Double =
-    psiContributions(a, b).agg(sum("psi")).collect()(0).getDouble(0)
+    // coalesce: sum over zero rows is null (both histograms empty) —
+    // an empty-vs-empty comparison has zero drift, not an NPE
+    psiContributions(a, b).agg(coalesce(sum("psi"), lit(0.0)))
+      .collect()(0).getDouble(0)
 }

@@ -99,9 +99,14 @@ case class CooldownDedupExec(groupKeys: Seq[Expression], ts: Expression,
       var curKey: UnsafeRow = null
       var lastKept = 0L
       it.filter { row =>
+        // null event-times are suppressed (the fold-based cooldownDedup's
+        // null comparisons drop them too); checked before any key-state
+        // update so a leading null row can't initialize the key
+        val tv = tsBound.eval(row)
+        if (tv == null) false else {
         val k = keyProj(row)
         // TimestampType is micros-as-long in InternalRow
-        val t = tsBound.eval(row).asInstanceOf[Long]
+        val t = tv.asInstanceOf[Long]
         if (curKey == null || !k.equals(curKey)) {
           curKey = k.copy() // keyProj reuses its buffer
           lastKept = t
@@ -110,6 +115,7 @@ case class CooldownDedupExec(groupKeys: Seq[Expression], ts: Expression,
           lastKept = t
           true
         } else false
+        }
       }
     }, preservesPartitioning = true)
   }

@@ -35,7 +35,10 @@ object Throttle {
     * the microsecond (ms truncation could flip a boundary decision).
     */
   private def tsMicros(ts: Timestamp): Long =
-    ts.getTime / 1000L * 1000000L + ts.getNanos.toLong / 1000L
+    // floorDiv: getTime truncates toward zero but getNanos is always
+    // non-negative, so pre-epoch instants need floor semantics to land
+    // on the same micros grain as unix_micros
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos.toLong / 1000L
 
   def keptEvents(ds: Dataset[Ev], cooldownSec: Long): Dataset[Ev] = {
     val spark = ds.sparkSession

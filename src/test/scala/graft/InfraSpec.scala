@@ -310,6 +310,12 @@ class InfraSpec extends SparkTestBase {
     assert(scores(1)._3 > scores(0)._3)
   }
 
+  test("Drift.psiTotal is 0.0 for empty-vs-empty histograms (no NPE)") {
+    import graft.operators.Drift
+    val empty = Seq.empty[(Long, Long)].toDF("bin", "n")
+    assert(Drift.psiTotal(empty, empty) == 0.0)
+  }
+
   test("streaming dedup screen: micro-batches against a static band " +
     "index agree with the batch incremental operator") {
     import graft.operators.Dedup

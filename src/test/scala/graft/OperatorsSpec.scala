@@ -195,7 +195,9 @@ class OperatorsSpec extends SparkTestBase {
 
   test("Dedup.ngramJaccardPrefixPairs equals the full inverted-index " +
     "join at several thresholds") {
-    for (t <- Seq(0.3, 0.5, 0.9)) {
+    // 0.1 is the FP-hazard threshold: 0.1*30 rounds to 3.0000000000000004
+    // so a naive ceil over-shortens the prefix by one token (ADVICE r4)
+    for (t <- Seq(0.1, 0.3, 0.5, 0.9)) {
       val full = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
@@ -204,6 +206,29 @@ class OperatorsSpec extends SparkTestBase {
         .toSet
       assert(pref == full, s"prefix filter lost pairs at t=$t")
     }
+  }
+
+  test("Dedup.ngramJaccardPrefixPairs keeps the FP-boundary pair " +
+    "(t=0.1, sizes 30 vs 3, J exactly 0.1)") {
+    // 0.1*30 rounds ABOVE 3.0 in doubles: a naive ceil shortens doc A's
+    // prefix to 27 (exact bound: 28) and the naive size-ratio filter
+    // rejects sb=3 >= 3.0000000000000004. The 3 shared shingles are made
+    // the most frequent (fillers raise their df), so rare-df-first puts
+    // them at ranks 28-30 of doc A — only the exact bound indexes rank 28.
+    val s = "s1 s2 s3 s4 s5"
+    val docA = (1 to 27).map(i => s"a$i").mkString(" ") + " " + s // 30 sh
+    val fix = Seq(1L -> docA, 2L -> s,                           // 3 sh
+      3L -> s"c1 c2 $s", 4L -> s"d1 d2 $s", 5L -> s"e1 e2 $s")
+      .toDF("doc_id", "text")
+    val pref = Dedup.ngramJaccardPrefixPairs(fix, "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val full = Dedup.ngramJaccardPairs(fix, "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(pref.exists(p => p._1 == 1L && p._2 == 2L),
+      s"boundary pair (1,2) lost to FP rounding: $pref")
+    assert(pref == full)
   }
 
   test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {
@@ -709,6 +734,31 @@ class OperatorsSpec extends SparkTestBase {
       (1L, 7L, 6L, h("alpha")), (2L, 7L, 6L, h("beta")),
       (3L, 7L, 0L, h("totally different words here apart beyond gamma")),
       (4L, 2L, 0L, h("tiny doc"))))
+  }
+
+  test("Dedup.cutDupSpans handles a long fully-covered doc without a " +
+    "quadratic per-row kernel") {
+    import graft.functions.TextOps
+    // two identical 20k-token docs: every position of both is covered,
+    // the remainder is empty. With the old array_contains-per-token
+    // kernel this case was O(T*C) = 4*10^8 comparisons per row.
+    val long = (0 until 20000).map(i => s"w${i % 97}").mkString(" ")
+    val docs = Seq((1L, long), (2L, long), (3L, "lonely unique tail"))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = Dedup.cutDupSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    def h(s: String): Long = spark.range(1)
+      .select(TextOps.hash32(lit(s))).collect()(0).getLong(0)
+    assert(r.toSeq == Seq((1L, 20000L, 20000L, h("")),
+      (2L, 20000L, 20000L, h("")),
+      (3L, 3L, 0L, h("lonely unique tail"))))
+    // generous ceiling: the linear kernel finishes in well under a
+    // second; the quadratic one took minutes on this input
+    assert(elapsedSec < 60.0, f"cut took $elapsedSec%.1f s — kernel " +
+      "regressed to super-linear?")
   }
 
   test("Order.globalIndex equals the naive global row_number and is " +

@@ -198,6 +198,54 @@ class PlanSpec extends SparkTestBase {
     assert(ex <= 8, s"q86 exchange count regressed to $ex (fence lost?)")
   }
 
+  test("global sweep: no declared query plans a cartesian product, an " +
+    "unapproved nested-loop join, or an unpartitioned corpus window") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // a BNLJ whose broadcast side is NOT structurally bounded (no
+    // aggregate beneath) is allowed only where the design bounds it:
+    //  - q20/q71: constant-size (bins x groups) completeness frame
+    //  - q35/qA7/qB5: ANN broadcast side is the query set — bounded by
+    //    the isQuery predicate by design (the corpus side streams)
+    //  - q34: documented brute-force baseline; q70 (LSH-bucketed) is the
+    //    100 TB path for the same semantics
+    val bnljAllowed = Set("q20_ops_pdf_cdf", "q71_ops_upload_pdf_masked",
+      "q35_ann_brute_topk", "qA7_ann_recall", "qB5_ann_ivf_multiprobe",
+      "q34_dedup_embedding")
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (q <- SparkEntry.allQueries) {
+      val p = q.run(spark, sf).queryExecution.sparkPlan
+      if (p.collectFirst { case c: CartesianProductExec => c }.nonEmpty)
+        failures += s"${q.name}: CartesianProduct"
+      // a BNLJ broadcasting an AGGREGATED frame (1-row totals, per-group
+      // rates, max-day clips) is bounded by |groups| — fine at any scale
+      val unboundedBnlj = p.collect {
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = if (j.buildSide == BuildLeft) j.left else j.right
+          build.collectFirst { case a: BaseAggregateExec => a }.isEmpty
+      }.exists(identity)
+      if (unboundedBnlj && !bnljAllowed(q.name))
+        failures += s"${q.name}: BroadcastNestedLoopJoin over a " +
+          "non-aggregated build side"
+      // a window with no PARTITION BY runs on ONE task — legal only over
+      // an already-aggregated (bounded) input, e.g. the |blocks| offset
+      // frames of the two-phase prefix sums
+      val unpartitioned: Seq[SparkPlan] = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      for (w <- unpartitioned)
+        if (w.collectFirst { case a: BaseAggregateExec => a }.isEmpty)
+          failures += s"${q.name}: unpartitioned window over " +
+            "non-aggregated input"
+    }
+    assert(failures.isEmpty,
+      s"100x-scale plan invariants violated:\n${failures.mkString("\n")}")
+  }
+
   test("TopK aggregator partial-aggregates map-side") {
     val p = planOf("q57_topk_per_group")
     // ObjectHashAggregate appears twice: partial + final

@@ -43,11 +43,37 @@ object Bpe {
 
   /** Learn `merges` merge rules. Output: round, left, right,
     * pair_count (corpus-weighted adjacency count at merge time).
+    *
+    * The |corpus| → |vocab| reduction (wordTable) is always distributed;
+    * the merge LOOP is driver-side whenever the aggregated word table
+    * fits (`count ≤ localThreshold`) — a production tokenizer trains
+    * 32k–50k merges, and one Spark job per merge round would be a
+    * driver-orchestration bottleneck measured in days, while the word
+    * table itself is vocabulary-sized (millions of rows, not corpus-
+    * sized) and each local round is a linear scan of it. The
+    * distributed per-round path remains as the fallback for an
+    * unbounded vocabulary; both paths emit identical rule tables
+    * (OperatorsSpec asserts equality on the fixtures).
     */
-  def train(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def train(df: DataFrame, textCol: String, merges: Int,
+      localThreshold: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     GraftFunctions.registerAll(spark)
-    var words = wordTable(df, textCol).localCheckpoint()
+    val words0 = wordTable(df, textCol).localCheckpoint()
+    val rules =
+      if (words0.count() <= localThreshold) trainLocal(words0, merges)
+      else trainDistributed(words0, merges)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rules, 1),
+      StructType(Seq(StructField("round", LongType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** One Spark job per merge round — the unbounded-vocabulary fallback. */
+  private def trainDistributed(words0: DataFrame, merges: Int): Seq[Row] = {
+    var words = words0
     val rules = scala.collection.mutable.ArrayBuffer.empty[Row]
     var r = 1
     var exhausted = false
@@ -65,12 +91,81 @@ object Bpe {
         r += 1
       }
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rules.toSeq, 1),
-      StructType(Seq(StructField("round", LongType, nullable = false),
-        StructField("left", StringType, nullable = false),
-        StructField("right", StringType, nullable = false),
-        StructField("pair_count", LongType, nullable = false))))
+    rules.toSeq
+  }
+
+  /** Spark's StringType ORDER BY compares UTF8String bytes — i.e. code
+    * points — while Java String.compareTo compares UTF-16 units, which
+    * disagree for supplementary characters vs U+E000..U+FFFF. The local
+    * tie-break must replay the distributed one bit for bit.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Exact [[VectorHashOps.mergePair]] semantics on a JVM array:
+    * greedy leftmost, non-overlapping.
+    */
+  private def mergeLocal(sym: Array[String], a: String, b: String)
+      : Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b)
+        i += 2
+      } else {
+        out += sym(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Driver-side merge loop over the collected word table: per round a
+    * linear adjacency count + argmax + in-place merge, no job launch.
+    */
+  private def trainLocal(words: DataFrame, merges: Int): Seq[Row] = {
+    var tbl: Array[(Array[String], Long)] = words
+      .select(col("sym"), col("weight")).collect()
+      .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+    val rules = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val cnt = new java.util.HashMap[(String, String), java.lang.Long]
+      tbl.foreach { case (sym, w) =>
+        var i = 0
+        while (i + 1 < sym.length) {
+          cnt.merge((sym(i), sym(i + 1)), w, (p, q) => p + q)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        cnt.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+              (v == best._2 && (utf8Lt(k._1, best._1._1) ||
+                (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+            best = (k, v)
+        }
+        val ((l, rr), c) = best
+        rules += Row(r.toLong, l, rr, c)
+        tbl = tbl.map { case (sym, w) => (mergeLocal(sym, l, rr), w) }
+        r += 1
+      }
+    }
+    rules.toSeq
   }
 
   /** Corpus-weighted adjacency counts of the current symbol table. */

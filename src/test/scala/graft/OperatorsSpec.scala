@@ -148,6 +148,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(rules.toSeq == Seq((1L, "u", "g", 5L), (2L, "h", "ug", 4L)))
   }
 
+  test("Bpe.train: driver-side and distributed merge loops emit " +
+    "identical rule tables") {
+    // richer corpus: ties, repeated merges, multi-round cascades
+    val docs = Seq((1L, "hug hug pug pun bun hugs"),
+      (2L, "lower lowest newer newest wide wider widest"),
+      (3L, "aaa aab aba abba banana bandana"))
+      .toDF("doc_id", "text")
+    def rulesOf(threshold: Long) =
+      Bpe.train(docs, "text", merges = 12, localThreshold = threshold)
+        .orderBy("round").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2),
+          x.getLong(3))).toSeq
+    val local = rulesOf(Long.MaxValue) // word table always "fits"
+    val dist = rulesOf(0L)             // never fits -> per-round jobs
+    assert(local == dist, s"paths diverged:\nlocal $local\ndist  $dist")
+    assert(local.length == 12)
+  }
+
   test("Bpe merge is greedy leftmost; segment replays rules in order") {
     // "a a a" with pair (a,a): leftmost pair merges, third stays
     val m = Seq((1L, "aaa")).toDF("doc_id", "text")

@@ -113,6 +113,27 @@ object TextAnalysis {
           col("n_chars").cast("double") / col("ws_tokens")))
   }
 
+  /** Corpus token-frequency table — the shared vocabulary frame the
+    * vocab consumers (top-k listing, unigram LM, id encoding) all start
+    * from: ONE explode + partial-aggregated count over the token stream,
+    * producing a |vocab|-row frame. Consumers needing several scalars
+    * (top-k AND total mass) should `localCheckpoint()` the result and
+    * run their tiny follow-up jobs against the bounded frame instead of
+    * re-scanning the corpus per scalar.
+    */
+  def tokenFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** Top-k vocabulary of a [[tokenFreq]] frame, rank order
+    * (cnt desc, tok) — plans as TakeOrderedAndProject over the
+    * aggregate, no global sort. Returns (token, count) rank-ordered.
+    */
+  def topVocab(tf: DataFrame, k: Int): Seq[(String, Long)] =
+    tf.orderBy(col("cnt").desc, col("tok")).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Position-weighted rolling document fingerprint:
     * Σ_i h(tok_i) · ((i mod 64) + 1)  mod 1_000_000_007.
     * Order-sensitive (re-ordered docs fingerprint differently), pure

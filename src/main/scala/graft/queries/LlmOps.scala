@@ -645,11 +645,7 @@ object LlmOps {
       "q60_vocab_topk",
       "Corpus token-frequency top-200 (explode -> partial-agg count -> " +
         "bounded TakeOrdered).",
-      (s, d) => t(s, d, "documents")
-        .select(explode(graft.functions.TextOps.tokens(col("text")))
-          .as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      (s, d) => TextAnalysis.tokenFreq(t(s, d, "documents"), "text")
         .orderBy(col("cnt").desc, col("tok"))
         .limit(200),
       Some("""SELECT tok, count(*) AS cnt FROM (

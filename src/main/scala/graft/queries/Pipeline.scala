@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.{GraftQuery, Tables}
 import graft.functions.{GraftFunctions, TextOps}
 import graft.operators.{BloomScreen, Chunk, Dedup, Funnel, Order, Pack,
-  Sampling, Similarity, VecAgg}
+  Sampling, Similarity, TextAnalysis, VecAgg}
 
 /** Training-pipeline assembly + analytics operators (round 4): sequence
   * packing, stratified sampling + upsampling, incremental dedup,
@@ -161,12 +161,9 @@ object Pipeline {
         "kernel — per-row projection, no token-stream shuffle.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val vocab = docs
-          .select(explode(TextOps.tokens(col("text"))).as("tok"))
-          .filter(col("tok") =!= "")
-          .groupBy("tok").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("tok")).limit(100)
-          .collect().map(_.getString(0)).toSeq
+        // same shared vocab derivation as q84/q60 (one token-stream pass)
+        val vocab = TextAnalysis
+          .topVocab(TextAnalysis.tokenFreq(docs, "text"), 100).map(_._1)
         GraftFunctions.registerAll(s)
         docs.select(col("doc_id"),
           GraftFunctions.vocabEncode(TextOps.tokens(col("text")), vocab)
@@ -527,15 +524,16 @@ object Pipeline {
       (s, d) => {
         val docs = t(s, d, "documents")
         GraftFunctions.registerAll(s)
-        val tf = docs
-          .select(explode(TextOps.tokens(col("text"))).as("tok"))
-          .filter(col("tok") =!= "")
-        val total = tf.count()
-        val top = tf.groupBy("tok").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("tok")).limit(100).collect()
-        val vocab = top.map(_.getString(0)).toSeq
+        // ONE token-stream pass (the fenced tf aggregate); the total and
+        // the top-100 are then two tiny jobs over the |vocab|-row frame
+        // instead of two more corpus scans
+        val tf = TextAnalysis.tokenFreq(docs, "text").localCheckpoint()
+        val total = tf.agg(coalesce(sum("cnt"), lit(0L)))
+          .collect()(0).getLong(0)
+        val top = TextAnalysis.topVocab(tf, 100)
+        val vocab = top.map(_._1)
         val lps = math.log(1.0 / total) +:
-          top.map(r => math.log(r.getLong(1).toDouble / total)).toSeq
+          top.map(t2 => math.log(t2._2.toDouble / total))
         docs.select(col("doc_id"),
           GraftFunctions.vocabEncode(TextOps.tokens(col("text")), vocab)
             .as("ids"))

@@ -23,7 +23,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * reference delegates to BigQuery.
   */
 final case class ViewDef(name: String, sqlTemplate: String,
-    description: String = "")
+    description: String = "", dataset: String = "default",
+    access: Seq[AccessEntry] = Nil) {
+
+  /** Dataset-qualified name, the identity ACL grants use. */
+  def qualifiedName: String =
+    if (dataset == "default") name else s"$dataset.$name"
+}
 
 object ViewDef {
 
@@ -120,6 +126,36 @@ class ViewRegistry(spark: SparkSession) {
     ordered.foreach { v =>
       val body = render(v.sqlTemplate, vars)
       spark.sql(s"CREATE OR REPLACE TEMP VIEW ${v.name} AS $body")
+    }
+    ordered.map(_.name)
+  }
+
+  /** [[deployAll]] plus the reference's dataset-access sync
+    * (main.go:132-223): per deployed view, its dataset is synced
+    * (defaults + declared entries + deploying-user WRITER), and every
+    * CROSS-dataset reference records an authorized-view grant on the
+    * referenced dataset — the ACL shape BigQuery needs for a view to
+    * read tables its callers can't. Pure metadata (grants land in
+    * `acl`); Spark enforces nothing.
+    */
+  def deployAllWithAccess(views: Seq[ViewDef], acl: AclRegistry,
+      vars: Map[String, String] = Map.empty, user: String = "")
+      : Seq[String] = {
+    val ordered = topoSort(views, vars)
+    val byName = views.map(v => v.name.toLowerCase -> v).toMap
+    ordered.foreach { v =>
+      val body = render(v.sqlTemplate, vars)
+      spark.sql(s"CREATE OR REPLACE TEMP VIEW ${v.name} AS $body")
+      acl.syncDataset(v.dataset, user, v.access)
+      dependencies(body).foreach { dep =>
+        // in-set views are referenced by their registry name; external
+        // tables carry their dataset in the qualified SQL name
+        val target = byName.get(dep).map(_.qualifiedName).getOrElse(dep)
+        // external datasets exist before any view deploys (reference
+        // invariant) — register them on first reference
+        acl.syncDataset(acl.datasetOf(target))
+        acl.syncViewAccess(v.qualifiedName, target)
+      }
     }
     ordered.map(_.name)
   }

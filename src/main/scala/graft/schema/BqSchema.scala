@@ -112,4 +112,68 @@ object BqSchema {
     case BinaryType => "BYTES"
     case other => sys.error(s"BqSchema.toJson: unsupported $other")
   }
+
+  /** Structural local-vs-live drift report — the operationally useful
+    * half of the reference's schema sync
+    * (/root/reference/schema/sync_tables_with_schema.sh:60-90, whose jq
+    * filter only answers equal/not-equal and leaves a human to read the
+    * raw `diff`): which dotted field paths the local (checked-in) schema
+    * ADDS over the live table, which live paths it REMOVED, and which
+    * paths exist in both but changed type or mode (RETYPED — the case
+    * additive `bq update` evolution cannot apply). Field order is
+    * ignored, like the jq sort; descriptions are metadata, not
+    * structure, so they don't participate.
+    */
+  final case class SchemaDiff(added: Seq[String], removed: Seq[String],
+      retyped: Seq[(String, String, String)]) {
+    def isEmpty: Boolean =
+      added.isEmpty && removed.isEmpty && retyped.isEmpty
+  }
+
+  /** BigQuery-style rendering of one field's type+mode, the unit the
+    * retyped report shows ("INTEGER REQUIRED" -> "STRING NULLABLE").
+    */
+  private def typeLabel(f: StructField): String = f.dataType match {
+    case ArrayType(_: StructType, _) => "RECORD REPEATED"
+    case ArrayType(e, _) => s"${scalarName(e)} REPEATED"
+    case _: StructType =>
+      s"RECORD ${if (f.nullable) "NULLABLE" else "REQUIRED"}"
+    case e => s"${scalarName(e)} ${if (f.nullable) "NULLABLE" else "REQUIRED"}"
+  }
+
+  /** Struct interior of a field, if any (RECORD or REPEATED RECORD). */
+  private def structOf(f: StructField): Option[StructType] =
+    f.dataType match {
+      case s: StructType => Some(s)
+      case ArrayType(s: StructType, _) => Some(s)
+      case _ => None
+    }
+
+  def diff(local: StructType, live: StructType): SchemaDiff = {
+    val added = Seq.newBuilder[String]
+    val removed = Seq.newBuilder[String]
+    val retyped = Seq.newBuilder[(String, String, String)]
+    def walk(prefix: String, loc: StructType, liv: StructType): Unit = {
+      val locBy = loc.fields.map(f => f.name -> f).toMap
+      val livBy = liv.fields.map(f => f.name -> f).toMap
+      def path(n: String) = if (prefix.isEmpty) n else s"$prefix.$n"
+      loc.fields.foreach { lf =>
+        livBy.get(lf.name) match {
+          case None => added += path(lf.name)
+          case Some(vf) =>
+            val (lt, vt) = (typeLabel(lf), typeLabel(vf))
+            if (lt != vt) retyped += ((path(lf.name), vt, lt))
+            else (structOf(lf), structOf(vf)) match {
+              case (Some(ls), Some(vs)) => walk(path(lf.name), ls, vs)
+              case _ => ()
+            }
+        }
+      }
+      liv.fields.foreach { vf =>
+        if (!locBy.contains(vf.name)) removed += path(vf.name)
+      }
+    }
+    walk("", local, live)
+    SchemaDiff(added.result(), removed.result(), retyped.result())
+  }
 }

@@ -73,6 +73,83 @@ class InfraSpec extends SparkTestBase {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("BqSchema.diff reports added/removed/retyped paths on a mutated " +
+    "copy of the reference ndt schema") {
+    import graft.schema.BqSchema
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/schema/ndt.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val local = BqSchema.parse(raw)
+    // "live" drifts three ways: parser_version dropped (local ADDS it),
+    // an extra legacy column appears (local REMOVED it), and a nested
+    // anomalies field changed type (RETYPED — not additive-evolvable)
+    val live = BqSchema.parse(raw
+      .replace("""{ "name": "parser_version", "type": "STRING"},""", "")
+      .replace("""{ "name": "test_id", "type": "STRING"},""",
+        """{ "name": "test_id", "type": "STRING"},
+          |{ "name": "legacy_extra", "type": "STRING"},""".stripMargin)
+      .replace("""{ "name": "num_snaps", "type": "INTEGER"},""",
+        """{ "name": "num_snaps", "type": "STRING"},"""))
+    val d = BqSchema.diff(local, live)
+    assert(d.added == Seq("parser_version"))
+    assert(d.removed == Seq("legacy_extra"))
+    assert(d.retyped == Seq(("anomalies.num_snaps",
+      "STRING NULLABLE", "INTEGER NULLABLE")))
+    // identical schemas diff empty (the jq-equal case), order-insensitive
+    assert(BqSchema.diff(local, BqSchema.parse(raw)).isEmpty)
+    val reversed = org.apache.spark.sql.types.StructType(
+      local.fields.reverse)
+    assert(BqSchema.diff(local, reversed).isEmpty)
+  }
+
+  test("deployAllWithAccess mirrors the reference's dataset-access sync " +
+    "(authorized-view grants across a two-dataset chain)") {
+    import graft.catalog.{AccessEntry, AclRegistry}
+    val reg = new ViewRegistry(spark)
+    val acl = new AclRegistry
+    Seq((1, "x"), (2, "y")).toDF("k", "v")
+      .createOrReplaceTempView("acl_base")
+    val privateAcl = AccessEntry.parseAclJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/acl/private.acl.json")),
+      java.nio.charset.StandardCharsets.UTF_8))
+    // the reference document carries exactly WRITER/projectWriters +
+    // OWNER/projectOwners
+    assert(privateAcl.toSet == Set(
+      AccessEntry("WRITER", "specialGroup", "projectWriters"),
+      AccessEntry("OWNER", "specialGroup", "projectOwners")))
+    val views = Seq(
+      ViewDef("acl_inter", "SELECT k, v FROM acl_base",
+        dataset = "ndt_intermediate"),
+      ViewDef("acl_pub", "SELECT k FROM acl_inter", dataset = "ndt",
+        access = privateAcl),
+      // same-dataset reference: must NOT produce a grant (main.go:196:
+      // "Access entries to the same project and dataset are unnecessary")
+      ViewDef("acl_sib", "SELECT k FROM acl_pub", dataset = "ndt"))
+    val user = "deployer@example.com"
+    reg.deployAllWithAccess(views, acl, user = user)
+    reg.deployAllWithAccess(views, acl, user = user) // idempotent
+    // acl_base's dataset authorizes the intermediate view that reads it
+    assert(acl.accessOf("default")
+      .contains(AccessEntry.view("ndt_intermediate.acl_inter")))
+    // the intermediate dataset authorizes the public view downstream
+    val inter = acl.accessOf("ndt_intermediate")
+    assert(inter.contains(AccessEntry.view("ndt.acl_pub")))
+    assert(inter.count(_ == AccessEntry.view("ndt.acl_pub")) == 1)
+    // deployed datasets: defaults + exactly one user WRITER entry
+    assert(inter.take(3) == AccessEntry.datasetDefaults)
+    assert(inter.count(e => e.entityType == "userByEmail" &&
+      e.entity == user) == 1)
+    // declared acl.json entries seed the view's own dataset
+    val ndt = acl.accessOf("ndt")
+    assert(privateAcl.forall(ndt.contains))
+    // and the same-dataset acl_sib -> acl_pub reference added no grant
+    assert(!ndt.exists(_.entityType == "view"))
+    // externally-referenced datasets get defaults but no user entry
+    assert(acl.accessOf("default").take(3) == AccessEntry.datasetDefaults)
+    assert(!acl.accessOf("default").exists(_.entityType == "userByEmail"))
+  }
+
   // --- PartitionFilterCheck ----------------------------------------------
 
   test("flagged path-table scans require a partition predicate") {

@@ -130,6 +130,27 @@ class ViewRegistry(spark: SparkSession) {
     ordered.map(_.name)
   }
 
+  /** The reference's paired-variant convention — before/after A/B views
+    * (/root/reference/views/website/
+    * entry07_platform_decile_downloads_dedup_daily_{before,after}.sql:
+    * same body, different pinned date windows and site regexes) and
+    * dated regression pins (/root/reference/views/ndt/
+    * unified_downloads_20201026x.sql:1-10): ONE template, several
+    * coexisting views, each with its parameter bindings burned in at
+    * definition time. Returns the expanded defs (deploy with
+    * [[deployAll]]); the bindings are recorded in each description.
+    */
+  def pinnedVariants(base: ViewDef,
+      variants: Seq[(String, Map[String, String])]): Seq[ViewDef] =
+    variants.map { case (suffix, bind) =>
+      base.copy(
+        name = s"${base.name}_$suffix",
+        sqlTemplate = render(base.sqlTemplate, bind),
+        description = (base.description + s"\n[variant $suffix: " +
+          bind.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+            .mkString(", ") + "]").trim)
+    }
+
   /** [[deployAll]] plus the reference's dataset-access sync
     * (main.go:132-223): per deployed view, its dataset is synced
     * (defaults + declared entries + deploying-user WRITER), and every

@@ -669,6 +669,70 @@ object Analytics {
              |SELECT win_day,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d
              |FROM x, m WHERE win_day <= max_day
-             |GROUP BY win_day ORDER BY win_day""".stripMargin))
+             |GROUP BY win_day ORDER BY win_day""".stripMargin)),
+
+    // The reference's before/after A/B validation convention
+    // (entry07_platform_decile_downloads_dedup_daily_{before,after}.sql:
+    // same body, pinned date windows + site regexes, deployed side by
+    // side) plus the diff query a platform operator runs over the pair.
+    // Here: one templated rollup, two pinned variants via
+    // ViewRegistry.pinnedVariants, full-outer diff of their outputs.
+    GraftQuery(
+      "qB8_ab_variant_diff",
+      "Before/after paired view variants (pinned date window + priority " +
+        "regex) deployed from one template, then diffed per order " +
+        "status: counts and 2-dp totals side by side.",
+      (s, d) => {
+        import graft.catalog.{ViewDef, ViewRegistry}
+        t(s, d, "orders").createOrReplaceTempView("ba_orders")
+        val reg = new ViewRegistry(s)
+        val base = ViewDef("ba_rollup",
+          """SELECT o_orderstatus AS grp,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+            |FROM ba_orders
+            |WHERE CAST(o_orderdate AS DATE)
+            |    BETWEEN DATE '{{.Start}}' AND DATE '{{.End}}'
+            |  AND o_orderpriority RLIKE '{{.PrioRegex}}'
+            |GROUP BY o_orderstatus""".stripMargin)
+        val variants = reg.pinnedVariants(base, Seq(
+          "before" -> Map("Start" -> "1995-01-01", "End" -> "1995-06-30",
+            "PrioRegex" -> "^[1-3]-"),
+          "after" -> Map("Start" -> "1995-07-01", "End" -> "1995-12-31",
+            "PrioRegex" -> "^[1-5]-")))
+        reg.deployAll(variants)
+        s.sql(
+          """SELECT coalesce(b.grp, a.grp) AS grp,
+            |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_before,
+            |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_after,
+            |  coalesce(b.total, CAST(0 AS DOUBLE)) AS total_before,
+            |  coalesce(a.total, CAST(0 AS DOUBLE)) AS total_after
+            |FROM ba_rollup_before b
+            |FULL OUTER JOIN ba_rollup_after a ON b.grp = a.grp
+            |ORDER BY grp""".stripMargin)
+      },
+      Some("""WITH b AS (
+             |  SELECT o_orderstatus AS grp, count(*) AS n,
+             |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+             |  FROM orders
+             |  WHERE CAST(o_orderdate AS DATE)
+             |      BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+             |    AND regexp_matches(o_orderpriority, '^[1-3]-')
+             |  GROUP BY o_orderstatus),
+             |a AS (
+             |  SELECT o_orderstatus AS grp, count(*) AS n,
+             |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+             |  FROM orders
+             |  WHERE CAST(o_orderdate AS DATE)
+             |      BETWEEN DATE '1995-07-01' AND DATE '1995-12-31'
+             |    AND regexp_matches(o_orderpriority, '^[1-5]-')
+             |  GROUP BY o_orderstatus)
+             |SELECT coalesce(b.grp, a.grp) AS grp,
+             |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_before,
+             |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_after,
+             |  coalesce(b.total, CAST(0 AS DOUBLE)) AS total_before,
+             |  coalesce(a.total, CAST(0 AS DOUBLE)) AS total_after
+             |FROM b FULL OUTER JOIN a ON b.grp = a.grp
+             |ORDER BY grp""".stripMargin))
   )
 }

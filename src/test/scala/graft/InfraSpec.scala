@@ -73,6 +73,27 @@ class InfraSpec extends SparkTestBase {
     assert(e.getMessage.contains("cycle"))
   }
 
+  test("pinnedVariants expands one template into coexisting pinned " +
+    "views with recorded bindings") {
+    val reg = new ViewRegistry(spark)
+    Seq((1, "1995-02-01"), (2, "1995-08-01")).toDF("k", "d")
+      .createOrReplaceTempView("pv_base")
+    val base = ViewDef("pv_roll",
+      "-- rollup\nSELECT k FROM pv_base WHERE d >= '{{.Start}}'",
+      description = "rollup")
+    val vs = reg.pinnedVariants(base, Seq(
+      "before" -> Map("Start" -> "1995-01-01"),
+      "after" -> Map("Start" -> "1995-07-01")))
+    assert(vs.map(_.name) == Seq("pv_roll_before", "pv_roll_after"))
+    // bindings are burned into the body and recorded in the description
+    assert(vs.head.sqlTemplate.contains("'1995-01-01'") &&
+      !vs.head.sqlTemplate.contains("{{.Start}}"))
+    assert(vs.head.description.contains("variant before: Start=1995-01-01"))
+    reg.deployAll(vs) // both coexist
+    assert(spark.table("pv_roll_before").count() == 2)
+    assert(spark.table("pv_roll_after").count() == 1)
+  }
+
   test("BqSchema.diff reports added/removed/retyped paths on a mutated " +
     "copy of the reference ndt schema") {
     import graft.schema.BqSchema

@@ -93,6 +93,58 @@ object TextAnalysis {
             (lit(1.0) - least(col("punct_ratio") * 2, lit(1.0)))))
   }
 
+  /** Linear quality-classifier gate — the fasttext-style "trained model
+    * at scan speed" shape a corpus pipeline gates on: the weight vector
+    * is a bounded driver artifact riding into the projection as
+    * literals (like the sampling-rate tables and the IVF codebook), the
+    * features are per-row quality signals, and the decision is
+    * logit ≥ 0 (p ≥ 0.5 under the sigmoid — gating on the monotone
+    * logit needs no exp, keeping the output bit-reproducible across
+    * engines). Zero shuffles; the corpus is scored at scan speed.
+    *
+    * Features (each 4-dp floor-rounded BEFORE the dot product so both
+    * engines dot identical values): ln(n_tokens + 1), avg token length,
+    * punctuation ratio, stopword ratio, within-doc repetition ratio.
+    *
+    * Output: doc_id, logit (4-dp), keep.
+    */
+  def linearGate(df: DataFrame, idCol: String, textCol: String,
+      bias: Double, wLogTokens: Double, wAvgTokenLen: Double,
+      wPunct: Double, wStop: Double, wRep: Double): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    val txt = col(textCol)
+    val toks = TextOps.tokens(txt)
+    val allStop = StopwordProfiles.flatMap(_._2).distinct
+    val r4 = graft.functions.SafeOps.stableRound4 _
+    df.select(
+      col(idCol).as("doc_id"),
+      length(txt).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      hitCount(toks, allStop).as("stop_hits"),
+      length(regexp_replace(txt, "[A-Za-z0-9 ]", "")).as("punct_chars"))
+      .select(
+        col("doc_id"),
+        r4((col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens")).as("avg_token_len"),
+        r4(col("punct_chars").cast("double") / col("n_chars"))
+          .as("punct_ratio"),
+        r4(col("stop_hits").cast("double") / col("n_tokens"))
+          .as("stop_ratio"),
+        r4((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens")).as("rep_ratio"),
+        col("n_tokens"))
+      .withColumn("logit", r4(
+        lit(bias) +
+          lit(wLogTokens) * log(col("n_tokens").cast("double") + 1) +
+          lit(wAvgTokenLen) * col("avg_token_len") +
+          lit(wPunct) * col("punct_ratio") +
+          lit(wStop) * col("stop_ratio") +
+          lit(wRep) * col("rep_ratio")))
+      .select(col("doc_id"), col("logit"),
+        (col("logit") >= 0.0).as("keep"))
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex tokenizer
     * (alnum runs | single non-alnum-non-space), the standard
     * pre-tokenization shape. Output: doc_id, ws_tokens, regex_tokens,

@@ -860,6 +860,50 @@ object LlmOps {
               |      ORDER BY q.quality_score DESC, k.doc_id) AS rank
               |  FROM kept k JOIN quality q ON k.doc_id = q.doc_id)
               |SELECT lang, rank, doc_id, quality_score
-              |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
+              |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
+    // Model-based quality gating: a trained linear classifier scored as
+    // a per-row projection (weights are literals in generated code, like
+    // the sampling-rate tables), gate = logit >= 0 — the monotone
+    // equivalent of sigmoid(p) >= 0.5, no exp in the oracle-compared
+    // output. Features rounded BEFORE the dot product on both engines.
+    GraftQuery(
+      "qB9_quality_model_gate",
+      "Linear quality-classifier gate at scan speed: 5 quality features " +
+        "(4-dp rounded) dotted with literal weights, keep = logit >= 0.",
+      (s, d) => TextAnalysis.linearGate(
+        t(s, d, "documents"), "doc_id", "text",
+        bias = -1.0, wLogTokens = 0.35, wAvgTokenLen = -0.1,
+        wPunct = -2.0, wStop = 1.5, wRep = -1.2)
+        .orderBy("doc_id"),
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, length(text) AS n_chars,
+              |    len(string_split(text,' ')) AS n_tokens,
+              |    len(list_distinct(string_split(text,' '))) AS n_distinct,
+              |    len(list_filter(string_split(text,' '),
+              |      t -> $allStopwordsSql)) AS stop_hits,
+              |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+              |      AS punct_chars
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, n_tokens,
+              |    floor(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+              |      * 10000 + 0.5) / 10000 AS avg_token_len,
+              |    floor(CAST(punct_chars AS DOUBLE) / n_chars
+              |      * 10000 + 0.5) / 10000 AS punct_ratio,
+              |    floor(CAST(stop_hits AS DOUBLE) / n_tokens
+              |      * 10000 + 0.5) / 10000 AS stop_ratio,
+              |    floor(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens
+              |      * 10000 + 0.5) / 10000 AS rep_ratio
+              |  FROM m),
+              |sc AS (
+              |  SELECT doc_id,
+              |    floor((-1.0 + 0.35 * ln(CAST(n_tokens AS DOUBLE) + 1)
+              |      - 0.1 * avg_token_len - 2.0 * punct_ratio
+              |      + 1.5 * stop_ratio - 1.2 * rep_ratio)
+              |      * 10000 + 0.5) / 10000 AS logit
+              |  FROM f)
+              |SELECT doc_id, logit, logit >= 0 AS keep
+              |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }

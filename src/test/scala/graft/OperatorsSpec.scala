@@ -716,6 +716,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
   }
 
+  test("TextAnalysis.linearGate: stopword-rich docs outscore " +
+    "punctuation-heavy ones; keep is exactly the logit sign") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the a of to and is the quick brown fox jumps over lazy dogs"),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.linearGate(docs, "doc_id", "text",
+      bias = -1.0, wLogTokens = 0.35, wAvgTokenLen = -0.1,
+      wPunct = -2.0, wStop = 1.5, wRep = -1.2)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    assert(r(1L)._1 > r(2L)._1)
+    assert(r(1L)._2 && !r(2L)._2)
+    r.values.foreach { case (logit, keep) => assert(keep == (logit >= 0.0)) }
+    // zero shuffles: model scoring is a scan-speed projection
+    val p = TextAnalysis.linearGate(docs, "doc_id", "text",
+      0, 1, 0, 0, 0, 0).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"gate should not shuffle:\n$p")
+  }
+
   test("Dedup.dupNgramStats: shared spans counted, unique docs zero, " +
     "short docs report zero grams") {
     val docs = Seq(

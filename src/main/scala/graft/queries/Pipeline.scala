@@ -1001,6 +1001,56 @@ object Pipeline {
              |  ('0x' || substring(hs, 13, 4))::BIGINT AS height,
              |  CAST(nb - 8 AS BIGINT) AS payload_bytes,
              |  md5(substring(hs, 17)) AS payload_md5
-             |FROM hx ORDER BY doc_id""".stripMargin))
+             |FROM hx ORDER BY doc_id""".stripMargin)),
+
+    // Top-principal-component projection (All-but-the-Top-style
+    // embedding post-process): one partial-aggregated moment pass
+    // (d + d² buffer), driver-side power iteration on the bounded d×d
+    // covariance with per-stage fixpoint rounding (the PageRank/k-means
+    // convention), zero-shuffle projection. The oracle replays the
+    // same three unrolled iterations in SQL.
+    GraftQuery(
+      "qC0_pca_top_component",
+      "Per-vector projection onto the dominant covariance eigenvector " +
+        "(3 power iterations, covariance 1e-6 / iterate 1e-9 rounded, " +
+        "deterministic 1/sqrt(d) init).",
+      (s, d) => graft.operators.Pca.topComponentScores(
+        t(s, d, "embeddings"), "vec_id", "embedding", dim = 64)
+        .orderBy("vec_id"),
+      Some("""WITH e AS (
+             |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS x
+             |  FROM (SELECT vec_id, unnest(list_transform(embedding,
+             |      (x, i) -> {'x': x, 'i': i})) AS u
+             |    FROM embeddings)),
+             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+             |m AS (
+             |  SELECT i, floor(sum(x) / (SELECT n FROM n)
+             |    * 1000000 + 0.5) / 1000000 AS mi
+             |  FROM e GROUP BY i),
+             |cov AS (
+             |  SELECT a.i AS i, b.i AS j,
+             |    floor((sum(a.x * b.x) / (SELECT n FROM n)
+             |      - ma.mi * mb.mi) * 1000000 + 0.5) / 1000000 AS c
+             |  FROM e a JOIN e b ON a.vec_id = b.vec_id
+             |  JOIN m ma ON ma.i = a.i JOIN m mb ON mb.i = b.i
+             |  GROUP BY a.i, b.i, ma.mi, mb.mi),
+             |v0 AS (SELECT i, 0.125 AS vj FROM m),
+             |w1 AS (SELECT c.i AS i, sum(c.c * v0.vj) AS w
+             |  FROM cov c JOIN v0 ON c.j = v0.i GROUP BY c.i),
+             |v1 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w1))
+             |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w1),
+             |w2 AS (SELECT c.i AS i, sum(c.c * v1.vj) AS w
+             |  FROM cov c JOIN v1 ON c.j = v1.i GROUP BY c.i),
+             |v2 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w2))
+             |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w2),
+             |w3 AS (SELECT c.i AS i, sum(c.c * v2.vj) AS w
+             |  FROM cov c JOIN v2 ON c.j = v2.i GROUP BY c.i),
+             |v3 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w3))
+             |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w3)
+             |SELECT e.vec_id,
+             |  floor(sum((e.x - m.mi) * v3.vj) * 10000 + 0.5) / 10000
+             |    AS pc1
+             |FROM e JOIN m ON e.i = m.i JOIN v3 ON v3.i = e.i
+             |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin))
   )
 }

@@ -716,6 +716,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
   }
 
+  test("Pca.topComponentScores recovers a planted dominant direction") {
+    import graft.operators.Pca
+    // rank-1 data: x_t = t * (3,1,0,0); top component is (3,1,0,0)/√10,
+    // so centered projections are exactly t·√10 (t symmetric, mean 0)
+    val dir = Seq(3.0, 1.0, 0.0, 0.0)
+    val rows = (-5 to 5).map(t =>
+      ((t + 5).toLong, dir.map(c => (c * t).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Pca.topComponentScores(df, "vec_id", "embedding", dim = 4)
+      .orderBy("vec_id").collect().map(_.getDouble(1))
+    assert(math.abs(got(5)) < 1e-6) // the center row projects to zero
+    val step = math.sqrt(10.0)
+    got.zipWithIndex.foreach { case (p, idx) =>
+      assert(math.abs(math.abs(p) - math.abs((idx - 5) * step)) < 1e-2,
+        s"row $idx projected to $p") }
+    // monotone along the line (consistent sign over the whole component)
+    assert(got.zip(got.tail).forall { case (a, b) => a < b } ||
+      got.zip(got.tail).forall { case (a, b) => a > b })
+  }
+
   test("TextAnalysis.linearGate: stopword-rich docs outscore " +
     "punctuation-heavy ones; keep is exactly the logit sign") {
     import graft.operators.TextAnalysis

@@ -565,6 +565,105 @@ object Pipeline {
              |  floor((-avg(l)) * 10000.0 + 0.5) / 10000.0 AS surprisal
              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Bigram LM surprisal with Stupid Backoff (Brants et al. 2007) —
+    // the CCNet-style perplexity filter one rung up from q84's unigram:
+    // S(w2|w1) = c(w1 w2)/c(w1) when the bigram is in the table, else
+    // 0.4 * P(w2). The LM is two bounded driver artifacts (top-100
+    // vocab + top-200 bigram table) riding into codegen as literals;
+    // scoring is a per-row projection over vocab_encode ids — the
+    // token stream shuffles once (bigram counting), never for scoring.
+    GraftQuery(
+      "qC1_bigram_surprisal",
+      "Per-doc bigram surprisal (-mean ln S) under a top-200 bigram LM " +
+        "with Stupid Backoff (0.4 * unigram, 1/total OOV), scored as a " +
+        "per-row projection over encoded ids.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        GraftFunctions.registerAll(s)
+        val tf = TextAnalysis.tokenFreq(docs, "text").localCheckpoint()
+        val total = tf.agg(coalesce(sum("cnt"), lit(0L)))
+          .collect()(0).getLong(0)
+        val top = TextAnalysis.topVocab(tf, 100)
+        val vocab = top.map(_._1)
+        val uniLp = math.log(1.0 / total) +:
+          top.map(t2 => math.log(t2._2.toDouble / total))
+        // encoded ids reused by bigram counting AND scoring — fence it
+        val idsDf = docs.select(col("doc_id"),
+          GraftFunctions.vocabEncode(TextOps.tokens(col("text")), vocab)
+            .as("ids")).localCheckpoint()
+        val n1 = greatest(size(col("ids")) - 1, lit(0))
+        // adjacent-pair key a*101+b (ids 0..100): monotone in (a, b),
+        // so the (count desc, key) top-k tie-break equals (c, a, b)
+        val pairCol = zip_with(slice(col("ids"), lit(1), n1),
+          slice(col("ids"), lit(2), n1), (a, b) => a * 101 + b)
+        val bigrams = idsDf.select(explode(pairCol).as("p"))
+          .filter(col("p") >= 101 && col("p") % 101 =!= 0) // both in vocab
+          .groupBy("p").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("p")).limit(200)
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+        val uniCnt = top.map(_._2)
+        val bigramLp: Map[Int, Double] = bigrams.map { case (p, c) =>
+          p -> math.log(c.toDouble / uniCnt(p / 101 - 1))
+        }.toMap
+        val ln04 = math.log(0.4)
+        idsDf
+          .withColumn("ls", transform(pairCol, p => coalesce(
+            element_at(typedLit(bigramLp), p),
+            lit(ln04) + element_at(lit(uniLp.toArray), p % 101 + 1))))
+          .select(col("doc_id"),
+            size(col("ls")).cast("long").as("n_pairs"),
+            when(size(col("ls")) === 0, 0.0).otherwise(
+              floor(-aggregate(col("ls"), lit(0.0), (a, x) => a + x) /
+                size(col("ls")) * 10000.0 + 0.5) / 10000.0)
+              .as("surprisal"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH alltok AS (
+             |  SELECT doc_id, u.t AS tok, u.i AS pos
+             |  FROM (SELECT doc_id, unnest(list_transform(
+             |      string_split(text,' '), (t, i) -> {'t': t, 'i': i}))
+             |      AS u
+             |    FROM documents)),
+             |tf AS (SELECT tok, count(*) AS cnt FROM alltok
+             |  WHERE tok != '' GROUP BY tok),
+             |tot AS (SELECT sum(cnt) AS total FROM tf),
+             |vocab AS (
+             |  SELECT tok, cnt,
+             |    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS INT)
+             |      AS id
+             |  FROM tf ORDER BY cnt DESC, tok LIMIT 100),
+             |pairs AS (
+             |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+             |  FROM alltok a JOIN alltok b
+             |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+             |big AS (
+             |  SELECT v1.id AS ia, v2.id AS ib, v1.cnt AS ca,
+             |    count(*) AS c
+             |  FROM pairs p
+             |  JOIN vocab v1 ON p.w1 = v1.tok
+             |  JOIN vocab v2 ON p.w2 = v2.tok
+             |  GROUP BY v1.id, v2.id, v1.cnt
+             |  ORDER BY c DESC, ia, ib LIMIT 200),
+             |sc AS (
+             |  SELECT p.doc_id,
+             |    CASE WHEN g.c IS NOT NULL THEN ln(g.c * 1.0 / g.ca)
+             |      ELSE ln(0.4) + CASE WHEN v2.tok IS NULL
+             |        THEN ln(1.0 / (SELECT total FROM tot))
+             |        ELSE ln(v2.cnt * 1.0 / (SELECT total FROM tot)) END
+             |    END AS l
+             |  FROM pairs p
+             |  LEFT JOIN vocab v1 ON p.w1 = v1.tok
+             |  LEFT JOIN vocab v2 ON p.w2 = v2.tok
+             |  LEFT JOIN big g ON g.ia = v1.id AND g.ib = v2.id)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(s.np, 0) AS BIGINT) AS n_pairs,
+             |  coalesce(s.sp, 0.0) AS surprisal
+             |FROM documents d LEFT JOIN (
+             |  SELECT doc_id, count(*) AS np,
+             |    floor((-avg(l)) * 10000.0 + 0.5) / 10000.0 AS sp
+             |  FROM sc GROUP BY doc_id) s ON d.doc_id = s.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Bloom-gated exact screening: only bloom-positive candidates pay the
     // confirmation join; output is exact (the oracle is a plain EXISTS).
     GraftQuery(

@@ -733,6 +733,61 @@ object Analytics {
              |  coalesce(b.total, CAST(0 AS DOUBLE)) AS total_before,
              |  coalesce(a.total, CAST(0 AS DOUBLE)) AS total_after
              |FROM b FULL OUTER JOIN a ON b.grp = a.grp
-             |ORDER BY grp""".stripMargin))
+             |ORDER BY grp""".stripMargin)),
+
+    // Vocabulary-growth (Heaps' law) curve over 3-gram shingles — the
+    // corpus-sizing signal: how many distinct n-grams a 10%/20%/.../100%
+    // deterministic sample of the corpus contains. Each gram reduces to
+    // its FIRST-occurrence decile (min over a salted doc hash) — one
+    // gram-key groupBy — and the curve is a running sum over the 10-row
+    // decile histogram. Sub-linear growth = novelty saturating (more
+    // data mostly repeats); near-linear = still discovering (more data
+    // keeps paying).
+    GraftQuery(
+      "qC2_vocab_growth",
+      "Heaps-law novelty curve: distinct 3-gram shingles in " +
+        "deterministic 10%-step corpus prefixes (per-gram min " +
+        "first-occurrence decile, running-summed).",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        GraftFunctions.registerAll(s)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        docs
+          .select(pmod(graft.functions.TextOps.hash32(
+              concat(lit("vg:"), col("doc_id").cast("string"))), lit(10))
+              .as("decile"),
+            explode(graft.functions.TextOps.shingles(
+              graft.functions.TextOps.tokens(col("text")), 3)).as("g"))
+          .groupBy("g").agg(min(col("decile")).as("first_decile"))
+          .groupBy(col("first_decile").as("decile"))
+          .agg(count(lit(1)).as("new_grams"))
+          .select(col("decile"), col("new_grams"),
+            sum("new_grams").over(w).as("vocab_size"))
+          .orderBy("decile")
+      },
+      Some("""WITH g AS (
+             |  SELECT ('0x' || substr(md5('vg:' ||
+             |      CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 10 AS decile,
+             |    unnest(list_transform(
+             |      range(1, len(string_split(text,' ')) - 1),
+             |      i -> string_split(text,' ')[i] || ' ' ||
+             |           string_split(text,' ')[i+1] || ' ' ||
+             |           string_split(text,' ')[i+2])) AS gram
+             |  FROM documents
+             |  WHERE len(string_split(text,' ')) >= 3),
+             |fd AS (
+             |  SELECT gram, min(decile) AS first_decile FROM g
+             |  GROUP BY gram),
+             |h AS (
+             |  SELECT first_decile AS decile,
+             |    CAST(count(*) AS BIGINT) AS new_grams
+             |  FROM fd GROUP BY first_decile)
+             |SELECT decile, new_grams,
+             |  CAST(sum(new_grams) OVER (ORDER BY decile
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+             |FROM h ORDER BY decile""".stripMargin))
   )
 }

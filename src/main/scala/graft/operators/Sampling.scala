@@ -144,4 +144,31 @@ object Sampling {
       .withColumn("copy_idx", explode(sequence(lit(1L), col("n_copies"))))
       .drop("n_copies")
   }
+
+  /** Leakage-free per-key TEMPORAL train/eval split: within each key the
+    * first num/den fraction of time-ordered rows are "train", the rest
+    * "eval" — the split an evaluation needs when the model must never
+    * see a key's future (a hash split like q59 leaks later events of a
+    * training user into eval). The boundary is pure integer arithmetic
+    * (rn·den ≤ num·n), so there is no ceil-of-a-double edge to disagree
+    * on across engines, and ties order by (ts, id) deterministically.
+    *
+    * Scale: one key-partitioned window pass (rank + per-key total in
+    * the same window shuffle); per-key state is the sort, bounded by
+    * per-key activity like every sessionization-shaped op here.
+    */
+  def temporalSplit(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, num: Int, den: Int): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      "split fraction must be a rational in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCol)
+    val ordered = byKey.orderBy(col(tsCol), col(idCol))
+    df.withColumn("rn", row_number().over(ordered).cast("long"))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("split",
+        when(col("rn") * den <= col("n") * num, "train")
+          .otherwise("eval"))
+      .drop("rn", "n")
+  }
 }

@@ -788,6 +788,30 @@ object Analytics {
              |SELECT decile, new_grams,
              |  CAST(sum(new_grams) OVER (ORDER BY decile
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
-             |FROM h ORDER BY decile""".stripMargin))
+             |FROM h ORDER BY decile""".stripMargin)),
+
+    // Leakage-free evaluation split: per user, train on the first 4/5 of
+    // time-ordered events, eval on the rest. A hash split (q59) would
+    // leak a training user's FUTURE events into eval; the temporal split
+    // is what honest per-user forecasting/evaluation needs. Integer
+    // boundary arithmetic — no FP ceil edge between engines.
+    GraftQuery(
+      "qC3_temporal_split",
+      "Per-user temporal 80/20 train/eval split of the event stream " +
+        "(rank*den <= num*count integer boundary, (ts, id) tie-break).",
+      (s, d) => Sampling.temporalSplit(
+        t(s, d, "events"), "user_id", "ts", "event_id", num = 4, den = 5)
+        .select(col("user_id"), col("event_id"), col("split"))
+        .orderBy("user_id", "event_id"),
+      Some("""SELECT user_id, event_id,
+             |  CASE WHEN rn * 5 <= n * 4 THEN 'train' ELSE 'eval' END
+             |    AS split
+             |FROM (
+             |  SELECT user_id, event_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n
+             |  FROM events)
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 }

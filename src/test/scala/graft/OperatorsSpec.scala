@@ -716,6 +716,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"chunking should not shuffle:\n$p")
   }
 
+  test("Sampling.temporalSplit: floor-fraction per-key boundary, no " +
+    "eval event precedes a train event") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      // user 1: five events -> 4 train / 1 eval
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L), (1L, 4L, 40L),
+      (1L, 5L, 50L),
+      // user 2: three events -> floor(2.4) = 2 train / 1 eval
+      (2L, 6L, 10L), (2L, 7L, 20L), (2L, 8L, 30L),
+      // user 3: one event -> floor(0.8) = 0 train / 1 eval
+      (3L, 9L, 10L))
+      .map { case (u, e, t) => (u, e, new Timestamp(t * 1000)) }
+      .toDF("user_id", "event_id", "ts")
+    val r = Sampling.temporalSplit(ev, "user_id", "ts", "event_id", 4, 5)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(3)))
+    val trains = r.filter(_._3 == "train").map(t3 => (t3._1, t3._2)).toSet
+    assert(trains == Set((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 6L), (2L, 7L)))
+    // temporal honesty: per user, max train event precedes min eval one
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      val (tr, ev2) = rows.partition(_._3 == "train")
+      if (tr.nonEmpty && ev2.nonEmpty)
+        assert(tr.map(_._2).max < ev2.map(_._2).min)
+    }
+  }
+
   test("Pca.topComponentScores recovers a planted dominant direction") {
     import graft.operators.Pca
     // rank-1 data: x_t = t * (3,1,0,0); top component is (3,1,0,0)/√10,

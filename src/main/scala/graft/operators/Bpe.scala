@@ -99,7 +99,7 @@ object Bpe {
     * disagree for supplementary characters vs U+E000..U+FFFF. The local
     * tie-break must replay the distributed one bit for bit.
     */
-  private def utf8Lt(a: String, b: String): Boolean = {
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

@@ -148,4 +148,27 @@ class PropertySpec extends SparkTestBase {
         }
     }
   }
+
+  test("Bpe.utf8Lt matches Spark's UTF8String binary order on random " +
+    "strings including supplementary characters") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // fragments chosen to land in the UTF-16-vs-code-point disagreement
+    // zone: U+E000..U+FFFF sort ABOVE supplementary chars in UTF-16
+    // units but BELOW them in UTF-8 bytes / code points
+    val frag = Gen.oneOf("a", "z", "0", " ", "", "�",
+      "😀", "ß", "中", "")
+    val sGen = Gen.choose(0, 6)
+      .flatMap(n => Gen.listOfN(n, frag)).map(_.mkString)
+    samples(Gen.zip(sGen, sGen), 400).foreach { case (a, b) =>
+      val expected =
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+      assert(Bpe.utf8Lt(a, b) == expected,
+        s"utf8Lt(${a.codePoints.toArray.toSeq}, " +
+          s"${b.codePoints.toArray.toSeq})")
+      assert(!Bpe.utf8Lt(a, a))
+    }
+    // the disagreement case is REAL: Java's UTF-16 order inverts it
+    assert(Bpe.utf8Lt("", "😀"))
+    assert("".compareTo("😀") > 0)
+  }
 }

@@ -22,6 +22,12 @@ object Analytics {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  // qB9's stopword OR-chain (same list LlmOps builds), for the qC4
+  // gate oracle.
+  private val allStopwordsSql = graft.operators.TextAnalysis
+    .StopwordProfiles.flatMap(_._2).distinct
+    .map(w => s"t = '$w'").mkString(" OR ")
+
   // q31's shingle-set CTE (LlmOps.duckShingleSets), shared by the
   // containment and PageRank oracles.
   private val duckShingleSets =
@@ -812,6 +818,80 @@ object Analytics {
              |      ORDER BY ts, event_id) AS rn,
              |    count(*) OVER (PARTITION BY user_id) AS n
              |  FROM events)
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Round-5 flagship chain: model-based quality gate -> sequence
+    // packing. The gate is the trained linear classifier (qB9), packing
+    // the two-phase prefix sum (q72) — each stage individually
+    // oracle-checked; this runs them end-to-end the way a curated
+    // corpus build would.
+    GraftQuery(
+      "qC4_gated_pack",
+      "Curated-corpus assembly: keep docs the linear quality model " +
+        "accepts (logit >= 0), pack the survivors' token stream at " +
+        "context 256, summarize per pack.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        GraftFunctions.registerAll(s)
+        val kept = graft.operators.TextAnalysis.linearGate(
+          docs, "doc_id", "text",
+          bias = -0.5, wLogTokens = 0.35, wAvgTokenLen = -0.1,
+          wPunct = -2.0, wStop = 1.5, wRep = -1.2)
+          .filter(col("keep")).select("doc_id")
+        val gated = docs.join(kept.hint("shuffle_hash"),
+          Seq("doc_id"), "left_semi")
+        graft.operators.Pack.packSequences(gated, "doc_id",
+          size(graft.functions.TextOps.tokens(col("text"))),
+          contextLen = 256, blockLen = 100)
+          .groupBy("pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("seg_tokens").as("n_tokens"))
+          .orderBy("pack_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, text, length(text) AS n_chars,
+              |    len(string_split(text,' ')) AS n_tokens,
+              |    len(list_distinct(string_split(text,' ')))
+              |      AS n_distinct,
+              |    len(list_filter(string_split(text,' '),
+              |      t -> $allStopwordsSql)) AS stop_hits,
+              |    length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+              |      AS punct_chars
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, text, n_tokens,
+              |    floor(CAST(n_chars - (n_tokens - 1) AS DOUBLE)
+              |      / n_tokens * 10000 + 0.5) / 10000 AS avg_token_len,
+              |    floor(CAST(punct_chars AS DOUBLE) / n_chars
+              |      * 10000 + 0.5) / 10000 AS punct_ratio,
+              |    floor(CAST(stop_hits AS DOUBLE) / n_tokens
+              |      * 10000 + 0.5) / 10000 AS stop_ratio,
+              |    floor(CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens
+              |      * 10000 + 0.5) / 10000 AS rep_ratio
+              |  FROM m),
+              |keep AS (
+              |  SELECT doc_id, text FROM f
+              |  WHERE floor((-0.5 + 0.35 * ln(CAST(n_tokens AS DOUBLE) + 1)
+              |    - 0.1 * avg_token_len - 2.0 * punct_ratio
+              |    + 1.5 * stop_ratio - 1.2 * rep_ratio)
+              |    * 10000 + 0.5) / 10000 >= 0),
+              |tk AS (
+              |  SELECT doc_id, len(string_split(text,' ')) AS ntok
+              |  FROM keep),
+              |c AS (
+              |  SELECT doc_id, ntok,
+              |    CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS strt
+              |  FROM tk WHERE ntok > 0),
+              |seg AS (
+              |  SELECT doc_id, ntok, strt,
+              |    unnest(range(strt // 256, (strt + ntok - 1) // 256 + 1))
+              |      AS pack_id
+              |  FROM c)
+              |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(least(strt+ntok, (pack_id+1)*256)
+              |    - greatest(strt, pack_id*256)) AS BIGINT) AS n_tokens
+              |FROM seg GROUP BY pack_id ORDER BY pack_id""".stripMargin))
   )
 }

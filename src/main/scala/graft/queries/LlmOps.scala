@@ -873,7 +873,7 @@ object LlmOps {
         "(4-dp rounded) dotted with literal weights, keep = logit >= 0.",
       (s, d) => TextAnalysis.linearGate(
         t(s, d, "documents"), "doc_id", "text",
-        bias = -1.0, wLogTokens = 0.35, wAvgTokenLen = -0.1,
+        bias = -0.5, wLogTokens = 0.35, wAvgTokenLen = -0.1,
         wPunct = -2.0, wStop = 1.5, wRep = -1.2)
         .orderBy("doc_id"),
       Some(s"""WITH m AS (
@@ -898,7 +898,7 @@ object LlmOps {
               |  FROM m),
               |sc AS (
               |  SELECT doc_id,
-              |    floor((-1.0 + 0.35 * ln(CAST(n_tokens AS DOUBLE) + 1)
+              |    floor((-0.5 + 0.35 * ln(CAST(n_tokens AS DOUBLE) + 1)
               |      - 0.1 * avg_token_len - 2.0 * punct_ratio
               |      + 1.5 * stop_ratio - 1.2 * rep_ratio)
               |      * 10000 + 0.5) / 10000 AS logit

@@ -770,7 +770,7 @@ class OperatorsSpec extends SparkTestBase {
       (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"))
       .toDF("doc_id", "text")
     val r = TextAnalysis.linearGate(docs, "doc_id", "text",
-      bias = -1.0, wLogTokens = 0.35, wAvgTokenLen = -0.1,
+      bias = -0.5, wLogTokens = 0.35, wAvgTokenLen = -0.1,
       wPunct = -2.0, wStop = 1.5, wRep = -1.2)
       .collect()
       .map(x => x.getLong(0) -> ((x.getDouble(1), x.getBoolean(2)))).toMap

@@ -904,6 +904,75 @@ object LlmOps {
               |      * 10000 + 0.5) / 10000 AS logit
               |  FROM f)
               |SELECT doc_id, logit, logit >= 0 AS keep
-              |FROM sc ORDER BY doc_id""".stripMargin))
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // Dedup-pipeline eval harness (the qA7 shape, aimed at the pair
+    // generators): precision/recall of the MinHash-LSH candidate path
+    // against the exact inverted-index join at the same threshold — the
+    // number an operator owner watches when tuning bands/rows caps.
+    GraftQuery(
+      "qC5_dedup_eval",
+      "Precision/recall of MinHash-LSH(8x4) near-dup pairs vs the " +
+        "exact Jaccard join at t=0.5: pair counts, hits, 4-dp ratios.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val exact = Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", 3, 0.5).select("doc_a", "doc_b")
+        val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val hits = exact.join(lsh.hint("shuffle_hash"),
+          Seq("doc_a", "doc_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            (floor(col("n_hit").cast("double") /
+              col("n_exact").cast("double") * 10000.0 + 0.5) / 10000.0)
+              .as("recall"),
+            (floor(col("n_hit").cast("double") /
+              col("n_lsh").cast("double") * 10000.0 + 0.5) / 10000.0)
+              .as("precision"))
+      },
+      Some(s"""WITH $duckShingleSets,
+              |exact AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+              |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+              |    (len(a.sh)+len(b.sh)-len(list_intersect(a.sh, b.sh)))
+              |    >= 0.5),
+              |sigs AS (
+              |  SELECT doc_id, sh,
+              |    list_transform(range(0,32), j ->
+              |      list_min(list_transform(sh, h ->
+              |        (h*(2*j+1) + (j*j*31+7)) % 2147483647))) AS sig
+              |  FROM sets),
+              |bandrows AS (
+              |  SELECT doc_id, sh, CAST(b.range AS INT) AS band_idx,
+              |    array_to_string(list_transform(
+              |      sig[b.range*4+1 : b.range*4+4],
+              |      x -> CAST(x AS VARCHAR)), '-') AS band_key
+              |  FROM sigs, range(0,8) b),
+              |lshp AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |  FROM bandrows x JOIN bandrows y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |   AND x.doc_id < y.doc_id
+              |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+              |    (len(x.sh)+len(y.sh)-len(list_intersect(x.sh, y.sh)))
+              |    >= 0.5),
+              |hit AS (
+              |  SELECT e.doc_a, e.doc_b FROM exact e
+              |  JOIN lshp l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b)
+              |SELECT
+              |  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+              |  CAST((SELECT count(*) FROM lshp) AS BIGINT) AS n_lsh,
+              |  CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+              |  floor((SELECT count(*) FROM hit) * 1.0 /
+              |    (SELECT count(*) FROM exact) * 10000.0 + 0.5) / 10000.0
+              |    AS recall,
+              |  floor((SELECT count(*) FROM hit) * 1.0 /
+              |    (SELECT count(*) FROM lshp) * 10000.0 + 0.5) / 10000.0
+              |    AS precision""".stripMargin))
   )
 }

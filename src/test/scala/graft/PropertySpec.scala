@@ -149,6 +149,35 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("ngramJaccardPrefixPairs equals the full inverted-index join on " +
+    "random corpora and FP-hostile thresholds") {
+    import graft.operators.Dedup
+    // tiny alphabet -> dense shingle overlap -> boundary-rich Jaccards;
+    // thresholds include non-representable rationals (1/3, 0.1)
+    val docGen = for {
+      n <- Gen.choose(3, 24)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield toks.mkString(" ")
+    val cases = samples(for {
+      nd <- Gen.choose(5, 18)
+      docs <- Gen.listOfN(nd, docGen)
+      t <- Gen.oneOf(0.1, 0.25, 1.0 / 3, 0.5, 0.7)
+    } yield (docs, t), 4)
+    cases.foreach { case (docs, t) =>
+      val df = docs.zipWithIndex
+        .map { case (s2, i) => (i.toLong, s2) }.toDF("doc_id", "text")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1),
+          math.floor(r.getDouble(2) * 1e9 + 0.5) / 1e9)
+      val full = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      val pref = Dedup.ngramJaccardPrefixPairs(df, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(pref == full,
+        s"prefix filter diverged at t=$t over ${docs.length} docs")
+    }
+  }
+
   test("Bpe.utf8Lt matches Spark's UTF8String binary order on random " +
     "strings including supplementary characters") {
     import org.apache.spark.unsafe.types.UTF8String

@@ -408,6 +408,39 @@ class InfraSpec extends SparkTestBase {
     assert(scores(1)._3 > scores(0)._3)
   }
 
+  test("quality gate applies unchanged to a file stream — stateless " +
+    "scan-speed ops need no streaming variant") {
+    import graft.operators.TextAnalysis
+    val inDir = Files.createTempDirectory("qg-in").toFile
+    val outDir = Files.createTempDirectory("qg-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("qg-ck").toFile.getAbsolutePath
+    val docs = Seq(
+      (1L, "the a of to and is the quick brown fox jumps over lazy dogs"),
+      (2L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "der die das und ist ein gutes deutsches dokument hier"))
+      .toDF("doc_id", "text")
+    docs.coalesce(1).write
+      .parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.linearGate(df, "doc_id", "text",
+        bias = -0.5, wLogTokens = 0.35, wAvgTokenLen = -0.1,
+        wPunct = -2.0, wStop = 1.5, wRep = -1.2)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = gate(stream).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(rows(spark.read.parquet(outDir)) == rows(gate(docs)))
+  }
+
   test("Drift.psiTotal is 0.0 for empty-vs-empty histograms (no NPE)") {
     import graft.operators.Drift
     val empty = Seq.empty[(Long, Long)].toDF("bin", "n")

@@ -24,6 +24,41 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  // qC0/qC6's shared power-iteration chain: element rows -> 1e-6-rounded
+  // mean + covariance -> three unrolled iterations with 1e-9 per-iterate
+  // rounding (mirrors Pca.topComponent bit for bit).
+  private val duckPcaV3 =
+    """e AS (
+      |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, unnest(list_transform(embedding,
+      |      (x, i) -> {'x': x, 'i': i})) AS u
+      |    FROM embeddings)),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+      |m AS (
+      |  SELECT i, floor(sum(x) / (SELECT n FROM n)
+      |    * 1000000 + 0.5) / 1000000 AS mi
+      |  FROM e GROUP BY i),
+      |cov AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    floor((sum(a.x * b.x) / (SELECT n FROM n)
+      |      - ma.mi * mb.mi) * 1000000 + 0.5) / 1000000 AS c
+      |  FROM e a JOIN e b ON a.vec_id = b.vec_id
+      |  JOIN m ma ON ma.i = a.i JOIN m mb ON mb.i = b.i
+      |  GROUP BY a.i, b.i, ma.mi, mb.mi),
+      |v0 AS (SELECT i, 0.125 AS vj FROM m),
+      |w1 AS (SELECT c.i AS i, sum(c.c * v0.vj) AS w
+      |  FROM cov c JOIN v0 ON c.j = v0.i GROUP BY c.i),
+      |v1 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w1))
+      |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w1),
+      |w2 AS (SELECT c.i AS i, sum(c.c * v1.vj) AS w
+      |  FROM cov c JOIN v1 ON c.j = v1.i GROUP BY c.i),
+      |v2 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w2))
+      |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w2),
+      |w3 AS (SELECT c.i AS i, sum(c.c * v2.vj) AS w
+      |  FROM cov c JOIN v2 ON c.j = v2.i GROUP BY c.i),
+      |v3 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w3))
+      |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w3)""".stripMargin
+
   private val duckVecNorm =
     """v AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1116,40 +1151,61 @@ object Pipeline {
       (s, d) => graft.operators.Pca.topComponentScores(
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64)
         .orderBy("vec_id"),
-      Some("""WITH e AS (
-             |  SELECT vec_id, u.i - 1 AS i, CAST(u.x AS DOUBLE) AS x
-             |  FROM (SELECT vec_id, unnest(list_transform(embedding,
-             |      (x, i) -> {'x': x, 'i': i})) AS u
-             |    FROM embeddings)),
-             |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-             |m AS (
-             |  SELECT i, floor(sum(x) / (SELECT n FROM n)
-             |    * 1000000 + 0.5) / 1000000 AS mi
-             |  FROM e GROUP BY i),
-             |cov AS (
-             |  SELECT a.i AS i, b.i AS j,
-             |    floor((sum(a.x * b.x) / (SELECT n FROM n)
-             |      - ma.mi * mb.mi) * 1000000 + 0.5) / 1000000 AS c
-             |  FROM e a JOIN e b ON a.vec_id = b.vec_id
-             |  JOIN m ma ON ma.i = a.i JOIN m mb ON mb.i = b.i
-             |  GROUP BY a.i, b.i, ma.mi, mb.mi),
-             |v0 AS (SELECT i, 0.125 AS vj FROM m),
-             |w1 AS (SELECT c.i AS i, sum(c.c * v0.vj) AS w
-             |  FROM cov c JOIN v0 ON c.j = v0.i GROUP BY c.i),
-             |v1 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w1))
-             |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w1),
-             |w2 AS (SELECT c.i AS i, sum(c.c * v1.vj) AS w
-             |  FROM cov c JOIN v1 ON c.j = v1.i GROUP BY c.i),
-             |v2 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w2))
-             |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w2),
-             |w3 AS (SELECT c.i AS i, sum(c.c * v2.vj) AS w
-             |  FROM cov c JOIN v2 ON c.j = v2.i GROUP BY c.i),
-             |v3 AS (SELECT i, floor(w / sqrt((SELECT sum(w * w) FROM w3))
-             |  * 1000000000 + 0.5) / 1000000000 AS vj FROM w3)
-             |SELECT e.vec_id,
-             |  floor(sum((e.x - m.mi) * v3.vj) * 10000 + 0.5) / 10000
-             |    AS pc1
-             |FROM e JOIN m ON e.i = m.i JOIN v3 ON v3.i = e.i
-             |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin))
+      Some(s"""WITH $duckPcaV3
+              |SELECT e.vec_id,
+              |  floor(sum((e.x - m.mi) * v3.vj) * 10000 + 0.5) / 10000
+              |    AS pc1
+              |FROM e JOIN m ON e.i = m.i JOIN v3 ON v3.i = e.i
+              |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin)),
+
+    // All-but-the-Top, applied: remove the dominant component and report
+    // how much vector mass it carried — norm before/after per vector via
+    // the closed form |c - (c·v)v|² = |c|² − (c·v)²/|v|². Same bounded
+    // eigenvector artifact as qC0; still a zero-shuffle projection.
+    GraftQuery(
+      "qC6_pca_residual",
+      "Residual norms after removing the top principal component " +
+        "(closed-form |c|^2 - pc1^2/|v|^2, 4-dp), per vector.",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        GraftFunctions.registerAll(s)
+        val (mean, v) = graft.operators.Pca.topComponent(
+          emb, "embedding", dim = 64)
+        val vv = {
+          var sU = 0.0
+          var i = 0
+          while (i < v.length) { sU += v(i) * v(i); i += 1 }
+          sU
+        }
+        val centered = zip_with(
+          transform(col("embedding"), x => x.cast("double")),
+          typedLit(mean.toSeq), (a, b) => a - b)
+        emb
+          .withColumn("c", centered)
+          .withColumn("sq", GraftFunctions.vecDot(col("c"), col("c")))
+          .withColumn("pc1",
+            GraftFunctions.vecDot(col("c"), typedLit(v.toSeq)))
+          .select(col("vec_id"),
+            (floor(sqrt(col("sq")) * 10000.0 + 0.5) / 10000.0)
+              .as("norm_orig"),
+            (floor(sqrt(greatest(
+              col("sq") - col("pc1") * col("pc1") / lit(vv), lit(0.0)))
+              * 10000.0 + 0.5) / 10000.0).as("norm_resid"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $duckPcaV3,
+              |vv AS (SELECT sum(vj * vj) AS vv FROM v3),
+              |p AS (
+              |  SELECT e.vec_id,
+              |    sum((e.x - m.mi) * v3.vj) AS pc1,
+              |    sum((e.x - m.mi) * (e.x - m.mi)) AS sq
+              |  FROM e JOIN m ON e.i = m.i JOIN v3 ON v3.i = e.i
+              |  GROUP BY e.vec_id)
+              |SELECT vec_id,
+              |  floor(sqrt(sq) * 10000.0 + 0.5) / 10000.0 AS norm_orig,
+              |  floor(sqrt(greatest(
+              |      sq - pc1 * pc1 / (SELECT vv FROM vv), 0.0))
+              |    * 10000.0 + 0.5) / 10000.0 AS norm_resid
+              |FROM p ORDER BY vec_id""".stripMargin))
   )
 }

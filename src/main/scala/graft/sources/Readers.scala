@@ -56,6 +56,42 @@ object Readers {
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** WET-style web-crawl archives (the Common Crawl text format an LLM
+    * corpus actually ingests): concatenated records, each a "WARC/1.0"
+    * header block (`WARC-Target-URI`, `WARC-Date`, ...) followed by a
+    * blank line and the extracted text. Parsed via `binaryFile` — the
+    * FILE is the natural parallel unit (crawl archives ship as ~150 MB
+    * members; records inside one are sequential by construction), so
+    * per-file imperative parsing here is the per-partition-logic case,
+    * not a shuffle avoider. Records missing a URI header are quarantined
+    * with a null uri rather than dropped (same capture-don't-crash
+    * contract as the text readers).
+    *
+    * Output: file, rec_idx (order within file), uri, date, text.
+    */
+  def wet(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (file, bytes) =>
+        val whole = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        // split on record markers; drop anything before the first
+        whole.split("(?m)^WARC/1\\.0\\r?$").toSeq.drop(1).zipWithIndex
+          .map { case (rec, idx) =>
+            val parts = rec.split("\\r?\\n\\r?\\n", 2)
+            val head = parts(0)
+            val body = if (parts.length > 1) parts(1) else ""
+            def header(name: String): Option[String] =
+              head.linesIterator
+                .find(_.toLowerCase.startsWith(name.toLowerCase + ":"))
+                .map(_.split(":", 2)(1).trim)
+            (file, idx.toLong, header("WARC-Target-URI").orNull,
+              header("WARC-Date").orNull, body.trim)
+          }
+      }
+      .toDF("file", "rec_idx", "uri", "date", "text")
+  }
+
   /** Split a permissive read into (clean rows without the quarantine
     * column, quarantined records as (raw_record, partial_parse)).
     *

@@ -57,4 +57,43 @@ class SourcesSpec extends SparkTestBase {
     assert(clean.count() == 1 && bad.count() == 1)
     assert(clean.collect()(0).getAs[Long]("id") == 1L)
   }
+
+  test("wet: crawl-archive records parse per file with headers, order, " +
+    "and missing-URI capture") {
+    val dir = Files.createTempDirectory("wet").toFile
+    val f = new java.io.File(dir, "crawl-00000.warc.wet")
+    val w = new java.io.PrintWriter(f)
+    w.print(
+      "WARC/1.0\r\n" +
+        "WARC-Type: conversion\r\n" +
+        "WARC-Target-URI: http://example.com/a\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "Content-Length: 11\r\n" +
+        "\r\n" +
+        "hello world\r\n" +
+        "\r\n" +
+        "WARC/1.0\r\n" +
+        "WARC-Type: conversion\r\n" +
+        "WARC-Date: 2024-01-02T00:00:00Z\r\n" + // no URI: quarantined null
+        "\r\n" +
+        "second record text\nwith two lines\r\n" +
+        "\r\n" +
+        "WARC/1.0\r\n" +
+        "WARC-Target-URI: http://example.com/c\r\n" +
+        "WARC-Date: 2024-01-03T00:00:00Z\r\n" +
+        "\r\n" +
+        "third\r\n")
+    w.close()
+    val r = Readers.wet(spark, dir.getAbsolutePath + "/*.wet")
+      .orderBy("rec_idx").collect()
+      .map(x => (x.getLong(1), x.getString(2), x.getString(3),
+        x.getString(4)))
+    assert(r.length == 3)
+    assert(r(0) == (0L, "http://example.com/a",
+      "2024-01-01T00:00:00Z", "hello world"))
+    assert(r(1)._2 == null) // missing URI captured, record kept
+    assert(r(1)._4 == "second record text\nwith two lines")
+    assert(r(2) == (2L, "http://example.com/c",
+      "2024-01-03T00:00:00Z", "third"))
+  }
 }

@@ -50,6 +50,42 @@ object TextOps {
         (h * (j * 2 + 1) + (j * j * 31 + 7)) % p)))
   }
 
+  /** Canonical URL normalization — the first step of every web-corpus
+    * dedup pipeline (a crawl sees the same page under `HTTP://Host/p/`,
+    * `http://host/p?utm_source=feed`, `http://host:80/p#top`, ...).
+    * Pure codegen regexp chain, RE2-compatible (no lookaround), so the
+    * same steps are reproducible in any engine:
+    *
+    *   1. drop the fragment (`#...`);
+    *   2. drop tracking params (`utm_*`, `fbclid`, `gclid`) plus the
+    *      separator that followed them, then mop up dangling `?`/`&`
+    *      and `?&` seams;
+    *   3. lowercase scheme + authority (never path/query — those are
+    *      case-sensitive per RFC 3986);
+    *   4. drop default ports (`:80` for http, `:443` for https);
+    *   5. drop trailing slashes of the path (also when a query follows).
+    */
+  def normalizeUrl(u: Column): Column = {
+    // 1. fragment
+    val noFrag = regexp_replace(u, "#.*$", "")
+    // 2. tracking params (+ trailing separator), then seam cleanup
+    val noTrack = regexp_replace(noFrag,
+      "(?i)(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*&?", "")
+    val seam1 = regexp_replace(noTrack, "\\?&", "?")
+    val seam2 = regexp_replace(seam1, "[?&]$", "")
+    // 3. lowercase scheme://authority (stop at /, ? or #)
+    val auth = regexp_extract(seam2, "^[^/]*//[^/?#]*", 0)
+    val rest = regexp_replace(seam2, "^[^/]*//[^/?#]*", "")
+    val lowered = concat(lower(auth), rest)
+    // 4. default ports
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:?#]*):443([/?#]|$)", "$1$2"),
+      "^(http://[^/:?#]*):80([/?#]|$)", "$1$2")
+    // 5. trailing path slashes (bare "https://host/" → "https://host";
+    //    ".../a/?q" → ".../a?q") — two RE2-safe replaces, no lookahead
+    regexp_replace(regexp_replace(noPort, "/+\\?", "?"), "/+$", "")
+  }
+
   /** 60-bit SimHash from a list of 32-bit token hashes (uses the low 32 of
     * each hash across 60 bit positions by re-hashing position into the
     * value; 60 not 64 so the value stays positive in signed-64 engines).

@@ -640,4 +640,57 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("canonical"))
       .withColumn("keep", col("canonical") === col("doc_id"))
   }
+
+  /** SemDeDup — semantic deduplication over an embedding column (Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): bucket the corpus into cells, score only
+    * within-cell cosine similarity, and keep one representative per group
+    * of semantic duplicates.
+    *
+    * The paper buckets with k-means; this implementation buckets with the
+    * same deterministic random-hyperplane cells the ANN/dedup paths use
+    * ([[Similarity.lshBucket]]) so the assignment is closed-form and
+    * engine-reproducible (swap in [[Similarity.kmeansTrain]] cells when
+    * recall matters more than reproducibility — the downstream stages are
+    * identical). Within-cell pairs above `threshold` feed the same
+    * HashMin [[connectedComponents]] → canonical-min contraction the
+    * MinHash path uses, so A~B~C collapses to ONE kept doc even when A~C
+    * itself scores under the threshold.
+    *
+    * Scale shape: cell self-join is shuffle-pinned and O(Σ cell²), CC
+    * rounds are join+partial-min with per-round lineage truncation, and
+    * the final assignment is one left join — no all-pairs stage anywhere.
+    *
+    * Output: doc_id, canonical, keep — one row per input vector.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, threshold: Double): DataFrame = {
+    val pairs = embeddingLshPairs(df, idCol, vecCol, planes, threshold)
+    canonicalAssignment(df, idCol, pairs, "id_a", "id_b")
+  }
+
+  /** URL-canonicalization dedup — the cheapest and highest-yield dedup
+    * pass in a web-corpus pipeline (CCNet / RefinedWeb run it before any
+    * content hashing): normalize each document's URL
+    * ([[graft.functions.TextOps.normalizeUrl]] — fragment, tracking
+    * params, case, default ports, trailing slashes) and keep the minimum
+    * doc id per canonical URL.
+    *
+    * One hash-partial-aggregated groupBy on the normalized key (the
+    * normalization itself is a codegen regexp chain at scan speed), then
+    * a broadcast-eligible self-join back for the per-row keep flag —
+    * at 100 TB the grouped side is |distinct urls|, not |corpus|.
+    *
+    * Output: doc_id, url_norm, canonical, n_dupes, keep.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val normed = df.select(col(idCol).as("doc_id"),
+      graft.functions.TextOps.normalizeUrl(col(urlCol)).as("url_norm"))
+    val groups = normed.groupBy("url_norm")
+      .agg(min("doc_id").as("canonical"),
+        count(lit(1)).as("n_dupes"))
+    normed.join(groups, "url_norm")
+      .select(col("doc_id"), col("url_norm"), col("canonical"),
+        col("n_dupes"), (col("doc_id") === col("canonical")).as("keep"))
+  }
 }

@@ -171,4 +171,45 @@ object Sampling {
           .otherwise("eval"))
       .drop("rn", "n")
   }
+
+  /** Temperature-weighted domain mixture plan — the "how much of each
+    * source goes into the next training run" table (the UL2/PaLM-style
+    * mixing rule: target share ∝ tokens^T, T<1 flattening the head so a
+    * dominant crawl source doesn't drown the small curated ones; T=1 is
+    * proportional, T=0 uniform).
+    *
+    * For each stratum: its token mass, temperature share, target token
+    * budget, the sampling rate that hits the target (rate > 1 ⇒ the
+    * source repeats), and the epoch count ⌈rate⌉ a loader needs.
+    *
+    * Scale: one partial-aggregated groupBy to the |strata|-row table,
+    * then the Σ tokens^T normalizer joins back as a broadcast scalar —
+    * the corpus is scanned exactly once, everything downstream is
+    * bounded by |strata|.
+    *
+    * Output: stratum, toks, share, target_toks, rate, epochs — ordered
+    * upstream of any caller's ORDER BY only by the grouping hash, so
+    * callers sort.
+    */
+  def mixturePlan(df: DataFrame, stratumCol: String, textCol: String,
+      temperature: Double, budgetTokens: Long): DataFrame = {
+    require(temperature >= 0.0, "temperature must be non-negative")
+    val perSource = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(size(TextOps.tokens(col(textCol))).cast("long")).as("toks"))
+      .withColumn("w", pow(col("toks").cast("double"), lit(temperature)))
+    val total = perSource.agg(sum("w").as("w_total"))
+    perSource.crossJoin(broadcast(total))
+      .select(
+        col("stratum"), col("toks"),
+        graft.functions.SafeOps.stableRound4(col("w") / col("w_total"))
+          .as("share"),
+        floor(lit(budgetTokens.toDouble) * (col("w") / col("w_total")) +
+          lit(0.5)).cast("long").as("target_toks"))
+      .withColumn("rate",
+        graft.functions.SafeOps.stableRound4(
+          col("target_toks").cast("double") / col("toks")))
+      .withColumn("epochs",
+        ceil(col("target_toks").cast("double") / col("toks")).cast("long"))
+  }
 }

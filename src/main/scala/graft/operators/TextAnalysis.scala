@@ -200,4 +200,65 @@ object TextAnalysis {
         transform(TextOps.tokens(col(textCol)),
           (t, i) => TextOps.hash32(t) * ((i % 64) + 1)),
         lit(0L), (acc, v) => acc + v) % 1000000007L).as("fingerprint"))
+
+  /** The eight English function words Gopher's quality filter requires a
+    * document to contain at least two of (Rae et al. 2021, appendix A).
+    */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule bundle (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A — the rule set most
+    * web-corpus pipelines still start from): per-document word count,
+    * mean word length, fraction of words containing an alphabetic
+    * character, required-stopword hits, and symbol ratio (`#` / `...`
+    * per word), each with Gopher's published thresholds folded into one
+    * composite `keep` gate:
+    *
+    *   50 ≤ words ≤ 100000, 3 ≤ mean_word_len ≤ 10, frac_alpha ≥ 0.8,
+    *   stop_hits ≥ 2, symbol_ratio ≤ 0.1.
+    *
+    * Pure per-row projection — codegen'd HOFs and regexp counts, zero
+    * shuffles; at 100 TB this runs at scan speed like [[linearGate]].
+    * All ratio outputs 4-dp floor-rounded for cross-engine parity.
+    *
+    * Output: doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
+    * symbol_ratio, keep.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    val txt = col(textCol)
+    val toks = TextOps.tokens(txt)
+    df.select(
+      col(idCol).as("doc_id"),
+      length(txt).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_words"),
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+        .as("alpha_words"),
+      // DISTINCT presence ("contains ≥2 of the 8"), not occurrence
+      // count — an 8-term membership sum, not hitCount's total tally.
+      GopherRequiredWords.map(w => array_contains(toks, w).cast("int"))
+        .reduce(_ + _).cast("long").as("stop_hits"),
+      size(expr(s"regexp_extract_all($textCol, '#|\\\\.\\\\.\\\\.', 0)"))
+        .cast("long").as("symbols"))
+      .select(
+        col("doc_id"), col("n_words"),
+        graft.functions.SafeOps.stableRound4(
+          (col("n_chars") - (col("n_words") - 1)).cast("double") /
+            col("n_words")).as("mean_word_len"),
+        graft.functions.SafeOps.stableRound4(
+          col("alpha_words").cast("double") / col("n_words"))
+          .as("frac_alpha"),
+        col("stop_hits"),
+        graft.functions.SafeOps.stableRound4(
+          col("symbols").cast("double") / col("n_words"))
+          .as("symbol_ratio"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("frac_alpha") >= 0.8 &&
+          col("stop_hits") >= 2 &&
+          col("symbol_ratio") <= 0.1)
+  }
 }

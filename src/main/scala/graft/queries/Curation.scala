@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.operators.{Bm25, Dedup, Sampling, TextAnalysis}
+
+/** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
+  * URL-canonicalization dedup, the Gopher quality rule bundle, and the
+  * temperature-weighted domain mixture planner — the four curation
+  * stages between "raw crawl" and "training mixture" that the earlier
+  * modules' content-hash dedup and quality gates don't cover.
+  *
+  * Same oracle-parity conventions as every other module: stable
+  * floor-rounding on float outputs on BOTH sides, identical aliases,
+  * unique-key ORDER BY.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // Same closed-form vector-norm CTE the LlmOps embedding oracles use.
+  private val duckVecNorm =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
+
+  // The raw-URL synthesis shared by qC8's two sides: the corpus has no
+  // URL column, so the query derives one deterministically from existing
+  // columns — mixed case, default port, sporadic trailing slash,
+  // tracking param, sporadic fragment — every mess normalizeUrl handles.
+  private val duckRawUrl =
+    """'HTTPS://WWW.' || source || '.Example.COM:443/p/' ||
+      |    CAST(doc_id % 40 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      |    '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END""".stripMargin
+
+  private def sparkRawUrl =
+    concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/p/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, "/").otherwise(""),
+      lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
+      when(col("doc_id") % 2 === 0, "#frag").otherwise(""))
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // SemDeDup with the deterministic LSH-cell assignment: within-cell
+    // cosine pairs -> HashMin components -> canonical-min keep. Oracle:
+    // closed-form hyperplane buckets (as q70) + WITH RECURSIVE closure
+    // (as q58) — different algorithms, identical assignment.
+    GraftQuery(
+      "qC7_semdedup",
+      "SemDeDup over the embedding corpus: LSH-cell cosine pairs " +
+        "(3 planes, t=0.4) contracted to components, one kept vector " +
+        "per semantic-duplicate group.",
+      (s, d) => Dedup.semDedup(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        planes = 3, threshold = 0.4)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $duckVecNorm,
+              |b AS (SELECT vec_id, v, nrm,
+              |  CAST(list_sum(list_transform(range(0,3), j ->
+              |    CASE WHEN list_sum(list_transform(v, (x,i) ->
+              |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
+              |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+              |    AS bucket
+              |  FROM n),
+              |p AS (
+              |  SELECT a.vec_id AS doc_a, y.vec_id AS doc_b
+              |  FROM b a JOIN b y
+              |    ON a.bucket = y.bucket AND a.vec_id < y.vec_id
+              |  WHERE list_sum(list_transform(range(1,65),
+              |      i -> a.v[i]*y.v[i])) / (a.nrm*y.nrm) >= 0.4),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              |  UNION ALL SELECT doc_b, doc_a FROM p),
+              |reach(node, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+              |comp AS (SELECT node, min(r) AS canonical
+              |  FROM reach GROUP BY node)
+              |SELECT e.vec_id AS doc_id,
+              |  coalesce(c.canonical, e.vec_id) AS canonical,
+              |  coalesce(c.canonical, e.vec_id) = e.vec_id AS keep
+              |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+              |ORDER BY doc_id""".stripMargin)),
+
+    // URL-canonicalization dedup: the normalization chain is the operator
+    // under test (fragment, tracking params, case, default port, trailing
+    // slash); the keep-min grouping is the cheapest dedup pass a crawl
+    // pipeline runs. Both sides synthesize the same raw URL, then run the
+    // same five RE2-safe normalization steps.
+    GraftQuery(
+      "qC8_url_dedup",
+      "Canonical-URL dedup: normalize a synthesized messy URL " +
+        "(case/port/params/fragment/slash) and keep the min doc id per " +
+        "canonical form.",
+      (s, d) => Dedup.urlDedup(
+        t(s, d, "documents").select(col("doc_id"), sparkRawUrl.as("url")),
+        "doc_id", "url")
+        .orderBy("doc_id"),
+      Some(s"""WITH raw AS (SELECT doc_id, $duckRawUrl AS u
+              |  FROM documents),
+              |s1 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS u
+              |  FROM raw),
+              |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(
+              |    regexp_replace(u,
+              |      '(?i)(utm_[a-z0-9_]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+              |    '\\?&', '?'), '[?&]$$', '') AS u FROM s1),
+              |s3 AS (SELECT doc_id,
+              |  lower(regexp_extract(u, '^[^/]*//[^/?#]*')) ||
+              |    regexp_replace(u, '^[^/]*//[^/?#]*', '') AS u FROM s2),
+              |s4 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+              |    '^(https://[^/:?#]*):443([/?#]|$$)', '\\1\\2'),
+              |    '^(http://[^/:?#]*):80([/?#]|$$)', '\\1\\2') AS u
+              |  FROM s3),
+              |n AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+              |    '/+\\?', '?'), '/+$$', '') AS url_norm FROM s4),
+              |g AS (SELECT url_norm, min(doc_id) AS canonical,
+              |    count(*) AS n_dupes
+              |  FROM n GROUP BY 1)
+              |SELECT n.doc_id, n.url_norm, g.canonical, g.n_dupes,
+              |  n.doc_id = g.canonical AS keep
+              |FROM n JOIN g USING (url_norm)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher rule bundle: five per-document signals + the published
+    // composite gate, all at scan speed. The gate compares the ROUNDED
+    // ratios on both sides so the boolean can't straddle an engine
+    // rounding difference.
+    GraftQuery(
+      "qC9_gopher_rules",
+      "Gopher-style quality rules: word count, mean word length, alpha " +
+        "fraction, required-stopword hits, symbol ratio, composite gate.",
+      (s, d) => TextAnalysis.gopherRules(
+        t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val stopSum = TextAnalysis.GopherRequiredWords
+          .map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, text, len(text) AS n_chars,
+           |    string_split(text, ' ') AS toks FROM documents),
+           |m AS (SELECT doc_id, n_chars,
+           |    CAST(len(toks) AS BIGINT) AS n_words,
+           |    CAST(len(list_filter(toks,
+           |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+           |      AS alpha_words,
+           |    CAST($stopSum AS BIGINT) AS stop_hits,
+           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+           |      AS BIGINT) AS symbols
+           |  FROM t),
+           |r AS (SELECT doc_id, n_words,
+           |    floor((n_chars - (n_words - 1)) * 1.0 / n_words
+           |      * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+           |    floor(alpha_words * 1.0 / n_words * 10000.0 + 0.5)
+           |      / 10000.0 AS frac_alpha,
+           |    stop_hits,
+           |    floor(symbols * 1.0 / n_words * 10000.0 + 0.5)
+           |      / 10000.0 AS symbol_ratio
+           |  FROM m)
+           |SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
+           |  symbol_ratio,
+           |  (n_words BETWEEN 50 AND 100000)
+           |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           |    AND frac_alpha >= 0.8 AND stop_hits >= 2
+           |    AND symbol_ratio <= 0.1 AS keep
+           |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
+    // Mixture planner: T=0.5 flattening over per-source token mass, a
+    // 10M-token budget. target_toks is floored from the UNROUNDED share
+    // on both sides (the 4-dp share column is display-grade); rate and
+    // epochs then derive from the integer target, so no compounding FP.
+    GraftQuery(
+      "qD0_mixture_plan",
+      "Temperature-weighted (T=0.5) domain mixture plan over per-source " +
+        "token mass: share, target tokens of a 10M budget, sampling " +
+        "rate, loader epochs.",
+      (s, d) => Sampling.mixturePlan(
+        t(s, d, "documents"), "source", "text",
+        temperature = 0.5, budgetTokens = 10000000L)
+        .orderBy("stratum"),
+      Some("""WITH s AS (SELECT source AS stratum,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT *, pow(CAST(toks AS DOUBLE), 0.5) AS w FROM s),
+             |tot AS (SELECT sum(w) AS w_total FROM w),
+             |tgt AS (SELECT stratum, toks,
+             |    floor(w / w_total * 10000.0 + 0.5) / 10000.0 AS share,
+             |    CAST(floor(10000000.0 * (w / w_total) + 0.5) AS BIGINT)
+             |      AS target_toks
+             |  FROM w, tot)
+             |SELECT stratum, toks, share, target_toks,
+             |  floor(target_toks * 1.0 / toks * 10000.0 + 0.5) / 10000.0
+             |    AS rate,
+             |  CAST(ceil(target_toks * 1.0 / toks) AS BIGINT) AS epochs
+             |FROM tgt ORDER BY stratum""".stripMargin)),
+
+    // BM25 ranked retrieval: three fixed term queries, top-5 each. The
+    // Spark side never explodes tokens (per-term HOF tf columns + one
+    // broadcast stats row + two-phase top-k); the oracle is the
+    // textbook exploded (doc, term) formulation — different plans,
+    // identical ranking because both rank the 4-dp-rounded score.
+    GraftQuery(
+      "qD1_bm25",
+      "Okapi BM25 top-5 per query (k1=1.2, b=0.75) over the document " +
+        "corpus for three fixed term queries — zero-explode scoring, " +
+        "block-then-global top-k.",
+      (s, d) => Bm25.topK(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq(
+          "q_sparkjoin" -> Seq("spark", "join"),
+          "q_window" -> Seq("window", "sort", "stream"),
+          "q_scan" -> Seq("scan", "hash")),
+        k = 5)
+        .orderBy("query", "rank"),
+      Some("""WITH q(query, term) AS (VALUES
+             |    ('q_sparkjoin','spark'), ('q_sparkjoin','join'),
+             |    ('q_window','window'), ('q_window','sort'),
+             |    ('q_window','stream'),
+             |    ('q_scan','scan'), ('q_scan','hash')),
+             |dd AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+             |  FROM documents),
+             |stats AS (SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl
+             |  FROM dd),
+             |terms AS (SELECT DISTINCT term FROM q),
+             |tf AS (SELECT t.term, dd.doc_id, dd.dl,
+             |    CAST(len(list_filter(dd.toks, x -> x = t.term))
+             |      AS DOUBLE) AS tf
+             |  FROM dd CROSS JOIN terms t),
+             |dfreq AS (SELECT term,
+             |    CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      AS dfq
+             |  FROM tf GROUP BY 1),
+             |scored AS (SELECT q.query, tf.doc_id,
+             |    sum(ln(1 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
+             |      * tf.tf * 2.2
+             |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+             |      AS score,
+             |    sum(tf.tf) AS hits
+             |  FROM q JOIN tf ON tf.term = q.term
+             |    JOIN dfreq d ON d.term = q.term
+             |    CROSS JOIN stats s
+             |  GROUP BY 1, 2),
+             |r AS (SELECT query, doc_id,
+             |    floor(score * 10000.0 + 0.5) / 10000.0 AS score
+             |  FROM scored WHERE hits > 0),
+             |ranked AS (SELECT *, row_number() OVER (
+             |    PARTITION BY query ORDER BY score DESC, doc_id) AS rank
+             |  FROM r)
+             |SELECT query, doc_id, score, rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query, rank""".stripMargin)))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Bm25, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Bm25, Dedup, Layout, Sampling, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -258,5 +258,28 @@ object Curation {
              |  FROM r)
              |SELECT query, doc_id, score, rank
              |FROM ranked WHERE rank <= 5
-             |ORDER BY query, rank""".stripMargin)))
+             |ORDER BY query, rank""".stripMargin)),
+
+    // Z-order (Morton) clustering key: the write-side layout lever. The
+    // query checks the interleave math row-by-row (the layout itself —
+    // range repartition + sort — is exercised in LayoutSpec, where
+    // partition-touch counts are asserted against a linear sort).
+    GraftQuery(
+      "qD2_zorder",
+      "Morton Z-value of (l_partkey mod 256, l_suppkey mod 256) per " +
+        "lineitem row — the 2-D clustering key a Z-ordered CTAS sorts by.",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256)).as("a"),
+          pmod(col("l_suppkey"), lit(256)).as("b"))
+        .withColumn("z", Layout.zValue(col("a"), col("b"), 8))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_partkey % 256 AS a, l_suppkey % 256 AS b,
+             |  CAST(list_sum(list_transform(range(0, 8), i ->
+             |    (((l_partkey % 256) >> i) & 1) * (1 << (2*i)) +
+             |    (((l_suppkey % 256) >> i) & 1) * (1 << (2*i+1))))
+             |    AS BIGINT) AS z
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)))
 }

@@ -115,40 +115,30 @@ object Dedup {
   def ngramJaccardPrefixPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
+    import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
-    // ONE explicit shuffle of the posting index by shingle; the df
-    // aggregate AND the df join both consume that same exchange (the
-    // aggregate preserves the partitioning, the co-partitioned join
-    // needs none, and the identical inv subtree on the other side plans
-    // as a ReusedExchange) — vs. shuffling the full index separately
-    // for the groupBy and again for the join
     val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("shingle"))
-      .repartition(col("shingle"))
     val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df_"))
+    // rank rare-df-first per doc; the window partitions on the doc key,
+    // so each frame is one doc's |doc| index entries, never a corpus
+    // partition. (A collect_list-per-doc restructure was tried and
+    // reverted: it halved the exchange count on paper but its per-doc
+    // array materialization churned the heap badly enough to show
+    // 10-30x wall-time variance in the full bench JVM.)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("df_"), col("shingle"))
     // FP-safe pigeonhole bound: t*sz can round a hair ABOVE the exact
     // rational product (0.1*30 = 3.0000000000000004), inflating the
     // ceil and shortening the prefix below what exactness requires.
     // Subtracting epsilon before ceil only ever LENGTHENS the prefix
     // (more candidates, same exact verification) — conservative-safe.
-    val prefixLen =
-      (col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-6)) + 1)
-        .cast("int")
-    // rank rare-df-first per doc via a doc-bounded aggregate sort
-    // (collect + array_sort of ONE doc's (df, shingle) list) rather than
-    // a window — a window sorts entire shuffle partitions of the full
-    // index; here each task sorts |doc| entries independently
-    // the fence: BOTH self-join sides read the materialized prefix rows
-    // instead of re-deriving explode -> df join -> rank per side (the
-    // same reuse fence the incremental band index uses)
-    val prefix = inv
+    val prefix = inv.hint("shuffle_hash")
       .join(freq.hint("shuffle_hash"), Seq("shingle"))
-      .groupBy(col("doc_id"), col("sz"))
-      .agg(collect_list(struct(col("df_"), col("shingle"))).as("ps"))
-      .select(col("doc_id"), col("sz"),
-        explode(slice(array_sort(col("ps")), lit(1), prefixLen)).as("p"))
-      .select(col("p.shingle").as("shingle"), col("doc_id"), col("sz"))
-      .localCheckpoint()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-6)) + 1)
+      .select(col("shingle"), col("doc_id"), col("sz"))
       .hint("shuffle_hash")
     val cand = prefix.as("x")
       .join(prefix.as("y"),

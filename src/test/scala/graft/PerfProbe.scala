@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway perf probe (test scope, not part of the suite). */
+object PerfProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args(1).split(',').toSeq
+      else Seq("q38_quality", "q39_token_counts")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { prefix =>
+      val q = SparkEntry.allQueries.find(_.name.startsWith(prefix)).get
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(s"[probe] ${q.name} run$i: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      val wsc = "WholeStageCodegen".r.findAllIn(plan).size
+      println(s"[probe] ${q.name} WholeStageCodegen spans: $wsc")
+    }
+    spark.stop()
+  }
+}

@@ -372,4 +372,52 @@ object Similarity {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Probe-restricted sparse BoW cosine top-k: rank the corpus against
+    * each probe doc's token-frequency vector — the lexical leg of a
+    * hybrid retrieval stack (fuse with `bruteForceTopK`/`ivfTopK` via
+    * `Fusion.rrf`).
+    *
+    * Same integer-exact arithmetic as `sparseCosinePairs` (integer dot
+    * and norm-squares, ONE double division + sqrt at the end), but a
+    * different scale shape: the probe side is |probes| docs, so its
+    * postings BROADCAST and the corpus is scored with one tf groupBy +
+    * one broadcast join — no corpus-sized self-join, no second corpus
+    * shuffle. `isQuery` is a predicate over the `doc_id` column.
+    *
+    * Output: q_id, cand_id, cosine, rank (per-probe top-k; ties break
+    * on cand_id).
+    */
+  def sparseCosineTopK(df: DataFrame, idCol: String, textCol: String,
+      isQuery: Column, k: Int): DataFrame = {
+    import graft.functions.TextOps
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // fence: tf feeds the corpus side, the probe side, and the norms
+      .localCheckpoint()
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val qtf = tf.filter(isQuery)
+      .select(col("doc_id").as("q_id"), col("tok"), col("tf").as("qtf"))
+    val qnorms = norms.filter(isQuery)
+      .select(col("doc_id").as("q_id"), col("n2").as("n2_q"))
+    val dots = tf.join(broadcast(qtf), Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("tf") * col("qtf")).as("dotp"))
+    val scored = dots
+      .join(broadcast(qnorms), Seq("q_id"))
+      .join(norms, Seq("doc_id"))
+      .select(col("q_id"), col("doc_id").as("cand_id"),
+        (col("dotp").cast("double") /
+          sqrt(col("n2_q").cast("double") * col("n2").cast("double")))
+          .as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

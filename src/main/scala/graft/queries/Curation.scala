@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Bm25, Dedup, Layout, Sampling, TextAnalysis}
+import graft.operators.{Bm25, Dedup, Fusion, Layout, Sampling, Similarity, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -281,5 +281,157 @@ object Curation {
              |    (((l_suppkey % 256) >> i) & 1) * (1 << (2*i+1))))
              |    AS BIGINT) AS z
              |FROM lineitem
-             |ORDER BY l_orderkey, l_linenumber""".stripMargin)))
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // RAG retrieval chain: sliding-window chunking (the q79 expansion,
+    // zero-shuffle) feeding BM25 over CHUNKS — retrieval granularity a
+    // RAG stack actually serves. The synthetic chunk id (doc·1000+idx)
+    // keeps Bm25's single-column id contract; at corpus scale the id
+    // would be a struct key. Oracle: the same textbook BM25 over a
+    // generate_series chunk expansion.
+    GraftQuery(
+      "qD3_chunk_bm25",
+      "BM25 top-5 CHUNKS per query (window 32, stride 16): sliding-" +
+        "window chunk expansion chained into zero-explode BM25 scoring.",
+      (s, d) => {
+        val window = 32
+        val stride = 16
+        import graft.functions.TextOps
+        val chunks = t(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("start", explode(sequence(lit(0),
+            greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+          .select(
+            (col("doc_id") * 1000 + (col("start") / stride).cast("long"))
+              .as("cid"),
+            array_join(slice(col("toks"), col("start") + 1, lit(window)),
+              " ").as("chunk_text"))
+        Bm25.topK(chunks, "cid", "chunk_text",
+          Seq(
+            "q_sparkjoin" -> Seq("spark", "join"),
+            "q_window" -> Seq("window", "sort", "stream"),
+            "q_scan" -> Seq("scan", "hash")),
+          k = 5)
+          .select(col("query"),
+            (col("doc_id") / 1000).cast("long").as("src_doc"),
+            pmod(col("doc_id"), lit(1000)).as("chunk_idx"),
+            col("score"), col("rank"))
+          .orderBy("query", "rank")
+      },
+      Some("""WITH q(query, term) AS (VALUES
+             |    ('q_sparkjoin','spark'), ('q_sparkjoin','join'),
+             |    ('q_window','window'), ('q_window','sort'),
+             |    ('q_window','stream'),
+             |    ('q_scan','scan'), ('q_scan','hash')),
+             |base AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |starts AS (SELECT doc_id, toks,
+             |    CAST(unnest(range(0, greatest(len(toks), 1), 16))
+             |      AS BIGINT) AS start
+             |  FROM base),
+             |dd AS (SELECT doc_id * 1000 + start // 16 AS cid,
+             |    toks[start + 1 : start + 32] AS w,
+             |    CAST(len(toks[start + 1 : start + 32]) AS DOUBLE) AS dl
+             |  FROM starts),
+             |stats AS (SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl
+             |  FROM dd),
+             |terms AS (SELECT DISTINCT term FROM q),
+             |tf AS (SELECT t.term, dd.cid, dd.dl,
+             |    CAST(len(list_filter(dd.w, x -> x = t.term)) AS DOUBLE)
+             |      AS tf
+             |  FROM dd CROSS JOIN terms t),
+             |dfreq AS (SELECT term,
+             |    CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      AS dfq
+             |  FROM tf GROUP BY 1),
+             |scored AS (SELECT q.query, tf.cid,
+             |    sum(ln(1 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
+             |      * tf.tf * 2.2
+             |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+             |      AS score,
+             |    sum(tf.tf) AS hits
+             |  FROM q JOIN tf ON tf.term = q.term
+             |    JOIN dfreq d ON d.term = q.term
+             |    CROSS JOIN stats s
+             |  GROUP BY 1, 2),
+             |r AS (SELECT query, cid,
+             |    floor(score * 10000.0 + 0.5) / 10000.0 AS score
+             |  FROM scored WHERE hits > 0),
+             |ranked AS (SELECT *, row_number() OVER (
+             |    PARTITION BY query ORDER BY score DESC, cid) AS rank
+             |  FROM r)
+             |SELECT query, cid // 1000 AS src_doc, cid % 1000 AS chunk_idx,
+             |  score, rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query, rank""".stripMargin)),
+
+    // Hybrid retrieval: a dense leg (exact embedding cosine, q35's
+    // kernel) and a lexical leg (probe-restricted sparse BoW cosine —
+    // broadcast probe postings, no corpus self-join) fused by
+    // reciprocal rank. Probes are vec_id % 100 = 0; the corpus
+    // contract is vec_id == doc_id. Both legs are bounded top-10s, so
+    // the fusion shuffles O(|probes|·10·2) rows whatever the corpus
+    // size. Oracle: the same two legs + RRF sum in DuckDB.
+    GraftQuery(
+      "qD4_hybrid_rrf",
+      "Hybrid retrieval: dense cosine top-10 + lexical BoW-cosine " +
+        "top-10 per probe doc, reciprocal-rank fused (c=60) to top-5.",
+      (s, d) => {
+        val dense = Similarity.bruteForceTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          col("vid") % 100 === 0, k = 10)
+          .select(col("q_id").as("query"), col("cand_id").as("doc_id"),
+            col("rank"))
+        val lex = Similarity.sparseCosineTopK(
+          t(s, d, "documents"), "doc_id", "text",
+          col("doc_id") % 100 === 0, k = 10)
+          .select(col("q_id").as("query"), col("cand_id").as("doc_id"),
+            col("rank"))
+        Fusion.rrf(Seq(dense, lex), k = 5)
+          .orderBy("query", "rank")
+      },
+      Some(s"""WITH $duckVecNorm,
+              |q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+              |dscored AS (
+              |  SELECT q.vec_id AS query, c.vec_id AS doc_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM q JOIN n c ON c.vec_id != q.vec_id),
+              |dleg AS (SELECT query, doc_id, row_number() OVER (
+              |    PARTITION BY query ORDER BY cosine DESC, doc_id) AS rank
+              |  FROM dscored),
+              |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+              |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |    FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+              |norms AS (SELECT doc_id, sum(tf*tf) AS n2 FROM tf
+              |  GROUP BY 1),
+              |qtf AS (SELECT doc_id AS q_id, tok, tf AS qtf FROM tf
+              |  WHERE doc_id % 100 = 0),
+              |dots AS (SELECT p.q_id, tf.doc_id, sum(tf.tf*p.qtf) AS dotp
+              |  FROM tf JOIN qtf p USING (tok)
+              |  WHERE tf.doc_id != p.q_id GROUP BY 1, 2),
+              |lscored AS (SELECT d.q_id AS query, d.doc_id,
+              |    CAST(d.dotp AS DOUBLE) /
+              |      sqrt(CAST(nq.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE))
+              |      AS cosine
+              |  FROM dots d
+              |    JOIN norms nq ON nq.doc_id = d.q_id
+              |    JOIN norms nc ON nc.doc_id = d.doc_id),
+              |lleg AS (SELECT query, doc_id, row_number() OVER (
+              |    PARTITION BY query ORDER BY cosine DESC, doc_id) AS rank
+              |  FROM lscored),
+              |u AS (SELECT query, doc_id, rank FROM dleg WHERE rank <= 10
+              |  UNION ALL
+              |  SELECT query, doc_id, rank FROM lleg WHERE rank <= 10),
+              |fused AS (SELECT query, doc_id,
+              |    floor(sum(1.0/(60+rank)) * 10000.0 + 0.5) / 10000.0
+              |      AS rrf,
+              |    count(*) AS legs_hit
+              |  FROM u GROUP BY 1, 2),
+              |ranked AS (SELECT *, row_number() OVER (
+              |    PARTITION BY query ORDER BY rrf DESC, doc_id) AS rank
+              |  FROM fused)
+              |SELECT query, doc_id, rrf, legs_hit, rank
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY query, rank""".stripMargin)))
 }

@@ -1121,4 +1121,47 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-01", Some("2024-01-03"), 5.0, false),
       ("2024-01-03", None, 9.0, true)))
   }
+
+  test("Fusion.rrf: consensus docs beat either leg's solo winner; " +
+    "missing-from-a-leg docs score one term only") {
+    // leg A top-3 for q: d10, d11, d12; leg B top-3: d12, d10, d13.
+    // d10: 1/61 + 1/62, d12: 1/63 + 1/61, d11: 1/62, d13: 1/62.
+    val legA = Seq(("q", 10L, 1L), ("q", 11L, 2L), ("q", 12L, 3L))
+      .toDF("query", "doc_id", "rank")
+    val legB = Seq(("q", 12L, 1L), ("q", 10L, 2L), ("q", 13L, 3L))
+      .toDF("query", "doc_id", "rank")
+    val r = Fusion.rrf(Seq(legA, legB), k = 4)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getLong(3), x.getLong(4)))
+    def round4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(r.map(_._1).toSeq == Seq(10L, 12L, 11L, 13L))
+    assert(r(0)._2 == round4(1.0 / 61 + 1.0 / 62))
+    assert(r(1)._2 == round4(1.0 / 63 + 1.0 / 61))
+    // solo docs carry one reciprocal term: d11 = 1/62, d13 = 1/63
+    assert(r(2)._2 == round4(1.0 / 62))
+    assert(r(3)._2 == round4(1.0 / 63))
+    // legs_hit: consensus docs in both legs, solo docs in one
+    assert(r.map(_._3).toSeq == Seq(2L, 2L, 1L, 1L))
+    assert(r.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("Similarity.sparseCosineTopK agrees with sparseCosinePairs on " +
+    "probe rows and ranks the self-identical doc first") {
+    val probes = col("doc_id") % 2 === 0
+    val topk = Similarity.sparseCosineTopK(corpus, "doc_id", "text",
+      probes, k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // doc 0 and doc 1 are exact duplicates: integer-exact cosine 1.0
+    assert(topk((0L, 1L)) == 1.0)
+    // every probe-side (a,b) cosine must equal the all-pairs kernel's
+    val pairs = Similarity.sparseCosinePairs(corpus, "doc_id", "text",
+      threshold = 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    topk.foreach { case ((q, c), cos) =>
+      val key = if (q < c) (q, c) else (c, q)
+      assert(math.abs(pairs(key) - cos) < 1e-12,
+        s"cosine mismatch for probe $q cand $c")
+    }
+  }
 }

@@ -99,47 +99,70 @@ object Dedup {
     * while staying EXACTLY equal to the all-pairs result: two sets with
     * J ≥ t must share a token within their (|x| − ⌈t·|x|⌉ + 1)-length
     * prefixes under any fixed global token order, so only prefix
-    * tokens are indexed. Ordering rare-df-first makes those prefixes
-    * the least-shared tokens — candidate fan-out collapses while the
-    * guarantee holds.
+    * tokens are indexed. The theorem holds for ANY consistent order —
+    * which order you pick trades candidate quality against index cost:
     *
-    * Scale shape: one df groupBy, one per-doc prefix ranking (window
-    * over the doc key), the prefix-only self-join (shuffle-pinned),
-    * a size-ratio filter (t·sa ≤ sb ≤ sa/t is necessary for J ≥ t),
-    * then exact verification on candidates only — set intersection per
-    * candidate pair, never per corpus pair.
+    *   - `dfOrdered = false` (default): order by the shingle hash
+    *     value itself. The prefix is then a straight `array_sort` +
+    *     `slice` off the already-materialized set array — ZERO extra
+    *     shuffles (no document-frequency aggregate, no per-doc window).
+    *     Since the shingles are md5-derived 32-bit hashes, value order
+    *     is a pseudo-random order: the prefix is an unbiased sample of
+    *     the doc's shingles, not adversarially popular ones.
+    *   - `dfOrdered = true`: the textbook rare-df-first order. Costs
+    *     two more full-index shuffles (df groupBy + join) and a
+    *     per-doc ranking window, but prefixes hold the LEAST-shared
+    *     shingles — the right trade when the corpus is boilerplate-
+    *     heavy and posting lists are long/skewed.
+    *
+    * Both orders produce the IDENTICAL final pair set (verification is
+    * exact); OperatorsSpec asserts their bit-equality to each other
+    * and to the all-pairs join.
+    *
+    * Scale shape (default): prefix slice on the scan, the prefix-only
+    * self-join (shuffle-pinned), a size-ratio filter (t·sa ≤ sb ≤
+    * sa/t is necessary for J ≥ t), then exact verification on
+    * candidates only — set intersection per candidate pair, never per
+    * corpus pair.
     *
     * Output: doc_a, doc_b, jaccard (≥ threshold) — bit-identical to
     * [[ngramJaccardPairs]] (OperatorsSpec asserts equality).
     */
   def ngramJaccardPrefixPairs(df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): DataFrame = {
+      textCol: String, n: Int, threshold: Double,
+      dfOrdered: Boolean = false): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
-    val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("shingle"))
-    val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df_"))
-    // rank rare-df-first per doc; the window partitions on the doc key,
-    // so each frame is one doc's |doc| index entries, never a corpus
-    // partition. (A collect_list-per-doc restructure was tried and
-    // reverted: it halved the exchange count on paper but its per-doc
-    // array materialization churned the heap badly enough to show
-    // 10-30x wall-time variance in the full bench JVM.)
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("df_"), col("shingle"))
     // FP-safe pigeonhole bound: t*sz can round a hair ABOVE the exact
     // rational product (0.1*30 = 3.0000000000000004), inflating the
     // ceil and shortening the prefix below what exactness requires.
     // Subtracting epsilon before ceil only ever LENGTHENS the prefix
     // (more candidates, same exact verification) — conservative-safe.
-    val prefix = inv.hint("shuffle_hash")
-      .join(freq.hint("shuffle_hash"), Seq("shingle"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <=
-        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-6)) + 1)
-      .select(col("shingle"), col("doc_id"), col("sz"))
-      .hint("shuffle_hash")
+    def bound(sz: Column): Column =
+      sz - ceil(lit(threshold) * sz - lit(1e-6)) + 1
+    val prefix = (if (!dfOrdered) {
+      sets.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(slice(array_sort(col("sh")), lit(1),
+          bound(size(col("sh"))).cast("int"))).as("shingle"))
+    } else {
+      val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("shingle"))
+      val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df_"))
+      // rank rare-df-first per doc; the window partitions on the doc
+      // key, so each frame is one doc's |doc| index entries, never a
+      // corpus partition. (A collect_list-per-doc restructure was
+      // tried and reverted: it halved the exchange count on paper but
+      // its per-doc array materialization churned the heap badly
+      // enough to show 10-30x wall-time variance in the bench JVM.)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("df_"), col("shingle"))
+      inv.hint("shuffle_hash")
+        .join(freq.hint("shuffle_hash"), Seq("shingle"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= bound(col("sz")))
+        .select(col("doc_id"), col("sz"), col("shingle"))
+    }).hint("shuffle_hash")
     val cand = prefix.as("x")
       .join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") &&

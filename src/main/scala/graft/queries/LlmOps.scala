@@ -87,8 +87,9 @@ object LlmOps {
     GraftQuery(
       "qB7_dedup_jaccard_prefix",
       "Exact 3-gram Jaccard pairs via Bayardo prefix filtering: " +
-        "rare-df-first prefixes indexed, size-ratio pre-filter, " +
-        "verification on candidates only — bit-equal to q31.",
+        "hash-value-ordered prefixes sliced off the set arrays (zero " +
+        "extra shuffles), size-ratio pre-filter, verification on " +
+        "candidates only — bit-equal to q31.",
       (s, d) => Dedup.ngramJaccardPrefixPairs(
         t(s, d, "documents"), "doc_id", "text", 3, 0.5)
         .select(col("doc_a"), col("doc_b"),

@@ -219,10 +219,14 @@ class OperatorsSpec extends SparkTestBase {
       val full = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
-      val pref = Dedup.ngramJaccardPrefixPairs(corpus, "doc_id", "text", 3, t)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .toSet
-      assert(pref == full, s"prefix filter lost pairs at t=$t")
+      for (byDf <- Seq(false, true)) {
+        val pref = Dedup.ngramJaccardPrefixPairs(corpus, "doc_id", "text",
+            3, t, dfOrdered = byDf)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        assert(pref == full,
+          s"prefix filter lost pairs at t=$t (dfOrdered=$byDf)")
+      }
     }
   }
 
@@ -238,15 +242,18 @@ class OperatorsSpec extends SparkTestBase {
     val fix = Seq(1L -> docA, 2L -> s,                           // 3 sh
       3L -> s"c1 c2 $s", 4L -> s"d1 d2 $s", 5L -> s"e1 e2 $s")
       .toDF("doc_id", "text")
-    val pref = Dedup.ngramJaccardPrefixPairs(fix, "doc_id", "text", 3, 0.1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
     val full = Dedup.ngramJaccardPairs(fix, "doc_id", "text", 3, 0.1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
-    assert(pref.exists(p => p._1 == 1L && p._2 == 2L),
-      s"boundary pair (1,2) lost to FP rounding: $pref")
-    assert(pref == full)
+    for (byDf <- Seq(false, true)) {
+      val pref = Dedup.ngramJaccardPrefixPairs(fix, "doc_id", "text",
+          3, 0.1, dfOrdered = byDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(pref.exists(p => p._1 == 1L && p._2 == 2L),
+        s"boundary pair (1,2) lost to FP rounding (dfOrdered=$byDf): $pref")
+      assert(pref == full)
+    }
   }
 
   test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {

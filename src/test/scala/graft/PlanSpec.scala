@@ -208,13 +208,14 @@ class PlanSpec extends SparkTestBase {
     // a BNLJ whose broadcast side is NOT structurally bounded (no
     // aggregate beneath) is allowed only where the design bounds it:
     //  - q20/q71: constant-size (bins x groups) completeness frame
-    //  - q35/qA7/qB5: ANN broadcast side is the query set — bounded by
-    //    the isQuery predicate by design (the corpus side streams)
+    //  - q35/qA7/qB5/qD4: ANN broadcast side is the query set — bounded
+    //    by the isQuery predicate by design (the corpus side streams;
+    //    qD4's dense leg is the q35 kernel under the RRF fusion)
     //  - q34: documented brute-force baseline; q70 (LSH-bucketed) is the
     //    100 TB path for the same semantics
     val bnljAllowed = Set("q20_ops_pdf_cdf", "q71_ops_upload_pdf_masked",
       "q35_ann_brute_topk", "qA7_ann_recall", "qB5_ann_ivf_multiprobe",
-      "q34_dedup_embedding")
+      "q34_dedup_embedding", "qD4_hybrid_rrf")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     for (q <- SparkEntry.allQueries) {
       val p = q.run(spark, sf).queryExecution.sparkPlan

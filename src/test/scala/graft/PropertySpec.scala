@@ -200,4 +200,49 @@ class PropertySpec extends SparkTestBase {
     assert(Bpe.utf8Lt("", "😀"))
     assert("".compareTo("😀") > 0)
   }
+
+  test("Fusion.rrf equals a driver-side reference on random leg sets " +
+    "and is invariant under leg permutation") {
+    import graft.operators.Fusion
+    // random queries, random per-leg candidate subsets with distinct
+    // 1-based ranks — duplicate docs across legs, docs unique to one leg
+    val legGen = for {
+      nq <- Gen.choose(1, 4)
+      legs <- Gen.listOfN(3, Gen.listOfN(nq,
+        Gen.choose(2, 8).flatMap(k =>
+          Gen.pick(k, 0L to 20L).map(_.toSeq.sorted))))
+    } yield (nq, legs)
+    val cases = samples(legGen, 4)
+    cases.foreach { case (nq, legRows) =>
+      val queries = (1 to nq).map(i => s"q$i")
+      val legs = legRows.map { perQuery =>
+        queries.zip(perQuery).flatMap { case (q, docs) =>
+          docs.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+        }
+      }
+      val k = 6
+      def round4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      // driver-side reference: sum 1/(60+rank), round, sort, cut
+      val expected = legs.flatten
+        .groupBy(r => (r._1, r._2))
+        .map { case ((q, d), rs) =>
+          (q, d, round4(rs.map(r => 1.0 / (60 + r._3)).sum), rs.size.toLong)
+        }.toSeq
+        .groupBy(_._1)
+        .flatMap { case (_, rows) =>
+          rows.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+            .map { case (r, i) => (r._1, r._2, r._3, r._4, (i + 1).toLong) }
+        }.toSet
+      val dfs = legs.map(_.toDF("query", "doc_id", "rank"))
+      val got = Fusion.rrf(dfs, k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == expected, s"rrf diverged from reference (nq=$nq)")
+      // leg order must not matter
+      val perm = Fusion.rrf(dfs.reverse, k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(perm == got, "rrf not invariant under leg permutation")
+    }
+  }
 }

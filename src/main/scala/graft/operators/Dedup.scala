@@ -654,6 +654,41 @@ object Dedup {
       .withColumn("keep", col("canonical") === col("doc_id"))
   }
 
+  /** Canonical-document assignment keeping the BEST doc per near-dup
+    * component instead of the min-id one: `priority` (evaluated against
+    * `docs`' columns) picks the representative — highest wins, ties
+    * break on min doc id. The realistic curation policy: among N crawls
+    * of the same page, keep the longest / highest-quality copy, not
+    * whichever was ingested first.
+    *
+    * Scale shape: identical to [[canonicalAssignment]] (HashMin
+    * components + one left join) plus a per-component ranking window —
+    * each frame is one duplicate cluster, bounded by the component
+    * size, never a corpus partition.
+    *
+    * Output: doc_id, canonical, keep — one row per input doc.
+    */
+  def canonicalByPriority(docs: DataFrame, idCol: String,
+      pairs: DataFrame, priority: Column, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = connectedComponents(
+      pairs.select(col(aCol).as("a"), col(bCol).as("b")))
+    val base = docs.select(col(idCol).as("doc_id"), priority.as("prio"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("prio"),
+        coalesce(col("component"), col("doc_id")).as("grp"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("prio").desc, col("doc_id").asc)
+    val best = base
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("grp"), col("doc_id").as("canonical"))
+    base.join(best, Seq("grp"))
+      .select(col("doc_id"), col("canonical"),
+        (col("canonical") === col("doc_id")).as("keep"))
+  }
+
   /** SemDeDup — semantic deduplication over an embedding column (Abbas
     * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication"): bucket the corpus into cells, score only

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Bm25, Dedup, Fusion, Layout, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bm25, Dedup, Fusion, Layout, Sampling, Shard, Similarity, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -433,5 +433,31 @@ object Curation {
               |  FROM fused)
               |SELECT query, doc_id, rrf, legs_hit, rank
               |FROM ranked WHERE rank <= 5
-              |ORDER BY query, rank""".stripMargin)))
+              |ORDER BY query, rank""".stripMargin)),
+
+    // Publish manifest for a 16-shard dataset release: deterministic
+    // salted-hash shard assignment (stable under repartition and
+    // re-ingestion, like the q59 splitter) and per-shard count/bytes/
+    // checksum. The checksum is BIT_XOR of salted 32-bit content
+    // hashes — order- and partitioning-independent, no engine-specific
+    // overflow (a SUM would widen to int128 in DuckDB but wrap in
+    // Spark at extreme counts).
+    GraftQuery(
+      "qD6_shard_manifest",
+      "Deterministic 16-shard manifest: per-shard doc count, byte " +
+        "total, and order-independent BIT_XOR content checksum.",
+      (s, d) => Shard.manifest(
+        t(s, d, "documents"), "doc_id", col("n_chars"), col("text"), 16)
+        .orderBy("shard_id"),
+      Some("""WITH a AS (SELECT
+             |    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+             |      1, 8))::BIGINT % 16 AS shard_id,
+             |    n_chars,
+             |    ('0x' || substr(md5('content:' || text), 1, 8))::BIGINT
+             |      AS h
+             |  FROM documents)
+             |SELECT shard_id, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+             |  bit_xor(h) AS checksum
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

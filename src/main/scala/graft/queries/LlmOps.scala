@@ -614,6 +614,66 @@ object LlmOps {
               |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
               |ORDER BY d.doc_id""".stripMargin)),
 
+    // q58's component contraction with the curation-grade keep policy:
+    // the representative is the FULLEST copy (max n_chars, tie -> min
+    // id), not the min id — what you actually want when N crawls of the
+    // same page survive to dedup. Same LSH pairs, same HashMin
+    // components; only the per-component argmax differs.
+    GraftQuery(
+      "qD5_dedup_keep_best",
+      "Canonical assignment keeping the highest-priority doc per " +
+        "near-dup component (priority = n_chars, tie min id).",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        Dedup.canonicalByPriority(docs, "doc_id", pairs, col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $duckShingleSets,
+              |sigs AS (
+              |  SELECT doc_id, sh,
+              |    list_transform(range(0,32), j ->
+              |      list_min(list_transform(sh, h ->
+              |        (h*(2*j+1) + (j*j*31+7)) % 2147483647))) AS sig
+              |  FROM sets),
+              |bandrows AS (
+              |  SELECT doc_id, sh, CAST(b.range AS INT) AS band_idx,
+              |    array_to_string(list_transform(
+              |      sig[b.range*4+1 : b.range*4+4],
+              |      x -> CAST(x AS VARCHAR)), '-') AS band_key
+              |  FROM sigs, range(0,8) b),
+              |cands AS (
+              |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    x.sh AS sha, y.sh AS shb
+              |  FROM bandrows x JOIN bandrows y
+              |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+              |   AND x.doc_id < y.doc_id),
+              |p AS (
+              |  SELECT doc_a, doc_b FROM cands
+              |  WHERE CAST(len(list_intersect(sha, shb)) AS DOUBLE) /
+              |    (len(sha)+len(shb)-len(list_intersect(sha, shb))) >= 0.5),
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              |  UNION ALL SELECT doc_b, doc_a FROM p),
+              |reach(node, r) AS (
+              |  SELECT a, a FROM edges
+              |  UNION
+              |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node),
+              |comp AS (SELECT node, min(r) AS grp
+              |  FROM reach GROUP BY node),
+              |base AS (SELECT d.doc_id, d.n_chars,
+              |    coalesce(c.grp, d.doc_id) AS grp
+              |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+              |best AS (SELECT grp, doc_id AS canonical FROM (
+              |    SELECT grp, doc_id, row_number() OVER (
+              |      PARTITION BY grp
+              |      ORDER BY n_chars DESC, doc_id) AS rk FROM base)
+              |  WHERE rk = 1)
+              |SELECT b.doc_id, best.canonical,
+              |  best.canonical = b.doc_id AS keep
+              |FROM base b JOIN best USING (grp)
+              |ORDER BY b.doc_id""".stripMargin)),
+
     // Deterministic train/valid/test assignment: hash of a salted id, NOT
     // rand() — reproducible across engines, runs, and repartitions, and
     // stable under re-ingestion (the property a training pipeline

@@ -1041,6 +1041,53 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-04", 4.0, true)))
   }
 
+  test("Dedup.canonicalByPriority keeps the max-priority doc per " +
+    "component, ties on min id, singletons keep themselves") {
+    // component {1,2,3} via chain edges 1-2, 2-3; 4 is a singleton.
+    // priorities: doc 2 and 3 tie at 9 (above doc 1's 5) -> canonical 2.
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = Dedup.canonicalByPriority(docs, "doc_id", pairs,
+        col("n_chars"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    assert(r.toSeq == Seq((1L, 2L, false), (2L, 2L, true),
+      (3L, 2L, false), (4L, 4L, true)))
+    // min-id policy would have kept doc 1 — assert the policies differ
+    val minId = Dedup.canonicalAssignment(docs, "doc_id", pairs)
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L))
+  }
+
+  test("Shard.manifest: counts tile the corpus, checksum is invariant " +
+    "under repartitioning, and assignment is stable") {
+    val df = (0L until 200L).map(i => (i, s"content of doc $i", i % 37))
+      .toDF("doc_id", "text", "n_chars")
+    val m1 = Shard.manifest(df, "doc_id", col("n_chars"), col("text"), 8)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m1.map(_._2).sum == 200L)
+    assert(m1.map(_._1).toSeq == m1.map(_._1).toSeq.sorted)
+    // repartitioning (different row order, different partitioning) must
+    // not change any manifest row — XOR is order/partition independent
+    val m2 = Shard.manifest(df.repartition(7, col("text")), "doc_id",
+        col("n_chars"), col("text"), 8)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m1.toSeq == m2.toSeq)
+    // a single corrupted row must flip its shard's checksum
+    val corrupted = df.withColumn("text",
+      when(col("doc_id") === 5L, lit("tampered")).otherwise(col("text")))
+    val m3 = Shard.manifest(corrupted, "doc_id", col("n_chars"),
+        col("text"), 8)
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m3.map(_._2).toSeq == m1.map(_._2).toSeq) // counts unchanged
+    assert(m3.toSeq != m1.toSeq)                     // checksum moved
+  }
+
   test("Dedup.containmentPairs flags subset docs that Jaccard misses") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"), // fully quoted inside doc 1

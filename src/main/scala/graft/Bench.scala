@@ -13,6 +13,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Probe mode: SPARK_GRAFT_ONLY=qB7,q28 restricts the run to the named
+    // queries (short qNN prefixes or full names) — for steady-state
+    // regression probes without paying the full-suite wall time. The
+    // driver never sets it, so round artifacts are always the full set.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,10 +38,12 @@ object Bench {
     // Budgets scale with the query count (the set has grown across
     // rounds; fixed cutoffs tuned for 67 queries silently skipped the
     // refinement pass once the first pass naturally summed past them).
-    val nQueries = SparkEntry.allQueries.size
+    val benchQueries = SparkEntry.allQueries.filter(q => only.forall(sel =>
+      sel.contains(q.name) || sel.contains(q.name.takeWhile(_ != '_'))))
+    val nQueries = benchQueries.size
     val warmBudgetSec = math.max(100L, nQueries * 2L)
     val warmDeadline = System.nanoTime() + warmBudgetSec * 1000000000L
-    SparkEntry.allQueries.foreach { q =>
+    benchQueries.foreach { q =>
       // on a degraded host, cap warmup rather than blow the wall budget —
       // un-warmed queries just measure slightly colder
       if (System.nanoTime() < warmDeadline) {
@@ -52,7 +60,7 @@ object Bench {
     // bill a major GC to whichever query trips it.
     def timedPass(): Seq[(String, Double)] = {
       System.gc()
-      SparkEntry.allQueries.map { q =>
+      benchQueries.map { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -67,7 +75,7 @@ object Bench {
     // machine is badly degraded, skip the refinement pass rather than
     // risk the harness's wall budget — min-of-one is just pass 1.
     val p2 = if (p1.values.sum < nQueries * 2.0) timedPass().toMap else p1
-    val results = SparkEntry.allQueries
+    val results = benchQueries
       .map(q => q.name -> math.min(p1(q.name), p2(q.name)))
     // The driver parses this line from a 2000-char log tail (measured:
     // BENCH_r03's "tail" field is exactly 2000 chars and all three rounds
@@ -85,10 +93,12 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // debug artifact alongside the stdout contract
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_last.json"), json)
-    catch { case _: Throwable => () }
+    // debug artifact alongside the stdout contract — full runs only, so a
+    // probe can't clobber the last full-suite numbers
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_last.json"), json)
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

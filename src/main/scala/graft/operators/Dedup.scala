@@ -141,10 +141,23 @@ object Dedup {
     // (more candidates, same exact verification) — conservative-safe.
     def bound(sz: Column): Column =
       sz - ceil(lit(threshold) * sz - lit(1e-6)) + 1
+    // Positional (ppjoin) bound inputs: `pos` is the matched token's
+    // 0-based rank under the global token order, so sz - pos counts the
+    // tokens at-or-after the match. For the FIRST shared token of a pair
+    // (shared tokens keep their relative order under one global sort, so
+    // "first in x" and "first in y" is the same token) there are no
+    // shared tokens before it, hence
+    //   overlap ≤ min(sx - px, sy - py),
+    // and J ≥ t needs overlap ≥ t/(1+t)·(sx+sy). Each matched row is
+    // filtered by its own bound: the first-shared row carries the pair's
+    // largest (and valid) bound, so a pair survives iff its valid bound
+    // passes — exact, like every prefix-filter here. Cuts the candidate
+    // set (and its array_intersect verification allocations) hard: the
+    // verify stage is the operator's dominant memory-pressure source.
     val prefix = (if (!dfOrdered) {
       sets.select(col("doc_id"), size(col("sh")).as("sz"),
-        explode(slice(array_sort(col("sh")), lit(1),
-          bound(size(col("sh"))).cast("int"))).as("shingle"))
+        posexplode(slice(array_sort(col("sh")), lit(1),
+          bound(size(col("sh"))).cast("int"))).as(Seq("pos", "shingle")))
     } else {
       val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("shingle"))
@@ -161,7 +174,10 @@ object Dedup {
         .join(freq.hint("shuffle_hash"), Seq("shingle"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= bound(col("sz")))
-        .select(col("doc_id"), col("sz"), col("shingle"))
+        // rk is 1-based rank under the (df_, shingle) total order — the
+        // same 0-based `pos` contract as the value-ordered branch
+        .select(col("doc_id"), col("sz"), (col("rk") - 1).as("pos"),
+          col("shingle"))
     }).hint("shuffle_hash")
     val cand = prefix.as("x")
       .join(prefix.as("y"),
@@ -171,7 +187,11 @@ object Dedup {
           // same epsilon so an FP product rounding above the exact
           // rational value can't exclude an exact-boundary pair
           col("y.sz") >= lit(threshold) * col("x.sz") - lit(1e-6) &&
-          col("x.sz") >= lit(threshold) * col("y.sz") - lit(1e-6))
+          col("x.sz") >= lit(threshold) * col("y.sz") - lit(1e-6) &&
+          // ppjoin positional filter (see `pos` note above)
+          least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos")) >=
+            ceil(lit(threshold / (1.0 + threshold)) *
+              (col("x.sz") + col("y.sz")) - lit(1e-6)))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     cand

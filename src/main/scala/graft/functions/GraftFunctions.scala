@@ -33,6 +33,7 @@ object GraftFunctions {
     "ip_trunc" -> (es => IpTrunc(es(0), es(1))),
     "is_private_ip" -> (es => IsPrivateIp(es.head)),
     "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "sorted_intersect_size" -> (es => SortedIntersectSizeExpr(es(0), es(1))),
     "simhash60" -> (es => SimHash60Expr(es.head)),
     "minhash_sig" -> (es => MinHashSigExpr(es(0),
       es(1).eval().asInstanceOf[Int])),
@@ -77,6 +78,8 @@ object GraftFunctions {
     call_function("is_private_ip", c)
   def vecDot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("sorted_intersect_size", a, b)
   def simhash60(hashes: Column): Column =
     call_function("simhash60", hashes)
   def minhashSig(hashes: Column, numHashes: Int): Column =

@@ -103,6 +103,31 @@ object VectorHashOps {
     new GenericArrayData(out)
   }
 
+  /** Intersection size of two ASCENDING-sorted long arrays (two-pointer
+    * merge): zero allocation per call, unlike array_intersect which
+    * builds a hash set plus a result array per row — the difference is
+    * the dominant GC load of pair-verification stages, where this runs
+    * once per CANDIDATE PAIR. Callers sort once per DOCUMENT before the
+    * pair join. Duplicate elements never advance the count twice on one
+    * side (inputs are sets by construction; equal runs advance both
+    * pointers together).
+    */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va < vb) i += 1
+      else if (va > vb) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** Hash each token (portable md5-prefix32), preserving order/duplicates —
     * the SimHash input. Identical to transform(tokens, hash32).
     */
@@ -238,6 +263,26 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
   override def prettyName: String = "vec_dot"
+}
+
+/** sorted_intersect_size(array<long>, array<long>) → long — both inputs
+  * must be ascending-sorted; equals size(array_intersect(a, b)) on set
+  * inputs without the per-row hash-set/result-array allocation.
+  */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorHashOps.sortedIntersectSize(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorHashOps.sortedIntersectSize($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectSizeExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_size"
 }
 
 /** simhash60(array<long>) → long. */

@@ -29,16 +29,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Distinct word-n-gram shingle sets per doc: (id, shingle_hashes).
-    * Uses the codegen'd single-pass kernel; semantics identical to
-    * TextOps.shingleHashSet (asserted by FunctionsSpec).
+  /** Distinct word-n-gram shingle sets per doc: (id, shingle_hashes),
+    * ASCENDING-sorted. Uses the codegen'd single-pass kernel; semantics
+    * identical to TextOps.shingleHashSet (asserted by FunctionsSpec),
+    * whose output order is unobservable downstream (set ops and the
+    * order-invariant MinHash min). Sorting ONCE here — per document, at
+    * scan time — lets every pair-verification stage count intersections
+    * with the zero-allocation sorted-merge kernel instead of a per-PAIR
+    * array_intersect hash set, and gives the prefix join its global
+    * token order for free.
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       n: Int, extra: Seq[String] = Nil): DataFrame = {
     GraftFunctions.registerAll(df.sparkSession)
     df.select(col(idCol).as("doc_id") +:
-        GraftFunctions.shingleHashSet(TextOps.tokens(col(textCol)), n)
-          .as("sh") +: extra.map(col): _*)
+        array_sort(GraftFunctions.shingleHashSet(
+          TextOps.tokens(col(textCol)), n)).as("sh") +: extra.map(col): _*)
       .filter(size(col("sh")) > 0)
   }
 
@@ -155,8 +161,10 @@ object Dedup {
     // set (and its array_intersect verification allocations) hard: the
     // verify stage is the operator's dominant memory-pressure source.
     val prefix = (if (!dfOrdered) {
+      // sh arrives ascending-sorted from shingleSets: the slice IS the
+      // value-ordered prefix
       sets.select(col("doc_id"), size(col("sh")).as("sz"),
-        posexplode(slice(array_sort(col("sh")), lit(1),
+        posexplode(slice(col("sh"), lit(1),
           bound(size(col("sh"))).cast("int"))).as(Seq("pos", "shingle")))
     } else {
       val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
@@ -194,13 +202,19 @@ object Dedup {
               (col("x.sz") + col("y.sz")) - lit(1e-6)))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // Verification: count the intersection per candidate pair with the
+    // zero-allocation two-pointer kernel over the pre-sorted sets —
+    // array_intersect would build a hash set + result array per PAIR,
+    // the dominant GC load of the whole operator in a shared-JVM bench
+    // run.
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         .hint("shuffle_hash"), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("common"),
+        GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
+          .as("common"),
         size(col("sh_a")).as("sa"), size(col("sh_b")).as("sb"))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
@@ -408,7 +422,8 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
 
     cands
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("common",
+        GraftFunctions.sortedIntersectSize(col("sha"), col("shb")))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (size(col("sha")) + size(col("shb")) - col("common")))
@@ -448,7 +463,8 @@ object Dedup {
     val matches = newBand.join(oldBand, Seq("band_idx", "band_key"))
       .select(col("doc_id"), col("old_id"), col("sh"), col("sho"))
       .dropDuplicates("doc_id", "old_id")
-      .withColumn("common", size(array_intersect(col("sh"), col("sho"))))
+      .withColumn("common",
+        GraftFunctions.sortedIntersectSize(col("sh"), col("sho")))
       .filter(col("common").cast("double") /
         (size(col("sh")) + size(col("sho")) - col("common")) >= threshold)
       .groupBy("doc_id")

@@ -205,6 +205,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(r == 0x5d41402aL)
   }
 
+  test("sortedIntersectSize == size(array_intersect) on random sorted sets") {
+    GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MaxValue))) ++
+      (1 to 40).map { _ =>
+        def s() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+          .distinct.sorted
+        (s(), s())
+      }
+    val df = cases.toDF("a", "b").select(
+      GraftFunctions.sortedIntersectSize(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   // --- BqSchema -----------------------------------------------------------
 
   test("BqSchema parses nested/repeated/required and round-trips") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Bm25, Dedup, Fusion, Layout, Sampling, Shard, Similarity, TextAnalysis}
+import graft.operators.{Bm25, Dedup, Fusion, HeavyHitters, Layout, Sampling, Shard, Similarity, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -459,5 +459,37 @@ object Curation {
              |SELECT shard_id, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS bytes,
              |  bit_xor(h) AS checksum
-             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Misra-Gries heavy hitters over 3-gram shingles — the bounded-memory
+    // frequency sketch for hot-boilerplate detection: a groupBy-count at
+    // 100 TB materializes the whole (mostly-singleton) n-gram vocabulary;
+    // the sketch's exchange carries <= k entries per partition. On the
+    // fixtures k=32768 >= |distinct 3-grams| (16k at sf0.01, 27k at
+    // sf0.1), so no decrement fires and counts are EXACT — the regime
+    // the oracle checks; the capped regime's n/(k+1) undercount bound is
+    // spec-locked in OperatorsSpec.
+    GraftQuery(
+      "qD7_heavy_hitters",
+      "Top-50 3-gram heavy hitters from a 32k-entry Misra-Gries " +
+        "mergeable sketch (exact on the fixtures; n/(k+1)-bounded " +
+        "undercount when capped at scale).",
+      (s, d) => {
+        val grams = t(s, d, "documents").select(
+          explode(graft.functions.TextOps.shingles(
+            graft.functions.TextOps.tokens(col("text")), 3)).as("item"))
+        HeavyHitters.top(grams, "item", 32768, 50).orderBy("rank")
+      },
+      Some("""WITH g AS (
+             |  SELECT unnest(list_transform(
+             |      range(1, len(string_split(text,' ')) - 1),
+             |      i -> string_split(text,' ')[i] || ' ' ||
+             |           string_split(text,' ')[i+1] || ' ' ||
+             |           string_split(text,' ')[i+2])) AS item
+             |  FROM documents
+             |  WHERE len(string_split(text,' ')) >= 3)
+             |SELECT item, CAST(count(*) AS BIGINT) AS est_count,
+             |  row_number() OVER (ORDER BY count(*) DESC, item) AS rank
+             |FROM g GROUP BY item
+             |ORDER BY est_count DESC, item LIMIT 50""".stripMargin)))
 }

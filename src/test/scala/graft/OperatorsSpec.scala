@@ -1218,4 +1218,40 @@ class OperatorsSpec extends SparkTestBase {
         s"cosine mismatch for probe $q cand $c")
     }
   }
+
+  test("HeavyHitters: exact counts when k >= distinct; Misra-Gries " +
+    "bounds (undercount <= n/(k+1), heavy items present) when capped") {
+    import spark.implicits._
+    // Zipf-ish skew: item_i appears floor(600/i) times — a few heavy
+    // hitters over a long tail, spread over 8 partitions so partial
+    // sketches genuinely merge.
+    val items = (1 to 40).flatMap(i => Seq.fill(600 / i)(f"item_$i%02d"))
+    val df = items.toDF("item").repartition(8)
+    val truth = items.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val n = items.size.toLong
+
+    // exact regime: k over distinct count — equals groupBy counts, with
+    // the (count desc, item asc) tie-broken ranking
+    val exact = HeavyHitters.top(df, "item", k = 64, topN = 40).collect()
+    assert(exact.map(r => r.getString(0) -> r.getLong(1)).toMap == truth)
+    val expectOrder = truth.toSeq.sortBy { case (it, c) => (-c, it) }
+    assert(exact.sortBy(_.getLong(2)).map(_.getString(0)).toSeq ==
+      expectOrder.map(_._1))
+
+    // capped regime: k = 8 counters. Counts may undercount by at most
+    // n/(k+1) (any merge tree), never overcount; items heavier than the
+    // bound must survive in the sketch.
+    val k = 8
+    val bound = n / (k + 1)
+    val capped = HeavyHitters.top(df, "item", k, topN = k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    capped.foreach { case (it, est) =>
+      val c = truth(it)
+      assert(est <= c, s"$it overcounted: $est > $c")
+      assert(est >= c - bound, s"$it undercounted past n/(k+1): $est < ${c - bound}")
+    }
+    truth.filter(_._2 > bound).keys.foreach(it =>
+      assert(capped.contains(it), s"heavy item $it missing from sketch"))
+  }
 }

@@ -66,8 +66,12 @@ object Skew {
     val saltedFact = fact.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(saltBuckets)).cast("int"))
+    // shuffle-pin the replicated dim: hash co-partitioning on
+    // (key, salt) is the whole point — letting AQE broadcast the
+    // replicas would just multiply the broadcast by saltBuckets
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
+      .hint("shuffle_hash")
     saltedFact.join(replicatedDim, keys :+ "__salt", joinType)
       .drop("__salt")
   }

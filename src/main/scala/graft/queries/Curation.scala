@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Bm25, Dedup, Fusion, HeavyHitters, Layout, Sampling, Shard, Similarity, TextAnalysis}
+import graft.operators.{Bm25, Dedup, Fusion, HeavyHitters, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -491,5 +491,38 @@ object Curation {
              |SELECT item, CAST(count(*) AS BIGINT) AS est_count,
              |  row_number() OVER (ORDER BY count(*) DESC, item) AS rank
              |FROM g GROUP BY item
-             |ORDER BY est_count DESC, item LIMIT 50""".stripMargin)))
+             |ORDER BY est_count DESC, item LIMIT 50""".stripMargin)),
+
+    // Salted skew join: every event against its event-type aggregate,
+    // with the probe side sharded across 32 (key, salt) sub-keys and
+    // the build side replicated per salt — the hot-key treatment for
+    // shuffle joins AQE's skew splitting covers only for sort-merge
+    // plans. The oracle is the PLAIN join: salting must be invisible
+    // in the result.
+    GraftQuery(
+      "qD8_salted_join",
+      "Event-vs-type-average deltas through a 32-bucket salted equi " +
+        "join — result bit-equal to the unsalted join.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val dim = ev.groupBy("event_type").agg(
+          avg("value").as("type_avg"), count(lit(1)).as("type_n"))
+        Skew.saltedJoin(ev, dim, Seq("event_type"), 32)
+          .select(col("event_id"), col("event_type"),
+            graft.functions.SafeOps.stableRound4(
+              col("value") - col("type_avg")).as("delta_vs_type"),
+            col("type_n"))
+          .orderBy("event_id")
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type, avg(value) AS type_avg,
+             |    CAST(count(*) AS BIGINT) AS type_n
+             |  FROM events GROUP BY 1)
+             |SELECT event_id, e.event_type,
+             |  floor((value - type_avg) * 10000.0 + 0.5) / 10000.0
+             |    AS delta_vs_type,
+             |  type_n
+             |FROM events e JOIN dim USING (event_type)
+             |ORDER BY event_id""".stripMargin)))
 }

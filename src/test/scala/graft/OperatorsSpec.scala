@@ -1254,4 +1254,24 @@ class OperatorsSpec extends SparkTestBase {
     truth.filter(_._2 > bound).keys.foreach(it =>
       assert(capped.contains(it), s"heavy item $it missing from sketch"))
   }
+
+  test("Skew.saltedJoin: null probe keys match nothing (as plain), " +
+    "build-outer join types rejected") {
+    import spark.implicits._
+    val probe = (Seq((1L, "hot"), (2L, null.asInstanceOf[String]),
+      (3L, "k1")) ++ (4 to 40).map(i => (i.toLong, "hot")))
+      .toDF("id", "k").repartition(5)
+    val build = Seq(("hot", 10L), ("k1", 20L)).toDF("k", "payload")
+    for (how <- Seq("inner", "left")) {
+      val plain = probe.join(build, Seq("k"), how)
+      val salted = Skew.saltedJoin(probe, build, Seq("k"), 8, how)
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      def bag(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).groupBy(identity).view
+          .mapValues(_.length).toMap
+      assert(bag(salted) == bag(plain), s"salted $how join diverged")
+    }
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(probe, build, Seq("k"), 8, "full"))
+  }
 }

@@ -212,4 +212,45 @@ object Sampling {
       .withColumn("epochs",
         ceil(col("target_toks").cast("double") / col("toks")).cast("long"))
   }
+
+  /** Deterministic contrastive NEGATIVE sampling: k pseudo-random
+    * corpus negatives per probe row — the pair-assembly step of
+    * contrastive/embedding training (in-batch negatives aside, hard
+    * pipelines persist explicit negatives with the example).
+    *
+    * The naive form joins probes × corpus and ranks per probe — a cross
+    * join, dead at corpus scale. This ranks the corpus ONCE in a salted
+    * pseudo-random global order ([[Order.globalIndex]] — the two-phase
+    * block ranking, no global window), gives each probe a block of k+1
+    * CONSECUTIVE positions starting at its own hash draw mod N, and
+    * equi-joins those positions back against the ranked corpus:
+    * O(probes·k) join rows total. The +1 spare covers the probe itself
+    * landing inside its own block (filtered, first k kept). Fully
+    * reproducible across runs/engines: both the corpus order and each
+    * probe's start are portable salted hashes.
+    *
+    * Output: probe_id, neg_rank (1..k), neg_id.
+    */
+  def negatives(docs: DataFrame, idCol: String, isProbe: Column, k: Int,
+      salt: String = "neg"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val idx = Order.globalIndex(docs, idCol, salt)
+      .select(col("doc_id"), col("pos"))
+    val nRow = idx.agg(count(lit(1)).as("n"))
+    val cand = docs.filter(isProbe).select(col(idCol).as("probe_id"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("start", pmod(TextOps.hash32(
+        concat(lit(s"$salt:probe:"), col("probe_id").cast("string"))),
+        col("n")))
+      .select(col("probe_id"), col("n"), col("start"),
+        explode(sequence(lit(0L), lit(k.toLong))).as("j"))
+      .withColumn("pos", pmod(col("start") + col("j"), col("n")))
+    val w = Window.partitionBy("probe_id").orderBy("j")
+    cand.join(idx.hint("shuffle_hash"), Seq("pos"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("probe_id"), col("neg_rank"), col("doc_id").as("neg_id"))
+  }
 }

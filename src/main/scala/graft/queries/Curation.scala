@@ -524,5 +524,46 @@ object Curation {
              |    AS delta_vs_type,
              |  type_n
              |FROM events e JOIN dim USING (event_type)
-             |ORDER BY event_id""".stripMargin)))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Contrastive negative sampling: 4 deterministic pseudo-random
+    // corpus negatives per probe, via ONE two-phase global ranking of
+    // the corpus + an O(probes·k) position join — no probe×corpus
+    // cross join. The oracle recomputes the same salted order with a
+    // plain window (fine at DuckDB scale, the shape the operator
+    // exists to avoid at corpus scale).
+    GraftQuery(
+      "qD9_negative_sample",
+      "4 deterministic contrastive negatives per probe doc from a " +
+        "salted global corpus order (block of k+1 consecutive " +
+        "positions at the probe's hash draw, self filtered).",
+      (s, d) => Sampling.negatives(t(s, d, "documents"), "doc_id",
+        col("doc_id") % 50 === 0, k = 4)
+        .orderBy("probe_id", "neg_rank"),
+      Some("""WITH idx AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY h, doc_id) - 1 AS pos
+             |  FROM (SELECT doc_id,
+             |      ('0x' || substr(md5('neg:' ||
+             |        CAST(doc_id AS VARCHAR)),1,8))::BIGINT AS h
+             |    FROM documents)),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |cand AS (
+             |  SELECT d.doc_id AS probe_id, j,
+             |    (('0x' || substr(md5('neg:probe:' ||
+             |        CAST(d.doc_id AS VARCHAR)),1,8))::BIGINT
+             |      % nn.n + j) % nn.n AS pos
+             |  FROM documents d, nn, LATERAL unnest(range(0, 5)) AS t(j)
+             |  WHERE d.doc_id % 50 = 0),
+             |hit AS (
+             |  SELECT probe_id, j, idx.doc_id AS neg_id
+             |  FROM cand JOIN idx USING (pos)
+             |  WHERE idx.doc_id != probe_id)
+             |SELECT probe_id,
+             |  row_number() OVER (PARTITION BY probe_id ORDER BY j)
+             |    AS neg_rank,
+             |  neg_id
+             |FROM hit
+             |QUALIFY neg_rank <= 4
+             |ORDER BY probe_id, neg_rank""".stripMargin)))
 }

@@ -1274,4 +1274,24 @@ class OperatorsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Skew.saltedJoin(probe, build, Seq("k"), 8, "full"))
   }
+
+  test("Sampling.negatives: exactly k per probe, never the probe " +
+    "itself, distinct, and stable under repartitioning") {
+    import spark.implicits._
+    val docs = (0L until 97L).toDF("doc_id")
+    def run(parts: Int) =
+      Sampling.negatives(docs.repartition(parts), "doc_id",
+        col("doc_id") % 10 === 0, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = run(3)
+    assert(a.toSet == run(11).toSet, "negatives depend on partitioning")
+    val byProbe = a.groupBy(_._1)
+    assert(byProbe.keySet == (0L until 97L by 10).toSet)
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.length == 5, s"probe $p got ${rows.length} negatives")
+      assert(rows.map(_._2).sorted.toSeq == (1L to 5L), s"ranks of $p")
+      assert(!rows.map(_._3).contains(p), s"probe $p sampled itself")
+      assert(rows.map(_._3).distinct.length == 5, s"dup negatives for $p")
+    }
+  }
 }

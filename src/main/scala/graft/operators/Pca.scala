@@ -89,7 +89,9 @@ object Pca {
         s
       }
       val nrm = math.sqrt(w.map(x => x * x).sum)
-      v = w.map(x => round(x / nrm, 1e9))
+      // zero covariance (all vectors identical): the iterate vanishes;
+      // keep the current direction instead of dividing 0/0 into NaNs
+      if (nrm > 0.0) v = w.map(x => round(x / nrm, 1e9))
     }
     (mean, v)
   }

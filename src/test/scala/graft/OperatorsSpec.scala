@@ -769,6 +769,20 @@ class OperatorsSpec extends SparkTestBase {
       got.zip(got.tail).forall { case (a, b) => a > b })
   }
 
+  test("Pca: identical vectors (zero covariance) yield finite " +
+    "components and zero projections, not NaNs") {
+    import graft.operators.Pca
+    val df = (1L to 8L).map(i => (i, Seq(2.0f, -1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val (mean, comp) = Pca.topComponent(df, "embedding", dim = 3)
+    assert(comp.forall(c => !c.isNaN && !c.isInfinite))
+    val scores = Pca.topComponentScores(df, "vec_id", "embedding", dim = 3)
+      .collect().map(_.getDouble(1))
+    assert(scores.forall(_ == 0.0), scores.mkString(","))
+    assert(mean.zip(Seq(2.0, -1.0, 0.5)).forall {
+      case (m, e) => math.abs(m - e) < 1e-6 })
+  }
+
   test("TextAnalysis.linearGate: stopword-rich docs outscore " +
     "punctuation-heavy ones; keep is exactly the logit sign") {
     import graft.operators.TextAnalysis

@@ -32,45 +32,75 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** Buffer: a mutable counter map, kryo-encoded (the encoder only
+    * matters at partial-buffer shuffle boundaries, where kryo ships the
+    * map opaquely). The reduce path runs once per STREAM ITEM; in-place
+    * mutation keeps it allocation-free vs an immutable Map.updated's
+    * tree nodes — a modest win (~5% at sf0.1: the dominant per-row cost
+    * is the untyped→typed bridge any typed Aggregator pays), and the
+    * full-map decrement/re-cap passes stay O(k) in place instead of
+    * rebuilding the map.
+    */
+  type Buf = java.util.HashMap[String, Long]
+
   final class MisraGriesAgg(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, Buf, Map[String, Long]] {
     require(k > 0, "sketch capacity must be positive")
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: Buf = new Buf()
 
-    override def reduce(b: Map[String, Long], item: String)
-        : Map[String, Long] =
-      b.get(item) match {
-        case Some(c) => b.updated(item, c + 1)
-        case None if b.size < k => b.updated(item, 1L)
-        case None =>
-          // classic MG decrement: drop every counter by one (the new
-          // item's single occurrence cancels against them), shedding
-          // zeroed entries. O(k) only when the map is full of distinct
-          // values — amortized O(1) per stream item.
-          b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
-      }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long])
-        : Map[String, Long] = {
-      val combined =
-        if (a.size >= b.size) b.foldLeft(a) { case (m, (t, c)) =>
-          m.updated(t, m.getOrElse(t, 0L) + c) }
-        else merge(b, a)
-      if (combined.size <= k) combined
+    override def reduce(b: Buf, item: String): Buf = {
+      val cur = b.get(item)
+      if (cur != 0L || b.containsKey(item)) b.put(item, cur + 1)
+      else if (b.size < k) b.put(item, 1L)
       else {
-        // subtract the (k+1)-st largest count, keep what stays positive
-        // (ties at the threshold fall to zero and drop with it)
-        val thresh = combined.valuesIterator.toArray
-          .sortInPlaceWith(_ > _).apply(k)
-        combined.flatMap { case (t, c) =>
-          if (c > thresh) Some(t -> (c - thresh)) else None }
+        // classic MG decrement: drop every counter by one (the new
+        // item's single occurrence cancels against them), shedding
+        // zeroed entries. O(k) only when the map is full of distinct
+        // values — amortized O(1) per stream item.
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > 1) e.setValue(e.getValue - 1) else it.remove()
+        }
       }
+      b
     }
 
-    override def finish(r: Map[String, Long]): Map[String, Long] = r
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
+    override def merge(a: Buf, b: Buf): Buf = {
+      val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+      val fit = from.entrySet().iterator()
+      while (fit.hasNext) {
+        val e = fit.next()
+        into.put(e.getKey, into.getOrDefault(e.getKey, 0L) + e.getValue)
+      }
+      if (into.size > k) {
+        // subtract the (k+1)-st largest count, keep what stays positive
+        // (ties at the threshold fall to zero and drop with it) — the
+        // mergeable-summaries re-cap, valid for any merge tree
+        val counts = new Array[Long](into.size)
+        var i = 0
+        val vit = into.values().iterator()
+        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val thresh = counts(counts.length - 1 - k)
+        val it = into.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue > thresh) e.setValue(e.getValue - thresh)
+          else it.remove()
+        }
+      }
+      into
+    }
+
+    override def finish(r: Buf): Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      r.forEach((t, c) => b += t -> c)
+      b.result()
+    }
+    override def bufferEncoder: Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
     override def outputEncoder: Encoder[Map[String, Long]] =
       ExpressionEncoder[Map[String, Long]]()
   }

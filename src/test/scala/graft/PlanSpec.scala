@@ -198,6 +198,15 @@ class PlanSpec extends SparkTestBase {
     assert(ex <= 8, s"q86 exchange count regressed to $ex (fence lost?)")
   }
 
+  test("qD8: the salted join shuffles on (key, salt) — the replicated " +
+    "dim is never broadcast") {
+    val p = planOf("qD8_salted_join")
+    assert(p.contains("ShuffledHashJoin"), s"no shuffled hash join:\n$p")
+    // the salt exists to spread a hot key across reducers; a broadcast
+    // of saltBuckets dim copies would defeat it silently
+    assert(!p.contains("BroadcastHashJoin"), s"dim side broadcast:\n$p")
+  }
+
   test("global sweep: no declared query plans a cartesian product, an " +
     "unapproved nested-loop join, or an unpartitioned corpus window") {
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft

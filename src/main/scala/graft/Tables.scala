@@ -29,10 +29,14 @@ object Tables {
 
   /** Read one table from an sf directory.
     *
-    * `events.ts` is physically Parquet INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects by default. We read it as raw nanos (legacy conf) and rebuild a
-    * microsecond timestamp with *integer* division — nanosecond epochs
-    * exceed 2^53, so double math would corrupt them.
+    * `events.ts` has shipped under two physical Parquet types across data
+    * generations: INT64 TIMESTAMP(NANOS) — which Spark 4 rejects by
+    * default, so it is read as raw nanos (legacy conf) and rebuilt with
+    * *integer* division (nanosecond epochs exceed 2^53; double math would
+    * corrupt them) — and plain TIMESTAMP(MICROS) without UTC adjustment,
+    * which Spark reads as TIMESTAMP_NTZ. Both are normalized to a session
+    * TimestampType column (sessions here run UTC, so the NTZ cast is
+    * value-preserving) so every downstream operator sees one type.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((System.identityHashCode(spark).toString,
@@ -41,11 +45,17 @@ object Tables {
   private def loadUncached(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
     if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

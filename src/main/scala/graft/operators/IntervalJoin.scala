@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketized point-in-interval join — the 100 TB path for "annotate
+  * each point with the interval that contains it" (the reference's
+  * IP-range → geo/ASN annotation shape, annotation-service lookups
+  * keyed by address range).
+  *
+  * A pure range predicate (`p BETWEEN lo AND hi`) has no equi key, so
+  * Catalyst can only plan a broadcast-nested-loop or cartesian join —
+  * O(|points|·|intervals|) comparisons, a non-starter when both sides
+  * are large. The standard rewrite: quantize the domain into
+  * fixed-width buckets, explode each interval to the buckets it
+  * overlaps, map each point to its single bucket, hash-join on the
+  * bucket id, and re-check the exact range as a residual. Cost becomes
+  * O(|points| + |intervals|·span/W) shuffled rows with an ordinary
+  * shuffled hash join — linear, partitionable, AQE-skew-splittable.
+  *
+  * Pathological wide intervals (a /0 default route spanning the whole
+  * domain) would explode into span/W bucket rows; `maxBucketsPerInterval`
+  * diverts them to a broadcast residual-only leg instead (they are few
+  * by assumption — wide catch-all ranges are rare in real range tables,
+  * and they broadcast precisely because they are few).
+  */
+object IntervalJoin {
+
+  /** Floor division by a positive width, exact in long arithmetic for
+    * negative values too (`pmod` is non-negative, so the numerator is
+    * divisible by `w`). `(c / w).cast(long)` via doubles would corrupt
+    * epochs past 2^53; integer `div` truncates toward zero.
+    */
+  private def fdiv(c: org.apache.spark.sql.Column, w: Long) =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Join `points` (each row one domain value in `pointCol`, long-ish)
+    * against `intervals` (closed ranges `[loCol, hiCol]`) on
+    * containment. Output = point columns ++ interval columns, one row
+    * per (point row, containing interval) pair.
+    *
+    * `joinType`: "inner" or "left" (a point keeps exactly one bucket
+    * row, so left semantics survive bucketization; interval-preserving
+    * right/full would duplicate multi-bucket intervals and are
+    * rejected). The wide-interval broadcast split composes only with
+    * "inner" (a left join would need a second pass to re-null the
+    * narrow-unmatched rows); pass `maxBucketsPerInterval = 0` to
+    * disable the split when left semantics are required.
+    *
+    * `bucketWidth`: domain units per bucket. Pick ~ the median interval
+    * span: each interval then lands in 1–2 buckets while a point still
+    * probes exactly one.
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long, joinType: String = "inner",
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"unsupported join type for bucketized interval join: $joinType")
+    require(joinType == "inner" || maxBucketsPerInterval == 0,
+      "the wide-interval broadcast split composes with inner only; " +
+        "pass maxBucketsPerInterval = 0 for left")
+
+    val p = points.withColumn("__ij_b", fdiv(col(pointCol), bucketWidth))
+    val iv = intervals.filter(col(loCol) <= col(hiCol))
+      .withColumn("__ij_lob", fdiv(col(loCol), bucketWidth))
+      .withColumn("__ij_hib", fdiv(col(hiCol), bucketWidth))
+
+    val residual = col(pointCol) >= col(loCol) &&
+      col(pointCol) <= col(hiCol)
+
+    val narrowIv =
+      (if (maxBucketsPerInterval > 0)
+        iv.filter(col("__ij_hib") - col("__ij_lob") <
+          lit(maxBucketsPerInterval.toLong))
+      else iv)
+        .withColumn("__ij_b",
+          explode(sequence(col("__ij_lob"), col("__ij_hib"))))
+        .drop("__ij_lob", "__ij_hib")
+
+    val narrow = p
+      .join(narrowIv, p("__ij_b") === narrowIv("__ij_b") && residual,
+        joinType)
+      .drop("__ij_b")
+
+    if (maxBucketsPerInterval == 0) narrow
+    else {
+      val wideIv = iv.filter(col("__ij_hib") - col("__ij_lob") >=
+        lit(maxBucketsPerInterval.toLong))
+        .drop("__ij_lob", "__ij_hib")
+      // Residual-only leg: no equi key by construction, so broadcast
+      // is the plan — legal because wide catch-all intervals are
+      // assumed rare (that assumption is the split's contract).
+      val wide = p.drop("__ij_b")
+        .join(broadcast(wideIv), residual, "inner")
+      narrow.unionByName(wide)
+    }
+  }
+}

@@ -892,6 +892,50 @@ object Analytics {
               |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(least(strt+ntok, (pack_id+1)*256)
               |    - greatest(strt, pack_id*256)) AS BIGINT) AS n_tokens
-              |FROM seg GROUP BY pack_id ORDER BY pack_id""".stripMargin))
+              |FROM seg GROUP BY pack_id ORDER BY pack_id""".stripMargin)),
+
+    // Bucketized point-in-interval join: the IP-range → annotation
+    // shape (annotation-service address-range lookups). A raw range
+    // predicate would plan a nested-loop; the operator quantizes the
+    // domain (W=256), explodes each interval to its 1–4 buckets,
+    // hash-joins on the bucket id, and residual-checks the range.
+    // The oracle is the PLAIN range join — bucketization must be
+    // invisible in the result.
+    GraftQuery(
+      "qE0_interval_annotate",
+      "Orders annotated by containing supplier key-range via the " +
+        "bucketized interval join (W=256) — result equal to the " +
+        "nested-loop range join it replaces.",
+      (s, d) => {
+        val iv = t(s, d, "supplier").select(
+          col("s_suppkey").cast("long").as("range_id"),
+          (col("s_suppkey").cast("long") * 550L).as("lo"),
+          (col("s_suppkey").cast("long") * 550L + 50L +
+            (col("s_suppkey").cast("long") % 7L) * 120L).as("hi"))
+        val pts = t(s, d, "orders")
+          .select(col("o_orderkey").cast("long").as("okey"),
+            col("o_totalprice"))
+        graft.operators.IntervalJoin.pointInInterval(
+            pts, "okey", iv, "lo", "hi", bucketWidth = 256L)
+          .groupBy("range_id")
+          .agg(count(lit(1)).as("cnt"),
+            min("okey").as("min_key"), max("okey").as("max_key"),
+            SafeOps.stableRound4(sum("o_totalprice")).as("sum_price"))
+          .orderBy("range_id")
+      },
+      Some("""WITH iv AS (
+             |  SELECT CAST(s_suppkey AS BIGINT) AS range_id,
+             |    CAST(s_suppkey AS BIGINT) * 550 AS lo,
+             |    CAST(s_suppkey AS BIGINT) * 550 + 50 +
+             |      (CAST(s_suppkey AS BIGINT) % 7) * 120 AS hi
+             |  FROM supplier)
+             |SELECT range_id, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+             |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+             |  floor(sum(o_totalprice) * 10000.0 + 0.5) / 10000.0
+             |    AS sum_price
+             |FROM orders JOIN iv
+             |  ON o_orderkey >= lo AND o_orderkey <= hi
+             |GROUP BY range_id ORDER BY range_id""".stripMargin))
   )
 }

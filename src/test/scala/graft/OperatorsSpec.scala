@@ -1308,4 +1308,56 @@ class OperatorsSpec extends SparkTestBase {
       assert(rows.map(_._3).distinct.length == 5, s"dup negatives for $p")
     }
   }
+
+  test("IntervalJoin.pointInInterval equals the nested-loop range join " +
+    "on randomized data, incl. negatives and multi-bucket spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 400)
+      .map(i => (i.toLong, rnd.nextLong() % 2000L))
+      .toDF("pid", "v").repartition(7)
+    val iv = (0 until 60).map { i =>
+      val lo = rnd.nextLong() % 1800L
+      (i.toLong, lo, lo + rnd.nextInt(700).toLong)
+    }.toDF("iid", "lo", "hi").repartition(3)
+    val naive = pts.join(iv,
+        col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (w <- Seq(1L, 64L, 256L, 10000L)) {
+      val got = IntervalJoin.pointInInterval(pts, "v", iv, "lo", "hi", w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.sorted.toSeq == naive.sorted.toSeq, s"W=$w diverged")
+    }
+  }
+
+  test("IntervalJoin: left join keeps unmatched points; wide-interval " +
+    "broadcast split is invisible; guards reject bad combos") {
+    import spark.implicits._
+    val pts = Seq((1L, 5L), (2L, 50L), (3L, 9999L)).toDF("pid", "v")
+    val iv = Seq((10L, 0L, 10L), (11L, 40L, 60L), (12L, -5000L, 5000L))
+      .toDF("iid", "lo", "hi")
+    // wide split: W=8 makes iid=12 span 1251 buckets; cap at 100
+    // diverts it to the broadcast leg — pairs must be unchanged.
+    val split = IntervalJoin.pointInInterval(pts, "v", iv, "lo", "hi",
+        8L, maxBucketsPerInterval = 100)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(split == Seq((1L, 10L), (1L, 12L), (2L, 11L), (2L, 12L)))
+    val left = IntervalJoin.pointInInterval(pts, "v", iv, "lo", "hi",
+        8L, joinType = "left", maxBucketsPerInterval = 0)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    assert(left == Seq((1L, 10L), (1L, 12L), (2L, 11L), (2L, 12L),
+      (3L, -1L)), "left join lost the unmatched point or a pair")
+    intercept[IllegalArgumentException](
+      IntervalJoin.pointInInterval(pts, "v", iv, "lo", "hi", 0L))
+    intercept[IllegalArgumentException](
+      IntervalJoin.pointInInterval(pts, "v", iv, "lo", "hi", 8L,
+        joinType = "left", maxBucketsPerInterval = 100))
+    intercept[IllegalArgumentException](
+      IntervalJoin.pointInInterval(pts, "v", iv, "lo", "hi", 8L,
+        joinType = "full"))
+  }
 }

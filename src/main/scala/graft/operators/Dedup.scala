@@ -777,4 +777,71 @@ object Dedup {
       .select(col("doc_id"), col("url_norm"), col("canonical"),
         col("n_dupes"), (col("doc_id") === col("canonical")).as("keep"))
   }
+
+  /** KEEP-FIRST span dedup — C4's sentence-span treatment (Raffel et
+    * al. 2020, "Exploring the Limits of Transfer Learning", §2.2:
+    * "we discarded all but one of any three-sentence span occurring
+    * more than once in the data set") adapted to the corpus format:
+    * the token stream is cut into consecutive `spanTokens`-token
+    * blocks, and every block whose text occurs elsewhere in the corpus
+    * is removed EXCEPT the globally first occurrence (min (doc_id,
+    * span_idx) order). The semantic difference from [[cutDupSpans]] is
+    * the point: ExactSubstr-style cutting deletes every copy of a
+    * duplicated span, C4-style keeps exactly one — the corpus still
+    * contains each span once, so no content is lost, only repetition.
+    *
+    * Scale shape: per-row block projection (no corpus-sized
+    * intermediate), ONE groupBy on the block hash computing the
+    * min-(doc_id, idx) struct (partial-aggregated — a boilerplate
+    * block costs one aggregate row no matter how many copies exist),
+    * join back on the same hash key (shuffle-pinned so AQE can't
+    * broadcast a corpus-sized group table off a small-SF estimate),
+    * then one per-doc re-aggregation whose collect_list is bounded by
+    * the DOC's span count, never the corpus. The winner-struct
+    * comparison makes keep-first a pure aggregate — no window over the
+    * corpus, no second pass.
+    *
+    * Output: doc_id, n_spans, n_removed, clean_hash (portable 32-bit
+    * hash of the space-joined kept remainder, in original span order).
+    */
+  def keepFirstSpanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val docs = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    // consecutive (non-overlapping) spans; the last one may be short —
+    // slice past the end just truncates. Empty docs produce zero spans
+    // (sequence would DESCEND on a negative upper bound, hence the guard).
+    val spans = docs.select(col("doc_id"),
+      posexplode(
+        when(size(col("toks")) === 0, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0),
+              floor((size(col("toks")) - 1) / spanTokens).cast("int")),
+            i => array_join(
+              slice(col("toks"), i * spanTokens + 1, lit(spanTokens)),
+              " "))))
+        .as(Seq("sp", "stxt")))
+      .withColumn("g", TextOps.hash32(col("stxt")))
+    val firstOcc = spans
+      .groupBy("g")
+      .agg(min(struct(col("doc_id"), col("sp"))).as("keep"))
+      .hint("shuffle_hash")
+    spans.hint("shuffle_hash")
+      .join(firstOcc, Seq("g"))
+      .withColumn("kept", col("doc_id") === col("keep.doc_id") &&
+        col("sp") === col("keep.sp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+        sort_array(collect_list(
+          struct(col("sp"), when(col("kept"), col("stxt")).as("stxt"))))
+          .as("ordered"))
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        TextOps.hash32(array_join(
+          // filter AFTER the positional sort: removed spans drop out,
+          // survivors keep original order
+          transform(filter(col("ordered"), s => s.getField("stxt").isNotNull),
+            s => s.getField("stxt")), " ")).as("clean_hash"))
+  }
 }

@@ -565,5 +565,46 @@ object Curation {
              |  neg_id
              |FROM hit
              |QUALIFY neg_rank <= 4
-             |ORDER BY probe_id, neg_rank""".stripMargin)))
+             |ORDER BY probe_id, neg_rank""".stripMargin)),
+
+    // C4-style keep-first span dedup: every duplicated 8-token span is
+    // removed EXCEPT its globally first occurrence (min (doc_id, idx)),
+    // vs cutDupSpans/q83 which deletes every copy. Keep-first is a pure
+    // min-struct aggregate — no corpus window. Oracle: row_number per
+    // span text (equivalent winner under the same order).
+    GraftQuery(
+      "qE1_keepfirst_spans",
+      "C4-style keep-first span dedup (8-token spans): duplicated " +
+        "spans removed except the globally first occurrence; per-doc " +
+        "span/removal counts and the hash of the kept remainder.",
+      (s, d) => Dedup.keepFirstSpanDedup(
+        t(s, d, "documents"), "doc_id", "text", spanTokens = 8)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents),
+             |b0 AS (
+             |  SELECT doc_id, ts,
+             |    unnest(range(CAST(ceil(len(ts) / 8.0) AS BIGINT))) AS sp
+             |  FROM toks),
+             |blk AS (
+             |  SELECT doc_id, CAST(sp AS BIGINT) AS sp,
+             |    array_to_string(ts[sp*8+1 : (sp+1)*8], ' ') AS stxt
+             |  FROM b0),
+             |mk AS (
+             |  -- partition by the SAME 32-bit hash the Spark side
+             |  -- groups on, so a (vanishingly unlikely) hash collision
+             |  -- cannot diverge the two sides
+             |  SELECT doc_id, sp, stxt,
+             |    row_number() OVER (
+             |      PARTITION BY ('0x' || substr(md5(stxt),1,8))::BIGINT
+             |      ORDER BY doc_id, sp) AS rn
+             |  FROM blk)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_removed,
+             |  ('0x' || substr(md5(coalesce(
+             |      string_agg(CASE WHEN rn = 1 THEN stxt END, ' '
+             |        ORDER BY sp), '')), 1, 8))::BIGINT AS clean_hash
+             |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 }

@@ -867,6 +867,34 @@ class OperatorsSpec extends SparkTestBase {
       "regressed to super-linear?")
   }
 
+  test("Dedup.keepFirstSpanDedup keeps exactly the globally first " +
+    "occurrence of each span, incl. within-doc repeats") {
+    import graft.functions.TextOps
+    val docs = Seq(
+      (1L, "a b c d e f"),        // both spans original
+      (2L, "a b c x y z"),        // first span dups d1's span 0
+      (3L, "d e f a b c"),        // both spans dup d1's
+      (4L, "q r"),                // short unique doc (one short span)
+      (5L, "m n o m n o"))        // WITHIN-doc repeat: first kept
+      .toDF("doc_id", "text")
+    val r = Dedup.keepFirstSpanDedup(docs, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    def h(s: String): Long = spark.range(1)
+      .select(TextOps.hash32(lit(s))).collect()(0).getLong(0)
+    assert(r.toSeq == Seq(
+      (1L, 2L, 0L, h("a b c d e f")),
+      (2L, 2L, 1L, h("x y z")),
+      (3L, 2L, 2L, h("")),
+      (4L, 1L, 0L, h("q r")),
+      (5L, 2L, 1L, h("m n o"))))
+    // the contrast with cutDupSpans is the operator's point: C4 keeps
+    // one copy corpus-wide, ExactSubstr-style cutting deletes them all
+    val cut = Dedup.cutDupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().map(_.getLong(2))
+    assert(cut(0) > 0L, "cutDupSpans should remove d1's copies too")
+  }
+
   test("Order.globalIndex equals the naive global row_number and is " +
     "contiguous across blocks") {
     import org.apache.spark.sql.expressions.Window

@@ -97,4 +97,77 @@ object IntervalJoin {
       narrow.unionByName(wide)
     }
   }
+
+  /** INTERVAL × INTERVAL overlap join, bucketized. Emits one row per
+    * overlapping pair (closed-interval overlap: `l.lo ≤ r.hi AND
+    * r.lo ≤ l.hi`) — session-overlap, measurement-window intersection,
+    * range-vs-range reconciliation.
+    *
+    * Both sides explode to their bucket ranges and hash-join on the
+    * bucket id. A pair that overlaps across k shared buckets would
+    * surface k times; instead of a `distinct()` (a full extra shuffle
+    * of the OUTPUT, which is the largest frame in the plan), each pair
+    * is emitted only from its OWNER bucket — the first bucket both
+    * occupy, `max(lo_bucket_l, lo_bucket_r)`. For genuinely
+    * overlapping intervals `max(l.lo, r.lo)` lies in both, and floor
+    * division is monotone, so the owner bucket is always a shared
+    * bucket: exactly one copy survives, for free, inside the join
+    * condition.
+    *
+    * Wide intervals (≥ `maxBucketsPerInterval` buckets) would explode
+    * the index; they divert to broadcast residual-only legs (wide-left
+    * × all-right, wide-right × narrow-left — wide×wide lands in the
+    * first leg only, so nothing double-counts). Contract as in
+    * [[pointInInterval]]: catch-all ranges are rare, which is what
+    * makes them broadcastable.
+    */
+  def intervalOverlap(left: DataFrame, loL: String, hiL: String,
+      right: DataFrame, loR: String, hiR: String,
+      bucketWidth: Long, maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(Set(loL, hiL).intersect(Set(loR, hiR)).isEmpty,
+      "bound column names must differ between the two sides (the " +
+        "overlap residual references both by name)")
+    val l0 = left.filter(col(loL) <= col(hiL))
+      .withColumn("__ol_lob", fdiv(col(loL), bucketWidth))
+      .withColumn("__ol_hib", fdiv(col(hiL), bucketWidth))
+    val r0 = right.filter(col(loR) <= col(hiR))
+      .withColumn("__or_lob", fdiv(col(loR), bucketWidth))
+      .withColumn("__or_hib", fdiv(col(hiR), bucketWidth))
+    val overlap = col(loL) <= col(hiR) && col(loR) <= col(hiL)
+
+    def wideOf(df: DataFrame, lob: String, hib: String) =
+      df.filter(col(hib) - col(lob) >= lit(maxBucketsPerInterval.toLong))
+    def narrowOf(df: DataFrame, lob: String, hib: String) =
+      if (maxBucketsPerInterval > 0)
+        df.filter(col(hib) - col(lob) < lit(maxBucketsPerInterval.toLong))
+      else df
+
+    val lN = narrowOf(l0, "__ol_lob", "__ol_hib")
+      .withColumn("__ol_b",
+        explode(sequence(col("__ol_lob"), col("__ol_hib"))))
+    val rN = narrowOf(r0, "__or_lob", "__or_hib")
+      .withColumn("__or_b",
+        explode(sequence(col("__or_lob"), col("__or_hib"))))
+    val narrow = lN
+      .join(rN, lN("__ol_b") === rN("__or_b") && overlap &&
+        // owner-bucket dedup: emit from the first shared bucket only
+        lN("__ol_b") === greatest(lN("__ol_lob"), rN("__or_lob")))
+      .drop("__ol_b", "__or_b", "__ol_lob", "__ol_hib",
+        "__or_lob", "__or_hib")
+
+    if (maxBucketsPerInterval == 0) narrow
+    else {
+      val lW = wideOf(l0, "__ol_lob", "__ol_hib")
+        .drop("__ol_lob", "__ol_hib")
+      val rW = wideOf(r0, "__or_lob", "__or_hib")
+        .drop("__or_lob", "__or_hib")
+      val rAll = r0.drop("__or_lob", "__or_hib")
+      val lNarrowPlain = narrowOf(l0, "__ol_lob", "__ol_hib")
+        .drop("__ol_lob", "__ol_hib")
+      val wideL = broadcast(lW).join(rAll, overlap, "inner")
+      val wideR = lNarrowPlain.join(broadcast(rW), overlap, "inner")
+      narrow.unionByName(wideL).unionByName(wideR)
+    }
+  }
 }

@@ -936,6 +936,54 @@ object Analytics {
              |    AS sum_price
              |FROM orders JOIN iv
              |  ON o_orderkey >= lo AND o_orderkey <= hi
-             |GROUP BY range_id ORDER BY range_id""".stripMargin))
+             |GROUP BY range_id ORDER BY range_id""".stripMargin)),
+
+    // Interval × interval overlap via the owner-bucket trick: each
+    // overlapping pair is emitted from exactly one shared bucket
+    // (max of the two lo-buckets), so no distinct() pass over the
+    // output. Oracle: the plain quadratic overlap join.
+    GraftQuery(
+      "qE2_interval_overlap",
+      "Supplier key-ranges overlap-joined against customer key-ranges " +
+        "through the bucketized interval-overlap join (W=512, " +
+        "owner-bucket dedup) — equal to the plain range-overlap join.",
+      (s, d) => {
+        val sup = t(s, d, "supplier").select(
+          col("s_suppkey").cast("long").as("range_id"),
+          (col("s_suppkey").cast("long") * 550L).as("lo"),
+          (col("s_suppkey").cast("long") * 550L + 50L +
+            (col("s_suppkey").cast("long") % 7L) * 120L).as("hi"))
+        val cust = t(s, d, "customer").select(
+          col("c_custkey").cast("long").as("cust_id"),
+          (col("c_custkey").cast("long") * 37L).as("clo"),
+          (col("c_custkey").cast("long") * 37L + 20L +
+            (col("c_custkey").cast("long") % 5L) * 30L).as("chi"))
+        graft.operators.IntervalJoin.intervalOverlap(
+            sup, "lo", "hi", cust, "clo", "chi", bucketWidth = 512L)
+          .groupBy("range_id")
+          .agg(count(lit(1)).as("n_overlaps"),
+            min("cust_id").as("min_cust"),
+            max("cust_id").as("max_cust"))
+          .orderBy("range_id")
+      },
+      Some("""WITH sup AS (
+             |  SELECT CAST(s_suppkey AS BIGINT) AS range_id,
+             |    CAST(s_suppkey AS BIGINT) * 550 AS lo,
+             |    CAST(s_suppkey AS BIGINT) * 550 + 50 +
+             |      (CAST(s_suppkey AS BIGINT) % 7) * 120 AS hi
+             |  FROM supplier),
+             |cust AS (
+             |  SELECT CAST(c_custkey AS BIGINT) AS cust_id,
+             |    CAST(c_custkey AS BIGINT) * 37 AS clo,
+             |    CAST(c_custkey AS BIGINT) * 37 + 20 +
+             |      (CAST(c_custkey AS BIGINT) % 5) * 30 AS chi
+             |  FROM customer),
+             |ov AS (
+             |  SELECT range_id, cust_id FROM sup JOIN cust
+             |    ON lo <= chi AND clo <= hi)
+             |SELECT range_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+             |  CAST(min(cust_id) AS BIGINT) AS min_cust,
+             |  CAST(max(cust_id) AS BIGINT) AS max_cust
+             |FROM ov GROUP BY range_id ORDER BY range_id""".stripMargin))
   )
 }

@@ -1359,6 +1359,41 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("IntervalJoin.intervalOverlap equals the naive overlap join on " +
+    "randomized intervals and dedups multi-bucket overlaps for free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = (0 until 80).map { i =>
+      val lo = rnd.nextLong() % 1500L
+      (i.toLong, lo, lo + rnd.nextInt(400).toLong)
+    }.toDF("aid", "alo", "ahi").repartition(5)
+    val b = (0 until 120).map { i =>
+      val lo = rnd.nextLong() % 1500L
+      (i.toLong, lo, lo + rnd.nextInt(250).toLong)
+    }.toDF("bid", "blo", "bhi").repartition(3)
+    val naive = a.join(b, col("alo") <= col("bhi") &&
+        col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    for (w <- Seq(1L, 97L, 512L, 100000L)) {
+      val got = IntervalJoin.intervalOverlap(a, "alo", "ahi", b, "blo",
+          "bhi", w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == naive, s"W=$w diverged from the naive overlap join")
+    }
+    // wide-cap legs: W=8 makes spans of 400 cover ~50 buckets; capping
+    // at 10 diverts many intervals through the broadcast legs — the
+    // pair set must be unchanged (incl. wide x wide exactly once)
+    val capped = IntervalJoin.intervalOverlap(a, "alo", "ahi", b, "blo",
+        "bhi", 8L, maxBucketsPerInterval = 10)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(capped == naive, "wide-interval broadcast legs diverged")
+    intercept[IllegalArgumentException](
+      IntervalJoin.intervalOverlap(a, "alo", "ahi", b, "alo", "bhi", 8L))
+  }
+
   test("IntervalJoin: left join keeps unmatched points; wide-interval " +
     "broadcast split is invisible; guards reject bad combos") {
     import spark.implicits._

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Bm25, Dedup, Fusion, HeavyHitters, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
+import graft.operators.{Bm25, Dedup, Fusion, HeavyHitters, Hll, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -606,5 +606,63 @@ object Curation {
              |  ('0x' || substr(md5(coalesce(
              |      string_agg(CASE WHEN rn = 1 THEN stxt END, ' '
              |        ORDER BY sp), '')), 1, 8))::BIGINT AS clean_hash
-             |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // HyperLogLog distinct 3-grams per source: the register table is
+    // plain (group, ridx, rho) rows — mergeable by max, persistable,
+    // fully codegen. Every step incl. the estimate is deterministic,
+    // so the oracle recomputes the SAME sketch closed-form in SQL and
+    // the compare checks the estimate itself, alongside the exact
+    // count for reference.
+    GraftQuery(
+      "qE3_hll_cardinality",
+      "Per-source HyperLogLog (p=9) distinct-3-gram estimate from the " +
+        "mergeable (group, register, rho) sketch table, checked " +
+        "bit-for-bit against the oracle's closed-form HLL plus the " +
+        "exact distinct count.",
+      (s, d) => {
+        import graft.functions.{SafeOps, TextOps}
+        val grams = t(s, d, "documents").select(col("source"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("item"))
+        val est = Hll.cardinality(grams, Seq("source"), col("item"), p = 9)
+        val exact = grams.groupBy("source")
+          .agg(count_distinct(col("item")).as("exact_distinct"))
+        est.join(exact, "source")
+          .select(col("source"), col("m_used"),
+            SafeOps.stableRound4(col("est")).as("est"),
+            col("exact_distinct"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+             |  SELECT source, unnest(list_transform(
+             |      range(1, len(string_split(text,' ')) - 1),
+             |      i -> string_split(text,' ')[i] || ' ' ||
+             |           string_split(text,' ')[i+1] || ' ' ||
+             |           string_split(text,' ')[i+2])) AS item
+             |  FROM documents
+             |  WHERE len(string_split(text,' ')) >= 3),
+             |h AS (SELECT source, item,
+             |    ('0x' || substr(md5(item),1,8))::BIGINT AS h FROM g),
+             |r AS (SELECT source, h & 511 AS ridx,
+             |    max(CASE WHEN (h >> 9) = 0 THEN 24
+             |      ELSE 23 - CAST(floor(log2(h >> 9)) AS BIGINT) END)
+             |      AS rho
+             |  FROM h GROUP BY source, h & 511),
+             |e AS (SELECT source, count(*) AS mu,
+             |    sum(1.0 / power(2.0, rho)) AS zhit
+             |  FROM r GROUP BY source),
+             |x AS (SELECT source,
+             |    CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
+             |  FROM g GROUP BY source)
+             |SELECT e.source, CAST(mu AS BIGINT) AS m_used,
+             |  floor((CASE
+             |      WHEN (0.7213/(1+1.079/512.0))*512*512
+             |          / (zhit + (512 - mu)) <= 1280.0 AND mu < 512
+             |        THEN 512 * ln(512.0 / (512 - mu))
+             |      ELSE (0.7213/(1+1.079/512.0))*512*512
+             |          / (zhit + (512 - mu)) END)
+             |    * 10000.0 + 0.5) / 10000.0 AS est,
+             |  exact_distinct
+             |FROM e JOIN x USING (source) ORDER BY source""".stripMargin)))
 }

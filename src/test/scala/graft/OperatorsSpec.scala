@@ -1359,6 +1359,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("Hll registers merge losslessly (split+merge == whole) and the " +
+    "estimate lands within the sketch's error bound") {
+    import spark.implicits._
+    val vals = (0 until 5000).map(i => ("g", s"v${i % 1371}")) ++
+      (0 until 800).map(i => ("h", s"w${i % 211}"))
+    val df = vals.toDF("grp", "item").repartition(9)
+    val whole = Hll.registers(df, Seq("grp"), col("item"), p = 9)
+    // split on an arbitrary predicate, sketch each side, merge — the
+    // register tables must be IDENTICAL (max is order/partition-free)
+    val a = Hll.registers(df.filter(length(col("item")) % 2 === 0),
+      Seq("grp"), col("item"), p = 9)
+    val b = Hll.registers(df.filter(length(col("item")) % 2 === 1),
+      Seq("grp"), col("item"), p = 9)
+    val merged = Hll.merge(a, b, Seq("grp"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "merged register table diverged from the whole-stream sketch")
+    // p=9 -> se ~4.6%; assert within 4 sigma (~18%) of the true counts
+    val est = Hll.estimate(whole, Seq("grp"), p = 9).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(est("g") - 1371) / 1371.0 < 0.18, s"g: ${est("g")}")
+    assert(math.abs(est("h") - 211) / 211.0 < 0.18, s"h: ${est("h")}")
+  }
+
   test("IntervalJoin.intervalOverlap equals the naive overlap join on " +
     "randomized intervals and dedups multi-bucket overlaps for free") {
     import spark.implicits._

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Count-Min frequency sketch (Cormode & Muthukrishnan, J.Alg 2005) as
+  * a plain (depth, cell, count) DataFrame — the point-frequency member
+  * of the library's mergeable-sketch family (bloom: membership, [[Hll]]:
+  * cardinality, [[HeavyHitters]]: top-k, MinHash/SimHash: similarity).
+  *
+  * Why a table, not a binary blob: counters merge by SUM per cell, so
+  * the persisted sketch of each day/shard unions with any other and
+  * re-aggregates — same incremental lifecycle as [[Hll.merge]], and the
+  * whole build is partial-aggregated codegen (the exchange carries
+  * ≤ depth × width rows per group, never the stream).
+  *
+  * Guarantees: estimates only ever OVERcount; with width w and depth d,
+  * err ≤ stream_len · e/w with probability 1 − e^−d. When the sketch is
+  * wide enough that no two distinct values share a cell in some row,
+  * the min over rows is EXACT — the regime the DuckDB oracle checks on
+  * the fixtures (the bound covers the colliding regime at scale).
+  *
+  * Determinism: row j's hash is the portable md5-based
+  * [[TextOps.hash32]] of `j || ':' || value` — independent-enough rows
+  * (distinct md5 domains), reproducible bit-for-bit in any engine.
+  */
+object CountMin {
+
+  /** Sketch table (groupCols..., d, cell, cnt): occurrence counts per
+    * (row, cell). Missing cells are zero.
+    */
+  def sketch(df: DataFrame, groupCols: Seq[String], value: Column,
+      depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth in [1,8]")
+    require(width >= 16, "width >= 16")
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("d")
+    df.select((groupCols.map(col) :+ value.as("__v") :+ rows): _*)
+      .select((groupCols.map(col) :+ col("d") :+
+        pmod(TextOps.hash32(
+          concat(col("d").cast("string"), lit(":"), col("__v"))),
+          lit(width.toLong)).as("cell")): _*)
+      .groupBy((groupCols.map(col) :+ col("d") :+ col("cell")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketch tables built with the same depth/width: union + sum. */
+  def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String])
+      : DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("d") :+ col("cell")): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates for `probes` (a DataFrame of candidate
+    * values): per probe, min over rows of its cell's counter (missing
+    * cell → 0). The probe side is the small side by contract (a probe
+    * list is a bounded artifact) and broadcasts; the sketch never
+    * re-shuffles.
+    *
+    * Output: groupCols..., probe, est_count.
+    */
+  def estimate(sk: DataFrame, groupCols: Seq[String], probes: DataFrame,
+      probeCol: String, depth: Int, width: Int): DataFrame = {
+    val pr = probes.select(col(probeCol).as("probe")).distinct()
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cell", pmod(TextOps.hash32(
+        concat(col("d").cast("string"), lit(":"), col("probe"))),
+        lit(width.toLong)))
+    // a stored cell means counter > 0; an ABSENT cell is a zero
+    // counter, which min-dominates — so any probe whose d rows don't
+    // all match has estimate 0 (CM never undercounts: value present c
+    // times ⇒ every row's cell ≥ c). The inner join loses those
+    // probes, so the bounded (group × probe) universe is re-joined on
+    // top — every frame past the inner join is sketch/probe-sized,
+    // never stream-sized, and the probe side broadcasts.
+    val hits = sk.join(broadcast(pr), Seq("d", "cell"))
+      .groupBy((groupCols.map(col) :+ col("probe")): _*)
+      .agg(min("cnt").as("min_cnt"), count(lit(1)).as("rows_hit"))
+    val universe = sk.select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(probes.select(col(probeCol).as("probe"))
+        .distinct()))
+    universe.join(hits, groupCols :+ "probe", "left")
+      .select((groupCols.map(col) :+ col("probe") :+
+        when(col("rows_hit").isNull || col("rows_hit") < depth, 0L)
+          .otherwise(col("min_cnt")).as("est_count")): _*)
+  }
+}

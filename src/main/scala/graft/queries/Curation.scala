@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Bm25, Dedup, Fusion, HeavyHitters, Hll, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
+import graft.operators.{Bm25, CountMin, Dedup, Fusion, HeavyHitters, Hll, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -664,5 +664,69 @@ object Curation {
              |          / (zhit + (512 - mu)) END)
              |    * 10000.0 + 0.5) / 10000.0 AS est,
              |  exact_distinct
-             |FROM e JOIN x USING (source) ORDER BY source""".stripMargin)))
+             |FROM e JOIN x USING (source) ORDER BY source""".stripMargin)),
+
+    // Count-Min point-frequency sketch: per-source (d, cell, cnt)
+    // counter table (merge = SUM — the incremental sibling of qE3's
+    // HLL), probed for a fixed token list incl. an absent one. The
+    // oracle rebuilds the identical sketch closed-form; true counts
+    // ride along to exhibit the overcount-only guarantee.
+    GraftQuery(
+      "qE4_countmin_freq",
+      "Count-Min (d=4, w=8192) per-source token-frequency estimates " +
+        "for a fixed probe list — sketch recomputed closed-form by " +
+        "the oracle, true counts alongside (CM never undercounts).",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TextOps
+        val probeVals = Seq("the", "agg", "spark", "row", "zzz_absent")
+        val toks = t(s, d, "documents").select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("item"))
+        val sk = CountMin.sketch(toks, Seq("source"), col("item"),
+          depth = 4, width = 8192)
+        val est = CountMin.estimate(sk, Seq("source"),
+          probeVals.toDF("tok"), "tok", depth = 4, width = 8192)
+        val truth = toks.filter(col("item").isin(probeVals: _*))
+          .groupBy(col("source"), col("item").as("probe"))
+          .agg(count(lit(1)).as("tc"))
+        est.join(truth, Seq("source", "probe"), "left")
+          .select(col("source"), col("probe"), col("est_count"),
+            coalesce(col("tc"), lit(0L)).as("true_count"))
+          .orderBy("source", "probe")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text,' ')) AS item
+             |  FROM documents),
+             |pr AS (SELECT * FROM (VALUES ('the'),('agg'),('spark'),
+             |    ('row'),('zzz_absent')) AS t(probe)),
+             |cells AS (
+             |  SELECT source, d,
+             |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || item),
+             |      1,8))::BIGINT % 8192 AS cell,
+             |    count(*) AS cnt
+             |  FROM tok, LATERAL unnest(range(0, 4)) AS t(d)
+             |  GROUP BY 1, 2, 3),
+             |prc AS (
+             |  SELECT probe, d,
+             |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || probe),
+             |      1,8))::BIGINT % 8192 AS cell
+             |  FROM pr, LATERAL unnest(range(0, 4)) AS t(d)),
+             |hit AS (
+             |  SELECT source, probe, min(cnt) AS mc, count(*) AS rh
+             |  FROM cells JOIN prc USING (d, cell) GROUP BY 1, 2),
+             |uni AS (SELECT DISTINCT source FROM documents),
+             |tc AS (
+             |  SELECT source, item AS probe, CAST(count(*) AS BIGINT)
+             |    AS true_count
+             |  FROM tok WHERE item IN ('the','agg','spark','row',
+             |    'zzz_absent')
+             |  GROUP BY 1, 2)
+             |SELECT u.source AS source, p.probe AS probe,
+             |  CAST(CASE WHEN rh IS NULL OR rh < 4 THEN 0 ELSE mc END
+             |    AS BIGINT) AS est_count,
+             |  coalesce(tc.true_count, 0) AS true_count
+             |FROM uni u CROSS JOIN pr p
+             |LEFT JOIN hit ON hit.source = u.source AND hit.probe = p.probe
+             |LEFT JOIN tc ON tc.source = u.source AND tc.probe = p.probe
+             |ORDER BY u.source, p.probe""".stripMargin)))
 }

@@ -1382,6 +1382,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(est("h") - 211) / 211.0 < 0.18, s"h: ${est("h")}")
   }
 
+  test("CountMin merges by sum, never undercounts, and zeroes absent " +
+    "probes") {
+    import spark.implicits._
+    val stream = (0 until 3000).map(i => ("g", s"t${i % 37}")) ++
+      (0 until 500).map(_ => ("g", "hot"))
+    val df = stream.toDF("grp", "item").repartition(7)
+    // narrow sketch (width 16 << 38 distinct): collisions guaranteed,
+    // estimates must still be >= truth (overcount-only)
+    val skNarrow = CountMin.sketch(df, Seq("grp"), col("item"), 4, 16)
+    val probes = Seq("hot", "t0", "t36", "never_seen").toDF("p")
+    val estN = CountMin.estimate(skNarrow, Seq("grp"), probes, "p", 4, 16)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val truth = Map("hot" -> 500L, "t0" -> 82L, "t36" -> 81L,
+      "never_seen" -> 0L)
+    for ((k, t) <- truth if k != "never_seen")
+      assert(estN(k) >= t, s"$k undercounted: ${estN(k)} < $t")
+    // wide sketch: split + merge == whole, and the fixture regime is
+    // exact (no two of the 38 values collide in every row)
+    val a = CountMin.sketch(df.filter(length(col("item")) === 2),
+      Seq("grp"), col("item"), 4, 4096)
+    val b = CountMin.sketch(df.filter(length(col("item")) =!= 2),
+      Seq("grp"), col("item"), 4, 4096)
+    val merged = CountMin.merge(a, b, Seq("grp"))
+    val whole = CountMin.sketch(df, Seq("grp"), col("item"), 4, 4096)
+    assert(merged.exceptAll(whole).isEmpty &&
+      whole.exceptAll(merged).isEmpty, "sum-merge diverged")
+    val estW = CountMin.estimate(whole, Seq("grp"), probes, "p", 4, 4096)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(estW == truth, s"wide-regime estimates not exact: $estW")
+  }
+
   test("IntervalJoin.intervalOverlap equals the naive overlap join on " +
     "randomized intervals and dedups multi-bucket overlaps for free") {
     import spark.implicits._

@@ -124,6 +124,45 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Incremental-cardinality screen: each micro-batch's values are
+    * sketched ([[graft.operators.Hll.registers]]) and max-merged into
+    * the standing register table at `regDir` — the streaming face of
+    * the HLL lifecycle (per-batch registers are tiny, merge is
+    * idempotent, and the estimate over the merged table equals the
+    * estimate over the concatenated stream, any arrival order). Each
+    * batch also appends a running per-group estimate row to `outDir`,
+    * which is the monitoring signal: distinct-URL/token growth per
+    * source as the crawl lands.
+    *
+    * The read-merge-overwrite of the register table is safe under
+    * AvailableNow/foreachBatch's serialized batch execution; registers
+    * are |groups| × 2^p rows — driver-light, never stream-sized.
+    */
+  def startCardinalityScreen(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Int, regDir: String, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.Hll.registers(
+          batch, groupCols, col(valueCol), p)
+        val merged =
+          if (new java.io.File(regDir).exists()) {
+            val standing = spark.read.parquet(regDir)
+            graft.operators.Hll.merge(standing, fresh, groupCols)
+          } else fresh
+        // materialize before overwriting the table being read
+        val pinned = merged.localCheckpoint()
+        pinned.write.mode("overwrite").parquet(regDir)
+        graft.operators.Hll.estimate(pinned, groupCols, p)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

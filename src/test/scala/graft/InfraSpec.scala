@@ -408,6 +408,46 @@ class InfraSpec extends SparkTestBase {
     assert(scores(1)._3 > scores(0)._3)
   }
 
+  test("streaming cardinality screen: per-batch HLL merge converges to " +
+    "the batch sketch of the full stream and estimates never shrink") {
+    import graft.operators.Hll
+    val inDir = Files.createTempDirectory("hll-in").toFile
+    val regDir = Files.createTempDirectory("hll-reg").toFile
+      .getAbsolutePath + "/regs"
+    val outDir = Files.createTempDirectory("hll-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("hll-ck").toFile.getAbsolutePath
+    val day1 = (0 until 600).map(i => ("s", s"u${i % 150}"))
+    val day2 = (0 until 600).map(i => ("s", s"u${100 + (i % 200)}"))
+    day1.toDF("src", "url").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    Thread.sleep(1500)
+    day2.toDF("src", "url").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "src STRING, url STRING"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = Ingest.startCardinalityScreen(stream, Seq("src"), "url",
+      p = 9, regDir, outDir, ckpt)
+    q.awaitTermination(60000)
+    // standing registers == batch sketch of the concatenated stream
+    val whole = Hll.registers((day1 ++ day2).toDF("src", "url"),
+      Seq("src"), col("url"), p = 9)
+    val standing = spark.read.parquet(regDir)
+    assert(standing.exceptAll(whole).isEmpty &&
+      whole.exceptAll(standing).isEmpty,
+      "streamed register merge diverged from the batch sketch")
+    // two appended estimate rows, non-decreasing (distinct set grows)
+    val est = spark.read.parquet(outDir)
+      .orderBy("batch_id").collect().map(_.getDouble(2))
+    assert(est.length == 2 && est(1) >= est(0),
+      s"running estimate shrank: ${est.toSeq}")
+    // day1 ∪ day2 = 300 distinct; p=9 -> ~4.6% se, assert 4-sigma
+    assert(math.abs(est(1) - 300.0) / 300.0 < 0.18,
+      s"final estimate off: ${est(1)}")
+  }
+
   test("quality gate applies unchanged to a file stream — stateless " +
     "scan-speed ops need no streaming variant") {
     import graft.operators.TextAnalysis

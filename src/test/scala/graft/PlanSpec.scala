@@ -224,7 +224,13 @@ class PlanSpec extends SparkTestBase {
     //    100 TB path for the same semantics
     val bnljAllowed = Set("q20_ops_pdf_cdf", "q71_ops_upload_pdf_masked",
       "q35_ann_brute_topk", "qA7_ann_recall", "qB5_ann_ivf_multiprobe",
-      "q34_dedup_embedding", "qD4_hybrid_rrf")
+      "q34_dedup_embedding", "qD4_hybrid_rrf",
+      // the bucketized interval joins divert >=maxBucketsPerInterval-
+      // wide intervals to a residual-only broadcast leg — that leg IS
+      // a nested loop by design, over the filtered wide set, which the
+      // operator's contract bounds (catch-all ranges are rare; the
+      // bucket join carries everything else)
+      "qE0_interval_annotate", "qE2_interval_overlap")
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     for (q <- SparkEntry.allQueries) {
       val p = q.run(spark, sf).queryExecution.sparkPlan

@@ -225,6 +225,91 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ: the production-ANN memory path (Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    * the corpus is stored as `subspaces` small centroid ORDINALS per
+    * vector (bytes, not floats: a 64-dim float vector compresses
+    * 64× at 4 codes), the coarse IVF cell prunes the candidate set,
+    * and query↔candidate distance is ASYMMETRIC: the query computes one
+    * lookup table per subspace (distance to every sub-centroid — a
+    * bounded |codebook| computation), then each candidate's distance is
+    * `subspaces` array lookups over its codes. No candidate vector is
+    * ever touched at query time.
+    *
+    * Scale shape: both codebooks are driver-bounded broadcast objects;
+    * encoding is a zero-shuffle per-row kernel projection (same
+    * [[graft.functions.Codebook]] argmin as IVF, run per subspace
+    * slice); the only join is candidates↔broadcast-queries on the
+    * coarse cell key. At 100 TB the encoded corpus (cell + S longs per
+    * vector) is what a query scan reads — the raw embeddings are cold
+    * storage.
+    *
+    * Determinism: sub-centroid seeds are every `pqEvery`-th id
+    * (ascending-vid ordinals), all distances use the d2 = |q|² − 2·q·c
+    * + |c|² form with left-to-right summation, ties break to the
+    * smallest ordinal/candidate — bit-reproducible in the oracle.
+    *
+    * Output: q_id, cand_id, adc (approximate squared L2), rank.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      isQuery: Column, centroidEvery: Int, pqEvery: Int,
+      subspaces: Int, k: Int, maxCentroids: Int = 4096): DataFrame = {
+    val a = assignCellsWithCodebook(df, idCol, vecCol, centroidEvery,
+      maxCentroids)
+    val dim = a.vecs(0).length
+    require(subspaces >= 1 && dim % subspaces == 0,
+      s"dim $dim must split evenly into $subspaces subspaces")
+    val m = dim / subspaces
+    val seeds = a.cells.filter(pmod(col("vid"), lit(pqEvery)) === 0)
+      .select(col("vid").cast("long"), col("v")).collect()
+      .sortBy(_.getLong(0))
+    require(seeds.nonEmpty,
+      s"no PQ seed ids divisible by $pqEvery — empty sub-codebooks")
+    val seedVecs = seeds.map(_.getSeq[Double](1).toArray)
+    val ords = seedVecs.indices.map(_.toLong).toArray
+    // per-subspace sub-codebooks (ordinal ids -> argmin returns the
+    // LUT index directly)
+    val subVs: Array[Array[Array[Double]]] = Array.tabulate(subspaces) {
+      s => seedVecs.map(v =>
+        java.util.Arrays.copyOfRange(v, s * m, (s + 1) * m))
+    }
+    val subN2: Array[Array[Double]] = subVs.map(_.map { sv =>
+      var t = 0.0d; var i = 0
+      while (i < sv.length) { t += sv(i) * sv(i); i += 1 }
+      t
+    })
+    val encoded = (0 until subspaces).foldLeft(a.cells) { (acc, s) =>
+      val vs = slice(col("v"), s * m + 1, m)
+      acc.withColumn(s"__pq$s", graft.functions.GraftFunctions
+        .argminCell(vs, norm(vs), ords, subVs(s), subN2(s)))
+    }
+    val corpus = encoded.select(
+      (col("vid") +: col("cell") +:
+        (0 until subspaces).map(s => col(s"__pq$s"))): _*)
+    val queries = (0 until subspaces).foldLeft(
+      encoded.filter(isQuery).select(col("vid").as("q_id"),
+        col("v").as("qv"), col("cell").as("qcell"))) { (acc, s) =>
+      val qs = slice(col("qv"), s * m + 1, m)
+      val qn = norm(qs)
+      acc.withColumn(s"__lut$s", array(seedVecs.indices.map { j =>
+        qn * qn - lit(2.0) * dot(qs, lit(subVs(s)(j))) +
+          lit(subN2(s)(j))
+      }: _*))
+    }.drop("qv")
+    val adc = (0 until subspaces).map(s =>
+      element_at(col(s"__lut$s"), (col(s"__pq$s") + 1).cast("int")))
+      .reduce(_ + _)
+    val scored = corpus
+      .join(broadcast(queries),
+        col("qcell") === col("cell") && col("q_id") =!= col("vid"))
+      .select(col("q_id"), col("vid").as("cand_id"), adc.as("adc"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cand_id"), col("adc"), col("rank"))
+  }
+
   /** One Lloyd (k-means) refinement step over the IVF codebook: assign
     * every vector to its nearest current centroid (the per-row argmin
     * kernel — zero shuffles), then recompute each cell's centroid as the

@@ -384,6 +384,81 @@ object LlmOps {
               |  (floor((cosine) * 10000.0 + 0.5) / 10000.0) AS cosine, rank
               |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)),
 
+    // IVF-PQ: the compressed-corpus ANN path — 4 sub-codebook ordinals
+    // per vector, asymmetric (LUT) distances at query time, coarse
+    // cell pruning. The oracle reuses the per-(vector, subspace, ord)
+    // distance CTE for BOTH the encoding argmin and the query LUT —
+    // they are the same formula — and sums ADC terms in subspace order
+    // (list ORDER BY s) to mirror Spark's left-to-right fold.
+    GraftQuery(
+      "qE5_ann_ivf_pq",
+      "IVF-PQ ANN: every-73rd-id coarse cells, every-97th-id 4x16 " +
+        "product sub-codebooks, asymmetric lookup-table distances — " +
+        "candidates ranked by ADC without touching raw vectors.",
+      (s, d) => Similarity.ivfPqTopK(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        col("vid") % 100 === 0, centroidEvery = 73, pqEvery = 97,
+        subspaces = 4, k = 3)
+        .select(col("q_id"), col("cand_id"),
+          (floor(col("adc") * 10000.0 + 0.5) / 10000.0).as("adc"),
+          col("rank"))
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $duckVecNorm,
+              |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
+              |  FROM n WHERE vec_id % 73 = 0),
+              |a0 AS (
+              |  SELECT n.vec_id, n.v, n.nrm, c.cid,
+              |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
+              |      i -> n.v[i]*c.cv[i])) + c.cn2) AS d2
+              |  FROM n, c),
+              |cells AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM a0) WHERE rn = 1),
+              |ps AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+              |    AS ord, v AS pv
+              |  FROM n WHERE vec_id % 97 = 0),
+              |sub AS (SELECT vec_id, t.s AS s,
+              |    v[t.s*16+1 : (t.s+1)*16] AS vs
+              |  FROM n, LATERAL unnest(range(0, 4)) AS t(s)),
+              |subn AS (SELECT vec_id, s, vs,
+              |    sqrt(list_sum(list_transform(vs, x -> x*x))) AS vsn
+              |  FROM sub),
+              |csub AS (SELECT ord, t.s AS s,
+              |    pv[t.s*16+1 : (t.s+1)*16] AS cs
+              |  FROM ps, LATERAL unnest(range(0, 4)) AS t(s)),
+              |csn AS (SELECT ord, s, cs,
+              |    list_sum(list_transform(cs, x -> x*x)) AS cn2
+              |  FROM csub),
+              |encd AS (
+              |  SELECT subn.vec_id, subn.s, csn.ord,
+              |    (subn.vsn*subn.vsn - 2*list_sum(list_transform(
+              |      range(1,17), i -> subn.vs[i]*csn.cs[i])) + csn.cn2)
+              |      AS d2
+              |  FROM subn JOIN csn USING (s)),
+              |codes AS (SELECT vec_id, s, ord AS code FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+              |    ORDER BY d2, ord) AS rn FROM encd) WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_id, cell AS qcell FROM cells
+              |  WHERE vec_id % 100 = 0),
+              |terms AS (
+              |  SELECT q.q_id, cand.vec_id AS cand_id, codes.s, e.d2
+              |  FROM q
+              |  JOIN cells cand
+              |    ON cand.cell = q.qcell AND cand.vec_id != q.q_id
+              |  JOIN codes ON codes.vec_id = cand.vec_id
+              |  JOIN encd e ON e.vec_id = q.q_id AND e.s = codes.s
+              |    AND e.ord = codes.code),
+              |adc AS (SELECT q_id, cand_id,
+              |    list_sum(list(d2 ORDER BY s)) AS adc
+              |  FROM terms GROUP BY q_id, cand_id),
+              |ranked AS (SELECT *, row_number() OVER (
+              |  PARTITION BY q_id ORDER BY adc, cand_id) AS rank
+              |  FROM adc)
+              |SELECT q_id, cand_id,
+              |  floor(adc * 10000.0 + 0.5) / 10000.0 AS adc, rank
+              |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+        .stripMargin)),
+
     // Retrieval-quality eval: recall@3 of the LSH-bucketed index vs the
     // exact top-3 — the measurement loop every production ANN deployment
     // runs before trading accuracy for bucket pruning. Both sides reuse

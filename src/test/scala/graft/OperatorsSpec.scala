@@ -1382,6 +1382,32 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(est("h") - 211) / 211.0 < 0.18, s"h: ${est("h")}")
   }
 
+  test("Similarity.ivfPqTopK with self-seeded sub-codebooks equals the " +
+    "exact L2 ranking regardless of subspace count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq))
+      .toDF("vec_id", "embedding").repartition(5)
+    // pqEvery = 1: every vector seeds the sub-codebooks, so each
+    // subvector encodes to ITSELF and ADC reconstructs the exact
+    // squared L2. S=1 computes it whole; S=4 sums four exact partials.
+    def run(s: Int) = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        col("vid") % 10 === 0, centroidEvery = 7, pqEvery = 1,
+        subspaces = s, k = 3)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(2)))
+    val s1 = run(1)
+    val s4 = run(4)
+    assert(s1.map(t => (t._1, t._2, t._3)).toSeq ==
+      s4.map(t => (t._1, t._2, t._3)).toSeq,
+      "subspace split changed the exact-regime ranking")
+    // adc values agree up to FP summation order of the 4 partials
+    s1.zip(s4).foreach { case (a, b) =>
+      assert(math.abs(a._4 - b._4) < 1e-9, s"adc diverged: $a vs $b") }
+    assert(s1.nonEmpty && s1.forall(_._3 <= 3))
+  }
+
   test("CountMin merges by sum, never undercounts, and zeroes absent " +
     "probes") {
     import spark.implicits._

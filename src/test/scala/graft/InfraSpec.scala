@@ -448,6 +448,51 @@ class InfraSpec extends SparkTestBase {
       s"final estimate off: ${est(1)}")
   }
 
+  test("streaming frequency screen: per-batch Count-Min sum-merge " +
+    "matches the batch sketch and running estimates only grow") {
+    import graft.operators.CountMin
+    val inDir = Files.createTempDirectory("cm-in").toFile
+    val skDir = Files.createTempDirectory("cm-sk").toFile
+      .getAbsolutePath + "/sk"
+    val outDir = Files.createTempDirectory("cm-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("cm-ck").toFile.getAbsolutePath
+    val day1 = (0 until 300).map(i => ("s", s"k${i % 20}")) ++
+      Seq.fill(40)(("s", "hot"))
+    val day2 = (0 until 300).map(i => ("s", s"k${i % 30}")) ++
+      Seq.fill(60)(("s", "hot"))
+    day1.toDF("src", "key").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    Thread.sleep(1500)
+    day2.toDF("src", "key").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "src STRING, key STRING"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = Ingest.startFrequencyScreen(stream, Seq("src"), "key",
+      depth = 4, width = 2048, probes = Seq("hot", "k0", "nope"),
+      skDir, outDir, ckpt)
+    q.awaitTermination(60000)
+    val whole = CountMin.sketch((day1 ++ day2).toDF("src", "key"),
+      Seq("src"), col("key"), 4, 2048)
+    val standing = spark.read.parquet(skDir)
+    assert(standing.exceptAll(whole).isEmpty &&
+      whole.exceptAll(standing).isEmpty,
+      "streamed counter merge diverged from the batch sketch")
+    val est = spark.read.parquet(outDir)
+      .orderBy("batch_id", "probe").collect()
+      .map(r => (r.getLong(3), r.getString(1), r.getLong(2)))
+    // batch 0: day1 only; batch 1: cumulative. CM never undercounts,
+    // width 2048 >> 31 distinct keys -> exact here.
+    val byBatch = est.groupBy(_._1).view.mapValues(
+      _.map(t => t._2 -> t._3).toMap).toMap
+    assert(byBatch(0L) == Map("hot" -> 40L, "k0" -> 15L, "nope" -> 0L),
+      s"batch 0 estimates: ${byBatch(0L)}")
+    assert(byBatch(1L) == Map("hot" -> 100L, "k0" -> 25L, "nope" -> 0L),
+      s"batch 1 estimates: ${byBatch(1L)}")
+  }
+
   test("quality gate applies unchanged to a file stream — stateless " +
     "scan-speed ops need no streaming variant") {
     import graft.operators.TextAnalysis

@@ -984,6 +984,46 @@ object Analytics {
              |SELECT range_id, CAST(count(*) AS BIGINT) AS n_overlaps,
              |  CAST(min(cust_id) AS BIGINT) AS min_cust,
              |  CAST(max(cust_id) AS BIGINT) AS max_cust
-             |FROM ov GROUP BY range_id ORDER BY range_id""".stripMargin))
+             |FROM ov GROUP BY range_id ORDER BY range_id""".stripMargin)),
+
+    // Triangle counting over qA1's near-dup graph: degree-ordered edge
+    // orientation (out-degree bounded by O(sqrt(|E|)) at any hub), so
+    // wedges are out-neighbor pairs and each triangle closes exactly
+    // once. The oracle counts the same triangles with the plain
+    // x<y<z three-way join — different algorithm, identical counts.
+    GraftQuery(
+      "qE6_triangle_count",
+      "Per-doc triangle counts over the 3-gram-Jaccard (t=0.5) " +
+        "near-dup graph via degree-ordered wedge closing; isolated " +
+        "docs report 0.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.5)
+        Graph.triangleCount(docs, "doc_id", pairs, "doc_a", "doc_b")
+          .withColumnRenamed("node", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingleSets,
+              |pr AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS common,
+              |    len(a.sh) AS sa, len(b.sh) AS sb
+              |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+              |und AS (
+              |  SELECT doc_a AS u, doc_b AS v FROM pr
+              |  WHERE CAST(common AS DOUBLE)/(sa+sb-common) >= 0.5),
+              |tr AS (
+              |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              |  FROM und e1
+              |  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+              |  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+              |pn AS (SELECT unnest([x, y, z]) AS node FROM tr),
+              |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+              |  FROM pn GROUP BY node)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri
+              |FROM documents d LEFT JOIN cnt ON cnt.node = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }

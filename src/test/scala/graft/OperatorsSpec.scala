@@ -1382,6 +1382,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(est("h") - 211) / 211.0 < 0.18, s"h: ${est("h")}")
   }
 
+  test("Graph.triangleCount: K4 gives every vertex 3, stars give 0, " +
+    "duplicate/reversed edges and hubs don't double-count") {
+    import spark.implicits._
+    // K4 on 1-4; a 5-leaf star on hub 10 (no triangles); one triangle
+    // 20-21-22 reported with BOTH orders + a duplicate edge; isolated 99
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (11L to 15L).map(l => (10L, l))
+    val tri = Seq((20L, 21L), (21L, 20L), (21L, 22L), (20L, 22L),
+      (22L, 20L)) // reversed + dup edges must collapse
+    val edges = (k4 ++ star ++ tri).toDF("s", "t").repartition(5)
+    val nodes = ((1L to 4L) ++ (10L to 15L) ++ (20L to 22L) ++ Seq(99L))
+      .toDF("id")
+    val r = Graph.triangleCount(nodes, "id", edges, "s", "t")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (1L to 4L).foreach(n => assert(r(n) == 3L, s"K4 vertex $n: ${r(n)}"))
+    (10L to 15L).foreach(n => assert(r(n) == 0L, s"star vertex $n"))
+    (20L to 22L).foreach(n => assert(r(n) == 1L, s"tri vertex $n"))
+    assert(r(99L) == 0L, "isolated node")
+  }
+
   test("Similarity.ivfPqTopK with self-seeded sub-codebooks equals the " +
     "exact L2 ranking regardless of subspace count") {
     import spark.implicits._

@@ -96,4 +96,30 @@ object Hll {
   def cardinality(df: DataFrame, groupCols: Seq[String], value: Column,
       p: Int): DataFrame =
     estimate(registers(df, groupCols, value, p), groupCols, p)
+
+  /** Set-operation estimates from two register tables — the payoff of
+    * keeping sketches as mergeable tables: |A∪B| estimates off the
+    * max-merged registers WITHOUT rescanning either stream, and |A∩B|
+    * follows by inclusion–exclusion (clamped at 0 — the estimator can
+    * go slightly negative for near-disjoint sets). This is how
+    * cross-shard / cross-day overlap questions ("how many of today's
+    * distinct URLs did yesterday already have?") are answered at scale:
+    * three register-table aggregates, zero raw-data passes.
+    *
+    * Output: groupCols..., est_a, est_b, est_union, est_intersect.
+    */
+  def overlapEstimate(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String], p: Int): DataFrame = {
+    def est1(r: DataFrame, name: String) =
+      estimate(r, groupCols, p)
+        .withColumnRenamed("est", name).drop("m_used")
+    val ea = est1(a, "est_a")
+    val eb = est1(b, "est_b")
+    val eu = est1(merge(a, b, groupCols), "est_union")
+    val joined =
+      if (groupCols.isEmpty) ea.crossJoin(eb).crossJoin(eu)
+      else ea.join(eb, groupCols).join(eu, groupCols)
+    joined.withColumn("est_intersect",
+      greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+  }
 }

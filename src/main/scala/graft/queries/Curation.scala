@@ -730,5 +730,102 @@ object Curation {
              |FROM uni u CROSS JOIN pr p
              |LEFT JOIN hit ON hit.source = u.source AND hit.probe = p.probe
              |LEFT JOIN tc ON tc.source = u.source AND tc.probe = p.probe
-             |ORDER BY u.source, p.probe""".stripMargin)))
+             |ORDER BY u.source, p.probe""".stripMargin)),
+
+    // HLL set algebra: the overlap of two shards' distinct 3-gram sets
+    // from their REGISTER TABLES alone — union by max-merge, then
+    // inclusion-exclusion for the intersection. No raw-data rescan;
+    // the exact overlap rides along for reference.
+    GraftQuery(
+      "qE7_hll_overlap",
+      "Distinct-3-gram overlap between even- and odd-doc shards " +
+        "estimated purely from HLL registers (union = max-merge, " +
+        "intersect = inclusion-exclusion), with the exact overlap " +
+        "alongside.",
+      (s, d) => {
+        import graft.functions.{SafeOps, TextOps}
+        val grams = t(s, d, "documents").select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("item"))
+        val ra = Hll.registers(grams.filter(col("doc_id") % 2 === 0),
+          Seq.empty, col("item"), p = 9)
+        val rb = Hll.registers(grams.filter(col("doc_id") % 2 === 1),
+          Seq.empty, col("item"), p = 9)
+        val est = Hll.overlapEstimate(ra, rb, Seq.empty, p = 9)
+        val exact = grams.filter(col("doc_id") % 2 === 0)
+          .select("item").distinct()
+          .join(grams.filter(col("doc_id") % 2 === 1)
+            .select("item").distinct(), "item")
+          .agg(count(lit(1)).as("exact_overlap"))
+        est.crossJoin(exact).select(
+          SafeOps.stableRound4(col("est_a")).as("est_a"),
+          SafeOps.stableRound4(col("est_b")).as("est_b"),
+          SafeOps.stableRound4(col("est_union")).as("est_union"),
+          SafeOps.stableRound4(col("est_intersect")).as("est_intersect"),
+          col("exact_overlap"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |      range(1, len(string_split(text,' ')) - 1),
+             |      i -> string_split(text,' ')[i] || ' ' ||
+             |           string_split(text,' ')[i+1] || ' ' ||
+             |           string_split(text,' ')[i+2])) AS item
+             |  FROM documents
+             |  WHERE len(string_split(text,' ')) >= 3),
+             |ha AS (SELECT ('0x' || substr(md5(item),1,8))::BIGINT AS h
+             |  FROM g WHERE doc_id % 2 = 0),
+             |hb AS (SELECT ('0x' || substr(md5(item),1,8))::BIGINT AS h
+             |  FROM g WHERE doc_id % 2 = 1),
+             |ra AS (SELECT h & 511 AS ridx,
+             |    max(CASE WHEN (h >> 9) = 0 THEN 24
+             |      ELSE 23 - CAST(floor(log2(h >> 9)) AS BIGINT) END)
+             |      AS rho
+             |  FROM ha GROUP BY 1),
+             |rb AS (SELECT h & 511 AS ridx,
+             |    max(CASE WHEN (h >> 9) = 0 THEN 24
+             |      ELSE 23 - CAST(floor(log2(h >> 9)) AS BIGINT) END)
+             |      AS rho
+             |  FROM hb GROUP BY 1),
+             |ru AS (SELECT ridx, max(rho) AS rho FROM (
+             |    SELECT * FROM ra UNION ALL SELECT * FROM rb)
+             |  GROUP BY 1),
+             |ea AS (SELECT count(*) AS mu,
+             |    sum(1.0/power(2.0, rho)) AS zh FROM ra),
+             |eb AS (SELECT count(*) AS mu,
+             |    sum(1.0/power(2.0, rho)) AS zh FROM rb),
+             |eu AS (SELECT count(*) AS mu,
+             |    sum(1.0/power(2.0, rho)) AS zh FROM ru),
+             |es AS (SELECT
+             |    (SELECT CASE
+             |      WHEN (0.7213/(1+1.079/512.0))*512*512
+             |          / (zh + (512 - mu)) <= 1280.0 AND mu < 512
+             |        THEN 512 * ln(512.0 / (512 - mu))
+             |      ELSE (0.7213/(1+1.079/512.0))*512*512
+             |          / (zh + (512 - mu)) END FROM ea) AS est_a,
+             |    (SELECT CASE
+             |      WHEN (0.7213/(1+1.079/512.0))*512*512
+             |          / (zh + (512 - mu)) <= 1280.0 AND mu < 512
+             |        THEN 512 * ln(512.0 / (512 - mu))
+             |      ELSE (0.7213/(1+1.079/512.0))*512*512
+             |          / (zh + (512 - mu)) END FROM eb) AS est_b,
+             |    (SELECT CASE
+             |      WHEN (0.7213/(1+1.079/512.0))*512*512
+             |          / (zh + (512 - mu)) <= 1280.0 AND mu < 512
+             |        THEN 512 * ln(512.0 / (512 - mu))
+             |      ELSE (0.7213/(1+1.079/512.0))*512*512
+             |          / (zh + (512 - mu)) END FROM eu) AS est_union),
+             |es2 AS (SELECT est_a, est_b, est_union,
+             |    greatest(0.0, (est_a + est_b) - est_union) AS est_i
+             |  FROM es),
+             |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_overlap
+             |  FROM (SELECT DISTINCT item FROM g WHERE doc_id % 2 = 0) a
+             |  JOIN (SELECT DISTINCT item FROM g WHERE doc_id % 2 = 1) b
+             |    USING (item))
+             |SELECT
+             |  floor(est_a * 10000.0 + 0.5) / 10000.0 AS est_a,
+             |  floor(est_b * 10000.0 + 0.5) / 10000.0 AS est_b,
+             |  floor(est_union * 10000.0 + 0.5) / 10000.0 AS est_union,
+             |  floor(est_i * 10000.0 + 0.5) / 10000.0 AS est_intersect,
+             |  exact_overlap
+             |FROM es2, ex""".stripMargin)))
 }

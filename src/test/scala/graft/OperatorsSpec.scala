@@ -1380,6 +1380,19 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(math.abs(est("g") - 1371) / 1371.0 < 0.18, s"g: ${est("g")}")
     assert(math.abs(est("h") - 211) / 211.0 < 0.18, s"h: ${est("h")}")
+    // set algebra off the registers: identical sets overlap fully,
+    // disjoint sets clamp at >= 0 and stay near zero
+    val x = Hll.registers((0 until 1000).map(i => s"x$i").toDF("v"),
+      Seq.empty, col("v"), p = 9)
+    val y = Hll.registers((0 until 1000).map(i => s"y$i").toDF("v"),
+      Seq.empty, col("v"), p = 9)
+    val same = Hll.overlapEstimate(x, x, Seq.empty, p = 9).collect()(0)
+    assert(math.abs(same.getDouble(0) - same.getDouble(3)) < 1e-9,
+      "A overlap A must equal est(A)")
+    val disj = Hll.overlapEstimate(x, y, Seq.empty, p = 9).collect()(0)
+    assert(disj.getDouble(3) >= 0.0 &&
+      disj.getDouble(3) < 0.25 * disj.getDouble(0),
+      s"disjoint overlap too large: ${disj.getDouble(3)}")
   }
 
   test("Graph.triangleCount: K4 gives every vertex 3, stars give 0, " +

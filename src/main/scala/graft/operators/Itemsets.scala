@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** Frequent-pair mining over documents-as-baskets (the A-Priori
+  * first rung, Agrawal & Srikant VLDB'94): which token pairs co-occur
+  * in at least `minSupport` documents — topic/template signals, common
+  * boilerplate bigrams-at-distance, features for dedup blocking.
+  *
+  * Scale shape — downward closure FIRST: a pair can only reach support
+  * s if BOTH items do, so the item stream prunes against the frequent-
+  * item table (one partial-aggregated groupBy of |distinct tokens|
+  * rows) before any pair exists. The pair generator is then a per-doc
+  * self-join bounded by (frequent tokens per doc)², not (all
+  * tokens)² — the same hot-key discipline as the dedup inverted
+  * indexes — and the pair aggregate partial-combines map-side, so the
+  * exchange carries one row per DISTINCT surviving pair per partition,
+  * never per occurrence.
+  */
+object Itemsets {
+
+  /** Doc-level co-occurring token pairs with support ≥ `minSupport`.
+    * Output: tok_a, tok_b (lexicographic, a < b), support.
+    */
+  def frequentPairs(df: DataFrame, idCol: String, textCol: String,
+      minSupport: Int): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val items = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val frequent = items.groupBy("tok")
+      .agg(count(lit(1)).as("df_"))
+      .filter(col("df_") >= minSupport)
+      .select("tok")
+      .hint("shuffle_hash")
+    val pruned = items.hint("shuffle_hash")
+      .join(frequent, Seq("tok"))
+    pruned.as("x").hint("shuffle_hash")
+      .join(pruned.as("y").hint("shuffle_hash"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("x.tok") < col("y.tok"))
+      .groupBy(col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Bm25, CountMin, Dedup, Fusion, HeavyHitters, Hll, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
+import graft.operators.{Blocking, Bm25, CountMin, Dedup, Fusion, HeavyHitters, Hll, Itemsets, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -827,5 +827,54 @@ object Curation {
              |  floor(est_union * 10000.0 + 0.5) / 10000.0 AS est_union,
              |  floor(est_i * 10000.0 + 0.5) / 10000.0 AS est_intersect,
              |  exact_overlap
-             |FROM es2, ex""".stripMargin)))
+             |FROM es2, ex""".stripMargin)),
+
+    // A-Priori first rung: token pairs co-occurring in >= 300 docs,
+    // downward-closure-pruned before any pair is generated.
+    GraftQuery(
+      "qE8_frequent_pairs",
+      "Frequent doc-level token-pair co-occurrence (support >= 300): " +
+        "frequent-item prune first, then the bounded per-doc pair " +
+        "self-join and one partial-aggregated support count.",
+      (s, d) => Itemsets.frequentPairs(
+        t(s, d, "documents"), "doc_id", "text", minSupport = 300)
+        .orderBy("tok_a", "tok_b"),
+      Some("""WITH it AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(string_split(text, ' '))) AS tok
+             |  FROM documents),
+             |fi AS (SELECT tok FROM it GROUP BY tok
+             |  HAVING count(*) >= 300),
+             |pi AS (SELECT it.doc_id, it.tok FROM it JOIN fi USING (tok))
+             |SELECT a.tok AS tok_a, b.tok AS tok_b,
+             |  CAST(count(*) AS BIGINT) AS support
+             |FROM pi a JOIN pi b
+             |  ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |GROUP BY 1, 2 HAVING count(*) >= 300
+             |ORDER BY tok_a, tok_b""".stripMargin)),
+
+    // Sorted-neighborhood blocking: candidate pairs within 3 ranks of
+    // the (text-prefix, id) sort order — the O(n*w) entity-resolution
+    // candidate generator. The two-phase range rank never runs a
+    // corpus-wide window; the oracle is the naive global row_number.
+    GraftQuery(
+      "qE9_sorted_neighborhood",
+      "Sorted-neighborhood candidate pairs (12-char text-prefix key, " +
+        "window 3) from the range-partitioned two-phase global rank — " +
+        "equal to the naive corpus-wide row_number formulation.",
+      (s, d) => Blocking.sortedNeighborhood(
+        t(s, d, "documents"), "doc_id",
+        substring(col("text"), 1, 12), w = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH r AS (
+             |  SELECT doc_id, substr(text, 1, 12) AS bk,
+             |    row_number() OVER (ORDER BY substr(text, 1, 12),
+             |      doc_id) - 1 AS rank
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  a.bk AS key_a, b.bk AS key_b,
+             |  CAST(b.rank - a.rank AS BIGINT) AS gap
+             |FROM r a JOIN r b
+             |  ON b.rank > a.rank AND b.rank <= a.rank + 3
+             |ORDER BY id_a, id_b""".stripMargin)))
 }

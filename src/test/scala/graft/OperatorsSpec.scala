@@ -1395,6 +1395,59 @@ class OperatorsSpec extends SparkTestBase {
       s"disjoint overlap too large: ${disj.getDouble(3)}")
   }
 
+  test("Itemsets.frequentPairs honors support and downward closure; " +
+    "within-doc repeats count once") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a a"),   // repeats of a count once per doc
+      (2L, "a b d"),
+      (3L, "a b e"),
+      (4L, "a c e"),
+      (5L, "z z z"))       // z frequent? df=1 < 2 -> pruned
+      .toDF("doc_id", "text")
+    val r = Itemsets.frequentPairs(docs, "doc_id", "text", minSupport = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      .toSet
+    // supports: (a,b)=3, (a,c)=2, (a,e)=2; (b,c)=1 etc. below threshold
+    assert(r == Set(("a", "b", 3L), ("a", "c", 2L), ("a", "e", 2L)), r)
+  }
+
+  test("Blocking.globalRank equals the naive global row_number for any " +
+    "range count, incl. all-equal keys; neighborhood pairs match naive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val docs = (0L until 300L).map(i =>
+      (i, rnd.alphanumeric.take(6).mkString)).toDF("id", "k")
+      .repartition(7).localCheckpoint()
+    val naive = docs.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("id"))).cast("long") - 1L)
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (nr <- Seq(1, 8, 64)) {
+      val got = Blocking.globalRank(docs, "id", col("k"), nRanges = nr)
+        .select("id", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naive, s"nRanges=$nr diverged from naive rank")
+    }
+    // all-equal keys: order falls back to id, ranks still a permutation
+    val flat = Blocking.globalRank(docs, "id", lit("same"), nRanges = 8)
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat.values.toSeq.sorted == (0L until 300L),
+      "equal-key ranks not a permutation")
+    assert(flat.toSeq.sortBy(_._1).map(_._2) == (0L until 300L),
+      "equal-key order must fall back to id")
+    val pairs = Blocking.sortedNeighborhood(docs, "id", col("k"), w = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val byRank = naive.toSeq.sortBy(_._2).map(_._1)
+    val expect = (for {
+      i <- byRank.indices; j <- (i + 1) to math.min(i + 2, byRank.size - 1)
+    } yield (byRank(i), byRank(j))).sorted
+    assert(pairs == expect, "neighborhood pairs diverged from naive")
+  }
+
   test("Graph.triangleCount: K4 gives every vertex 3, stars give 0, " +
     "duplicate/reversed edges and hubs don't double-count") {
     import spark.implicits._

@@ -24,10 +24,18 @@ object Itemsets {
 
   /** Doc-level co-occurring token pairs with support ≥ `minSupport`.
     * Output: tok_a, tok_b (lexicographic, a < b), support.
+    *
+    * `maxDocItems` is the hot-basket guard (the [[Dedup]] family's
+    * `maxPosting` idiom): a single pathological doc with B surviving
+    * items emits B²/2 pairs from one row, so baskets above the cap
+    * keep only their `maxDocItems` lexicographically-first frequent
+    * tokens (deterministic, so capped runs reproduce). The default
+    * (Int.MaxValue) is exact; the declared oracle query runs uncapped.
     */
   def frequentPairs(df: DataFrame, idCol: String, textCol: String,
-      minSupport: Int): DataFrame = {
+      minSupport: Int, maxDocItems: Int = Int.MaxValue): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
+    require(maxDocItems >= 2, "maxDocItems must be >= 2")
     val items = df.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
     val frequent = items.groupBy("tok")
@@ -35,8 +43,18 @@ object Itemsets {
       .filter(col("df_") >= minSupport)
       .select("tok")
       .hint("shuffle_hash")
-    val pruned = items.hint("shuffle_hash")
+    val survivors = items.hint("shuffle_hash")
       .join(frequent, Seq("tok"))
+    val pruned =
+      if (maxDocItems == Int.MaxValue) survivors
+      else {
+        // per-doc window frames are basket-sized, never corpus-sized
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("tok")
+        survivors.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxDocItems)
+          .drop("__rk")
+      }
     pruned.as("x").hint("shuffle_hash")
       .join(pruned.as("y").hint("shuffle_hash"),
         col("x.doc_id") === col("y.doc_id") &&

@@ -1410,6 +1410,13 @@ class OperatorsSpec extends SparkTestBase {
       .toSet
     // supports: (a,b)=3, (a,c)=2, (a,e)=2; (b,c)=1 etc. below threshold
     assert(r == Set(("a", "b", 3L), ("a", "c", 2L), ("a", "e", 2L)), r)
+    // hot-basket cap: keep the 2 lexicographically-first frequent
+    // tokens per doc -> only (a, b) can still reach support 2
+    val capped = Itemsets.frequentPairs(docs, "doc_id", "text",
+        minSupport = 2, maxDocItems = 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      .toSet
+    assert(capped == Set(("a", "b", 3L)), capped)
   }
 
   test("Blocking.globalRank equals the naive global row_number for any " +

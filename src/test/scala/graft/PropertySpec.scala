@@ -245,4 +245,73 @@ class PropertySpec extends SparkTestBase {
       assert(perm == got, "rrf not invariant under leg permutation")
     }
   }
+
+  test("keepFirstSpanDedup: corpus-wide every distinct span text keeps " +
+    "EXACTLY one occurrence, and per-doc counts tile the token stream") {
+    import graft.operators.Dedup
+    val corpusGen = for {
+      n <- Gen.choose(2, 40)
+      vocab <- Gen.choose(2, 6) // tiny vocab -> heavy span collisions
+      sizes <- Gen.listOfN(n, Gen.choose(0, 60))
+      words <- Gen.listOfN(sizes.sum max 1,
+        Gen.choose(0, vocab - 1).map(i => s"w$i"))
+      k <- Gen.choose(1, 7)
+    } yield {
+      val it = words.iterator
+      (sizes.zipWithIndex.map { case (sz, i) =>
+        (i.toLong, Seq.fill(sz)(it.next()).mkString(" "))
+      }, k)
+    }
+    samples(corpusGen, 5).foreach { case (docs, k) =>
+      val df = docs.toDF("doc_id", "text")
+      val r = Dedup.keepFirstSpanDedup(df, "doc_id", "text", k)
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+        .toMap
+      // driver-side reference spans (empty-string text -> one "" token,
+      // matching split semantics)
+      val spans = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1).toSeq
+        toks.grouped(k).zipWithIndex.map { case (g, i) =>
+          (id, i, g.mkString(" ")) }
+      }
+      val n = spans.size
+      val distinct = spans.map(_._3).distinct.size
+      // exactly one KEPT occurrence per distinct text
+      assert(r.values.map(v => v._1 - v._2).sum == distinct,
+        s"k=$k: kept != distinct span texts")
+      assert(r.values.map(_._1).sum == n, s"k=$k: span counts don't tile")
+      // per-doc: a doc's span count reconstructs ceil(tokens/k)
+      docs.foreach { case (id, text) =>
+        val t = text.split(" ", -1).length
+        assert(r(id)._1 == (t + k - 1) / k, s"doc $id span count")
+      }
+    }
+  }
+
+  test("pointInInterval: bucketization invisible for random widths, " +
+    "negative domains, and empty/inverted intervals") {
+    import graft.operators.IntervalJoin
+    val caseGen = for {
+      np <- Gen.choose(1, 150)
+      ni <- Gen.choose(1, 40)
+      pts <- Gen.listOfN(np, Gen.choose(-3000L, 3000L))
+      los <- Gen.listOfN(ni, Gen.choose(-3000L, 3000L))
+      spans <- Gen.listOfN(ni, Gen.choose(-50L, 900L)) // some inverted
+      w <- Gen.oneOf(1L, 3L, 57L, 1024L, 100000L)
+    } yield (pts.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      los.zip(spans).zipWithIndex.map { case ((lo, sp), i) =>
+        (i.toLong, lo, lo + sp) }, w)
+    samples(caseGen, 5).foreach { case (pts, ivs, w) =>
+      val p = pts.toDF("pid", "v")
+      val iv = ivs.toDF("iid", "lo", "hi")
+      val expected = (for {
+        (pid, v) <- pts; (iid, lo, hi) <- ivs
+        if v >= lo && v <= hi
+      } yield (pid, iid)).sorted
+      val got = IntervalJoin.pointInInterval(p, "v", iv, "lo", "hi", w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expected, s"W=$w diverged (${pts.size}x${ivs.size})")
+    }
+  }
 }

@@ -121,4 +121,50 @@ object HeavyHitters {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("est_count").desc, col("item").asc)).cast("long"))
   }
+
+  /** Two-pass CERTIFIED-exact top-N — how exact heavy hitters are
+    * computed at 100 TB without ever counting the vocabulary:
+    *
+    *   1. one MG sketch pass produces ≤ k CANDIDATE items (any item
+    *      with true frequency > n/(k+1) is guaranteed present);
+    *   2. a second pass counts ONLY the candidates exactly (broadcast
+    *      membership filter on the scan + one |candidates|-bounded
+    *      aggregate — no vocabulary-sized state anywhere);
+    *   3. the result self-certifies: an absent item has frequency
+    *      ≤ n/(k+1), so whenever the N-th exact candidate count
+    *      exceeds n/(k+1), NO absent item could displace it —
+    *      `certified` reports that bound check, turning a sketch
+    *      heuristic into a proof or an explicit "grow k" signal.
+    *
+    * Output: item, cnt (exact), rank, certified.
+    */
+  def topExact(df: DataFrame, itemCol: String, k: Int, topN: Int)
+      : DataFrame = {
+    val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+    val agg = udaf(new MisraGriesAgg(k))
+    val cand = items.agg(agg(col("item")).as("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("item"))
+    val n = items.count()
+    val candidates = cand.collect().map(_.getString(0)) // ≤ k rows
+    val exact = items
+      .filter(col("item").isin(candidates.toSeq: _*))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc)
+      .limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("item").asc)).cast("long"))
+    // certified iff (a) a FULL topN was reported — fewer rows mean the
+    // sketch may have evicted items that an absent-item slot would
+    // otherwise hide behind — AND (b) the weakest reported count beats
+    // the absent-item ceiling n/(k+1). One tiny driver-side agg.
+    val stats = exact.agg(min("cnt"), count(lit(1))).collect()(0)
+    val floorCnt = Option(stats.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val reported = stats.getLong(1)
+    exact.withColumn("certified",
+      lit(reported == topN.toLong &&
+        floorCnt.toDouble > n.toDouble / (k + 1).toDouble))
+  }
 }

@@ -876,5 +876,41 @@ object Curation {
              |  CAST(b.rank - a.rank AS BIGINT) AS gap
              |FROM r a JOIN r b
              |  ON b.rank > a.rank AND b.rank <= a.rank + 3
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Two-pass certified-exact heavy hitters: MG candidates, exact
+    // recount of candidates only, and the n/(k+1) absent-item bound
+    // turned into a per-result certification flag — exact top-k with
+    // no vocabulary-sized state.
+    GraftQuery(
+      "qF0_exact_heavy_hitters",
+      "Certified-exact top-50 3-grams: Misra-Gries candidate pass " +
+        "(k=32768), exact broadcast-membership recount, certified " +
+        "when the 50th count beats the n/(k+1) absent-item ceiling.",
+      (s, d) => {
+        val grams = t(s, d, "documents").select(
+          explode(graft.functions.TextOps.shingles(
+            graft.functions.TextOps.tokens(col("text")), 3)).as("item"))
+        HeavyHitters.topExact(grams, "item", 32768, 50).orderBy("rank")
+      },
+      Some("""WITH g AS (
+             |  SELECT unnest(list_transform(
+             |      range(1, len(string_split(text,' ')) - 1),
+             |      i -> string_split(text,' ')[i] || ' ' ||
+             |           string_split(text,' ')[i+1] || ' ' ||
+             |           string_split(text,' ')[i+2])) AS item
+             |  FROM documents
+             |  WHERE len(string_split(text,' ')) >= 3),
+             |tot AS (SELECT count(*) AS n FROM g),
+             |top AS (
+             |  SELECT item, CAST(count(*) AS BIGINT) AS cnt,
+             |    row_number() OVER (ORDER BY count(*) DESC, item)
+             |      AS rank
+             |  FROM g GROUP BY item
+             |  ORDER BY cnt DESC, item LIMIT 50)
+             |SELECT item, cnt, rank,
+             |  ((SELECT count(*) FROM top) = 50 AND
+             |   (SELECT min(cnt) FROM top) * 1.0 >
+             |    (SELECT n FROM tot) * 1.0 / 32769.0) AS certified
+             |FROM top ORDER BY rank""".stripMargin)))
 }

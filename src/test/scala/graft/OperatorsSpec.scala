@@ -1455,6 +1455,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == expect, "neighborhood pairs diverged from naive")
   }
 
+  test("HeavyHitters.topExact counts candidates exactly and certifies " +
+    "only when the bound genuinely excludes absent items") {
+    import spark.implicits._
+    val stream = Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++
+      (0 until 450).map(i => s"cold${i % 450}")
+    val df = stream.toDF("w").repartition(8)
+    // roomy sketch: everything is a candidate, counts exact, and the
+    // 2nd-ranked count (150) beats n/(k+1) = 1000/1001 -> certified
+    val roomy = HeavyHitters.topExact(df, "w", k = 1000, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(roomy.toSeq == Seq(("hot", 400L, 1L, true),
+      ("warm", 150L, 2L, true)))
+    // tight sketch (k=2): hot is GUARANTEED a candidate (400 > n/3 =
+    // 333) and its recount is exact; warm (150 < 333) has no such
+    // guarantee, so only the certification flag is asserted — the
+    // floor can't beat 333, so the result must self-report uncertified
+    val tight = HeavyHitters.topExact(df, "w", k = 2, topN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+    assert(tight.exists(t => t._1 == "hot" && t._2 == 400L),
+      s"guaranteed hitter lost or miscounted: ${tight.toSeq}")
+    assert(tight.forall(!_._3), "k=2 cannot certify: floor <= 1000/3")
+  }
+
   test("Graph.triangleCount: K4 gives every vertex 3, stars give 0, " +
     "duplicate/reversed edges and hubs don't double-count") {
     import spark.implicits._

@@ -79,9 +79,13 @@ object IntervalJoin {
           explode(sequence(col("__ij_lob"), col("__ij_hib"))))
         .drop("__ij_lob", "__ij_hib")
 
-    val narrow = p
-      .join(narrowIv, p("__ij_b") === narrowIv("__ij_b") && residual,
-        joinType)
+    // both sides are corpus-sized by contract (points AND ranges scale)
+    // — pin the shuffled hash join so AQE can't broadcast a side off a
+    // small-SF size estimate; a genuinely tiny interval table belongs
+    // in an ordinary broadcast join, not this operator
+    val narrow = p.hint("shuffle_hash")
+      .join(narrowIv.hint("shuffle_hash"),
+        p("__ij_b") === narrowIv("__ij_b") && residual, joinType)
       .drop("__ij_b")
 
     if (maxBucketsPerInterval == 0) narrow
@@ -149,10 +153,11 @@ object IntervalJoin {
     val rN = narrowOf(r0, "__or_lob", "__or_hib")
       .withColumn("__or_b",
         explode(sequence(col("__or_lob"), col("__or_hib"))))
-    val narrow = lN
-      .join(rN, lN("__ol_b") === rN("__or_b") && overlap &&
-        // owner-bucket dedup: emit from the first shared bucket only
-        lN("__ol_b") === greatest(lN("__ol_lob"), rN("__or_lob")))
+    val narrow = lN.hint("shuffle_hash")
+      .join(rN.hint("shuffle_hash"),
+        lN("__ol_b") === rN("__or_b") && overlap &&
+          // owner-bucket dedup: emit from the first shared bucket only
+          lN("__ol_b") === greatest(lN("__ol_lob"), rN("__or_lob")))
       .drop("__ol_b", "__or_b", "__ol_lob", "__ol_hib",
         "__or_lob", "__or_hib")
 

@@ -912,5 +912,57 @@ object Curation {
              |  ((SELECT count(*) FROM top) = 50 AND
              |   (SELECT min(cnt) FROM top) * 1.0 >
              |    (SELECT n FROM tot) * 1.0 / 32769.0) AS certified
-             |FROM top ORDER BY rank""".stripMargin)))
+             |FROM top ORDER BY rank""".stripMargin)),
+
+    // End-to-end entity resolution: sorted-neighborhood blocking
+    // generates O(n*w) candidates, exact token-set Jaccard verifies
+    // them — the blocking->verify chain every record-linkage pipeline
+    // runs. Verification touches CANDIDATES only, never the n² cross
+    // product.
+    GraftQuery(
+      "qF1_er_chain",
+      "Entity-resolution chain: sorted-neighborhood candidates " +
+        "(12-char prefix key, window 3) verified by exact distinct-" +
+        "token Jaccard >= 0.7.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = Blocking.sortedNeighborhood(
+          docs, "doc_id", substring(col("text"), 1, 12), w = 3)
+          .select(col("id_a"), col("id_b"))
+        val toks = docs.select(col("doc_id"),
+          array_distinct(graft.functions.TextOps.tokens(col("text")))
+            .as("ts"))
+        cands
+          .join(toks.select(col("doc_id").as("id_a"),
+            col("ts").as("ts_a")), Seq("id_a"))
+          .join(toks.select(col("doc_id").as("id_b"),
+            col("ts").as("ts_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("ts_a"), col("ts_b")))
+              .cast("double") /
+              (size(col("ts_a")) + size(col("ts_b")) -
+                size(array_intersect(col("ts_a"), col("ts_b")))))
+              .as("j"))
+          .filter(col("j") >= 0.7)
+          .select(col("id_a"), col("id_b"),
+            (floor(col("j") * 10000.0 + 0.5) / 10000.0).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, list_distinct(string_split(text, ' '))
+             |      AS ts,
+             |    row_number() OVER (ORDER BY substr(text, 1, 12),
+             |      doc_id) - 1 AS rank
+             |  FROM documents),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    len(list_intersect(a.ts, b.ts)) * 1.0 /
+             |      (len(a.ts) + len(b.ts) -
+             |       len(list_intersect(a.ts, b.ts))) AS j
+             |  FROM r a JOIN r b
+             |    ON b.rank > a.rank AND b.rank <= a.rank + 3)
+             |SELECT id_a, id_b,
+             |  floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
+             |FROM p WHERE j >= 0.7
+             |ORDER BY id_a, id_b""".stripMargin)))
 }

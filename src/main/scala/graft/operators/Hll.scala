@@ -39,22 +39,52 @@ object Hll {
     * re-materialized arithmetically in [[estimate]] — storing only hit
     * registers keeps sparse groups cheap.
     */
+  /** (ridx, rho) projection columns for one value — shared by the
+    * batch, grouped, and event-time-windowed register builders.
+    * rho = rank of the leading 1 bit of the hash's top (32−p) bits,
+    * 1-based; all-zero → (32−p)+1. floor(log2(w)) is FP-exact for
+    * w < 2^24: log2 of an exact power of two is exact, and off-power
+    * values sit > 4e-15 away from the next integer.
+    */
+  private def registerCols(value: Column, p: Int): Seq[Column] = {
+    val h = TextOps.hash32(value)
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(32 - p + 1))
+      .otherwise(lit(32 - p) - floor(log2(w)))
+    Seq(h.bitwiseAND(lit((1L << p) - 1)).as("ridx"),
+      rho.cast("long").as("rho"))
+  }
+
   def registers(df: DataFrame, groupCols: Seq[String], value: Column,
       p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16] (m = 2^p registers)")
-    val h = TextOps.hash32(value)
-    val w = shiftright(h, p)
-    // rank of the leading 1 bit of w within (32-p) bits, 1-based;
-    // w = 0 -> all (32-p) bits zero -> rank (32-p)+1. floor(log2(w)) is
-    // FP-exact for w < 2^24: log2 of an exact power of two is exact,
-    // and off-power values sit > 4e-15 away from the next integer.
-    val rho = when(w === 0, lit(32 - p + 1))
-      .otherwise(lit(32 - p) - floor(log2(w)))
-    df.select((groupCols.map(col) :+
-        h.bitwiseAND(lit((1L << p) - 1)).as("ridx") :+
-        rho.cast("long").as("rho")): _*)
+    df.select(groupCols.map(col) ++ registerCols(value, p): _*)
       .groupBy((groupCols.map(col) :+ col("ridx")): _*)
       .agg(max("rho").as("rho"))
+  }
+
+  /** Event-time-windowed registers — the STATEFUL-streaming face of
+    * the sketch (vs [[graft.streaming.Ingest.startCardinalityScreen]]'s
+    * foreachBatch merge): `groupBy(window(ts), ridx) → max(rho)` is a
+    * plain streaming aggregation, so watermarking, state eviction, and
+    * late-data handling are Catalyst's, not ours; state per window is
+    * ≤ 2^p registers regardless of traffic. The SAME transform runs on
+    * a batch frame (window() is an ordinary function), which is how
+    * the spec asserts stream/batch agreement. Estimate the emitted
+    * register tables per window with [[estimate]] downstream.
+    */
+  def windowedRegisters(df: DataFrame, tsCol: String, value: Column,
+      p: Int, windowDuration: String, watermarkDelay: String)
+      : DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16] (m = 2^p registers)")
+    val src = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay)
+      else df
+    src.select(window(col(tsCol), windowDuration).as("win") +:
+        registerCols(value, p): _*)
+      .groupBy(col("win"), col("ridx"))
+      .agg(max("rho").as("rho"))
+      .select(col("win.start").as("window_start"), col("ridx"),
+        col("rho"))
   }
 
   /** Merge register tables (same groupCols/p): union + max. Feeding the

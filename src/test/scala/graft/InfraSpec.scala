@@ -448,6 +448,48 @@ class InfraSpec extends SparkTestBase {
       s"final estimate off: ${est(1)}")
   }
 
+  test("windowed HLL registers: stateful streaming aggregation agrees " +
+    "with the same transform run in batch, per event-time window") {
+    import graft.operators.Hll
+    val dir = Files.createTempDirectory("whll-in").toFile
+    val ckpt = Files.createTempDirectory("whll-ck").toFile.getAbsolutePath
+    val rows = (0 until 500).map { i =>
+      val hour = if (i % 3 == 0) 0 else 1 // two event-time windows
+      (Timestamp.valueOf(f"2024-01-01 0$hour:${i % 60}%02d:00"),
+        s"u${i % 120}")
+    }
+    val batchDf = rows.toDF("ts", "url")
+    batchDf.write.parquet(new java.io.File(dir, "drop1").getAbsolutePath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "ts TIMESTAMP, url STRING"))
+      .parquet(dir.getAbsolutePath + "/drop*")
+    val q = Hll.windowedRegisters(stream, "ts", col("url"), p = 9,
+        "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("whll_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("whll_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Hll.windowedRegisters(batchDf, "ts", col("url"), p = 9,
+        "1 hour", "30 minutes").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "streamed windowed registers diverged from batch")
+    // estimates per window land near the true distinct counts
+    // (window 0: u0,u3,...,u117 -> 40 distinct; window 1: 120 distinct
+    // minus the 40 multiples of 3 -> 80)
+    val est = Hll.estimate(
+      spark.table("whll_out").withColumnRenamed("window_start", "ws"),
+      Seq("ws"), p = 9).orderBy("ws").collect().map(_.getDouble(2))
+    assert(est.length == 2)
+    assert(math.abs(est(0) - 40.0) / 40.0 < 0.2, s"w0: ${est(0)}")
+    assert(math.abs(est(1) - 80.0) / 80.0 < 0.2, s"w1: ${est(1)}")
+  }
+
   test("streaming frequency screen: per-batch Count-Min sum-merge " +
     "matches the batch sketch and running estimates only grow") {
     import graft.operators.CountMin

@@ -140,31 +140,38 @@ object HeavyHitters {
     */
   def topExact(df: DataFrame, itemCol: String, k: Int, topN: Int)
       : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val items = df.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
     val agg = udaf(new MisraGriesAgg(k))
-    val cand = items.agg(agg(col("item")).as("sketch"))
-      .select(explode(map_keys(col("sketch"))).as("item"))
-    val n = items.count()
-    val candidates = cand.collect().map(_.getString(0)) // ≤ k rows
+    // pass 1: sketch AND stream length in the same job — the MG pass
+    // scans everything anyway, so n is free
+    val first = items
+      .agg(agg(col("item")).as("sketch"), count(lit(1)).as("n"))
+      .collect()(0)
+    val n = first.getLong(1)
+    val candidates = first.getMap[String, Long](0).keys.toSeq // ≤ k
+    // pass 2: exact recount of candidates only. A broadcast SEMI-join
+    // keeps the membership test a hash probe; `isin` over up to k
+    // collected literals compiles a k-ary expression (measured 8 s at
+    // k=32768 on the bench vs ~1 s for the join).
     val exact = items
-      .filter(col("item").isin(candidates.toSeq: _*))
+      .join(broadcast(candidates.toDF("item")), Seq("item"), "left_semi")
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item").asc)
       .limit(topN)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("cnt").desc, col("item").asc)).cast("long"))
+      .collect() // ≤ topN rows — a bounded artifact
     // certified iff (a) a FULL topN was reported — fewer rows mean the
     // sketch may have evicted items that an absent-item slot would
     // otherwise hide behind — AND (b) the weakest reported count beats
-    // the absent-item ceiling n/(k+1). One tiny driver-side agg.
-    val stats = exact.agg(min("cnt"), count(lit(1))).collect()(0)
-    val floorCnt = Option(stats.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val reported = stats.getLong(1)
-    exact.withColumn("certified",
-      lit(reported == topN.toLong &&
-        floorCnt.toDouble > n.toDouble / (k + 1).toDouble))
+    // the absent-item ceiling n/(k+1). Driver-side, so the recount job
+    // runs exactly once no matter how often the result is consumed.
+    val certified = exact.length == topN && exact.nonEmpty &&
+      exact.map(_.getLong(1)).min.toDouble > n.toDouble / (k + 1).toDouble
+    exact.zipWithIndex
+      .map { case (r, i) =>
+        (r.getString(0), r.getLong(1), (i + 1).toLong, certified) }
+      .toSeq.toDF("item", "cnt", "rank", "certified")
   }
 }

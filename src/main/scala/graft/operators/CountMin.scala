@@ -47,7 +47,9 @@ object CountMin {
     require(depth >= 1 && depth <= 8, "depth in [1,8]")
     require(width >= 16, "width >= 16")
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("d")
-    df.select((groupCols.map(col) :+
+    // NULL values hash to NULL cells — phantom counter rows; drop them
+    df.filter(value.isNotNull)
+      .select((groupCols.map(col) :+
         TextOps.hash32(value).as("__h") :+ rows): _*)
       .select((groupCols.map(col) :+ col("d") :+
         pmod(rowHash(col("__h"), col("d")), lit(width.toLong))

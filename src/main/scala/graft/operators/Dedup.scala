@@ -811,10 +811,11 @@ object Dedup {
       TextOps.tokens(col(textCol)).as("toks"))
     // consecutive (non-overlapping) spans; the last one may be short —
     // slice past the end just truncates. Empty docs produce zero spans
-    // (sequence would DESCEND on a negative upper bound, hence the guard).
+    // (sequence would DESCEND on a negative upper bound, hence the
+    // guard; size() is -1 on NULL text, so <= 0 covers both).
     val spans = docs.select(col("doc_id"),
       posexplode(
-        when(size(col("toks")) === 0, array().cast("array<string>"))
+        when(size(col("toks")) <= 0, array().cast("array<string>"))
           .otherwise(transform(
             sequence(lit(0),
               floor((size(col("toks")) - 1) / spanTokens).cast("int")),

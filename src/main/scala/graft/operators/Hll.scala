@@ -58,7 +58,11 @@ object Hll {
   def registers(df: DataFrame, groupCols: Seq[String], value: Column,
       p: Int): DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16] (m = 2^p registers)")
-    df.select(groupCols.map(col) ++ registerCols(value, p): _*)
+    // a NULL value hashes to a NULL register, which would survive the
+    // groupBy as a phantom (ridx=null) row and inflate m_used — NULLs
+    // carry no cardinality, drop them at the scan
+    df.filter(value.isNotNull)
+      .select(groupCols.map(col) ++ registerCols(value, p): _*)
       .groupBy((groupCols.map(col) :+ col("ridx")): _*)
       .agg(max("rho").as("rho"))
   }
@@ -77,8 +81,8 @@ object Hll {
       p: Int, windowDuration: String, watermarkDelay: String)
       : DataFrame = {
     require(p >= 4 && p <= 16, "p in [4,16] (m = 2^p registers)")
-    val src = if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay)
-      else df
+    val src = (if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay)
+      else df).filter(value.isNotNull) // see registers(): no phantom rows
     src.select(window(col(tsCol), windowDuration).as("win") +:
         registerCols(value, p): _*)
       .groupBy(col("win"), col("ridx"))

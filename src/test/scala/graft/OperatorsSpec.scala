@@ -877,6 +877,10 @@ class OperatorsSpec extends SparkTestBase {
       (4L, "q r"),                // short unique doc (one short span)
       (5L, "m n o m n o"))        // WITHIN-doc repeat: first kept
       .toDF("doc_id", "text")
+      // a null-text doc must yield zero spans, not a descending
+      // sequence of garbage span indices
+      .unionByName(Seq(6L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
     val r = Dedup.keepFirstSpanDedup(docs, "doc_id", "text", spanTokens = 3)
       .orderBy("doc_id").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
@@ -1386,6 +1390,16 @@ class OperatorsSpec extends SparkTestBase {
       Seq.empty, col("v"), p = 9)
     val y = Hll.registers((0 until 1000).map(i => s"y$i").toDF("v"),
       Seq.empty, col("v"), p = 9)
+    // null values carry no cardinality: registers identical with and
+    // without interleaved nulls
+    val withNulls = Hll.registers(
+      ((0 until 50).map(i => Some(s"n$i")) ++ Seq(None, None))
+        .toDF("v"), Seq.empty, col("v"), p = 9)
+    val noNulls = Hll.registers((0 until 50).map(i => s"n$i").toDF("v"),
+      Seq.empty, col("v"), p = 9)
+    assert(withNulls.exceptAll(noNulls).isEmpty &&
+      noNulls.exceptAll(withNulls).isEmpty, "null values leaked into " +
+      "the register table")
     val same = Hll.overlapEstimate(x, x, Seq.empty, p = 9).collect()(0)
     assert(math.abs(same.getDouble(0) - same.getDouble(3)) < 1e-9,
       "A overlap A must equal est(A)")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{GraftQuery, Tables}
-import graft.operators.{Blocking, Bm25, CountMin, Dedup, Fusion, HeavyHitters, Hll, Itemsets, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
+import graft.operators.{Blocking, Bm25, CountMin, Dedup, Fusion, HeavyHitters, HistSketch, Hll, Itemsets, Layout, Sampling, Shard, Similarity, Skew, TextAnalysis}
 
 /** Corpus-curation operators (round 5): semantic dedup (SemDeDup),
   * URL-canonicalization dedup, the Gopher quality rule bundle, and the
@@ -964,5 +964,50 @@ object Curation {
              |SELECT id_a, id_b,
              |  floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
              |FROM p WHERE j >= 0.7
-             |ORDER BY id_a, id_b""".stripMargin)))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Histogram quantile sketch: per-source doc-length quantiles from
+    // the mergeable (group, bin, cnt) table — the incremental sibling
+    // of qE3/qE4. The oracle rebuilds the identical fixed-grid sketch
+    // and rank cut (FP-safe ceil(q*n - 1e-9)).
+    GraftQuery(
+      "qF2_hist_quantiles",
+      "Per-source token-count quantiles (p50/p90/p99) from a 64-bin " +
+        "[0,128) histogram sketch table — sum-mergeable, bin-midpoint " +
+        "estimates, bit-equal to the oracle's closed-form rebuild.",
+      (s, d) => {
+        import graft.functions.TextOps
+        val sk = HistSketch.sketch(t(s, d, "documents"), Seq("source"),
+          size(TextOps.tokens(col("text"))), lo = 0.0, hi = 128.0,
+          bins = 64)
+        HistSketch.quantiles(sk, Seq("source"), Seq(0.5, 0.9, 0.99),
+            lo = 0.0, hi = 128.0, bins = 64)
+          .select(col("source"), col("q"),
+            (floor(col("est") * 10000.0 + 0.5) / 10000.0).as("est"))
+          .orderBy("source", "q")
+      },
+      Some("""WITH v AS (
+             |  SELECT source, least(63, greatest(0,
+             |    CAST(floor((len(string_split(text, ' ')) * 1.0 - 0.0)
+             |      / 2.0) AS BIGINT))) AS bin
+             |  FROM documents),
+             |c AS (SELECT source, bin, count(*) AS cnt
+             |  FROM v GROUP BY 1, 2),
+             |cu AS (SELECT source, bin,
+             |    sum(cnt) OVER (PARTITION BY source ORDER BY bin)
+             |      AS cum,
+             |    sum(cnt) OVER (PARTITION BY source) AS n
+             |  FROM c),
+             |qq AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+             |  (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE)))
+             |  AS t(q)),
+             |hit AS (
+             |  SELECT source, q, min(bin) AS bin
+             |  FROM cu, qq
+             |  WHERE cum >= ceil(q * n - 0.000000001)
+             |  GROUP BY 1, 2)
+             |SELECT source, q,
+             |  floor((0.0 + (bin + 0.5) * 2.0) * 10000.0 + 0.5)
+             |    / 10000.0 AS est
+             |FROM hit ORDER BY source, q""".stripMargin)))
 }

@@ -1469,6 +1469,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == expect, "neighborhood pairs diverged from naive")
   }
 
+  test("HistSketch: split+merge equals whole, estimates stay within " +
+    "half a bin of the exact quantile, out-of-range clamps to edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vals = (0 until 2000).map(_ => ("g", rnd.nextInt(200) - 20))
+    val df = vals.toDF("grp", "v").repartition(6)
+    val lo = 0.0; val hi = 128.0; val bins = 64
+    val whole = HistSketch.sketch(df, Seq("grp"), col("v"), lo, hi, bins)
+    val a = HistSketch.sketch(df.filter(col("v") % 2 === 0),
+      Seq("grp"), col("v"), lo, hi, bins)
+    val b = HistSketch.sketch(df.filter(col("v") % 2 =!= 0),
+      Seq("grp"), col("v"), lo, hi, bins)
+    val merged = HistSketch.merge(a, b, Seq("grp"))
+    assert(merged.exceptAll(whole).isEmpty &&
+      whole.exceptAll(merged).isEmpty, "sum-merge diverged")
+    // clamp: bins stay inside [0, 63] even though values span [-20,180)
+    val range = whole.agg(min("bin"), max("bin")).collect()(0)
+    assert(range.getLong(0) == 0L && range.getLong(1) == 63L)
+    // within-range quantiles land within half a bin width (+clamp
+    // slack excluded by probing mid-range quantiles only)
+    val qs = Seq(0.3, 0.5, 0.7)
+    val est = HistSketch.quantiles(whole, Seq("grp"), qs, lo, hi, bins)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sorted = vals.map(_._2.toDouble).sorted
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size - 1e-9).toInt - 1)
+      assert(math.abs(est(q) - exact) <= (hi - lo) / bins,
+        s"q=$q est=${est(q)} exact=$exact")
+    }
+  }
+
   test("HeavyHitters.topExact counts candidates exactly and certifies " +
     "only when the bound genuinely excludes absent items") {
     import spark.implicits._

@@ -122,6 +122,30 @@ object HeavyHitters {
           .orderBy(col("est_count").desc, col("item").asc)).cast("long"))
   }
 
+  /** Per-group top-`topN` heavy hitters — one MG sketch per group key
+    * (the per-domain/per-source hot-token monitor). Identical
+    * guarantees per group; the exchange carries O(groups × k) sketch
+    * entries via partial aggregation, and the ranking window's frames
+    * are sketch-sized (≤ k rows per group), never data-sized.
+    * Output: groupCols..., item, est_count, rank.
+    */
+  def topPerGroup(df: DataFrame, groupCols: Seq[String],
+      itemCol: String, k: Int, topN: Int): DataFrame = {
+    val agg = udaf(new MisraGriesAgg(k))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("est_count").desc, col("item").asc)
+    df.select((groupCols.map(col) :+
+        col(itemCol).cast("string").as("item")): _*)
+      .filter(col("item").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("item")).as("sketch"))
+      .select((groupCols.map(col) :+
+        explode(col("sketch")).as(Seq("item", "est_count"))): _*)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+  }
+
   /** Two-pass CERTIFIED-exact top-N — how exact heavy hitters are
     * computed at 100 TB without ever counting the vocabulary:
     *

@@ -1009,5 +1009,38 @@ object Curation {
              |SELECT source, q,
              |  floor((0.0 + (bin + 0.5) * 2.0) * 10000.0 + 0.5)
              |    / 10000.0 AS est
-             |FROM hit ORDER BY source, q""".stripMargin)))
+             |FROM hit ORDER BY source, q""".stripMargin)),
+
+    // Grouped Misra-Gries: per-source top-5 3-grams from one sketch
+    // per group — the per-domain hot-token monitor. Exact here (k >=
+    // per-group distinct); the per-group n/(k+1) bound covers scale.
+    GraftQuery(
+      "qF3_grouped_hitters",
+      "Per-source top-5 3-gram heavy hitters from per-group 32k-entry " +
+        "MG sketches; ranking windows are sketch-sized.",
+      (s, d) => {
+        val grams = t(s, d, "documents").select(col("source"),
+          explode(graft.functions.TextOps.shingles(
+            graft.functions.TextOps.tokens(col("text")), 3)).as("item"))
+        HeavyHitters.topPerGroup(grams, Seq("source"), "item",
+          32768, 5).orderBy("source", "rank")
+      },
+      Some("""WITH g AS (
+             |  SELECT source, unnest(list_transform(
+             |      range(1, len(string_split(text,' ')) - 1),
+             |      i -> string_split(text,' ')[i] || ' ' ||
+             |           string_split(text,' ')[i+1] || ' ' ||
+             |           string_split(text,' ')[i+2])) AS item
+             |  FROM documents
+             |  WHERE len(string_split(text,' ')) >= 3),
+             |c AS (SELECT source, item,
+             |    CAST(count(*) AS BIGINT) AS est_count
+             |  FROM g GROUP BY 1, 2),
+             |r AS (SELECT source, item, est_count,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY est_count DESC, item) AS rank
+             |  FROM c)
+             |SELECT source, item, est_count, rank
+             |FROM r WHERE rank <= 5
+             |ORDER BY source, rank""".stripMargin)))
 }

@@ -1469,6 +1469,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs == expect, "neighborhood pairs diverged from naive")
   }
 
+  test("HeavyHitters.topPerGroup keeps sketches independent per group " +
+    "and undercounts only") {
+    import spark.implicits._
+    val rows = (Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      (0 until 20).map(i => ("a", s"a$i")) ++
+      Seq.fill(25)(("b", "y")) ++ (0 until 15).map(i => ("b", s"b$i")))
+      .toDF("grp", "item").repartition(5)
+    val exact = HeavyHitters.topPerGroup(rows, Seq("grp"), "item",
+        k = 1000, topN = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(exact == Set(("a", "x", 30L), ("b", "y", 25L)),
+      s"per-group winners wrong: $exact") // y hot in b, not in a
+    val tight = HeavyHitters.topPerGroup(rows, Seq("grp"), "item",
+        k = 2, topN = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    tight.foreach { case (g, i, c) =>
+      val truth = Map(("a", "x") -> 30L, ("a", "y") -> 10L,
+        ("b", "y") -> 25L)
+      assert(c <= truth.getOrElse((g, i), 1L),
+        s"MG must undercount only: ($g, $i, $c)")
+    }
+  }
+
   test("HistSketch: split+merge equals whole, estimates stay within " +
     "half a bin of the exact quantile, out-of-range clamps to edges") {
     import spark.implicits._

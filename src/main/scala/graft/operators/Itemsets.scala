@@ -63,4 +63,44 @@ object Itemsets {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** [[frequentPairs]] plus doc-level pointwise mutual information:
+    * PMI(a,b) = ln(P(a,b) / (P(a)·P(b))) with document-frequency
+    * probabilities — the association score that separates "co-occur
+    * because both are everywhere" (PMI ≈ 0, stopword pairs) from
+    * "co-occur because they belong together" (PMI ≫ 0, collocations).
+    * Same pruned pair generator; one extra broadcast-sized join
+    * against the |frequent items| df table. The ratio is exact long
+    * arithmetic until the final division, so both engines feed ln the
+    * identical double.
+    *
+    * Output: tok_a, tok_b, support, pmi.
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+      minSupport: Int): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val items = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val freq = items.groupBy("tok")
+      .agg(count(lit(1)).as("df_"))
+      .filter(col("df_") >= minSupport)
+      .hint("shuffle_hash")
+    val pruned = items.hint("shuffle_hash")
+      .join(freq.select("tok"), Seq("tok"))
+    pruned.as("x").hint("shuffle_hash")
+      .join(pruned.as("y").hint("shuffle_hash"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("x.tok") < col("y.tok"))
+      .groupBy(col("x.tok").as("tok_a"), col("y.tok").as("tok_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .join(broadcast(freq.select(col("tok").as("tok_a"),
+        col("df_").as("df_a"))), Seq("tok_a"))
+      .join(broadcast(freq.select(col("tok").as("tok_b"),
+        col("df_").as("df_b"))), Seq("tok_b"))
+      .select(col("tok_a"), col("tok_b"), col("support"),
+        log((col("support") * lit(nDocs)).cast("double") /
+          (col("df_a") * col("df_b"))).as("pmi"))
+  }
 }

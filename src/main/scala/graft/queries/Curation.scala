@@ -1042,5 +1042,41 @@ object Curation {
              |  FROM c)
              |SELECT source, item, est_count, rank
              |FROM r WHERE rank <= 5
-             |ORDER BY source, rank""".stripMargin)))
+             |ORDER BY source, rank""".stripMargin)),
+
+    // PMI over the frequent pairs: the association score separating
+    // everywhere-tokens (PMI ~ 0) from true collocations (PMI >> 0).
+    // Long arithmetic feeds ln the same double on both engines.
+    GraftQuery(
+      "qF4_pmi_pairs",
+      "Doc-level PMI for token pairs with support >= 300: " +
+        "ln(support*n_docs / (df_a*df_b)), 4-dp rounded.",
+      (s, d) => Itemsets.pmiPairs(
+        t(s, d, "documents"), "doc_id", "text", minSupport = 300)
+        .select(col("tok_a"), col("tok_b"), col("support"),
+          (floor(col("pmi") * 10000.0 + 0.5) / 10000.0).as("pmi"))
+        .orderBy("tok_a", "tok_b"),
+      Some("""WITH it AS (
+             |  SELECT doc_id,
+             |    unnest(list_distinct(string_split(text, ' '))) AS tok
+             |  FROM documents),
+             |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+             |fi AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_
+             |  FROM it GROUP BY tok HAVING count(*) >= 300),
+             |pi AS (SELECT it.doc_id, it.tok FROM it
+             |  JOIN fi USING (tok)),
+             |pr AS (
+             |  SELECT a.tok AS tok_a, b.tok AS tok_b,
+             |    CAST(count(*) AS BIGINT) AS support
+             |  FROM pi a JOIN pi b
+             |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+             |  GROUP BY 1, 2 HAVING count(*) >= 300)
+             |SELECT tok_a, tok_b, support,
+             |  floor(ln((support * (SELECT n FROM nd)) * 1.0 /
+             |      (fa.df_ * fb.df_)) * 10000.0 + 0.5) / 10000.0
+             |    AS pmi
+             |FROM pr
+             |JOIN fi fa ON fa.tok = pr.tok_a
+             |JOIN fi fb ON fb.tok = pr.tok_b
+             |ORDER BY tok_a, tok_b""".stripMargin)))
 }

@@ -1424,6 +1424,14 @@ class OperatorsSpec extends SparkTestBase {
       .toSet
     // supports: (a,b)=3, (a,c)=2, (a,e)=2; (b,c)=1 etc. below threshold
     assert(r == Set(("a", "b", 3L), ("a", "c", 2L), ("a", "e", 2L)), r)
+    // PMI on the same fixture: support(a,b)=3, df_a=4, df_b=3, n=5
+    // -> ln(3*5/(4*3)) = ln(1.25)
+    val pmi = Itemsets.pmiPairs(docs, "doc_id", "text", minSupport = 2)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    val (sup, p) = pmi(("a", "b"))
+    assert(sup == 3L && math.abs(p - math.log(1.25)) < 1e-12,
+      s"PMI(a,b) = $p, want ln(1.25)")
     // hot-basket cap: keep the 2 lexicographically-first frequent
     // tokens per doc -> only (a, b) can still reach support 2
     val capped = Itemsets.frequentPairs(docs, "doc_id", "text",

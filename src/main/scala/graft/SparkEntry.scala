@@ -18,6 +18,7 @@ object SparkEntry {
       _root_.graft.queries.LlmOps.all ++
       _root_.graft.queries.Extended.all ++
       _root_.graft.queries.Eras.all ++
+      _root_.graft.queries.ErasUpload.all ++
       _root_.graft.queries.Pipeline.all ++
       _root_.graft.queries.Analytics.all ++
       _root_.graft.queries.Curation.all

@@ -1,0 +1,335 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.views.UnifiedViews
+
+/** The upload-direction multi-era unified read path
+  * (views/ndt/unified_uploads.sql:42-90): the ndt7 scan branch ∪ the
+  * join-enriched ndt5 branch ∪ the metadata-synthesizing web100 branch,
+  * through the upload-specific standard columns — 'Unknown' congestion
+  * control, NULL LossRate, EndTime−StartTime durations, BytesReceived
+  * size screen, no early-exit rescue, and the relocated-IP /
+  * region-masked client/server rebuild (extended_ndt7_uploads.sql:
+  * 113-167).
+  *
+  * Era quirks exercised (and encoded in the oracle):
+  *   - ndt5 `_IsRFC1918` screens the SERVER address
+  *     (extended_ndt5_uploads.sql:57-63), so RFC1918 *clients* survive
+  *     in the ndt5 era but not in ndt7/web100;
+  *   - web100's OAM list is the short early-devices list
+  *     (extended_web100_uploads.sql:73-76), so a GCE script-exporter IP
+  *     that is OAM for ndt7/ndt5 survives in the web100 era;
+  *   - web100 Site/Machine are regex-extracted from the server
+  *     hostname (:163-164) where ndt7/ndt5 pass them through.
+  *
+  * Fixtures are synthesized per-row from `orders` exactly as the
+  * downloads chain does (Eras.scala): each era a disjoint o_orderkey%3
+  * slice, the tcpinfo table a second scan of the ndt5 slice, so the
+  * oracle is a closed form over the same table. Scale shape matches the
+  * downloads chain: per-row projections, one date-aligned shuffle join
+  * in the ndt5 leg, a metadata-only union, the consumer date window
+  * pushed into every leg.
+  */
+object ErasUpload {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val k = col("o_orderkey")
+  private val c = col("o_custkey")
+
+  // Shared synthetic fields (identical closed forms in the oracle).
+  private val recv: Column = floor(col("o_totalprice") * 100) % 100000L
+  private val rtt: Column = c % 50L + 1L
+  private val clientIp: Column = when(k % 7 === 0, lit("10.0.0.1"))
+    .when(k % 17 === 0, lit("2001:db8::1"))
+    .when(k % 29 === 0, lit("35.193.254.117")) // OAM for ndt7/ndt5 only
+    .otherwise(lit("203.0.113.5"))
+  private val archiveUrl: Column =
+    when(k % 10 =!= 0, lit("gs://archive/mlab2-lga03-x.tgz"))
+      .otherwise(lit("gs://archive/other.tgz"))
+  private def parserCol(version: String, filename: String): Column =
+    struct(lit(version).as("Version"), col("o_orderdate").as("Time"),
+      archiveUrl.as("ArchiveURL"), lit(filename).as("Filename"))
+
+  /** Synthetic 17-field Geo with a NON-NULL Region — the masked output
+    * being NULL proves the etl#1069 region mask actually ran.
+    */
+  private def geoCol(seed: Column): Column = struct(
+    lit("NA").as("ContinentCode"), lit("US").as("CountryCode"),
+    lit("USA").as("CountryCode3"), lit("United States").as("CountryName"),
+    concat(lit("Region-"), (seed % 10).cast("string")).as("Region"),
+    lit("NY").as("Subdivision1ISOCode"),
+    lit("New York").as("Subdivision1Name"),
+    lit(null).cast("string").as("Subdivision2ISOCode"),
+    lit(null).cast("string").as("Subdivision2Name"),
+    (seed % 100).cast("long").as("MetroCode"), lit("NYC").as("City"),
+    lit(212L).as("AreaCode"), lit("10001").as("PostalCode"),
+    lit(40.7).as("Latitude"), lit(-74.0).as("Longitude"),
+    lit(100L).as("AccuracyRadiusKm"), lit(false).as("Missing"))
+
+  private val networkCol: Column =
+    struct(lit(64496L).as("ASNumber"), lit("AS-EXAMPLE").as("ASName"))
+
+  private val serverCol: Column = struct(
+    lit("1.2.3.4").as("IP"), lit(443L).as("Port"),
+    lit("lga03").as("Site"), lit("mlab2").as("Machine"),
+    geoCol(lit(1L)).as("Geo"), networkCol.as("Network"))
+  private val clientCol: Column = struct(
+    clientIp.as("IP"), lit(5201L).as("Port"),
+    geoCol(c).as("Geo"), networkCol.as("Network"))
+  private def idCol(era: String): Column =
+    concat(lit(era + "-"), k.cast("string"))
+
+  /** ndt7-era raw upload rows (o_orderkey ≡ 0 mod 3): nested
+    * ServerMeasurements with BytesReceived counters, raw-level address
+    * fields, and an EMPTY measurement array on every 19th test (the
+    * FinalSnapshot-IS-NULL → IsComplete=false path).
+    */
+  private def ndt7Raw(orders: DataFrame): DataFrame = {
+    def m(elapsed: Column) = struct(
+      elapsed.as("ElapsedTime"),
+      struct(recv.as("BytesReceived"), (rtt * 1000L).as("MinRTT"))
+        .as("TCPInfo"))
+    def metaPair(name: Column, value: Column) =
+      struct(name.as("Name"), value.as("Value"))
+    val meas = array(m(lit(500000L)), m((k % 80 + 10L) * 1000000L))
+    orders.filter(k % 3 === 0).select(
+      idCol("ndt7").as("id"), col("o_orderdate").as("date"),
+      parserCol("v1", "f.tgz").as("parser"), serverCol.as("server"),
+      clientCol.as("client"),
+      struct(
+        clientIp.as("ClientIP"), lit(5201L).as("ClientPort"),
+        lit("1.2.3.4").as("ServerIP"), lit(443L).as("ServerPort"),
+        struct(
+          idCol("ndt7").as("UUID"),
+          col("o_orderdate").as("StartTime"),
+          expr("timestampadd(SECOND, CAST(o_orderkey % 80 + 10 AS INT)," +
+            " o_orderdate)").as("EndTime"),
+          array(
+            metaPair(lit("client_name"), col("o_orderpriority")),
+            metaPair(lit("client_os"), col("o_orderstatus")))
+            .as("ClientMetadata"),
+          array(metaPair(lit("server_hostname"), lit("mlab2.example")))
+            .as("ServerMetadata"),
+          when(k % 19 === 0, slice(meas, 1, 0)).otherwise(meas)
+            .as("ServerMeasurements")).as("Upload")).as("raw"))
+  }
+
+  /** ndt5-era raw upload rows (≡ 1 mod 3): C2S control record only;
+    * counters come from [[ndt5TcpInfo]].
+    */
+  private def ndt5Raw(orders: DataFrame): DataFrame =
+    orders.filter(k % 3 === 1).select(
+      idCol("ndt5").as("id"), col("o_orderdate").as("date"),
+      parserCol("v1", "f.tgz").as("parser"), serverCol.as("server"),
+      clientCol.as("client"),
+      struct(
+        struct(
+          when(k % 11 === 0, lit("")).otherwise(idCol("ndt5")).as("UUID"),
+          col("o_orderdate").as("StartTime"),
+          expr("timestampadd(SECOND, CAST(o_orderkey % 80 AS INT), " +
+            "o_orderdate)").as("EndTime"),
+          clientIp.as("ClientIP"), lit(5201L).as("ClientPort"),
+          lit("1.2.3.4").as("ServerIP"), lit(443L).as("ServerPort"),
+          when(k % 13 === 0, lit("err")).otherwise(lit("")).as("Error"))
+          .as("C2S"),
+        struct(
+          when(k % 2 === 0, lit("wss")).otherwise(lit("plain"))
+            .as("Protocol"),
+          lit("json").as("MessageProtocol"),
+          array(
+            struct(lit("client_name").as("Name"),
+              col("o_orderpriority").as("Value")),
+            struct(lit("client_os").as("Name"),
+              col("o_orderstatus").as("Value"))).as("ClientMetadata"),
+          array(struct(lit("server_hostname").as("Name"),
+            lit("mlab2.example").as("Value"))).as("ServerMetadata"))
+          .as("Control")).as("raw"))
+
+  /** The separate tcpinfo table for the ndt5 upload era: ~1/5 of tests
+    * have no row (k % 5 == 4), exercising the LEFT join's
+    * IsComplete=false path; pre-filtered by the same date window as the
+    * consumer (PartitionFilterCheck's contract for join legs).
+    */
+  private def ndt5TcpInfo(orders: DataFrame,
+      dateWindow: Column): DataFrame =
+    orders.filter(k % 3 === 1 && k % 5 =!= 4).filter(dateWindow)
+      .select(
+        idCol("ndt5").as("id"), col("o_orderdate").as("date"),
+        parserCol("v2", "tcp.tgz").as("parser"),
+        struct(lit("cubic").as("CongestionAlgorithm"),
+          struct(recv.as("BytesReceived"), (rtt * 1000L).as("MinRTT"))
+            .as("TCPInfo")).as("FinalSnapshot"))
+
+  /** web100-era raw upload rows (≡ 2 mod 3): flat connection/snap
+    * counters with the connection_spec address block; data_direction=0
+    * for uploads (every 9th row is a download, filtered by the view);
+    * every 21st row has a NULL State (IsComplete=false path).
+    */
+  private def web100Raw(orders: DataFrame): DataFrame =
+    orders.filter(k % 3 === 2).select(
+      idCol("web100").as("id"), col("o_orderdate").as("date"),
+      parserCol("v1", "f.tgz").as("parser"), serverCol.as("server"),
+      clientCol.as("client"),
+      struct(
+        struct(
+          when(k % 9 === 0, lit(1L)).otherwise(lit(0L))
+            .as("data_direction"),
+          col("o_orderpriority").as("client_application"),
+          col("o_orderstatus").as("client_browser"),
+          concat(lit("host-"), (k % 5).cast("string"))
+            .as("client_hostname"),
+          lit("2.6.32").as("client_kernel_version"),
+          lit("linux").as("client_os"),
+          lit("3.7.0").as("client_version"),
+          clientIp.as("client_ip"),
+          lit("mlab2.lga03.measurement-lab.org").as("server_hostname"),
+          lit("1.2.3.4").as("server_ip"),
+          lit("2.6.32-srv").as("server_kernel_version"),
+          (k % 2 === 0).as("websockets"),
+          (c % 2 === 0).as("tls"),
+          col("o_orderdate").as("start_time")).as("connection"),
+        struct(
+          struct(clientIp.as("remote_ip"), lit(5201L).as("remote_port"),
+            lit("1.2.3.4").as("local_ip"), lit(80L).as("local_port"))
+            .as("connection_spec"),
+          struct(
+            ((k % 40) * 1000000L + 500000L).as("Duration"),
+            when(k % 21 === 0, lit(null).cast("long")).otherwise(lit(1L))
+              .as("State"),
+            ((k % 40) * 500000L).as("SndLimTimeRwin"),
+            ((k % 40) * 400000L).as("SndLimTimeCwnd"),
+            ((k % 40) * 100000L).as("SndLimTimeSnd"),
+            recv.as("HCThruOctetsReceived"),
+            rtt.as("MinRTT")).as("snap")).as("web100")).as("raw"))
+
+  private def round4(x: Column): Column =
+    floor(x * 10000.0 + 0.5) / 10000.0
+
+  private val (dateLo, dateHi) = ("1993-01-01", "1997-01-01")
+  private def windowOn(c: Column): Column =
+    c >= lit(dateLo).cast("timestamp") && c < lit(dateHi).cast("timestamp")
+  private val dateWindow: Column = windowOn(col("date"))
+
+  /** The three upload era branches in the reference union's per-branch
+    * column list (unified_uploads.sql:74-83).
+    */
+  private def unifiedBranches(s: SparkSession, d: String): Seq[DataFrame] = {
+    UnifiedViews.prepare(s)
+    val orders = t(s, d, "orders")
+    Seq(
+      UnifiedViews.extendedNdt7Uploads(ndt7Raw(orders)),
+      UnifiedViews.extendedNdt5Uploads(ndt5Raw(orders),
+        ndt5TcpInfo(orders, windowOn(col("o_orderdate")))),
+      UnifiedViews.extendedWeb100Uploads(web100Raw(orders)))
+      .map(_.select("id", "date", "a", "metadata", "client", "server",
+        "filter"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "qF5_unified_uploads",
+      "Upload-direction unified chain: extended_ndt7/ndt5/web100_uploads " +
+        "∪ unified_uploads — 'Unknown' CC, NULL LossRate, BytesReceived " +
+        "size screen, no early-exit rescue, region-masked Geo rebuild, " +
+        "per-era RFC1918/OAM quirks (unified_uploads.sql:42-90).",
+      (s, d) => {
+        UnifiedViews.unifiedUploads(unifiedBranches(s, d))
+          .filter(dateWindow)
+          .select(col("id"), to_date(col("date")).as("date"),
+            col("metadata.View").as("view_name"),
+            col("metadata.Protocol").as("protocol"),
+            col("a.Direction").as("direction"),
+            col("a.CongestionControl").as("cc"),
+            round4(col("a.MeanThroughputMbps")).as("mbps"),
+            round4(col("a.MinRTT")).as("min_rtt"),
+            col("a.LossRate").as("loss_rate"),
+            col("client.IP").as("client_ip"),
+            col("client.Geo.Region").as("region"), // masked → NULL
+            col("client.Geo.CountryCode").as("country"),
+            col("server.Site").as("site"),
+            col("server.Machine").as("machine"),
+            array_join(col("metadata.ClientMetadata.Value"), "|")
+              .as("meta_vals"),
+            size(col("metadata.Tables")).cast("long").as("n_tables"),
+            col("IsValid2021").as("is_valid_2021"))
+          .orderBy("id")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |    CAST(o_orderdate AS DATE) AS d,
+             |    o_orderpriority AS pri, o_orderstatus AS st,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) % 100000 AS recv,
+             |    o_custkey % 50 + 1 AS rtt,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN '10.0.0.1'
+             |         WHEN o_orderkey % 17 = 0 THEN '2001:db8::1'
+             |         WHEN o_orderkey % 29 = 0 THEN '35.193.254.117'
+             |         ELSE '203.0.113.5' END AS cip
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+             |    AND o_orderdate < TIMESTAMP '1997-01-01'
+             |    AND o_orderkey % 10 != 0),
+             |u AS (
+             |  SELECT 'ndt7-' || CAST(k AS VARCHAR) AS id, d,
+             |    'extended_ndt7_uploads' AS view_name,
+             |    'ndt7' || CASE WHEN k % 17 = 0 THEN '-IPv6'
+             |      ELSE '-IPv4' END || '-WSS' AS protocol,
+             |    cip AS client_ip,
+             |    (recv * 8.0) / CAST((k % 80 + 10) * 1000000 AS DOUBLE)
+             |      AS mbps,
+             |    rtt * 1.0 AS min_rtt,
+             |    pri || '|' || st AS meta_vals,
+             |    CAST(1 AS BIGINT) AS n_tables
+             |  FROM base
+             |  WHERE k % 3 = 0 AND k % 19 != 0 AND k % 7 != 0
+             |    AND NOT (k % 29 = 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 <= 50
+             |  UNION ALL
+             |  SELECT 'ndt5-' || CAST(k AS VARCHAR), d,
+             |    'extended_ndt5_uploads',
+             |    'ndt5-' || CASE WHEN k % 7 != 0 AND k % 17 = 0
+             |      THEN 'IPv6-' ELSE 'IPv4-' END ||
+             |      CASE WHEN k % 2 = 0 THEN 'wss' ELSE 'plain-json' END,
+             |    cip,
+             |    (recv * 8.0) / CAST((k % 80) * 1000000 AS DOUBLE),
+             |    rtt * 1.0,
+             |    pri || '|' || st,
+             |    CAST(2 AS BIGINT)
+             |  FROM base
+             |  WHERE k % 3 = 1 AND k % 11 != 0 AND k % 13 != 0
+             |    AND k % 5 != 4
+             |    AND NOT (k % 29 = 0 AND k % 7 != 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 BETWEEN 9 AND 60
+             |  UNION ALL
+             |  SELECT 'web100-' || CAST(k AS VARCHAR), d,
+             |    'extended_web100_uploads',
+             |    'Web100' || CASE WHEN k % 7 != 0 AND k % 17 = 0
+             |      THEN '-IPv6' ELSE '-IPv4' END ||
+             |      CASE WHEN k % 2 = 0 THEN
+             |        CASE WHEN c % 2 = 0 THEN '-WSS' ELSE '-WS' END
+             |      ELSE
+             |        CASE WHEN c % 2 = 0 THEN '-SSL' ELSE '-PLAIN' END END,
+             |    cip,
+             |    (recv * 0.008) / (((k % 40) * 1000000 + 500000) * 0.001),
+             |    rtt * 1.0,
+             |    pri || '|' || st || '|host-' || CAST(k % 5 AS VARCHAR)
+             |      || '|' || cip || '|2.6.32|linux|3.7.0',
+             |    CAST(1 AS BIGINT)
+             |  FROM base
+             |  WHERE k % 3 = 2 AND k % 9 != 0 AND k % 21 != 0
+             |    AND k % 7 != 0 AND recv >= 8192 AND k % 40 >= 9)
+             |SELECT id, d AS date, view_name, protocol,
+             |  'Upload' AS direction, 'Unknown' AS cc,
+             |  floor(mbps * 10000.0 + 0.5) / 10000.0 AS mbps,
+             |  floor(min_rtt * 10000.0 + 0.5) / 10000.0 AS min_rtt,
+             |  CAST(NULL AS DOUBLE) AS loss_rate,
+             |  client_ip, CAST(NULL AS VARCHAR) AS region,
+             |  'US' AS country, 'lga03' AS site, 'mlab2' AS machine,
+             |  meta_vals, n_tables, TRUE AS is_valid_2021
+             |FROM u ORDER BY id""".stripMargin))
+  )
+}

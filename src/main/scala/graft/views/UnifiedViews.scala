@@ -384,6 +384,340 @@ object UnifiedViews {
     kept.drop("filter") // SELECT * EXCEPT (filter)  (:102)
   }
 
+  // ------------------------------------------------------------------
+  // Upload direction (views/ndt_intermediate/extended_*_uploads.sql +
+  // views/ndt/unified_uploads.sql). Same standard-columns machinery as
+  // downloads with the upload-specific semantics:
+  //   - a.CongestionControl is the literal 'Unknown'
+  //     (extended_ndt7_uploads.sql:82 — etl-schema#95);
+  //   - a.LossRate is NULL — the receiver cannot disambiguate
+  //     reordering from loss (extended_ndt7_uploads.sql:85);
+  //   - test_duration is EndTime−StartTime, not the final snapshot's
+  //     ElapsedTime (extended_ndt7_uploads.sql:19);
+  //   - IsSmall keys on TCPInfo.BytesReceived (:105);
+  //   - no early-exit rescue in IsValidBest (unified_uploads.sql:47-58);
+  //   - client/server structs are REBUILT: IP/Port relocated from the
+  //     raw record and Geo.Region masked to NULL
+  //     (extended_ndt7_uploads.sql:113-167 — etl#1069 region mask).
+  // ------------------------------------------------------------------
+
+  /** Upload-side production regex (extended_ndt7_uploads.sql:66-67) —
+    * note it is NOT the downloads regex: plain `[0-9][0-9]`, no `c`/`t`
+    * site-suffix classes.
+    */
+  private def isProductionArchiveUpload(url: Column): Column =
+    url.rlike("mlab[1-3]-[a-z][a-z][a-z][0-9][0-9]")
+
+  /** web100-era OAM list (extended_web100_uploads.sql:73-76) — only the
+    * early OAM devices; shorter than [[OamIps]] (no GCE script-exporter
+    * sandbox VM, no GKE e2e IPs).
+    */
+  val Web100OamIps: Seq[String] = Seq(
+    "45.56.98.222", "35.192.37.249", "35.225.75.192", "23.228.128.99",
+    "2600:3c03::f03c:91ff:fe33:819", "2605:a601:f1ff:fffe::99")
+
+  /** The 17-field Geo struct rebuilt with Region masked to NULL
+    * (extended_ndt7_uploads.sql:118-136 — etl#1069: "eliminate region
+    * mask once parser does this"). Field order matters: the unified
+    * union is positional.
+    */
+  def maskedGeo(geo: Column): Column = {
+    val head = Seq("ContinentCode", "CountryCode", "CountryCode3",
+      "CountryName").map(f => geo.getField(f).as(f))
+    val tail = Seq("Subdivision1ISOCode", "Subdivision1Name",
+      "Subdivision2ISOCode", "Subdivision2Name", "MetroCode", "City",
+      "AreaCode", "PostalCode", "Latitude", "Longitude",
+      "AccuracyRadiusKm", "Missing").map(f => geo.getField(f).as(f))
+    struct(head ++ (lit(null).cast("string").as("Region") +: tail): _*)
+  }
+
+  /** The upload `a` summary struct (extended_ndt7_uploads.sql:78-86):
+    * fixed Direction/CongestionControl, NULL LossRate.
+    */
+  private def uploadSummary(uuid: Column, testTime: Column, mbps: Column,
+      minRttMs: Column): Column =
+    struct(uuid.as("UUID"), testTime.as("TestTime"),
+      lit("Upload").as("Direction"),
+      lit("Unknown").as("CongestionControl"),
+      mbps.as("MeanThroughputMbps"), minRttMs.as("MinRTT"),
+      lit(null).cast("double").as("LossRate"))
+
+  /** The upload filter struct (extended_ndt7_uploads.sql:98-111): the
+    * congestion-evidence flags are hard false — an upload's sender-side
+    * counters aren't visible to the receiver.
+    */
+  private def uploadFilter(isComplete: Column, isProduction: Column,
+      isError: Column, isOam: Column, isRfc1918: Column,
+      isPlatformAnomaly: Column, recvBytes: Column,
+      durationMs: Column): Column =
+    struct(
+      isComplete.as("IsComplete"), isProduction.as("IsProduction"),
+      isError.as("IsError"), isOam.as("IsOAM"),
+      isRfc1918.as("_IsRFC1918"),
+      isPlatformAnomaly.as("IsPlatformAnomaly"),
+      (recvBytes < StandardColumns.MinTransferBytes).as("IsSmall"),
+      (durationMs < StandardColumns.MinDurationMs * 1.0).as("IsShort"),
+      (durationMs > StandardColumns.MaxDurationMs * 1.0).as("IsLong"),
+      lit(false).as("IsEarlyExit"), // not supported for uploads (:108)
+      lit(false).as("_IsCongested"), lit(false).as("_IsBloated"))
+
+  /** Rebuilt client struct: IP/Port relocated from the raw record
+    * (etl-schema#141), Geo region-masked (extended_ndt7_uploads.sql:
+    * 113-138).
+    */
+  private def uploadClient(ip: Column, port: Column, geo: Column,
+      network: Column): Column =
+    struct(ip.as("IP"), port.as("Port"), maskedGeo(geo).as("Geo"),
+      network.as("Network"))
+
+  /** Rebuilt server struct, with Site/Machine kept beside the relocated
+    * IP/Port (extended_ndt7_uploads.sql:140-167).
+    */
+  private def uploadServer(ip: Column, port: Column, site: Column,
+      machine: Column, geo: Column, network: Column): Column =
+    struct(ip.as("IP"), port.as("Port"), site.as("Site"),
+      machine.as("Machine"), maskedGeo(geo).as("Geo"),
+      network.as("Network"))
+
+  /** ndt7-era upload intermediate view
+    * (extended_ndt7_uploads.sql). Input contract: the downloads shape
+    * with `raw.Upload` in place of `raw.Download` plus the raw-level
+    * address fields the upload views relocate:
+    *   raw STRUCT<ClientIP, ClientPort, ServerIP, ServerPort,
+    *     Upload: STRUCT<UUID, StartTime, EndTime,
+    *       ClientMetadata/ServerMetadata: MetaPairsType,
+    *       ServerMeasurements: ARRAY<STRUCT<ElapsedTime,
+    *         TCPInfo: STRUCT<BytesReceived, MinRTT(µs)>>>>>
+    * and client/server carrying Geo + Network (+ server Site/Machine).
+    * Per-row projection only — no shuffle at any scale.
+    */
+  def extendedNdt7Uploads(raw: DataFrame): DataFrame = {
+    val meas = col("raw.Upload.ServerMeasurements")
+    val fin = SafeOps.arrayLast(meas) // FinalSnapshot (:16)
+    val recv = fin.getField("TCPInfo").getField("BytesReceived")
+    // TIMESTAMP_DIFF(EndTime, StartTime, MILLISECOND) * 1.0  (:19)
+    val durationMs =
+      (unix_millis(col("raw.Upload.EndTime").cast("timestamp")) -
+        unix_millis(col("raw.Upload.StartTime").cast("timestamp"))) * 1.0
+    raw
+      .filter(col("raw.Upload").isNotNull && // valid-C2S guard (:23-26)
+        col("raw.Upload.UUID").isNotNull &&
+        !col("raw.Upload.UUID").isin("", "ERROR_DISCOVERING_UUID"))
+      .select(col("id"), col("date"),
+        uploadSummary(
+          col("raw.Upload.UUID"), col("raw.Upload.StartTime"),
+          // Receiver-side throughput: BytesReceived·8 over µs (:83)
+          SafeOps.safeDivide(recv * 8.0, durationMs * 1000.0),
+          fin.getField("TCPInfo").getField("MinRTT").cast("double")
+            / 1000.0).as("a"),
+        struct(
+          lit("extended_ndt7_uploads").as("View"),
+          concat(lit("ndt7"), // (:40-45), on the raw-level ClientIP
+            when(col("raw.ClientIP").contains(":"), lit("-IPv6"))
+              .otherwise(lit("-IPv4")),
+            when(col("raw.ServerPort") === 443, lit("-WSS"))
+              .when(col("raw.ServerPort") === 80, lit("-WS"))
+              .otherwise(lit("-unknown"))).as("Protocol"),
+          col("raw.Upload.ClientMetadata").as("ClientMetadata"),
+          col("raw.Upload.ServerMetadata").as("ServerMetadata"),
+          array(col("parser")).as("Tables")).as("metadata"),
+        uploadFilter(
+          isComplete = fin.isNotNull, // (:37)
+          isProduction =
+            isProductionArchiveUpload(col("parser.ArchiveURL")),
+          isError = lit(false), // ndt-server#317 TODO in reference (:17)
+          isOam = isOamClient(col("raw.ClientIP")),
+          isRfc1918 = isRfc1918Client(col("raw.ClientIP")),
+          isPlatformAnomaly = lit(false),
+          recvBytes = recv, durationMs = durationMs).as("filter"),
+        uploadClient(col("raw.ClientIP"), col("raw.ClientPort"),
+          col("client.Geo"), col("client.Network")).as("client"),
+        uploadServer(col("raw.ServerIP"), col("raw.ServerPort"),
+          col("server.Site"), col("server.Machine"), col("server.Geo"),
+          col("server.Network")).as("server"))
+  }
+
+  /** ndt5-era upload intermediate view (extended_ndt5_uploads.sql):
+    * C2S control record LEFT JOINed with the separate tcpinfo raw table
+    * USING (date, id) (:70-72). Upload-specific quirk kept faithfully:
+    * _IsRFC1918 tests the SERVER address, not the client
+    * (extended_ndt5_uploads.sql:57-63), so RFC1918 clients are NOT
+    * excluded in this era. Same 100 TB shape as the downloads twin:
+    * date-partition-aligned shuffle join, nothing broadcastable.
+    *
+    * Input contracts: raw as the downloads ndt5 shape with raw.C2S
+    * carrying UUID/StartTime/EndTime/ClientIP/ClientPort/ServerIP/
+    * ServerPort/Error; tcpinfo with
+    * FinalSnapshot.TCPInfo.{BytesReceived, MinRTT(µs)}.
+    */
+  def extendedNdt5Uploads(raw: DataFrame, tcpinfo: DataFrame): DataFrame = {
+    val ul = raw.filter(col("raw.C2S").isNotNull && // (:19-21)
+      col("raw.C2S.UUID").isNotNull &&
+      !col("raw.C2S.UUID").isin("", "ERROR_DISCOVERING_UUID"))
+    val tcp = tcpinfo.select(col("date"), col("id"),
+      col("parser").as("TCPparser"), col("FinalSnapshot"))
+    val joined = ul.join(tcp, Seq("date", "id"), "left")
+    val fin = col("FinalSnapshot")
+    val tcpi = fin.getField("TCPInfo")
+    val durationMs = // (:16)
+      (unix_millis(col("raw.C2S.EndTime").cast("timestamp")) -
+        unix_millis(col("raw.C2S.StartTime").cast("timestamp"))) * 1.0
+    val recv = tcpi.getField("BytesReceived")
+    joined.select(col("id"), col("date"),
+      uploadSummary(
+        col("raw.C2S.UUID"), col("raw.C2S.StartTime"),
+        SafeOps.safeDivide(recv * 8.0, durationMs * 1000.0),
+        tcpi.getField("MinRTT").cast("double") / 1000.0).as("a"),
+      struct(
+        lit("extended_ndt5_uploads").as("View"),
+        concat(lit("ndt5-"), // (:39-44)
+          when(col("raw.C2S.ClientIP").contains(":"), lit("IPv6-"))
+            .otherwise(lit("IPv4-")),
+          col("raw.Control.Protocol"),
+          when(col("raw.Control.Protocol") === "plain",
+            concat(lit("-"), col("raw.Control.MessageProtocol")))
+            .otherwise(lit(""))).as("Protocol"),
+        col("raw.Control.ClientMetadata").as("ClientMetadata"),
+        col("raw.Control.ServerMetadata").as("ServerMetadata"),
+        array(col("parser"), col("TCPparser")).as("Tables")) // (:95)
+        .as("metadata"),
+      uploadFilter(
+        isComplete = fin.isNotNull, // (:36)
+        isProduction =
+          isProductionArchiveUpload(col("parser.ArchiveURL")),
+        isError = (col("raw.C2S.Error").isNotNull &&
+          col("raw.C2S.Error") =!= ""), // (:15)
+        isOam = isOamClient(col("raw.C2S.ClientIP")),
+        // the reference checks the SERVER address here (:57-63)
+        isRfc1918 = isRfc1918Client(col("raw.C2S.ServerIP")),
+        isPlatformAnomaly = lit(false),
+        recvBytes = recv, durationMs = durationMs).as("filter"),
+      uploadClient(col("raw.C2S.ClientIP"), col("raw.C2S.ClientPort"),
+        col("client.Geo"), col("client.Network")).as("client"),
+      uploadServer(col("raw.C2S.ServerIP"), col("raw.C2S.ServerPort"),
+        col("server.Site"), col("server.Machine"), col("server.Geo"),
+        col("server.Network")).as("server"))
+  }
+
+  /** web100-era upload intermediate view (extended_web100_uploads.sql):
+    * data_direction = 0 (:16), the 7-entry modernized ClientMetadata
+    * (:50-58), throughput over the SYN-to-snap connection duration
+    * (:103), anomaly screen on the impossible-byte-count rule (:38-40),
+    * the era-specific short OAM list on connection_spec.remote_ip, and
+    * Site/Machine regex-extracted from the server hostname (:163-164).
+    *
+    * Input contract: the downloads web100 shape plus
+    * raw.connection.{client_kernel_version, client_os, client_version,
+    * server_kernel_version} and raw.web100.connection_spec.{remote_ip,
+    * remote_port, local_ip, local_port}.
+    */
+  def extendedWeb100Uploads(raw: DataFrame): DataFrame = {
+    val conn = col("raw.connection")
+    val snap = col("raw.web100.snap")
+    val spec = col("raw.web100.connection_spec")
+    val ul = raw.filter(conn.getField("data_direction") === 0) // (:16)
+    // SYN to final snap, ms — includes setup (:43)
+    val connDurMs = snap.getField("Duration") * 0.001
+    val recv = snap.getField("HCThruOctetsReceived")
+    val isComplete = snap.getField("Duration").isNotNull && // (:24-31)
+      snap.getField("State").isNotNull &&
+      conn.getField("server_ip").isNotNull &&
+      conn.getField("client_ip").isNotNull &&
+      snap.getField("SndLimTimeRwin").isNotNull &&
+      snap.getField("SndLimTimeCwnd").isNotNull &&
+      snap.getField("SndLimTimeSnd").isNotNull
+    def metaPair(name: String, value: Column) =
+      struct(lit(name).as("Name"), value.as("Value"))
+    ul.select(col("id"), col("date"),
+      uploadSummary(
+        col("id"), // web100 predates UUIDs; id stands in
+        conn.getField("start_time"),
+        SafeOps.safeDivide(recv * 0.008, connDurMs), // (:103)
+        snap.getField("MinRTT") * 1.0).as("a"),
+      struct(
+        lit("extended_web100_uploads").as("View"),
+        concat(lit("Web100"), // (:64-70)
+          when(conn.getField("client_ip").contains(":"), lit("-IPv6"))
+            .otherwise(lit("-IPv4")),
+          when(conn.getField("websockets"),
+            when(conn.getField("tls"), lit("-WSS")).otherwise(lit("-WS")))
+            .otherwise(
+              when(conn.getField("tls"), lit("-SSL"))
+                .otherwise(lit("-PLAIN")))).as("Protocol"),
+        array( // the 7-entry modernized list (:50-58)
+          metaPair("client_application",
+            conn.getField("client_application")),
+          metaPair("client_browser", conn.getField("client_browser")),
+          metaPair("client_hostname", conn.getField("client_hostname")),
+          metaPair("client_ip", conn.getField("client_ip")),
+          metaPair("client_kernel_version",
+            conn.getField("client_kernel_version")),
+          metaPair("client_os", conn.getField("client_os")),
+          metaPair("client_version", conn.getField("client_version")))
+          .as("ClientMetadata"),
+        array( // (:59-62)
+          metaPair("server_hostname", conn.getField("server_hostname")),
+          metaPair("server_ip", conn.getField("server_ip")),
+          metaPair("server_kernel_version",
+            conn.getField("server_kernel_version")))
+          .as("ServerMetadata"),
+        array(col("parser")).as("Tables")).as("metadata"),
+      uploadFilter(
+        isComplete = isComplete,
+        isProduction =
+          isProductionArchiveUpload(col("parser.ArchiveURL")),
+        isError = lit(false), // (:33)
+        isOam = spec.getField("remote_ip").isin(Web100OamIps: _*),
+        isRfc1918 =
+          isRfc1918Client(spec.getField("remote_ip")), // (:79-85)
+        // ~10 Gb/s for 24 h — clearly bogus (:38-40)
+        isPlatformAnomaly = recv > 1e14,
+        recvBytes = recv, durationMs = connDurMs).as("filter"),
+      uploadClient(spec.getField("remote_ip"),
+        spec.getField("remote_port"), col("client.Geo"),
+        col("client.Network")).as("client"),
+      uploadServer(spec.getField("local_ip"),
+        spec.getField("local_port"),
+        regexp_extract(conn.getField("server_hostname"),
+          "mlab[1-4].([a-z][a-z][a-z][0-9][0-9t])", 1).as("Site"),
+        regexp_extract(conn.getField("server_hostname"),
+          "(mlab[1-4])", 1).as("Machine"),
+        col("server.Geo"), col("server.Network")).as("server"))
+  }
+
+  /** Upload IsValidBest (unified_uploads.sql:47-58) — the downloads
+    * expression WITHOUT the early-exit rescue of IsShort (early exit is
+    * not supported for upload tests).
+    */
+  def isValidBestUpload: Column =
+    col("filter.IsComplete") && col("filter.IsProduction") &&
+      !col("filter.IsError") && !col("filter.IsOAM") &&
+      !col("filter.IsPlatformAnomaly") && !col("filter.IsSmall") &&
+      !col("filter.IsShort") && !col("filter.IsLong") &&
+      !col("filter._IsRFC1918")
+
+  /** Upload IsValid2021 (unified_uploads.sql:60-71) — textually the same
+    * predicate list as [[isValidBestUpload]] in the reference; both
+    * columns are exposed because the published schema carries both.
+    */
+  def isValid2021Upload: Column = isValidBestUpload
+
+  /** Unified uploads (unified_uploads.sql:42-90): positional UNION ALL
+    * of the era branches, the two IsValid* vintages, validity filter,
+    * `* EXCEPT (filter)`. Same metadata-only-union / per-branch
+    * partition-pruning properties as [[unifiedDownloads]].
+    */
+  def unifiedUploads(branches: Seq[DataFrame],
+      applyFilter: Boolean = true): DataFrame = {
+    require(branches.nonEmpty, "unifiedUploads: no branches")
+    val unioned = branches.reduce(_ unionAll _)
+      .withColumn("IsValidBest", isValidBestUpload)
+      .withColumn("IsValid2021", isValid2021Upload)
+    val kept =
+      if (applyFilter) unioned.filter(col("IsValidBest")) else unioned
+    kept.drop("filter") // SELECT * EXCEPT (filter)  (:88)
+  }
+
   /** GraftFunctions registration is needed for the IsOAM predicate. */
   def prepare(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.GraftFunctions.registerAll(spark)

@@ -272,6 +272,39 @@ class InfraSpec extends SparkTestBase {
     assert(nofilter.count() == 4)
   }
 
+  test("unified uploads: upload semantics + per-era RFC1918/OAM quirks") {
+    // Full chain on the smallest sf; era-specific behaviors that the
+    // flat oracle also encodes, asserted here at the semantic level.
+    val out = graft.queries.ErasUpload.all.head
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // Upload standard columns: fixed direction/CC, NULL LossRate,
+    // region masked to NULL (extended_ndt7_uploads.sql:82,85,123)
+    assert(out.forall(_.getAs[String]("direction") == "Upload"))
+    assert(out.forall(_.getAs[String]("cc") == "Unknown"))
+    val lossIdx = out.head.fieldIndex("loss_rate")
+    val regionIdx = out.head.fieldIndex("region")
+    assert(out.forall(_.isNullAt(lossIdx)))
+    assert(out.forall(_.isNullAt(regionIdx)))
+    // web100 Site/Machine regex extraction matches the pass-through eras
+    assert(out.forall(r => r.getAs[String]("site") == "lga03" &&
+      r.getAs[String]("machine") == "mlab2"))
+    def ips(view: String): Set[String] =
+      out.filter(_.getAs[String]("view_name") == view)
+        .map(_.getAs[String]("client_ip")).toSet
+    // ndt5 screens RFC1918 on the SERVER address
+    // (extended_ndt5_uploads.sql:57-63): private clients survive there
+    // and only there.
+    assert(ips("extended_ndt5_uploads").contains("10.0.0.1"))
+    assert(!ips("extended_ndt7_uploads").contains("10.0.0.1"))
+    assert(!ips("extended_web100_uploads").contains("10.0.0.1"))
+    // web100's short OAM list (extended_web100_uploads.sql:73-76) lacks
+    // the GCE script-exporter IP: OAM for ndt7/ndt5, kept for web100.
+    assert(ips("extended_web100_uploads").contains("35.193.254.117"))
+    assert(!ips("extended_ndt7_uploads").contains("35.193.254.117"))
+    assert(!ips("extended_ndt5_uploads").contains("35.193.254.117"))
+  }
+
   // --- Streaming ----------------------------------------------------------
 
   test("Sessionize: batch mode splits on gap and emits trailing session") {

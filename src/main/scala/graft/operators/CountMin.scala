@@ -21,6 +21,15 @@ import graft.functions.TextOps
   * wide enough that no two distinct values share a cell in some row,
   * the min over rows is EXACT — the regime the DuckDB oracle checks on
   * the fixtures (the bound covers the colliding regime at scale).
+  * CAVEAT on the bound: because every row's hash derives affinely from
+  * ONE 32-bit base hash (see below), two values that collide on the
+  * base hash collide in EVERY row — depth resolves cell-level
+  * collisions only, not base-hash collisions, so the formal 1 − e^−d
+  * independence guarantee holds conditionally on base-hash injectivity
+  * (violations ~n²/2³³: negligible below ~10⁶ distinct values per
+  * group, an additive overcount source above). Salting the md5 with d
+  * would restore the formal bound at the measured 4× hash cost; this
+  * sketch deliberately trades that for throughput.
   *
   * Determinism: the value hashes ONCE through the portable md5-based
   * [[TextOps.hash32]]; row d's hash derives arithmetically as

@@ -643,32 +643,54 @@ object Dedup {
     * Output: node, component (= min node id reachable).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     // Materialize the (possibly expensive) edge derivation ONCE — every
     // propagation round joins against `sym`, and without this the whole
     // upstream pair pipeline (MinHash etc.) would re-execute per round.
+    // Pre-partitioned on `b` (the side every round's join probes):
+    // localCheckpoint preserves the physical partitioning, so each round
+    // shuffles only the label table, never the (larger) edge list.
     val sym = edges.select(col("a").cast("long").as("a"),
         col("b").cast("long").as("b"))
       .unionAll(edges.select(col("b").cast("long").as("a"),
         col("a").cast("long").as("b")))
+      .repartition(col("b"))
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // Round 1 fused into initialization: a node's first propagated label
+    // is min(self, neighbors), which is one groupBy over the symmetric
+    // edge list — no join. (The classic formulation spends a full
+    // join-round computing exactly this.)
+    var labels = sym.groupBy("a").agg(min("b").as("nb"))
+      .select(col("a").as("node"),
+        least(col("a"), col("nb")).as("component"))
       .localCheckpoint(true)
-    var iter = 0
+    var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = sym.join(labels, col("b") === col("node"))
-        .groupBy("a").agg(min("component").as("nbr_min"))
-      // one join per round: keep old and new labels side by side in the
-      // materialized frame, so the convergence count reads the checkpoint
-      // instead of re-joining against the previous labels
-      val joined = labels.join(nbrMin, col("node") === col("a"), "left")
-        .select(col("node"), col("component").as("old_c"),
-          least(col("component"),
-            coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      converged = joined.filter(col("component") < col("old_c")).count() == 0
-      labels = joined.select(col("node"), col("component"))
+      // One join + one aggregate per round: neighbor labels and the
+      // node's own label meet in a union tagged by provenance, so the
+      // min-propagation AND the old label fall out of a single groupBy
+      // (the textbook shape joins labels a second time to recover the
+      // old value — one more shuffle of the label table per round).
+      // The convergence check rides INSIDE the checkpoint-materializing
+      // job via an accumulator counting shrunk labels: one job per
+      // round instead of checkpoint + a separate count(). Retry-safe
+      // for the boolean we need — task retries can only inflate a
+      // non-zero count, never turn a genuine zero non-zero.
+      val changed = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      labels = sym.join(labels, col("b") === col("node"))
+        .select(col("a"), col("component"), lit(false).as("self"))
+        .unionAll(labels.select(col("node").as("a"), col("component"),
+          lit(true).as("self")))
+        .groupBy("a")
+        .agg(min("component").as("component"),
+          min(when(col("self"), col("component"))).as("old_c"))
+        .as[(Long, Long, Long)]
+        .map { r => if (r._2 < r._3) changed.add(1L); (r._1, r._2) }
+        .toDF("node", "component")
+        .localCheckpoint(true) // materializes → populates the accumulator
+      converged = changed.value == 0L
       iter += 1
     }
     labels
@@ -823,7 +845,12 @@ object Dedup {
               slice(col("toks"), i * spanTokens + 1, lit(spanTokens)),
               " "))))
         .as(Seq("sp", "stxt")))
-      .withColumn("g", TextOps.hash32(col("stxt")))
+      // Group on the FULL 128-bit md5, not a 32-bit prefix: beyond ~10^5
+      // distinct spans 32-bit collisions are expected and would falsely
+      // remove distinct spans — a destructive decision at corpus scale.
+      // The reported clean_hash stays 32-bit (it's a fingerprint, not a
+      // grouping key).
+      .withColumn("g", md5(col("stxt")))
     val firstOcc = spans
       .groupBy("g")
       .agg(min(struct(col("doc_id"), col("sp"))).as("keep"))

@@ -56,6 +56,11 @@ object IntervalJoin {
       bucketWidth: Long, joinType: String = "inner",
       maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // a negative cap would route every interval down BOTH legs (the >0
+    // guard skips the narrow filter while the wide filter matches all),
+    // duplicating every pair
+    require(maxBucketsPerInterval >= 0,
+      "maxBucketsPerInterval must be >= 0 (0 disables the split)")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"unsupported join type for bucketized interval join: $joinType")
     require(joinType == "inner" || maxBucketsPerInterval == 0,
@@ -129,6 +134,8 @@ object IntervalJoin {
       right: DataFrame, loR: String, hiR: String,
       bucketWidth: Long, maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval >= 0,
+      "maxBucketsPerInterval must be >= 0 (0 disables the split)")
     require(Set(loL, hiL).intersect(Set(loR, hiR)).isEmpty,
       "bound column names must differ between the two sides (the " +
         "overlap residual references both by name)")

@@ -592,12 +592,12 @@ object Curation {
              |    array_to_string(ts[sp*8+1 : (sp+1)*8], ' ') AS stxt
              |  FROM b0),
              |mk AS (
-             |  -- partition by the SAME 32-bit hash the Spark side
-             |  -- groups on, so a (vanishingly unlikely) hash collision
-             |  -- cannot diverge the two sides
+             |  -- partition by the SAME full md5 the Spark side groups
+             |  -- on (collision-safe at corpus scale, unlike a 32-bit
+             |  -- prefix)
              |  SELECT doc_id, sp, stxt,
              |    row_number() OVER (
-             |      PARTITION BY ('0x' || substr(md5(stxt),1,8))::BIGINT
+             |      PARTITION BY md5(stxt)
              |      ORDER BY doc_id, sp) AS rn
              |  FROM blk)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
@@ -744,18 +744,27 @@ object Curation {
         "alongside.",
       (s, d) => {
         import graft.functions.{SafeOps, TextOps}
-        val grams = t(s, d, "documents").select(col("doc_id"),
+        // One corpus pass: tokenize+shingle once, reduce to the distinct
+        // (shard, item) set, and FENCE it — registers are max-aggregates
+        // over distinct items (duplicates can't change a bucket max), and
+        // the exact overlap is items present in both shards, so every
+        // downstream leg derives from this one materialization instead of
+        // re-scanning and re-shingling the corpus per leg (the fencing
+        // discipline q84/qC1 use for tokenFreq).
+        val shards = t(s, d, "documents").select(
+          (col("doc_id") % 2).as("shard"),
           explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
             .as("item"))
-        val ra = Hll.registers(grams.filter(col("doc_id") % 2 === 0),
+          .distinct().localCheckpoint()
+        val ra = Hll.registers(shards.filter(col("shard") === 0),
           Seq.empty, col("item"), p = 9)
-        val rb = Hll.registers(grams.filter(col("doc_id") % 2 === 1),
+        val rb = Hll.registers(shards.filter(col("shard") === 1),
           Seq.empty, col("item"), p = 9)
         val est = Hll.overlapEstimate(ra, rb, Seq.empty, p = 9)
-        val exact = grams.filter(col("doc_id") % 2 === 0)
-          .select("item").distinct()
-          .join(grams.filter(col("doc_id") % 2 === 1)
-            .select("item").distinct(), "item")
+        // item in both shards ⟺ its (shard,item) pair count is 2
+        val exact = shards.groupBy("item")
+          .agg(count(lit(1)).as("n_shards"))
+          .filter(col("n_shards") === 2)
           .agg(count(lit(1)).as("exact_overlap"))
         est.crossJoin(exact).select(
           SafeOps.stableRound4(col("est_a")).as("est_a"),

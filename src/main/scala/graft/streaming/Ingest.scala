@@ -124,6 +124,69 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once merge of a per-batch sketch into a standing versioned
+    * sketch table at `baseDir` (layout: `baseDir/v_<batchId>` parquet
+    * dirs; readers resolve the latest via [[standingSketch]]).
+    *
+    * Crash/replay contract (foreachBatch re-runs the last uncommitted
+    * batch after a failure):
+    *   - idempotent replay: if `v_<batchId>` already exists the batch
+    *     was fully merged — return it, merge nothing (a sum-merge like
+    *     Count-Min would otherwise double-count the replayed batch);
+    *   - atomic promote: the merged sketch lands in a `_tmp_` dir and
+    *     is RENAMED into place (atomic on HDFS and local file systems;
+    *     object stores degrade to copy but stay crash-consistent
+    *     because committed versions are never mutated in place);
+    *   - portable existence checks through the Hadoop FileSystem API —
+    *     a java.io.File probe is local-only and would silently report
+    *     false on HDFS/S3, dropping the standing state.
+    *
+    * Versions are |groups| × sketch-width rows — tiny; the previous
+    * version is deleted after promote so at most two live at once.
+    * Returns the standing sketch as of `batchId`.
+    */
+  private[graft] def mergeVersioned(spark: SparkSession, baseDir: String,
+      batchId: Long, fresh: DataFrame,
+      mergeFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(base, f"v_$batchId%020d")
+    if (fsys.exists(target)) { // replayed, already-committed batch
+      spark.read.parquet(target.toString)
+    } else {
+      val prev =
+        if (!fsys.exists(base)) None
+        else fsys.listStatus(base).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("v_")).sortBy(_.getName).lastOption
+      val merged = prev match {
+        case Some(p) => mergeFn(spark.read.parquet(p.toString), fresh)
+        case None => fresh
+      }
+      val tmp = new Path(base, s"_tmp_$batchId")
+      fsys.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      if (!fsys.rename(tmp, target))
+        throw new java.io.IOException(s"promote failed: $tmp -> $target")
+      prev.foreach(p => fsys.delete(p, true))
+      spark.read.parquet(target.toString)
+    }
+  }
+
+  /** Resolve the current standing sketch written by the incremental
+    * screens (the latest committed `v_<batchId>` version under `dir`).
+    */
+  def standingSketch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = fsys.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v_")).sortBy(_.getName).lastOption
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no committed sketch version under $dir"))
+    spark.read.parquet(latest.toString)
+  }
+
   /** Incremental-cardinality screen: each micro-batch's values are
     * sketched ([[graft.operators.Hll.registers]]) and max-merged into
     * the standing register table at `regDir` — the streaming face of
@@ -134,9 +197,11 @@ object Ingest {
     * which is the monitoring signal: distinct-URL/token growth per
     * source as the crawl lands.
     *
-    * The read-merge-overwrite of the register table is safe under
-    * AvailableNow/foreachBatch's serialized batch execution; registers
-    * are |groups| × 2^p rows — driver-light, never stream-sized.
+    * The standing table is versioned + rename-promoted and batch-id
+    * checked (see [[mergeVersioned]]): the register merge is
+    * exactly-once under foreachBatch replay. The `outDir` estimate
+    * append is at-least-once — a crash between promote and append can
+    * replay the row — so monitoring consumers dedup on `batch_id`.
     */
   def startCardinalityScreen(stream: DataFrame, groupCols: Seq[String],
       valueCol: String, p: Int, regDir: String, outDir: String,
@@ -147,15 +212,9 @@ object Ingest {
         val spark = batch.sparkSession
         val fresh = graft.operators.Hll.registers(
           batch, groupCols, col(valueCol), p)
-        val merged =
-          if (new java.io.File(regDir).exists()) {
-            val standing = spark.read.parquet(regDir)
-            graft.operators.Hll.merge(standing, fresh, groupCols)
-          } else fresh
-        // materialize before overwriting the table being read
-        val pinned = merged.localCheckpoint()
-        pinned.write.mode("overwrite").parquet(regDir)
-        graft.operators.Hll.estimate(pinned, groupCols, p)
+        val standing = mergeVersioned(spark, regDir, batchId, fresh,
+          graft.operators.Hll.merge(_, _, groupCols))
+        graft.operators.Hll.estimate(standing, groupCols, p)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }
@@ -170,6 +229,11 @@ object Ingest {
     * stream), and each batch appends the probe list's running
     * frequency estimates — hot-key / hot-domain watch on the ingest
     * path without counting the vocabulary.
+    *
+    * Unlike the HLL screen's max-merge, the sum-merge is NOT naturally
+    * idempotent — replaying a batch would double-count it — so the
+    * [[mergeVersioned]] batch-id check is load-bearing here, not just
+    * tidy.
     */
   def startFrequencyScreen(stream: DataFrame, groupCols: Seq[String],
       valueCol: String, depth: Int, width: Int, probes: Seq[String],
@@ -181,14 +245,9 @@ object Ingest {
         import spark.implicits._
         val fresh = graft.operators.CountMin.sketch(
           batch, groupCols, col(valueCol), depth, width)
-        val merged =
-          if (new java.io.File(skDir).exists()) {
-            val standing = spark.read.parquet(skDir)
-            graft.operators.CountMin.merge(standing, fresh, groupCols)
-          } else fresh
-        val pinned = merged.localCheckpoint()
-        pinned.write.mode("overwrite").parquet(skDir)
-        graft.operators.CountMin.estimate(pinned, groupCols,
+        val standing = mergeVersioned(spark, skDir, batchId, fresh,
+          graft.operators.CountMin.merge(_, _, groupCols))
+        graft.operators.CountMin.estimate(standing, groupCols,
             probes.toDF("probe"), "probe", depth, width)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)

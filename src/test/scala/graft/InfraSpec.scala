@@ -467,7 +467,7 @@ class InfraSpec extends SparkTestBase {
     // standing registers == batch sketch of the concatenated stream
     val whole = Hll.registers((day1 ++ day2).toDF("src", "url"),
       Seq("src"), col("url"), p = 9)
-    val standing = spark.read.parquet(regDir)
+    val standing = Ingest.standingSketch(spark, regDir)
     assert(standing.exceptAll(whole).isEmpty &&
       whole.exceptAll(standing).isEmpty,
       "streamed register merge diverged from the batch sketch")
@@ -551,7 +551,7 @@ class InfraSpec extends SparkTestBase {
     q.awaitTermination(60000)
     val whole = CountMin.sketch((day1 ++ day2).toDF("src", "key"),
       Seq("src"), col("key"), 4, 2048)
-    val standing = spark.read.parquet(skDir)
+    val standing = Ingest.standingSketch(spark, skDir)
     assert(standing.exceptAll(whole).isEmpty &&
       whole.exceptAll(standing).isEmpty,
       "streamed counter merge diverged from the batch sketch")
@@ -566,6 +566,34 @@ class InfraSpec extends SparkTestBase {
       s"batch 0 estimates: ${byBatch(0L)}")
     assert(byBatch(1L) == Map("hot" -> 100L, "k0" -> 25L, "nope" -> 0L),
       s"batch 1 estimates: ${byBatch(1L)}")
+  }
+
+  test("versioned sketch merge: replayed batch is a no-op for the " +
+    "sum-merge and the promote is rename-atomic") {
+    import graft.operators.CountMin
+    val base = Files.createTempDirectory("mv").toFile.getAbsolutePath + "/sk"
+    val b0 = Seq(("s", "a"), ("s", "a"), ("s", "b")).toDF("src", "key")
+    val b1 = Seq(("s", "a"), ("s", "c")).toDF("src", "key")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      CountMin.sketch(df, Seq("src"), col("key"), 2, 64)
+    def m(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) = CountMin.merge(a, b, Seq("src"))
+    Ingest.mergeVersioned(spark, base, 0L, sk(b0), m)
+    Ingest.mergeVersioned(spark, base, 1L, sk(b1), m)
+    val once = Ingest.standingSketch(spark, base).collect().toSet
+    // foreachBatch crash-replay of batch 1: the sum-merge would
+    // double-count without the committed-version check
+    Ingest.mergeVersioned(spark, base, 1L, sk(b1), m)
+    assert(Ingest.standingSketch(spark, base).collect().toSet == once,
+      "replayed batch changed the standing sketch")
+    // merged standing table equals the sketch of the concatenated stream
+    val whole = sk(b0.unionAll(b1)).collect().toSet
+    assert(once == whole)
+    // no _tmp_ leftovers after promote
+    val names = new java.io.File(base).listFiles().map(_.getName)
+    assert(names.forall(_.startsWith("v_")), names.mkString(","))
+    // only the latest version is retained
+    assert(names.length == 1)
   }
 
   test("quality gate applies unchanged to a file stream — stateless " +

@@ -330,6 +330,104 @@ object ErasUpload {
              |  client_ip, CAST(NULL AS VARCHAR) AS region,
              |  'US' AS country, 'lga03' AS site, 'mlab2' AS machine,
              |  meta_vals, n_tables, TRUE AS is_valid_2021
+             |FROM u ORDER BY id""".stripMargin)),
+
+    // The dated regression pin (views/ndt/unified_uploads_20201026x.sql):
+    // a rename-projection variant mapping the modern Geo schema back to
+    // the older snake_case production fields (Subdivision*/Missing
+    // omitted — :42-45,:52) with `date AS test_date` beside `date`
+    // (:82), deployed through the same pinnedVariants machinery as the
+    // before/after A/B views (qB8). The 2020-era `node` column predates
+    // our unified schema and is not carried.
+    GraftQuery(
+      "qF7_legacy_geo_variant",
+      "Dated-pin legacy view (unified_uploads_20201026x): Geo fields " +
+        "renamed to the older snake_case schema via a pinned " +
+        "ViewRegistry variant over the deployed uploads view, " +
+        "test_date alias included.",
+      (s, d) => {
+        import graft.catalog.{ViewDef, ViewRegistry}
+        UnifiedViews.unifiedUploads(unifiedBranches(s, d))
+          .filter(dateWindow)
+          .createOrReplaceTempView("uu_unified")
+        def legacyGeo(side: String): String =
+          Seq("ContinentCode" -> "continent_code",
+            "CountryCode" -> "country_code",
+            "CountryCode3" -> "country_code3",
+            "CountryName" -> "country_name", "Region" -> "region",
+            "MetroCode" -> "metro_code", "City" -> "city",
+            "AreaCode" -> "area_code", "PostalCode" -> "postal_code",
+            "Latitude" -> "latitude", "Longitude" -> "longitude",
+            "AccuracyRadiusKm" -> "radius")
+            .map { case (m, l) => s"$side.Geo.$m AS $l" }
+            .mkString("struct(", ", ", ") AS Geo")
+        val reg = new ViewRegistry(s)
+        val base = ViewDef("uu_unified",
+          s"""SELECT id, date, a,
+             |  struct(client.IP AS IP, client.Port AS Port,
+             |    ${legacyGeo("client")},
+             |    client.Network AS Network) AS client,
+             |  struct(server.IP AS IP, server.Port AS Port,
+             |    server.Site AS Site, server.Machine AS Machine,
+             |    ${legacyGeo("server")},
+             |    server.Network AS Network) AS server,
+             |  date AS test_date
+             |FROM {{.Base}}""".stripMargin)
+        val variant = reg.pinnedVariants(base,
+          Seq("20201026x" -> Map("Base" -> "uu_unified")))
+        reg.deployAll(variant)
+        s.sql(
+          """SELECT id, CAST(test_date AS DATE) AS test_date,
+            |  client.Geo.continent_code AS continent_code,
+            |  client.Geo.country_code AS country_code,
+            |  client.Geo.country_code3 AS country_code3,
+            |  client.Geo.country_name AS country_name,
+            |  client.Geo.region AS region,
+            |  client.Geo.metro_code AS metro_code,
+            |  client.Geo.city AS city,
+            |  client.Geo.area_code AS area_code,
+            |  client.Geo.postal_code AS postal_code,
+            |  client.Geo.latitude AS latitude,
+            |  client.Geo.longitude AS longitude,
+            |  client.Geo.radius AS radius,
+            |  server.Site AS site
+            |FROM uu_unified_20201026x ORDER BY id""".stripMargin)
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |    CAST(o_orderdate AS DATE) AS d,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) % 100000 AS recv
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+             |    AND o_orderdate < TIMESTAMP '1997-01-01'
+             |    AND o_orderkey % 10 != 0),
+             |u AS (
+             |  SELECT 'ndt7-' || CAST(k AS VARCHAR) AS id, d, c
+             |  FROM base
+             |  WHERE k % 3 = 0 AND k % 19 != 0 AND k % 7 != 0
+             |    AND NOT (k % 29 = 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 <= 50
+             |  UNION ALL
+             |  SELECT 'ndt5-' || CAST(k AS VARCHAR), d, c
+             |  FROM base
+             |  WHERE k % 3 = 1 AND k % 11 != 0 AND k % 13 != 0
+             |    AND k % 5 != 4
+             |    AND NOT (k % 29 = 0 AND k % 7 != 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 BETWEEN 9 AND 60
+             |  UNION ALL
+             |  SELECT 'web100-' || CAST(k AS VARCHAR), d, c
+             |  FROM base
+             |  WHERE k % 3 = 2 AND k % 9 != 0 AND k % 21 != 0
+             |    AND k % 7 != 0 AND recv >= 8192 AND k % 40 >= 9)
+             |SELECT id, d AS test_date,
+             |  'NA' AS continent_code, 'US' AS country_code,
+             |  'USA' AS country_code3, 'United States' AS country_name,
+             |  CAST(NULL AS VARCHAR) AS region,
+             |  c % 100 AS metro_code, 'NYC' AS city,
+             |  CAST(212 AS BIGINT) AS area_code, '10001' AS postal_code,
+             |  CAST(40.7 AS DOUBLE) AS latitude,
+             |  CAST(-74.0 AS DOUBLE) AS longitude,
+             |  CAST(100 AS BIGINT) AS radius, 'lga03' AS site
              |FROM u ORDER BY id""".stripMargin))
   )
 }

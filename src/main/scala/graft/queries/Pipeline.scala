@@ -1137,6 +1137,68 @@ object Pipeline {
              |  md5(substring(hs, 17)) AS payload_md5
              |FROM hx ORDER BY doc_id""".stripMargin)),
 
+    // REAL image decode end-to-end: P6 PPM bytes are synthesized per doc
+    // (ASCII header + deterministic RGB samples), then parsed back by the
+    // pure-JVM netpbm decoder inside mapPartitions — header fields AND
+    // per-channel pixel means checked against the oracle's closed form.
+    // Every 37th doc gets a corrupt magic, exercising the decoded=false
+    // quarantine path (poison bytes must not kill the partition).
+    GraftQuery(
+      "qF6_ppm_decode",
+      "Pure-JVM PPM decode round trip under mapPartitions: synthesized " +
+        "P6 images -> real header parse + per-channel pixel means, " +
+        "corrupt-magic rows surviving as decoded=false.",
+      (s, d) => {
+        import graft.functions.SafeOps
+        val w = col("doc_id") % 5 + 2
+        val h = col("doc_id") % 3 + 2
+        val n = (w * h * 3).cast("int")
+        val payloadHex = array_join(
+          transform(sequence(lit(0), n - 1),
+            j => lpad(hex(pmod(col("doc_id") + j, lit(256))), 2, "0")), "")
+        val magic = when(col("doc_id") % 37 === 0, lit("P7\n"))
+          .otherwise(lit("P6\n"))
+        val header = concat(magic, w.cast("string"), lit(" "),
+          h.cast("string"), lit("\n255\n"))
+        val media = concat(encode(header, "UTF-8"), unhex(payloadHex))
+        val mediaTbl = t(s, d, "documents").select(col("doc_id"),
+          media.as("media"), lit("image/x-portable-pixmap").as("mime"),
+          octet_length(media).cast("long").as("n_bytes"))
+        graft.operators.Multimodal.decodeImages(mediaTbl)
+          .select(col("doc_id"), col("decoded"), col("format").as("fmt"),
+            col("width"), col("height"),
+            SafeOps.stableRound4(col("mean_r")).as("mean_r"),
+            SafeOps.stableRound4(col("mean_g")).as("mean_g"),
+            SafeOps.stableRound4(col("mean_b")).as("mean_b"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h,
+             |    doc_id % 37 = 0 AS corrupt
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h, corrupt,
+             |    list_avg(list_transform(range(0, w*h),
+             |      p -> (doc_id + 3*p) % 256)) AS mr,
+             |    list_avg(list_transform(range(0, w*h),
+             |      p -> (doc_id + 3*p + 1) % 256)) AS mg,
+             |    list_avg(list_transform(range(0, w*h),
+             |      p -> (doc_id + 3*p + 2) % 256)) AS mb
+             |  FROM base)
+             |SELECT doc_id, NOT corrupt AS decoded,
+             |  CASE WHEN corrupt THEN 'unknown' ELSE 'ppm' END AS fmt,
+             |  CASE WHEN corrupt THEN NULL
+             |    ELSE CAST(w AS INTEGER) END AS width,
+             |  CASE WHEN corrupt THEN NULL
+             |    ELSE CAST(h AS INTEGER) END AS height,
+             |  CASE WHEN corrupt THEN NULL
+             |    ELSE floor(mr * 10000.0 + 0.5) / 10000.0 END AS mean_r,
+             |  CASE WHEN corrupt THEN NULL
+             |    ELSE floor(mg * 10000.0 + 0.5) / 10000.0 END AS mean_g,
+             |  CASE WHEN corrupt THEN NULL
+             |    ELSE floor(mb * 10000.0 + 0.5) / 10000.0 END AS mean_b
+             |FROM px ORDER BY doc_id""".stripMargin)),
+
     // Top-principal-component projection (All-but-the-Top-style
     // embedding post-process): one partial-aggregated moment pass
     // (d + d² buffer), driver-side power iteration on the bounded d×d

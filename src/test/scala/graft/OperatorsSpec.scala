@@ -395,6 +395,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(frames.filter(col("doc_id") === 0L).count() == 3) // offsets 0,2,4
   }
 
+  test("Multimodal.decodeImage: real PPM/PGM/BMP parse with pixel " +
+    "stats; corrupt and truncated bytes return None") {
+    // P6 2x2, maxval 255, pixels (R,G,B) = (10,20,30) x4 + a comment line
+    val ppm = ("P6\n# c\n2 2\n255\n".getBytes("UTF-8") ++
+      Array.fill(4)(Array[Byte](10, 20, 30)).flatten)
+    val pi = Multimodal.decodeImage(ppm).get
+    assert(pi.format == "ppm" && pi.width == 2 && pi.height == 2)
+    assert(pi.meanR == 10.0 && pi.meanG == 20.0 && pi.meanB == 30.0)
+    // P5 grayscale 3x1, samples 0,128,255 -> all channel means equal
+    val pgm = "P5\n3 1\n255\n".getBytes("UTF-8") ++
+      Array[Byte](0, -128, -1) // 0, 128, 255 unsigned
+    val gi = Multimodal.decodeImage(pgm).get
+    assert(gi.format == "pgm" && gi.width == 3 && gi.height == 1)
+    assert(gi.meanR == gi.meanB && math.abs(gi.meanR - 127.666) < 0.01)
+    // hand-built 24-bpp BMP, 2x1 (row pads to 8 bytes): BGR order,
+    // bottom-up; pixels (R,G,B) = (1,2,3) and (5,6,7)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte)
+    val bmp = ("BM".getBytes("UTF-8") ++ le32(54 + 8) ++ le32(0) ++
+      le32(54) ++ // pixel offset
+      le32(40) ++ le32(2) ++ le32(1) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(8) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array[Byte](3, 2, 1, 7, 6, 5, 0, 0)) // BGR, BGR, 2 pad bytes
+    val bi = Multimodal.decodeImage(bmp).get
+    assert(bi.format == "bmp" && bi.width == 2 && bi.height == 1)
+    assert(bi.meanR == 3.0 && bi.meanG == 4.0 && bi.meanB == 5.0)
+    // corrupt magic / truncated payload / short BMP -> None, no throw
+    assert(Multimodal.decodeImage("P7\n2 2\n255\n".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(ppm.dropRight(1)).isEmpty)
+    assert(Multimodal.decodeImage(bmp.take(40)).isEmpty)
+    assert(Multimodal.decodeImage(Array[Byte]()).isEmpty)
+  }
+
   test("AsOfJoin.backward: latest at-or-before per key, null before first, " +
     "multi-key isolation") {
     val left = Seq(

@@ -67,6 +67,51 @@ object Hll {
       .agg(max("rho").as("rho"))
   }
 
+  /** 64-bit-hash register builder (the HLL++ lineage, Heule et al.
+    * EuroSys'13): same (groupCols..., ridx, rho) table schema and the
+    * SAME [[merge]]/[[estimate]] machinery, but rho derives from a
+    * 63-bit md5-based hash — lifting the reliable range from ~10^8
+    * distinct per group (where the 32-bit [[TextOps.hash32]] itself
+    * saturates: every distinct beyond 2^32 necessarily collides,
+    * documented at [[estimate]]) into the 100 TB-distinct regime
+    * (collision-free to ~10^18).
+    *
+    * Two portability details:
+    *   - the hash is 63 bits (top md5 bit masked) so it stays a
+    *     POSITIVE long in any engine — no unsigned/overflow dialect
+    *     divergence;
+    *   - the leading-one rank is EXACT integer/hex arithmetic
+    *     (hex-digit count + top-digit case), not floor(log2):
+    *     w spans up to 2^(63−p), past double's 53-bit mantissa, where
+    *     floating log2 can mis-round at power-of-two boundaries.
+    *
+    * The estimator keeps the FFGM small-range correction and needs no
+    * large-range branch — that branch exists to undo 32-bit hash
+    * saturation and is unreachable with 63 hash bits.
+    */
+  def registers64(df: DataFrame, groupCols: Seq[String], value: Column,
+      p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4,16] (m = 2^p registers)")
+    val md = md5(value)
+    val hi = conv(substring(md, 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7FFFFFFFL))
+    val lo = conv(substring(md, 9, 8), 16, 10).cast("long")
+    val h = hi * lit(4294967296L) + lo // 63-bit positive
+    val w = shiftright(h, p)
+    val hx = hex(w) // no leading zeros → digit count locates the MSB
+    val top = conv(substring(hx, 1, 1), 16, 10).cast("int")
+    val msb = (length(hx) - 1) * 4 + // floor(log2(top)), top in 1..15
+      when(top >= 8, 3).when(top >= 4, 2).when(top >= 2, 1).otherwise(0)
+    val rho = when(w === 0, lit(63 - p + 1))
+      .otherwise(lit(63 - p) - msb)
+    df.filter(value.isNotNull)
+      .select(groupCols.map(col) :+
+        h.bitwiseAND(lit((1L << p) - 1)).as("ridx") :+
+        rho.cast("long").as("rho"): _*)
+      .groupBy((groupCols.map(col) :+ col("ridx")): _*)
+      .agg(max("rho").as("rho"))
+  }
+
   /** Event-time-windowed registers — the STATEFUL-streaming face of
     * the sketch (vs [[graft.streaming.Ingest.startCardinalityScreen]]'s
     * foreachBatch merge): `groupBy(window(ts), ridx) → max(rho)` is a

@@ -666,6 +666,76 @@ object Curation {
              |  exact_distinct
              |FROM e JOIN x USING (source) ORDER BY source""".stripMargin)),
 
+    // qE3's 64-bit-hash sibling: the HLL++-style register builder for
+    // the 100 TB-distinct regime (Hll.registers64 — 63-bit md5 hash,
+    // exact hex-arithmetic rank), same table schema and estimator. The
+    // oracle recomputes the identical sketch closed-form, including the
+    // integer MSB computation (no floating log2 — w spans past double's
+    // mantissa at this hash width).
+    GraftQuery(
+      "qF8_hll64_cardinality",
+      "Per-source HyperLogLog (p=9) distinct-3-gram estimate from the " +
+        "64-bit-hash register table (Hll.registers64), checked " +
+        "bit-for-bit against the oracle's closed-form sketch plus the " +
+        "exact distinct count.",
+      (s, d) => {
+        import graft.functions.{SafeOps, TextOps}
+        val grams = t(s, d, "documents").select(col("source"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("item"))
+        val est = Hll.estimate(
+          Hll.registers64(grams, Seq("source"), col("item"), p = 9),
+          Seq("source"), p = 9)
+        val exact = grams.groupBy("source")
+          .agg(count_distinct(col("item")).as("exact_distinct"))
+        est.join(exact, "source")
+          .select(col("source"), col("m_used"),
+            SafeOps.stableRound4(col("est")).as("est"),
+            col("exact_distinct"))
+          .orderBy("source")
+      },
+      Some("""WITH g AS (
+             |  SELECT source, unnest(list_transform(
+             |      range(1, len(string_split(text,' ')) - 1),
+             |      i -> string_split(text,' ')[i] || ' ' ||
+             |           string_split(text,' ')[i+1] || ' ' ||
+             |           string_split(text,' ')[i+2])) AS item
+             |  FROM documents
+             |  WHERE len(string_split(text,' ')) >= 3),
+             |h AS (SELECT source, item,
+             |    (('0x' || substr(md5(item),1,8))::BIGINT & 2147483647)
+             |      * 4294967296
+             |      + ('0x' || substr(md5(item),9,8))::BIGINT AS h
+             |  FROM g),
+             |r AS (SELECT source, h & 511 AS ridx,
+             |    max(CASE WHEN (h >> 9) = 0 THEN 55
+             |      ELSE 54 - ((length(to_hex(h >> 9)) - 1) * 4 +
+             |        CASE
+             |          WHEN ('0x' || substr(to_hex(h >> 9), 1, 1))::BIGINT
+             |            >= 8 THEN 3
+             |          WHEN ('0x' || substr(to_hex(h >> 9), 1, 1))::BIGINT
+             |            >= 4 THEN 2
+             |          WHEN ('0x' || substr(to_hex(h >> 9), 1, 1))::BIGINT
+             |            >= 2 THEN 1
+             |          ELSE 0 END) END) AS rho
+             |  FROM h GROUP BY source, h & 511),
+             |e AS (SELECT source, count(*) AS mu,
+             |    sum(1.0 / power(2.0, rho)) AS zhit
+             |  FROM r GROUP BY source),
+             |x AS (SELECT source,
+             |    CAST(count(DISTINCT item) AS BIGINT) AS exact_distinct
+             |  FROM g GROUP BY source)
+             |SELECT e.source, CAST(mu AS BIGINT) AS m_used,
+             |  floor((CASE
+             |      WHEN (0.7213/(1+1.079/512.0))*512*512
+             |          / (zhit + (512 - mu)) <= 1280.0 AND mu < 512
+             |        THEN 512 * ln(512.0 / (512 - mu))
+             |      ELSE (0.7213/(1+1.079/512.0))*512*512
+             |          / (zhit + (512 - mu)) END)
+             |    * 10000.0 + 0.5) / 10000.0 AS est,
+             |  exact_distinct
+             |FROM e JOIN x USING (source) ORDER BY source""".stripMargin)),
+
     // Count-Min point-frequency sketch: per-source (d, cell, cnt)
     // counter table (merge = SUM — the incremental sibling of qE3's
     // HLL), probed for a fixed token list incl. an absent one. The

@@ -1445,6 +1445,55 @@ class OperatorsSpec extends SparkTestBase {
       s"disjoint overlap too large: ${disj.getDouble(3)}")
   }
 
+  test("Hll.registers64: accuracy bound holds at 10^7 synthetic " +
+    "distincts; schema/merge interchange with the 32-bit builder") {
+    import spark.implicits._
+    // 10^7 distinct values, p=12 -> se = 1.04/sqrt(4096) ~ 1.6%;
+    // assert 4 sigma (6.5%). This is the regime the 64-bit hash is FOR —
+    // still far from 32-bit saturation, but large enough to exercise
+    // rho values past the 32-bit builder's range.
+    val n = 10000000L
+    val ids = spark.range(n).select(concat(lit("id-"), col("id"))
+      .as("v"))
+    val regs = Hll.registers64(ids, Seq.empty, col("v"), p = 12)
+    val est = Hll.estimate(regs, Seq.empty, p = 12)
+      .collect()(0).getDouble(1)
+    assert(math.abs(est - n) / n < 0.065, s"est $est vs $n")
+    // same table schema: the 32-bit builder's output merges with it
+    // structurally (semantically only same-hash tables merge — asserted
+    // here as schema interchange, not value mixing)
+    val r32 = Hll.registers((0 until 100).map(i => s"a$i").toDF("v"),
+      Seq.empty, col("v"), p = 12)
+    assert(regs.schema == r32.schema)
+    // split+merge == whole, exactly as the 32-bit builder
+    val half1 = Hll.registers64(ids.filter(length(col("v")) % 2 === 0),
+      Seq.empty, col("v"), p = 12)
+    val half2 = Hll.registers64(ids.filter(length(col("v")) % 2 === 1),
+      Seq.empty, col("v"), p = 12)
+    val merged = Hll.merge(half1, half2, Seq.empty)
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty,
+      "64-bit register merge diverged from the whole-stream sketch")
+    // rho exactness spot-check: the hex-arithmetic rank agrees with a
+    // JVM-side Long computation for a sample of values
+    val sample = spark.range(500).select(concat(lit("id-"), col("id"))
+      .as("v"))
+    val got = Hll.registers64(sample, Seq.empty, col("v"), p = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = (0 until 500).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"id-$i".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16) & 0x7FFFFFFFL
+      val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      val h = hi * 4294967296L + lo
+      val w = h >> 12
+      val rho = if (w == 0) 52L else 51L - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      (h & 4095L, rho)
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(got == expect,
+      "hex-arithmetic rho diverged from the JVM Long computation")
+  }
+
   test("Itemsets.frequentPairs honors support and downward closure; " +
     "within-doc repeats count once") {
     import spark.implicits._

@@ -262,6 +262,35 @@ class PlanSpec extends SparkTestBase {
       s"100x-scale plan invariants violated:\n${failures.mkString("\n")}")
   }
 
+  test("exchange-count pins: the most expensive queries keep their " +
+    "audited shuffle shapes") {
+    // Pinned at the audited round-6 counts (SCALE.md shapes). A future
+    // refactor that silently adds exchanges to a hot query fails here
+    // instead of surfacing as a bench regression. Counts are of
+    // planned Exchange nodes minus reuses, on the sf0.001 plan.
+    val pins: Seq[(String, Int)] = Seq(
+      // post-fence register/distinct aggregates — all exchanges carry
+      // the deduped (shard, item) set or 2^p-row register tables, never
+      // the raw gram stream (the corpus is shingled ONCE, in the fence)
+      "qE7_hll_overlap" -> 12,
+      "qF0_exact_heavy_hitters" -> 1, // pass-2 broadcast-semi recount plan
+      "qF3_grouped_hitters" -> 2,  // per-group MG sketch agg + sketch-sized ranking
+      "qE3_hll_cardinality" -> 6,  // register groupBy O(groups x 2^p) + exact rider
+      "qC2_vocab_growth" -> 3,     // one gram-key groupBy + 10-row decile window
+      "q28_hop_annotation_chain" -> 3, // broadcast annotation joins; U+agg exchanges
+      "qA1_pagerank_dedup_graph" -> 1, // post-loop join (rounds checkpoint-fenced)
+      "qB7_dedup_jaccard_prefix" -> 8, // the round-5 8-exchange restructure
+      "q58_dedup_canonical" -> 3,  // post-loop canonical join
+      "qF5_unified_uploads" -> 2)  // per-row era projections + ndt5 tcpinfo join
+    val failures = pins.flatMap { case (name, cap) =>
+      val p = planOf(name)
+      val n = "Exchange ".r.findAllIn(p).length -
+        "ReusedExchange ".r.findAllIn(p).length
+      if (n > cap) Some(s"$name: $n exchanges (pinned <= $cap)") else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("TopK aggregator partial-aggregates map-side") {
     val p = planOf("q57_topk_per_group")
     // ObjectHashAggregate appears twice: partial + final

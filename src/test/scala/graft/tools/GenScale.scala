@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize an sf1-equivalent dataset from sf0.1 as ten
+  * DISJOINT SHARDS — every replica id-offset by r·10⁷, document tokens
+  * salted per replica (so text workloads see 10× the corpus with the
+  * within-shard duplicate/near-dup structure preserved and ZERO
+  * cross-shard token overlap — a sharded crawl, not ten literal copies,
+  * which would synthesize 10× artificial exact-dup groups and distort
+  * every dedup scaling exponent), embeddings perturbed per replica (so
+  * cosine-pair generators don't see 10 identical copies of every
+  * vector). region/nation stay fixed (the TPC-H convention).
+  *
+  * Output: /root/repo/target/sf1/<table>.parquet. Used by the sf0.1→sf1
+  * scale probe (SCALE.md); NOT driver testdata — /root/testdata is
+  * read-only and stays untouched.
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "/root/repo/target/sf1"
+    val replicas = 10
+    val off = 10000000L
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(n: String): DataFrame =
+      graft.Tables.load(spark, src, n)
+
+    def write(n: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    // fixed dimensions
+    write("region", load("region"))
+    write("nation", load("nation"))
+
+    def replicated(n: String)(f: (DataFrame, Int) => DataFrame)
+        : DataFrame = {
+      val base = load(n)
+      (0 until replicas).map(r => f(base, r)).reduce(_ unionAll _)
+    }
+
+    def shift(c: String, r: Int) = col(c) + lit(r * off)
+
+    write("customer", replicated("customer") { (df, r) =>
+      df.select(shift("c_custkey", r).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    })
+    write("supplier", replicated("supplier") { (df, r) =>
+      df.select(shift("s_suppkey", r).as("s_suppkey"), col("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+    })
+    write("part", replicated("part") { (df, r) =>
+      df.select(shift("p_partkey", r).as("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    })
+    write("orders", replicated("orders") { (df, r) =>
+      df.select(shift("o_orderkey", r).as("o_orderkey"),
+        shift("o_custkey", r).as("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    })
+    write("lineitem", replicated("lineitem") { (df, r) =>
+      df.select(shift("l_orderkey", r).as("l_orderkey"),
+        shift("l_partkey", r).as("l_partkey"),
+        shift("l_suppkey", r).as("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+    })
+    write("events", replicated("events") { (df, r) =>
+      df.select(shift("event_id", r).as("event_id"), col("ts"),
+        shift("user_id", r).as("user_id"), col("event_type"),
+        col("value"), col("props"))
+    })
+    write("documents", replicated("documents") { (df, r) =>
+      val text =
+        if (r == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$r"))), " ")
+      df.select(shift("doc_id", r).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), length(text).cast("long")
+          .as("n_chars"))
+    })
+    write("embeddings", replicated("embeddings") { (df, r) =>
+      // deterministic per-replica perturbation, small enough to keep
+      // realistic cosine structure, large enough that replicas are not
+      // bitwise-identical vectors
+      val emb =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, i) => (x + lit(r * 0.003) * ((i % 5) - lit(2.0)))
+            .cast("float"))
+      df.select(shift("vec_id", r).as("vec_id"), emb.as("embedding"),
+        col("label"))
+    })
+    spark.stop()
+    println(s"wrote sf1 shards to $out")
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy screens for training-data releases — the release-side
+  * companion to [[TextAnalysis]]'s PII flag/redact kernels: those find
+  * identifiers INSIDE text; these bound what the release's metadata
+  * columns reveal about individuals.
+  *
+  * K-anonymity (Sweeney 2002): a row's quasi-identifier combination
+  * must be shared by at least k rows, or it is re-identifiable by
+  * joining the release against outside data.
+  */
+object Privacy {
+
+  /** Two-level k-anonymity screen with a generalization fallback:
+    *
+    *   - level 0: the row's EXACT quasi-identifier tuple occurs ≥ k
+    *     times — release at full precision;
+    *   - level 1: otherwise, if its GENERALIZED tuple (the caller's
+    *     coarsening — truncated zip, year-only date, bucketed value)
+    *     occurs ≥ k times among the rows that FAILED level 0 — release
+    *     at the generalized precision;
+    *   - level 2: otherwise suppress (route to quarantine).
+    *
+    * Level-1 groups are counted over level-0 FAILURES only — the rows
+    * that would actually be published at that granularity — which is
+    * the conservative count for the generalized release (level-0 rows
+    * are published at full precision and are not hidden behind the
+    * generalized value).
+    *
+    * Scale shape: two partitioned window counts over the
+    * quasi-identifier tuples — no self-joins, no corpus-wide window,
+    * partial-aggregation-free but partition-bounded (each frame is one
+    * QI group). Skewed QI groups (a single huge segment) are exactly
+    * the rows that pass level 0 cheaply.
+    *
+    * Output: rowId column, anon_level (0/1/2), group_n (the count that
+    * decided the level — the level-1 candidate count for suppressed
+    * rows).
+    */
+  def kAnonymize(df: DataFrame, idCol: String, exact: Seq[Column],
+      general: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("row_id"),
+      struct(exact: _*).as("__q0"), struct(general: _*).as("__q1"))
+    val n0 = count(lit(1)).over(Window.partitionBy(col("__q0")))
+    val withN0 = base.withColumn("__n0", n0)
+    val n1 = count(when(col("__n0") < k, 1))
+      .over(Window.partitionBy(col("__q1")))
+    withN0.withColumn("__n1", n1)
+      .select(col("row_id"),
+        when(col("__n0") >= k, lit(0))
+          .when(col("__n1") >= k, lit(1))
+          .otherwise(lit(2)).as("anon_level"),
+        when(col("__n0") >= k, col("__n0")).otherwise(col("__n1"))
+          .as("group_n"))
+  }
+}

@@ -1157,5 +1157,85 @@ object Curation {
              |FROM pr
              |JOIN fi fa ON fa.tok = pr.tok_a
              |JOIN fi fb ON fb.tok = pr.tok_b
-             |ORDER BY tok_a, tok_b""".stripMargin)))
+             |ORDER BY tok_a, tok_b""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer et al. SIGMOD'03 — the MOSS
+    // algorithm): per-window argmin over shingle hashes with the
+    // rightmost-tie rule, distinct (pos, hash) selections. Zero-shuffle
+    // HOF selection; the oracle replays the same windows with a frame
+    // min + rightmost-position join. Positions make it the
+    // match-LOCATING dedup primitive (vs MinHash's whole-doc estimate).
+    GraftQuery(
+      "qF9_winnow_fingerprints",
+      "Winnowing fingerprints (k=3-token shingles, w=4 windows, " +
+        "rightmost-tie argmin): exploded (doc_id, pos, fp) selections " +
+        "from a zero-shuffle per-row HOF pipeline.",
+      (s, d) => graft.operators.Winnow.fingerprints(
+        t(s, d, "documents"), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "pos"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             |    ('0x' || substr(md5(ts[i+1] || ' ' || ts[i+2] || ' ' ||
+             |      ts[i+3]), 1, 8))::BIGINT AS h
+             |  FROM toks, LATERAL unnest(range(0,
+             |    greatest(len(ts) - 2, 0))) AS t(i)),
+             |mw AS (
+             |  SELECT doc_id, pos AS win,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM sh),
+             |win AS (
+             |  SELECT doc_id, win, mn FROM mw
+             |  WHERE win < greatest(n - 3, 1)),
+             |fp0 AS (
+             |  SELECT s.doc_id, CAST(max(s.pos) AS INTEGER) AS pos,
+             |    w.mn AS fp
+             |  FROM win w JOIN sh s ON s.doc_id = w.doc_id
+             |    AND s.pos BETWEEN w.win AND w.win + 3 AND s.h = w.mn
+             |  GROUP BY s.doc_id, w.win, w.mn)
+             |SELECT DISTINCT doc_id, pos, fp
+             |FROM fp0 ORDER BY doc_id, pos""".stripMargin)),
+
+    // K-anonymity release screen (Sweeney 2002) with one generalization
+    // fallback: exact quasi-identifier tuples occurring >= k release at
+    // full precision; the rest fall back to the caller's coarsening if
+    // THAT tuple covers >= k of the failing rows; else suppressed. Two
+    // partitioned window counts — each frame one QI group, no self-join.
+    GraftQuery(
+      "qG0_k_anonymity",
+      "Two-level k-anonymity screen (k=5) over customer " +
+        "quasi-identifiers: exact (segment, nation, balance-bucket) -> " +
+        "generalized (segment, nation) -> suppressed, with the " +
+        "deciding group count per row.",
+      (s, d) => graft.operators.Privacy.kAnonymize(
+        t(s, d, "customer"), "c_custkey",
+        exact = Seq(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 100).as("bal_bucket")),
+        general = Seq(col("c_mktsegment"), col("c_nationkey")),
+        k = 5)
+        .select(col("row_id"), col("anon_level").cast("long")
+          .as("anon_level"), col("group_n"))
+        .orderBy("row_id"),
+      Some("""WITH q AS (
+             |  SELECT c_custkey AS row_id, c_mktsegment AS seg,
+             |    c_nationkey AS nat,
+             |    CAST(floor(c_acctbal / 100) AS BIGINT) AS bb
+             |  FROM customer),
+             |n0 AS (
+             |  SELECT *, count(*) OVER (PARTITION BY seg, nat, bb) AS n0
+             |  FROM q),
+             |n1 AS (
+             |  SELECT *, count(*) FILTER (WHERE n0 < 5)
+             |    OVER (PARTITION BY seg, nat) AS n1
+             |  FROM n0)
+             |SELECT row_id,
+             |  CAST(CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+             |    ELSE 2 END AS BIGINT) AS anon_level,
+             |  CAST(CASE WHEN n0 >= 5 THEN n0 ELSE n1 END AS BIGINT)
+             |    AS group_n
+             |FROM n1 ORDER BY row_id""".stripMargin)))
 }

@@ -1494,6 +1494,80 @@ class OperatorsSpec extends SparkTestBase {
       "hex-arithmetic rho diverged from the JVM Long computation")
   }
 
+  test("Winnow: the w+k-1 match guarantee holds, short docs get a " +
+    "degenerate window, pair generation respects the posting cap") {
+    import graft.operators.Winnow
+    val (k, w) = (3, 4)
+    // two docs sharing a 6-token run (= w+k-1): MUST share >= 1
+    // fingerprint (SIGMOD'03 Theorem: any match of length >= w+k-1
+    // contains a full window of shared hashes, whose min is selected
+    // identically on both sides)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six"),
+      (2L, s"seven eight nine ten $shared eleven"),
+      (3L, "unrelated words entirely different content here okay"),
+      (4L, "tiny doc"), // < k tokens -> no shingles -> no fingerprints
+      (5L, "just three tokens")) // exactly 1 shingle -> 1 degenerate win
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+    val f1 = byDoc(1L).map(_.getLong(2)).toSet
+    val f2 = byDoc(2L).map(_.getLong(2)).toSet
+    assert((f1 & f2).nonEmpty, "guaranteed shared fingerprint missing")
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).length == 1 && byDoc(5L).head.getInt(1) == 0)
+    // density: selections per window position ~ 2/(w+1); assert loose
+    // bounds on the long docs (each has ~10 windows)
+    for (d <- Seq(1L, 2L, 3L)) {
+      val n = byDoc(d).length
+      assert(n >= 2 && n <= 8, s"doc $d density off: $n")
+    }
+    // positions point at real shingles: re-derive the shingle hash at
+    // each reported position and compare
+    val withText = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    fps.collect().foreach { r =>
+      val toks = withText(r.getLong(0)).split(" ")
+      val sh = toks.slice(r.getInt(1), r.getInt(1) + k).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sh.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16)
+      assert(h == r.getLong(2), s"fingerprint at wrong position: $r")
+    }
+    // pair generation: docs 1/2 pair up; the cap drops a fingerprint
+    // shared by all three docs
+    val pairs = Winnow.sharedFingerprintPairs(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    val capped = Winnow.sharedFingerprintPairs(fps, maxPosting = 1)
+    assert(capped.count() == 0) // every shared fp has posting length 2
+  }
+
+  test("Privacy.kAnonymize levels: exact pass, generalized fallback " +
+    "counted over failures only, suppression") {
+    import graft.operators.Privacy
+    // segment A, nation 1, bucket 0: 5 rows -> level 0
+    // segment A, nation 1, buckets 1..5: 1 row each -> 5 failures share
+    //   the generalized (A,1) tuple -> level 1 (count excludes the five
+    //   level-0 rows: conservative count = 5)
+    // segment B, nation 2: 3 rows in distinct buckets -> level 2
+    val rows =
+      (1L to 5L).map(i => (i, "A", 1L, 0L)) ++
+        (6L to 10L).map(i => (i, "A", 1L, i - 5L)) ++
+        (11L to 13L).map(i => (i, "B", 2L, i))
+    val df = rows.toDF("id", "seg", "nat", "bb")
+    val out = Privacy.kAnonymize(df, "id",
+      exact = Seq(col("seg"), col("nat"), col("bb")),
+      general = Seq(col("seg"), col("nat")), k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2))).toMap
+    (1L to 5L).foreach(i => assert(out(i) == (0, 5L), s"row $i"))
+    (6L to 10L).foreach(i => assert(out(i) == (1, 5L), s"row $i"))
+    (11L to 13L).foreach(i => assert(out(i) == (2, 3L), s"row $i"))
+  }
+
   test("Itemsets.frequentPairs honors support and downward closure; " +
     "within-doc repeats count once") {
     import spark.implicits._

@@ -172,6 +172,48 @@ object Sampling {
       .drop("rn", "n")
   }
 
+  /** Leakage-safe train/val/test split: assignment by salted hash of
+    * the document's dedup CANONICAL id, so every member of a duplicate
+    * component lands in the same split. A plain per-doc hash split
+    * (q59) contaminates evaluation: a near-dup of a training document
+    * lands in test with probability (1 − train share), and at
+    * web-corpus duplication rates that is a large, systematic
+    * test-set leak — the complement of [[temporalSplit]]'s
+    * future-leak guard, for the duplication axis.
+    *
+    * `canonical`: a (doc_id, canonical) mapping — exact-hash keep-min
+    * groups or [[Dedup.canonicalAssignment]]'s component output; docs
+    * absent from the mapping are their own canonical (left join +
+    * coalesce). Buckets are integer thousandths of the portable hash
+    * ([[TextOps.hash32]] of salt|canonical), so the assignment is
+    * reproducible in any engine and stable under re-partitioning.
+    *
+    * Scale: one shuffle join on doc_id (the mapping is corpus-sized —
+    * never broadcast) + a scan-speed bucket projection.
+    *
+    * Output: doc_id, canonical, bucket (0-999), split.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      canonical: DataFrame, splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split ratios must sum to 1")
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * 1000.0))
+    val bucket = pmod(TextOps.hash32(
+      concat(lit(salt + "|"), col("canonical").cast("string"))), lit(1000L))
+    val labeled = splits.map(_._1).zip(thresholds)
+      .foldRight(lit(null).cast("string")) { case ((name, hi), els) =>
+        when(col("bucket") < hi, name).otherwise(els)
+      }
+    docs.select(col(idCol).as("doc_id"))
+      .join(canonical.select(col("doc_id"), col("canonical")),
+        Seq("doc_id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col("doc_id")))
+      .withColumn("bucket", bucket)
+      .withColumn("split", labeled)
+  }
+
   /** Temperature-weighted domain mixture plan — the "how much of each
     * source goes into the next training run" table (the UL2/PaLM-style
     * mixing rule: target share ∝ tokens^T, T<1 flattening the head so a

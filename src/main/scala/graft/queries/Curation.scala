@@ -283,6 +283,32 @@ object Curation {
              |FROM lineitem
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Hilbert clustering key — qD2's better-locality sibling (no
+    // Z-shape jumps: consecutive curve positions are grid neighbors).
+    // The oracle's per-bit CTE chain is GENERATED from the same loop
+    // that builds the Spark expression (Layout.hilbertOracleCtes), so
+    // the two sides cannot drift.
+    GraftQuery(
+      "qG3_hilbert",
+      "Hilbert-curve index of (l_partkey mod 256, l_suppkey mod 256) " +
+        "per lineitem row — the 2-D clustering key a Hilbert CTAS " +
+        "sorts by; oracle CTE chain generated from the same loop.",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256)).as("a"),
+          pmod(col("l_suppkey"), lit(256)).as("b"))
+        .withColumn("h", Layout.hilbertValue(col("a"), col("b"), 8))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""WITH h0 AS (
+              |  SELECT l_orderkey, l_linenumber,
+              |    l_partkey % 256 AS hx0, l_suppkey % 256 AS hy0,
+              |    CAST(0 AS BIGINT) AS hd0
+              |  FROM lineitem),
+              |${Layout.hilbertOracleCtes(8)}
+              |SELECT l_orderkey, l_linenumber, hx0 AS a, hy0 AS b,
+              |  hd8 AS h
+              |FROM h8 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // RAG retrieval chain: sliding-window chunking (the q79 expansion,
     // zero-shuffle) feeding BM25 over CHUNKS — retrieval granularity a
     // RAG stack actually serves. The synthetic chunk id (doc·1000+idx)
@@ -1237,5 +1263,76 @@ object Curation {
              |    ELSE 2 END AS BIGINT) AS anon_level,
              |  CAST(CASE WHEN n0 >= 5 THEN n0 ELSE n1 END AS BIGINT)
              |    AS group_n
-             |FROM n1 ORDER BY row_id""".stripMargin)))
+             |FROM n1 ORDER BY row_id""".stripMargin)),
+
+    // Edit-distance similarity join (Ed-Join prefix scheme): q-gram
+    // prefix candidates -> length + count filters -> exact Levenshtein
+    // verify. The fixture plants a distance-1 twin for every third part
+    // name; the oracle computes the NAIVE all-pairs ground truth, so
+    // the compare proves the pruning chain is exact, not just fast.
+    GraftQuery(
+      "qG1_edit_distance_pairs",
+      "Edit-distance <= 1 pairs over part names + planted twins " +
+        "(Ed-Join q-gram prefix filter, count filter, Levenshtein " +
+        "verify) vs the naive all-pairs oracle.",
+      (s, d) => {
+        val base = t(s, d, "part")
+          .filter(pmod(col("p_partkey"), lit(3)) === 0)
+          .select(col("p_partkey").as("pid"), col("p_name").as("name"))
+        val corpus = base.unionAll(base.select(
+          (col("pid") + 10000000L).as("pid"),
+          concat(col("name"), lit("x")).as("name")))
+        graft.operators.Edits.editDistancePairs(
+          corpus, "pid", "name", maxDist = 1, q = 2)
+          .select(col("id_a"), col("id_b"), col("dist").cast("long")
+            .as("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH s AS (
+             |  SELECT p_partkey AS id, p_name AS s FROM part
+             |  WHERE p_partkey % 3 = 0
+             |  UNION ALL
+             |  SELECT p_partkey + 10000000, p_name || 'x' FROM part
+             |  WHERE p_partkey % 3 = 0)
+             |SELECT a.id AS id_a, b.id AS id_b,
+             |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+             |FROM s a JOIN s b
+             |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
+             |WHERE levenshtein(a.s, b.s) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Leakage-safe split: bucket by the salted hash of the dedup
+    // CANONICAL id (exact-dup keep-min groups here), so duplicate
+    // documents can never straddle train/test — the duplication-axis
+    // complement of qC3's temporal split.
+    GraftQuery(
+      "qG2_leakage_safe_split",
+      "80/10/10 train/val/test assignment by salted hash of the " +
+        "exact-dup canonical doc id — every duplicate group lands in " +
+        "one split.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val canon = docs.groupBy(md5(col("text")).as("th"))
+          .agg(min(col("doc_id")).as("canonical"))
+        val mapping = docs.select(col("doc_id"), md5(col("text")).as("th"))
+          .join(canon, "th").select(col("doc_id"), col("canonical"))
+        graft.operators.Sampling.leakageSafeSplit(docs, "doc_id",
+          mapping, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .orderBy("doc_id")
+      },
+      Some("""WITH canon AS (
+             |  SELECT doc_id,
+             |    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, canonical,
+             |    ('0x' || substr(md5('split|' ||
+             |      CAST(canonical AS VARCHAR)), 1, 8))::BIGINT % 1000
+             |      AS bucket
+             |  FROM canon)
+             |SELECT doc_id, canonical, bucket,
+             |  CASE WHEN bucket < 800 THEN 'train'
+             |       WHEN bucket < 900 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin)))
 }

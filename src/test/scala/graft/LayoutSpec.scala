@@ -25,6 +25,60 @@ class LayoutSpec extends SparkTestBase {
     assert(bad.forall(_.isNullAt(0)))
   }
 
+  test("hilbertValue matches the reference xy2d on the full order-2 " +
+    "grid and random order-8 points; neighbors stay adjacent") {
+    // reference implementation of the textbook xy2d (Hilbert curve,
+    // iterative quadrant rotation)
+    def xy2d(order: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << order
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val cells4 = (for (a <- 0 until 4; b <- 0 until 4)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    val got4 = cells4.withColumn("h", Layout.hilbertValue(col("a"),
+      col("b"), 2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (a <- 0L until 4L; b <- 0L until 4L)
+      assert(got4((a, b)) == xy2d(2, a, b), s"cell ($a,$b)")
+    // the curve is a Hamiltonian path: positions 0..15 all distinct,
+    // and consecutive positions are grid neighbors (|da|+|db| == 1) —
+    // the locality property Morton lacks
+    val byD = got4.map(_.swap)
+    assert(byD.size == 16)
+    for (d <- 0L until 15L) {
+      val (a1, b1) = byD(d); val (a2, b2) = byD(d + 1)
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) == 1,
+        s"jump between d=$d and ${d + 1}")
+    }
+    // random order-8 points
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(256).toLong,
+      rnd.nextInt(256).toLong)).distinct
+    val got8 = pts.toDF("a", "b").withColumn("h",
+      Layout.hilbertValue(col("a"), col("b"), 8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) =>
+      assert(got8((a, b)) == xy2d(8, a, b), s"point ($a,$b)")
+    }
+    // out-of-range null guard, as zValue
+    val bad = Seq((256L, 0L), (-1L, 2L)).toDF("a", "b")
+      .select(Layout.hilbertValue(col("a"), col("b"), 8).as("h"))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
+
   test("Z-layout touches ~sqrt(P) partitions for a 2-D range; linear " +
     "sort touches all of them on its trailing key") {
     // full 32x32 grid, 16 output partitions; query rectangle a in [0,7]

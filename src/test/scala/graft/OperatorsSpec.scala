@@ -1545,6 +1545,77 @@ class OperatorsSpec extends SparkTestBase {
     assert(capped.count() == 0) // every shared fp has posting length 2
   }
 
+  test("Edits.editDistancePairs is exact vs naive Levenshtein on " +
+    "random mutations across edit types and thresholds") {
+    import graft.operators.Edits
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefgh"
+    def word() = Seq.fill(6 + rnd.nextInt(6))(
+      alpha(rnd.nextInt(alpha.length))).mkString
+    val bases = Seq.fill(40)(word()).distinct
+    // mutations: substitution, insertion, deletion, double edits
+    val mutated = bases.zipWithIndex.flatMap { case (s, i) =>
+      val sub = s.updated(rnd.nextInt(s.length), 'z')
+      val ins = s.take(2) + "q" + s.drop(2)
+      val del = s.take(1) + s.drop(2)
+      Seq((1000L + i, sub), (2000L + i, ins), (3000L + i, del),
+        (4000L + i, sub.updated(0, 'y'))) // distance 2 from s
+    }
+    val corpus = (bases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      ++ mutated).toDF("id", "s")
+    def naive(d: Int): Set[(Long, Long, Int)] = {
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        dist = org.apache.commons.text.similarity.LevenshteinDistance
+          .getDefaultInstance.apply(sa, sb).intValue
+        if dist <= d
+      } yield (ia, ib, dist)).toSet
+    }
+    for (d <- Seq(1, 2)) {
+      val got = Edits.editDistancePairs(corpus, "id", "s", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      assert(got == naive(d), s"maxDist=$d diverged")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("Sampling.leakageSafeSplit: duplicate groups never straddle " +
+    "splits; unmapped docs are their own canonical") {
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i => (i, s"text-${i % 50}"))
+      .toDF("doc_id", "text")
+    val canon = docs.groupBy("text").agg(min("doc_id").as("canonical"))
+    val mapping = docs.join(canon, "text")
+      .select(col("doc_id"), col("canonical"))
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", mapping,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // one split per canonical group
+    rows.groupBy(_._2).foreach { case (c, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"group $c straddles")
+    }
+    // every split non-empty on 50 groups, and labels are the declared 3
+    val bySplit = rows.groupBy(_._3)
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train").length >
+      bySplit.getOrElse("val", Array.empty).length)
+    // docs missing from the mapping fall back to self-canonical
+    val partial = Sampling.leakageSafeSplit(docs, "doc_id",
+      mapping.filter(col("doc_id") < 100L),
+      Seq("train" -> 0.5, "eval" -> 0.5))
+    val self = partial.filter(col("doc_id") >= 100L).collect()
+    assert(self.forall(r => r.getLong(1) == r.getLong(0)))
+    // ratios must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(docs, "doc_id", mapping,
+        Seq("a" -> 0.5, "b" -> 0.3))
+    }
+  }
+
   test("Privacy.kAnonymize levels: exact pass, generalized fallback " +
     "counted over failures only, suppression") {
     import graft.operators.Privacy

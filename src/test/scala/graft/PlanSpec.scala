@@ -98,7 +98,8 @@ class PlanSpec extends SparkTestBase {
     "the corpus index") {
     for (name <- Seq("q31_dedup_ngram_jaccard", "q32_dedup_minhash_lsh",
         "q43_simhash_pairs", "q70_dedup_embedding_lsh",
-        "q80_dup_ngram_spans", "qA2_sparse_cosine_pairs")) {
+        "q80_dup_ngram_spans", "qA2_sparse_cosine_pairs",
+        "qG1_edit_distance_pairs")) {
       val p = planOf(name)
       assert(p.contains("ShuffledHashJoin"), s"$name lost its hint:\n$p")
       // the one legitimate broadcast: a LeftAnti hot-key screen

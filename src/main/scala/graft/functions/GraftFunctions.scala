@@ -40,6 +40,7 @@ object GraftFunctions {
     "shingle_hash_set" -> (es => ShingleHashSetExpr(es(0),
       es(1).eval().asInstanceOf[Int])),
     "token_hashes" -> (es => TokenHashesExpr(es.head)),
+    "jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
     "char_entropy" -> (es => CharEntropyExpr(es.head)),
     "merge_pair" -> (es => MergePairExpr(es(0),
       es(1).eval().toString, es(2).eval().toString)),
@@ -82,6 +83,8 @@ object GraftFunctions {
     call_function("sorted_intersect_size", a, b)
   def simhash60(hashes: Column): Column =
     call_function("simhash60", hashes)
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
   def minhashSig(hashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", hashes,
       org.apache.spark.sql.functions.lit(numHashes))

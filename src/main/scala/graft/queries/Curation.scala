@@ -1334,5 +1334,36 @@ object Curation {
              |  CASE WHEN bucket < 800 THEN 'train'
              |       WHEN bucket < 900 THEN 'val'
              |       ELSE 'test' END AS split
-             |FROM b ORDER BY doc_id""".stripMargin)))
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // Native Jaro-Winkler expression (codegen'd, no UDF) checked
+    // VALUE-for-VALUE against DuckDB's jaro_winkler_similarity — the
+    // kernel replicates the RapidFuzz/DuckDB algorithm exactly
+    // (greedy window matching, integer transposition halving, 0.7
+    // boost threshold, any-empty -> 0), bitwise-verified on 8000
+    // fuzzed pairs, so NO rounding is applied on either side.
+    GraftQuery(
+      "qG4_jaro_winkler",
+      "Jaro-Winkler similarity (native codegen expression) of part " +
+        "names vs appended/substituted twins and the brand string — " +
+        "raw doubles compared bit-for-bit against DuckDB.",
+      (s, d) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        t(s, d, "part").select(col("p_partkey").as("pid"),
+          graft.functions.GraftFunctions.jaroWinkler(col("p_name"),
+            concat(col("p_name"), lit("x"))).as("jw_append"),
+          graft.functions.GraftFunctions.jaroWinkler(col("p_name"),
+            concat(lit("Z"), substring(col("p_name"), 2, 1000000)))
+            .as("jw_substitute"),
+          graft.functions.GraftFunctions.jaroWinkler(col("p_name"), col("p_brand"))
+            .as("jw_brand"))
+          .orderBy("pid")
+      },
+      Some("""SELECT p_partkey AS pid,
+             |  jaro_winkler_similarity(p_name, p_name || 'x')
+             |    AS jw_append,
+             |  jaro_winkler_similarity(p_name, 'Z' || substr(p_name, 2))
+             |    AS jw_substitute,
+             |  jaro_winkler_similarity(p_name, p_brand) AS jw_brand
+             |FROM part ORDER BY pid""".stripMargin)))
 }

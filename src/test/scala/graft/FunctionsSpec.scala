@@ -1,5 +1,46 @@
 package graft
 
+class StringSimSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  import graft.functions.{GraftFunctions, StringSimOps}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def jw(a: String, b: String): Double =
+    StringSimOps.jaroWinkler(UTF8String.fromString(a),
+      UTF8String.fromString(b))
+
+  test("jaroWinkler: textbook known answers, edge conventions, and " +
+    "codegen path agreement") {
+    // the classic Winkler examples
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DUANE", "DWAYNE") - 0.84) < 1e-12)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    // DuckDB conventions (oracle compatibility): any empty -> 0
+    assert(jw("", "") == 0.0 && jw("abc", "") == 0.0)
+    // boost threshold: below 0.7 jaro, no prefix boost applied
+    val lowJaro = jw("aXXXXXXX", "aYYYYYYY") // shared prefix, low jaro
+    assert(lowJaro < 0.7 || lowJaro == 0.0)
+    // Column API runs through codegen and agrees with the direct kernel
+    GraftFunctions.registerAll(spark)
+    val rows = Seq(("martha", "marhta"), ("duane", "dwayne"),
+      ("abc", "abc"), ("abc", "")).toDF("a", "b")
+      .select(col("a"), col("b"),
+        GraftFunctions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) == jw(r.getString(0), r.getString(1)))
+    }
+    // null propagation
+    val n = Seq((Some("a"), Option.empty[String])).toDF("a", "b")
+      .select(GraftFunctions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+}
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._

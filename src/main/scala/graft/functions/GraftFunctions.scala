@@ -41,6 +41,11 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Int])),
     "token_hashes" -> (es => TokenHashesExpr(es.head)),
     "jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
+    "deflate_ratio" -> (es => DeflateRatioExpr(es.head)),
+    "hilbert_xy2d" -> (es => HilbertExpr(es(0), es(1),
+      es(2).eval().asInstanceOf[Int])),
+    "winnow_select" -> (es => WinnowSelectExpr(es(0),
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "char_entropy" -> (es => CharEntropyExpr(es.head)),
     "merge_pair" -> (es => MergePairExpr(es(0),
       es(1).eval().toString, es(2).eval().toString)),
@@ -85,6 +90,8 @@ object GraftFunctions {
     call_function("simhash60", hashes)
   def jaroWinkler(a: Column, b: Column): Column =
     call_function("jaro_winkler", a, b)
+  def deflateRatio(text: Column): Column =
+    call_function("deflate_ratio", text)
   def minhashSig(hashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", hashes,
       org.apache.spark.sql.functions.lit(numHashes))

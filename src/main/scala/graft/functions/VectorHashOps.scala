@@ -103,6 +103,61 @@ object VectorHashOps {
     new GenericArrayData(out)
   }
 
+  /** One-pass winnowing selection (Schleimer et al. SIGMOD'03 §4):
+    * positional n-token shingle hashes → per-window rightmost-tie
+    * argmin → distinct (pos, hash) selections, PACKED as
+    * (pos << 32) | hash32 longs (hash32 < 2^32 by construction).
+    * Same semantics as the HOF formulation (shingle → windowed
+    * aggregate argmin → array_distinct) that the oracle replays, but
+    * as a single JVM loop under codegen — HOF lambdas interpret every
+    * window step per row (measured 5 s over sf0.1's corpus).
+    * Short docs (0 < hashes < w) get one degenerate window; docs
+    * shorter than n tokens return an empty array.
+    */
+  def winnowSelect(tokens: ArrayData, n: Int, w: Int): ArrayData = {
+    val numToks = tokens.numElements()
+    if (numToks < n) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[String](numToks)
+    var i = 0
+    while (i < numToks) { toks(i) = tokens.getUTF8String(i).toString; i += 1 }
+    val nh = numToks - n + 1
+    val hs = new Array[Long](nh)
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < nh) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      hs(i) = md5Prefix32(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    val nWin = math.max(nh - w + 1, 1)
+    val sel = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < nWin) {
+      var best = -1
+      var bv = Long.MaxValue
+      var j = i
+      val hi = math.min(i + w - 1, nh - 1)
+      while (j <= hi) { // <= keeps the RIGHTMOST tie
+        if (hs(j) <= bv) { bv = hs(j); best = j }
+        j += 1
+      }
+      sel.add((best.toLong << 32) | bv)
+      i += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two ASCENDING-sorted long arrays (two-pointer
     * merge): zero allocation per call, unlike array_intersect which
     * builds a hash set plus a result array per row — the difference is
@@ -248,7 +303,30 @@ object VectorHashOps {
     }
     new GenericArrayData(out)
   }
+/** Hilbert xy2d (the iterative quadrant-rotation form): map grid
+    * point (x, y) to its position along the order-`bits` Hilbert curve.
+    * Inputs must be in [0, 2^bits); [[HilbertExpr]] guards the range.
+    */
+  def hilbertXy2d(x0: Long, y0: Long, bits: Int): Long = {
+    val n = 1L << bits
+    var x = x0
+    var y = y0
+    var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }
+
 
 /** vec_dot(array<double>, array<double>) → double. */
 case class VecDot(left: Expression, right: Expression)
@@ -523,4 +601,57 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
     copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+/** hilbert_xy2d(x, y) with a literal order — the Hilbert-curve index
+  * kernel behind [[graft.operators.Layout.hilbertValue]]. The per-bit
+  * quadrant rotation is inherently sequential state, exactly the shape
+  * HOF folds interpret per row (measured 12 s over 600k rows at
+  * sf0.1); as a tight JVM loop under codegen it is scan-speed like the
+  * Morton interleave.
+  */
+case class HilbertExpr(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  private val max = 1L << bits
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]
+    val y = b.asInstanceOf[Long]
+    if (x < 0 || x >= max || y < 0 || y >= max) null
+    else java.lang.Long.valueOf(
+      graft.functions.VectorHashOps.hilbertXy2d(x, y, bits))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a < 0L || $a >= ${max}L || $b < 0L || $b >= ${max}L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    graft.functions.VectorHashOps.hilbertXy2d($a, $b, $bits);
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): HilbertExpr = copy(left = l, right = r)
+  override def prettyName: String = "hilbert_xy2d"
+}
+
+/** winnow_select(tokens, n, w) → array<long> of packed (pos<<32)|hash
+  * winnowing selections. */
+case class WinnowSelectExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  require(n >= 1 && w >= 1, "n >= 1 and w >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.winnowSelect(v.asInstanceOf[ArrayData], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.winnowSelect($c, $n, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowSelectExpr =
+    copy(child = c)
+  override def prettyName: String = "winnow_select"
 }

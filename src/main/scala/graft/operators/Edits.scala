@@ -13,16 +13,30 @@ import org.apache.spark.sql.functions._
   * an empty prefix intersection needs more than d·q missing grams.
   *
   * Pipeline (all exact — pruning only shrinks the candidate set):
-  *   1. padded character q-gram hash sets per string, sorted by hash
-  *      value (the global order), computed at scan speed;
-  *   2. inverted index over PREFIX grams only, shuffle-pinned
-  *      self-join — never a corpus broadcast, and the index carries
-  *      (d·q+1) entries per string, not the full gram set;
-  *   3. length filter (|len(a) − len(b)| ≤ d is necessary) and the
+  *   1. padded character q-gram hash sets per string, computed at scan
+  *      speed;
+  *   2. the global gram order is RARE-DOCUMENT-FREQUENCY-FIRST (the
+  *      Ed-Join order, not hash order): char q-grams over a small
+  *      alphabet are ALL common under a random order — a hash-ordered
+  *      prefix indexes bigrams shared by ~1/500 of the corpus and the
+  *      candidate set goes quadratic (measured 66 s at sf0.1); the
+  *      df-first prefix indexes each string's rarest grams. Costs one
+  *      df aggregate + a per-string (≤ |grams|-row) ranking window;
+  *   3. inverted index over PREFIX grams only ((d·q+1) entries per
+  *      string), shuffle-pinned self-join — never a corpus broadcast;
+  *   4. length filter (|len(a) − len(b)| ≤ d is necessary) and the
   *      count filter |Ga ∩ Gb| ≥ max(|Ga|, |Gb|) − d·q (each edit
-  *      touches at most q distinct grams);
-  *   4. exact Levenshtein verification on survivors only (the O(n·m)
+  *      touches at most q distinct grams), intersections counted with
+  *      the zero-allocation sorted-merge kernel;
+  *   5. exact Levenshtein verification on survivors only (the O(n·m)
   *      DP runs per candidate pair, never per corpus pair).
+  *
+  * CALLER CONTRACT — join the DISTINCT string domain: duplicate
+  * strings square the output (k copies of a value contribute k² pairs
+  * at distance 0 before any algorithm runs — output size, not join
+  * cost, is the lower bound). Dedupe to (min id, string) first and
+  * expand back to row pairs only if row-level pairs are genuinely
+  * wanted; qG1 shows the shape.
   *
   * Output: id_a, id_b, dist (≤ maxDist).
   */
@@ -32,10 +46,12 @@ object Edits {
       maxDist: Int, q: Int = 2): DataFrame = {
     require(maxDist >= 1, "maxDist >= 1")
     require(q >= 1, "q >= 1 (gram width)")
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val pad = "#" * (q - 1)
     val padded = concat(lit(pad), col("s"), lit(pad))
-    // distinct sorted gram hashes; padding gives len(s) + q - 1 grams,
-    // so any non-empty string has a non-empty set
+    // distinct VALUE-sorted gram hashes (for the sorted-merge
+    // intersection); padding gives len(s) + q - 1 grams, so any
+    // non-empty string has a non-empty set
     val grams = array_sort(array_distinct(transform(
       sequence(lit(0), length(padded) - q),
       i => conv(substring(md5(substring(padded, i + 1, lit(q))), 1, 8),
@@ -45,10 +61,25 @@ object Edits {
       .filter(col("s").isNotNull && length(col("s")) >= 1)
       .withColumn("g", grams)
       .withColumn("sz", size(col("g")))
-      .localCheckpoint() // the prefix join probes this twice
+      .localCheckpoint() // df aggregate + prefix derivation reuse this
     val prefixLen = maxDist * q + 1
-    val pref = sets.select(col("id"), col("s"), col("g"), col("sz"),
-      explode(slice(col("g"), 1, prefixLen)).as("pg"))
+    // Ed-Join global order: ascending document frequency, gram hash as
+    // the tiebreak. The window frame is one string's gram list.
+    val exploded = sets.select(col("id"), explode(col("g")).as("pg"))
+    // the df table is bounded by the q-gram universe (≤ alphabet^q
+    // DISTINCT grams regardless of corpus size) — the one legitimately
+    // broadcastable frame in this pipeline
+    val dfreq = exploded.groupBy("pg").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("df"), col("pg"))
+    val prefixGrams = exploded.join(broadcast(dfreq), "pg")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("pg"))
+    // both sides corpus-sized: pin the shuffle (AQE would broadcast
+    // `sets` off a small-SF estimate)
+    val pref = prefixGrams.hint("shuffle_hash")
+      .join(sets.hint("shuffle_hash"), "id")
     val cand = pref.as("x").hint("shuffle_hash")
       .join(pref.as("y").hint("shuffle_hash"),
         col("x.pg") === col("y.pg") && col("x.id") < col("y.id") &&
@@ -58,7 +89,8 @@ object Edits {
         first(col("x.g")).as("ga"), first(col("y.g")).as("gb"),
         first(col("x.sz")).as("sza"), first(col("y.sz")).as("szb"))
     cand
-      .withColumn("common", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("common", graft.functions.GraftFunctions
+        .sortedIntersectSize(col("ga"), col("gb")))
       .filter(col("common") >=
         greatest(col("sza"), col("szb")) - maxDist * q)
       .withColumn("dist", levenshtein(col("sa"), col("sb")))

@@ -53,37 +53,14 @@ object Layout {
   def hilbertValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
     val max = 1L << bits
-    // An inlined unrolled tree would multiply per iteration (each step
-    // references x and y several times → ~5^bits expression nodes, a
-    // planning/eval blow-up at bits=8). Folding the per-step state
-    // through ONE `aggregate` HOF keeps the tree linear in `bits`: the
-    // accumulator struct (x, y, d) is evaluated once per step. The
-    // step sequence carries the s = 2^(bits-1-k) constants directly.
-    val steps = array((0 until bits).map(i =>
-      lit(1L << (bits - 1 - i))): _*)
-    val zero = struct(a.cast("long").as("x"), b.cast("long").as("y"),
-      lit(0L).as("d"))
-    val folded = aggregate(steps, zero, (acc, s) => {
-      val x = acc.getField("x")
-      val y = acc.getField("y")
-      val d = acc.getField("d")
-      // quotient-bit tests (s is a power of two, x/y bounded by 2^16,
-      // so the double division is exact)
-      val rx = pmod((x / s).cast("long"), lit(2L))
-      val ry = pmod((y / s).cast("long"), lit(2L))
-      // (3·rx) XOR ry over rx,ry ∈ {0,1} as dialect-safe CASE values
-      val quad = when(rx === 1L && ry === 1L, 2L)
-        .when(rx === 1L, 3L).when(ry === 1L, 1L).otherwise(0L)
-      val nd = d + s * s * quad
-      // rotation: reflect over the FULL grid when rx=1 (the xy2d
-      // convention), then swap — both fused into the next (x, y)
-      val nx = when(ry === 0L,
-        when(rx === 1L, lit(max - 1) - y).otherwise(y)).otherwise(x)
-      val ny = when(ry === 0L,
-        when(rx === 1L, lit(max - 1) - x).otherwise(x)).otherwise(y)
-      struct(nx.as("x"), ny.as("y"), nd.as("d"))
-    }, acc => acc.getField("d"))
-    when(a >= 0 && a < max && b >= 0 && b < max, folded)
+    // The per-bit quadrant rotation is sequential state per row — an
+    // inlined unrolled tree multiplies ~5× per iteration (planning
+    // blow-up at bits=8) and an `aggregate` HOF fold interprets every
+    // step (HOFs are CodegenFallback — measured 12 s over 600k rows).
+    // The native [[graft.functions.HilbertExpr]] kernel runs the loop
+    // as tight JVM code under codegen, scan-speed like [[zValue]].
+    org.apache.spark.sql.functions.call_function("hilbert_xy2d",
+      a.cast("long"), b.cast("long"), lit(bits))
   }
 
   /** DuckDB CTE chain computing [[hilbertValue]] bit-for-bit —
@@ -120,6 +97,7 @@ object Layout {
     */
   def hilbertLayout(df: DataFrame, aCol: String, bCol: String,
       bits: Int, partitions: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val withH = df.withColumn("h",
       hilbertValue(col(aCol), col(bCol), bits))
     withH.repartitionByRange(partitions, col("h"))

@@ -37,32 +37,17 @@ object Winnow {
       k: Int, w: Int): DataFrame = {
     require(k >= 1, "k >= 1 (shingle width)")
     require(w >= 1, "w >= 1 (window width)")
-    val hs = transform(TextOps.shingles(TextOps.tokens(col(textCol)), k),
-      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
-    val n = size(col("__hs"))
-    // window count: n-w+1 full windows, or one degenerate window when
-    // 0 < n < w
-    val nWin = when(n <= 0, lit(0))
-      .otherwise(greatest(n - lit(w) + 1, lit(1)))
-    // per window: argmin over hs[i .. min(i+w-1, n-1)], RIGHTMOST tie
-    // (<= keeps the later index) — the robust-winnowing tie rule
-    val zero = struct(lit(-1).cast("int").as("p"),
-      lit(null).cast("long").as("v"))
-    val sel = transform(sequence(lit(0), nWin - 1),
-      i => aggregate(
-        sequence(i, least(i + lit(w) - 1, n - 1)),
-        zero,
-        (acc, j) => {
-          val hj = element_at(col("__hs"), j + 1)
-          when(acc.getField("v").isNull || hj <= acc.getField("v"),
-            struct(j.cast("int").as("p"), hj.as("v"))).otherwise(acc)
-        }))
-    df.select(col(idCol).as("doc_id"), hs.as("__hs"))
+    // the one-pass codegen kernel (shingle hash → window argmin →
+    // distinct, packed (pos<<32)|hash) — an HOF formulation interprets
+    // every window step per row; semantics are identical and the
+    // oracle replays them as the windowed frame-min + rightmost join
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    df.select(col(idCol).as("doc_id"),
+        explode(call_function("winnow_select",
+          TextOps.tokens(col(textCol)), lit(k), lit(w))).as("pk"))
       .select(col("doc_id"),
-        explode(array_distinct(when(nWin > 0, sel)
-          .otherwise(array().cast("array<struct<p:int,v:bigint>>"))))
-          .as("s"))
-      .select(col("doc_id"), col("s.p").as("pos"), col("s.v").as("fp"))
+        shiftright(col("pk"), 32).cast("int").as("pos"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("fp"))
   }
 
   /** Candidate pairs sharing fingerprints: capped inverted index on

@@ -293,12 +293,15 @@ object Curation {
       "Hilbert-curve index of (l_partkey mod 256, l_suppkey mod 256) " +
         "per lineitem row — the 2-D clustering key a Hilbert CTAS " +
         "sorts by; oracle CTE chain generated from the same loop.",
-      (s, d) => t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          pmod(col("l_partkey"), lit(256)).as("a"),
-          pmod(col("l_suppkey"), lit(256)).as("b"))
-        .withColumn("h", Layout.hilbertValue(col("a"), col("b"), 8))
-        .orderBy("l_orderkey", "l_linenumber"),
+      (s, d) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            pmod(col("l_partkey"), lit(256)).as("a"),
+            pmod(col("l_suppkey"), lit(256)).as("b"))
+          .withColumn("h", Layout.hilbertValue(col("a"), col("b"), 8))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
       Some(s"""WITH h0 AS (
               |  SELECT l_orderkey, l_linenumber,
               |    l_partkey % 256 AS hx0, l_suppkey % 256 AS hy0,
@@ -1276,24 +1279,33 @@ object Curation {
         "(Ed-Join q-gram prefix filter, count filter, Levenshtein " +
         "verify) vs the naive all-pairs oracle.",
       (s, d) => {
+        // DISTINCT string domain (the operator's caller contract:
+        // duplicate multiplicities square the output — part has 64
+        // distinct names over 20k rows at sf0.1); planted append- and
+        // substitute-twins guarantee pairs beside the natural ones
         val base = t(s, d, "part")
-          .filter(pmod(col("p_partkey"), lit(3)) === 0)
-          .select(col("p_partkey").as("pid"), col("p_name").as("name"))
-        val corpus = base.unionAll(base.select(
-          (col("pid") + 10000000L).as("pid"),
-          concat(col("name"), lit("x")).as("name")))
+          .groupBy(col("p_name").as("name"))
+          .agg(min(col("p_partkey")).as("pid"))
+        val corpus = base.select(col("pid"), col("name"))
+          .unionAll(base.select((col("pid") + 10000000L).as("pid"),
+            concat(col("name"), lit("x")).as("name")))
+          .unionAll(base.select((col("pid") + 20000000L).as("pid"),
+            concat(lit("Z"), substring(col("name"), 2, 1000000))
+              .as("name")))
         graft.operators.Edits.editDistancePairs(
           corpus, "pid", "name", maxDist = 1, q = 2)
           .select(col("id_a"), col("id_b"), col("dist").cast("long")
             .as("dist"))
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH s AS (
-             |  SELECT p_partkey AS id, p_name AS s FROM part
-             |  WHERE p_partkey % 3 = 0
-             |  UNION ALL
-             |  SELECT p_partkey + 10000000, p_name || 'x' FROM part
-             |  WHERE p_partkey % 3 = 0)
+      Some("""WITH b AS (
+             |  SELECT min(p_partkey) AS id, p_name AS s FROM part
+             |  GROUP BY p_name),
+             |s AS (
+             |  SELECT id, s FROM b
+             |  UNION ALL SELECT id + 10000000, s || 'x' FROM b
+             |  UNION ALL SELECT id + 20000000, 'Z' || substr(s, 2)
+             |    FROM b)
              |SELECT a.id AS id_a, b.id AS id_b,
              |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
              |FROM s a JOIN s b
@@ -1365,5 +1377,93 @@ object Curation {
              |  jaro_winkler_similarity(p_name, 'Z' || substr(p_name, 2))
              |    AS jw_substitute,
              |  jaro_winkler_similarity(p_name, p_brand) AS jw_brand
-             |FROM part ORDER BY pid""".stripMargin)))
+             |FROM part ORDER BY pid""".stripMargin)),
+
+    // Winnow pair generation end-to-end: capped fingerprint inverted
+    // index -> shared-count pairs. The >= 2 floor mirrors practice
+    // (one shared fingerprint is the GUARANTEE threshold; two+ is the
+    // screening threshold that kills coincidental single-hash hits).
+    GraftQuery(
+      "qG5_winnow_pairs",
+      "Document pairs sharing >= 2 winnowing fingerprints (k=3, w=4, " +
+        "posting cap 50) — the match-locating candidate generator over " +
+        "the capped fingerprint index.",
+      (s, d) => {
+        val fps = graft.operators.Winnow.fingerprints(
+          t(s, d, "documents"), "doc_id", "text", k = 3, w = 4)
+        graft.operators.Winnow.sharedFingerprintPairs(fps,
+          maxPosting = 50)
+          .filter(col("shared_fps") >= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(text, ' ') AS ts
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             |    ('0x' || substr(md5(ts[i+1] || ' ' || ts[i+2] || ' ' ||
+             |      ts[i+3]), 1, 8))::BIGINT AS h
+             |  FROM toks, LATERAL unnest(range(0,
+             |    greatest(len(ts) - 2, 0))) AS t(i)),
+             |mw AS (
+             |  SELECT doc_id, pos AS win,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM sh),
+             |win AS (
+             |  SELECT doc_id, win, mn FROM mw
+             |  WHERE win < greatest(n - 3, 1)),
+             |fp AS (
+             |  SELECT DISTINCT doc_id, mn AS fp FROM win),
+             |hot AS (
+             |  SELECT fp FROM fp GROUP BY fp HAVING count(*) > 50),
+             |cold AS (
+             |  SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(count(*) AS BIGINT) AS shared_fps
+             |FROM cold a JOIN cold b
+             |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Robust per-group outlier screen: median/MAD (50% breakdown
+    // point — the screen a mean/stddev check fails on exactly the data
+    // it should catch). Exact interpolating medians on both sides;
+    // summary columns 4-dp rounded.
+    GraftQuery(
+      "qG6_mad_outliers",
+      "Per-priority MAD outlier summary of order totals (c=3): group " +
+        "size, median, MAD, and the count of |x-med| > 3*MAD rows.",
+      (s, d) => {
+        import graft.functions.SafeOps
+        graft.operators.Robust.madOutlierSummary(
+          t(s, d, "orders"), Seq("o_orderpriority"), "o_totalprice",
+          c = 3.0)
+          .select(col("o_orderpriority"), col("n"),
+            SafeOps.stableRound4(col("med")).as("med"),
+            SafeOps.stableRound4(col("mad")).as("mad"),
+            col("n_outliers"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (
+             |  SELECT o_orderpriority AS grp,
+             |    quantile_cont(o_totalprice, 0.5) AS med
+             |  FROM orders GROUP BY 1),
+             |d AS (
+             |  SELECT o.o_orderpriority AS grp, m.med,
+             |    abs(o.o_totalprice - m.med) AS dev
+             |  FROM orders o JOIN m ON o.o_orderpriority = m.grp),
+             |md AS (
+             |  SELECT grp, quantile_cont(dev, 0.5) AS mad
+             |  FROM d GROUP BY 1)
+             |SELECT d.grp AS o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  floor(d.med * 10000.0 + 0.5) / 10000.0 AS med,
+             |  floor(md.mad * 10000.0 + 0.5) / 10000.0 AS mad,
+             |  CAST(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n_outliers
+             |FROM d JOIN md ON d.grp = md.grp
+             |GROUP BY d.grp, d.med, md.mad
+             |ORDER BY o_orderpriority""".stripMargin)))
 }

@@ -10,6 +10,33 @@ class StringSimSpec extends SparkTestBase {
     StringSimOps.jaroWinkler(UTF8String.fromString(a),
       UTF8String.fromString(b))
 
+  test("deflateRatio: separates repetitive from high-entropy text, " +
+    "deterministic across partitionings, sane edges") {
+    import graft.functions.CompressOps
+    def ratio(s: String): Double =
+      CompressOps.deflateRatio(UTF8String.fromString(s))
+    val boiler = "click here to subscribe " * 50
+    val rnd = new scala.util.Random(5)
+    val entropy = Seq.fill(1200)(
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    assert(ratio(boiler) < 0.1, s"boilerplate: ${ratio(boiler)}")
+    assert(ratio(entropy) > 0.5, s"entropy: ${ratio(entropy)}")
+    assert(ratio(boiler) < ratio(entropy) / 3)
+    assert(ratio("") == 1.0)
+    assert(ratio("a") > 1.0) // framing overhead dominates tiny inputs
+    // column path agrees with the kernel and is partitioning-invariant
+    GraftFunctions.registerAll(spark)
+    val docs = Seq((1L, boiler), (2L, entropy), (3L, "short text"))
+      .toDF("id", "t")
+    def run(parts: Int) =
+      docs.repartition(parts)
+        .select(col("id"), GraftFunctions.deflateRatio(col("t")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val one = run(1)
+    assert(one == run(3))
+    assert(one(1L) == ratio(boiler) && one(2L) == ratio(entropy))
+  }
+
   test("jaroWinkler: textbook known answers, edge conventions, and " +
     "codegen path agreement") {
     // the classic Winkler examples

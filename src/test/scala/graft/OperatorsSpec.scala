@@ -1616,6 +1616,31 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("Robust.madOutlierSummary: hand-computed median/MAD, outlier " +
+    "resistance the mean/stddev screen lacks") {
+    import graft.operators.Robust
+    // group g: 1..9 plus one 1000 outlier. median = 5.5 (interp),
+    // deviations sorted: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5 ->
+    // MAD = 2.5; c=3 -> threshold 7.5 -> exactly the outlier flagged.
+    val rows = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 1000.0)) ++
+      (1 to 4).map(v => ("h", v.toDouble)) // clean group, no outliers
+    val out = Robust.madOutlierSummary(rows.toDF("grp", "x"),
+        Seq("grp"), "x", c = 3.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(out("g") == ((10L, 5.5, 2.5, 1L)), s"g: ${out("g")}")
+    // h: 1 2 3 4 -> med 2.5, devs 1.5 .5 .5 1.5 -> MAD 1.0 -> none over 3
+    assert(out("h") == ((4L, 2.5, 1.0, 0L)), s"h: ${out("h")}")
+    // contrast: a 3-sigma mean/stddev screen on g MISSES the outlier's
+    // dominance — stddev itself is ~314, pulled by the outlier
+    val stats = rows.filter(_._1 == "g").map(_._2)
+    val mean = stats.sum / stats.length
+    val sd = math.sqrt(stats.map(v => (v - mean) * (v - mean)).sum /
+      stats.length)
+    assert(sd > 250, "fixture sanity: classical stddev is inflated")
+  }
+
   test("Privacy.kAnonymize levels: exact pass, generalized fallback " +
     "counted over failures only, suppression") {
     import graft.operators.Privacy

@@ -24,6 +24,55 @@ object Robust {
     *
     * Output: groupCols..., n, med, mad, n_outliers.
     */
+  /** Benford first-significant-digit screen — the aberrant-source
+    * detector for naturally-skewed magnitude columns (amounts, counts,
+    * durations): genuine multi-scale data follows
+    * P(d) = log10(1 + 1/d); fabricated, truncated, or unit-mangled
+    * feeds don't. Reported per (group, digit) with the group's
+    * chi-square statistic against Benford so a monitor thresholds one
+    * number (χ² df=8: > 20.1 ⇒ p < 0.01).
+    *
+    * The first digit comes from the INTEGER cents string — integer
+    * decimal rendering is exact and engine-portable, where
+    * floor(x/10^floor(log10 x)) can mis-digit at power-of-ten
+    * boundaries under FP log. Zero values carry no leading digit and
+    * are excluded (n counts participating rows).
+    *
+    * Scale: one groupBy to |groups|×9 rows; the digit completion and
+    * χ² are bounded-frame operations over that table.
+    *
+    * Output: groupCols..., digit (1-9), obs_n, n, obs_share,
+    * exp_share, chi2 (same value on each of the group's 9 rows).
+    */
+  def benfordScreen(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(abs(col(valueCol)) * 100 + 0.5).cast("long")
+    val base = df.withColumn("__c", cents).filter(col("__c") > 0)
+      .withColumn("digit",
+        substring(col("__c").cast("string"), 1, 1).cast("int"))
+    val counts = base.groupBy((groupCols.map(col) :+ col("digit")): _*)
+      .agg(count(lit(1)).as("obs_n"))
+    // complete the 1..9 digit frame per group: absent digits are real
+    // evidence ((0 − exp)²/exp) and must not vanish from the χ²
+    val digits = base.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val groups = counts.select(groupCols.map(col): _*).distinct()
+    val full = groups.crossJoin(broadcast(digits))
+      .join(counts, groupCols :+ "digit", "left")
+      .withColumn("obs_n", coalesce(col("obs_n"), lit(0L)))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val expShare = log10(lit(1.0) + lit(1.0) / col("digit"))
+    full
+      .withColumn("n", sum(col("obs_n")).over(w))
+      .withColumn("obs_share", col("obs_n") / col("n"))
+      .withColumn("exp_share", expShare)
+      .withColumn("chi2",
+        sum((col("obs_share") - col("exp_share")) *
+          (col("obs_share") - col("exp_share")) / col("exp_share"))
+          .over(w) * col("n"))
+  }
+
   def madOutlierSummary(df: DataFrame, groupCols: Seq[String],
       valueCol: String, c: Double): DataFrame = {
     require(c > 0, "c > 0")

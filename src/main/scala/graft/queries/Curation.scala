@@ -1465,5 +1465,102 @@ object Curation {
              |    END) AS BIGINT) AS n_outliers
              |FROM d JOIN md ON d.grp = md.grp
              |GROUP BY d.grp, d.med, md.mad
-             |ORDER BY o_orderpriority""".stripMargin)))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Incremental view maintenance: the standing aggregate is kept as
+    // mergeable partial states (cnt/sum/min/max), the "new day" is
+    // aggregated alone, and the refresh is a |groups|-row sum-merge —
+    // O(new partition), not O(history). The oracle recomputes the full
+    // aggregate directly: incremental == recompute is the maintained
+    // invariant.
+    GraftQuery(
+      "qG7_incremental_agg",
+      "Incrementally maintained per-event-type aggregate view: partial " +
+        "states of the history and the new window merged, presentation " +
+        "columns derived at read time, checked against the full " +
+        "recompute.",
+      (s, d) => {
+        import graft.functions.SafeOps
+        import graft.operators.Incremental
+        val ev = t(s, d, "events")
+        val cutoff = lit("2024-01-21").cast("timestamp")
+        val standing = Incremental.aggregateState(
+          ev.filter(col("ts") < cutoff), Seq("event_type"), "value")
+        val fresh = Incremental.aggregateState(
+          ev.filter(col("ts") >= cutoff), Seq("event_type"), "value")
+        Incremental.readView(
+          Incremental.merge(standing, fresh, Seq("event_type")))
+          .select(col("event_type"), col("cnt"),
+            SafeOps.stableRound4(col("sum_v")).as("sum_v"),
+            SafeOps.stableRound4(col("avg_v")).as("avg_v"),
+            SafeOps.stableRound4(col("min_v")).as("min_v"),
+            SafeOps.stableRound4(col("max_v")).as("max_v"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(value) AS BIGINT) AS cnt,
+             |  floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_v,
+             |  floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_v,
+             |  floor(min(value) * 10000.0 + 0.5) / 10000.0 AS min_v,
+             |  floor(max(value) * 10000.0 + 0.5) / 10000.0 AS max_v
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // Benford first-digit screen over order totals per status — the
+    // aberrant-feed detector for magnitude columns. First digit from
+    // the integer-cents STRING (exact, portable — FP log10 can
+    // mis-digit at power-of-ten boundaries); absent digits complete to
+    // zero rows so the chi-square sees their evidence.
+    GraftQuery(
+      "qG8_benford",
+      "Benford first-significant-digit distribution of o_totalprice " +
+        "cents per order status, with per-group chi-square against " +
+        "log10(1+1/d).",
+      (s, d) => {
+        import graft.functions.SafeOps
+        graft.operators.Robust.benfordScreen(
+          t(s, d, "orders"), Seq("o_orderstatus"), "o_totalprice")
+          .select(col("o_orderstatus"), col("digit"), col("obs_n"),
+            col("n"),
+            SafeOps.stableRound4(col("obs_share")).as("obs_share"),
+            SafeOps.stableRound4(col("exp_share")).as("exp_share"),
+            SafeOps.stableRound4(col("chi2")).as("chi2"))
+          .orderBy("o_orderstatus", "digit")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderstatus AS st,
+             |    CAST(floor(abs(o_totalprice) * 100 + 0.5) AS BIGINT)
+             |      AS c
+             |  FROM orders),
+             |digits AS (
+             |  SELECT st,
+             |    CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+             |      AS digit
+             |  FROM base WHERE c > 0),
+             |counts AS (
+             |  SELECT st, digit, CAST(count(*) AS BIGINT) AS obs_n
+             |  FROM digits GROUP BY 1, 2),
+             |fl AS (
+             |  SELECT g.st, CAST(d.d AS INTEGER) AS digit,
+             |    coalesce(c.obs_n, 0) AS obs_n
+             |  FROM (SELECT DISTINCT st FROM counts) g
+             |  CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+             |  LEFT JOIN counts c ON c.st = g.st AND c.digit = d.d),
+             |tot AS (
+             |  SELECT *, sum(obs_n) OVER (PARTITION BY st) AS n
+             |  FROM fl),
+             |sh AS (
+             |  SELECT *, obs_n * 1.0 / n AS obs_share,
+             |    log10(1.0 + 1.0 / digit) AS exp_share
+             |  FROM tot),
+             |x2 AS (
+             |  SELECT *,
+             |    sum((obs_share - exp_share) * (obs_share - exp_share)
+             |      / exp_share) OVER (PARTITION BY st) * n AS chi2
+             |  FROM sh)
+             |SELECT st AS o_orderstatus, digit, obs_n, CAST(n AS BIGINT)
+             |    AS n,
+             |  floor(obs_share * 10000.0 + 0.5) / 10000.0 AS obs_share,
+             |  floor(exp_share * 10000.0 + 0.5) / 10000.0 AS exp_share,
+             |  floor(chi2 * 10000.0 + 0.5) / 10000.0 AS chi2
+             |FROM x2 ORDER BY o_orderstatus, digit""".stripMargin)))
 }

@@ -1616,6 +1616,58 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("Incremental: merge of partial states equals the one-shot " +
+    "aggregate under any merge tree; read view derives avg/var") {
+    import graft.operators.Incremental
+    // integer values: every state column is FP-exact, so equality is
+    // bitwise, not approximate
+    val rows = (1 to 90).map(i => (s"g${i % 3}", (i * 7 % 50).toDouble))
+    val df = rows.toDF("grp", "v")
+    val whole = Incremental.aggregateState(df, Seq("grp"), "v")
+    val parts = Seq(0, 1, 2).map(p =>
+      Incremental.aggregateState(
+        df.filter(pmod(col("v"), lit(3)) === p), Seq("grp"), "v"))
+    // left-leaning and right-leaning merge trees
+    val m1 = Incremental.merge(
+      Incremental.merge(parts(0), parts(1), Seq("grp")), parts(2),
+      Seq("grp"))
+    val m2 = Incremental.merge(parts(0),
+      Incremental.merge(parts(1), parts(2), Seq("grp")), Seq("grp"))
+    for (m <- Seq(m1, m2))
+      assert(m.exceptAll(whole).isEmpty && whole.exceptAll(m).isEmpty,
+        "merged state diverged from the one-shot aggregate")
+    // read view: avg and population variance on a tiny known case
+    val known = Seq(("k", 2.0), ("k", 4.0), ("k", 6.0)).toDF("grp", "v")
+    val rv = Incremental.readView(
+      Incremental.aggregateState(known, Seq("grp"), "v")).collect()(0)
+    assert(rv.getAs[Double]("avg_v") == 4.0)
+    assert(math.abs(rv.getAs[Double]("var_v") - 8.0 / 3.0) < 1e-12)
+  }
+
+  test("Robust.benfordScreen: log-uniform data conforms, uniform " +
+    "first digits don't; absent digits count as evidence") {
+    import graft.operators.Robust
+    // log-uniform magnitudes are exactly Benford-distributed
+    val rnd = new scala.util.Random(23)
+    val benford = Seq.fill(4000)(("ok", math.pow(10.0,
+      1.0 + 3.0 * rnd.nextDouble())))
+    // constant leading digit 5: maximally non-Benford
+    val rigged = Seq.fill(1000)(("bad", 500.0 + rnd.nextInt(100)))
+    val out = Robust.benfordScreen(
+      (benford ++ rigged).toDF("src", "x"), Seq("src"), "x")
+      .collect()
+    val chi = out.groupBy(_.getString(0)).view
+      .mapValues(_.head.getAs[Double]("chi2")).toMap
+    assert(chi("ok") < 20.1, s"conforming data flagged: ${chi("ok")}")
+    assert(chi("bad") > 1000.0, s"rigged data passed: ${chi("bad")}")
+    // digit completion: 'bad' has 9 rows, 8 of them zero-observation
+    val bad = out.filter(_.getString(0) == "bad")
+    assert(bad.length == 9)
+    assert(bad.count(_.getAs[Long]("obs_n") == 0L) == 8)
+    assert(bad.filter(_.getAs[Int]("digit") == 5)
+      .head.getAs[Long]("obs_n") == 1000L)
+  }
+
   test("Robust.madOutlierSummary: hand-computed median/MAD, outlier " +
     "resistance the mean/stddev screen lacks") {
     import graft.operators.Robust

@@ -54,11 +54,14 @@ object Robust {
     val counts = base.groupBy((groupCols.map(col) :+ col("digit")): _*)
       .agg(count(lit(1)).as("obs_n"))
     // complete the 1..9 digit frame per group: absent digits are real
-    // evidence ((0 − exp)²/exp) and must not vanish from the χ²
-    val digits = base.sparkSession.range(1, 10)
-      .select(col("id").cast("int").as("digit"))
+    // evidence ((0 − exp)²/exp) and must not vanish from the χ².
+    // Exploding a constant sequence off the (aggregated) group list
+    // needs no join for the completion — 9 rows per group, no
+    // cross-join node in the plan
     val groups = counts.select(groupCols.map(col): _*).distinct()
-    val full = groups.crossJoin(broadcast(digits))
+    val full = groups
+      .select((groupCols.map(col) :+
+        explode(sequence(lit(1), lit(9))).as("digit")): _*)
       .join(counts, groupCols :+ "digit", "left")
       .withColumn("obs_n", coalesce(col("obs_n"), lit(0L)))
     val w = Window.partitionBy(groupCols.map(col): _*)

@@ -256,6 +256,36 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Incremental aggregate-view screen — the streaming face of
+    * [[graft.operators.Incremental]]: each micro-batch's partial
+    * states (cnt/sum/min/max/sum²) sum-merge into the standing view
+    * through the same versioned exactly-once layout as the sketch
+    * screens ([[mergeVersioned]] — the sum-merge double-counts on
+    * replay without it), and each batch appends the derived
+    * presentation row per group to `outDir` (at-least-once, dedup on
+    * batch_id). This is daily-rollup maintenance as a stream: the
+    * refresh cost per batch is the batch's own aggregation plus a
+    * |groups|-row merge.
+    */
+  def startIncrementalAggScreen(stream: DataFrame,
+      groupCols: Seq[String], valueCol: String, stateDir: String,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.Incremental.aggregateState(
+          batch, groupCols, valueCol)
+        val standing = mergeVersioned(spark, stateDir, batchId, fresh,
+          graft.operators.Incremental.merge(_, _, groupCols))
+        graft.operators.Incremental.readView(standing)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

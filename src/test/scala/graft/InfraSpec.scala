@@ -596,6 +596,44 @@ class InfraSpec extends SparkTestBase {
     assert(names.length == 1)
   }
 
+  test("streaming incremental-agg screen: standing state equals the " +
+    "batch aggregate of the full stream; running views monotone in n") {
+    import graft.operators.Incremental
+    val inDir = Files.createTempDirectory("ia-in").toFile
+    val stDir = Files.createTempDirectory("ia-st").toFile
+      .getAbsolutePath + "/state"
+    val outDir = Files.createTempDirectory("ia-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("ia-ck").toFile.getAbsolutePath
+    val day1 = (0 until 300).map(i => (s"g${i % 3}", (i % 17).toDouble))
+    val day2 = (0 until 200).map(i => (s"g${i % 3}", (i % 23).toDouble))
+    day1.toDF("grp", "v").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    Thread.sleep(1500)
+    day2.toDF("grp", "v").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "grp STRING, v DOUBLE"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = Ingest.startIncrementalAggScreen(stream, Seq("grp"), "v",
+      stDir, outDir, ckpt)
+    q.awaitTermination(60000)
+    val whole = Incremental.aggregateState(
+      (day1 ++ day2).toDF("grp", "v"), Seq("grp"), "v")
+    val standing = Ingest.standingSketch(spark, stDir)
+    assert(standing.exceptAll(whole).isEmpty &&
+      whole.exceptAll(standing).isEmpty,
+      "streamed state merge diverged from the batch aggregate")
+    // two appended view snapshots per group; counts strictly grow
+    val snaps = spark.read.parquet(outDir)
+      .select("grp", "batch_id", "cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(snaps.size == 6)
+    for (g <- Seq("g0", "g1", "g2"))
+      assert(snaps((g, 1L)) > snaps((g, 0L)), s"$g count did not grow")
+  }
+
   test("quality gate applies unchanged to a file stream — stateless " +
     "scan-speed ops need no streaming variant") {
     import graft.operators.TextAnalysis

@@ -286,7 +286,8 @@ class PlanSpec extends SparkTestBase {
       "qA1_pagerank_dedup_graph" -> 1, // post-loop join (rounds checkpoint-fenced)
       "qB7_dedup_jaccard_prefix" -> 8, // the round-5 8-exchange restructure
       "q58_dedup_canonical" -> 3,  // post-loop canonical join
-      "qF5_unified_uploads" -> 2)  // per-row era projections + ndt5 tcpinfo join
+      "qF5_unified_uploads" -> 2,  // per-row era projections + ndt5 tcpinfo join
+      "qF8_hll64_cardinality" -> 6) // register groupBy + exact rider (qE3's shape)
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

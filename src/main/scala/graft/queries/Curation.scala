@@ -1562,5 +1562,87 @@ object Curation {
              |  floor(obs_share * 10000.0 + 0.5) / 10000.0 AS obs_share,
              |  floor(exp_share * 10000.0 + 0.5) / 10000.0 AS exp_share,
              |  floor(chi2 * 10000.0 + 0.5) / 10000.0 AS chi2
-             |FROM x2 ORDER BY o_orderstatus, digit""".stripMargin)))
+             |FROM x2 ORDER BY o_orderstatus, digit""".stripMargin)),
+
+    // Per-column dataset profile in one aggregation pass — the
+    // "know what you just ingested" report. Exact distincts here /
+    // for the oracle; the documented scale path swaps in the HLL
+    // estimate per column.
+    GraftQuery(
+      "qG9_profile",
+      "Long-format per-column profile of documents (rows, nulls, " +
+        "distincts, min/max as strings) from one aggregation pass.",
+      (s, d) => graft.operators.Profile.profileTable(
+        t(s, d, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column"),
+      Some("""WITH w AS (
+             |  SELECT count(*) AS n,
+             |    count(doc_id) AS nn1, count(DISTINCT doc_id) AS nd1,
+             |    CAST(min(doc_id) AS VARCHAR) AS mn1,
+             |    CAST(max(doc_id) AS VARCHAR) AS mx1,
+             |    count(lang) AS nn2, count(DISTINCT lang) AS nd2,
+             |    min(lang) AS mn2, max(lang) AS mx2,
+             |    count(source) AS nn3, count(DISTINCT source) AS nd3,
+             |    min(source) AS mn3, max(source) AS mx3,
+             |    count(n_chars) AS nn4, count(DISTINCT n_chars) AS nd4,
+             |    CAST(min(n_chars) AS VARCHAR) AS mn4,
+             |    CAST(max(n_chars) AS VARCHAR) AS mx4
+             |  FROM documents)
+             |SELECT 'doc_id' AS "column", CAST(n AS BIGINT) AS n,
+             |  CAST(n - nn1 AS BIGINT) AS n_null,
+             |  CAST(nd1 AS BIGINT) AS n_distinct, mn1 AS min_s,
+             |  mx1 AS max_s FROM w
+             |UNION ALL SELECT 'lang', n, n - nn2, nd2, mn2, mx2 FROM w
+             |UNION ALL SELECT 'source', n, n - nn3, nd3, mn3, mx3 FROM w
+             |UNION ALL SELECT 'n_chars', n, n - nn4, nd4, mn4, mx4
+             |  FROM w
+             |ORDER BY "column"""".stripMargin)),
+
+    // Declarative expectation suite: named row predicates checked in
+    // one conditional-sum pass — the contract table a pipeline gates
+    // its downstream write on.
+    GraftQuery(
+      "qH0_expectations",
+      "Data-quality contract over orders: five named expectations " +
+        "(non-null keys, positive totals, known status domain, date " +
+        "range, priority format) counted in one pass.",
+      (s, d) => graft.operators.Profile.expectations(
+        t(s, d, "orders"), Seq(
+          "key_not_null" -> col("o_orderkey").isNotNull,
+          "total_positive" -> (col("o_totalprice") > 0),
+          "status_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+          "date_range" ->
+            (col("o_orderdate") >= lit("1992-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+          "priority_format" -> col("o_orderpriority").rlike("^[1-5]-")))
+        .orderBy("check"),
+      Some("""WITH w AS (
+             |  SELECT count(*) AS n,
+             |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             |      AS v1,
+             |    sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+             |      THEN 1 ELSE 0 END) AS v2,
+             |    sum(CASE WHEN NOT coalesce(
+             |      o_orderstatus IN ('F','O','P'), false)
+             |      THEN 1 ELSE 0 END) AS v3,
+             |    sum(CASE WHEN NOT coalesce(
+             |      o_orderdate >= TIMESTAMP '1992-01-01' AND
+             |      o_orderdate < TIMESTAMP '1999-01-01', false)
+             |      THEN 1 ELSE 0 END) AS v4,
+             |    sum(CASE WHEN NOT coalesce(
+             |      regexp_matches(o_orderpriority, '^[1-5]-'), false)
+             |      THEN 1 ELSE 0 END) AS v5
+             |  FROM orders)
+             |SELECT 'key_not_null' AS "check", CAST(n AS BIGINT) AS n,
+             |  CAST(v1 AS BIGINT) AS n_violations, v1 = 0 AS pass FROM w
+             |UNION ALL SELECT 'total_positive', n, CAST(v2 AS BIGINT),
+             |  v2 = 0 FROM w
+             |UNION ALL SELECT 'status_domain', n, CAST(v3 AS BIGINT),
+             |  v3 = 0 FROM w
+             |UNION ALL SELECT 'date_range', n, CAST(v4 AS BIGINT),
+             |  v4 = 0 FROM w
+             |UNION ALL SELECT 'priority_format', n, CAST(v5 AS BIGINT),
+             |  v5 = 0 FROM w
+             |ORDER BY "check"""".stripMargin)))
 }

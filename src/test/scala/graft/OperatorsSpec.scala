@@ -1616,6 +1616,36 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("Profile: per-column stats in one pass; expectations count " +
+    "violations with null predicates failing closed") {
+    import graft.operators.Profile
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), -1.0),
+      (3L, None, 5.0), (4L, Some("a"), 7.0))
+      .toDF("id", "tag", "x")
+    val prof = Profile.profileTable(df, Seq("id", "tag", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5))).toMap
+    assert(prof("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(prof("tag") == ((4L, 1L, 2L, "a", "b"))) // null excluded
+    assert(prof("x")._3 == 4L && prof("x")._4 == "-1.0")
+    val rep = Profile.expectations(df, Seq(
+      "x_positive" -> (col("x") > 0),
+      "tag_not_null" -> col("tag").isNotNull,
+      // a predicate that is NULL on the null-tag row must count as a
+      // violation (fail closed), not silently pass
+      "tag_in_domain" -> col("tag").isin("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep("x_positive") == ((1L, false)))
+    assert(rep("tag_not_null") == ((1L, false)))
+    assert(rep("tag_in_domain") == ((1L, false)))
+    val clean = Profile.expectations(df.filter(col("x") > 0), Seq(
+      "x_positive" -> (col("x") > 0))).collect()(0)
+    assert(clean.getBoolean(3))
+  }
+
   test("Incremental: merge of partial states equals the one-shot " +
     "aggregate under any merge tree; read view derives avg/var") {
     import graft.operators.Incremental

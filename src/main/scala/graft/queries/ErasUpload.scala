@@ -428,6 +428,60 @@ object ErasUpload {
              |  CAST(40.7 AS DOUBLE) AS latitude,
              |  CAST(-74.0 AS DOUBLE) AS longitude,
              |  CAST(100 AS BIGINT) AS radius, 'lga03' AS site
-             |FROM u ORDER BY id""".stripMargin))
+             |FROM u ORDER BY id""".stripMargin)),
+
+    // The regression-comparison a view owner runs over a dated pin:
+    // the 2021-09-22 shape (no vintage columns, validity from the
+    // filter flags — unified_uploads_20210922x.sql) must select the
+    // SAME ROWS as today's view; only the output schema differs. The
+    // diff is a full-outer id match — any drift shows as a non-zero
+    // only_* count.
+    GraftQuery(
+      "qH1_dated_pin_diff",
+      "A/B row-set diff between unified_uploads and its 2021-09-22 " +
+        "dated pin: matching ids plus both only-sides (expected 0).",
+      (s, d) => {
+        val branches = unifiedBranches(s, d)
+        val modern = UnifiedViews.unifiedUploads(branches)
+          .filter(dateWindow).select(col("id").as("mid"))
+        val pinned = UnifiedViews.unifiedUploads20210922x(branches)
+          .filter(dateWindow).select(col("id").as("pid"))
+        modern.join(pinned, col("mid") === col("pid"), "full_outer")
+          .agg(
+            count(col("mid")).as("n_modern"),
+            count(col("pid")).as("n_pinned"),
+            sum(when(col("pid").isNull, 1L).otherwise(0L))
+              .as("n_only_modern"),
+            sum(when(col("mid").isNull, 1L).otherwise(0L))
+              .as("n_only_pinned"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) % 100000
+             |      AS recv
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+             |    AND o_orderdate < TIMESTAMP '1997-01-01'
+             |    AND o_orderkey % 10 != 0),
+             |u AS (
+             |  SELECT k FROM base
+             |  WHERE k % 3 = 0 AND k % 19 != 0 AND k % 7 != 0
+             |    AND NOT (k % 29 = 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 <= 50
+             |  UNION ALL
+             |  SELECT k FROM base
+             |  WHERE k % 3 = 1 AND k % 11 != 0 AND k % 13 != 0
+             |    AND k % 5 != 4
+             |    AND NOT (k % 29 = 0 AND k % 7 != 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 BETWEEN 9 AND 60
+             |  UNION ALL
+             |  SELECT k FROM base
+             |  WHERE k % 3 = 2 AND k % 9 != 0 AND k % 21 != 0
+             |    AND k % 7 != 0 AND recv >= 8192 AND k % 40 >= 9)
+             |SELECT CAST(count(*) AS BIGINT) AS n_modern,
+             |  CAST(count(*) AS BIGINT) AS n_pinned,
+             |  CAST(0 AS BIGINT) AS n_only_modern,
+             |  CAST(0 AS BIGINT) AS n_only_pinned
+             |FROM u""".stripMargin))
   )
 }

@@ -718,6 +718,23 @@ object UnifiedViews {
     kept.drop("filter") // SELECT * EXCEPT (filter)  (:88)
   }
 
+  /** The 2021-09-22 dated pin (unified_uploads_20210922x.sql): the
+    * pre-vintage-columns output shape — era branches unioned WITHOUT
+    * the IsValidBest/IsValid2021 columns, validity applied from the
+    * filter flags, `* EXCEPT (filter)`. (The reference's 2021-era
+    * intermediates carried IsValidBest inside `filter`; ours derive it
+    * from the same flags at union time — identical rows, pinned output
+    * schema.) The downloads twin (unified_downloads_20210922x.sql) is
+    * the same projection over the downloads branches with
+    * [[isValidBest]].
+    */
+  def unifiedUploads20210922x(branches: Seq[DataFrame]): DataFrame = {
+    require(branches.nonEmpty, "unifiedUploads20210922x: no branches")
+    branches.reduce(_ unionAll _)
+      .filter(isValidBestUpload)
+      .drop("filter")
+  }
+
   /** GraftFunctions registration is needed for the IsOAM predicate. */
   def prepare(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.GraftFunctions.registerAll(spark)

@@ -42,6 +42,7 @@ object GraftFunctions {
     "token_hashes" -> (es => TokenHashesExpr(es.head)),
     "jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
     "deflate_ratio" -> (es => DeflateRatioExpr(es.head)),
+    "nfc_normalize" -> (es => NfcNormalizeExpr(es.head)),
     "hilbert_xy2d" -> (es => HilbertExpr(es(0), es(1),
       es(2).eval().asInstanceOf[Int])),
     "winnow_select" -> (es => WinnowSelectExpr(es(0),
@@ -92,6 +93,8 @@ object GraftFunctions {
     call_function("jaro_winkler", a, b)
   def deflateRatio(text: Column): Column =
     call_function("deflate_ratio", text)
+  def nfcNormalize(text: Column): Column =
+    call_function("nfc_normalize", text)
   def minhashSig(hashes: Column, numHashes: Int): Column =
     call_function("minhash_sig", hashes,
       org.apache.spark.sql.functions.lit(numHashes))

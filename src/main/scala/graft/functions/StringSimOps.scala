@@ -74,6 +74,33 @@ object StringSimOps {
   }
 }
 
+/** nfc_normalize(string) → string: Unicode NFC (canonical
+  * composition) via the JDK's Normalizer — corpus hygiene for
+  * web-crawled text, where the same visible word arrives as composed
+  * and decomposed code-point sequences and every downstream hash/
+  * dedup/tokenize step treats them as different documents. Matches
+  * DuckDB's `nfc_normalize` (both implement UAX #15), which is what
+  * makes the result oracle-checkable byte-for-byte.
+  */
+case class NfcNormalizeExpr(child: Expression) extends
+    org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFC))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFC))")
+  override protected def withNewChildInternal(c: Expression): NfcNormalizeExpr =
+    copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** jaro_winkler(string, string) → double. */
 case class JaroWinklerExpr(left: Expression, right: Expression)
     extends BinaryExpression {

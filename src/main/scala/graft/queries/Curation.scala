@@ -1644,5 +1644,45 @@ object Curation {
              |  v4 = 0 FROM w
              |UNION ALL SELECT 'priority_format', n, CAST(v5 AS BIGINT),
              |  v5 = 0 FROM w
-             |ORDER BY "check"""".stripMargin)))
+             |ORDER BY "check"""".stripMargin)),
+
+    // Unicode NFC normalization (UAX #15 canonical composition) —
+    // corpus hygiene: composed and decomposed code-point sequences of
+    // the same visible text must hash/dedup/tokenize identically. The
+    // fixture synthesizes decomposed sequences (base + combining
+    // acute) per doc; both engines implement the same standard, so the
+    // normalized bytes compare exactly (md5 rider proves it).
+    GraftQuery(
+      "qH2_nfc_normalize",
+      "Unicode NFC normalization of synthesized decomposed strings " +
+        "(base letter + combining acute): pre/post code-point counts " +
+        "and the md5 of the composed bytes, engine-exact.",
+      (s, d) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        // DECOMPOSED literals: base letter followed by the combining
+        // acute U+0301 (raw chars = 17; NFC composes to 15) — Spark's
+        // chr() is ASCII-mod-256, not a Unicode code-point
+        // constructor, so the mark rides in the string literal
+        val raw = concat(lit("Café nr "),
+          col("doc_id").cast("string"), lit(" étude"))
+        t(s, d, "documents").select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).cast("long").as("raw_chars"),
+            graft.functions.GraftFunctions.nfcNormalize(col("raw"))
+              .as("norm"))
+          .select(col("doc_id"), col("raw_chars"),
+            length(col("norm")).cast("long").as("norm_chars"),
+            md5(col("norm")).as("norm_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |    'Cafe' || chr(769) || ' nr ' ||
+             |    CAST(doc_id AS VARCHAR) || ' e' || chr(769) || 'tude'
+             |      AS raw
+             |  FROM documents)
+             |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_chars,
+             |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_chars,
+             |  md5(nfc_normalize(raw)) AS norm_md5
+             |FROM r ORDER BY doc_id""".stripMargin)))
 }

@@ -67,6 +67,34 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Event-time-windowed counter tables — [[graft.operators.Hll
+    * .windowedRegisters]]'s Count-Min sibling: `groupBy(window(ts), d,
+    * cell) → sum` is a plain streaming aggregation (watermarking and
+    * state eviction are Catalyst's); state per window is ≤ depth×width
+    * counters regardless of traffic. The same transform runs on batch
+    * frames, which is how the spec asserts stream/batch agreement;
+    * estimate the emitted per-window tables with [[estimate]].
+    */
+  def windowedSketch(df: DataFrame, tsCol: String, value: Column,
+      depth: Int, width: Int, windowDuration: String,
+      watermarkDelay: String): DataFrame = {
+    require(depth >= 1 && depth <= 8, "depth in [1,8]")
+    require(width >= 16, "width >= 16")
+    val src = (if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay)
+      else df).filter(value.isNotNull)
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("d")
+    src
+      .select(window(col(tsCol), windowDuration).as("win"),
+        TextOps.hash32(value).as("__h"), rows)
+      .select(col("win"), col("d"),
+        pmod(rowHash(col("__h"), col("d")), lit(width.toLong))
+          .as("cell"))
+      .groupBy(col("win"), col("d"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("window_start"), col("d"),
+        col("cell"), col("cnt"))
+  }
+
   /** Merge sketch tables built with the same depth/width: union + sum. */
   def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String])
       : DataFrame =

@@ -523,6 +523,48 @@ class InfraSpec extends SparkTestBase {
     assert(math.abs(est(1) - 80.0) / 80.0 < 0.2, s"w1: ${est(1)}")
   }
 
+  test("windowed Count-Min counters: stateful streaming aggregation " +
+    "agrees with batch per event-time window; estimates exact in the " +
+    "wide regime") {
+    import graft.operators.CountMin
+    val dir = Files.createTempDirectory("wcm-in").toFile
+    val ckpt = Files.createTempDirectory("wcm-ck").toFile.getAbsolutePath
+    val rows = (0 until 400).map { i =>
+      val hour = if (i % 4 == 0) 0 else 1
+      (Timestamp.valueOf(f"2024-01-01 0$hour:${i % 60}%02d:00"),
+        if (i % 5 == 0) "hot" else s"k${i % 30}")
+    }
+    val batchDf = rows.toDF("ts", "key")
+    batchDf.write.parquet(new java.io.File(dir, "drop1").getAbsolutePath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "ts TIMESTAMP, key STRING"))
+      .parquet(dir.getAbsolutePath + "/drop*")
+    val q = CountMin.windowedSketch(stream, "ts", col("key"),
+        depth = 3, width = 1024, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wcm_out")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("wcm_out").collect().map(key).toSet
+    val batch = CountMin.windowedSketch(batchDf, "ts", col("key"),
+        depth = 3, width = 1024, "1 hour", "30 minutes").collect()
+      .map(key).toSet
+    assert(streamed == batch,
+      "streamed windowed counters diverged from batch")
+    // per-window 'hot' estimates: width 1024 >> 31 keys -> exact
+    val est = CountMin.estimate(
+      spark.table("wcm_out").withColumnRenamed("window_start", "ws"),
+      Seq("ws"), Seq("hot").toDF("probe"), "probe", 3, 1024)
+      .orderBy("ws").collect().map(_.getLong(2))
+    // hour 0: i % 4 == 0 AND i % 5 == 0 -> i % 20 == 0 -> 20 events
+    assert(est.toSeq == Seq(20L, 60L), s"got ${est.toSeq}")
+  }
+
   test("streaming frequency screen: per-batch Count-Min sum-merge " +
     "matches the batch sketch and running estimates only grow") {
     import graft.operators.CountMin

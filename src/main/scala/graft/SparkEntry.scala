@@ -21,7 +21,8 @@ object SparkEntry {
       _root_.graft.queries.ErasUpload.all ++
       _root_.graft.queries.Pipeline.all ++
       _root_.graft.queries.Analytics.all ++
-      _root_.graft.queries.Curation.all
+      _root_.graft.queries.Curation.all ++
+      _root_.graft.queries.Evaluation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The pdf/cdf histogram TVF — the reference's marquee table function

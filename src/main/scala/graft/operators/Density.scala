@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Density-based clustering (DBSCAN) over an embedding corpus — the
+  * curation use: dense regions of embedding space are topical clusters
+  * worth balancing in a mixture; sparse points are outliers (scrapes,
+  * boilerplate, encoding junk) worth a look before training.
+  *
+  * The neighbor relation is PLUGGABLE: [[dbscan]] takes a pair table
+  * (id_a, id_b) of eps-neighbors from any generator —
+  * `Dedup.embeddingCosinePairs` (exact, the oracle-matched test path) or
+  * `Dedup.embeddingLshPairs` (bucketed, the 100 TB path) — so the
+  * clustering core never owns an O(n²) scan itself. Given the pairs,
+  * every step is bounded: degree count (one aggregate), core filter,
+  * HashMin components over core-core edges ([[Dedup.connectedComponents]]
+  * — driver loops over ROUNDS, not data), and a min-aggregate border
+  * attachment. This is the standard distributed DBSCAN decomposition
+  * (density check + connected components), not the sequential
+  * seed-expansion formulation, which serializes on a frontier.
+  *
+  * Determinism: cluster ids are the minimum core id of each core
+  * component; border points attach to the minimum cluster id among their
+  * core neighbors (the sequential algorithm's border assignment is
+  * visit-order-dependent — this is the canonical order-free choice).
+  */
+object Density {
+
+  /** DBSCAN given points + eps-neighbor pairs.
+    *
+    * minPts counts the point itself (the textbook |N_eps(p)| ≥ minPts
+    * with p ∈ N_eps(p)): a point with ≥ minPts−1 neighbors is core.
+    *
+    * Output: id, role ('core' | 'border' | 'noise'), cluster (min core
+    * id of the component; null for noise).
+    */
+  def dbscan(points: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    // Symmetrized neighbor list, materialized once: degree pass,
+    // core-edge pass, and border attachment all read it, and the
+    // upstream pair generator is the expensive part.
+    val sym = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .unionAll(pairs.select(col(bCol).cast("long").as("a"),
+        col(aCol).cast("long").as("b")))
+      .localCheckpoint(true)
+
+    val core = sym.groupBy("a").agg(count(lit(1)).as("nbrs"))
+      .filter(col("nbrs") + 1 >= minPts)
+      .select(col("a").as("cid"))
+
+    // Core-core edges -> components -> cluster = min core id. A core
+    // point with no core neighbor keeps itself as a singleton cluster
+    // (it IS dense; its neighbors are all border).
+    val coreEdges = sym
+      .join(core, sym("a") === core("cid"), "left_semi")
+      .join(core.withColumnRenamed("cid", "cid2"),
+        col("b") === col("cid2"), "left_semi")
+    val comp = Dedup.connectedComponents(coreEdges)
+    val coreClusters = core
+      .join(comp, core("cid") === comp("node"), "left")
+      .select(col("cid").as("id"),
+        coalesce(col("component"), col("cid")).as("cluster"))
+      .localCheckpoint(true)
+
+    // Border: non-core adjacent to >= 1 core; min cluster id wins.
+    val borderClusters = sym
+      .join(coreClusters.select(col("id").as("b_core"),
+        col("cluster").as("bcl")), col("b") === col("b_core"))
+      .join(core, col("a") === col("cid"), "left_anti")
+      .groupBy(col("a").as("id")).agg(min("bcl").as("cluster"))
+
+    points.select(col(idCol).cast("long").as("id"))
+      .join(coreClusters.withColumnRenamed("cluster", "core_cl"),
+        Seq("id"), "left")
+      .join(borderClusters.withColumnRenamed("cluster", "border_cl")
+        .withColumnRenamed("id", "bid"), col("id") === col("bid"), "left")
+      .select(col("id"),
+        when(col("core_cl").isNotNull, "core")
+          .when(col("border_cl").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cl"), col("border_cl")).as("cluster"))
+  }
+
+  /** Convenience wiring for the embedding tables: exact cosine
+    * eps-neighbors (cosine ≥ `cosThreshold`) into [[dbscan]]. The 100 TB
+    * variant swaps [[Dedup.embeddingLshPairs]] in as the generator —
+    * everything downstream is identical.
+    */
+  def dbscanCosine(df: DataFrame, idCol: String, vecCol: String,
+      cosThreshold: Double, minPts: Int): DataFrame = {
+    val pairs = Dedup.embeddingCosinePairs(df, idCol, vecCol, cosThreshold)
+    dbscan(df, idCol, pairs, "id_a", "id_b", minPts)
+  }
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.functions.PhoneticOps
+import graft.operators.{Density, Eval, Multimodal}
+
+/** Round-6 fifth batch: classifier evaluation (exact ROC AUC +
+  * calibration table), real RIFF/WAVE PCM decode, density clustering
+  * (DBSCAN) over the embedding corpus, and phonetic (Soundex) blocking —
+  * the eval-and-modality operators around a quality-gated curation
+  * pipeline.
+  *
+  * Same oracle-parity conventions as every other module: stable
+  * floor-rounding on float outputs on BOTH sides (or integer/one-IEEE-op
+  * derivations proven exact), identical aliases, unique-key ORDER BY.
+  */
+object Evaluation {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // Shared vector-norm CTE (same closed form the LlmOps/Curation
+  // embedding oracles use).
+  private val duckVecNorm =
+    """v AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Exact ROC AUC as a distributed rank-sum: per-distinct-score
+    // partials, two-phase block prefix sum (no global one-task sort),
+    // Mann-Whitney identity with average ranks for ties. The oracle
+    // computes the same identity with a window rank — different
+    // algorithm, identical statistic.
+    GraftQuery(
+      "qH3_binary_auc",
+      "Exact ROC AUC of `value` as a predictor of purchase events " +
+        "(Mann-Whitney rank-sum, tie-averaged ranks, block-parallel " +
+        "prefix sum) — one row: n_pos, n_neg, auc.",
+      (s, d) => Eval.binaryAuc(
+        t(s, d, "events"), col("value"), col("event_type") === "purchase"),
+      Some("""WITH s AS (
+             |  SELECT value AS sc,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT y, rank() OVER (ORDER BY sc) +
+             |    (count(*) OVER (PARTITION BY sc) - 1) / 2.0 AS ar
+             |  FROM s),
+             |a AS (
+             |  SELECT sum(CASE WHEN y = 1 THEN ar ELSE 0 END) AS rpos,
+             |    sum(y) AS np, count(*) AS n
+             |  FROM r)
+             |SELECT CAST(np AS BIGINT) AS n_pos,
+             |  CAST(n - np AS BIGINT) AS n_neg,
+             |  floor((rpos - np * (np + 1) / 2.0) / (np * (n - np))
+             |    * 1000000 + 0.5) / 1000000 AS auc
+             |FROM a""".stripMargin)),
+
+    // Reliability table for the same score: equal-width bins, observed
+    // positive rate vs mean score. Scores snapped to integer 1e-4 units
+    // before summing so both engines' sums are exact.
+    GraftQuery(
+      "qH4_calibration_bins",
+      "Calibration (reliability) table of `value` vs purchase outcome: " +
+        "10 equal-width bins over [0,500], per-bin volume, mean score, " +
+        "observed positive rate.",
+      (s, d) => Eval.calibrationBins(
+        t(s, d, "events"), col("value"), col("event_type") === "purchase",
+        lo = 0.0, hi = 500.0, bins = 10)
+        .orderBy("bin"),
+      Some("""WITH s AS (
+             |  SELECT value AS sc,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events
+             |  WHERE value IS NOT NULL AND value >= 0 AND value <= 500),
+             |b AS (
+             |  SELECT least(9, CAST(floor(sc / 50.0) AS BIGINT)) AS bin,
+             |    CAST(floor(sc * 10000.0 + 0.5) AS BIGINT) AS s4, y
+             |  FROM s)
+             |SELECT bin,
+             |  floor(bin * 50.0 * 10000.0 + 0.5) / 10000.0 AS lo_edge,
+             |  count(*) AS n,
+             |  floor(sum(s4) / CAST(count(*) AS DOUBLE) / 10000.0
+             |    * 10000.0 + 0.5) / 10000.0 AS mean_score,
+             |  floor(sum(y) / CAST(count(*) AS DOUBLE) * 1000000 + 0.5)
+             |    / 1000000 AS frac_pos
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // REAL audio decode end-to-end: RIFF/WAVE PCM16 bytes synthesized
+    // per doc (constant header fields precomputed as hex literals, LE
+    // sample bytes from the closed-form sample generator), decoded by
+    // the pure-JVM chunk-walking parser inside mapPartitions. Stats are
+    // integer sums (exact) + one IEEE sqrt/div — engine-reproducible.
+    // Every 41st doc gets a corrupt magic (RIFX) for the quarantine path.
+    GraftQuery(
+      "qH5_wav_decode",
+      "Pure-JVM RIFF/WAVE PCM16 decode round trip under mapPartitions: " +
+        "synthesized mono 8 kHz clips -> header fields, mean/RMS/peak " +
+        "amplitude, zero crossings; corrupt-magic rows as decoded=false.",
+      (s, d) => {
+        import graft.functions.SafeOps
+        def u16le(c: Column): Column = concat(
+          lpad(hex(pmod(c, lit(256L))), 2, "0"),
+          lpad(hex(pmod(floor(c / 256).cast("long"), lit(256L))), 2, "0"))
+        def u32le(c: Column): Column = concat(
+          u16le(pmod(c, lit(65536L))),
+          u16le(floor(c / 65536).cast("long")))
+        val n = (col("doc_id") % 7 * 4 + 16).cast("long") // samples
+        val dataLen = n * 2
+        // sample j: v = (doc_id*31 + j*97) % 4001 - 2000, LE as v & 0xFFFF
+        val samplesHex = array_join(
+          transform(sequence(lit(0L), n - 1), j =>
+            u16le(pmod((col("doc_id") * 31 + j * 97) % 4001 - 2000,
+              lit(65536L)))), "")
+        val magicHex = when(col("doc_id") % 41 === 0, lit("52494658"))
+          .otherwise(lit("52494646")) // "RIFX" / "RIFF"
+        // "WAVEfmt " + size16 + PCM + mono + 8000 Hz + 16000 B/s +
+        // block 2 + 16 bit  (all constant -> one hex literal)
+        val fmtHex = "57415645666d7420" + "10000000" + "0100" + "0100" +
+          "401f0000" + "803e0000" + "0200" + "1000" + "64617461"
+        val media = unhex(concat(magicHex, u32le(dataLen + 36),
+          lit(fmtHex), u32le(dataLen), samplesHex))
+        val mediaTbl = t(s, d, "documents").select(col("doc_id"),
+          media.as("media"), lit("audio/wav").as("mime"),
+          octet_length(media).cast("long").as("n_bytes"))
+        Multimodal.decodeWavs(mediaTbl)
+          .select(col("doc_id"), col("decoded"), col("channels"),
+            col("sample_rate"), col("n_frames"),
+            SafeOps.stableRound4(col("mean_amp")).as("mean_amp"),
+            SafeOps.stableRound4(col("rms")).as("rms"),
+            col("peak_abs"), col("zero_cross"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, doc_id % 7 * 4 + 16 AS n,
+             |    doc_id % 41 = 0 AS corrupt
+             |  FROM documents),
+             |sm AS (
+             |  SELECT doc_id, n, corrupt,
+             |    list_transform(range(0, n),
+             |      j -> (doc_id*31 + j*97) % 4001 - 2000) AS v
+             |  FROM base),
+             |st AS (
+             |  SELECT doc_id, n, corrupt,
+             |    list_sum(v) AS sv,
+             |    list_sum(list_transform(v, x -> x*x)) AS svv,
+             |    list_max(list_transform(v, x -> abs(x))) AS pk,
+             |    list_sum(list_transform(range(1, n), j ->
+             |      CASE WHEN (v[j] < 0) <> (v[j+1] < 0)
+             |        THEN 1 ELSE 0 END)) AS zc
+             |  FROM sm)
+             |SELECT doc_id, NOT corrupt AS decoded,
+             |  CASE WHEN corrupt THEN NULL ELSE 1 END AS channels,
+             |  CASE WHEN corrupt THEN NULL ELSE 8000 END AS sample_rate,
+             |  CASE WHEN corrupt THEN NULL
+             |    ELSE CAST(n AS BIGINT) END AS n_frames,
+             |  CASE WHEN corrupt THEN NULL ELSE
+             |    floor(sv / CAST(n AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+             |    END AS mean_amp,
+             |  CASE WHEN corrupt THEN NULL ELSE
+             |    floor(sqrt(svv / CAST(n AS DOUBLE)) * 10000.0 + 0.5)
+             |      / 10000.0 END AS rms,
+             |  CASE WHEN corrupt THEN NULL
+             |    ELSE CAST(pk AS INTEGER) END AS peak_abs,
+             |  CASE WHEN corrupt THEN NULL
+             |    ELSE CAST(zc AS BIGINT) END AS zero_cross
+             |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // DBSCAN over the embedding corpus: exact cosine eps-neighbors
+    // (the oracle-matched generator; the 100 TB path swaps in the LSH
+    // generator), core test, HashMin components over core-core edges,
+    // min-cluster border attachment. The oracle replays the definition
+    // with a recursive closure — different algorithm, identical
+    // role/cluster assignment.
+    GraftQuery(
+      "qH6_dbscan",
+      "DBSCAN over embeddings (cosine >= 0.3 neighbors, minPts=4): " +
+        "core/border/noise roles and min-core-id cluster labels via " +
+        "neighbor-pair degree + connected components.",
+      (s, d) => Density.dbscanCosine(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        cosThreshold = 0.3, minPts = 4)
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE $duckVecNorm,
+              |p AS (
+              |  SELECT a.vec_id AS ia, b.vec_id AS ib
+              |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+              |  WHERE list_sum(list_transform(range(1,65),
+              |      i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) >= 0.3),
+              |deg AS (SELECT ia, count(*) AS nbrs FROM p GROUP BY ia),
+              |core AS (SELECT ia AS id FROM deg WHERE nbrs + 1 >= 4),
+              |ce AS (
+              |  SELECT p.ia AS a, p.ib AS b FROM p
+              |  JOIN core c1 ON p.ia = c1.id
+              |  JOIN core c2 ON p.ib = c2.id),
+              |reach(node, r) AS (
+              |  SELECT a, a FROM ce
+              |  UNION
+              |  SELECT e.a, r.r FROM ce e JOIN reach r ON e.b = r.node),
+              |comp AS (SELECT node, min(r) AS cluster
+              |  FROM reach GROUP BY node),
+              |corecl AS (
+              |  SELECT c.id, coalesce(comp.cluster, c.id) AS cluster
+              |  FROM core c LEFT JOIN comp ON c.id = comp.node),
+              |bordercl AS (
+              |  SELECT p.ia AS id, min(cc.cluster) AS cluster
+              |  FROM p JOIN corecl cc ON p.ib = cc.id
+              |  WHERE p.ia NOT IN (SELECT id FROM core)
+              |  GROUP BY p.ia)
+              |SELECT e.vec_id AS id,
+              |  CASE WHEN cc.id IS NOT NULL THEN 'core'
+              |    WHEN bc.id IS NOT NULL THEN 'border'
+              |    ELSE 'noise' END AS role,
+              |  coalesce(cc.cluster, bc.cluster) AS cluster
+              |FROM embeddings e
+              |LEFT JOIN corecl cc ON e.vec_id = cc.id
+              |LEFT JOIN bordercl bc ON e.vec_id = bc.id
+              |ORDER BY id""".stripMargin)),
+
+    // Phonetic blocking: Soundex keys (translate + RE2-safe
+    // regexp_replace chain — the DuckDB side is GENERATED from the same
+    // loop, so parity holds by construction) over the distinct part-name
+    // vocabulary, same-key pairs verified with the native Jaro-Winkler
+    // expression (raw doubles, bit-for-bit as in qG4).
+    GraftQuery(
+      "qH7_soundex_blocking",
+      "Soundex phonetic blocking over distinct part-name words: " +
+        "same-code pairs with their Jaro-Winkler similarity — the " +
+        "classic cheap blocking key ahead of string-metric verification.",
+      (s, d) => {
+        graft.functions.GraftFunctions.registerAll(s)
+        // The 16-word part vocabulary is too clean for natural phonetic
+        // collisions (one: red/rod), so each word also contributes a
+        // vowel-rotated "misspelling" — Soundex codes vowels to 0, so
+        // every twin collides with its source, exercising the
+        // block-then-verify shape at real volume.
+        val base = t(s, d, "part")
+          .select(explode(split(col("p_name"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+        val words = base
+          .unionAll(base.select(
+            translate(col("w"), "aeiou", "eioua").as("w")))
+          .distinct()
+          .withColumn("code", PhoneticOps.soundex(col("w")))
+        words.as("a").join(words.as("b"),
+          col("a.code") === col("b.code") && col("a.w") < col("b.w"))
+          .select(col("a.w").as("w1"), col("b.w").as("w2"),
+            col("a.code").as("code"),
+            graft.functions.GraftFunctions.jaroWinkler(
+              col("a.w"), col("b.w")).as("jw"))
+          .orderBy("w1", "w2")
+      },
+      Some(s"""WITH w0 AS (
+              |  SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+              |w AS (
+              |  SELECT DISTINCT w FROM (
+              |    SELECT w FROM w0
+              |    UNION ALL
+              |    SELECT translate(w, 'aeiou', 'eioua') FROM w0)),
+              |c AS (SELECT w, ${PhoneticOps.soundexSql("w")} AS code
+              |  FROM w WHERE length(w) > 0)
+              |SELECT a.w AS w1, b.w AS w2, a.code AS code,
+              |  jaro_winkler_similarity(a.w, b.w) AS jw
+              |FROM c a JOIN c b ON a.code = b.code AND a.w < b.w
+              |ORDER BY w1, w2""".stripMargin)))
+}

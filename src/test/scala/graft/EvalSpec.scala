@@ -1,0 +1,132 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PhoneticOps
+import graft.operators.{Density, Eval, Multimodal}
+
+/** Round-6 batch 5: classifier eval (AUC/calibration), RIFF/WAVE
+  * decode, DBSCAN, and the Soundex pipeline.
+  */
+class EvalSpec extends SparkTestBase {
+
+  test("Eval.binaryAuc: hand-computed tie case; block-count invariant") {
+    import spark.implicits._
+    // positives: 0.9, 0.8, 0.8, 0.4 · negatives: 0.8, 0.3, 0.3, 0.1
+    // pair count = #(p>n) + 0.5·#(p=n) = 14 of 16 -> AUC 0.875
+    val df = Seq((0.9, true), (0.8, true), (0.8, true), (0.4, true),
+      (0.8, false), (0.3, false), (0.3, false), (0.1, false))
+      .toDF("s", "y")
+    val r = Eval.binaryAuc(df, col("s"), col("y")).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.875)
+    // two-phase blocking is an implementation detail: 1 block == many
+    val r1 = Eval.binaryAuc(df, col("s"), col("y"), nBlocks = 1)
+      .collect()(0)
+    assert(r1.getDouble(2) == 0.875, "nBlocks must not change AUC")
+    // degenerate: all scores equal -> AUC exactly 0.5
+    val flat = Seq((1.0, true), (1.0, false), (1.0, true), (1.0, false))
+      .toDF("s", "y")
+    assert(Eval.binaryAuc(flat, col("s"), col("y"))
+      .collect()(0).getDouble(2) == 0.5)
+  }
+
+  test("Eval.calibrationBins: bin edges, clamp, exact fractions") {
+    import spark.implicits._
+    val df = Seq((0.05, false), (0.15, true), (0.95, true), (1.0, true))
+      .toDF("s", "y") // 1.0 clamps into the last bin
+    val rows = Eval.calibrationBins(df, col("s"), col("y"), 0.0, 1.0, 10)
+      .orderBy("bin").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 9L))
+    val byBin = rows.map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(byBin(0L) == ((0.0, 1L, 0.0)))
+    assert(byBin(1L) == ((0.1, 1L, 1.0)))
+    assert(byBin(9L) == ((0.9, 2L, 1.0)))
+    intercept[IllegalArgumentException](
+      Eval.calibrationBins(df, col("s"), col("y"), 1.0, 0.0, 10))
+  }
+
+  /** Little-endian WAV builder for the decoder tests. */
+  private def wav(channels: Int, rate: Int, samples: Seq[Int],
+      magic: String = "RIFF", fmtTag: Int = 1, bits: Int = 16,
+      junkChunk: Boolean = false, truncate: Int = 0): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    def tag(t: String): Unit = out.write(t.getBytes("US-ASCII"))
+    val dataLen = samples.length * 2
+    val junkLen = if (junkChunk) 8 + 3 + 1 else 0 // odd size, padded
+    tag(magic); w32(36 + junkLen + dataLen); tag("WAVE")
+    if (junkChunk) { tag("LIST"); w32(3); out.write(Array[Byte](1, 2, 3, 0)) }
+    tag("fmt "); w32(16); w16(fmtTag); w16(channels); w32(rate)
+    w32(rate * channels * bits / 8); w16(channels * bits / 8); w16(bits)
+    tag("data"); w32(dataLen)
+    samples.foreach(w16)
+    val bytes = out.toByteArray
+    if (truncate > 0) bytes.dropRight(truncate) else bytes
+  }
+
+  test("Multimodal.decodeWav: chunk walk, stereo stats, poison bytes") {
+    // stereo, ch0 = [1000, -1000, 1000], ch1 = [0, 0, 0], junk chunk
+    // before fmt exercises the real RIFF traversal
+    val b = wav(2, 8000, Seq(1000, 0, -1000, 0, 1000, 0), junkChunk = true)
+    val w = Multimodal.decodeWav(b).get
+    assert(w.channels == 2 && w.sampleRate == 8000 && w.nFrames == 3)
+    assert(w.peakAbs == 1000 && w.zeroCross == 2) // ch0 sign flips only
+    assert(math.abs(w.meanAmp - 1000.0 / 6) < 1e-12)
+    assert(math.abs(w.rms - math.sqrt(3e6 / 6)) < 1e-9)
+    // quarantine paths: wrong magic, compressed fmt, 8-bit, truncated
+    assert(Multimodal.decodeWav(wav(1, 8000, Seq(1), magic = "RIFX")).isEmpty)
+    assert(Multimodal.decodeWav(wav(1, 8000, Seq(1), fmtTag = 3)).isEmpty)
+    assert(Multimodal.decodeWav(wav(1, 8000, Seq(1), bits = 8)).isEmpty)
+    assert(Multimodal.decodeWav(wav(1, 8000, Seq(1, 2, 3), truncate = 2))
+      .isEmpty)
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("Density.dbscan: core/border/noise roles on a hand graph") {
+    import spark.implicits._
+    val pts = (1L to 8L).toDF("id")
+    // K4 clique {1,2,3,4}; 5 hangs off 1; {7,8} an isolated pair; 6 alone
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = Density.dbscan(pts, "id", pairs, "id_a", "id_b", minPts = 4)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getString(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    for (i <- 1L to 4L) assert(r(i) == (("core", 1L)), s"node $i")
+    assert(r(5L) == (("border", 1L)))
+    assert(r(6L) == (("noise", -1L)))
+    assert(r(7L) == (("noise", -1L)), "pair below minPts is noise")
+    assert(r(8L) == (("noise", -1L)))
+    // at minPts=2 the {7,8} pair becomes its own cluster
+    val r2 = Density.dbscan(pts, "id", pairs, "id_a", "id_b", minPts = 2)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getString(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    assert(r2(7L) == (("core", 7L)) && r2(8L) == (("core", 7L)))
+    assert(r2(5L) == (("core", 1L)), "5 has one neighbor -> core at minPts=2")
+    assert(r2(6L) == (("noise", -1L)))
+    intercept[IllegalArgumentException](
+      Density.dbscan(pts, "id", pairs, "id_a", "id_b", minPts = 0))
+  }
+
+  test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {
+    import spark.implicits._
+    val in = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",
+      "Honeyman", "robert", "  12 3!", "").toDF("w")
+    val out = in.select(col("w"), PhoneticOps.soundex(col("w")).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out("Robert") == "R163" && out("Rupert") == "R163")
+    assert(out("Ashcraft") == "A261", "s/c across H must merge (H/W rule)")
+    assert(out("Tymczak") == "T522")
+    assert(out("Pfister") == "P236", "first-letter code dedups into F")
+    assert(out("Honeyman") == "H555")
+    assert(out("robert") == "R163", "case-insensitive")
+    assert(out("  12 3!") == null && out("") == null)
+  }
+}

@@ -230,6 +230,11 @@ class PlanSpec extends SparkTestBase {
     val bnljAllowed = Set("q20_ops_pdf_cdf", "q71_ops_upload_pdf_masked",
       "q35_ann_brute_topk", "qA7_ann_recall", "qB5_ann_ivf_multiprobe",
       "q34_dedup_embedding", "qD4_hybrid_rrf",
+      // qH6: DBSCAN's pair generator is pluggable; the declared query
+      // feeds it the documented brute-force generator (q34's kernel) so
+      // the oracle's neighbor sets are exact — the 100 TB path swaps in
+      // embeddingLshPairs and the clustering core is unchanged
+      "qH6_dbscan",
       // the bucketized interval joins divert >=maxBucketsPerInterval-
       // wide intervals to a residual-only broadcast leg — that leg IS
       // a nested loop by design, over the filtered wide set, which the

@@ -572,6 +572,42 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Banded Hamming pairs over ANY precomputed bit-signature column —
+    * the [[simhashPairs]] band trick factored out so other signature
+    * families (the 56-bit image dHash, audio fingerprints) reuse it:
+    * split the `bits`-wide code into `bandsCount` equal bands; any pair
+    * within Hamming distance d < bandsCount agrees on ≥ 1 band
+    * (pigeonhole — the recall is EXACT, not probabilistic), so the
+    * self-join runs per-band on equality, never all-pairs.
+    *
+    * Output: doc_a, doc_b, hamming (≤ maxHamming).
+    */
+  def codeHammingPairs(codes: DataFrame, idCol: String, codeCol: String,
+      bits: Int, maxHamming: Int, bandsCount: Int): DataFrame = {
+    require(maxHamming < bandsCount, "need maxHamming < bands (pigeonhole)")
+    require(bits % bandsCount == 0, "bands must divide the bit width")
+    val bandBits = bits / bandsCount
+    val mask = (1L << bandBits) - 1
+    val sh = codes.select(col(idCol).cast("long").as("doc_id"),
+      col(codeCol).cast("long").as("code"))
+    // shuffle_hash: don't let AQE broadcast the banded corpus
+    val bandRows = sh.select(col("doc_id"), col("code"),
+      posexplode(array((0 until bandsCount).map(b =>
+        shiftright(col("code"), b * bandBits).bitwiseAND(mask)): _*))
+        .as(Seq("band_idx", "band_val")))
+      .hint("shuffle_hash")
+    bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.code").bitwiseXOR(col("y.code")))
+          .as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-dup pairs (brute force; the scale path buckets
     * candidates first — see Similarity.lshTopK). Norms are precomputed
     * per row so the pair stage does one dot product, not three.

@@ -89,6 +89,104 @@ object Eval {
           (col("np") * col("nn")) * 1e6 + 0.5) / 1e6).as("auc"))
   }
 
+  /** Precision/recall curve over quantized thresholds: one row per
+    * distinct value of `threshold` (pass the score pre-quantized —
+    * `floor(score)`, a decile, etc. — to bound the output), reporting
+    * the confusion counts and P/R/F1 of the rule "predict positive when
+    * score ≥ t".
+    *
+    * Same scale shape as [[binaryAuc]]: group to distinct thresholds
+    * first, then the ≥-t cumulative counts come from the ascending
+    * two-phase block prefix sum and the (broadcast, 1-row) totals:
+    * tp(t) = totalPos − posBelow(t), predicted(t) = total − cntBelow(t).
+    * No global sort, no per-threshold rescans.
+    *
+    * Determinism: all counts are exact integers; precision/recall/f1
+    * are each ONE integer-ratio division (f1 = 2tp/(2tp+fp+fn), not a
+    * composition of rounded p and r), floor-rounded to 6 dp.
+    *
+    * Output: threshold, n_ge, tp, fp, fn, precision, recall, f1.
+    */
+  def prCurve(df: DataFrame, threshold: Column, label: Column,
+      nBlocks: Int = 256): DataFrame = {
+    require(nBlocks > 0, "nBlocks must be > 0")
+    val byT = df
+      .select(threshold.cast("double").as("t"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .filter(col("t").isNotNull)
+      .groupBy("t")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+
+    val bounds = byT.agg(min("t").as("lo"), max("t").as("hi"),
+      sum("cnt").as("n"), sum("pos").as("np"))
+    val blocked = byT.crossJoin(broadcast(bounds))
+      .withColumn("block",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(nBlocks - 1L), floor(
+            (col("t") - col("lo")) / (col("hi") - col("lo")) * nBlocks)
+            .cast("long"))))
+    val wBlocks = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy("block")
+      .agg(sum("cnt").as("bn"), sum("pos").as("bp"))
+      .select(col("block"),
+        coalesce(sum("bn").over(wBlocks), lit(0L)).as("coff"),
+        coalesce(sum("bp").over(wBlocks), lit(0L)).as("poff"))
+    val wIn = Window.partitionBy("block").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    blocked.join(broadcast(offsets), "block")
+      .withColumn("cnt_below",
+        col("coff") + coalesce(sum("cnt").over(wIn), lit(0L)))
+      .withColumn("pos_below",
+        col("poff") + coalesce(sum("pos").over(wIn), lit(0L)))
+      .select(col("t").as("threshold"),
+        (col("n") - col("cnt_below")).as("n_ge"),
+        (col("np") - col("pos_below")).as("tp"),
+        (col("n") - col("cnt_below") - col("np") + col("pos_below"))
+          .as("fp"),
+        col("pos_below").as("fn"),
+        col("np"))
+      .select(col("threshold"), col("n_ge"), col("tp"), col("fp"),
+        col("fn"),
+        r6(col("tp") / col("n_ge")).as("precision"),
+        r6(col("tp") / col("np")).as("recall"),
+        r6(col("tp") * 2 /
+          (col("tp") * 2 + col("fp") + col("fn"))).as("f1"))
+  }
+
+  /** Expected calibration error over equal-width probability bins —
+    * the one-number summary of [[calibrationBins]]:
+    *
+    *   ECE = Σ_b (n_b/N) · |acc_b − conf_b|
+    *
+    * computed EXACTLY in integers until a single final division:
+    * with probabilities snapped to 1e-4 units (s4), each bin's
+    * n_b·|acc_b − conf_b| = |10⁴·pos_b − Σs4_b| / 10⁴, so
+    * ECE = Σ_b |10⁴·pos_b − Σs4_b| / (10⁴·N) — partial-aggregation
+    * order cannot perturb it.
+    *
+    * Output: one row (n, bins_used, ece) with ece at 6 dp.
+    */
+  def ece(df: DataFrame, prob: Column, label: Column, bins: Int)
+      : DataFrame = {
+    require(bins > 0, "bins must be > 0")
+    val p = prob.cast("double")
+    df.select(p.as("p"), when(label, 1L).otherwise(0L).as("y"))
+      .filter(col("p").isNotNull && col("p") >= 0.0 && col("p") <= 1.0)
+      .withColumn("bin",
+        least(lit(bins - 1L), floor(col("p") * bins).cast("long")))
+      .withColumn("s4", floor(col("p") * 10000.0 + 0.5).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"),
+        sum("s4").as("s4_b"))
+      .agg(sum("n_b").as("n"), count(lit(1)).as("bins_used"),
+        sum(abs(col("pos_b") * 10000L - col("s4_b"))).as("dev"))
+      .select(col("n"), col("bins_used"),
+        (floor(col("dev") / (col("n") * 10000.0) * 1e6 + 0.5) / 1e6)
+          .as("ece"))
+  }
+
   /** Reliability (calibration) table: equal-width score bins over
     * [lo, hi], each bin reporting volume, mean score, and the observed
     * positive rate. The standard post-gate diagnostic — a well-ranked

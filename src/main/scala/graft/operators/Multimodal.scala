@@ -140,7 +140,11 @@ object Multimodal {
     else None
   }
 
-  private def decodePnm(bytes: Array[Byte]): Option[ImageInfo] = {
+  /** PNM ASCII-token header scan shared by the stats decode and the
+    * pixel-grid decode: (rgb, width, height, sample start offset).
+    */
+  private def pnmHeader(bytes: Array[Byte])
+      : Option[(Boolean, Int, Int, Int)] = {
     val rgb = bytes(1) == '6'.toByte
     var i = 2
     // ASCII token scanner: whitespace-separated, '#' comments to EOL
@@ -170,6 +174,12 @@ object Multimodal {
       start = i + 1
       chans = if (rgb) 3 else 1
       if bytes.length - start >= w.toLong * h * chans
+    } yield (rgb, w, h, start)
+  }
+
+  private def decodePnm(bytes: Array[Byte]): Option[ImageInfo] = {
+    for {
+      (rgb, w, h, start) <- pnmHeader(bytes)
     } yield {
       var (sr, sg, sb) = (0L, 0L, 0L)
       var p = start
@@ -244,6 +254,100 @@ object Multimodal {
             case None => DecodedImage(r.doc_id, decoded = false,
               "unknown", None, None, None, None, None)
           }
+        }
+      }
+  }
+
+  /** Grayscale pixel grid for the perceptual-hash path: luminance per
+    * pixel, row-major. P5 is direct; P6 uses the integer mean
+    * (r+g+b)/3 — chosen over a weighted luma because integer-exact
+    * thirds are reproducible in any engine's SQL, which is what lets
+    * the dHash oracle replay the whole pipeline closed-form.
+    */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (!(bytes.length >= 2 && bytes(0) == 'P'.toByte &&
+      (bytes(1) == '6'.toByte || bytes(1) == '5'.toByte))) return None
+    pnmHeader(bytes).map { case (rgb, w, h, start) =>
+      val px = new Array[Int](w * h)
+      var k = 0
+      while (k < w * h) {
+        px(k) =
+          if (rgb) {
+            val p = start + 3 * k
+            ((bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) +
+              (bytes(p + 2) & 0xFF)) / 3
+          } else bytes(start + k) & 0xFF
+        k += 1
+      }
+      (w, h, px)
+    }
+  }
+
+  /** 56-bit difference hash (dHash) of a grayscale grid: box-downsample
+    * to a 9×7 cell grid (integer box partition `[t·dim/target,
+    * (t+1)·dim/target)`, integer-mean cells), then one bit per
+    * horizontal neighbor pair — set when cell(x) > cell(x+1). 8×7 = 56
+    * bits, packed into a non-negative long (the same width discipline
+    * as the 60-bit SimHash: staying under 63 bits keeps every engine's
+    * signed-int64 arithmetic overflow-free, so oracles can rebuild the
+    * hash with shifts and sums).
+    *
+    * dHash is the standard cheap perceptual image signature: gradient
+    * signs survive brightness/contrast shifts and mild recompression,
+    * so exact-equal or low-Hamming hashes flag visually-duplicate
+    * images — the image-side analogue of SimHash for text.
+    *
+    * Requires w ≥ 9 and h ≥ 7 (each box must be non-empty).
+    */
+  def dhash56(w: Int, h: Int, px: Array[Int]): Option[Long] = {
+    if (w < 9 || h < 7) return None
+    val cells = new Array[Long](9 * 7)
+    var ty = 0
+    while (ty < 7) {
+      val y0 = ty * h / 7
+      val y1 = (ty + 1) * h / 7
+      var tx = 0
+      while (tx < 9) {
+        val x0 = tx * w / 9
+        val x1 = (tx + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x); x += 1 }
+          y += 1
+        }
+        cells(ty * 9 + tx) = s / ((y1 - y0).toLong * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 56) {
+      val ty = i / 8
+      val tx = i % 8
+      if (cells(ty * 9 + tx) > cells(ty * 9 + tx + 1)) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-image dHash over a media table (mapPartitions, quarantine
+    * shape). Output: doc_id, decoded, dhash (null when undecodable or
+    * smaller than the 9×7 grid).
+    */
+  case class DHashRow(doc_id: Long, decoded: Boolean, dhash: Option[Long])
+
+  def dhashImages(media: DataFrame): Dataset[DHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val dh = decodeGray(r.media)
+            .flatMap { case (w, h, px) => dhash56(w, h, px) }
+          DHashRow(r.doc_id, dh.isDefined, dh)
         }
       }
   }

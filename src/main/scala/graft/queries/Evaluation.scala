@@ -269,5 +269,160 @@ object Evaluation {
               |SELECT a.w AS w1, b.w AS w2, a.code AS code,
               |  jaro_winkler_similarity(a.w, b.w) AS jw
               |FROM c a JOIN c b ON a.code = b.code AND a.w < b.w
-              |ORDER BY w1, w2""".stripMargin)))
+              |ORDER BY w1, w2""".stripMargin)),
+
+    // Precision/recall curve over integer thresholds of the event
+    // score: distinct-threshold partials + the two-phase block prefix
+    // sum (binaryAuc's shape); confusion counts are integers, each
+    // ratio is a single division. The oracle replays with a window
+    // cumulative — different algorithm, identical table.
+    GraftQuery(
+      "qH8_pr_curve",
+      "Precision/recall/F1 at every integer threshold of `value` for " +
+        "the purchase-prediction rule score >= t — confusion counts " +
+        "plus single-division ratios, block-parallel cumulatives.",
+      (s, d) => Eval.prCurve(
+        t(s, d, "events"), floor(col("value")),
+        col("event_type") === "purchase")
+        .orderBy("threshold"),
+      prCurveOracleBody),
+
+    // Perceptual image dedup end-to-end: P5 pixel grids synthesized per
+    // doc — md5-noise base images shared by doc-id TRIOS, with the two
+    // variant docs perturbing ~5% of pixels (+v·24 where
+    // (31x+17y)%19=0), so within-trio pairs land at Hamming 0-6 and
+    // cross-trio pairs are 56-bit-random (P[d≤6] ≈ 4e-10: none). Pair
+    // volume therefore scales LINEARLY with the corpus, like a real
+    // near-dup population — not quadratically like a shared-gradient
+    // fixture would. Real grayscale decode + 9×7 box-downsample +
+    // 56-bit dHash under mapPartitions, then the pigeonhole banded
+    // Hamming join. The oracle rebuilds the hash closed-form from the
+    // generator and takes exact all-pairs — banding with 7 bands is
+    // lossless for d ≤ 6, so the sets must match exactly.
+    GraftQuery(
+      "qH9_dhash_pairs",
+      "Visually-duplicate image pairs via 56-bit dHash (real decode + " +
+        "box downsample) and exact-recall banded Hamming join (d <= 6, " +
+        "7 bands) over md5-noise trio images.",
+      (s, d) => {
+        val w = 18
+        val h = 14
+        val base = col("doc_id") - pmod(col("doc_id"), lit(3L))
+        def pixHex(x: org.apache.spark.sql.Column,
+            y: org.apache.spark.sql.Column) = {
+          val noise = conv(substring(md5(concat(
+            base.cast("string"), lit(":"), x.cast("string"),
+            lit(":"), y.cast("string"))), 1, 2), 16, 10).cast("long")
+          val pert = when(pmod(x * 31 + y * 17, lit(19L)) === 0,
+            pmod(col("doc_id"), lit(3L)) * 24).otherwise(lit(0L))
+          lpad(hex(pmod(noise + pert, lit(256L))), 2, "0")
+        }
+        val payloadHex = array_join(
+          transform(sequence(lit(0L), lit(w * h - 1L)), j =>
+            pixHex(j % w, floor(j / w).cast("long"))), "")
+        val media = concat(
+          encode(lit(s"P5\n$w $h\n255\n"), "UTF-8"), unhex(payloadHex))
+        val mediaTbl = t(s, d, "documents").select(col("doc_id"),
+          media.as("media"), lit("image/x-portable-graymap").as("mime"),
+          octet_length(media).cast("long").as("n_bytes"))
+        val hashes = graft.operators.Multimodal.dhashImages(mediaTbl)
+        graft.operators.Dedup.codeHammingPairs(
+          hashes.toDF(), "doc_id", "dhash",
+          bits = 56, maxHamming = 6, bandsCount = 7)
+          .select(col("doc_a"), col("doc_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH hsh AS (
+              |  SELECT doc_id,
+              |    list_sum(list_transform(range(0, 56), i ->
+              |      CASE WHEN ${dhashCellSql("i % 8", "i // 8")} >
+              |          ${dhashCellSql("i % 8 + 1", "i // 8")}
+              |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+              |        ELSE 0 END)) AS dh
+              |  FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+              |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.dh, b.dh)) <= 6
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ECE: the one-number calibration summary, exact-integer until one
+    // final division (n_b·|acc−conf| telescopes to |1e4·pos − Σs4|).
+    GraftQuery(
+      "qI0_ece",
+      "Expected calibration error of value/500 as a purchase " +
+        "probability over 10 equal-width bins — integer-exact " +
+        "deviation sums, one final division.",
+      (s, d) => Eval.ece(t(s, d, "events"),
+        col("value") / 500, col("event_type") === "purchase", bins = 10),
+      Some("""WITH s AS (
+             |  SELECT value/500 AS p,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events
+             |  WHERE value IS NOT NULL
+             |    AND value/500 >= 0 AND value/500 <= 1),
+             |b AS (
+             |  SELECT least(9, CAST(floor(p*10) AS BIGINT)) AS bin,
+             |    CAST(floor(p*10000 + 0.5) AS BIGINT) AS s4, y
+             |  FROM s),
+             |g AS (SELECT bin, count(*) AS nb, sum(y) AS pb,
+             |    sum(s4) AS sb
+             |  FROM b GROUP BY bin)
+             |SELECT CAST(sum(nb) AS BIGINT) AS n,
+             |  CAST(count(*) AS BIGINT) AS bins_used,
+             |  floor(sum(abs(pb*10000 - sb)) / (sum(nb)*10000.0)
+             |    * 1000000 + 0.5) / 1000000 AS ece
+             |FROM g""".stripMargin)))
+
+  /** dHash oracle cell: the 9×7 box-mean over the synthesized 18×14
+    * grid is exactly a 2×2 integer-mean block — generated here so the
+    * SQL cannot drift from the Spark-side generator/decoder pair.
+    */
+  private def dhashCellSql(txE: String, tyE: String): String = {
+    def pix(xE: String, yE: String): String =
+      s"((('0x' || substr(md5(CAST(doc_id - doc_id%3 AS VARCHAR) || " +
+        s"':' || CAST($xE AS VARCHAR) || ':' || " +
+        s"CAST($yE AS VARCHAR)), 1, 2))::BIGINT + " +
+        s"CASE WHEN (($xE)*31 + ($yE)*17) % 19 = 0 " +
+        s"THEN (doc_id%3)*24 ELSE 0 END) % 256)"
+    val tx = s"($txE)"
+    val ty = s"($tyE)"
+    s"((${pix(s"2*$tx", s"2*$ty")} + ${pix(s"2*$tx+1", s"2*$ty")} + " +
+      s"${pix(s"2*$tx", s"2*$ty+1")} + ${pix(s"2*$tx+1", s"2*$ty+1")}) // 4)"
+  }
+
+  /** qH8's oracle, split out for readability (lazy: defined textually
+    * after `all`, which references it during object init).
+    */
+  private lazy val prCurveOracleBody: Option[String] =
+    Some("""WITH s AS (
+           |  SELECT floor(value) AS t,
+           |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           |  FROM events WHERE value IS NOT NULL),
+           |g AS (SELECT t, count(*) AS c, sum(y) AS p
+           |  FROM s GROUP BY t),
+           |tot AS (SELECT sum(c) AS n, sum(p) AS np FROM g),
+           |cum AS (
+           |  SELECT t, c, p,
+           |    coalesce(sum(c) OVER (ORDER BY t
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cb,
+           |    coalesce(sum(p) OVER (ORDER BY t
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS pb
+           |  FROM g)
+           |SELECT CAST(t AS DOUBLE) AS threshold,
+           |  CAST(n - cb AS BIGINT) AS n_ge,
+           |  CAST(np - pb AS BIGINT) AS tp,
+           |  CAST(n - cb - np + pb AS BIGINT) AS fp,
+           |  CAST(pb AS BIGINT) AS fn,
+           |  floor((np - pb) / CAST(n - cb AS DOUBLE) * 1000000 + 0.5)
+           |    / 1000000 AS "precision",
+           |  floor((np - pb) / CAST(np AS DOUBLE) * 1000000 + 0.5)
+           |    / 1000000 AS recall,
+           |  floor(2*(np - pb) / CAST(2*(np - pb) + (n - cb - np + pb)
+           |      + pb AS DOUBLE) * 1000000 + 0.5) / 1000000 AS f1
+           |FROM cum, tot ORDER BY threshold""".stripMargin)
+
 }

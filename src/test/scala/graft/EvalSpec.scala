@@ -114,6 +114,78 @@ class EvalSpec extends SparkTestBase {
       Density.dbscan(pts, "id", pairs, "id_a", "id_b", minPts = 0))
   }
 
+  test("Eval.prCurve: hand-computed confusion table per threshold") {
+    import spark.implicits._
+    val df = Seq((3.0, true), (2.0, false), (2.0, true), (1.0, false))
+      .toDF("s", "y")
+    val rows = Eval.prCurve(df, col("s"), col("y")).orderBy("threshold")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(rows.toSeq == Seq(
+      (1.0, 4L, 2L, 2L, 0L, 0.5, 1.0, 0.666667),
+      (2.0, 3L, 2L, 1L, 0L, 0.666667, 1.0, 0.8),
+      (3.0, 1L, 1L, 0L, 1L, 1.0, 0.5, 0.666667)))
+    // block-count invariance again: the prefix machinery is transparent
+    val one = Eval.prCurve(df, col("s"), col("y"), nBlocks = 1)
+      .orderBy("threshold").collect().map(_.getLong(2)).toSeq
+    assert(one == Seq(2L, 2L, 1L))
+  }
+
+  test("Eval.ece: integer-exact deviation sum, single final division") {
+    import spark.implicits._
+    val df = Seq((0.05, false), (0.15, true), (0.95, true), (0.95, true))
+      .toDF("p", "y")
+    // bin0: |0-500| = 500; bin1: |10000-1500| = 8500;
+    // bin9: |20000-19000| = 1000  ->  10000 / (4*10000) = 0.25
+    val r = Eval.ece(df, col("p"), col("y"), bins = 10).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.25)
+    // perfectly calibrated degenerate case
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("p", "y")
+    assert(Eval.ece(perfect, col("p"), col("y"), 10)
+      .collect()(0).getDouble(2) == 0.0)
+  }
+
+  test("Multimodal.dhash56: monotone gradients, box averaging, floors") {
+    // 9x7 grid, blocks are single pixels: rising ramp -> no bit set;
+    // falling ramp -> all 56 bits set
+    val rising = Array.tabulate(9 * 7)(i => i % 9)
+    assert(Multimodal.dhash56(9, 7, rising).contains(0L))
+    val falling = Array.tabulate(9 * 7)(i => 8 - i % 9)
+    assert(Multimodal.dhash56(9, 7, falling)
+      .contains((1L << 56) - 1), "all-descending must set all 56 bits")
+    // 18x14: 2x2 box means preserve the ramp direction
+    val rising2 = Array.tabulate(18 * 14)(i => i % 18)
+    assert(Multimodal.dhash56(18, 14, rising2).contains(0L))
+    // below the grid -> None
+    assert(Multimodal.dhash56(8, 7, new Array[Int](56)).isEmpty)
+    assert(Multimodal.dhash56(9, 6, new Array[Int](54)).isEmpty)
+    // decodeGray: P6 pixels become integer-mean thirds
+    val p6 = ("P6\n1 1\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 31) // (10+20+31)/3 = 20
+    val g = Multimodal.decodeGray(p6)
+    assert(g.contains((1, 1, Array(20))) ||
+      g.exists { case (w, h, px) => w == 1 && h == 1 && px(0) == 20 })
+  }
+
+  test("Dedup.codeHammingPairs: pigeonhole recall, threshold, guards") {
+    import spark.implicits._
+    val codes = Seq((1L, 0L), (2L, 1L), (3L, (1L << 10) - 1))
+      .toDF("id", "code") // ham(1,2)=1, ham(1,3)=10, ham(2,3)=9
+    val pairs = graft.operators.Dedup.codeHammingPairs(
+      codes, "id", "code", bits = 56, maxHamming = 2, bandsCount = 4)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 1)))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.codeHammingPairs(
+        codes, "id", "code", 56, maxHamming = 4, bandsCount = 4))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.codeHammingPairs(
+        codes, "id", "code", 56, maxHamming = 2, bandsCount = 5))
+  }
+
   test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {
     import spark.implicits._
     val in = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",

@@ -41,18 +41,39 @@ object Eval {
     * (stable floor form).
     */
   def binaryAuc(df: DataFrame, score: Column, label: Column,
-      nBlocks: Int = 256): DataFrame = {
-    require(nBlocks > 0, "nBlocks must be > 0")
-    // Per-distinct-score partials: everything downstream is bounded by
-    // score cardinality. Label is coerced to {0,1} here (fails closed:
-    // null labels count as negative).
-    val byScore = df
-      .select(score.cast("double").as("s"),
-        when(label, 1L).otherwise(0L).as("y"))
+      nBlocks: Int = 256): DataFrame =
+    aucFromPartials(scorePartials(df, score, label), nBlocks)
+
+  /** Per-distinct-score partials (s, cnt, pos) — [[binaryAuc]]'s first
+    * aggregate, exposed because the table is MERGEABLE (sum-merge on
+    * `s`): micro-batches of a stream, per-shard partials of a
+    * federated corpus, or daily increments all combine losslessly via
+    * [[mergePartials]], and [[aucFromPartials]] yields the exact AUC of
+    * the union — the sketch-table discipline (HLL/Count-Min) applied to
+    * a ranking statistic. Quantize the score before calling if its raw
+    * cardinality is unbounded; the statistic is then exact for the
+    * quantized score. Label is coerced to {0,1} (fails closed: null
+    * labels count as negative).
+    */
+  def scorePartials(df: DataFrame, score: Column, label: Column)
+      : DataFrame =
+    df.select(score.cast("double").as("s"),
+      when(label, 1L).otherwise(0L).as("y"))
       .filter(col("s").isNotNull)
       .groupBy("s")
       .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
 
+  /** Sum-merge two partials tables (same schema, same quantization). */
+  def mergePartials(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("s")
+      .agg(sum("cnt").as("cnt"), sum("pos").as("pos"))
+
+  /** Exact AUC from a (s, cnt, pos) partials table — [[binaryAuc]]'s
+    * reduction stage.
+    */
+  def aucFromPartials(byScore: DataFrame, nBlocks: Int = 256)
+      : DataFrame = {
+    require(nBlocks > 0, "nBlocks must be > 0")
     // Two-phase prefix sum over ascending score: range blocks derived
     // from the (tiny, broadcast) min/max, monotonic in s, so block-local
     // cumulative counts + per-block start offsets equal the global
@@ -87,6 +108,67 @@ object Eval {
         col("nn").cast("long").as("n_neg"),
         (floor((col("rpos") - col("np") * (col("np") + 1L) / 2.0) /
           (col("np") * col("nn")) * 1e6 + 0.5) / 1e6).as("auc"))
+  }
+
+  /** Per-group (sliced) ROC AUC — the monitoring form of [[binaryAuc]]:
+    * one AUC per value of `group` (a date for drift dashboards, a
+    * source/domain for slice analysis). Same identity, same reduction
+    * discipline, with every window partitioned by the group so no slice
+    * serializes another:
+    *   - (group, score) partials bound everything downstream by
+    *     per-group score cardinality;
+    *   - per-group min/max bounds ride a plain equi-join (AQE
+    *     broadcasts when the group table is small, shuffles on the
+    *     group key when it is not — both correct at scale);
+    *   - the offset frame is ≤ groups×nBlocks rows, its window
+    *     partitioned by group.
+    *
+    * Groups with no positives or no negatives get a null AUC (the
+    * statistic is undefined), not a crash — monitoring slices hit this
+    * on quiet days.
+    *
+    * Output: group, n_pos, n_neg, auc (6 dp, null when undefined).
+    */
+  def binaryAucBy(df: DataFrame, group: Column, score: Column,
+      label: Column, nBlocks: Int = 64): DataFrame = {
+    require(nBlocks > 0, "nBlocks must be > 0")
+    val byScore = df
+      .select(group.as("g"), score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+      .groupBy("g", "s")
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+
+    val bounds = byScore.groupBy("g")
+      .agg(min("s").as("lo"), max("s").as("hi"))
+    val blocked = byScore.join(bounds, "g")
+      .withColumn("block",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(nBlocks - 1L), floor(
+            (col("s") - col("lo")) / (col("hi") - col("lo")) * nBlocks)
+            .cast("long"))))
+    val wBlocks = Window.partitionBy("g").orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy("g", "block")
+      .agg(sum("cnt").as("bn"))
+      .select(col("g"), col("block"),
+        coalesce(sum("bn").over(wBlocks), lit(0L)).as("boff"))
+    val wIn = Window.partitionBy("g", "block").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blocked.join(offsets, Seq("g", "block"))
+      .withColumn("before",
+        col("boff") + coalesce(sum("cnt").over(wIn), lit(0L)))
+      .withColumn("rpos_term",
+        col("pos") * (col("before") + (col("cnt") + 1L) / 2.0))
+      .groupBy("g")
+      .agg(sum("pos").as("np"), (sum("cnt") - sum("pos")).as("nn"),
+        sum("rpos_term").as("rpos"))
+      .select(col("g").as("group"),
+        col("np").cast("long").as("n_pos"),
+        col("nn").cast("long").as("n_neg"),
+        when(col("np") > 0 && col("nn") > 0,
+          floor((col("rpos") - col("np") * (col("np") + 1L) / 2.0) /
+            (col("np") * col("nn")) * 1e6 + 0.5) / 1e6).as("auc"))
   }
 
   /** Precision/recall curve over quantized thresholds: one row per

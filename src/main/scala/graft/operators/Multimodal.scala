@@ -459,6 +459,88 @@ object Multimodal {
       }
   }
 
+  /** Channel-0 PCM samples of a decoded WAV — the raw material for the
+    * audio fingerprint (and any frame-level feature). Same validation
+    * path as [[decodeWav]]; None on anything undecodable.
+    */
+  def decodePcm0(bytes: Array[Byte]): Option[Array[Int]] =
+    decodeWav(bytes).map { w =>
+      // re-walk to the data chunk (cheap: header-only scan)
+      var off = 12
+      var dataOff = -1
+      def tag(o: Int, t: String) =
+        bytes.length >= o + 4 && new String(bytes, o, 4, "US-ASCII") == t
+      def u32(o: Int) = (bytes(o) & 0xFF).toLong |
+        ((bytes(o + 1) & 0xFF).toLong << 8) |
+        ((bytes(o + 2) & 0xFF).toLong << 16) |
+        ((bytes(o + 3) & 0xFF).toLong << 24)
+      while (off + 8 <= bytes.length && dataOff < 0) {
+        val size = u32(off + 4)
+        if (tag(off, "data")) dataOff = off + 8
+        else off += 8 + size.toInt + (size.toInt & 1)
+      }
+      val out = new Array[Int](w.nFrames.toInt)
+      var k = 0
+      while (k < out.length) {
+        val o = dataOff + 2 * k * w.channels // channel 0 of frame k
+        out(k) = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toInt
+        k += 1
+      }
+      out
+    }
+
+  /** 56-bit audio fingerprint: box-partition the channel-0 samples into
+    * 57 frames (`[t·n/57, (t+1)·n/57)`, integer — the 1-D analogue of
+    * [[dhash56]]'s box grid), take integer frame ENERGY (Σ v², exact in
+    * int64 for 16-bit PCM up to ~2^33 samples/frame), and set one bit
+    * per adjacent frame pair where energy(t) > energy(t+1). Energy-
+    * envelope gradient signs survive gain changes and mild noise — the
+    * cheap Shazam-family signature shape — and 56 bits keeps oracle
+    * arithmetic signed-int64-safe, as with the image hash.
+    *
+    * Requires ≥ 57 samples (every frame non-empty).
+    */
+  def audioFp56(samples: Array[Int]): Option[Long] = {
+    val n = samples.length
+    if (n < 57) return None
+    val energy = new Array[Long](57)
+    var t = 0
+    while (t < 57) {
+      val a = t * n / 57
+      val b = (t + 1) * n / 57
+      var s = 0L
+      var k = a
+      while (k < b) { s += samples(k).toLong * samples(k); k += 1 }
+      energy(t) = s
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 56) {
+      if (energy(i) > energy(i + 1)) fp |= 1L << i
+      i += 1
+    }
+    Some(fp)
+  }
+
+  /** Per-clip audio fingerprints over a media table (mapPartitions,
+    * quarantine shape). Output: doc_id, decoded, afp (null when
+    * undecodable or shorter than 57 frames).
+    */
+  case class AudioFpRow(doc_id: Long, decoded: Boolean, afp: Option[Long])
+
+  def audioFingerprints(media: DataFrame): Dataset[AudioFpRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val fp = decodePcm0(r.media).flatMap(audioFp56)
+          AudioFpRow(r.doc_id, fp.isDefined, fp)
+        }
+      }
+  }
+
   /** Deterministic frame-ish sampling stub: pick every `stride`-th byte
     * offset of the payload as a "frame" marker — exercises the
     * explode-to-frames schema (one row per sampled frame).

@@ -308,23 +308,34 @@ object Evaluation {
         val w = 18
         val h = 14
         val base = col("doc_id") - pmod(col("doc_id"), lit(3L))
-        def pixHex(x: org.apache.spark.sql.Column,
-            y: org.apache.spark.sql.Column) = {
-          val noise = conv(substring(md5(concat(
-            base.cast("string"), lit(":"), x.cast("string"),
-            lit(":"), y.cast("string"))), 1, 2), 16, 10).cast("long")
+        // Hoist the md5 noise out of the per-pixel lambda: higher-order
+        // functions evaluate INTERPRETED per element, so one digest per
+        // pixel costs 252 interpreted md5s/row. One md5 covers 16
+        // pixels (16 hex pairs): 28 digests into an array column,
+        // per-pixel work drops to element_at + substring.
+        val md5Arr = transform(sequence(lit(0L), lit(2L * h - 1L)), r =>
+          md5(concat(base.cast("string"), lit(":"),
+            floor(r / 2).cast("long").cast("string"), lit(":"),
+            pmod(r, lit(2L)).cast("string"))))
+        def pixHex(arr: Column, x: Column, y: Column) = {
+          val noise = conv(
+            element_at(arr, (y * 2 + floor(x / 16) + 1).cast("int"))
+              .substr((pmod(x, lit(16L)) * 2 + 1).cast("int"), lit(2)),
+            16, 10).cast("long")
           val pert = when(pmod(x * 31 + y * 17, lit(19L)) === 0,
             pmod(col("doc_id"), lit(3L)) * 24).otherwise(lit(0L))
           lpad(hex(pmod(noise + pert, lit(256L))), 2, "0")
         }
         val payloadHex = array_join(
           transform(sequence(lit(0L), lit(w * h - 1L)), j =>
-            pixHex(j % w, floor(j / w).cast("long"))), "")
+            pixHex(col("m5"), j % w, floor(j / w).cast("long"))), "")
         val media = concat(
           encode(lit(s"P5\n$w $h\n255\n"), "UTF-8"), unhex(payloadHex))
-        val mediaTbl = t(s, d, "documents").select(col("doc_id"),
-          media.as("media"), lit("image/x-portable-graymap").as("mime"),
-          octet_length(media).cast("long").as("n_bytes"))
+        val mediaTbl = t(s, d, "documents")
+          .withColumn("m5", md5Arr)
+          .select(col("doc_id"),
+            media.as("media"), lit("image/x-portable-graymap").as("mime"),
+            octet_length(media).cast("long").as("n_bytes"))
         val hashes = graft.operators.Multimodal.dhashImages(mediaTbl)
         graft.operators.Dedup.codeHammingPairs(
           hashes.toDF(), "doc_id", "dhash",
@@ -373,17 +384,134 @@ object Evaluation {
              |  CAST(count(*) AS BIGINT) AS bins_used,
              |  floor(sum(abs(pb*10000 - sb)) / (sum(nb)*10000.0)
              |    * 1000000 + 0.5) / 1000000 AS ece
-             |FROM g""".stripMargin)))
+             |FROM g""".stripMargin)),
+
+    // Sliced AUC: one statistic per day — the model-monitoring form
+    // (is the quality score degrading on recent data?). Every window in
+    // the reduction is partitioned by the slice, so slices parallelize;
+    // undefined slices (no positives or no negatives) surface as null
+    // rather than an error.
+    GraftQuery(
+      "qI1_auc_by_day",
+      "Per-day ROC AUC of `value` vs purchase outcome (grouped " +
+        "Mann-Whitney rank sums, group-partitioned block prefix sums, " +
+        "null AUC for undefined slices).",
+      (s, d) => Eval.binaryAucBy(
+        t(s, d, "events"), to_date(col("ts")), col("value"),
+        col("event_type") === "purchase")
+        .orderBy("group"),
+      Some("""WITH s AS (
+             |  SELECT CAST(ts AS DATE) AS g, value AS sc,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT g, y, rank() OVER (PARTITION BY g ORDER BY sc) +
+             |    (count(*) OVER (PARTITION BY g, sc) - 1) / 2.0 AS ar
+             |  FROM s),
+             |a AS (
+             |  SELECT g, sum(CASE WHEN y = 1 THEN ar ELSE 0 END) AS rpos,
+             |    sum(y) AS np, count(*) AS n
+             |  FROM r GROUP BY g)
+             |SELECT g AS "group", CAST(np AS BIGINT) AS n_pos,
+             |  CAST(n - np AS BIGINT) AS n_neg,
+             |  CASE WHEN np > 0 AND n - np > 0 THEN
+             |    floor((rpos - np * (np + 1) / 2.0) / (np * (n - np))
+             |      * 1000000 + 0.5) / 1000000 END AS auc
+             |FROM a ORDER BY "group"""".stripMargin)),
+
+    // Near-duplicate audio detection end-to-end: md5-noise trio clips
+    // (same linear-scaling fixture design as qH9 — base signal shared
+    // by doc-id trios, variants bump every 9th sample by v·150), real
+    // PCM decode + 57-frame energy envelope + 56-bit gradient
+    // fingerprint under mapPartitions, pigeonhole banded Hamming join.
+    GraftQuery(
+      "qI2_audio_fp_pairs",
+      "Near-duplicate audio pairs via the 56-bit frame-energy " +
+        "fingerprint (real WAV decode, box frames, gradient bits) and " +
+        "the exact-recall banded Hamming join (d <= 6, 7 bands).",
+      (s, d) => {
+        val n = 114L // samples -> 57 two-sample frames
+        val base = col("doc_id") - pmod(col("doc_id"), lit(3L))
+        def u16le(c: Column): Column = concat(
+          lpad(hex(pmod(c, lit(256L))), 2, "0"),
+          lpad(hex(pmod(floor(c / 256).cast("long"), lit(256L))), 2, "0"))
+        // Same digest-hoisting as qH9: one md5 covers 10 samples
+        // (3 hex chars each), 12 digests/clip instead of 114.
+        val md5Arr = transform(sequence(lit(0L), lit(11L)), g =>
+          md5(concat(base.cast("string"), lit(":"), g.cast("string"))))
+        def sampleVal(arr: Column, j: Column): Column = {
+          val noise = pmod(conv(
+            element_at(arr, (floor(j / 10) + 1).cast("int"))
+              .substr((pmod(j, lit(10L)) * 3 + 1).cast("int"), lit(3)),
+            16, 10).cast("long"), lit(4001L)) - 2000L
+          noise + when(pmod(j, lit(9L)) === 0,
+            pmod(col("doc_id"), lit(3L)) * 150).otherwise(lit(0L))
+        }
+        val samplesHex = array_join(
+          transform(sequence(lit(0L), lit(n - 1)), j =>
+            u16le(pmod(sampleVal(col("m5"), j), lit(65536L)))), "")
+        val dataLen = n * 2
+        val fmtHex = "57415645666d7420" + "10000000" + "0100" + "0100" +
+          "401f0000" + "803e0000" + "0200" + "1000" + "64617461"
+        def u32le(c: Column): Column = concat(
+          u16le(pmod(c, lit(65536L))),
+          u16le(floor(c / 65536).cast("long")))
+        val media = unhex(concat(lit("52494646"),
+          u32le(lit(dataLen + 36)), lit(fmtHex), u32le(lit(dataLen)),
+          samplesHex))
+        val mediaTbl = t(s, d, "documents")
+          .withColumn("m5", md5Arr)
+          .select(col("doc_id"),
+            media.as("media"), lit("audio/wav").as("mime"),
+            octet_length(media).cast("long").as("n_bytes"))
+        val fps = Multimodal.audioFingerprints(mediaTbl)
+        graft.operators.Dedup.codeHammingPairs(
+          fps.toDF(), "doc_id", "afp",
+          bits = 56, maxHamming = 6, bandsCount = 7)
+          .select(col("doc_a"), col("doc_b"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH fp AS (
+              |  SELECT doc_id,
+              |    list_sum(list_transform(range(0, 56), i ->
+              |      CASE WHEN ${afpEnergySql("i")} > ${afpEnergySql("i+1")}
+              |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+              |        ELSE 0 END)) AS f
+              |  FROM documents)
+              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.f, b.f)) <= 6
+              |ORDER BY doc_a, doc_b""".stripMargin)))
+
+  /** qI2 oracle frame energy, generated from the same constants as the
+    * Spark-side sample synthesizer (integer v² sums, no FP).
+    */
+  private def afpEnergySql(tE: String): String = {
+    // sample noise = hex triple (j mod 10) of md5(base:(j div 10)) —
+    // the grouped-digest scheme the Spark side hoists into an array
+    def v(jE: String): String =
+      s"((('0x' || substr(md5(CAST(doc_id - doc_id%3 AS VARCHAR) || " +
+        s"':' || CAST(($jE) // 10 AS VARCHAR)), 3*(($jE) % 10)+1, 3))" +
+        s"::BIGINT) % 4001 - 2000 + " +
+        s"CASE WHEN ($jE) % 9 = 0 THEN (doc_id%3)*150 ELSE 0 END)"
+    val v0 = v(s"2*($tE)")
+    val v1 = v(s"2*($tE)+1")
+    s"(($v0)*($v0) + ($v1)*($v1))"
+  }
 
   /** dHash oracle cell: the 9×7 box-mean over the synthesized 18×14
     * grid is exactly a 2×2 integer-mean block — generated here so the
     * SQL cannot drift from the Spark-side generator/decoder pair.
     */
   private def dhashCellSql(txE: String, tyE: String): String = {
+    // pixel noise = hex pair (x mod 16) of md5(base:y:(x div 16)) —
+    // the row-half digest scheme the Spark side hoists into an array
     def pix(xE: String, yE: String): String =
       s"((('0x' || substr(md5(CAST(doc_id - doc_id%3 AS VARCHAR) || " +
-        s"':' || CAST($xE AS VARCHAR) || ':' || " +
-        s"CAST($yE AS VARCHAR)), 1, 2))::BIGINT + " +
+        s"':' || CAST($yE AS VARCHAR) || ':' || " +
+        s"CAST(($xE) // 16 AS VARCHAR)), 2*(($xE) % 16)+1, 2))::BIGINT + " +
         s"CASE WHEN (($xE)*31 + ($yE)*17) % 19 = 0 " +
         s"THEN (doc_id%3)*24 ELSE 0 END) % 256)"
     val tx = s"($txE)"

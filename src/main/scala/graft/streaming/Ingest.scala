@@ -286,6 +286,38 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Incremental ranking-quality screen — the AUC face of the sketch
+    * screens: each micro-batch's per-score (s, cnt, pos) partials
+    * ([[graft.operators.Eval.scorePartials]]) sum-merge into the
+    * standing table through the versioned exactly-once layout (the
+    * sum-merge double-counts on replay without [[mergeVersioned]] —
+    * same load-bearing check as the Count-Min screen), and each batch
+    * appends the RUNNING EXACT AUC of everything ingested so far —
+    * live "is the quality score still ranking well?" monitoring
+    * without re-scanning history. `scoreExpr` should be quantized
+    * (e.g. `floor(score·1000)/1000`) so the standing table stays
+    * bounded; the AUC is then exact for the quantized score.
+    */
+  def startAucScreen(stream: DataFrame,
+      scoreExpr: org.apache.spark.sql.Column,
+      labelExpr: org.apache.spark.sql.Column, stateDir: String, outDir: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.Eval.scorePartials(
+          batch, scoreExpr, labelExpr)
+        val standing = mergeVersioned(spark, stateDir, batchId, fresh,
+          graft.operators.Eval.mergePartials(_, _))
+        graft.operators.Eval.aucFromPartials(standing)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

@@ -114,6 +114,47 @@ class EvalSpec extends SparkTestBase {
       Density.dbscan(pts, "id", pairs, "id_a", "id_b", minPts = 0))
   }
 
+  test("Eval.binaryAucBy: per-slice statistics, undefined slices null") {
+    import spark.implicits._
+    val df = Seq(
+      // slice "a": the binaryAuc hand case (AUC 0.875)
+      ("a", 0.9, true), ("a", 0.8, true), ("a", 0.8, true),
+      ("a", 0.4, true), ("a", 0.8, false), ("a", 0.3, false),
+      ("a", 0.3, false), ("a", 0.1, false),
+      // slice "b": perfectly separated -> 1.0
+      ("b", 2.0, true), ("b", 1.0, false),
+      // slice "c": no negatives -> undefined
+      ("c", 1.0, true), ("c", 2.0, true))
+      .toDF("g", "s", "y")
+    val rows = Eval.binaryAucBy(df, col("g"), col("s"), col("y"))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(rows.toSeq == Seq(("a", 4L, 4L, 0.875),
+      ("b", 1L, 1L, 1.0), ("c", 2L, 0L, null)))
+  }
+
+  test("Multimodal.audioFp56 + decodePcm0: frame energies, gradients") {
+    // 114 mono samples: first 57 loud (1000), last 57 quiet (10).
+    // Frame 28 straddles the boundary (samples 56,57), so the energy
+    // envelope descends twice: 27->28 and 28->29 — exactly bits 27,28.
+    val loudQuiet = Seq.fill(57)(1000) ++ Seq.fill(57)(10)
+    val b = wav(1, 8000, loudQuiet)
+    val samples = Multimodal.decodePcm0(b).get
+    assert(samples.length == 114 && samples(0) == 1000 &&
+      samples(113) == 10)
+    val fp = Multimodal.audioFp56(samples).get
+    assert(fp == ((1L << 27) | (1L << 28)), s"fp bits: ${fp.toBinaryString}")
+    // rising envelope: every bit 0; falling: every bit 1
+    assert(Multimodal.audioFp56((1 to 114).toArray).contains(0L))
+    assert(Multimodal.audioFp56((114 to 1 by -1).toArray)
+      .contains((1L << 56) - 1))
+    // too short -> None; stereo channel-0 extraction
+    assert(Multimodal.audioFp56(Array.fill(56)(5)).isEmpty)
+    val st = wav(2, 8000, Seq(7, -9, 8, -9, 9, -9)) // ch0 = 7,8,9
+    assert(Multimodal.decodePcm0(st).get.toSeq == Seq(7, 8, 9))
+  }
+
   test("Eval.prCurve: hand-computed confusion table per threshold") {
     import spark.implicits._
     val df = Seq((3.0, true), (2.0, false), (2.0, true), (1.0, false))

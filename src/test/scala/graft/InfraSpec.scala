@@ -676,6 +676,53 @@ class InfraSpec extends SparkTestBase {
       assert(snaps((g, 1L)) > snaps((g, 0L)), s"$g count did not grow")
   }
 
+  test("streaming AUC screen: standing partials equal the batch table " +
+    "of the full stream; running AUC equals the batch statistic") {
+    import graft.operators.Eval
+    import org.apache.spark.sql.functions.{col, floor => ffloor}
+    val inDir = Files.createTempDirectory("auc-in").toFile
+    val stDir = Files.createTempDirectory("auc-st").toFile
+      .getAbsolutePath + "/state"
+    val outDir = Files.createTempDirectory("auc-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("auc-ck").toFile.getAbsolutePath
+    // deterministic score/label batches with ties across batches
+    def mk(n: Int, seed: Int) = (0 until n).map { i =>
+      val s = ((i * 37 + seed) % 50) / 10.0
+      (s, (i * 13 + seed) % 3 == 0)
+    }
+    val day1 = mk(300, 1)
+    val day2 = mk(200, 2)
+    day1.toDF("score", "y").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    Thread.sleep(1500)
+    day2.toDF("score", "y").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "score DOUBLE, y BOOLEAN"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = Ingest.startAucScreen(stream,
+      ffloor(col("score") * 10) / 10, col("y"), stDir, outDir, ckpt)
+    q.awaitTermination(60000)
+    // standing partials == batch partials of the concatenated stream
+    val whole = Eval.scorePartials((day1 ++ day2).toDF("score", "y"),
+      ffloor(col("score") * 10) / 10, col("y"))
+    val standing = Ingest.standingSketch(spark, stDir)
+    assert(standing.exceptAll(whole).isEmpty &&
+      whole.exceptAll(standing).isEmpty,
+      "streamed partials diverged from the batch table")
+    // final appended AUC == batch AUC of everything
+    val outs = spark.read.parquet(outDir)
+      .orderBy("batch_id").collect()
+    assert(outs.length == 2)
+    val batchAuc = Eval.binaryAuc((day1 ++ day2).toDF("score", "y"),
+      ffloor(col("score") * 10) / 10, col("y"))
+      .collect()(0).getDouble(2)
+    assert(outs.last.getAs[Double]("auc") == batchAuc,
+      "running AUC diverged from the batch statistic")
+  }
+
   test("quality gate applies unchanged to a file stream — stateless " +
     "scan-speed ops need no streaming variant") {
     import graft.operators.TextAnalysis

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift measurement between two binned count tables —
@@ -41,4 +42,63 @@ object Drift {
     // an empty-vs-empty comparison has zero drift, not an NPE
     psiContributions(a, b).agg(coalesce(sum("psi"), lit(0.0)))
       .collect()(0).getDouble(0)
+
+  /** Exact two-sample Kolmogorov-Smirnov statistic over RAW values —
+    * PSI's bin-free sibling: D = max_x |F_a(x) − F_b(x)|, evaluated at
+    * every distinct value of the union (where the max of a step-function
+    * difference must occur). PSI needs a binning choice and misses
+    * within-bin shape changes; KS is parameter-free and detects any CDF
+    * separation — the pairing a drift gate wants (PSI for the dashboard
+    * trend, KS for the alarm).
+    *
+    * Scale shape (the [[Eval.binaryAuc]] discipline): one tagged-union
+    * aggregate collapses both corpora to per-distinct-value counts, the
+    * inclusive cumulative counts come from the two-phase block prefix
+    * sum (range blocks from the broadcast min/max, per-block offsets
+    * over a ≤nBlocks-row frame, block-local windows), and the max is a
+    * final aggregate. No global sort; nothing downstream of the first
+    * groupBy scales with the corpora.
+    *
+    * Determinism: cumulative counts are exact integers; each CDF value
+    * is one division and D compares those doubles — identical in any
+    * IEEE engine, safe to hash-compare rounded.
+    *
+    * Output: one row (n_a, n_b, ks) with ks at 6 dp.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame, value: Column,
+      nBlocks: Int = 256): DataFrame = {
+    require(nBlocks > 0, "nBlocks must be > 0")
+    val byV = a.select(value.cast("double").as("v"),
+        lit(1L).as("ta"), lit(0L).as("tb"))
+      .unionAll(b.select(value.cast("double").as("v"),
+        lit(0L).as("ta"), lit(1L).as("tb")))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(sum("ta").as("ca"), sum("tb").as("cb"))
+
+    val bounds = byV.agg(min("v").as("lo"), max("v").as("hi"),
+      sum("ca").as("na"), sum("cb").as("nb"))
+    val blocked = byV.crossJoin(broadcast(bounds))
+      .withColumn("block",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(nBlocks - 1L), floor(
+            (col("v") - col("lo")) / (col("hi") - col("lo")) * nBlocks)
+            .cast("long"))))
+    val wBlocks = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy("block")
+      .agg(sum("ca").as("ba"), sum("cb").as("bb"))
+      .select(col("block"),
+        coalesce(sum("ba").over(wBlocks), lit(0L)).as("aoff"),
+        coalesce(sum("bb").over(wBlocks), lit(0L)).as("boff"))
+    val wIn = Window.partitionBy("block").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0) // inclusive: F(x) at x
+    blocked.join(broadcast(offsets), "block")
+      .withColumn("cca", col("aoff") + sum("ca").over(wIn))
+      .withColumn("ccb", col("boff") + sum("cb").over(wIn))
+      .agg(max(abs(col("cca") / col("na") - col("ccb") / col("nb")))
+        .as("d"), first("na").as("na"), first("nb").as("nb"))
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        (floor(col("d") * 1e6 + 0.5) / 1e6).as("ks"))
+  }
 }

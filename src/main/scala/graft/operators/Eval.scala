@@ -269,6 +269,49 @@ object Eval {
           .as("ece"))
   }
 
+  /** nDCG@k of a retrieval/ANN run against an ideal ranking — the
+    * graded complement to recall@k (qA7): recall says WHETHER the true
+    * neighbors were found, nDCG says whether they were found IN THE
+    * RIGHT ORDER. Relevance is derived from the ideal run (linear gain
+    * k+1−idealRank, 0 for misses), DCG discounts by 1/log2(rank+1),
+    * and the result is normalized by the ideal DCG.
+    *
+    * Both runs must carry (q_id, cand_id, rank) with rank in [1, k] —
+    * the shape every Similarity top-k operator emits.
+    *
+    * Determinism: per-query DCG folds over the test hits SORTED by test
+    * rank (array_sort + aggregate — a sequential left fold), and IDCG
+    * folds ascending over [1, k]; both engines then execute the same
+    * IEEE op sequence, so the 4-dp rounded quotient hash-matches (the
+    * log-bearing convention q14/qB2 established). A plain SUM of the
+    * per-hit terms would be partial-aggregation-order dependent.
+    *
+    * Output: q_id, n_hits, ndcg (4 dp).
+    */
+  def ndcgAtK(ideal: DataFrame, test: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ln2 = log(lit(2.0))
+    val rel = ideal.select(col("q_id"), col("cand_id"),
+      (lit(k + 1L) - col("rank")).as("rel"))
+    val hits = test.select(col("q_id"), col("cand_id"),
+        col("rank").cast("long").as("trank"))
+      .join(rel, Seq("q_id", "cand_id"), "left")
+      .na.fill(0L, Seq("rel"))
+    val idcg = aggregate(sequence(lit(1L), lit(k.toLong)), lit(0.0),
+      (acc, d) => acc +
+        (lit(k + 1L) - d).cast("double") * ln2 /
+          log((d + 1L).cast("double")))
+    hits.groupBy("q_id")
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+        array_sort(collect_list(struct(col("trank"), col("rel"))))
+          .as("byRank"))
+      .select(col("q_id"), col("n_hits"),
+        (floor(aggregate(col("byRank"), lit(0.0), (acc, e) =>
+          acc + e.getField("rel").cast("double") * ln2 /
+            log((e.getField("trank") + 1L).cast("double"))) / idcg
+          * 10000.0 + 0.5) / 10000.0).as("ndcg"))
+  }
+
   /** Reliability (calibration) table: equal-width score bins over
     * [lo, hi], each bin reporting volume, mean score, and the observed
     * positive rate. The standard post-gate diagnostic — a well-ranked

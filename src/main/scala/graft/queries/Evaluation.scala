@@ -483,7 +483,118 @@ object Evaluation {
               |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
               |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.f, b.f)) <= 6
-              |ORDER BY doc_a, doc_b""".stripMargin)))
+              |ORDER BY doc_a, doc_b""".stripMargin))) ++ tail
+
+  /** Tail queries (qJ0+) — split into a second Seq only to keep the
+    * primary literal under the compiler's method-size comfort zone.
+    */
+  private lazy val tail: Seq[GraftQuery] = Seq(
+
+    // Exact two-sample KS over raw values — the bin-free drift alarm
+    // beside qB2's PSI dashboard: engagement-event values vs
+    // conversion-event values. The oracle replays the definition with
+    // one global window; the operator's block-parallel cumulatives must
+    // land on the identical step-function max.
+    GraftQuery(
+      "qJ0_ks_drift",
+      "Two-sample Kolmogorov-Smirnov statistic between engagement " +
+        "(click/view) and conversion (purchase/signup/error) value " +
+        "distributions — exact, bin-free, block-parallel CDFs.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val isEng = col("event_type").isin("click", "view")
+        graft.operators.Drift.ksStatistic(
+          ev.filter(isEng), ev.filter(!isEng), col("value"))
+      },
+      Some("""WITH u AS (
+             |  SELECT value AS v,
+             |    CASE WHEN event_type IN ('click','view')
+             |      THEN 1 ELSE 0 END AS ta,
+             |    CASE WHEN event_type IN ('click','view')
+             |      THEN 0 ELSE 1 END AS tb
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT v, sum(ta) AS ca, sum(tb) AS cb
+             |  FROM u GROUP BY v),
+             |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM g),
+             |c AS (SELECT v,
+             |    sum(ca) OVER (ORDER BY v) AS cca,
+             |    sum(cb) OVER (ORDER BY v) AS ccb
+             |  FROM g)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  floor(max(abs(cca/CAST(na AS DOUBLE) -
+             |    ccb/CAST(nb AS DOUBLE))) * 1000000 + 0.5) / 1000000
+             |    AS ks
+             |FROM c, t GROUP BY na, nb""".stripMargin)),
+
+    // nDCG@10 of the LSH ANN run against the exact brute-force ranking
+    // — qA7's recall eval upgraded to a graded, order-aware statistic
+    // (recall can be perfect while the ordering is scrambled). Folds
+    // are explicitly ordered on both sides (array_sort + sequential
+    // aggregate vs list(... ORDER BY) + list_sum) so the log-bearing
+    // doubles hash-match at 4 dp.
+    GraftQuery(
+      "qJ1_ann_ndcg",
+      "Per-query nDCG@10 of 4-plane LSH ANN vs the exact cosine " +
+        "ranking: linear graded relevance from the ideal rank, " +
+        "log2-discounted, order-deterministic folds.",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val isQ = col("vid") % 100 === 0
+        val ideal = graft.operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", isQ, 10)
+        val test = graft.operators.Similarity.lshTopK(
+          emb, "vec_id", "embedding", isQ, planes = 4, k = 10)
+        Eval.ndcgAtK(ideal, test, 10).orderBy("q_id")
+      },
+      Some(s"""WITH $duckVecNorm,
+              |q0 AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+              |bscored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM q0 q JOIN n c ON c.vec_id != q.vec_id),
+              |brute AS (SELECT q_id, cand_id, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM bscored)
+              |  WHERE rank <= 10),
+              |bk AS (SELECT vec_id, v, nrm,
+              |  CAST(list_sum(list_transform(range(0,4), j ->
+              |    CASE WHEN list_sum(list_transform(v, (x,i) ->
+              |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
+              |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+              |    AS bucket
+              |  FROM n),
+              |lq AS (SELECT * FROM bk WHERE vec_id % 100 = 0),
+              |lscored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM lq q JOIN bk c
+              |    ON c.bucket = q.bucket AND c.vec_id != q.vec_id),
+              |lsh AS (SELECT q_id, cand_id, rank AS trank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM lscored)
+              |  WHERE rank <= 10),
+              |h AS (
+              |  SELECT l.q_id, l.trank,
+              |    coalesce(11 - b.rank, 0) AS rel
+              |  FROM lsh l LEFT JOIN brute b
+              |    ON b.q_id = l.q_id AND b.cand_id = l.cand_id),
+              |idcg AS (
+              |  SELECT list_sum(list_transform(range(1, 11), d ->
+              |    (11 - d) * ln(2) / ln(CAST(d + 1 AS DOUBLE)))) AS w),
+              |g AS (
+              |  SELECT q_id,
+              |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS n_hits,
+              |    list_sum(list(rel * ln(2) /
+              |      ln(CAST(trank + 1 AS DOUBLE)) ORDER BY trank))
+              |      AS dcg
+              |  FROM h GROUP BY q_id)
+              |SELECT q_id, n_hits,
+              |  floor(dcg / (SELECT w FROM idcg) * 10000.0 + 0.5)
+              |    / 10000.0 AS ndcg
+              |FROM g ORDER BY q_id""".stripMargin)))
 
   /** qI2 oracle frame energy, generated from the same constants as the
     * Spark-side sample synthesizer (integer v² sums, no FP).

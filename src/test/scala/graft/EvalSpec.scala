@@ -227,6 +227,46 @@ class EvalSpec extends SparkTestBase {
         codes, "id", "code", 56, maxHamming = 2, bandsCount = 5))
   }
 
+  test("Drift.ksStatistic: step-function max, identical and disjoint") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Drift.ksStatistic(a, b, col("v")).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.333333) // max |F_a - F_b| = 1/3
+    assert(Drift.ksStatistic(a, a, col("v")).collect()(0)
+      .getDouble(2) == 0.0, "identical samples must give KS 0")
+    val far = Seq(50.0, 60.0).toDF("v")
+    assert(Drift.ksStatistic(a, far, col("v")).collect()(0)
+      .getDouble(2) == 1.0, "disjoint supports must give KS 1")
+    // block transparency
+    assert(Drift.ksStatistic(a, b, col("v"), nBlocks = 1).collect()(0)
+      .getDouble(2) == 0.333333)
+  }
+
+  test("Eval.ndcgAtK: perfect, reversed, and missing-doc orders") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("q_id", "cand_id", "rank")
+    val ideal = run(Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)))
+    def ndcg(test: org.apache.spark.sql.DataFrame) =
+      Eval.ndcgAtK(ideal, test, 3).collect()(0)
+    val perfect = ndcg(run(Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L))))
+    assert(perfect.getLong(1) == 3 && perfect.getDouble(2) == 1.0)
+    // reversed: DCG = 1*w(1) + 2*w(2) + 3*w(3), IDCG = 3w(1)+2w(2)+1w(3)
+    def w(d: Int) = math.log(2.0) / math.log(d + 1.0)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rev = ndcg(run(Seq((1L, 30L, 1L), (1L, 20L, 2L), (1L, 10L, 3L))))
+    assert(rev.getDouble(2) ==
+      r4((1 * w(1) + 2 * w(2) + 3 * w(3)) / (3 * w(1) + 2 * w(2) + 1 * w(3))))
+    // a miss (doc 99 not in ideal) contributes zero gain
+    val miss = ndcg(run(Seq((1L, 10L, 1L), (1L, 99L, 2L), (1L, 20L, 3L))))
+    assert(miss.getLong(1) == 2)
+    assert(miss.getDouble(2) ==
+      r4((3 * w(1) + 0 * w(2) + 2 * w(3)) / (3 * w(1) + 2 * w(2) + 1 * w(3))))
+  }
+
   test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {
     import spark.implicits._
     val in = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",

@@ -580,21 +580,43 @@ object Dedup {
     * (pigeonhole — the recall is EXACT, not probabilistic), so the
     * self-join runs per-band on equality, never all-pairs.
     *
+    * Candidate volume scales as O(bands·n²/2^bandBits) — even random
+    * codes collide on an 8-bit band at the birthday rate, so beyond
+    * ~10⁵ codes per band value the join input grows quadratically
+    * (measured: the sf0.1→sf1 probe puts qH9/qI2 at exponent ~1.09).
+    * At corpus scale either widen the bands (lower maxHamming per the
+    * pigeonhole bound) or set `maxPosting` > 0 to drop band values
+    * hotter than the cap — the same discipline as every other blocker
+    * here; capping can only lose a pair if ALL of its agreeing bands
+    * are hot, so recall degrades gracefully, but it is no longer
+    * exact — leave it 0 where the oracle contract needs exactness.
+    *
     * Output: doc_a, doc_b, hamming (≤ maxHamming).
     */
   def codeHammingPairs(codes: DataFrame, idCol: String, codeCol: String,
-      bits: Int, maxHamming: Int, bandsCount: Int): DataFrame = {
+      bits: Int, maxHamming: Int, bandsCount: Int,
+      maxPosting: Int = 0): DataFrame = {
     require(maxHamming < bandsCount, "need maxHamming < bands (pigeonhole)")
     require(bits % bandsCount == 0, "bands must divide the bit width")
+    require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
     val bandBits = bits / bandsCount
     val mask = (1L << bandBits) - 1
     val sh = codes.select(col(idCol).cast("long").as("doc_id"),
       col(codeCol).cast("long").as("code"))
     // shuffle_hash: don't let AQE broadcast the banded corpus
-    val bandRows = sh.select(col("doc_id"), col("code"),
+    val bandRowsAll = sh.select(col("doc_id"), col("code"),
       posexplode(array((0 until bandsCount).map(b =>
         shiftright(col("code"), b * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band_idx", "band_val")))
+    val bandRows = (if (maxPosting > 0) {
+      // hot-band screen: the over-cap (band, value) list is tiny —
+      // broadcast anti-join, same shape as the shingle maxPosting cap
+      val hot = bandRowsAll.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxPosting)
+        .select("band_idx", "band_val")
+      bandRowsAll.join(broadcast(hot), Seq("band_idx", "band_val"),
+        "left_anti")
+    } else bandRowsAll)
       .hint("shuffle_hash")
     bandRows.as("x")
       .join(bandRows.as("y"),

@@ -312,6 +312,56 @@ object Eval {
           * 10000.0 + 0.5) / 10000.0).as("ndcg"))
   }
 
+  /** Rank-biased overlap (Webber et al. 2010), truncated at depth k —
+    * compares two RANKINGS directly, no relevance labels needed (nDCG's
+    * label-free sibling): RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d∩B_d|/d,
+    * top-weighted by the persistence parameter p.
+    *
+    * Distributed form: a shared doc with ranks (ra, rb) enters every
+    * overlap at depth ≥ m = max(ra, rb), so its total contribution is
+    * W(m) = Σ_{d=m..k} p^{d−1}/d — k constants precomputed on the
+    * driver with ITERATIVE power products (no Math.pow: libm pow is not
+    * bit-identical across engines, a left-fold of multiplications is).
+    * Per query: counts per m (≤ k rows), then a rank-sorted
+    * deterministic fold — the same two-engine double discipline as
+    * [[ndcgAtK]].
+    *
+    * Queries with zero shared docs are absent (their RBO is 0; the
+    * inner join keeps the eval frame-sized).
+    *
+    * Output: q_id, n_shared, rbo (4 dp).
+    */
+  def rbo(runA: DataFrame, runB: DataFrame, k: Int, p: Double)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val pw = new Array[Double](k + 1) // pw(d) = p^(d-1), left-fold
+    pw(1) = 1.0
+    for (d <- 2 to k) pw(d) = pw(d - 1) * p
+    val w = new Array[Double](k + 1) // W(m) = sum_{d=m..k} pw(d)/d
+    for (m <- 1 to k) {
+      var acc = 0.0
+      var d = m
+      while (d <= k) { acc += pw(d) / d; d += 1 }
+      w(m) = acc
+    }
+    val wLit = typedLit(w.toSeq) // element_at(wLit, m+1) = W(m)
+    runA.select(col("q_id"), col("cand_id"),
+        col("rank").cast("long").as("ra"))
+      .join(runB.select(col("q_id"), col("cand_id"),
+        col("rank").cast("long").as("rb")), Seq("q_id", "cand_id"))
+      .select(col("q_id"), greatest(col("ra"), col("rb")).as("m"))
+      .groupBy("q_id", "m").agg(count(lit(1)).as("cnt"))
+      .groupBy("q_id")
+      .agg(sum("cnt").as("n_shared"),
+        array_sort(collect_list(struct(col("m"), col("cnt")))).as("byM"))
+      .select(col("q_id"), col("n_shared"),
+        (floor(aggregate(col("byM"), lit(0.0), (acc, e) =>
+          acc + e.getField("cnt").cast("double") *
+            element_at(wLit, (e.getField("m") + 1L).cast("int")))
+          * lit(1 - p) * 10000.0 + 0.5) / 10000.0).as("rbo"))
+  }
+
   /** Reliability (calibration) table: equal-width score bins over
     * [lo, hi], each bin reporting volume, mean score, and the observed
     * positive rate. The standard post-gate diagnostic — a well-ranked

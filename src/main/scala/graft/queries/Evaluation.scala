@@ -594,6 +594,76 @@ object Evaluation {
               |SELECT q_id, n_hits,
               |  floor(dcg / (SELECT w FROM idcg) * 10000.0 + 0.5)
               |    / 10000.0 AS ndcg
+              |FROM g ORDER BY q_id""".stripMargin)),
+
+    // Rank-biased overlap between the same two runs — the label-free
+    // companion to qJ1: compares the rankings directly, top-weighted
+    // (p=0.9 ≈ the top ranks carry most of the weight). The oracle
+    // recomputes the per-entry-depth weights with the same left-fold
+    // power products (0.9::DOUBLE throughout — a bare 0.9 is DECIMAL in
+    // the oracle engine and would arithmetic differently).
+    GraftQuery(
+      "qJ2_rbo",
+      "Per-query rank-biased overlap (p=0.9, depth 10) between the " +
+        "LSH ANN ranking and the exact cosine ranking — label-free " +
+        "top-weighted ranking agreement.",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val isQ = col("vid") % 100 === 0
+        val ideal = graft.operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", isQ, 10)
+        val test = graft.operators.Similarity.lshTopK(
+          emb, "vec_id", "embedding", isQ, planes = 4, k = 10)
+        Eval.rbo(test, ideal, k = 10, p = 0.9).orderBy("q_id")
+      },
+      Some(s"""WITH $duckVecNorm,
+              |q0 AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+              |bscored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM q0 q JOIN n c ON c.vec_id != q.vec_id),
+              |brute AS (SELECT q_id, cand_id, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM bscored)
+              |  WHERE rank <= 10),
+              |bk AS (SELECT vec_id, v, nrm,
+              |  CAST(list_sum(list_transform(range(0,4), j ->
+              |    CASE WHEN list_sum(list_transform(v, (x,i) ->
+              |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
+              |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+              |    AS bucket
+              |  FROM n),
+              |lq AS (SELECT * FROM bk WHERE vec_id % 100 = 0),
+              |lscored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM lq q JOIN bk c
+              |    ON c.bucket = q.bucket AND c.vec_id != q.vec_id),
+              |lsh AS (SELECT q_id, cand_id, rank FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM lscored)
+              |  WHERE rank <= 10),
+              |sh AS (
+              |  SELECT l.q_id, greatest(l.rank, b.rank) AS m
+              |  FROM lsh l JOIN brute b
+              |    ON b.q_id = l.q_id AND b.cand_id = l.cand_id),
+              |cm AS (SELECT q_id, m, count(*) AS cnt
+              |  FROM sh GROUP BY q_id, m),
+              |wm AS (
+              |  SELECT q_id, m, cnt,
+              |    cnt * list_sum(list_transform(range(m, 11), d ->
+              |      coalesce(list_product(list_transform(range(1, d),
+              |        x -> 0.9::DOUBLE)), 1.0::DOUBLE) / d)) AS term
+              |  FROM cm),
+              |g AS (
+              |  SELECT q_id, CAST(sum(cnt) AS BIGINT) AS n_shared,
+              |    list_sum(list(term ORDER BY m)) AS s
+              |  FROM wm GROUP BY q_id)
+              |SELECT q_id, n_shared,
+              |  floor(s * (1 - 0.9::DOUBLE) * 10000.0 + 0.5) / 10000.0
+              |    AS rbo
               |FROM g ORDER BY q_id""".stripMargin)))
 
   /** qI2 oracle frame energy, generated from the same constants as the

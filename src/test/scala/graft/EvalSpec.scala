@@ -225,6 +225,24 @@ class EvalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       graft.operators.Dedup.codeHammingPairs(
         codes, "id", "code", 56, maxHamming = 2, bandsCount = 5))
+    // maxPosting: band values shared by the six all-zero codes go hot
+    // and are dropped everywhere; docs 7/8 share a COLD band-1 value
+    // (5) on top of differing low bits, so their pair survives the cap
+    val many = ((1L to 6L).map(i => (i, 0L)) :+
+      (7L, 3L + (5L << 14)) :+ (8L, 2L + (5L << 14)))
+      .toDF("id", "code")
+    val capped = graft.operators.Dedup.codeHammingPairs(
+      many, "id", "code", 56, maxHamming = 2, bandsCount = 4,
+      maxPosting = 5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((7L, 8L)),
+      s"expected only the cold-band pair: $capped")
+    // uncapped control: the all-zero clique comes back
+    val full = graft.operators.Dedup.codeHammingPairs(
+      many, "id", "code", 56, maxHamming = 2, bandsCount = 4)
+      .count()
+    assert(full == 15 + 1, s"uncapped pair count: $full") // C(6,2)+1
   }
 
   test("Drift.ksStatistic: step-function max, identical and disjoint") {
@@ -265,6 +283,26 @@ class EvalSpec extends SparkTestBase {
     assert(miss.getLong(1) == 2)
     assert(miss.getDouble(2) ==
       r4((3 * w(1) + 0 * w(2) + 2 * w(3)) / (3 * w(1) + 2 * w(2) + 1 * w(3))))
+  }
+
+  test("Eval.rbo: identical 1-p^k, hand overlap, disjoint empty") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("q_id", "cand_id", "rank")
+    val a = run(Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)))
+    // identical rankings: RBO@k = 1 - p^k (truncated form)
+    val same = Eval.rbo(a, a, k = 3, p = 0.5).collect()(0)
+    assert(same.getLong(1) == 3 && same.getDouble(2) == 0.875)
+    // A=[a,b,c] vs B=[a,c,x]: shared a(m=1), c(m=3) ->
+    // 0.5*(1 + 0.5/2 + 0.25*2/3) = 0.7083
+    val b = run(Seq((1L, 10L, 1L), (1L, 30L, 2L), (1L, 99L, 3L)))
+    val part = Eval.rbo(a, b, k = 3, p = 0.5).collect()(0)
+    assert(part.getLong(1) == 2 && part.getDouble(2) == 0.7083)
+    // disjoint runs share nothing -> query absent
+    val c = run(Seq((1L, 77L, 1L), (1L, 88L, 2L), (1L, 99L, 3L)))
+    assert(Eval.rbo(a, c, k = 3, p = 0.5).count() == 0)
+    intercept[IllegalArgumentException](Eval.rbo(a, b, 3, 1.0))
+    intercept[IllegalArgumentException](Eval.rbo(a, b, 0, 0.5))
   }
 
   test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {

@@ -8,6 +8,7 @@ object PerfProbe {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args(1).split(',').toSeq
       else Seq("q38_quality", "q39_token_counts")
+    val runs = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -18,7 +19,7 @@ object PerfProbe {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { prefix =>
       val q = SparkEntry.allQueries.find(_.name.startsWith(prefix)).get
-      (1 to 3).foreach { i =>
+      (1 to runs).foreach { i =>
         val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(s"[probe] ${q.name} run$i: " +

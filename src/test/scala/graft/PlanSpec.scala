@@ -228,7 +228,7 @@ class PlanSpec extends SparkTestBase {
     //  - q34: documented brute-force baseline; q70 (LSH-bucketed) is the
     //    100 TB path for the same semantics
     val bnljAllowed = Set("q20_ops_pdf_cdf", "q71_ops_upload_pdf_masked",
-      "q35_ann_brute_topk", "qA7_ann_recall", "qJ1_ann_ndcg",
+      "q35_ann_brute_topk", "qA7_ann_recall", "qJ1_ann_ndcg", "qJ2_rbo",
       "qB5_ann_ivf_multiprobe",
       "q34_dedup_embedding", "qD4_hybrid_rrf",
       // qH6: DBSCAN's pair generator is pluggable; the declared query

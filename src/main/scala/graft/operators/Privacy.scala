@@ -58,4 +58,28 @@ object Privacy {
         when(col("__n0") >= k, col("__n0")).otherwise(col("__n1"))
           .as("group_n"))
   }
+
+  /** l-diversity screen — k-anonymity's complement: a QI group can be
+    * large (k-anonymous) yet publish a single sensitive value for
+    * everyone in it (the homogeneity attack). Each quasi-identifier
+    * group must carry ≥ l DISTINCT sensitive values to release.
+    *
+    * One hash aggregate over the QI tuple (count + count distinct);
+    * at corpus scale swap the exact distinct for the HLL sketch per
+    * group if the sensitive domain is large — the screen only needs
+    * "≥ l", which the sketch answers with bounded error.
+    *
+    * Output: the quasi columns + n, n_sensitive, diverse (≥ l).
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: Column, l: Int): DataFrame = {
+    require(l >= 1, "l >= 1")
+    require(quasi.nonEmpty, "need at least one quasi-identifier")
+    df.select(quasi.map { case (n, c) => c.as(n) } :+
+        sensitive.as("__s"): _*)
+      .groupBy(quasi.map(q => col(q._1)): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("__s")).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
 }

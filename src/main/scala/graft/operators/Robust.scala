@@ -94,4 +94,46 @@ object Robust {
       .select((groupCols.map(col) :+ col("n") :+ col("med") :+
         col("mad") :+ col("n_outliers")): _*)
   }
+
+  /** Welch's unequal-variance t statistic between two samples — the
+    * A/B experimentation primitive (did the treatment shift the
+    * metric?), with the Welch–Satterthwaite degrees of freedom.
+    *
+    * Each side collapses to THREE integer-exact numbers (count, sum of
+    * 1e-2-snapped "cents", sum of squared cents — partial-aggregation
+    * order cannot perturb integer sums), and every derived double
+    * (means, sample variances, t, df) is one fixed expression tree
+    * over those six — identical in any IEEE engine, so the rounded
+    * outputs hash-compare. The t statistic is scale-invariant, so
+    * computing in cents changes nothing; means are reported in units.
+    *
+    * Output: one row (n_a, n_b, mean_a, mean_b (4 dp), t_stat (4 dp),
+    * df_welch (2 dp)).
+    */
+  def welchTTest(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def stats(df: DataFrame, t: String) =
+      df.select(floor(value.cast("double") * 100 + 0.5).cast("long")
+          .as("c"))
+        .filter(col("c").isNotNull)
+        .agg(count(lit(1)).cast("double").as(s"n$t"),
+          sum("c").cast("double").as(s"s$t"),
+          sum(col("c") * col("c")).cast("double").as(s"q$t"))
+    val j = stats(a, "a").crossJoin(stats(b, "b"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("qa") - col("sa") * col("sa") / col("na")) /
+      (col("na") - 1)
+    val vb = (col("qb") - col("sb") * col("sb") / col("nb")) /
+      (col("nb") - 1)
+    val sea = va / col("na")
+    val seb = vb / col("nb")
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    j.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      r4(ma / 100.0).as("mean_a"), r4(mb / 100.0).as("mean_b"),
+      r4((ma - mb) / sqrt(sea + seb)).as("t_stat"),
+      (floor((sea + seb) * (sea + seb) /
+        (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1))
+        * 100.0 + 0.5) / 100.0).as("df_welch"))
+  }
 }

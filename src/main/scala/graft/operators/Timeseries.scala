@@ -169,4 +169,45 @@ object Timeseries {
       graft.plans.CooldownDedup(keyCols.map(attr), attr(tsCol),
         attr(idCol), cooldownSec * 1000000L, analyzed))
   }
+
+  /** One-sided CUSUM control chart over a daily metric — changepoint
+    * detection for pipeline monitoring (has the ingest mix shifted
+    * upward?): S_t = max(0, S_{t−1} + (x̄_t − target − slack)), alarm
+    * when S_t > h.
+    *
+    * The recurrence LOOKS sequential, but with P_t = Σ_{i≤t} dev_i it
+    * telescopes to S_t = P_t − min_{i≤t} P_i — two running windows over
+    * the DAILY frame, which the first aggregate has already reduced to
+    * |days| rows (the qC2 bounded-frame convention: the unpartitioned
+    * windows run over an aggregated input, never the corpus).
+    *
+    * Determinism: daily sums are integer cents; x̄ is one division;
+    * the running sum adds in day order on both engines. target/slack/h
+    * are in cents.
+    *
+    * Output per day: day, n, xbar (4 dp, units), s_pos (4 dp, units),
+    * alarm.
+    */
+  def cusumDaily(df: DataFrame, tsCol: String, value: Column,
+      targetCents: Long, slackCents: Long, hCents: Long): DataFrame = {
+    val daily = df
+      .select(to_date(col(tsCol)).as("day"),
+        floor(value.cast("double") * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+      .withColumn("dev",
+        col("sc") / col("n") - lit(targetCents.toDouble) -
+          lit(slackCents.toDouble))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    daily
+      .withColumn("p", sum("dev").over(wRun))
+      .withColumn("s", col("p") - least(min("p").over(wRun), lit(0.0)))
+      .select(col("day"), col("n"),
+        r4(col("sc") / col("n") / 100.0).as("xbar"),
+        r4(col("s") / 100.0).as("s_pos"),
+        (col("s") > hCents.toDouble).as("alarm"))
+  }
 }

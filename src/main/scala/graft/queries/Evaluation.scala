@@ -664,7 +664,106 @@ object Evaluation {
               |SELECT q_id, n_shared,
               |  floor(s * (1 - 0.9::DOUBLE) * 10000.0 + 0.5) / 10000.0
               |    AS rbo
-              |FROM g ORDER BY q_id""".stripMargin)))
+              |FROM g ORDER BY q_id""".stripMargin)),
+
+    // l-diversity release screen: nation×segment quasi-groups must
+    // carry >= 3 distinct balance bands — the homogeneity-attack
+    // check k-anonymity (qG0) misses.
+    GraftQuery(
+      "qJ3_l_diversity",
+      "l-diversity screen over customer (quasi: nation x segment; " +
+        "sensitive: 1000-unit balance band; l=3) — group sizes, " +
+        "distinct sensitive counts, release flags.",
+      (s, d) => graft.operators.Privacy.lDiversity(
+        t(s, d, "customer"),
+        Seq("c_nationkey" -> col("c_nationkey"),
+          "c_mktsegment" -> col("c_mktsegment")),
+        floor(col("c_acctbal") / 1000), l = 3)
+        .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  count(*) AS n,
+             |  CAST(count(DISTINCT floor(c_acctbal/1000)) AS BIGINT)
+             |    AS n_sensitive,
+             |  count(DISTINCT floor(c_acctbal/1000)) >= 3 AS diverse
+             |FROM customer GROUP BY c_nationkey, c_mktsegment
+             |ORDER BY c_nationkey, c_mktsegment""".stripMargin)),
+
+    // Welch's t-test between purchase and view values — the A/B
+    // primitive: each side reduces to three integer-exact sums, every
+    // derived double is one fixed expression tree.
+    GraftQuery(
+      "qJ4_welch_ttest",
+      "Welch unequal-variance t statistic (purchase vs view values): " +
+        "counts, means, t, and Welch-Satterthwaite df from " +
+        "integer-cents sums.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.operators.Robust.welchTTest(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "view"), col("value"))
+      },
+      Some("""WITH ca AS (
+             |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+             |cb AS (
+             |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+             |  FROM events
+             |  WHERE event_type = 'view' AND value IS NOT NULL),
+             |sa AS (SELECT CAST(count(*) AS DOUBLE) AS na,
+             |  CAST(sum(c) AS DOUBLE) AS sa_,
+             |  CAST(sum(c*c) AS DOUBLE) AS qa FROM ca),
+             |sb AS (SELECT CAST(count(*) AS DOUBLE) AS nb,
+             |  CAST(sum(c) AS DOUBLE) AS sb_,
+             |  CAST(sum(c*c) AS DOUBLE) AS qb FROM cb),
+             |m AS (
+             |  SELECT na, nb, sa_/na AS ma, sb_/nb AS mb,
+             |    (qa - sa_*sa_/na) / (na - 1) / na AS sea,
+             |    (qb - sb_*sb_/nb) / (nb - 1) / nb AS seb
+             |  FROM sa, sb)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  floor(ma/100.0 * 10000.0 + 0.5) / 10000.0 AS mean_a,
+             |  floor(mb/100.0 * 10000.0 + 0.5) / 10000.0 AS mean_b,
+             |  floor((ma - mb)/sqrt(sea + seb) * 10000.0 + 0.5)
+             |    / 10000.0 AS t_stat,
+             |  floor((sea + seb)*(sea + seb) /
+             |    (sea*sea/(na - 1) + seb*seb/(nb - 1)) * 100.0 + 0.5)
+             |    / 100.0 AS df_welch
+             |FROM m""".stripMargin)),
+
+    // CUSUM changepoint chart over the daily value mean — the
+    // sequential-looking recurrence telescoped to two running windows
+    // over the |days| frame.
+    GraftQuery(
+      "qJ5_cusum",
+      "One-sided CUSUM over daily mean event value (target 49.00, " +
+        "slack 0.50, h 15.00): per-day statistic and alarm flags via " +
+        "the P_t - min P_i telescoping.",
+      (s, d) => graft.operators.Timeseries.cusumDaily(
+        t(s, d, "events"), "ts", col("value"),
+        targetCents = 4900L, slackCents = 50L, hCents = 1500L)
+        .orderBy("day"),
+      Some("""WITH dly AS (
+             |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             |    sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sc
+             |  FROM events WHERE value IS NOT NULL
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT day, n, sc,
+             |    sum(sc/CAST(n AS DOUBLE) - CAST(4900 AS DOUBLE)
+             |      - CAST(50 AS DOUBLE)) OVER (ORDER BY day) AS pp
+             |  FROM dly),
+             |s AS (
+             |  SELECT day, n, sc, pp,
+             |    pp - least(min(pp) OVER (ORDER BY day),
+             |      CAST(0 AS DOUBLE)) AS ss
+             |  FROM p)
+             |SELECT day, n,
+             |  floor(sc/CAST(n AS DOUBLE)/100.0 * 10000.0 + 0.5)
+             |    / 10000.0 AS xbar,
+             |  floor(ss/100.0 * 10000.0 + 0.5) / 10000.0 AS s_pos,
+             |  ss > CAST(1500 AS DOUBLE) AS alarm
+             |FROM s ORDER BY day""".stripMargin)))
 
   /** qI2 oracle frame energy, generated from the same constants as the
     * Spark-side sample synthesizer (integer v² sums, no FP).

@@ -305,6 +305,67 @@ class EvalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Eval.rbo(a, b, 0, 0.5))
   }
 
+  test("Privacy.lDiversity: homogeneous groups flagged, diverse pass") {
+    import spark.implicits._
+    val df = Seq(
+      ("z1", "s1"), ("z1", "s1"), ("z1", "s1"), // big but homogeneous
+      ("z2", "s1"), ("z2", "s2"), ("z2", "s3")) // diverse
+      .toDF("zip", "diag")
+    val r = graft.operators.Privacy.lDiversity(
+      df, Seq("zip" -> col("zip")), col("diag"), l = 2)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getBoolean(3))).toMap
+    assert(r("z1") == ((3L, 1L, false)), "homogeneous group must fail")
+    assert(r("z2") == ((3L, 3L, true)))
+    intercept[IllegalArgumentException](graft.operators.Privacy
+      .lDiversity(df, Seq.empty, col("diag"), 2))
+  }
+
+  test("Robust.welchTTest: hand-computed statistic and Welch df") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 4.0, 6.0).toDF("v")
+    val r = graft.operators.Robust.welchTTest(a, b, col("v")).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0)
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // cents stats: va=10000, vb=40000; se² = 50000/3
+    val sea = 10000.0 / 3
+    val seb = 40000.0 / 3
+    assert(r.getDouble(4) == r4((200.0 - 400.0) / math.sqrt(sea + seb)))
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / 2 + seb * seb / 2)
+    assert(r.getDouble(5) == math.floor(df * 100.0 + 0.5) / 100.0)
+  }
+
+  test("Timeseries.cusumDaily: telescoped recurrence equals the " +
+    "sequential definition; alarms fire above h") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), 10.0),
+      (ts("2024-01-02 10:00:00"), 10.0),
+      (ts("2024-01-03 10:00:00"), 20.0),
+      (ts("2024-01-04 10:00:00"), 5.0))
+      .toDF("ts", "v")
+    val r = graft.operators.Timeseries.cusumDaily(
+      ev, "ts", col("v"), targetCents = 1000L, slackCents = 0L,
+      hCents = 800L)
+      .orderBy("day").collect()
+      .map(x => (x.getDouble(3), x.getBoolean(4)))
+    // devs 0,0,+10,-5 -> S = 0,0,10,5 (units); alarm only at S=10 > 8
+    assert(r.toSeq == Seq((0.0, false), (0.0, false), (10.0, true),
+      (5.0, false)))
+    // dip below zero resets: S never goes negative
+    val ev2 = Seq((ts("2024-01-01 10:00:00"), 1.0),
+      (ts("2024-01-02 10:00:00"), 30.0)).toDF("ts", "v")
+    val r2 = graft.operators.Timeseries.cusumDaily(
+      ev2, "ts", col("v"), 1000L, 0L, 800L)
+      .orderBy("day").collect().map(_.getDouble(3))
+    assert(r2.toSeq == Seq(0.0, 20.0),
+      "negative drift must reset to zero, not carry")
+  }
+
   test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {
     import spark.implicits._
     val in = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",

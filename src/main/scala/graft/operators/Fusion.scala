@@ -44,4 +44,90 @@ object Fusion {
     fused.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** One re-rank input row: a candidate with its relevance and vector. */
+  case class MmrCand(q_id: Long, cand_id: Long, rel: Double,
+      v: Seq[Double])
+
+  /** One selected row: candidate + its 1-based selection step. */
+  case class MmrPick(q_id: Long, step: Int, cand_id: Long)
+
+  /** MMR (maximal marginal relevance) diversified re-ranking — the RAG
+    * re-rank stage between retrieval and the context window: from each
+    * query's candidate pool, greedily pick k docs maximizing
+    * λ·rel − μ·max_{s∈selected} cos(c, s) — relevance traded against
+    * redundancy, so near-duplicate passages don't crowd the context.
+    *
+    * The greedy loop is inherently sequential PER QUERY, but each
+    * query's pool is already a bounded top-C from retrieval — so this
+    * is `flatMapGroups` over q_id (tier-(d) per-group imperative logic,
+    * the documented last resort, justified here: k dependent argmax
+    * steps have no window/join decomposition), C² cosines per query,
+    * zero corpus access. Exactly one shuffle on q_id.
+    *
+    * Determinism: λ and μ are passed SEPARATELY (callers write 0.7/0.3,
+    * never 1−0.7 — engines agree on literals, not on derived
+    * arithmetic); dots and norms accumulate ascending over the vector
+    * dims (matching SQL list_sum order); argmax ties break on min
+    * cand_id. An unrolled per-step SQL replay picks identical docs.
+    *
+    * Output: q_id, step (1-based), cand_id.
+    */
+  def mmrSelect(cands: DataFrame, k: Int, lambda: Double, mu: Double)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col("q_id").cast("long"), col("cand_id").cast("long"),
+        col("rel").cast("double"),
+        transform(col("v"), x => x.cast("double")).as("v"))
+      .as[MmrCand]
+      .groupByKey(_.q_id)
+      .flatMapGroups { (qid, it) =>
+        val pool = it.toArray.sortBy(_.cand_id)
+        val n = pool.length
+        val norm = pool.map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < c.v.length) { s += c.v(i) * c.v(i); i += 1 }
+          math.sqrt(s)
+        }
+        def cos(a: Int, b: Int): Double = {
+          var s = 0.0
+          var i = 0
+          val va = pool(a).v
+          val vb = pool(b).v
+          while (i < va.length) { s += va(i) * vb(i); i += 1 }
+          s / (norm(a) * norm(b))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var step = 1
+        while (step <= math.min(k, n)) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var c = 0
+          while (c < n) {
+            if (!selected.contains(c)) {
+              var msim = 0.0
+              var any = false
+              selected.foreach { s =>
+                val sim = cos(c, s)
+                if (!any || sim > msim) { msim = sim; any = true }
+              }
+              val score = lambda * pool(c).rel -
+                (if (any) mu * msim else 0.0)
+              // strict > with ascending cand_id scan = min-id tie-break
+              if (score > bestScore) { bestScore = score; best = c }
+            }
+            c += 1
+          }
+          selected += best
+          picks += MmrPick(qid, step, pool(best).cand_id)
+          step += 1
+        }
+        picks.iterator
+      }
+      .toDF("q_id", "step", "cand_id")
+  }
 }

@@ -763,7 +763,84 @@ object Evaluation {
              |    / 10000.0 AS xbar,
              |  floor(ss/100.0 * 10000.0 + 0.5) / 10000.0 AS s_pos,
              |  ss > CAST(1500 AS DOUBLE) AS alarm
-             |FROM s ORDER BY day""".stripMargin)))
+             |FROM s ORDER BY day""".stripMargin)),
+
+    // MMR diversified re-rank over the ANN candidates: the RAG stage
+    // between retrieval and the context window. The greedy argmax
+    // chain is per-query flatMapGroups (tier-(d), justified: k
+    // dependent steps have no join/window decomposition) over the
+    // bounded top-10 pool; the oracle replays each step with an
+    // unrolled CTE chain generated from the same loop. Scores compare
+    // as identical doubles (kernel-parity rel, ascending dot folds,
+    // literal 0.7/0.3), so both engines pick the same docs.
+    GraftQuery(
+      "qJ6_mmr_rerank",
+      "MMR diversified top-5 from each query's brute top-10 " +
+        "(lambda=0.7, mu=0.3): greedy relevance-vs-redundancy " +
+        "selection, min-id tie-breaks, unrolled-step oracle.",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val isQ = col("vid") % 100 === 0
+        val cands = graft.operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", isQ, 10)
+          .select(col("q_id"), col("cand_id"), col("cosine").as("rel"))
+          .join(emb.select(col("vec_id").as("cand_id"),
+            col("embedding").as("v")), "cand_id")
+        graft.operators.Fusion.mmrSelect(cands, k = 5,
+          lambda = 0.7, mu = 0.3)
+          .orderBy("q_id", "step")
+      },
+      Some(s"""WITH $duckVecNorm,
+              |q0 AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+              |bscored AS (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM q0 q JOIN n c ON c.vec_id != q.vec_id),
+              |cand AS (SELECT q_id, cand_id, cosine AS rel FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY cosine DESC, cand_id) AS rank FROM bscored)
+              |  WHERE rank <= 10),
+              |${mmrOracleSteps(5)}
+              |SELECT q_id, step, cand_id FROM u5
+              |ORDER BY q_id, step""".stripMargin)))
+
+  /** qJ6's unrolled greedy-step CTEs, generated from the same loop
+    * bounds as the operator (k steps; λ=0.7, μ=0.3 as literals on both
+    * sides — never derived 1−λ).
+    */
+  private def mmrOracleSteps(k: Int): String = {
+    val sim = "list_sum(list_transform(range(1,65), " +
+      "t -> vr.v[t]*vs.v[t])) / (vr.nrm*vs.nrm)"
+    val sb = new StringBuilder
+    sb.append(
+      """sel1 AS (SELECT q_id, cand_id FROM (
+        |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY 0.7::DOUBLE * rel DESC, cand_id) AS r FROM cand)
+        |  WHERE r = 1),
+        |u1 AS (SELECT q_id, 1 AS step, cand_id FROM sel1)""".stripMargin)
+    for (i <- 2 to k) {
+      sb.append(s""",
+        |ms$i AS (
+        |  SELECT c.q_id, c.cand_id, c.rel, max($sim) AS msim
+        |  FROM cand c
+        |  JOIN u${i - 1} s ON s.q_id = c.q_id
+        |  JOIN n vr ON vr.vec_id = c.cand_id
+        |  JOIN n vs ON vs.vec_id = s.cand_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} x
+        |    WHERE x.q_id = c.q_id AND x.cand_id = c.cand_id)
+        |  GROUP BY c.q_id, c.cand_id, c.rel),
+        |sel$i AS (SELECT q_id, cand_id FROM (
+        |  SELECT q_id, cand_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY 0.7::DOUBLE * rel - 0.3::DOUBLE * msim DESC,
+        |      cand_id) AS r FROM ms$i)
+        |  WHERE r = 1),
+        |u$i AS (SELECT * FROM u${i - 1}
+        |  UNION ALL SELECT q_id, $i AS step, cand_id FROM sel$i)"""
+        .stripMargin)
+    }
+    sb.toString
+  }
 
   /** qI2 oracle frame energy, generated from the same constants as the
     * Spark-side sample synthesizer (integer v² sums, no FP).

@@ -366,6 +366,33 @@ class EvalSpec extends SparkTestBase {
       "negative drift must reset to zero, not carry")
   }
 
+  test("Fusion.mmrSelect: diversity beats a redundant runner-up; " +
+    "ties break on min id; short pools truncate") {
+    import spark.implicits._
+    val cands = Seq(
+      // a and b point the same way; c is orthogonal with lower rel
+      (1L, 1L, 0.90, Seq(1.0, 0.0)),
+      (1L, 2L, 0.89, Seq(1.0, 0.001)),
+      (1L, 3L, 0.50, Seq(0.0, 1.0)))
+      .toDF("q_id", "cand_id", "rel", "v")
+    val picks = graft.operators.Fusion.mmrSelect(
+      cands, k = 2, lambda = 0.7, mu = 0.3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // step 2: b scores 0.7*0.89-0.3*~1 = 0.32; c scores 0.35 -> c wins
+    assert(picks.toSeq == Seq((1, 1L), (2, 3L)),
+      s"diversity should beat the near-duplicate: ${picks.toSeq}")
+    // exact ties (same rel, same vector) break on min cand_id
+    val tied = Seq((2L, 9L, 0.8, Seq(1.0, 0.0)),
+      (2L, 4L, 0.8, Seq(1.0, 0.0))).toDF("q_id", "cand_id", "rel", "v")
+    val t = graft.operators.Fusion.mmrSelect(tied, 1, 0.7, 0.3)
+      .collect()(0)
+    assert(t.getLong(2) == 4L, "tie must break on the smaller id")
+    // k larger than the pool: emit the whole pool, stop
+    assert(graft.operators.Fusion.mmrSelect(tied, 5, 0.7, 0.3)
+      .count() == 2)
+  }
+
   test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {
     import spark.implicits._
     val in = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",

@@ -229,6 +229,7 @@ class PlanSpec extends SparkTestBase {
     //    100 TB path for the same semantics
     val bnljAllowed = Set("q20_ops_pdf_cdf", "q71_ops_upload_pdf_masked",
       "q35_ann_brute_topk", "qA7_ann_recall", "qJ1_ann_ndcg", "qJ2_rbo",
+      "qJ6_mmr_rerank",
       "qB5_ann_ivf_multiprobe",
       "q34_dedup_embedding", "qD4_hybrid_rrf",
       // qH6: DBSCAN's pair generator is pluggable; the declared query
@@ -293,7 +294,13 @@ class PlanSpec extends SparkTestBase {
       "qB7_dedup_jaccard_prefix" -> 8, // the round-5 8-exchange restructure
       "q58_dedup_canonical" -> 3,  // post-loop canonical join
       "qF5_unified_uploads" -> 2,  // per-row era projections + ndt5 tcpinfo join
-      "qF8_hll64_cardinality" -> 6) // register groupBy + exact rider (qE3's shape)
+      "qF8_hll64_cardinality" -> 6, // register groupBy + exact rider (qE3's shape)
+      // round-6 batch-5 heavies (audited this round):
+      "qH6_dbscan" -> 8,  // pair gen + degree + CC rounds' label joins
+      "qH9_dhash_pairs" -> 4,  // band shuffle pair + dedup + order
+      "qI2_audio_fp_pairs" -> 4, // same banded shape as qH9
+      "qH3_binary_auc" -> 11, // score partials + block offsets frames
+      "qJ0_ks_drift" -> 12)   // tagged-union partials + offsets frames
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

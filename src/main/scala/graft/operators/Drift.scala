@@ -66,13 +66,34 @@ object Drift {
     * Output: one row (n_a, n_b, ks) with ks at 6 dp.
     */
   def ksStatistic(a: DataFrame, b: DataFrame, value: Column,
+      nBlocks: Int = 256): DataFrame =
+    ksFromCounts(valueCounts(a, value), valueCounts(b, value), nBlocks)
+
+  /** Per-distinct-value counts (v, cnt) — KS's mergeable partial form,
+    * same discipline as [[Eval.scorePartials]]: micro-batches or shard
+    * partials sum-merge losslessly ([[mergeValueCounts]]) and
+    * [[ksFromCounts]] yields the exact statistic of the union.
+    * Quantize `value` first if its raw cardinality is unbounded.
+    */
+  def valueCounts(df: DataFrame, value: Column): DataFrame =
+    df.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+
+  /** Sum-merge two (v, cnt) tables (same quantization). */
+  def mergeValueCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("v").agg(sum("cnt").as("cnt"))
+
+  /** Exact KS from two (v, cnt) partial tables — [[ksStatistic]]'s
+    * reduction stage.
+    */
+  def ksFromCounts(aCounts: DataFrame, bCounts: DataFrame,
       nBlocks: Int = 256): DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")
-    val byV = a.select(value.cast("double").as("v"),
-        lit(1L).as("ta"), lit(0L).as("tb"))
-      .unionAll(b.select(value.cast("double").as("v"),
-        lit(0L).as("ta"), lit(1L).as("tb")))
-      .filter(col("v").isNotNull)
+    val byV = aCounts
+      .select(col("v"), col("cnt").as("ta"), lit(0L).as("tb"))
+      .unionAll(bCounts
+        .select(col("v"), lit(0L).as("ta"), col("cnt").as("tb")))
       .groupBy("v").agg(sum("ta").as("ca"), sum("tb").as("cb"))
 
     val bounds = byV.agg(min("v").as("lo"), max("v").as("hi"),

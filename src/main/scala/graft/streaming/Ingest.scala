@@ -318,6 +318,34 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Incremental KS drift screen — the alarm-grade sibling of
+    * [[startDriftScreen]]'s PSI (which needs a binning choice and only
+    * sees the CURRENT batch): the stream's per-value counts
+    * ([[graft.operators.Drift.valueCounts]]) sum-merge into a standing
+    * table through the versioned exactly-once layout, and each batch
+    * appends the exact two-sample KS of EVERYTHING ingested so far
+    * against the static `baseline` counts. Quantize `valueExpr` so the
+    * standing table stays bounded; the statistic is exact for the
+    * quantized value.
+    */
+  def startKsScreen(stream: DataFrame,
+      valueExpr: org.apache.spark.sql.Column, baseline: DataFrame,
+      stateDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.Drift.valueCounts(batch, valueExpr)
+        val standing = mergeVersioned(spark, stateDir, batchId, fresh,
+          graft.operators.Drift.mergeValueCounts(_, _))
+        graft.operators.Drift.ksFromCounts(standing, baseline)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

@@ -723,6 +723,50 @@ class InfraSpec extends SparkTestBase {
       "running AUC diverged from the batch statistic")
   }
 
+  test("streaming KS screen: standing counts equal the batch table; " +
+    "final KS equals the batch statistic vs the baseline") {
+    import graft.operators.Drift
+    import org.apache.spark.sql.functions.{col, floor => ffloor}
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("ks-in").toFile
+    val stDir = Files.createTempDirectory("ks-st").toFile
+      .getAbsolutePath + "/state"
+    val outDir = Files.createTempDirectory("ks-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("ks-ck").toFile.getAbsolutePath
+    def mk(n: Int, shift: Double) =
+      (0 until n).map(i => ((i * 37 % 100) / 10.0 + shift))
+    val base = mk(400, 0.0)
+    val day1 = mk(300, 1.0) // shifted -> drift should register
+    val day2 = mk(200, 1.5)
+    day1.toDF("x").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    Thread.sleep(1500)
+    day2.toDF("x").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val qz = ffloor(col("x") * 10) / 10
+    val baseCounts = Drift.valueCounts(base.toDF("x"), qz)
+      .localCheckpoint(true)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("x DOUBLE"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = Ingest.startKsScreen(stream, qz, baseCounts,
+      stDir, outDir, ckpt)
+    q.awaitTermination(60000)
+    val whole = Drift.valueCounts((day1 ++ day2).toDF("x"), qz)
+    val standing = Ingest.standingSketch(spark, stDir)
+    assert(standing.exceptAll(whole).isEmpty &&
+      whole.exceptAll(standing).isEmpty,
+      "streamed counts diverged from the batch table")
+    val outs = spark.read.parquet(outDir).orderBy("batch_id").collect()
+    assert(outs.length == 2)
+    val batchKs = Drift.ksStatistic((day1 ++ day2).toDF("x"),
+      base.toDF("x"), qz).collect()(0).getDouble(2)
+    assert(outs.last.getAs[Double]("ks") == batchKs,
+      "running KS diverged from the batch statistic")
+    assert(batchKs > 0.05, "shifted fixture should register drift")
+  }
+
   test("quality gate applies unchanged to a file stream — stateless " +
     "scan-speed ops need no streaming variant") {
     import graft.operators.TextAnalysis

@@ -111,6 +111,58 @@ object Layout {
     * pruning needs. Returns the frame WITH the `z` column so callers
     * can audit the ranges; drop it before writing if undesired.
     */
+  /** Per-file zone maps — Delta/Iceberg-style data skipping in
+    * userland, and the step that makes the clustering layouts above PAY
+    * OFF: a Z-order/Hilbert-clustered write puts each file's rows in a
+    * tight key range, so min/max zones prune most files for a point or
+    * range query; a random layout's zones all span everything and prune
+    * nothing. (Partition pruning skips directories; zone maps skip
+    * FILES within a partition — the next granularity down, free to
+    * collect at write time.)
+    *
+    * [[collectZones]] scans the written dataset once, grouped by
+    * `input_file_name()`, and emits one row per file with min/max per
+    * tracked column + the row count — a manifest-sized table to be
+    * stored beside the data.
+    */
+  def collectZones(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one tracked column")
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))): _*)
+  }
+
+  /** Files whose [min, max] zone for `c` intersects [lo, hi] — the
+    * candidate list for a range read. Driver-side over the
+    * manifest-sized zones table (the same bounded-collect contract as
+    * the shard manifest).
+    */
+  def pruneFiles(zones: DataFrame, c: String, lo: Column, hi: Column)
+      : Seq[String] =
+    zones.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Range read through the zone maps: scan ONLY the surviving files,
+    * with the residual predicate still applied (zones are necessary,
+    * not sufficient). Returns (frame, filesKept, filesTotal) so callers
+    * and tests can assert the skipping actually happened.
+    */
+  def readPruned(spark: org.apache.spark.sql.SparkSession,
+      zones: DataFrame, c: String, lo: Column, hi: Column)
+      : (DataFrame, Int, Int) = {
+    val keep = pruneFiles(zones, c, lo, hi)
+    val total = zones.select("file").count().toInt
+    val df =
+      if (keep.isEmpty)
+        spark.emptyDataFrame
+      else spark.read.parquet(keep: _*)
+        .filter(col(c) >= lo && col(c) <= hi)
+    (df, keep.length, total)
+  }
+
   def zorderLayout(df: DataFrame, aCol: String, bCol: String, bits: Int,
       partitions: Int): DataFrame = {
     val withZ = df.withColumn("z",

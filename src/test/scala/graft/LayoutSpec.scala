@@ -103,4 +103,46 @@ class LayoutSpec extends SparkTestBase {
     assert(zTouched <= 8L)    // a<8: z lives in 4 runs of 64 (+straddle)
     assert(zTouched * 2 <= linTouched)
   }
+
+  test("zone maps skip files under a clustered layout and prune " +
+    "nothing under a random one; pruned read equals the full filter") {
+    val dir = java.nio.file.Files.createTempDirectory("zones").toFile
+    val clustered = s"${dir.getAbsolutePath}/clustered"
+    val shuffled = s"${dir.getAbsolutePath}/shuffled"
+    val rows = (0L until 4096L).map(i => (i, s"p$i")).toDF("k", "payload")
+    // clustered: disjoint key ranges per file; shuffled: every file
+    // spans ~the whole key domain
+    rows.repartitionByRange(16, col("k")).sortWithinPartitions("k")
+      .write.parquet(clustered)
+    rows.repartition(16, col("payload"))
+      .write.parquet(shuffled)
+
+    val zc = Layout.collectZones(spark, clustered, Seq("k"))
+      .localCheckpoint(true)
+    val zs = Layout.collectZones(spark, shuffled, Seq("k"))
+      .localCheckpoint(true)
+    assert(zc.count() == 16 && zs.count() == 16)
+    // zone totals account for every row
+    assert(zc.agg(sum("n_rows")).collect()(0).getLong(0) == 4096L)
+
+    val (prunedDf, kept, total) =
+      Layout.readPruned(spark, zc, "k", lit(1000L), lit(1255L))
+    assert(total == 16)
+    assert(kept <= 3, s"clustered layout should skip most files: $kept")
+    val expect = rows.filter(col("k").between(1000L, 1255L))
+      .select("k", "payload").collect().map(_.toSeq).toSet
+    assert(prunedDf.select("k", "payload").collect()
+      .map(_.toSeq).toSet == expect,
+      "pruned read lost or invented rows")
+
+    val (_, keptShuffled, _) =
+      Layout.readPruned(spark, zs, "k", lit(1000L), lit(1255L))
+    assert(keptShuffled == 16,
+      "random layout zones should prune nothing — that contrast IS " +
+        "the reason to cluster")
+    // empty intersection -> zero files, empty frame
+    val (emptyDf, keptNone, _) =
+      Layout.readPruned(spark, zc, "k", lit(9000L), lit(9999L))
+    assert(keptNone == 0 && emptyDf.count() == 0)
+  }
 }

@@ -67,7 +67,18 @@ object Drift {
     */
   def ksStatistic(a: DataFrame, b: DataFrame, value: Column,
       nBlocks: Int = 256): DataFrame =
-    ksFromCounts(valueCounts(a, value), valueCounts(b, value), nBlocks)
+    // single-pass tagged union (ONE aggregate over both corpora), not
+    // valueCounts-per-side + merge: same result, two fewer exchanges —
+    // the pre-aggregated path exists for callers that already hold
+    // mergeable partials ([[ksFromCounts]], the streaming screen)
+    ksReduce(
+      a.select(value.cast("double").as("v"),
+          lit(1L).as("ta"), lit(0L).as("tb"))
+        .unionAll(b.select(value.cast("double").as("v"),
+          lit(0L).as("ta"), lit(1L).as("tb")))
+        .filter(col("v").isNotNull)
+        .groupBy("v").agg(sum("ta").as("ca"), sum("tb").as("cb")),
+      nBlocks)
 
   /** Per-distinct-value counts (v, cnt) — KS's mergeable partial form,
     * same discipline as [[Eval.scorePartials]]: micro-batches or shard
@@ -88,13 +99,18 @@ object Drift {
     * reduction stage.
     */
   def ksFromCounts(aCounts: DataFrame, bCounts: DataFrame,
-      nBlocks: Int = 256): DataFrame = {
+      nBlocks: Int = 256): DataFrame =
+    ksReduce(
+      aCounts
+        .select(col("v"), col("cnt").as("ta"), lit(0L).as("tb"))
+        .unionAll(bCounts
+          .select(col("v"), lit(0L).as("ta"), col("cnt").as("tb")))
+        .groupBy("v").agg(sum("ta").as("ca"), sum("tb").as("cb")),
+      nBlocks)
+
+  /** Shared KS reduction over the (v, ca, cb) table. */
+  private def ksReduce(byV: DataFrame, nBlocks: Int): DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")
-    val byV = aCounts
-      .select(col("v"), col("cnt").as("ta"), lit(0L).as("tb"))
-      .unionAll(bCounts
-        .select(col("v"), lit(0L).as("ta"), col("cnt").as("tb")))
-      .groupBy("v").agg(sum("ta").as("ca"), sum("tb").as("cb"))
 
     val bounds = byV.agg(min("v").as("lo"), max("v").as("hi"),
       sum("ca").as("na"), sum("cb").as("nb"))

@@ -154,13 +154,15 @@ object Layout {
       zones: DataFrame, c: String, lo: Column, hi: Column)
       : (DataFrame, Int, Int) = {
     val keep = pruneFiles(zones, c, lo, hi)
-    val total = zones.select("file").count().toInt
+    val all = zones.select("file").collect().map(_.getString(0)).toSeq
     val df =
       if (keep.isEmpty)
-        spark.emptyDataFrame
+        // schema-preserving empty: a constant-false filter folds to an
+        // empty LocalRelation at planning — zero file I/O, real schema
+        spark.read.parquet(all: _*).filter(lit(false))
       else spark.read.parquet(keep: _*)
         .filter(col(c) >= lo && col(c) <= hi)
-    (df, keep.length, total)
+    (df, keep.length, all.length)
   }
 
   def zorderLayout(df: DataFrame, aCol: String, bCol: String, bits: Int,

@@ -803,7 +803,41 @@ object Evaluation {
               |  WHERE rank <= 10),
               |${mmrOracleSteps(5)}
               |SELECT q_id, step, cand_id FROM u5
-              |ORDER BY q_id, step""".stripMargin)))
+              |ORDER BY q_id, step""".stripMargin)),
+
+    // Zone-map round trip as a declared query: write orders
+    // date-clustered (range partition + in-file sort — the layout the
+    // maintenance operators produce), collect per-file zones, and
+    // answer a date-range query THROUGH the pruned read. The oracle is
+    // a plain filter — correctness is independent of how many files
+    // were skipped (zones are necessary-not-sufficient + residual
+    // predicate); the LayoutSpec contrast pins that skipping happens.
+    GraftQuery(
+      "qK0_zonemap_read",
+      "Date-range revenue query answered through zone-map file " +
+        "skipping over a clustered rewrite of orders — pruned read " +
+        "equals the plain filter row-for-row.",
+      (s, d) => {
+        val out = s"target/zones_demo/${math.abs(d.hashCode)}"
+        t(s, d, "orders")
+          .repartitionByRange(16, col("o_orderdate"))
+          .sortWithinPartitions("o_orderdate")
+          .write.mode("overwrite").parquet(out)
+        val zones = graft.operators.Layout.collectZones(
+          s, out, Seq("o_orderdate")).localCheckpoint(true)
+        val (df, _, _) = graft.operators.Layout.readPruned(
+          s, zones, "o_orderdate",
+          lit("1996-01-01").cast("timestamp"),
+          lit("1996-06-30").cast("timestamp"))
+        df.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate <= TIMESTAMP '1996-06-30'
+             |ORDER BY o_orderkey""".stripMargin)))
 
   /** qJ6's unrolled greedy-step CTEs, generated from the same loop
     * bounds as the operator (k steps; λ=0.7, μ=0.3 as literals on both

@@ -45,6 +45,26 @@ object Fusion {
       .filter(col("rank") <= k)
   }
 
+  /** Token-budget context assembly — the last RAG stage before the
+    * prompt: from each query's ranked chunks, keep the rank-order
+    * PREFIX whose cumulative token count fits the budget (truncate-at-
+    * overflow semantics — the skip-and-continue variant is a
+    * sequential conditional cumsum with no window decomposition, and
+    * packing a lower-ranked chunk past a higher-ranked overflow is
+    * rarely what a prompt builder wants anyway).
+    *
+    * Input must carry (query, rank, tokens); one bounded window per
+    * query (the retrieval stage already cut to top-k). Output: input
+    * columns + cum_tokens, filtered to the fitting prefix.
+    */
+  def packContext(ranked: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be > 0")
+    val w = Window.partitionBy("query").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranked.withColumn("cum_tokens", sum("tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** One re-rank input row: a candidate with its relevance and vector. */
   case class MmrCand(q_id: Long, cand_id: Long, rel: Double,
       v: Seq[Double])

@@ -837,7 +837,106 @@ object Evaluation {
              |FROM orders
              |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate <= TIMESTAMP '1996-06-30'
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Token-budget context assembly on top of qD3's chunk-BM25 chain:
+    // per query, keep the rank-order prefix of top-10 chunks fitting a
+    // 64-token budget — the last RAG stage before the prompt.
+    GraftQuery(
+      "qK1_context_pack",
+      "Context packing: per-query top-10 BM25 chunks cut to the rank " +
+        "prefix whose cumulative token count fits 64 tokens " +
+        "(truncate-at-overflow semantics).",
+      (s, d) => {
+        val window = 32
+        val stride = 16
+        import graft.functions.TextOps
+        import graft.operators.Bm25
+        val chunks = t(s, d, "documents")
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("start", explode(sequence(lit(0),
+            greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+          .select(
+            (col("doc_id") * 1000 + (col("start") / stride).cast("long"))
+              .as("cid"),
+            array_join(slice(col("toks"), col("start") + 1, lit(window)),
+              " ").as("chunk_text"),
+            size(slice(col("toks"), col("start") + 1, lit(window)))
+              .cast("long").as("n_toks"))
+        val ranked = Bm25.topK(chunks, "cid", "chunk_text",
+          Seq(
+            "q_sparkjoin" -> Seq("spark", "join"),
+            "q_window" -> Seq("window", "sort", "stream"),
+            "q_scan" -> Seq("scan", "hash")),
+          k = 10)
+          .join(chunks.select(col("cid").as("doc_id"), col("n_toks")),
+            "doc_id")
+          .select(col("query"), col("rank"), col("doc_id"),
+            col("n_toks").as("tokens"))
+        graft.operators.Fusion.packContext(ranked, budget = 64)
+          .select(col("query"), col("rank"),
+            (col("doc_id") / 1000).cast("long").as("src_doc"),
+            pmod(col("doc_id"), lit(1000)).as("chunk_idx"),
+            col("tokens"), col("cum_tokens"))
+          .orderBy("query", "rank")
+      },
+      Some("""WITH q(query, term) AS (VALUES
+             |    ('q_sparkjoin','spark'), ('q_sparkjoin','join'),
+             |    ('q_window','window'), ('q_window','sort'),
+             |    ('q_window','stream'),
+             |    ('q_scan','scan'), ('q_scan','hash')),
+             |base AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |starts AS (SELECT doc_id, toks,
+             |    CAST(unnest(range(0, greatest(len(toks), 1), 16))
+             |      AS BIGINT) AS start
+             |  FROM base),
+             |dd AS (SELECT doc_id * 1000 + start // 16 AS cid,
+             |    toks[start + 1 : start + 32] AS w,
+             |    CAST(len(toks[start + 1 : start + 32]) AS DOUBLE) AS dl
+             |  FROM starts),
+             |stats AS (SELECT count(*) * 1.0 AS n_docs, avg(dl) AS avgdl
+             |  FROM dd),
+             |terms AS (SELECT DISTINCT term FROM q),
+             |tf AS (SELECT t.term, dd.cid, dd.dl,
+             |    CAST(len(list_filter(dd.w, x -> x = t.term)) AS DOUBLE)
+             |      AS tf
+             |  FROM dd CROSS JOIN terms t),
+             |dfreq AS (SELECT term,
+             |    CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |      AS dfq
+             |  FROM tf GROUP BY 1),
+             |scored AS (SELECT q.query, tf.cid,
+             |    sum(ln(1 + (s.n_docs - d.dfq + 0.5) / (d.dfq + 0.5))
+             |      * tf.tf * 2.2
+             |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+             |      AS score,
+             |    sum(tf.tf) AS hits
+             |  FROM q JOIN tf ON tf.term = q.term
+             |    JOIN dfreq d ON d.term = q.term
+             |    CROSS JOIN stats s
+             |  GROUP BY 1, 2),
+             |r AS (SELECT query, cid,
+             |    floor(score * 10000.0 + 0.5) / 10000.0 AS score
+             |  FROM scored WHERE hits > 0),
+             |ranked AS (SELECT *, row_number() OVER (
+             |    PARTITION BY query ORDER BY score DESC, cid) AS rank
+             |  FROM r),
+             |topk AS (SELECT query, cid, rank FROM ranked
+             |  WHERE rank <= 10),
+             |wt AS (SELECT t.query, t.rank, t.cid,
+             |    CAST(d.dl AS BIGINT) AS tokens
+             |  FROM topk t JOIN dd d ON d.cid = t.cid),
+             |cum AS (SELECT query, rank, cid, tokens,
+             |    sum(tokens) OVER (PARTITION BY query ORDER BY rank
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum_tokens
+             |  FROM wt)
+             |SELECT query, CAST(rank AS BIGINT) AS rank,
+             |  cid // 1000 AS src_doc, cid % 1000 AS chunk_idx,
+             |  tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM cum WHERE cum_tokens <= 64
+             |ORDER BY query, rank""".stripMargin)))
 
   /** qJ6's unrolled greedy-step CTEs, generated from the same loop
     * bounds as the operator (k steps; λ=0.7, μ=0.3 as literals on both

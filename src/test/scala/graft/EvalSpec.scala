@@ -393,6 +393,24 @@ class EvalSpec extends SparkTestBase {
       .count() == 2)
   }
 
+  test("Fusion.packContext: rank-prefix fits the budget, overflow " +
+    "truncates, later smaller chunks are NOT back-filled") {
+    import spark.implicits._
+    val ranked = Seq(
+      ("q1", 1L, 101L, 30L), ("q1", 2L, 102L, 30L),
+      ("q1", 3L, 103L, 30L), // overflows at 90 > 64
+      ("q1", 4L, 104L, 1L), // would fit, but prefix semantics skip it
+      ("q2", 1L, 201L, 100L)) // first chunk alone busts the budget
+      .toDF("query", "rank", "doc_id", "tokens")
+    val out = graft.operators.Fusion.packContext(ranked, budget = 64)
+      .select("query", "rank", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("q1", 1L, 30L), ("q1", 2L, 60L)),
+      s"prefix semantics violated: $out")
+    intercept[IllegalArgumentException](
+      graft.operators.Fusion.packContext(ranked, 0))
+  }
+
   test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {
     import spark.implicits._
     val in = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",

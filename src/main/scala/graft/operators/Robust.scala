@@ -110,6 +110,63 @@ object Robust {
     * Output: one row (n_a, n_b, mean_a, mean_b (4 dp), t_stat (4 dp),
     * df_welch (2 dp)).
     */
+  /** Hash-bucket (delete-a-group) jackknife for the standard error of
+    * a mean — deterministic error bars without RNG: rows land in B
+    * near-equal buckets by a salted portable hash of their id, each
+    * bucket's LEAVE-ONE-OUT mean is one exact-integer-sums division,
+    * and SE² = (B−1)/B · Σ(loo_b − loo̅)². With hash buckets standing
+    * in for random groups, this is the textbook grouped jackknife —
+    * reproducible across runs and engines because the grouping is a
+    * hash, not a shuffle.
+    *
+    * Scale shape: one aggregate to B rows, then bounded-frame math.
+    * Determinism: the two B-term double folds run over the
+    * bucket-sorted array (the [[Eval.ndcgAtK]] convention), so both
+    * engines execute the same IEEE op sequence.
+    *
+    * Output: one row (n, mean (4 dp), se_jack (6 dp), ci_lo, ci_hi —
+    * mean ± 1.96·se, 4 dp).
+    */
+  def bucketJackknife(df: DataFrame, idCol: Column, value: Column,
+      buckets: Int = 50): DataFrame = {
+    require(buckets >= 2, "need >= 2 buckets")
+    import graft.functions.TextOps
+    val byB = df
+      .select(pmod(TextOps.hash32(
+          concat(lit("jk:"), idCol.cast("string"))), lit(buckets))
+          .as("b"),
+        floor(value.cast("double") * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+      .groupBy("b").agg(count(lit(1)).as("nb"), sum("c").as("sb"))
+    val tot = byB.agg(sum("nb").as("n"), sum("sb").as("s"),
+      count(lit(1)).as("bn"))
+    val loo = byB.crossJoin(broadcast(tot))
+      .withColumn("loo",
+        (col("s") - col("sb")).cast("double") /
+          (col("n") - col("nb")).cast("double"))
+    val arr = loo.agg(first("n").as("n"), first("s").as("s"),
+      first("bn").as("bn"),
+      array_sort(collect_list(struct(col("b"), col("loo"))))
+        .as("byB"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    arr
+      .withColumn("loomean",
+        aggregate(col("byB"), lit(0.0),
+          (acc, e) => acc + e.getField("loo")) / col("bn"))
+      .withColumn("se",
+        sqrt(aggregate(col("byB"), lit(0.0), (acc, e) =>
+          acc + (e.getField("loo") - col("loomean")) *
+            (e.getField("loo") - col("loomean"))) *
+          (col("bn") - 1.0) / col("bn")))
+      .select(col("n").cast("long").as("n"),
+        r4(col("s") / col("n") / 100.0).as("mean"),
+        (floor(col("se") / 100.0 * 1e6 + 0.5) / 1e6).as("se_jack"),
+        r4((col("s") / col("n") - lit(1.96) * col("se")) / 100.0)
+          .as("ci_lo"),
+        r4((col("s") / col("n") + lit(1.96) * col("se")) / 100.0)
+          .as("ci_hi"))
+  }
+
   def welchTTest(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
     def stats(df: DataFrame, t: String) =
       df.select(floor(value.cast("double") * 100 + 0.5).cast("long")

@@ -936,7 +936,122 @@ object Evaluation {
              |  cid // 1000 AS src_doc, cid % 1000 AS chunk_idx,
              |  tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
              |FROM cum WHERE cum_tokens <= 64
-             |ORDER BY query, rank""".stripMargin)))
+             |ORDER BY query, rank""".stripMargin)),
+
+    // Dataset card: the one-stop (metric, value) summary a release
+    // ships with — corpus volume, token mass, source diversity, exact
+    // duplication rate, length profile — each metric one bounded
+    // aggregate over the corpus, unioned into a long-format report.
+    GraftQuery(
+      "qK2_dataset_card",
+      "Long-format dataset card over documents: doc/source counts, " +
+        "token and char mass, exact-dup rate, short-doc share — six " +
+        "release-readme metrics in one frame.",
+      (s, d) => {
+        import graft.functions.TextOps
+        val docs = t(s, d, "documents")
+        def r6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+        val base = docs.select(col("doc_id"), col("source"),
+          col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+          md5(col("text")).as("h"))
+        val agg = base.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          countDistinct("source").cast("double").as("n_sources"),
+          sum("n_toks").cast("double").as("total_tokens"),
+          sum("n_chars").cast("double").as("total_chars"),
+          countDistinct("h").cast("double").as("n_distinct"),
+          sum(when(col("n_chars") < 50, 1L).otherwise(0L))
+            .cast("double").as("n_short"))
+        def m(name: String, v: Column) =
+          struct(lit(name).as("metric"), v.cast("double").as("value"))
+        agg.select(
+          array(
+            m("n_docs", col("n_docs")),
+            m("n_sources", col("n_sources")),
+            m("total_tokens", col("total_tokens")),
+            m("total_chars", col("total_chars")),
+            m("exact_dup_rate",
+              r6((col("n_docs") - col("n_distinct")) / col("n_docs"))),
+            m("short_doc_share",
+              r6(col("n_short") / col("n_docs")))).as("m"))
+          .select(explode(col("m")).as("kv"))
+          .select(col("kv.metric").as("metric"),
+            col("kv.value").as("value"))
+          .orderBy("metric")
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source, n_chars,
+             |    len(string_split(text, ' ')) AS n_toks,
+             |    md5(text) AS h
+             |  FROM documents),
+             |a AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             |    CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+             |    CAST(sum(n_toks) AS DOUBLE) AS total_tokens,
+             |    CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+             |    CAST(count(DISTINCT h) AS DOUBLE) AS n_distinct,
+             |    CAST(sum(CASE WHEN n_chars < 50 THEN 1 ELSE 0 END)
+             |      AS DOUBLE) AS n_short
+             |  FROM b)
+             |SELECT metric, value FROM (
+             |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+             |  UNION ALL SELECT 'n_sources', n_sources FROM a
+             |  UNION ALL SELECT 'total_tokens', total_tokens FROM a
+             |  UNION ALL SELECT 'total_chars', total_chars FROM a
+             |  UNION ALL SELECT 'exact_dup_rate',
+             |    floor((n_docs - n_distinct) / n_docs * 1000000 + 0.5)
+             |      / 1000000 FROM a
+             |  UNION ALL SELECT 'short_doc_share',
+             |    floor(n_short / n_docs * 1000000 + 0.5) / 1000000
+             |    FROM a)
+             |ORDER BY metric""".stripMargin)),
+
+    // Deterministic error bars: hash-bucket jackknife SE + 95% CI for
+    // the mean event value — reproducible across engines because the
+    // "resampling" is a salted hash, not an RNG, and the two B-term
+    // folds run bucket-sorted on both sides.
+    GraftQuery(
+      "qK3_jackknife_ci",
+      "Hash-bucket (B=50) jackknife standard error and 95% CI for " +
+        "mean event value — deterministic grouped jackknife, exact " +
+        "integer leave-one-out sums.",
+      (s, d) => graft.operators.Robust.bucketJackknife(
+        t(s, d, "events"), col("event_id"), col("value"), buckets = 50),
+      Some("""WITH rows_ AS (
+             |  SELECT ('0x' || substr(md5('jk:' ||
+             |      CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 50
+             |      AS b,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (SELECT b, count(*) AS nb, sum(c) AS sb
+             |  FROM rows_ GROUP BY b),
+             |t AS (SELECT sum(nb) AS n, sum(sb) AS s,
+             |    count(*) AS bn FROM g),
+             |loo AS (
+             |  SELECT g.b,
+             |    CAST(t.s - g.sb AS DOUBLE) /
+             |      CAST(t.n - g.nb AS DOUBLE) AS loo
+             |  FROM g, t),
+             |lm AS (
+             |  SELECT list_sum(list(loo ORDER BY b)) /
+             |    (SELECT bn FROM t) AS loomean
+             |  FROM loo),
+             |se AS (
+             |  SELECT sqrt(list_sum(list(
+             |      (loo - lm.loomean) * (loo - lm.loomean) ORDER BY b))
+             |    * ((SELECT bn FROM t) - 1.0) / (SELECT bn FROM t))
+             |    AS se
+             |  FROM loo, lm GROUP BY lm.loomean)
+             |SELECT CAST(t.n AS BIGINT) AS n,
+             |  floor(CAST(t.s AS DOUBLE)/t.n/100.0 * 10000.0 + 0.5)
+             |    / 10000.0 AS mean,
+             |  floor(se.se/100.0 * 1000000 + 0.5) / 1000000 AS se_jack,
+             |  floor((CAST(t.s AS DOUBLE)/t.n - 1.96*se.se)/100.0
+             |    * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+             |  floor((CAST(t.s AS DOUBLE)/t.n + 1.96*se.se)/100.0
+             |    * 10000.0 + 0.5) / 10000.0 AS ci_hi
+             |FROM t, se""".stripMargin)))
 
   /** qJ6's unrolled greedy-step CTEs, generated from the same loop
     * bounds as the operator (k steps; λ=0.7, μ=0.3 as literals on both

@@ -411,6 +411,26 @@ class EvalSpec extends SparkTestBase {
       graft.operators.Fusion.packContext(ranked, 0))
   }
 
+  test("Robust.bucketJackknife: CI brackets the mean, positive SE, " +
+    "partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, (i % 97).toDouble))
+      .toDF("id", "v")
+    val r = graft.operators.Robust.bucketJackknife(
+      df, col("id"), col("v"), buckets = 20).collect()(0)
+    assert(r.getLong(0) == 1000)
+    val (mean, se, lo, hi) = (r.getDouble(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    assert(se > 0 && lo < mean && mean < hi)
+    assert(hi - lo < 10.0, s"CI implausibly wide: [$lo, $hi]")
+    // hash bucketing is data-deterministic: physical layout irrelevant
+    val r8 = graft.operators.Robust.bucketJackknife(
+      df.repartition(8), col("id"), col("v"), buckets = 20).collect()(0)
+    assert(r8.getDouble(2) == se && r8.getDouble(3) == lo)
+    intercept[IllegalArgumentException](
+      graft.operators.Robust.bucketJackknife(df, col("id"), col("v"), 1))
+  }
+
   test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {
     import spark.implicits._
     val in = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",

@@ -157,6 +157,55 @@ object Similarity {
     assignCellsWithCodebook(df, idCol, vecCol, centroidEvery,
       maxCentroids).cells
 
+  /** Simplified (centroid-based) silhouette — clustering-quality eval
+    * for the k-means/IVF cells: per point, a = distance to its own
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1, 1]; reported as per-cluster means. The
+    * full silhouette needs all pairwise point distances (O(n²)); the
+    * simplified form is the standard scale substitute (Hruschka et
+    * al.) — O(n·k) distances against a broadcast centroid table, a
+    * per-point window over ≤ k rows, one aggregate.
+    *
+    * Same deterministic seed-codebook contract as [[ivfTopK]]
+    * (centroids = every `centroidEvery`-th id). Distances clamp at 0
+    * before sqrt (FP cancellation can push d² a ulp negative) — the
+    * oracle clamps identically.
+    *
+    * Output per cluster: cell, n, mean_sil (4 dp).
+    */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      centroidEvery: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    import graft.functions.GraftFunctions.vecDot
+    val base = df.select(col(idCol).cast("long").as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .withColumn("n2", col("nrm") * col("nrm"))
+    val cents = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
+      .select(col("vid").as("cid"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    val d2 = base.crossJoin(broadcast(cents))
+      .select(col("vid"), col("cid"),
+        (col("n2") - lit(2.0) * vecDot(col("v"), col("cv")) +
+          col("cn2")).as("d2"))
+    val w = Window.partitionBy("vid").orderBy(col("d2"), col("cid"))
+    val top2 = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vid")
+      .agg(min(when(col("rn") === 1, col("cid"))).as("cell"),
+        min(when(col("rn") === 1, col("d2"))).as("da2"),
+        min(when(col("rn") === 2, col("d2"))).as("db2"))
+    val da = sqrt(greatest(col("da2"), lit(0.0)))
+    val db = sqrt(greatest(col("db2"), lit(0.0)))
+    val sil = when(greatest(da, db) === 0.0, lit(0.0))
+      .otherwise((db - da) / greatest(da, db))
+    top2.withColumn("sil", sil)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        (floor(avg(col("sil")) * 10000.0 + 0.5) / 10000.0)
+          .as("mean_sil"))
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       isQuery: Column, centroidEvery: Int, k: Int,
       maxCentroids: Int = 4096): DataFrame = {

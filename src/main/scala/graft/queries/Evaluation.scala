@@ -1051,7 +1051,50 @@ object Evaluation {
              |    * 10000.0 + 0.5) / 10000.0 AS ci_lo,
              |  floor((CAST(t.s AS DOUBLE)/t.n + 1.96*se.se)/100.0
              |    * 10000.0 + 0.5) / 10000.0 AS ci_hi
-             |FROM t, se""".stripMargin)))
+             |FROM t, se""".stripMargin)),
+
+    // Clustering-quality eval: simplified (centroid-based) silhouette
+    // over the IVF seed cells — the label-free "are these clusters
+    // real?" number beside the k-means training itself. O(n·k)
+    // distances vs the broadcast codebook; the full-pairwise
+    // silhouette is the documented O(n²) non-starter at scale.
+    GraftQuery(
+      "qK4_silhouette",
+      "Per-cluster simplified silhouette over the every-73rd-id seed " +
+        "cells: s = (b-a)/max(a,b) against own vs nearest-other " +
+        "centroid, clamped sqrt, per-cell means.",
+      (s, d) => graft.operators.Similarity.simplifiedSilhouette(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        centroidEvery = 73)
+        .orderBy("cell"),
+      Some(s"""WITH $duckVecNorm,
+              |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
+              |  FROM n WHERE vec_id % 73 = 0),
+              |a0 AS (
+              |  SELECT n.vec_id, c.cid,
+              |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
+              |      i -> n.v[i]*c.cv[i])) + c.cn2) AS d2
+              |  FROM n, c),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+              |    ORDER BY d2, cid) AS rn FROM a0),
+              |p AS (
+              |  SELECT vec_id,
+              |    min(CASE WHEN rn = 1 THEN cid END) AS cell,
+              |    min(CASE WHEN rn = 1 THEN d2 END) AS da2,
+              |    min(CASE WHEN rn = 2 THEN d2 END) AS db2
+              |  FROM r WHERE rn <= 2 GROUP BY vec_id),
+              |sl AS (
+              |  SELECT cell,
+              |    CASE WHEN greatest(sqrt(greatest(da2, 0.0)),
+              |        sqrt(greatest(db2, 0.0))) = 0 THEN 0.0
+              |      ELSE (sqrt(greatest(db2, 0.0)) -
+              |          sqrt(greatest(da2, 0.0))) /
+              |        greatest(sqrt(greatest(da2, 0.0)),
+              |          sqrt(greatest(db2, 0.0))) END AS sil
+              |  FROM p)
+              |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+              |  floor(avg(sil) * 10000.0 + 0.5) / 10000.0 AS mean_sil
+              |FROM sl GROUP BY cell ORDER BY cell""".stripMargin)))
 
   /** qJ6's unrolled greedy-step CTEs, generated from the same loop
     * bounds as the operator (k steps; λ=0.7, μ=0.3 as literals on both

@@ -431,6 +431,31 @@ class EvalSpec extends SparkTestBase {
       graft.operators.Robust.bucketJackknife(df, col("id"), col("v"), 1))
   }
 
+  test("Similarity.simplifiedSilhouette: separated clusters score " +
+    "near 1, centroid points exactly 1, straddlers near 0") {
+    import spark.implicits._
+    // centroids (ids % 5 == 0): id0 at [0,0], id5 at [10,0]
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (5L, Seq(10.0f, 0.0f)),
+      (1L, Seq(0.1f, 0.0f)), (2L, Seq(-0.1f, 0.0f)),
+      (6L, Seq(10.1f, 0.0f)),
+      (7L, Seq(5.2f, 0.0f))) // straddler, slightly nearer c5
+      .toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.simplifiedSilhouette(
+      emb, "vec_id", "embedding", centroidEvery = 5)
+      .orderBy("cell").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // cell 0: id0 (s=1), id1/id2 (a=0.1, b=9.9 / 10.1)
+    val s1 = (9.9 - 0.1) / 9.9
+    val s2 = (10.1 - 0.1) / 10.1
+    assert(r(0L)._1 == 3 && r(0L)._2 == r4((1.0 + s1 + s2) / 3))
+    // cell 5: id5 (s=1), id6 (a=0.1, b=10.1), id7 (a=4.8, b=5.2)
+    val s6 = (10.1 - 0.1) / 10.1
+    val s7 = (5.2 - 4.8) / 5.2
+    assert(r(5L)._1 == 3 && r(5L)._2 == r4((1.0 + s6 + s7) / 3))
+  }
+
   test("PhoneticOps.soundex: textbook codes incl. the H/W rule") {
     import spark.implicits._
     val in = Seq("Robert", "Rupert", "Ashcraft", "Tymczak", "Pfister",

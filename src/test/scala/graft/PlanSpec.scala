@@ -230,6 +230,9 @@ class PlanSpec extends SparkTestBase {
     val bnljAllowed = Set("q20_ops_pdf_cdf", "q71_ops_upload_pdf_masked",
       "q35_ann_brute_topk", "qA7_ann_recall", "qJ1_ann_ndcg", "qJ2_rbo",
       "qJ6_mmr_rerank",
+      // qK4: silhouette's broadcast side is the seed-predicate codebook
+      // — bounded by construction, the ivfTopK justification
+      "qK4_silhouette",
       "qB5_ann_ivf_multiprobe",
       "q34_dedup_embedding", "qD4_hybrid_rrf",
       // qH6: DBSCAN's pair generator is pluggable; the declared query

@@ -108,6 +108,61 @@ object Drift {
         .groupBy("v").agg(sum("ta").as("ca"), sum("tb").as("cb")),
       nBlocks)
 
+  /** Exact quantiles from a mergeable (v, cnt) table — the
+    * lower-rank ("type 1") quantile: the smallest v whose inclusive
+    * cumulative count reaches ceil(q·n). Because the input is the
+    * same sum-mergeable per-value count state the KS screen keeps
+    * ([[valueCounts]]/[[mergeValueCounts]]), this gives EXACT medians
+    * and tail percentiles at 100 TB whenever the value domain is
+    * bounded (quantize first otherwise) — the exact complement to
+    * [[HistSketch]]'s approximate path, at O(|distinct|) state.
+    *
+    * Shape: the cumulative count reuses the two-phase block prefix sum
+    * (per-block offsets from a bounded |blocks| window, in-block
+    * inclusive window partitioned by block — no one-task global
+    * window); the quantile targets are a broadcast |qs|-row frame.
+    * Rank arithmetic is integer-only. Output: q, target_rank, v.
+    */
+  def quantilesFromCounts(counts: DataFrame, qs: Seq[Double],
+      nBlocks: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    require(nBlocks > 0, "nBlocks must be > 0")
+    val bounds = counts.agg(min("v").as("lo"), max("v").as("hi"),
+      sum("cnt").as("n"))
+    val blocked = counts.crossJoin(broadcast(bounds))
+      .withColumn("block",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(nBlocks - 1L), floor(
+            (col("v") - col("lo")) / (col("hi") - col("lo")) * nBlocks)
+            .cast("long"))))
+    val wBlocks = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy("block")
+      .agg(sum("cnt").as("bc"))
+      .select(col("block"),
+        coalesce(sum("bc").over(wBlocks), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("block").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = blocked.join(broadcast(offsets), "block")
+      .withColumn("cc", col("off") + sum("cnt").over(wIn))
+    val targets = qs.distinct.sorted
+      .map(q => s"SELECT CAST($q AS DOUBLE) AS q")
+      .mkString(" UNION ALL ")
+    // .distinct() puts an aggregate under the broadcast side so the
+    // plan sweep can see the frame is bounded (|qs| rows).
+    val qdf = counts.sparkSession.sql(targets).distinct()
+    cum.crossJoin(broadcast(qdf))
+      // ceil(q·n) in exact integer arithmetic would need rational q;
+      // q is a literal double, ceil on the double product matches the
+      // oracle's identical expression.
+      .withColumn("target_rank", ceil(col("q") * col("n")).cast("long"))
+      .filter(col("cc") >= col("target_rank"))
+      .groupBy("q", "target_rank")
+      .agg(min("v").as("v"))
+      .select(col("q"), col("target_rank"), col("v"))
+  }
+
   /** Shared KS reduction over the (v, ca, cb) table. */
   private def ksReduce(byV: DataFrame, nBlocks: Int): DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")

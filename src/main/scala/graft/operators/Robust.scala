@@ -193,4 +193,51 @@ object Robust {
         (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1))
         * 100.0 + 0.5) / 100.0).as("df_welch"))
   }
+
+  /** Pearson χ² test of independence between two categorical columns —
+    * the A/B-categorical sibling of [[welchTTest]] (means) and the
+    * same statistic [[benfordScreen]] computes against a FIXED
+    * expected law, here against the data's own margins: is the
+    * distribution of `b` the same in every level of `a`?
+    *
+    * expected(i,j) = row_i·col_j/n; χ² = Σ (obs−exp)²/exp with
+    * df = (R−1)(C−1). A double Σ over cells is order-dependent, so
+    * each cell's contribution is SNAPPED to integer 1e-6 units and the
+    * total is an exact BIGINT sum (the qL0 discipline — same trick as
+    * the ACF deviations), un-snapped by one final division.
+    *
+    * Shape: one hash aggregate to the |R×C| contingency frame, margins
+    * as two bounded re-aggregations joined back (broadcast-sized), one
+    * bounded total. Absent cells (obs = 0) still contribute exp — they
+    * are completed via the margins' cross join (R·C rows, bounded).
+    *
+    * Output: one row — n, r_levels, c_levels, df, chi2 (4 dp).
+    */
+  def chi2Independence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val cells = df.select(a.cast("string").as("av"),
+        b.cast("string").as("bv"))
+      .filter(col("av").isNotNull && col("bv").isNotNull)
+      .groupBy("av", "bv").agg(count(lit(1)).as("o"))
+    val rowM = cells.groupBy("av").agg(sum("o").as("rm"))
+    val colM = cells.groupBy("bv").agg(sum("o").as("cm"))
+    val tot = cells.agg(sum("o").as("n"))
+    // complete grid: margins cross join (bounded R·C), left join obs
+    val grid = rowM.crossJoin(broadcast(colM)).crossJoin(broadcast(tot))
+      .join(cells, Seq("av", "bv"), "left")
+      .withColumn("obs", coalesce(col("o"), lit(0L)))
+      .withColumn("exp",
+        col("rm").cast("double") * col("cm") / col("n"))
+      .withColumn("contrib6",
+        floor((col("obs") - col("exp")) * (col("obs") - col("exp")) /
+          col("exp") * 1000000.0 + 0.5).cast("long"))
+    grid.agg(
+        first(col("n")).as("n"),
+        countDistinct("av").as("r_levels"),
+        countDistinct("bv").as("c_levels"),
+        sum("contrib6").as("s6"))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("df"),
+        (floor(col("s6").cast("double") / 1000000.0 * 10000.0 + 0.5) /
+          10000.0).as("chi2"))
+  }
 }

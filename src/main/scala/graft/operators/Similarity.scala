@@ -94,6 +94,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for embedding/contrastive training: for each
+    * anchor vector, the k most-similar candidates whose LABEL differs —
+    * the highest-loss negatives a triplet/InfoNCE trainer wants. Same
+    * plan as [[bruteForceTopK]] (anchors broadcast — bounded by the
+    * isAnchor predicate by design — corpus streams, per-anchor top-k
+    * window over the scored candidates), plus the label-mismatch
+    * predicate pushed into the join so same-label pairs never
+    * materialize. The LSH-bucketed variant for 100 TB is the same
+    * substitution [[lshTopK]] makes for [[bruteForceTopK]]: bucket both
+    * sides, join on the bucket key.
+    * Output: q_id, label_q, cand_id, label_c, cosine, rank.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, isAnchor: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).as("lbl"))
+      .withColumn("nrm", norm(col("v")))
+    val anchors = base.filter(isAnchor)
+      .select(col("vid").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("lbl").as("label_q"))
+    val scored = base.as("c")
+      .join(broadcast(anchors),
+        col("q_id") =!= col("vid") && col("label_q") =!= col("lbl"))
+      .select(col("q_id"), col("label_q"), col("vid").as("cand_id"),
+        col("lbl").as("label_c"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into cells around
     * centroid vectors, then search only the query's own cell — the
     * coarse-quantization path every billion-vector index uses. Centroids

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextOps
@@ -177,6 +178,73 @@ object TextAnalysis {
     df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document lexical diversity — the vocabulary-richness quality
+    * signals (type-token ratio, hapax share) a curation pipeline reads
+    * alongside [[qualityScore]]'s surface ratios: generated text and
+    * keyword stuffing both crater TTR, boilerplate craters hapax share.
+    * Pure per-row array math (distinct + per-type occurrence counts via
+    * higher-order functions, O(types·tokens) within the DOC — bounded
+    * by the row, scan-speed, no explode/shuffle).
+    * Output: doc_id, n_tokens, n_types, ttr (4 dp), hapax_ratio (4 dp).
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        size(filter(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t)) === 1))
+          .cast("long").as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        graft.functions.SafeOps.stableRound4(
+          col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        graft.functions.SafeOps.stableRound4(
+          col("n_hapax").cast("double") / col("n_tokens"))
+          .as("hapax_ratio"))
+  }
+
+  /** Corpus Zipf fit: OLS of ln(count) on ln(rank) over the top-k of a
+    * [[tokenFreq]] frame — the classic rank-frequency diagnostic (a
+    * natural corpus fits slope ≈ −1; template spam and deduplication
+    * failures bend it). The top-k is a TakeOrderedAndProject over the
+    * vocab aggregate (never a global sort), and the OLS sums run as a
+    * sorted-array fold over the bounded k-row frame so the double
+    * summation order is pinned on both engines.
+    * Output: one row — k, slope (4 dp), intercept (4 dp).
+    */
+  def zipfSlope(tf: DataFrame, k: Int): DataFrame = {
+    require(k > 1, "need at least 2 ranks for a slope")
+    val top = tf.orderBy(col("cnt").desc, col("tok")).limit(k)
+      .select(col("tok"), col("cnt"))
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"), col("rank"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    ranked
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("x"), col("y")))).as("rows"))
+      .select(size(col("rows")).cast("double").as("n"),
+        aggregate(col("rows"), lit(0.0),
+          (a, s) => a + s.getField("x")).as("sx"),
+        aggregate(col("rows"), lit(0.0),
+          (a, s) => a + s.getField("y")).as("sy"),
+        aggregate(col("rows"), lit(0.0),
+          (a, s) => a + s.getField("x") * s.getField("x")).as("sxx"),
+        aggregate(col("rows"), lit(0.0),
+          (a, s) => a + s.getField("x") * s.getField("y")).as("sxy"))
+      .select(col("n").cast("long").as("k"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        r4((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n")).as("intercept"))
+  }
 
   /** Top-k vocabulary of a [[tokenFreq]] frame, rank order
     * (cnt desc, tok) — plans as TakeOrderedAndProject over the

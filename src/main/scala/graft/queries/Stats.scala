@@ -1,0 +1,428 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, Tables}
+import graft.operators.{Drift, Linkage, LogReg, Robust, Similarity, TextAnalysis, Trend}
+
+/** Round-7 batch: serial/trend statistics over the event stream (ACF,
+  * EWMA control chart, Mann-Kendall + Theil-Sen), categorical
+  * independence (χ²), exact mergeable quantiles from value-count
+  * state, in-engine logistic-regression training (oracle on the exact
+  * first gradient step), Fellegi-Sunter record-linkage scoring over
+  * the blocking chain, hard-negative mining for contrastive training,
+  * and lexical-diversity / Zipf-fit corpus diagnostics.
+  *
+  * Same oracle-parity conventions as every other module: integer
+  * snapping wherever a Σ of doubles would be partial-aggregation-order
+  * dependent, sorted-array folds (vs DuckDB `list(x ORDER BY ...)` +
+  * `list_sum`) where a bounded double Σ is unavoidable, identical
+  * expression trees and aliases on both sides, unique-key ORDER BY.
+  */
+object Stats {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // Shared daily integer-cent aggregate of the event stream (the
+  // qJ5/qC2 bounded daily frame).
+  private val duckDaily =
+    """dly AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+      |    sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sc
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY 1)""".stripMargin
+
+  private val duckVecNorm =
+    """v AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
+
+  // Fellegi-Sunter fields for the document-linkage query — declared
+  // once so the Spark plan and the generated oracle SQL share the
+  // SAME 6-dp-snapped weight literals.
+  private def fsFields: Seq[Linkage.Field] = Seq(
+    Linkage.Field("lang", col("lang_a") === col("lang_b"), m = 0.9, u = 0.3),
+    Linkage.Field("source", col("source_a") === col("source_b"),
+      m = 0.8, u = 0.2),
+    Linkage.Field("len",
+      abs(col("nc_a") - col("nc_b")) * 10 <= greatest(col("nc_a"), col("nc_b")),
+      m = 0.7, u = 0.25))
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Lexical diversity: per-row array math only (no shuffle) — TTR
+    // and hapax share, the vocabulary-richness quality signals.
+    GraftQuery(
+      "qK5_lexical_diversity",
+      "Per-document type-token ratio and hapax share from pure " +
+        "per-row array math (no explode, no shuffle).",
+      (s, d) => TextAnalysis.lexicalDiversity(
+        t(s, d, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+             |  floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             |    * 10000.0 + 0.5) / 10000.0 AS ttr,
+             |  floor(CAST(len(list_filter(list_distinct(toks),
+             |      u -> len(list_filter(toks, x -> x = u)) = 1)) AS DOUBLE)
+             |    / len(toks) * 10000.0 + 0.5) / 10000.0 AS hapax_ratio
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Zipf rank-frequency fit over the top-100 vocabulary: the top-k
+    // is TakeOrderedAndProject over the vocab aggregate; the OLS sums
+    // fold in rank order on both engines (sorted-array fold vs
+    // list(ORDER BY) + list_sum).
+    GraftQuery(
+      "qK6_zipf_slope",
+      "OLS slope/intercept of ln(count) on ln(rank) over the top-100 " +
+        "corpus vocabulary — the Zipf diagnostic.",
+      (s, d) => TextAnalysis.zipfSlope(
+        TextAnalysis.tokenFreq(t(s, d, "documents"), "text"), 100),
+      Some("""WITH g AS (
+             |  SELECT unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |f AS (SELECT tok, count(*) AS cnt FROM g
+             |  WHERE tok <> '' GROUP BY tok),
+             |top AS (SELECT tok, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+             |  FROM f ORDER BY cnt DESC, tok LIMIT 100),
+             |l AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+             |    ln(CAST(cnt AS DOUBLE)) AS y FROM top),
+             |a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    list_sum(list(x ORDER BY rank)) AS sx,
+             |    list_sum(list(y ORDER BY rank)) AS sy,
+             |    list_sum(list(x*x ORDER BY rank)) AS sxx,
+             |    list_sum(list(x*y ORDER BY rank)) AS sxy
+             |  FROM l)
+             |SELECT CAST(n AS BIGINT) AS k,
+             |  floor((n*sxy - sx*sy) / (n*sxx - sx*sx)
+             |    * 10000.0 + 0.5) / 10000.0 AS slope,
+             |  floor((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n
+             |    * 10000.0 + 0.5) / 10000.0 AS intercept
+             |FROM a""".stripMargin)),
+
+    // ACF at lags 1..7 of the daily mean: deviations snapped to
+    // integer 1e-4 units so numerator and denominator are exact
+    // BIGINT sums in any aggregation order.
+    GraftQuery(
+      "qK7_acf",
+      "Sample autocorrelation (lags 1-7) of the daily mean event " +
+        "value — integer-snapped deviations, exact BIGINT cross sums, " +
+        "lag equi-join on the day rank.",
+      (s, d) => Trend.acfDaily(t(s, d, "events"), "ts", col("value"), 7)
+        .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+          col("acf"))
+        .orderBy("lag"),
+      Some(s"""WITH $duckDaily,
+              |x AS (SELECT day, CAST(sc AS DOUBLE)/n/100.0 AS x FROM dly),
+              |m AS (SELECT list_sum(list(x ORDER BY day)) AS sx,
+              |    count(*) AS nd FROM x),
+              |dv AS (SELECT row_number() OVER (ORDER BY day) AS rk,
+              |    CAST(floor((x - (SELECT sx FROM m)/(SELECT nd FROM m))
+              |      * 10000.0 + 0.5) AS BIGINT) AS d
+              |  FROM x),
+              |den AS (SELECT sum(d*d) AS ss FROM dv),
+              |p AS (SELECT l.lag AS lag, count(*) AS n_pairs,
+              |    sum(a.d*b.d) AS num
+              |  FROM range(1, 8) l(lag)
+              |  JOIN dv a ON true
+              |  JOIN dv b ON b.rk = a.rk + l.lag
+              |  GROUP BY 1)
+              |SELECT CAST(lag AS BIGINT) AS lag,
+              |  CAST(n_pairs AS BIGINT) AS n_pairs,
+              |  floor(CAST(num AS DOUBLE) / (SELECT ss FROM den)
+              |    * 1000000.0 + 0.5) / 1000000.0 AS acf
+              |FROM p ORDER BY lag""".stripMargin)),
+
+    // EWMA control chart (λ=0.2, 3σ): the sequential recurrence runs
+    // as a sorted-array left fold on the Spark side and a recursive
+    // CTE on the oracle side — the SAME expression tree e + λ(x−e) in
+    // day order, so every intermediate double is bit-identical.
+    GraftQuery(
+      "qK8_ewma",
+      "EWMA control chart (lambda 0.2) over the daily mean with 3-" +
+        "sigma alarms against the global daily stddev.",
+      (s, d) => Trend.ewmaDaily(t(s, d, "events"), "ts", col("value"),
+        lambda = 0.2, kSigma = 3.0).orderBy("day"),
+      Some(s"""WITH RECURSIVE $duckDaily,
+              |x AS (SELECT row_number() OVER (ORDER BY day) AS rk, day,
+              |    CAST(sc AS DOUBLE)/n/100.0 AS x,
+              |    CAST(sc AS DOUBLE)/n AS m
+              |  FROM dly),
+              |sig AS (SELECT count(*) AS nd,
+              |    list_sum(list(m ORDER BY day)) AS s1,
+              |    list_sum(list(m*m ORDER BY day)) AS s2
+              |  FROM x),
+              |sg AS (SELECT sqrt((s2 - s1*s1/nd)/(nd - 1)) AS sig_c
+              |  FROM sig),
+              |rec AS (
+              |  SELECT rk, day, x, CAST(NULL AS DOUBLE) AS ep, x AS e
+              |  FROM x WHERE rk = 1
+              |  UNION ALL
+              |  SELECT x.rk, x.day, x.x, rec.e AS ep,
+              |    rec.e + 0.2*(x.x - rec.e) AS e
+              |  FROM rec JOIN x ON x.rk = rec.rk + 1)
+              |SELECT day,
+              |  floor(x * 10000.0 + 0.5) / 10000.0 AS x,
+              |  floor(ep * 10000.0 + 0.5) / 10000.0 AS ewma_prev,
+              |  floor(e * 10000.0 + 0.5) / 10000.0 AS ewma,
+              |  ep IS NOT NULL AND abs(x - ep) * 100.0 >
+              |    3.0 * (SELECT sig_c FROM sg) AS alarm
+              |FROM rec ORDER BY day""".stripMargin)),
+
+    // Mann-Kendall S/z + Theil-Sen slope: the O(|days|^2) pair join is
+    // bounded by the calendar; sign comparisons run on exact
+    // integer-cent means; the pair-slope median averages two exact
+    // doubles at most once.
+    GraftQuery(
+      "qK9_mann_kendall",
+      "Mann-Kendall trend test (tie-corrected variance, continuity-" +
+        "corrected z) + Theil-Sen slope of the daily mean event value.",
+      (s, d) => Trend.mannKendallDaily(t(s, d, "events"), "ts",
+        col("value")),
+      Some(s"""WITH $duckDaily,
+              |xc AS (SELECT day, CAST(sc AS DOUBLE)/n AS xc FROM dly),
+              |p AS (SELECT CAST(sign(b.xc - a.xc) AS BIGINT) AS sg,
+              |    (b.xc - a.xc)/100.0/date_diff('day', a.day, b.day)
+              |      AS slope
+              |  FROM xc a JOIN xc b ON b.day > a.day),
+              |sa AS (SELECT CAST(sum(sg) AS BIGINT) AS s_stat,
+              |    count(*) AS np, list_sort(list(slope)) AS slopes
+              |  FROM p),
+              |ti AS (SELECT CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT)
+              |      AS tie_term,
+              |    CAST(sum(t) AS BIGINT) AS nd
+              |  FROM (SELECT count(*) AS t FROM xc GROUP BY xc)),
+              |j AS (SELECT *,
+              |    CAST(nd*(nd-1)*(2*nd+5) - tie_term AS DOUBLE)/18.0
+              |      AS var_s,
+              |    CASE WHEN np % 2 = 1
+              |      THEN slopes[CAST((np+1)/2 AS INT)]
+              |      ELSE (slopes[CAST(np/2 AS INT)] +
+              |            slopes[CAST(np/2 + 1 AS INT)]) / 2.0 END AS med
+              |  FROM sa, ti)
+              |SELECT nd AS n_days, s_stat, var_s,
+              |  floor(CASE WHEN s_stat > 0
+              |      THEN CAST(s_stat - 1 AS DOUBLE)/sqrt(var_s)
+              |    WHEN s_stat < 0
+              |      THEN CAST(s_stat + 1 AS DOUBLE)/sqrt(var_s)
+              |    ELSE 0.0 END * 10000.0 + 0.5) / 10000.0 AS z,
+              |  floor(med * 1000000.0 + 0.5) / 1000000.0 AS slope_per_day
+              |FROM j""".stripMargin)),
+
+    // Chi-square independence: contingency cells completed from the
+    // margins' bounded cross join; per-cell contributions snapped to
+    // integer 1e-6 units so the total is an exact BIGINT sum.
+    GraftQuery(
+      "qL0_chi2_independence",
+      "Pearson chi-square test of independence between event_type and " +
+        "the user-id residue class (mod 5) — margins-completed grid, " +
+        "integer-snapped contributions.",
+      (s, d) => Robust.chi2Independence(t(s, d, "events"),
+        col("event_type"), col("user_id") % 5),
+      Some("""WITH cells AS (
+             |  SELECT CAST(event_type AS VARCHAR) AS av,
+             |    CAST(user_id % 5 AS VARCHAR) AS bv, count(*) AS o
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             |  GROUP BY 1, 2),
+             |rm AS (SELECT av, CAST(sum(o) AS BIGINT) AS rm
+             |  FROM cells GROUP BY av),
+             |cm AS (SELECT bv, CAST(sum(o) AS BIGINT) AS cm
+             |  FROM cells GROUP BY bv),
+             |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+             |grid AS (SELECT rm.av, cm.bv, rm.rm, cm.cm, tot.n,
+             |    coalesce(cells.o, 0) AS obs,
+             |    CAST(rm.rm AS DOUBLE) * cm.cm / tot.n AS exp
+             |  FROM rm CROSS JOIN cm CROSS JOIN tot
+             |  LEFT JOIN cells ON cells.av = rm.av AND cells.bv = cm.bv),
+             |c AS (SELECT max(n) AS n,
+             |    CAST(count(DISTINCT av) AS BIGINT) AS r_levels,
+             |    CAST(count(DISTINCT bv) AS BIGINT) AS c_levels,
+             |    CAST(sum(CAST(floor((obs - exp)*(obs - exp)/exp
+             |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s6
+             |  FROM grid)
+             |SELECT n, r_levels, c_levels,
+             |  (r_levels - 1) * (c_levels - 1) AS df,
+             |  floor(CAST(s6 AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+             |    / 10000.0 AS chi2
+             |FROM c""".stripMargin)),
+
+    // Exact mergeable quantiles: value-count state built from two
+    // disjoint halves and SUM-MERGED (proving the merge is lossless on
+    // the oracle-checked path), then lower-rank quantiles via the
+    // two-phase block prefix sum.
+    GraftQuery(
+      "qL3_quantiles_merged",
+      "Exact p50/p90/p99 of event value from sum-merged per-value " +
+        "count state (two disjoint halves merged) — the mergeable-" +
+        "exact-quantile path, block prefix sums, integer ranks.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val counts = Drift.mergeValueCounts(
+          Drift.valueCounts(ev.filter(col("event_id") % 2 === 0),
+            col("value")),
+          Drift.valueCounts(ev.filter(col("event_id") % 2 === 1),
+            col("value")))
+        Drift.quantilesFromCounts(counts, Seq(0.5, 0.9, 0.99))
+          .orderBy("q")
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(value AS DOUBLE) AS v, count(*) AS cnt
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+             |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc FROM c),
+             |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE),
+             |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q)
+             |SELECT q,
+             |  CAST(ceil(q * (SELECT n FROM tot)) AS BIGINT)
+             |    AS target_rank,
+             |  min(v) AS v
+             |FROM cum, qs
+             |WHERE cc >= ceil(q * (SELECT n FROM tot))
+             |GROUP BY 1, 2 ORDER BY q""".stripMargin)),
+
+    // The exact first LR gradient step from w = 0: sigma(0) = 0.5
+    // exactly, so each gradient component is 0.5/n times an exact
+    // BIGINT sum — the oracle-checkable window into the train loop.
+    GraftQuery(
+      "qL1_lr_step",
+      "Exact first logistic-regression gradient step (w = 0, lr 0.1) " +
+        "for lang='en' on integer features n_chars / n_tokens — " +
+        "per-feature exact integer sums, one final division.",
+      (s, d) => LogReg.gradStepFromZero(
+        t(s, d, "documents")
+          .withColumn("n_tokens",
+            size(graft.functions.TextOps.tokens(col("text")))),
+        Seq("n_chars" -> col("n_chars"), "n_tokens" -> col("n_tokens")),
+        col("lang") === "en", lr = 0.1)
+        .orderBy("feature"),
+      Some("""WITH f AS (
+             |  SELECT n_chars AS f_n_chars,
+             |    len(string_split(text, ' ')) AS f_n_tokens,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents),
+             |a AS (SELECT
+             |    CAST(sum(f_n_chars * (1 - 2*y)) AS BIGINT) AS s_nc,
+             |    CAST(sum(f_n_tokens * (1 - 2*y)) AS BIGINT) AS s_nt,
+             |    CAST(sum(1 - 2*y) AS BIGINT) AS s_b,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM f),
+             |rows_ AS (
+             |  SELECT '__intercept' AS feature, n, s_b AS s_int FROM a
+             |  UNION ALL
+             |  SELECT 'n_chars', n, s_nc FROM a
+             |  UNION ALL
+             |  SELECT 'n_tokens', n, s_nt FROM a)
+             |SELECT feature, n, s_int,
+             |  floor(CAST(s_int AS DOUBLE) * 0.5 / n * 1000000.0 + 0.5)
+             |    / 1000000.0 AS grad,
+             |  floor(CAST(s_int AS DOUBLE) * 0.5 / n * (-0.1)
+             |    * 1000000.0 + 0.5) / 1000000.0 AS w_after
+             |FROM rows_ ORDER BY feature""".stripMargin)),
+
+    // Hard-negative mining: per-anchor top-5 most-similar DIFFERENT-
+    // label vectors — the contrastive-training batch builder. Anchors
+    // broadcast (bounded by the predicate by design, the q35 license);
+    // the corpus streams once.
+    GraftQuery(
+      "qL2_hard_negatives",
+      "Top-5 hard negatives (highest-cosine different-label " +
+        "candidates) per anchor vector (vec_id < 10).",
+      (s, d) => Similarity.hardNegatives(
+        t(s, d, "embeddings"), "vec_id", "embedding", "label",
+        col("vid") < 10, k = 5)
+        .select(col("q_id"), col("label_q"), col("cand_id"),
+          col("label_c"),
+          (floor(col("cosine") * 10000.0 + 0.5) / 10000.0).as("cosine"),
+          col("rank"))
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $duckVecNorm,
+              |q AS (SELECT * FROM n WHERE vec_id < 10),
+              |scored AS (
+              |  SELECT q.vec_id AS q_id, q.label AS label_q,
+              |    c.vec_id AS cand_id, c.label AS label_c,
+              |    list_sum(list_transform(range(1,65),
+              |      i -> q.v[i]*c.v[i])) / (q.nrm*c.nrm) AS cosine
+              |  FROM q JOIN n c
+              |    ON c.vec_id != q.vec_id AND c.label != q.label),
+              |ranked AS (SELECT *, row_number() OVER (
+              |  PARTITION BY q_id ORDER BY cosine DESC, cand_id) AS rank
+              |  FROM scored)
+              |SELECT q_id, label_q, cand_id, label_c,
+              |  (floor((cosine) * 10000.0 + 0.5) / 10000.0) AS cosine,
+              |  rank
+              |FROM ranked WHERE rank <= 5
+              |ORDER BY q_id, rank""".stripMargin)),
+
+    // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
+    // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
+    // SAME Scala-computed constants are interpolated into the oracle),
+    // three-way match/possible/non-match decision.
+    GraftQuery(
+      "qL4_fellegi_sunter",
+      "Fellegi-Sunter linkage scores over sorted-neighborhood " +
+        "candidates: lang/source/length agreement fields, snapped " +
+        "log2(m/u) weights, match / possible / non_match decision.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = graft.operators.Blocking.sortedNeighborhood(
+          docs, "doc_id", substring(col("text"), 1, 12), w = 3)
+          .select(col("id_a"), col("id_b"))
+        val fields = docs.select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"))
+        Linkage.score(
+          cands
+            .join(fields.select(col("doc_id").as("id_a"),
+              col("lang").as("lang_a"), col("source").as("source_a"),
+              col("n_chars").as("nc_a")), Seq("id_a"))
+            .join(fields.select(col("doc_id").as("id_b"),
+              col("lang").as("lang_b"), col("source").as("source_b"),
+              col("n_chars").as("nc_b")), Seq("id_b")),
+          fsFields, upper = 1.0, lower = 0.0)
+          .select(col("id_a"), col("id_b"), col("agree_lang"),
+            col("agree_source"), col("agree_len"), col("score"),
+            col("decision"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val Seq(fl, fs_, fn) = fsFields
+        s"""WITH r AS (
+           |  SELECT doc_id, substr(text, 1, 12) AS bk, lang, source,
+           |    n_chars,
+           |    row_number() OVER (ORDER BY substr(text, 1, 12),
+           |      doc_id) - 1 AS rank
+           |  FROM documents),
+           |p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    a.lang = b.lang AS agree_lang,
+           |    a.source = b.source AS agree_source,
+           |    abs(a.n_chars - b.n_chars) * 10 <=
+           |      greatest(a.n_chars, b.n_chars) AS agree_len
+           |  FROM r a JOIN r b
+           |    ON b.rank > a.rank AND b.rank <= a.rank + 3),
+           |sc AS (
+           |  SELECT id_a, id_b, agree_lang, agree_source, agree_len,
+           |    (CASE WHEN agree_lang THEN CAST(${fl.wAgree} AS DOUBLE)
+           |      ELSE CAST(${fl.wDisagree} AS DOUBLE) END +
+           |     CASE WHEN agree_source THEN CAST(${fs_.wAgree} AS DOUBLE)
+           |      ELSE CAST(${fs_.wDisagree} AS DOUBLE) END +
+           |     CASE WHEN agree_len THEN CAST(${fn.wAgree} AS DOUBLE)
+           |      ELSE CAST(${fn.wDisagree} AS DOUBLE) END) AS score
+           |  FROM p)
+           |SELECT id_a, id_b, agree_lang, agree_source, agree_len,
+           |  score,
+           |  CASE WHEN score >= 1.0 THEN 'match'
+           |    WHEN score <= 0.0 THEN 'non_match'
+           |    ELSE 'possible' END AS decision
+           |FROM sc ORDER BY id_a, id_b""".stripMargin
+      })
+  )
+}

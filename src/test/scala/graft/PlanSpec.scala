@@ -230,6 +230,10 @@ class PlanSpec extends SparkTestBase {
     val bnljAllowed = Set("q20_ops_pdf_cdf", "q71_ops_upload_pdf_masked",
       "q35_ann_brute_topk", "qA7_ann_recall", "qJ1_ann_ndcg", "qJ2_rbo",
       "qJ6_mmr_rerank",
+      // qL2: hard-negative mining broadcasts the ANCHOR set — bounded
+      // by the isAnchor predicate by design, the same q35 license; the
+      // corpus side streams once
+      "qL2_hard_negatives",
       // qK4: silhouette's broadcast side is the seed-predicate codebook
       // — bounded by construction, the ivfTopK justification
       "qK4_silhouette",

@@ -1,0 +1,266 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Hand-computed cases for the round-7 batch: trend statistics (ACF,
+  * EWMA, Mann-Kendall/Theil-Sen), chi-square independence, mergeable
+  * exact quantiles, in-engine LR training, Fellegi-Sunter linkage,
+  * hard-negative mining, and the lexical-diversity diagnostics.
+  */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(day: Int, h: Int = 12) =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  // One event per day so the daily mean IS the value.
+  private def dailySeries(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, ts(i + 1), v) }
+      .toDF("event_id", "ts", "value")
+
+  // ---- ACF ----------------------------------------------------------
+
+  test("Trend.acfDaily: alternating series has ACF(1) ~ -1, ACF(2) ~ +1") {
+    val df = dailySeries(Seq(1.0, 3.0, 1.0, 3.0, 1.0, 3.0, 1.0, 3.0))
+    val r = Trend.acfDaily(df, "ts", col("value"), 2)
+      .orderBy("lag").collect()
+    val acf1 = r(0).getAs[Double]("acf")
+    val acf2 = r(1).getAs[Double]("acf")
+    assert(acf1 < -0.8, s"lag-1 of an alternating series: $acf1")
+    assert(acf2 > 0.6, s"lag-2 of an alternating series: $acf2")
+    assert(r(0).getAs[Long]("n_pairs") == 7)
+    assert(r(1).getAs[Long]("n_pairs") == 6)
+  }
+
+  test("Trend.acfDaily: constant series has zero deviations (acf = 0/0 -> null)") {
+    val df = dailySeries(Seq(5.0, 5.0, 5.0, 5.0))
+    val r = Trend.acfDaily(df, "ts", col("value"), 1).collect()
+    // zero deviation mass -> ACF undefined -> null (not an ANSI error)
+    assert(r(0).isNullAt(r(0).fieldIndex("acf")))
+  }
+
+  // ---- EWMA ---------------------------------------------------------
+
+  test("Trend.ewmaDaily replays the recurrence exactly") {
+    val xs = Seq(10.0, 12.0, 8.0, 11.0)
+    val r = Trend.ewmaDaily(dailySeries(xs), "ts", col("value"),
+      lambda = 0.5, kSigma = 100.0).orderBy("day").collect()
+    // hand recurrence, lambda=.5: e1=10, e2=11, e3=9.5, e4=10.25
+    val e = Seq(10.0, 11.0, 9.5, 10.25)
+    r.zip(e).foreach { case (row, exp) =>
+      assert(math.abs(row.getAs[Double]("ewma") - exp) < 1e-9) }
+    assert(r(0).isNullAt(r(0).fieldIndex("ewma_prev")))
+    assert(math.abs(r(1).getAs[Double]("ewma_prev") - 10.0) < 1e-9)
+    // kSigma=100 -> no alarms
+    assert(r.forall(!_.getAs[Boolean]("alarm")))
+  }
+
+  test("Trend.ewmaDaily alarms on a shock beyond k sigma") {
+    // stable series then a large jump. The global sigma INCLUDES the
+    // shock day (one pass, no leave-one-out), so the jump must clear
+    // k sigma of the shock-inflated spread: 60 vs sigma ~ 20.4.
+    val xs = Seq(10.0, 10.2, 9.8, 10.1, 9.9, 60.0)
+    val r = Trend.ewmaDaily(dailySeries(xs), "ts", col("value"),
+      lambda = 0.2, kSigma = 2.0).orderBy("day").collect()
+    assert(r.last.getAs[Boolean]("alarm"), "shock day must alarm")
+    assert(r.init.forall(!_.getAs[Boolean]("alarm")))
+  }
+
+  // ---- Mann-Kendall / Theil-Sen ------------------------------------
+
+  test("Trend.mannKendallDaily on a strictly increasing series") {
+    // x = 1,2,3,4,5 daily: S = 10 (all pairs ascending), no ties:
+    // Var = 5*4*15/18 = 16.666..., z = 9/sqrt(50/3) = 2.2045,
+    // Theil-Sen slope = 1 per day.
+    val r = Trend.mannKendallDaily(
+      dailySeries(Seq(1.0, 2.0, 3.0, 4.0, 5.0)), "ts", col("value"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") == 5)
+    assert(r.getAs[Long]("s_stat") == 10)
+    assert(math.abs(r.getAs[Double]("var_s") - 50.0 / 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z") - 2.2045) < 1e-3)
+    assert(math.abs(r.getAs[Double]("slope_per_day") - 1.0) < 1e-9)
+  }
+
+  test("Trend.mannKendallDaily: ties contribute zero and correct the variance") {
+    // x = 2,2,2,5: S = 3 (three ascending pairs vs the 5), tie group
+    // of 3: Var = [4*3*13 - 3*2*11]/18 = (156-66)/18 = 5
+    val r = Trend.mannKendallDaily(
+      dailySeries(Seq(2.0, 2.0, 2.0, 5.0)), "ts", col("value"))
+      .collect()(0)
+    assert(r.getAs[Long]("s_stat") == 3)
+    assert(math.abs(r.getAs[Double]("var_s") - 5.0) < 1e-9)
+  }
+
+  // ---- chi-square independence -------------------------------------
+
+  test("Robust.chi2Independence: independent margins give chi2 ~ 0") {
+    // perfectly proportional 2x2 grid: obs == exp exactly
+    val rows = Seq.fill(20)(("a", "x")) ++ Seq.fill(20)(("b", "x")) ++
+      Seq.fill(10)(("a", "y")) ++ Seq.fill(10)(("b", "y"))
+    val r = Robust.chi2Independence(rows.toDF("u", "v"),
+      col("u"), col("v")).collect()(0)
+    assert(r.getAs[Long]("df") == 1)
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("Robust.chi2Independence matches the textbook 2x2 formula") {
+    // 2x2 with counts a=10 b=20 c=30 d=40:
+    // chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) = 100*(400-600)^2/...
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val r = Robust.chi2Independence(rows.toDF("u", "v"),
+      col("u"), col("v")).collect()(0)
+    val expected = 100.0 * math.pow(10.0 * 40 - 20.0 * 30, 2) /
+      (30.0 * 70.0 * 40.0 * 60.0)
+    assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-3)
+    // absent cells complete: drop one cell entirely, chi2 still defined
+    val sparse = (Seq.fill(10)(("r1", "c1")) ++ Seq.fill(10)(("r2", "c1"))
+      ++ Seq.fill(10)(("r2", "c2"))).toDF("u", "v")
+    val r2 = Robust.chi2Independence(sparse, col("u"), col("v"))
+      .collect()(0)
+    assert(r2.getAs[Long]("df") == 1 && r2.getAs[Double]("chi2") > 0)
+  }
+
+  // ---- mergeable exact quantiles -----------------------------------
+
+  test("Drift.quantilesFromCounts: lower-rank quantiles, merge-invariant") {
+    val xs = (1 to 100).map(_.toDouble)
+    val df = xs.toDF("x")
+    val counts = Drift.valueCounts(df, col("x"))
+    val q = Drift.quantilesFromCounts(counts, Seq(0.5, 0.9, 1.0),
+      nBlocks = 4).orderBy("q").collect()
+    assert(q.map(_.getAs[Double]("v")).toSeq == Seq(50.0, 90.0, 100.0))
+    // merging two disjoint halves gives identical quantiles
+    val merged = Drift.mergeValueCounts(
+      Drift.valueCounts(df.filter(col("x") <= 41), col("x")),
+      Drift.valueCounts(df.filter(col("x") > 41), col("x")))
+    val q2 = Drift.quantilesFromCounts(merged, Seq(0.5, 0.9, 1.0),
+      nBlocks = 4).orderBy("q").collect()
+    assert(q2.map(_.getAs[Double]("v")).toSeq == Seq(50.0, 90.0, 100.0))
+    // duplicated mass shifts ranks correctly: 90 ones and 10 twos
+    val skew = (Seq.fill(90)(1.0) ++ Seq.fill(10)(2.0)).toDF("x")
+    val q3 = Drift.quantilesFromCounts(
+      Drift.valueCounts(skew, col("x")), Seq(0.5, 0.95)).orderBy("q")
+      .collect()
+    assert(q3(0).getAs[Double]("v") == 1.0)
+    assert(q3(1).getAs[Double]("v") == 2.0)
+  }
+
+  // ---- logistic regression -----------------------------------------
+
+  test("LogReg.gradStepFromZero computes the exact half-sum gradient") {
+    // two features, labels: y=1 rows contribute -x, y=0 rows +x
+    val df = Seq((4L, 2L, true), (2L, 6L, false), (8L, 4L, true))
+      .toDF("f1", "f2", "y")
+    val r = LogReg.gradStepFromZero(df,
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), col("y"), lr = 1.0)
+      .orderBy("feature").collect()
+    // s_f1 = -4 + 2 - 8 = -10; s_f2 = -2 + 6 - 4 = 0; s_b = -1
+    val by = r.map(x => x.getAs[String]("feature") ->
+      x.getAs[Long]("s_int")).toMap
+    assert(by("f1") == -10L && by("f2") == 0L && by("__intercept") == -1L)
+    val g = r.map(x => x.getAs[String]("feature") ->
+      x.getAs[Double]("grad")).toMap
+    assert(math.abs(g("f1") - (-10.0 * 0.5 / 3)) < 1e-6)
+    assert(g("f2") == 0.0)
+  }
+
+  test("LogReg.train separates linearly separable data and lowers loss") {
+    val pos = (1 to 40).map(i => (10.0 + (i % 7), true))
+    val neg = (1 to 40).map(i => (-10.0 - (i % 5), false))
+    val df = (pos ++ neg).toDF("x", "y")
+    val feats = Seq("x" -> col("x"))
+    val (l0, _) = LogReg.lossAndAccuracy(df, feats, col("y"),
+      Array(0.0), 0.0)
+    val (w, b) = LogReg.train(df, feats, col("y"), lr = 0.5, iters = 30)
+    val (l1, acc) = LogReg.lossAndAccuracy(df, feats, col("y"), w, b)
+    assert(l1 < l0, s"loss must decrease: $l0 -> $l1")
+    assert(acc == 1.0, s"separable data must classify perfectly: $acc")
+    assert(w(0) > 0, "weight sign must follow the separation direction")
+  }
+
+  // ---- Fellegi-Sunter ----------------------------------------------
+
+  test("Linkage.score: agreement adds evidence, decisions follow thresholds") {
+    val pairs = Seq(
+      (1L, 2L, "en", "en", "a", "a"),   // both agree
+      (3L, 4L, "en", "de", "a", "a"),   // one agrees
+      (5L, 6L, "en", "de", "a", "b"))   // none agree
+      .toDF("id_a", "id_b", "l_a", "l_b", "s_a", "s_b")
+    val fields = Seq(
+      Linkage.Field("lang", col("l_a") === col("l_b"), 0.9, 0.3),
+      Linkage.Field("src", col("s_a") === col("s_b"), 0.8, 0.2))
+    // scores: both agree = log2(3)+2 = 3.585; lang-disagree+src-agree
+    // = log2(1/7)+2 = -0.807; none = -2.807-2 = -4.807
+    val r = Linkage.score(pairs, fields, upper = 2.5, lower = -1.0)
+      .orderBy("id_a").collect()
+    val wl = fields(0); val ws = fields(1)
+    assert(math.abs(r(0).getAs[Double]("score") -
+      (wl.wAgree + ws.wAgree)) < 1e-9)
+    assert(r(0).getAs[String]("decision") == "match")
+    assert(r(1).getAs[String]("decision") == "possible")
+    assert(r(2).getAs[String]("decision") == "non_match")
+    // weights: agreement positive, disagreement negative, snapped 6dp
+    assert(wl.wAgree > 0 && wl.wDisagree < 0)
+    assert(wl.wAgree == math.floor(
+      math.log(0.9 / 0.3) / math.log(2.0) * 1e6 + 0.5) / 1e6)
+  }
+
+  test("Linkage.Field rejects degenerate m/u") {
+    intercept[IllegalArgumentException] {
+      Linkage.Field("bad", lit(true), m = 0.2, u = 0.5) } // m <= u
+    intercept[IllegalArgumentException] {
+      Linkage.Field("bad", lit(true), m = 1.0, u = 0.5) } // m not in (0,1)
+  }
+
+  // ---- hard negatives ----------------------------------------------
+
+  test("Similarity.hardNegatives returns only different-label neighbors") {
+    // 2-d vectors: anchors id 0 (label 0); same-label near-dup id 1
+    // must NOT appear; different-label ids rank by cosine.
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f), 0),   // same label — excluded
+      (2L, Array(0.9f, 0.4f), 1),    // closest different-label
+      (3L, Array(0.0f, 1.0f), 1),    // orthogonal
+      (4L, Array(0.7f, 0.7f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(vs, "vec_id", "embedding", "label",
+      col("vid") === 0, k = 2).orderBy("rank").collect()
+    assert(r.map(_.getAs[Long]("cand_id")).toSeq == Seq(2L, 4L))
+    assert(r.forall(_.getAs[Int]("label_c") != 0))
+    assert(r(0).getAs[Double]("cosine") > r(1).getAs[Double]("cosine"))
+  }
+
+  // ---- lexical diversity / Zipf ------------------------------------
+
+  test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {
+    val df = Seq((0L, "a a b c"), (1L, "x y z w")).toDF("doc_id", "text")
+    val r = TextAnalysis.lexicalDiversity(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 0: 4 tokens, 3 types, hapax {b, c} -> ttr .75, hapax .5
+    assert(r(0).getAs[Long]("n_tokens") == 4)
+    assert(r(0).getAs[Long]("n_types") == 3)
+    assert(r(0).getAs[Double]("ttr") == 0.75)
+    assert(r(0).getAs[Double]("hapax_ratio") == 0.5)
+    // doc 1: all hapax
+    assert(r(1).getAs[Double]("ttr") == 1.0)
+    assert(r(1).getAs[Double]("hapax_ratio") == 1.0)
+  }
+
+  test("TextAnalysis.zipfSlope recovers a constructed power law") {
+    // counts ~ 1000/rank exactly: slope must be ~ -1
+    val rows = (1 to 50).flatMap(r => Seq.fill(1000 / r)(s"tok$r"))
+    val freq = rows.map(t => (t, 1)).toDF("tok", "one")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val r = TextAnalysis.zipfSlope(freq, 50).collect()(0)
+    assert(r.getAs[Long]("k") == 50)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 0.05,
+      s"slope ${r.getAs[Double]("slope")}")
+  }
+}

@@ -235,9 +235,76 @@ object Robust {
         countDistinct("av").as("r_levels"),
         countDistinct("bv").as("c_levels"),
         sum("contrib6").as("s6"))
+      .withColumn("chi2_raw", col("s6").cast("double") / 1000000.0)
       .select(col("n"), col("r_levels"), col("c_levels"),
         ((col("r_levels") - 1) * (col("c_levels") - 1)).as("df"),
-        (floor(col("s6").cast("double") / 1000000.0 * 10000.0 + 0.5) /
-          10000.0).as("chi2"))
+        (floor(col("chi2_raw") * 10000.0 + 0.5) / 10000.0).as("chi2"),
+        // Cramér's V effect size: sqrt(chi2 / (n·min(R−1, C−1)));
+        // null on a degenerate 1×C / R×1 table instead of an ANSI
+        // division error
+        when(least(col("r_levels") - 1, col("c_levels") - 1) <= 0,
+          lit(null).cast("double"))
+          .otherwise(floor(sqrt(col("chi2_raw") /
+            (col("n") * least(col("r_levels") - 1, col("c_levels") - 1)))
+            * 10000.0 + 0.5) / 10000.0).as("cramers_v"))
+  }
+
+  /** Two-proportion z-test — the A/B primitive for CONVERSION-style
+    * binary outcomes, beside [[welchTTest]] for means: pooled-variance
+    * z = (p_a − p_b)/√(p̂(1−p̂)(1/n_a + 1/n_b)). One conditional-sum
+    * aggregate per side (integer counts, exact); every derived double
+    * is one fixed expression tree.
+    * Output: one row — n_a, conv_a, n_b, conv_b, p_a (4 dp), p_b
+    * (4 dp), z (4 dp).
+    */
+  def twoProportionZ(a: DataFrame, b: DataFrame, success: Column)
+      : DataFrame = {
+    def side(df: DataFrame, t: String) =
+      df.agg(count(lit(1)).as(s"n_$t"),
+        sum(when(success, 1L).otherwise(0L)).as(s"conv_$t"))
+    val j = side(a, "a").crossJoin(side(b, "b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    j.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      r4(pa).as("p_a"), r4(pb).as("p_b"),
+      r4((pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))).as("z"))
+  }
+
+  /** Per-group Tukey-fence (IQR) outlier summary — the box-plot screen
+    * beside the MAD screen: fences at Q1 − k·IQR / Q3 + k·IQR
+    * (k = 1.5 conventional). Exact interpolating quartiles (Spark
+    * `percentile`, the [[madOutlierSummary]] oracle convention —
+    * DuckDB `quantile_cont` matches); the detail pass is one
+    * broadcast-join + conditional sum at scan speed.
+    * Output: groupCols..., n, q1 (4 dp), q3 (4 dp), iqr (4 dp),
+    * n_low, n_high.
+    */
+  def iqrOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Double = 1.5): DataFrame = {
+    val base = df.select((groupCols.map(col) :+
+      col(valueCol).cast("double").as("__x")): _*)
+      .filter(col("__x").isNotNull)
+    val qs = base.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col("__x"), lit(0.25)).as("q1r"),
+        percentile(col("__x"), lit(0.75)).as("q3r"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    base.join(broadcast(qs), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        first("q1r").as("q1r"), first("q3r").as("q3r"),
+        sum(when(col("__x") <
+          col("q1r") - lit(k) * (col("q3r") - col("q1r")), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("__x") >
+          col("q3r") + lit(k) * (col("q3r") - col("q1r")), 1L)
+          .otherwise(0L)).as("n_high"))
+      .select((groupCols.map(col) :+ col("n") :+
+        r4(col("q1r")).as("q1") :+ r4(col("q3r")).as("q3") :+
+        r4(col("q3r") - col("q1r")).as("iqr") :+
+        col("n_low") :+ col("n_high")): _*)
   }
 }

@@ -143,6 +143,37 @@ object Trend {
             lit(kSigma) * col("sig_c")).as("alarm"))
   }
 
+  /** Day-of-week seasonality profile: per ISO weekday (1 = Monday),
+    * the event volume, mean value, and the seasonal index
+    * mean_dow/grand_mean — the weekly-cycle diagnostic next to the
+    * serial measures ([[acfDaily]] sees the cycle as a lag-7 peak;
+    * this names which days carry it). All sums are integer cents until
+    * the two final divisions; Spark's `weekday()+1` equals DuckDB/
+    * Postgres `isodow` so the bucketing is engine-portable.
+    * Output per dow: dow, n_events, n_days, mean_value (4 dp),
+    * seasonal_idx (4 dp).
+    */
+  def weekdayProfile(df: DataFrame, tsCol: String, value: Column)
+      : DataFrame = {
+    val base = df
+      .select(to_date(col(tsCol)).as("day"),
+        floor(value.cast("double") * 100 + 0.5).cast("long").as("c"))
+      .filter(col("c").isNotNull)
+      .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+    val byDow = base.groupBy("dow")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("day").as("n_days"),
+        sum("c").as("sc"))
+    val tot = byDow.agg(sum("n_events").as("tn"), sum("sc").as("tsc"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_events"), col("n_days"),
+        r4(col("sc").cast("double") / col("n_events") / 100.0)
+          .as("mean_value"),
+        r4((col("sc").cast("double") / col("n_events")) /
+          (col("tsc").cast("double") / col("tn"))).as("seasonal_idx"))
+  }
+
   /** Mann-Kendall trend test + Theil-Sen slope over the daily mean:
     * S = Σ_{i<j} sign(x_j − x_i) (ties contribute 0), variance with
     * the tie correction Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18,

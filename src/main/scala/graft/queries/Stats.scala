@@ -252,7 +252,12 @@ object Stats {
              |SELECT n, r_levels, c_levels,
              |  (r_levels - 1) * (c_levels - 1) AS df,
              |  floor(CAST(s6 AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
-             |    / 10000.0 AS chi2
+             |    / 10000.0 AS chi2,
+             |  CASE WHEN least(r_levels - 1, c_levels - 1) <= 0
+             |    THEN CAST(NULL AS DOUBLE)
+             |    ELSE floor(sqrt(CAST(s6 AS DOUBLE) / 1000000.0 /
+             |      (n * least(r_levels - 1, c_levels - 1)))
+             |      * 10000.0 + 0.5) / 10000.0 END AS cramers_v
              |FROM c""".stripMargin)),
 
     // Exact mergeable quantiles: value-count state built from two
@@ -361,6 +366,204 @@ object Stats {
               |  rank
               |FROM ranked WHERE rank <= 5
               |ORDER BY q_id, rank""".stripMargin)),
+
+    // Mutual information over the same contingency machinery as qL0:
+    // the effect-size / feature-selection companion to the chi-square
+    // significance test. Log-bearing sums fold in sorted level order
+    // on both engines.
+    GraftQuery(
+      "qL5_mutual_information",
+      "Mutual information (nats) between event_type and the user-id " +
+        "residue class: marginal/joint entropies, MI, min-normalized " +
+        "NMI — sorted-level folds, 6-dp rounding.",
+      (s, d) => graft.operators.Info.mutualInformation(
+        t(s, d, "events"), col("event_type"), col("user_id") % 5),
+      Some("""WITH cells AS (
+             |  SELECT CAST(event_type AS VARCHAR) AS av,
+             |    CAST(user_id % 5 AS VARCHAR) AS bv, count(*) AS o
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+             |  GROUP BY 1, 2),
+             |rm AS (SELECT av, CAST(sum(o) AS BIGINT) AS rm
+             |  FROM cells GROUP BY av),
+             |cm AS (SELECT bv, CAST(sum(o) AS BIGINT) AS cm
+             |  FROM cells GROUP BY bv),
+             |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+             |sj AS (SELECT list_sum(list(o * ln(CAST(o AS DOUBLE))
+             |    ORDER BY av, bv)) AS s_ab FROM cells),
+             |sa AS (SELECT list_sum(list(rm * ln(CAST(rm AS DOUBLE))
+             |    ORDER BY av)) AS s_a FROM rm),
+             |sb AS (SELECT list_sum(list(cm * ln(CAST(cm AS DOUBLE))
+             |    ORDER BY bv)) AS s_b FROM cm),
+             |j AS (SELECT n,
+             |    ln(CAST(n AS DOUBLE)) - s_a / n AS ha,
+             |    ln(CAST(n AS DOUBLE)) - s_b / n AS hb,
+             |    ln(CAST(n AS DOUBLE)) - s_ab / n AS hab
+             |  FROM tot, sa, sb, sj)
+             |SELECT n,
+             |  floor(ha * 1000000.0 + 0.5) / 1000000.0 AS h_a,
+             |  floor(hb * 1000000.0 + 0.5) / 1000000.0 AS h_b,
+             |  floor(hab * 1000000.0 + 0.5) / 1000000.0 AS h_ab,
+             |  floor((ha + hb - hab) * 1000000.0 + 0.5) / 1000000.0
+             |    AS mi,
+             |  CASE WHEN least(ha, hb) <= 0 THEN CAST(NULL AS DOUBLE)
+             |    ELSE floor((ha + hb - hab) / least(ha, hb)
+             |      * 1000000.0 + 0.5) / 1000000.0 END AS nmi
+             |FROM j""".stripMargin)),
+
+    // Two-proportion z: the conversion-rate A/B primitive — exact
+    // integer counts, one fixed expression tree.
+    GraftQuery(
+      "qL6_two_proportion_z",
+      "Pooled two-proportion z-test of purchase rate between even and " +
+        "odd user-id cohorts.",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        Robust.twoProportionZ(
+          ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1),
+          col("event_type") === "purchase")
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+             |      ELSE 0 END) AS BIGINT) AS conv_a
+             |  FROM events WHERE user_id IS NOT NULL AND user_id % 2 = 0),
+             |b AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_b,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+             |      ELSE 0 END) AS BIGINT) AS conv_b
+             |  FROM events WHERE user_id IS NOT NULL AND user_id % 2 = 1),
+             |j AS (SELECT *,
+             |    CAST(conv_a AS DOUBLE) / n_a AS pa,
+             |    CAST(conv_b AS DOUBLE) / n_b AS pb,
+             |    CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pp
+             |  FROM a, b)
+             |SELECT n_a, conv_a, n_b, conv_b,
+             |  floor(pa * 10000.0 + 0.5) / 10000.0 AS p_a,
+             |  floor(pb * 10000.0 + 0.5) / 10000.0 AS p_b,
+             |  floor((pa - pb) / sqrt(pp * (1.0 - pp) *
+             |    (1.0 / n_a + 1.0 / n_b)) * 10000.0 + 0.5) / 10000.0
+             |    AS z
+             |FROM j""".stripMargin)),
+
+    // Tukey-fence outliers per event_type: exact interpolating
+    // quartiles (percentile vs quantile_cont, the qG6 convention),
+    // raw-quartile fences, scan-speed detail pass.
+    GraftQuery(
+      "qL7_iqr_outliers",
+      "Per-event-type Tukey-fence (1.5 IQR) outlier summary of event " +
+        "value: exact quartiles, fence counts below/above.",
+      (s, d) => Robust.iqrOutliers(t(s, d, "events"),
+        Seq("event_type"), "value", k = 1.5).orderBy("event_type"),
+      Some("""WITH q AS (
+             |  SELECT event_type,
+             |    quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1r,
+             |    quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3r
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |d AS (
+             |  SELECT e.event_type, CAST(e.value AS DOUBLE) AS x,
+             |    q.q1r, q.q3r
+             |  FROM events e JOIN q USING (event_type)
+             |  WHERE e.value IS NOT NULL)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  floor(q1r * 10000.0 + 0.5) / 10000.0 AS q1,
+             |  floor(q3r * 10000.0 + 0.5) / 10000.0 AS q3,
+             |  floor((q3r - q1r) * 10000.0 + 0.5) / 10000.0 AS iqr,
+             |  CAST(sum(CASE WHEN x < q1r - 1.5 * (q3r - q1r)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+             |  CAST(sum(CASE WHEN x > q3r + 1.5 * (q3r - q1r)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             |FROM d GROUP BY event_type, q1r, q3r
+             |ORDER BY event_type""".stripMargin)),
+
+    // Weekday seasonality profile: Spark weekday()+1 == isodow, all
+    // sums integer cents until the final divisions.
+    GraftQuery(
+      "qL8_weekday_profile",
+      "ISO-weekday seasonality profile of event value: per-dow " +
+        "volume, day count, mean, and seasonal index vs grand mean.",
+      (s, d) => Trend.weekdayProfile(t(s, d, "events"), "ts",
+        col("value")).orderBy("dow"),
+      Some("""WITH b AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+             |  FROM events WHERE value IS NOT NULL),
+             |d AS (SELECT CAST(isodow(day) AS BIGINT) AS dow,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+             |    CAST(sum(c) AS BIGINT) AS sc
+             |  FROM b GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS tn,
+             |    CAST(sum(sc) AS BIGINT) AS tsc FROM d)
+             |SELECT dow, n_events, n_days,
+             |  floor(CAST(sc AS DOUBLE) / n_events / 100.0
+             |    * 10000.0 + 0.5) / 10000.0 AS mean_value,
+             |  floor((CAST(sc AS DOUBLE) / n_events) /
+             |    (CAST(tsc AS DOUBLE) / tn) * 10000.0 + 0.5) / 10000.0
+             |    AS seasonal_idx
+             |FROM d, t ORDER BY dow""".stripMargin)),
+
+    // Exact Gini from integer-cent value counts and the rank-sum
+    // identity — cumulative-below via the block prefix sum, the whole
+    // rank sum in BIGINTs.
+    GraftQuery(
+      "qL9_gini",
+      "Exact Gini coefficient of event value (integer-cent rank-sum " +
+        "identity over the value-count frame).",
+      (s, d) => graft.operators.Info.giniCoefficient(
+        t(s, d, "events"), col("value")),
+      Some("""WITH c AS (
+             |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+             |    count(*) AS c
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |r AS (SELECT v, c,
+             |    coalesce(sum(c) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS cbelow
+             |  FROM c),
+             |s AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(sum(v*c) AS BIGINT) AS t,
+             |    CAST(sum(v*(c*cbelow + (c*(c+1))//2)) AS BIGINT) AS s
+             |  FROM r)
+             |SELECT n,
+             |  floor(CAST(t AS DOUBLE) / 100.0 * 10000.0 + 0.5)
+             |    / 10000.0 AS total,
+             |  CASE WHEN t = 0 THEN CAST(NULL AS DOUBLE)
+             |    ELSE floor((CAST(s AS DOUBLE) * 2 -
+             |      CAST(n + 1 AS DOUBLE) * t) /
+             |      (CAST(n AS DOUBLE) * t) * 1000000.0 + 0.5)
+             |      / 1000000.0 END AS gini
+             |FROM s""".stripMargin)),
+
+    // Source-mix diversity indices of the document corpus.
+    GraftQuery(
+      "qM0_diversity_indices",
+      "Shannon entropy, Simpson index, Gini-Simpson, and effective " +
+        "level count of the documents source mix.",
+      (s, d) => graft.operators.Info.diversityIndices(
+        t(s, d, "documents"), col("source")),
+      Some("""WITH l AS (
+             |  SELECT source AS av, count(*) AS c FROM documents
+             |  WHERE source IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS levels FROM l),
+             |f AS (SELECT
+             |    list_sum(list(c * ln(CAST(c AS DOUBLE)) ORDER BY av))
+             |      AS s_clnc,
+             |    list_sum(list(CAST(c AS DOUBLE) * c ORDER BY av))
+             |      AS s_c2
+             |  FROM l)
+             |SELECT n, levels,
+             |  floor((ln(CAST(n AS DOUBLE)) - s_clnc / n)
+             |    * 1000000.0 + 0.5) / 1000000.0 AS shannon,
+             |  floor(s_c2 / n / n * 1000000.0 + 0.5) / 1000000.0
+             |    AS simpson,
+             |  floor((1.0 - s_c2 / n / n) * 1000000.0 + 0.5)
+             |    / 1000000.0 AS gini_simpson,
+             |  floor(1.0 / (s_c2 / n / n) * 10000.0 + 0.5) / 10000.0
+             |    AS effective_levels
+             |FROM t, f""".stripMargin)),
 
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the

@@ -237,6 +237,111 @@ class StatsSpec extends SparkTestBase {
     assert(r(0).getAs[Double]("cosine") > r(1).getAs[Double]("cosine"))
   }
 
+  // ---- mutual information / diversity ------------------------------
+
+  test("Info.mutualInformation: independent columns give MI 0, " +
+    "determined columns give MI = H") {
+    val indep = (for { u <- Seq("a", "b"); v <- Seq("x", "y");
+      _ <- 1 to 10 } yield (u, v)).toDF("u", "v")
+    val r0 = Info.mutualInformation(indep, col("u"), col("v"))
+      .collect()(0)
+    assert(r0.getAs[Double]("mi") == 0.0)
+    assert(r0.getAs[Double]("nmi") == 0.0)
+    // v fully determined by u: MI = H(U) = H(V) = ln 2, NMI = 1
+    val det = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("u", "v")
+    val r1 = Info.mutualInformation(det, col("u"), col("v")).collect()(0)
+    assert(math.abs(r1.getAs[Double]("mi") - math.log(2.0)) < 1e-5)
+    assert(math.abs(r1.getAs[Double]("nmi") - 1.0) < 1e-5)
+    // constant column: H = 0 -> NMI null, MI 0
+    val const = Seq.fill(10)(("a", "x")).toDF("u", "v")
+    val r2 = Info.mutualInformation(const, col("u"), col("v"))
+      .collect()(0)
+    assert(r2.getAs[Double]("mi") == 0.0)
+    assert(r2.isNullAt(r2.fieldIndex("nmi")))
+  }
+
+  test("Info.diversityIndices: uniform mix maxes entropy, constant zeroes it") {
+    val uniform = (1 to 4).flatMap(i => Seq.fill(25)(s"s$i")).toDF("s")
+    val r = Info.diversityIndices(uniform, col("s")).collect()(0)
+    assert(math.abs(r.getAs[Double]("shannon") - math.log(4.0)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("simpson") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("effective_levels") - 4.0) < 1e-3)
+    val const = Seq.fill(10)("only").toDF("s")
+    val r2 = Info.diversityIndices(const, col("s")).collect()(0)
+    assert(r2.getAs[Double]("shannon") == 0.0)
+    assert(r2.getAs[Double]("effective_levels") == 1.0)
+  }
+
+  test("Info.giniCoefficient: equal values -> 0; known split by hand") {
+    val eq = Seq.fill(10)(5.0).toDF("x")
+    val r0 = Info.giniCoefficient(eq, col("x")).collect()(0)
+    assert(r0.getAs[Double]("gini") == 0.0)
+    // x = (1,1,1,1,6): T=10, sorted ranks 1..5,
+    // S = 1+2+3+4+5*6 = 40 -> G = (80 - 6*10)/(5*10) = 0.4
+    val hand = Seq(1.0, 1.0, 1.0, 1.0, 6.0).toDF("x")
+    val r1 = Info.giniCoefficient(hand, col("x"), nBlocks = 2)
+      .collect()(0)
+    assert(math.abs(r1.getAs[Double]("gini") - 0.4) < 1e-9)
+    assert(r1.getAs[Double]("total") == 10.0)
+  }
+
+  // ---- two-proportion z / IQR fences / weekday profile -------------
+
+  test("Robust.twoProportionZ matches the hand formula") {
+    val a = (Seq.fill(30)(true) ++ Seq.fill(70)(false)).toDF("s")
+    val b = (Seq.fill(10)(true) ++ Seq.fill(90)(false)).toDF("s")
+    val r = Robust.twoProportionZ(a, b, col("s")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 100 && r.getAs[Long]("conv_a") == 30)
+    val pp = 40.0 / 200.0
+    val z = (0.3 - 0.1) / math.sqrt(pp * (1 - pp) * (2.0 / 100.0))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-3)
+  }
+
+  test("Robust.chi2Independence reports Cramér's V and guards 1xC tables") {
+    val rows = Seq.fill(10)(("r1", "c1")) ++ Seq.fill(20)(("r1", "c2")) ++
+      Seq.fill(30)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val r = Robust.chi2Independence(rows.toDF("u", "v"),
+      col("u"), col("v")).collect()(0)
+    val v = math.sqrt(r.getAs[Double]("chi2") / 100.0)
+    assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-3)
+    // single-row-level table: df = 0, V undefined (null), no ANSI error
+    val flat = Seq.fill(10)(("only", "c1")) ++ Seq.fill(10)(("only", "c2"))
+    val r2 = Robust.chi2Independence(flat.toDF("u", "v"),
+      col("u"), col("v")).collect()(0)
+    assert(r2.getAs[Long]("df") == 0)
+    assert(r2.isNullAt(r2.fieldIndex("cramers_v")))
+  }
+
+  test("Robust.iqrOutliers flags only fence-crossers") {
+    // group g: 1..100 plus one far outlier each side
+    val vals = (1 to 100).map(_.toDouble) ++ Seq(-1000.0, 1000.0)
+    val df = vals.map(("g", _)).toDF("grp", "x")
+    val r = Robust.iqrOutliers(df, Seq("grp"), "x").collect()(0)
+    assert(r.getAs[Long]("n") == 102)
+    assert(r.getAs[Long]("n_low") == 1)
+    assert(r.getAs[Long]("n_high") == 1)
+    assert(r.getAs[Double]("iqr") > 0)
+  }
+
+  test("Trend.weekdayProfile buckets by ISO weekday with exact means") {
+    // 2024-01-01 is a Monday
+    val df = Seq(
+      (1L, ts(1), 10.0), (2L, ts(1, 14), 20.0),  // Mon: mean 15
+      (3L, ts(2), 30.0),                          // Tue: mean 30
+      (4L, ts(8), 40.0))                          // next Mon
+      .toDF("event_id", "ts", "value")
+    val r = Trend.weekdayProfile(df, "ts", col("value"))
+      .orderBy("dow").collect()
+    assert(r.map(_.getAs[Long]("dow")).toSeq == Seq(1L, 2L))
+    val mon = r(0)
+    assert(mon.getAs[Long]("n_events") == 3)
+    assert(mon.getAs[Long]("n_days") == 2)
+    assert(math.abs(mon.getAs[Double]("mean_value") - 70.0 / 3) < 1e-3)
+    // grand mean = 25; Tue index = 30/25 = 1.2
+    assert(math.abs(r(1).getAs[Double]("seasonal_idx") - 1.2) < 1e-9)
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

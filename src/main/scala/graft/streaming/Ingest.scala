@@ -346,6 +346,33 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact-quantile screen: each micro-batch's values fold
+    * into the same sum-mergeable per-value count state the KS screen
+    * keeps (one state layout can serve both alarms), and the RUNNING
+    * EXACT quantiles of everything ingested so far are appended per
+    * batch — tail-latency / tail-size monitoring with no sketch error.
+    * Replayed batches read the already-committed version (the
+    * [[mergeVersioned]] exactly-once contract), so the emitted
+    * quantiles equal the batch statistic of the concatenated stream.
+    */
+  def startQuantileScreen(stream: DataFrame,
+      valueExpr: org.apache.spark.sql.Column, qs: Seq[Double],
+      stateDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.Drift.valueCounts(batch, valueExpr)
+        val standing = mergeVersioned(spark, stateDir, batchId, fresh,
+          graft.operators.Drift.mergeValueCounts(_, _))
+        graft.operators.Drift.quantilesFromCounts(standing, qs)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

@@ -767,6 +767,47 @@ class InfraSpec extends SparkTestBase {
     assert(batchKs > 0.05, "shifted fixture should register drift")
   }
 
+  test("streaming quantile screen: running exact quantiles equal the " +
+    "batch statistic of the concatenated stream") {
+    import graft.operators.Drift
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("qt-in").toFile
+    val stDir = Files.createTempDirectory("qt-st").toFile
+      .getAbsolutePath + "/state"
+    val outDir = Files.createTempDirectory("qt-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("qt-ck").toFile.getAbsolutePath
+    val day1 = (1 to 60).map(_.toDouble)
+    val day2 = (61 to 100).map(_.toDouble)
+    day1.toDF("x").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    Thread.sleep(1500)
+    day2.toDF("x").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("x DOUBLE"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = Ingest.startQuantileScreen(stream, col("x"),
+      Seq(0.5, 0.9), stDir, outDir, ckpt)
+    q.awaitTermination(60000)
+    val outs = spark.read.parquet(outDir).orderBy("batch_id", "q")
+      .collect()
+    assert(outs.length == 4) // 2 batches x 2 quantiles
+    // batch 0 saw only day1 (1..60): p50 = 30, p90 = 54
+    val b0 = outs.filter(_.getAs[Long]("batch_id") == 0)
+    assert(b0.map(_.getAs[Double]("v")).toSeq == Seq(30.0, 54.0))
+    // final snapshot equals the batch statistic over day1 ++ day2
+    val whole = Drift.quantilesFromCounts(
+      Drift.valueCounts((day1 ++ day2).toDF("x"), col("x")),
+      Seq(0.5, 0.9)).orderBy("q").collect().map(_.getAs[Double]("v"))
+    val b1 = outs.filter(_.getAs[Long]("batch_id") == 1)
+      .map(_.getAs[Double]("v"))
+    assert(b1.toSeq == whole.toSeq,
+      "running quantiles diverged from the batch statistic")
+    assert(b1.toSeq == Seq(50.0, 90.0))
+  }
+
   test("quality gate applies unchanged to a file stream — stateless " +
     "scan-speed ops need no streaming variant") {
     import graft.operators.TextAnalysis

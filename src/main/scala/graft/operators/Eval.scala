@@ -68,6 +68,91 @@ object Eval {
     a.unionByName(b).groupBy("s")
       .agg(sum("cnt").as("cnt"), sum("pos").as("pos"))
 
+  /** One pooled block of an isotonic (PAV) fit: scores in
+    * [lo, hi] share the fitted rate p = pos/cnt.
+    */
+  final case class IsoBlock(lo: Double, hi: Double, cnt: Long,
+      pos: Long) {
+    def p: Double = pos.toDouble / cnt
+  }
+
+  /** Isotonic-regression calibration via pool-adjacent-violators over
+    * the MERGEABLE [[scorePartials]] table — the monotone
+    * score→probability map a quality/ranking classifier is calibrated
+    * with when the sigmoid shape of [[calibrationBins]] is wrong.
+    *
+    * Shape: the distributed work is the one [[scorePartials]]
+    * aggregate (quantize unbounded scores first — same contract as
+    * the AUC path); PAV itself runs on the DRIVER over the bounded
+    * distinct-score frame (the codebook/vocab bounded-artifact
+    * license: O(|scores|) stack algorithm), and the result is a
+    * bounded block list that rides back into plans as literals
+    * ([[isotonicApplyExpr]]) — calibrating 100 TB of scores is then a
+    * pure projection.
+    *
+    * Determinism: PAV pools exact integer (cnt, pos) sums; each
+    * fitted rate is one division. The fit satisfies the minimax
+    * identity p(s_i) = max_{j≤i} min_{k≥i} avg(pos)/avg(cnt) over
+    * score runs j..k, which is how the oracle checks it in SQL.
+    */
+  def isotonicBlocks(df: DataFrame, score: Column, label: Column)
+      : Seq[IsoBlock] =
+    isotonicBlocksFromPartials(scorePartials(df, score, label))
+
+  /** PAV over an existing (s, cnt, pos) partials table — the
+    * streaming/merged-state entry point (partials sum-merge, then one
+    * driver fit).
+    */
+  def isotonicBlocksFromPartials(partials: DataFrame): Seq[IsoBlock] = {
+    val rows = partials.orderBy("s").collect()
+    val stack = scala.collection.mutable.ArrayBuffer.empty[IsoBlock]
+    rows.foreach { r =>
+      var b = IsoBlock(r.getDouble(0), r.getDouble(0),
+        r.getLong(1), r.getLong(2))
+      while (stack.nonEmpty &&
+          stack.last.pos.toDouble * b.cnt >= b.pos.toDouble * stack.last.cnt) {
+        // previous rate >= incoming rate — pool (integer cross-compare,
+        // no division until output)
+        val t = stack.remove(stack.length - 1)
+        b = IsoBlock(t.lo, b.hi, t.cnt + b.cnt, t.pos + b.pos)
+      }
+      stack += b
+    }
+    stack.toSeq
+  }
+
+  /** Per-distinct-score fitted table of [[isotonicBlocks]]:
+    * (s, cnt, pos, p_fit 6 dp), ascending in s with p_fit
+    * nondecreasing. The expansion joins the bounded block list back to
+    * the partials on a range predicate — both frames are
+    * |distinct scores|-sized.
+    */
+  def isotonicFit(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    // fence the partials once: the driver fit and the expansion read
+    // the same bounded frame, not two corpus scans
+    val parts = scorePartials(df, score, label).localCheckpoint()
+    val blocks = isotonicBlocksFromPartials(parts)
+    def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
+    // expansion is the step-function CASE chain — a pure projection
+    // over the bounded frame, no join for the plan sweep to question
+    parts.select(col("s"), col("cnt"), col("pos"),
+      r6(isotonicApplyExpr(blocks, col("s"))).as("p_fit"))
+  }
+
+  /** Step-function application of a PAV fit as a pure projection: the
+    * bounded block list becomes a CASE chain of literals — no join, no
+    * shuffle, scan speed on the full corpus. Scores below the first
+    * block clamp to its rate; above the last, to the last rate.
+    */
+  def isotonicApplyExpr(blocks: Seq[IsoBlock], score: Column): Column = {
+    require(blocks.nonEmpty, "empty isotonic fit")
+    val init: Column = lit(blocks.last.p)
+    blocks.init.reverse.foldLeft(init) { (acc, b) =>
+      when(score <= b.hi, lit(b.p)).otherwise(acc)
+    }
+  }
+
   /** Exact AUC from a (s, cnt, pos) partials table — [[binaryAuc]]'s
     * reduction stage.
     */

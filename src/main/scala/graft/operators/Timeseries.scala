@@ -188,6 +188,74 @@ object Timeseries {
     * Output per day: day, n, xbar (4 dp, units), s_pos (4 dp, units),
     * alarm.
     */
+  /** Wald's sequential probability ratio test over a daily Bernoulli
+    * stream — the always-monitoring A/B sibling of [[cusumDaily]]
+    * (level shifts) for CONVERSION outcomes: after each day the
+    * cumulative log-likelihood ratio of H1: p = p1 vs H0: p = p0 is
+    * compared against ln((1−β)/α) (accept H1) and ln(β/(1−α)) (accept
+    * H0); in between the test continues. Once a boundary is crossed the
+    * decision is latched (the sequential contract: sampling stops).
+    *
+    * Determinism: daily (n, conv) are exact integers; the per-day LLR
+    * is conv·ln(p1/p0) + (n−conv)·ln((1−p1)/(1−p0)) with BOTH log
+    * weights SNAPPED to 6-dp driver literals (the [[Linkage]]
+    * discipline), so the cumulative sum adds identical doubles in day
+    * order on both engines; boundaries are snapped literals too.
+    *
+    * Shape: one aggregate to the bounded daily frame; the running sum
+    * and the latch (min crossing day) are bounded-frame windows.
+    * Output per day: day, n, conv, llr (6 dp), cum_llr (6 dp),
+    * decision ('accept_h1' | 'accept_h0' | 'continue').
+    */
+  /** The four snapped SPRT constants: (wS, wF, upper, lower) —
+    * success/failure LLR weights and the Wald decision boundaries.
+    * Exposed so oracle SQL can interpolate the IDENTICAL literals.
+    */
+  def sprtWeights(p0: Double, p1: Double, alpha: Double, beta: Double)
+      : (Double, Double, Double, Double) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p1 != p0,
+      "p0, p1 must be distinct probabilities in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha, beta must be in (0,1)")
+    def snap6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    (snap6(math.log(p1 / p0)),
+      snap6(math.log((1 - p1) / (1 - p0))),
+      snap6(math.log((1 - beta) / alpha)),
+      snap6(math.log(beta / (1 - alpha))))
+  }
+
+  def sprtDaily(df: DataFrame, tsCol: String, success: Column,
+      p0: Double, p1: Double, alpha: Double, beta: Double): DataFrame = {
+    val (wS, wF, up, lo) = sprtWeights(p0, p1, alpha, beta)
+    val daily = df
+      .select(to_date(col(tsCol)).as("day"),
+        when(success, 1L).otherwise(0L).as("s"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("s").as("conv"))
+      .withColumn("llr_raw",
+        col("conv") * lit(wS) + (col("n") - col("conv")) * lit(wF))
+    val wRun = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
+    // latch: the FIRST boundary crossing freezes the decision. The two
+    // boundaries cannot cross on the same day (upper > 0 > lower), so
+    // the earlier crossing day decides.
+    val cum = daily
+      .withColumn("cum_raw", sum("llr_raw").over(wRun))
+      .withColumn("d_up",
+        min(when(col("cum_raw") >= up, col("day"))).over(wRun))
+      .withColumn("d_lo",
+        min(when(col("cum_raw") <= lo, col("day"))).over(wRun))
+    cum.select(col("day"), col("n"), col("conv"),
+      r6(col("llr_raw")).as("llr"),
+      r6(col("cum_raw")).as("cum_llr"),
+      when(col("d_up").isNull && col("d_lo").isNull, "continue")
+        .when(col("d_lo").isNull ||
+          (col("d_up").isNotNull && col("d_up") <= col("d_lo")),
+          "accept_h1")
+        .otherwise("accept_h0").as("decision"))
+  }
+
   def cusumDaily(df: DataFrame, tsCol: String, value: Column,
       targetCents: Long, slackCents: Long, hCents: Long): DataFrame = {
     val daily = df

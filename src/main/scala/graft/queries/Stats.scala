@@ -565,6 +565,138 @@ object Stats {
              |    AS effective_levels
              |FROM t, f""".stripMargin)),
 
+    // Categorical drift as a chi-square two-sample test: the SAME
+    // contingency operator as qL0 with the sample tag as the row
+    // dimension — chi2 for categorical snapshots, KS (qJ0) for
+    // continuous ones.
+    GraftQuery(
+      "qM1_chi2_drift",
+      "Chi-square two-sample drift check of the event_type mix: " +
+        "first-half-of-month days vs the rest, via the qL0 " +
+        "contingency operator over a sample tag.",
+      (s, d) => Robust.chi2Independence(
+        t(s, d, "events"),
+        when(dayofmonth(col("ts")) <= 15, "first_half")
+          .otherwise("second_half"),
+        col("event_type")),
+      Some("""WITH cells AS (
+             |  SELECT CASE WHEN day(CAST(ts AS DATE)) <= 15
+             |      THEN 'first_half' ELSE 'second_half' END AS av,
+             |    CAST(event_type AS VARCHAR) AS bv, count(*) AS o
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |rm AS (SELECT av, CAST(sum(o) AS BIGINT) AS rm
+             |  FROM cells GROUP BY av),
+             |cm AS (SELECT bv, CAST(sum(o) AS BIGINT) AS cm
+             |  FROM cells GROUP BY bv),
+             |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+             |grid AS (SELECT rm.av, cm.bv, rm.rm, cm.cm, tot.n,
+             |    coalesce(cells.o, 0) AS obs,
+             |    CAST(rm.rm AS DOUBLE) * cm.cm / tot.n AS exp
+             |  FROM rm CROSS JOIN cm CROSS JOIN tot
+             |  LEFT JOIN cells ON cells.av = rm.av AND cells.bv = cm.bv),
+             |c AS (SELECT max(n) AS n,
+             |    CAST(count(DISTINCT av) AS BIGINT) AS r_levels,
+             |    CAST(count(DISTINCT bv) AS BIGINT) AS c_levels,
+             |    CAST(sum(CAST(floor((obs - exp)*(obs - exp)/exp
+             |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s6
+             |  FROM grid)
+             |SELECT n, r_levels, c_levels,
+             |  (r_levels - 1) * (c_levels - 1) AS df,
+             |  floor(CAST(s6 AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+             |    / 10000.0 AS chi2,
+             |  CASE WHEN least(r_levels - 1, c_levels - 1) <= 0
+             |    THEN CAST(NULL AS DOUBLE)
+             |    ELSE floor(sqrt(CAST(s6 AS DOUBLE) / 1000000.0 /
+             |      (n * least(r_levels - 1, c_levels - 1)))
+             |      * 10000.0 + 0.5) / 10000.0 END AS cramers_v
+             |FROM c""".stripMargin)),
+
+    // Wald SPRT over the daily purchase-conversion stream: snapped
+    // LLR weights/boundaries shared with the generated oracle, first
+    // crossing latched.
+    GraftQuery(
+      "qM2_sprt",
+      "Sequential probability ratio test (H0 p=0.18 vs H1 p=0.22, " +
+        "alpha=beta=0.05) on daily purchase conversions — running " +
+        "LLR, Wald boundaries, latched decision.",
+      (s, d) => graft.operators.Timeseries.sprtDaily(
+        t(s, d, "events"), "ts", col("event_type") === "purchase",
+        p0 = 0.18, p1 = 0.22, alpha = 0.05, beta = 0.05)
+        .orderBy("day"),
+      Some {
+        val (wS, wF, up, lo) = graft.operators.Timeseries.sprtWeights(
+          0.18, 0.22, 0.05, 0.05)
+        s"""WITH d AS (
+           |  SELECT CAST(ts AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+           |      ELSE 0 END) AS BIGINT) AS conv
+           |  FROM events GROUP BY 1),
+           |l AS (SELECT *,
+           |    conv * CAST($wS AS DOUBLE) +
+           |    (n - conv) * CAST($wF AS DOUBLE) AS llr_raw
+           |  FROM d),
+           |c AS (SELECT *,
+           |    sum(llr_raw) OVER (ORDER BY day) AS cum_raw FROM l),
+           |x AS (SELECT *,
+           |    min(CASE WHEN cum_raw >= CAST($up AS DOUBLE)
+           |      THEN day END) OVER (ORDER BY day) AS d_up,
+           |    min(CASE WHEN cum_raw <= CAST($lo AS DOUBLE)
+           |      THEN day END) OVER (ORDER BY day) AS d_lo
+           |  FROM c)
+           |SELECT day, n, conv,
+           |  floor(llr_raw * 1000000.0 + 0.5) / 1000000.0 AS llr,
+           |  floor(cum_raw * 1000000.0 + 0.5) / 1000000.0 AS cum_llr,
+           |  CASE WHEN d_up IS NULL AND d_lo IS NULL THEN 'continue'
+           |    WHEN d_lo IS NULL OR (d_up IS NOT NULL AND d_up <= d_lo)
+           |      THEN 'accept_h1'
+           |    ELSE 'accept_h0' END AS decision
+           |FROM x ORDER BY day""".stripMargin
+      }),
+
+    // Isotonic (PAV) calibration of the event-value score against the
+    // purchase outcome: the fit runs as driver PAV over the bounded
+    // score-partials frame; the oracle checks it through the minimax
+    // identity p(s_i) = max_{j<=i} min_{k>=i} run-average — a
+    // different algorithm, the same rationals, and double rounding is
+    // monotone so the extrema land on identical values.
+    GraftQuery(
+      "qM3_isotonic",
+      "Isotonic (pool-adjacent-violators) calibration of the binned " +
+        "event value (bin = floor(value/50)) vs purchase outcome: " +
+        "per-bin fitted monotone rate, checked via the minimax " +
+        "identity.",
+      (s, d) => graft.operators.Eval.isotonicFit(
+        t(s, d, "events"), floor(col("value") / 50),
+        col("event_type") === "purchase")
+        .orderBy("s"),
+      Some("""WITH sc AS (
+             |  SELECT CAST(floor(value/50) AS DOUBLE) AS s,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |      AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |d AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(y) AS BIGINT) AS pos
+             |  FROM sc GROUP BY 1),
+             |c AS (SELECT s, cnt, pos,
+             |    sum(cnt) OVER (ORDER BY s) AS ccnt,
+             |    sum(pos) OVER (ORDER BY s) AS cpos
+             |  FROM d),
+             |runs AS (SELECT j.s AS js, k.s AS ks,
+             |    CAST(k.cpos - j.cpos + j.pos AS DOUBLE) /
+             |      (k.ccnt - j.ccnt + j.cnt) AS avg
+             |  FROM c j JOIN c k ON k.s >= j.s),
+             |inner_min AS (SELECT i.s AS s, r.js, min(r.avg) AS mn
+             |  FROM d i JOIN runs r ON r.js <= i.s AND r.ks >= i.s
+             |  GROUP BY 1, 2),
+             |mm AS (SELECT s, max(mn) AS p_raw FROM inner_min
+             |  GROUP BY 1)
+             |SELECT d.s, d.cnt, d.pos,
+             |  floor(mm.p_raw * 1000000.0 + 0.5) / 1000000.0 AS p_fit
+             |FROM d JOIN mm ON d.s = mm.s ORDER BY d.s""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

@@ -342,6 +342,74 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r(1).getAs[Double]("seasonal_idx") - 1.2) < 1e-9)
   }
 
+  // ---- SPRT / isotonic ---------------------------------------------
+
+  test("Timeseries.sprtDaily: H1 evidence crosses the upper boundary " +
+    "and latches") {
+    // p0=0.1 vs p1=0.5: 20 successes/day out of 20 piles up evidence
+    // fast; boundary ln(0.95/0.05) ~ 2.944
+    val rows = (1 to 5).flatMap { d =>
+      (1 to 20).map(i => (d.toLong * 100 + i, ts(d), true)) }
+    val df = rows.toDF("event_id", "ts", "ok")
+    val r = graft.operators.Timeseries.sprtDaily(df, "ts", col("ok"),
+      p0 = 0.1, p1 = 0.5, alpha = 0.05, beta = 0.05)
+      .orderBy("day").collect()
+    // day 1 alone: 20*ln(5) ~ 32 >> 2.944 -> accept_h1 from day 1 on
+    assert(r.forall(_.getAs[String]("decision") == "accept_h1"))
+    val (ws, _, up, _) = graft.operators.Timeseries.sprtWeights(
+      0.1, 0.5, 0.05, 0.05)
+    assert(math.abs(r(0).getAs[Double]("llr") - 20 * ws) < 1e-4)
+    assert(r(0).getAs[Double]("cum_llr") > up)
+  }
+
+  test("Timeseries.sprtDaily: H0 evidence crosses the lower boundary; " +
+    "a later rebound cannot unlatch it") {
+    // days 1-3: zero conversions (strong H0); days 4-5: all conversions
+    val rows =
+      (1 to 3).flatMap(d => (1 to 30).map(i =>
+        (d.toLong * 100 + i, ts(d), false))) ++
+      (4 to 5).flatMap(d => (1 to 30).map(i =>
+        (d.toLong * 100 + i, ts(d), true)))
+    val df = rows.toDF("event_id", "ts", "ok")
+    val r = graft.operators.Timeseries.sprtDaily(df, "ts", col("ok"),
+      p0 = 0.2, p1 = 0.6, alpha = 0.05, beta = 0.05)
+      .orderBy("day").collect()
+    assert(r(0).getAs[String]("decision") == "accept_h0")
+    // the rebound days flip the raw cum LLR positive, but the decision
+    // stays latched at the FIRST crossing
+    assert(r.last.getAs[String]("decision") == "accept_h0")
+    assert(r.last.getAs[Double]("cum_llr") >
+      r(2).getAs[Double]("cum_llr"))
+  }
+
+  test("Eval.isotonicBlocks pools the classic 1,0,0,1 violation") {
+    val df = Seq((1.0, true), (2.0, false), (3.0, false), (4.0, true))
+      .toDF("s", "y")
+    val blocks = Eval.isotonicBlocks(df, col("s"), col("y"))
+    assert(blocks.map(b => (b.lo, b.hi, b.cnt, b.pos)) ==
+      Seq((1.0, 3.0, 3L, 1L), (4.0, 4.0, 1L, 1L)))
+    assert(math.abs(blocks(0).p - 1.0 / 3) < 1e-12)
+    // fitted table is nondecreasing in s
+    val fit = Eval.isotonicFit(df, col("s"), col("y"))
+      .orderBy("s").collect().map(_.getAs[Double]("p_fit"))
+    assert(fit.sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  test("Eval.isotonicApplyExpr clamps outside the fitted range") {
+    val blocks = Seq(Eval.IsoBlock(1.0, 3.0, 3L, 1L),
+      Eval.IsoBlock(4.0, 4.0, 1L, 1L))
+    val scored = Seq(0.0, 2.0, 3.5, 9.0).toDF("s")
+      .select(col("s"),
+        Eval.isotonicApplyExpr(blocks, col("s")).as("p"))
+      .orderBy("s").collect().map(_.getAs[Double]("p"))
+    // below range -> first block's rate; between blocks -> next block
+    // boundary rule of the CASE chain (<= hi picks the first block only
+    // up to 3.0); above -> last rate
+    assert(math.abs(scored(0) - 1.0 / 3) < 1e-12)
+    assert(math.abs(scored(1) - 1.0 / 3) < 1e-12)
+    assert(scored(2) == 1.0 && scored(3) == 1.0)
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph ranking over a corpus-sized node set — the companion
@@ -125,5 +125,107 @@ object Graph {
     nodes.select(col(nodeCol).as("node"))
       .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient per node: n_tri / (deg·(deg−1)/2)
+    * over the de-duplicated undirected edge set — how clique-like each
+    * node's neighborhood is (near-dup graphs: boilerplate families
+    * score ~1, chains score ~0). Rides on [[triangleCount]]'s
+    * degree-ordered closing (same 100 TB shape); the degree frame is
+    * one extra aggregate joined back. cc is null when deg < 2 (no
+    * wedge to close — not 0, which would claim an open neighborhood).
+    * Output: node, deg, n_tri, cc (6 dp).
+    */
+  def clusteringCoefficient(nodes: DataFrame, nodeCol: String,
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCount(nodes, nodeCol, edges, srcCol, dstCol)
+    def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
+    tri.join(deg.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("n_tri"),
+        when(coalesce(col("deg"), lit(0L)) < 2,
+          lit(null).cast("double"))
+          .otherwise(r6(col("n_tri").cast("double") /
+            (shiftright(col("deg") * (col("deg") - 1), 1))))
+          .as("cc"))
+  }
+
+  /** One label-propagation step for semi-supervised labeling over a
+    * similarity graph: every UNLABELED node takes the most common
+    * label among its labeled neighbors (ties → lexicographically
+    * smallest label; no labeled neighbor → stays null); labeled nodes
+    * keep their seed label. Exposed as the oracle-checkable step;
+    * [[labelPropagate]] iterates it with checkpoint fencing.
+    *
+    * Shape: one edge explode to both directions, one join to the label
+    * frame, one (node, label) count aggregate, one max-struct
+    * aggregate per node — all shuffle-hash on node keys; ranking is a
+    * pure aggregate, no corpus window.
+    * Output: node, label (nullable), seeded (true when the input
+    * label survived).
+    */
+  def labelPropStep(labeled: DataFrame, nodeCol: String,
+      labelCol: String, edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val lbl = labeled.select(col(nodeCol).as("node"),
+      col(labelCol).cast("string").as("lbl"))
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val dir = und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+    val votes = dir
+      .join(lbl.select(col("node").as("nbr"), col("lbl").as("nl"))
+        .filter(col("nl").isNotNull).hint("shuffle_hash"), Seq("nbr"))
+      .groupBy("node", "nl").agg(count(lit(1)).as("cnt"))
+    // winner (max cnt, tie → min label) from ONE bounded aggregate:
+    // the per-node vote list is |distinct labels|-sized; sorted
+    // (cnt asc, label asc), the last element carries the max count and
+    // the first element AT that count is the smallest winning label.
+    val best = votes.groupBy("node")
+      .agg(sort_array(collect_list(struct(col("cnt"), col("nl"))))
+        .as("vs"))
+      .select(col("node"),
+        element_at(filter(col("vs"),
+          e => e.getField("cnt") ===
+            element_at(col("vs"), -1).getField("cnt")), 1)
+          .getField("nl").as("prop"))
+    lbl.join(best.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("lbl"), col("prop")).as("label"),
+        col("lbl").isNotNull.as("seeded"))
+  }
+
+  /** Iterated label propagation: `iters` driver-bounded rounds of
+    * [[labelPropStep]], each fenced with an eager localCheckpoint (the
+    * HashMin/PageRank loop discipline — lineage stays constant-depth,
+    * nothing loops over data).
+    */
+  def labelPropagate(labeled: DataFrame, nodeCol: String,
+      labelCol: String, edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    var cur = labeled.select(col(nodeCol).as("node"),
+      col(labelCol).cast("string").as("label"))
+    val fencedEdges = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      cur = labelPropStep(cur, "node", "label", fencedEdges, "s", "d")
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    cur
   }
 }

@@ -179,6 +179,26 @@ object TextAnalysis {
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
 
+  /** Hashing-trick vectorizer: tokens → fixed-`dims` sparse count
+    * vectors via the portable md5-prefix hash — the feature builder
+    * that feeds [[graft.operators.LogReg]] without a vocabulary pass
+    * (no dictionary state, new tokens never break the model; the cost
+    * is hash collisions, bounded by dims). One explode + one hash
+    * aggregate keyed (doc, idx); the hash is the engine-portable
+    * [[TextOps.hash32]], so any SQL engine reproduces the indices.
+    * Output: doc_id, f_idx (0..dims−1), cnt.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("f_idx", TextOps.hash32(col("tok")) % dims)
+      .groupBy("doc_id", "f_idx")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Per-document lexical diversity — the vocabulary-richness quality
     * signals (type-token ratio, hapax share) a curation pipeline reads
     * alongside [[qualityScore]]'s surface ratios: generated text and

@@ -188,6 +188,53 @@ object Timeseries {
     * Output per day: day, n, xbar (4 dp, units), s_pos (4 dp, units),
     * alarm.
     */
+  /** Time-decayed per-group aggregates: exponentially-decayed event
+    * count and value sum with half-life `halfLifeDays`, anchored at
+    * the newest day in the data — the "recent activity" rollup a
+    * freshness-weighted mixture or trending-source ranking reads
+    * instead of raw lifetime totals.
+    *
+    * Determinism: the stream reduces to per-(group, day) integer-cent
+    * sums first; each day's decay factor exp(−ln2·age/h) is SNAPPED to
+    * 6 dp (computed in-engine on both sides — identical input doubles,
+    * 6-dp snap absorbing any libm ulp), and the per-group Σ over days
+    * folds in day order (bounded by the calendar).
+    *
+    * Output per group: groupCols..., n_days, n_events, decayed_n
+    * (4 dp), decayed_sum (4 dp, units).
+    */
+  def decayedDaily(df: DataFrame, groupCols: Seq[String], tsCol: String,
+      value: Column, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val daily = df
+      .select((groupCols.map(col) :+ to_date(col(tsCol)).as("day") :+
+        floor(value.cast("double") * 100 + 0.5).cast("long").as("c")): _*)
+      .filter(col("c").isNotNull)
+      .groupBy((groupCols.map(col) :+ col("day")): _*)
+      .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+    val anchor = daily.agg(max("day").as("d0"))
+    val weighted = daily.crossJoin(broadcast(anchor))
+      .withColumn("w",
+        floor(exp(datediff(col("day"), col("d0")).cast("double") *
+          lit(math.log(2.0) / halfLifeDays)) * 1000000.0 + 0.5)
+          / 1000000.0)
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    weighted
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("day"), col("n"),
+        col("sc"), col("w")))).as("ds"))
+      .select((groupCols.map(col) :+
+        size(col("ds")).cast("long").as("n_days") :+
+        aggregate(col("ds"), lit(0L),
+          (a, s) => a + s.getField("n")).as("n_events") :+
+        r4(aggregate(col("ds"), lit(0.0),
+          (a, s) => a + s.getField("n") * s.getField("w")))
+          .as("decayed_n") :+
+        r4(aggregate(col("ds"), lit(0.0),
+          (a, s) => a + s.getField("sc") * s.getField("w")) / 100.0)
+          .as("decayed_sum")): _*)
+  }
+
   /** Wald's sequential probability ratio test over a daily Bernoulli
     * stream — the always-monitoring A/B sibling of [[cusumDaily]]
     * (level shifts) for CONVERSION outcomes: after each day the

@@ -41,6 +41,28 @@ object Stats {
       |n AS (SELECT vec_id, label, v,
       |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
 
+  // q31's hashed shingle-set CTE (the ngramJaccardPairs oracle base),
+  // shared by the graph queries below.
+  private val duckShingleSets =
+    """sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' ||
+      |             string_split(text,' ')[i+1] || ' ' ||
+      |             string_split(text,' ')[i+2]),
+      |      g -> ('0x' || substr(md5(g),1,8))::BIGINT)) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text,' ')) >= 3),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.sh, b.sh)) AS common,
+      |    len(a.sh) AS sa, len(b.sh) AS sb
+      |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+      |und AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM pr
+      |  WHERE CAST(common AS DOUBLE)/(sa+sb-common) >= 0.5)""".stripMargin
+
   // Fellegi-Sunter fields for the document-linkage query — declared
   // once so the Spark plan and the generated oracle SQL share the
   // SAME 6-dp-snapped weight literals.
@@ -696,6 +718,140 @@ object Stats {
              |SELECT d.s, d.cnt, d.pos,
              |  floor(mm.p_raw * 1000000.0 + 0.5) / 1000000.0 AS p_fit
              |FROM d JOIN mm ON d.s = mm.s ORDER BY d.s""".stripMargin)),
+
+    // One label-propagation step over the near-dup graph: every tenth
+    // doc is seeded with its source label; unlabeled docs take the
+    // majority neighbor label (tie -> smallest). The oracle replays
+    // the vote with a max-count + min-label pair of aggregates.
+    GraftQuery(
+      "qM4_label_prop_step",
+      "Semi-supervised label-propagation step over the 3-gram-" +
+        "Jaccard (t=0.5) near-dup graph: doc_id % 10 == 0 seeded " +
+        "with source; majority-neighbor vote, min-label ties.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.5)
+        val seeded = docs.select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, col("source")).as("lbl"))
+        graft.operators.Graph.labelPropStep(
+          seeded, "doc_id", "lbl", pairs, "doc_a", "doc_b")
+          .orderBy("node")
+      },
+      Some(s"""WITH $duckShingleSets,
+              |dir AS (SELECT u AS node, v AS nbr FROM und
+              |  UNION ALL SELECT v, u FROM und),
+              |lbl AS (SELECT doc_id AS node,
+              |    CASE WHEN doc_id % 10 = 0 THEN source END AS lbl
+              |  FROM documents),
+              |votes AS (SELECT d.node, l.lbl AS nl, count(*) AS cnt
+              |  FROM dir d JOIN lbl l
+              |    ON l.node = d.nbr AND l.lbl IS NOT NULL
+              |  GROUP BY 1, 2),
+              |mx AS (SELECT node, max(cnt) AS maxc FROM votes
+              |  GROUP BY 1),
+              |best AS (SELECT v.node, min(v.nl) AS prop
+              |  FROM votes v JOIN mx
+              |    ON mx.node = v.node AND v.cnt = mx.maxc
+              |  GROUP BY 1)
+              |SELECT l.node, coalesce(l.lbl, b.prop) AS label,
+              |  l.lbl IS NOT NULL AS seeded
+              |FROM lbl l LEFT JOIN best b ON b.node = l.node
+              |ORDER BY l.node""".stripMargin)),
+
+    // Local clustering coefficient over the same graph — qE6's
+    // triangle counts joined with degrees; the oracle recounts
+    // triangles with the naive x<y<z join plus a degree CTE.
+    GraftQuery(
+      "qM5_clustering_coeff",
+      "Per-doc local clustering coefficient (n_tri over deg-choose-2) " +
+        "on the 3-gram-Jaccard near-dup graph; null when deg < 2.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.5)
+        graft.operators.Graph.clusteringCoefficient(
+          docs, "doc_id", pairs, "doc_a", "doc_b")
+          .withColumnRenamed("node", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $duckShingleSets,
+              |tr AS (
+              |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              |  FROM und e1
+              |  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+              |  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+              |pn AS (SELECT unnest([x, y, z]) AS node FROM tr),
+              |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+              |  FROM pn GROUP BY node),
+              |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT unnest([u, v]) AS node FROM und)
+              |  GROUP BY 1)
+              |SELECT d.doc_id,
+              |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg,
+              |  CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri,
+              |  CASE WHEN coalesce(dg.deg, 0) < 2
+              |    THEN CAST(NULL AS DOUBLE)
+              |    ELSE floor(CAST(coalesce(cnt.n_tri, 0) AS DOUBLE) /
+              |      ((dg.deg * (dg.deg - 1)) // 2) * 1000000.0 + 0.5)
+              |      / 1000000.0 END AS cc
+              |FROM documents d
+              |LEFT JOIN cnt ON cnt.node = d.doc_id
+              |LEFT JOIN dg ON dg.node = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Hashing-trick vectorizer: vocabulary-free sparse features via
+    // the portable md5-prefix hash, reproduced verbatim in SQL.
+    GraftQuery(
+      "qM6_feature_hashing",
+      "64-dimension hashing-trick token vectorizer over documents: " +
+        "doc_id, f_idx (portable md5-prefix hash mod 64), cnt.",
+      (s, d) => TextAnalysis.featureHash(
+        t(s, d, "documents"), "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "f_idx"),
+      Some("""SELECT doc_id,
+             |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS f_idx,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |      FROM documents)
+             |WHERE tok <> ''
+             |GROUP BY 1, 2 ORDER BY doc_id, f_idx""".stripMargin)),
+
+    // Exponentially-decayed per-type activity (half-life 7 days,
+    // anchored at the newest day): 6-dp-snapped in-engine decay
+    // factors, day-ordered folds.
+    GraftQuery(
+      "qM7_decayed_volume",
+      "Time-decayed event count and value sum per event_type " +
+        "(half-life 7 days): freshness-weighted activity rollup.",
+      (s, d) => graft.operators.Timeseries.decayedDaily(
+        t(s, d, "events"), Seq("event_type"), "ts", col("value"),
+        halfLifeDays = 7.0).orderBy("event_type"),
+      Some {
+        val ln2h = math.log(2.0) / 7.0
+        s"""WITH dly AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    count(*) AS n,
+           |    sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS sc
+           |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+           |a AS (SELECT max(day) AS d0 FROM dly),
+           |w AS (SELECT *,
+           |    floor(exp(CAST(date_diff('day', (SELECT d0 FROM a), day)
+           |      AS DOUBLE) * CAST($ln2h AS DOUBLE))
+           |      * 1000000.0 + 0.5) / 1000000.0 AS w
+           |  FROM dly),
+           |g AS (SELECT event_type,
+           |    CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(sum(n) AS BIGINT) AS n_events,
+           |    list_sum(list(n*w ORDER BY day)) AS dn,
+           |    list_sum(list(sc*w ORDER BY day)) AS dsum
+           |  FROM w GROUP BY 1)
+           |SELECT event_type, n_days, n_events,
+           |  floor(dn * 10000.0 + 0.5) / 10000.0 AS decayed_n,
+           |  floor(dsum / 100.0 * 10000.0 + 0.5) / 10000.0
+           |    AS decayed_sum
+           |FROM g ORDER BY event_type""".stripMargin
+      }),
 
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the

@@ -410,6 +410,92 @@ class StatsSpec extends SparkTestBase {
     assert(scored(2) == 1.0 && scored(3) == 1.0)
   }
 
+  // ---- graph: label propagation / clustering coefficient -----------
+
+  private lazy val handEdges = Seq(
+    // triangle 1-2-3, pendant 4 off 3, isolated 5 in the node set
+    (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    .toDF("src", "dst")
+
+  test("Graph.labelPropStep: majority vote, min-label tie, seeds survive") {
+    val nodes = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, None), (5L, None))
+      .toDF("node", "lbl")
+    val r = Graph.labelPropStep(nodes, "node", "lbl",
+      handEdges, "src", "dst").orderBy("node").collect()
+    val byNode = r.map(x => x.getLong(0) ->
+      Option(x.getAs[String]("label"))).toMap
+    // node 3 neighbors: 1(a), 2(b), 4(null) -> tie {a,b} -> min "a"
+    assert(byNode(3L) == Some("a"))
+    // node 4's only neighbor (3) is unlabeled -> stays null
+    assert(byNode(4L) == None)
+    // isolated node 5 stays null; seeds keep their labels
+    assert(byNode(5L) == None)
+    assert(byNode(1L) == Some("a") && byNode(2L) == Some("b"))
+    assert(r.filter(_.getAs[Boolean]("seeded")).map(_.getLong(0))
+      .toSet == Set(1L, 2L))
+  }
+
+  test("Graph.labelPropagate reaches the pendant in two rounds") {
+    val nodes = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, None),
+      (4L, None), (5L, None)).toDF("node", "lbl")
+    val r = Graph.labelPropagate(nodes, "node", "lbl",
+      handEdges, "src", "dst", iters = 2).orderBy("node").collect()
+    val byNode = r.map(x => x.getLong(0) ->
+      Option(x.getAs[String]("label"))).toMap
+    assert(byNode(3L) == Some("a"))
+    assert(byNode(4L) == Some("a"), "round 2 must reach the pendant")
+    assert(byNode(5L) == None)
+  }
+
+  test("Graph.clusteringCoefficient: closed triangle 1, pendant null") {
+    val nodes = (1L to 5L).toDF("node")
+    val r = Graph.clusteringCoefficient(nodes, "node",
+      handEdges, "src", "dst").orderBy("node").collect()
+    // nodes 1,2: deg 2, 1 triangle -> cc = 1
+    assert(r(0).getAs[Double]("cc") == 1.0)
+    assert(r(1).getAs[Double]("cc") == 1.0)
+    // node 3: deg 3, 1 triangle of 3 possible wedge pairs -> 1/3
+    assert(math.abs(r(2).getAs[Double]("cc") - 1.0 / 3) < 1e-6)
+    // pendant 4 (deg 1) and isolated 5 (deg 0): undefined
+    assert(r(3).isNullAt(r(3).fieldIndex("cc")))
+    assert(r(4).isNullAt(r(4).fieldIndex("cc")))
+    assert(r(4).getAs[Long]("deg") == 0)
+  }
+
+  // ---- feature hashing / decayed aggregates ------------------------
+
+  test("TextAnalysis.featureHash: counts collide into dims buckets") {
+    val df = Seq((0L, "a b a c"), (1L, "a a a a")).toDF("doc_id", "text")
+    val r = TextAnalysis.featureHash(df, "doc_id", "text", dims = 8)
+      .orderBy("doc_id", "f_idx").collect()
+    // doc 1 is a single token repeated: exactly one bucket, cnt 4
+    val d1 = r.filter(_.getLong(0) == 1L)
+    assert(d1.length == 1 && d1(0).getAs[Long]("cnt") == 4)
+    // doc 0 total mass = 4 tokens across its buckets
+    assert(r.filter(_.getLong(0) == 0L).map(_.getAs[Long]("cnt")).sum == 4)
+    // indices land in [0, dims)
+    assert(r.forall(x => x.getAs[Long]("f_idx") >= 0 &&
+      x.getAs[Long]("f_idx") < 8))
+  }
+
+  test("Timeseries.decayedDaily: anchor day weighs 1, older days decay") {
+    // one group; days 1 and 8 with half-life 7 -> old day weight 0.5
+    val df = Seq(
+      (1L, ts(1), 10.0), (2L, ts(1), 10.0),  // day 1: n=2, sum=20
+      (3L, ts(8), 40.0))                      // day 8 (anchor): n=1
+      .toDF("event_id", "ts", "value")
+    val r = graft.operators.Timeseries.decayedDaily(df, Seq.empty,
+      "ts", col("value"), halfLifeDays = 7.0).collect()(0)
+    assert(r.getAs[Long]("n_days") == 2)
+    assert(r.getAs[Long]("n_events") == 3)
+    // decayed_n = 2*0.5 + 1*1 = 2; decayed_sum = 20*0.5 + 40 = 50
+    assert(math.abs(r.getAs[Double]("decayed_n") - 2.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("decayed_sum") - 50.0) < 1e-3)
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

@@ -163,6 +163,25 @@ object Drift {
       .select(col("q"), col("target_rank"), col("v"))
   }
 
+  /** Quantile-quantile drift table: matched exact quantiles of two
+    * (v, cnt) count tables at the given probabilities, with the
+    * per-quantile gap — the where-does-it-drift complement to the
+    * single-number KS statistic (and the data behind a QQ plot).
+    * Composes [[quantilesFromCounts]] on each side (same block
+    * prefix-sum shape) and joins the two |qs|-row results.
+    * Output: q, v_a, v_b, gap (= v_b − v_a).
+    */
+  def qqTable(aCounts: DataFrame, bCounts: DataFrame,
+      qs: Seq[Double], nBlocks: Int = 256): DataFrame = {
+    val qa = quantilesFromCounts(aCounts, qs, nBlocks)
+      .select(col("q"), col("v").as("v_a"))
+    val qb = quantilesFromCounts(bCounts, qs, nBlocks)
+      .select(col("q"), col("v").as("v_b"))
+    qa.join(qb, Seq("q"))
+      .select(col("q"), col("v_a"), col("v_b"),
+        (col("v_b") - col("v_a")).as("gap"))
+  }
+
   /** Shared KS reduction over the (v, ca, cb) table. */
   private def ksReduce(byV: DataFrame, nBlocks: Int): DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")

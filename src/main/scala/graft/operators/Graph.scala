@@ -138,14 +138,19 @@ object Graph {
     */
   def clusteringCoefficient(nodes: DataFrame, nodeCol: String,
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // fence the de-duplicated edge set ONCE: both the degree aggregate
+    // and the triangle pass consume it, and the upstream pair
+    // generator (an n-gram index or LSH band join) must not re-run
+    // per consumer — the qE7/q86 fencing discipline
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = triangleCount(nodes, nodeCol, edges, srcCol, dstCol)
+    val tri = triangleCount(nodes, nodeCol, und, "u", "v")
     def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
     tri.join(deg.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),

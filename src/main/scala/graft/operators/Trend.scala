@@ -174,6 +174,55 @@ object Trend {
           (col("tsc").cast("double") / col("tn"))).as("seasonal_idx"))
   }
 
+  /** Seasonal-naive forecast error: predict each day's mean with the
+    * value 7 days earlier (the weekly-naive baseline every real
+    * forecast must beat) and report per-day absolute/percent errors
+    * plus the summary MAE/MAPE. Forecastability floor for capacity
+    * planning on the event stream; reads beside [[weekdayProfile]]
+    * (which names the cycle this baseline exploits).
+    *
+    * Determinism: daily means are integer cents; the error is an
+    * integer-cent difference (exact), MAE is one division of an exact
+    * BIGINT sum; MAPE folds the bounded per-day ratio list in day
+    * order. The lag join is a calendar equi-join (day = day+7), not a
+    * row-offset window, so gaps produce null forecasts (excluded from
+    * the summary) instead of misaligned pairs.
+    * Output: one row — n_forecast, mae (4 dp, units), mape (4 dp, %).
+    */
+  def seasonalNaiveError(df: DataFrame, tsCol: String, value: Column)
+      : DataFrame = {
+    val daily = dailyCents(df, tsCol, value)
+      .select(col("day"), col("n"), col("sc"))
+    val lag = daily.select(date_add(col("day"), 7).as("day"),
+      col("n").as("n_l"), col("sc").as("sc_l"))
+    val joined = daily.join(lag, Seq("day"))
+      // integer-cent scaled error: |sc/n - sc_l/n_l| exact to one
+      // double subtraction of two exact divisions; snapped to 1e-4
+      // cent units so the MAE sum is an exact BIGINT
+      .withColumn("err4",
+        abs(floor((col("sc").cast("double") / col("n") -
+          col("sc_l").cast("double") / col("n_l")) * 10000.0 + 0.5)
+          .cast("long")))
+      .withColumn("act4",
+        floor(col("sc").cast("double") / col("n") * 10000.0 + 0.5)
+          .cast("long"))
+      // zero-mean days have no defined percent error — excluded from
+      // BOTH metrics (keeps the fold null-free and ANSI-division-safe)
+      .filter(col("act4") =!= 0)
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    joined
+      .agg(count(lit(1)).as("n_forecast"),
+        sum("err4").as("se4"),
+        sort_array(collect_list(struct(col("day"),
+          (col("err4").cast("double") / col("act4")).as("r")))).as("rs"))
+      .select(col("n_forecast"),
+        r4(col("se4").cast("double") / col("n_forecast") / 1000000.0)
+          .as("mae"),
+        r4(aggregate(col("rs"), lit(0.0),
+          (a, s) => a + s.getField("r")) / col("n_forecast") * 100.0)
+          .as("mape"))
+  }
+
   /** Mann-Kendall trend test + Theil-Sen slope over the daily mean:
     * S = Σ_{i<j} sign(x_j − x_i) (ties contribute 0), variance with
     * the tie correction Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18,

@@ -853,6 +853,75 @@ object Stats {
            |FROM g ORDER BY event_type""".stripMargin
       }),
 
+    // Seasonal-naive (lag-7) forecast error: the weekly baseline every
+    // real forecast must beat — calendar equi-join, integer-cent
+    // errors, fold-ordered MAPE.
+    GraftQuery(
+      "qM8_seasonal_naive",
+      "Seasonal-naive (lag-7 calendar join) forecast error of the " +
+        "daily mean event value: n_forecast, MAE, MAPE.",
+      (s, d) => Trend.seasonalNaiveError(t(s, d, "events"), "ts",
+        col("value")),
+      Some(s"""WITH $duckDaily,
+              |l AS (SELECT day + 7 AS day, n AS n_l, sc AS sc_l
+              |  FROM dly),
+              |j AS (SELECT d.day,
+              |    abs(CAST(floor((CAST(d.sc AS DOUBLE)/d.n -
+              |      CAST(l.sc_l AS DOUBLE)/l.n_l) * 10000.0 + 0.5)
+              |      AS BIGINT)) AS err4,
+              |    CAST(floor(CAST(d.sc AS DOUBLE)/d.n * 10000.0 + 0.5)
+              |      AS BIGINT) AS act4
+              |  FROM dly d JOIN l USING (day)),
+              |f AS (SELECT * FROM j WHERE act4 <> 0)
+              |SELECT CAST(count(*) AS BIGINT) AS n_forecast,
+              |  floor(CAST(sum(err4) AS DOUBLE) / count(*) / 1000000.0
+              |    * 10000.0 + 0.5) / 10000.0 AS mae,
+              |  floor(list_sum(list(CAST(err4 AS DOUBLE) / act4
+              |    ORDER BY day)) / count(*) * 100.0 * 10000.0 + 0.5)
+              |    / 10000.0 AS mape
+              |FROM f""".stripMargin)),
+
+    // QQ drift table: matched exact quantiles of the two halves of
+    // the month — where in the distribution the drift sits, beside
+    // qJ0's single-number KS.
+    GraftQuery(
+      "qM9_qq_table",
+      "Quantile-quantile table (p10/p25/p50/p75/p90) of event value, " +
+        "first half of the month vs the rest, with per-quantile gaps.",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val a = Drift.valueCounts(
+          ev.filter(dayofmonth(col("ts")) <= 15), col("value"))
+        val b = Drift.valueCounts(
+          ev.filter(dayofmonth(col("ts")) > 15), col("value"))
+        Drift.qqTable(a, b, Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+          .select(col("q"), col("v_a"), col("v_b"), col("gap"))
+          .orderBy("q")
+      },
+      Some("""WITH ca AS (
+             |  SELECT CAST(value AS DOUBLE) AS v, count(*) AS cnt
+             |  FROM events WHERE value IS NOT NULL
+             |    AND day(CAST(ts AS DATE)) <= 15 GROUP BY 1),
+             |cb AS (
+             |  SELECT CAST(value AS DOUBLE) AS v, count(*) AS cnt
+             |  FROM events WHERE value IS NOT NULL
+             |    AND day(CAST(ts AS DATE)) > 15 GROUP BY 1),
+             |na AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ca),
+             |nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cb),
+             |cuma AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc
+             |  FROM ca),
+             |cumb AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc
+             |  FROM cb),
+             |qs AS (SELECT unnest([CAST(0.1 AS DOUBLE),
+             |    CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+             |    CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+             |qa AS (SELECT q, min(v) AS v_a FROM cuma, qs
+             |  WHERE cc >= ceil(q * (SELECT n FROM na)) GROUP BY 1),
+             |qb AS (SELECT q, min(v) AS v_b FROM cumb, qs
+             |  WHERE cc >= ceil(q * (SELECT n FROM nb)) GROUP BY 1)
+             |SELECT q, v_a, v_b, v_b - v_a AS gap
+             |FROM qa JOIN qb USING (q) ORDER BY q""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

@@ -496,6 +496,42 @@ class StatsSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("decayed_sum") - 50.0) < 1e-3)
   }
 
+  // ---- seasonal naive / QQ table -----------------------------------
+
+  test("Trend.seasonalNaiveError: perfect weekly cycle has zero error") {
+    // 14 days, value = 10 + dow pattern repeating weekly
+    val vals = (1 to 14).map(d => 10.0 + (d % 7))
+    val r = Trend.seasonalNaiveError(dailySeries(vals), "ts",
+      col("value")).collect()(0)
+    assert(r.getAs[Long]("n_forecast") == 7)
+    assert(r.getAs[Double]("mae") == 0.0)
+    assert(r.getAs[Double]("mape") == 0.0)
+  }
+
+  test("Trend.seasonalNaiveError: constant offset gives exact MAE/MAPE") {
+    // week 2 = week 1 + 2.0 -> MAE 2, MAPE = mean(2/act)
+    val w1 = Seq(10.0, 20.0, 10.0, 20.0, 10.0, 20.0, 10.0)
+    val vals = w1 ++ w1.map(_ + 2.0)
+    val r = Trend.seasonalNaiveError(dailySeries(vals), "ts",
+      col("value")).collect()(0)
+    assert(r.getAs[Double]("mae") == 2.0)
+    val acts = w1.map(_ + 2.0)
+    val mape = acts.map(a => 2.0 / a).sum / 7 * 100.0
+    assert(math.abs(r.getAs[Double]("mape") - mape) < 1e-3)
+  }
+
+  test("Drift.qqTable lines up matched quantiles with gaps") {
+    val a = Drift.valueCounts((1 to 100).map(_.toDouble).toDF("x"),
+      col("x"))
+    val b = Drift.valueCounts((1 to 100).map(_ + 10.0).toDF("x"),
+      col("x"))
+    val r = Drift.qqTable(a, b, Seq(0.5, 0.9), nBlocks = 4)
+      .orderBy("q").collect()
+    assert(r.map(_.getAs[Double]("v_a")).toSeq == Seq(50.0, 90.0))
+    assert(r.map(_.getAs[Double]("v_b")).toSeq == Seq(60.0, 100.0))
+    assert(r.forall(_.getAs[Double]("gap") == 10.0))
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

@@ -140,6 +140,77 @@ object Eval {
       r6(isotonicApplyExpr(blocks, col("s"))).as("p_fit"))
   }
 
+  /** Split-conformal prediction interval (Vovk et al.; the
+    * distribution-free coverage guarantee): fit a point predictor on
+    * the CALIBRATION split (here the per-group mean — any predictor
+    * slots in), take the ceil((n+1)(1−α))-th smallest absolute
+    * residual as the interval half-width q̂, and report the empirical
+    * coverage of prediction ± q̂ on the TEST split — which the
+    * exchangeability theorem guarantees ≥ 1−α in expectation.
+    *
+    * Scale shape: two grouped aggregates (means, test coverage — both
+    * scan-speed with the |groups|-row mean frame broadcast back), and
+    * the residual-rank quantile via the same value-count + block
+    * prefix-sum machinery as [[graft.operators.Drift]] (residuals
+    * snapped to integer 1e-2-cent units so ranks are exact).
+    *
+    * Output: one row — n_cal, n_test, qhat (4 dp, units),
+    * coverage (4 dp).
+    */
+  def splitConformal(df: DataFrame, group: Column, value: Column,
+      isCalib: Column, alpha: Double, nBlocks: Int = 256): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.cast("string").as("g"),
+        floor(value.cast("double") * 100 + 0.5).cast("long").as("c"),
+        isCalib.as("cal"))
+      .filter(col("c").isNotNull && col("g").isNotNull)
+      .localCheckpoint() // calibration means, residuals, and the test
+                         // pass all read it; don't re-scan per consumer
+    val means = base.filter(col("cal"))
+      .groupBy("g").agg(count(lit(1)).as("n_g"), sum("c").as("s_g"))
+      .select(col("g"), (col("s_g").cast("double") / col("n_g")).as("m"))
+    val resid = base.filter(col("cal"))
+      .join(broadcast(means), Seq("g"))
+      // residual in 1e-2-cent integer units: exact rank arithmetic
+      .select(floor(abs(col("c") - col("m")) * 100 + 0.5)
+        .cast("long").as("r"))
+    val counts = resid.groupBy("r").agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(min("r").as("lo"), max("r").as("hi"),
+      sum("cnt").as("n"))
+    val blocked = counts.crossJoin(broadcast(bounds))
+      .withColumn("block",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(nBlocks - 1L), floor(
+            (col("r") - col("lo")).cast("double") /
+              (col("hi") - col("lo")) * nBlocks).cast("long"))))
+    val wB = Window.orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = blocked.groupBy("block").agg(sum("cnt").as("bc"))
+      .select(col("block"),
+        coalesce(sum("bc").over(wB), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("block").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = blocked.join(broadcast(offs), "block")
+      .withColumn("cc", col("off") + sum("cnt").over(wIn))
+      .withColumn("k",
+        ceil((col("n") + 1).cast("double") * lit(1.0 - alpha))
+          .cast("long"))
+      .filter(col("cc") >= least(col("k"), col("n")))
+      .agg(min("r").as("qr"), first("n").as("n_cal"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    val test = base.filter(!col("cal"))
+      .join(broadcast(means), Seq("g"))
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_test"),
+        first("n_cal").as("n_cal"), first("qr").as("qr"),
+        sum(when(floor(abs(col("c") - col("m")) * 100 + 0.5)
+          .cast("long") <= col("qr"), 1L).otherwise(0L)).as("covered"))
+    test.select(col("n_cal"), col("n_test"),
+      r4(col("qr").cast("double") / 10000.0).as("qhat"),
+      r4(col("covered").cast("double") / col("n_test")).as("coverage"))
+  }
+
   /** Step-function application of a PAV fit as a pure projection: the
     * bounded block list becomes a CASE chain of literals — no join, no
     * shuffle, scan speed on the full corpus. Scores below the first

@@ -922,6 +922,50 @@ object Stats {
              |SELECT q, v_a, v_b, v_b - v_a AS gap
              |FROM qa JOIN qb USING (q) ORDER BY q""".stripMargin)),
 
+    // Split-conformal prediction interval: per-type mean fitted on
+    // the even-id calibration half, q-hat = ceil((n+1)·0.9)-th
+    // absolute residual, empirical coverage on the odd-id test half
+    // (the distribution-free ≥ 90% guarantee, checked empirically).
+    GraftQuery(
+      "qN0_conformal",
+      "Split-conformal 90% interval for event value predicted by the " +
+        "per-type calibration mean: residual-rank q-hat and test-half " +
+        "coverage.",
+      (s, d) => graft.operators.Eval.splitConformal(
+        t(s, d, "events"), col("event_type"), col("value"),
+        col("event_id") % 2 === 0, alpha = 0.1),
+      Some("""WITH base AS (
+             |  SELECT CAST(event_type AS VARCHAR) AS g,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+             |    (event_id % 2 = 0) AS cal
+             |  FROM events
+             |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |means AS (SELECT g, CAST(sum(c) AS DOUBLE)/count(*) AS m
+             |  FROM base WHERE cal GROUP BY 1),
+             |resid AS (SELECT
+             |    CAST(floor(abs(b.c - m.m)*100 + 0.5) AS BIGINT) AS r
+             |  FROM base b JOIN means m USING (g) WHERE b.cal),
+             |cnts AS (SELECT r, count(*) AS cnt FROM resid GROUP BY 1),
+             |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts),
+             |cum AS (SELECT r, sum(cnt) OVER (ORDER BY r) AS cc
+             |  FROM cnts),
+             |kk AS (SELECT CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9)
+             |    AS BIGINT) AS k, n FROM nn),
+             |q AS (SELECT min(r) AS qr FROM cum, kk
+             |  WHERE cc >= least(kk.k, kk.n)),
+             |t AS (SELECT count(*) AS n_test,
+             |    sum(CASE WHEN CAST(floor(abs(b.c - m.m)*100 + 0.5)
+             |      AS BIGINT) <= (SELECT qr FROM q) THEN 1 ELSE 0 END)
+             |      AS covered
+             |  FROM base b JOIN means m USING (g) WHERE NOT b.cal)
+             |SELECT (SELECT n FROM nn) AS n_cal,
+             |  CAST(n_test AS BIGINT) AS n_test,
+             |  floor(CAST((SELECT qr FROM q) AS DOUBLE) / 10000.0
+             |    * 10000.0 + 0.5) / 10000.0 AS qhat,
+             |  floor(CAST(covered AS DOUBLE) / n_test * 10000.0 + 0.5)
+             |    / 10000.0 AS coverage
+             |FROM t""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

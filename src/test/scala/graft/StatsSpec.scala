@@ -532,6 +532,63 @@ class StatsSpec extends SparkTestBase {
     assert(r.forall(_.getAs[Double]("gap") == 10.0))
   }
 
+  // ---- conformal / end-to-end gate ---------------------------------
+
+  test("Eval.splitConformal: coverage honors the rank guarantee") {
+    // one group, calibration values 0..99 around mean ~49.5, test
+    // drawn from the same range -> coverage must be >= 0.9-ish
+    // pair layout: ids 2k (calibration) and 2k+1 (test) share the same
+    // value, so both halves see identical residual distributions
+    val rows = (0 until 200).map(i =>
+      (i.toLong, "g", ((i / 2) % 100).toDouble))
+    val df = rows.toDF("event_id", "g", "x")
+    val r = Eval.splitConformal(df, col("g"), col("x"),
+      col("event_id") % 2 === 0, alpha = 0.1).collect()(0)
+    assert(r.getAs[Long]("n_cal") == 100)
+    assert(r.getAs[Long]("n_test") == 100)
+    val cov = r.getAs[Double]("coverage")
+    assert(cov >= 0.85 && cov <= 1.0, s"coverage $cov")
+    // alpha = 0 corner is clamped to the max residual -> full coverage
+    // on identically-distributed halves
+    val r2 = Eval.splitConformal(df, col("g"), col("x"),
+      col("event_id") % 2 === 0, alpha = 0.001).collect()(0)
+    assert(r2.getAs[Double]("coverage") == 1.0)
+    assert(r2.getAs[Double]("qhat") >= r.getAs[Double]("qhat"))
+  }
+
+  test("end-to-end: hash features -> train LR -> calibrate -> gate") {
+    // Synthetic corpus where label = contains the token "good".
+    // featureHash feeds LogReg.train; the trained gate separates; the
+    // isotonic fit of the gate margin is monotone.
+    val docs = (0 until 60).map { i =>
+      val good = i % 2 == 0
+      val text = if (good) s"good solid doc number $i with signal"
+        else s"junk noisy doc number $i without it"
+      (i.toLong, text, good)
+    }.toDF("doc_id", "text", "y")
+    val feats = TextAnalysis.featureHash(docs, "doc_id", "text", 16)
+      .groupBy("doc_id")
+      .pivot("f_idx", (0 until 16).map(_.toString))
+      .sum("cnt").na.fill(0L)
+    val joined = feats.join(docs.select("doc_id", "y"), "doc_id")
+    val featCols = (0 until 16).map(i => i.toString -> col(s"`$i`"))
+    val (w, b) = LogReg.train(joined, featCols, col("y"),
+      lr = 0.5, iters = 40)
+    val (_, acc) = LogReg.lossAndAccuracy(joined, featCols, col("y"),
+      w, b)
+    assert(acc == 1.0, s"hashed-feature LR must separate: acc $acc")
+    // margin as a score; PAV calibration of margin deciles is monotone
+    val margin = featCols.zipWithIndex
+      .map { case ((_, c), j) => c.cast("double") * w(j) }
+      .foldLeft(lit(b))(_ + _)
+    val scored = joined.select(floor(margin).as("s_bin"), col("y"))
+    val blocks = Eval.isotonicBlocks(scored, col("s_bin"), col("y"))
+    assert(blocks.map(_.p).sliding(2).forall(
+      p => p.length < 2 || p(0) < p(1)))
+    assert(blocks.head.p < 0.5 && blocks.last.p > 0.5,
+      "calibrated rates must span the decision boundary")
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

@@ -966,6 +966,50 @@ object Stats {
              |    / 10000.0 AS coverage
              |FROM t""".stripMargin)),
 
+    // Agreement-pattern sufficient statistic for the FS EM fit: 2^3
+    // pattern rows from the same blocking chain as qL4 — the one
+    // distributed pass behind Linkage.emFit.
+    GraftQuery(
+      "qN1_fs_patterns",
+      "Fellegi-Sunter agreement-pattern counts (lang/source/length) " +
+        "over the sorted-neighborhood candidates — the EM fit's " +
+        "sufficient statistic.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = graft.operators.Blocking.sortedNeighborhood(
+          docs, "doc_id", substring(col("text"), 1, 12), w = 3)
+          .select(col("id_a"), col("id_b"))
+        val fields = docs.select(col("doc_id"), col("lang"),
+          col("source"), col("n_chars"))
+        val pairs = cands
+          .join(fields.select(col("doc_id").as("id_a"),
+            col("lang").as("lang_a"), col("source").as("source_a"),
+            col("n_chars").as("nc_a")), Seq("id_a"))
+          .join(fields.select(col("doc_id").as("id_b"),
+            col("lang").as("lang_b"), col("source").as("source_b"),
+            col("n_chars").as("nc_b")), Seq("id_b"))
+        Linkage.agreementPatterns(pairs,
+          fsFields.map(f => f.name -> f.agree))
+          .orderBy("agree_lang", "agree_source", "agree_len")
+      },
+      Some("""WITH r AS (
+             |  SELECT doc_id, substr(text, 1, 12) AS bk, lang, source,
+             |    n_chars,
+             |    row_number() OVER (ORDER BY substr(text, 1, 12),
+             |      doc_id) - 1 AS rank
+             |  FROM documents),
+             |p AS (
+             |  SELECT coalesce(a.lang = b.lang, false) AS agree_lang,
+             |    coalesce(a.source = b.source, false) AS agree_source,
+             |    coalesce(abs(a.n_chars - b.n_chars) * 10 <=
+             |      greatest(a.n_chars, b.n_chars), false) AS agree_len
+             |  FROM r a JOIN r b
+             |    ON b.rank > a.rank AND b.rank <= a.rank + 3)
+             |SELECT agree_lang, agree_source, agree_len,
+             |  CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM p GROUP BY 1, 2, 3
+             |ORDER BY agree_lang, agree_source, agree_len""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

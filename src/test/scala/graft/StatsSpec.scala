@@ -589,6 +589,51 @@ class StatsSpec extends SparkTestBase {
       "calibrated rates must span the decision boundary")
   }
 
+  // ---- FS EM fit ---------------------------------------------------
+
+  test("Linkage.emFit recovers planted m/u from synthetic patterns") {
+    // THREE fields: the FS mixture is just-identified at k=3
+    // (1+3+3 = 7 params vs 2^3−1 = 7 free pattern frequencies); the
+    // classic 2-field setup is under-identified and EM drifts.
+    // Plant p=0.2, m=(0.95, 0.8, 0.9), u=(0.3, 0.1, 0.2): exact
+    // expected pattern counts under conditional independence.
+    val (p0, m0, u0) =
+      (0.2, Seq(0.95, 0.8, 0.9), Seq(0.3, 0.1, 0.2))
+    val n = 10000000L
+    val patterns = for {
+      a1 <- Seq(true, false); a2 <- Seq(true, false)
+      a3 <- Seq(true, false)
+    } yield {
+      val g = Seq(a1, a2, a3)
+      val pm = g.zipWithIndex.map { case (a, f) =>
+        if (a) m0(f) else 1 - m0(f) }.product * p0
+      val pu = g.zipWithIndex.map { case (a, f) =>
+        if (a) u0(f) else 1 - u0(f) }.product * (1 - p0)
+      (g, math.round((pm + pu) * n))
+    }
+    val (p, m, u) = Linkage.emFit(patterns, initP = 0.1,
+      initM = Seq(0.8, 0.7, 0.75), initU = Seq(0.4, 0.2, 0.3),
+      iters = 500)
+    assert(math.abs(p - p0) < 0.01, s"p $p")
+    (0 to 2).foreach { f =>
+      assert(math.abs(m(f) - m0(f)) < 0.02, s"m($f) = ${m(f)}")
+      assert(math.abs(u(f) - u0(f)) < 0.02, s"u($f) = ${u(f)}")
+    }
+  }
+
+  test("Linkage.agreementPatterns counts and collectPatterns round-trips") {
+    val pairs = Seq(
+      (true, true), (true, true), (true, false), (false, false))
+      .toDF("x", "y")
+    val df = Linkage.agreementPatterns(pairs,
+      Seq("f1" -> col("x"), "f2" -> col("y")))
+    val pats = Linkage.collectPatterns(df).toMap
+    assert(pats(Seq(true, true)) == 2L)
+    assert(pats(Seq(true, false)) == 1L)
+    assert(pats(Seq(false, false)) == 1L)
+    assert(pats.values.sum == 4L)
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

@@ -165,6 +165,62 @@ object Layout {
     (df, keep.length, all.length)
   }
 
+  /** Per-file KEY-MEMBERSHIP manifest — the point-lookup complement to
+    * the [[collectZones]] range zones: for each file, the set of
+    * occupied `buckets`-way hash buckets of the key column (a
+    * single-hash Bloom bitmap, stored as a sorted bucket array). A
+    * point lookup scans only files whose bucket set contains the
+    * key's bucket — and unlike zone maps this prunes WITHOUT any
+    * clustering requirement: at ~100 distinct keys/file and 2^16
+    * buckets the per-file false-positive rate is ~0.2%, so a random
+    * layout still skips ~99.8% of files. Manifest size is
+    * min(n_keys, buckets)·4 B per file — the same bounded-collect
+    * contract as the shard manifest. The hash is the portable
+    * [[graft.functions.TextOps.hash32]] (md5 prefix), so any engine
+    * can recompute a key's bucket.
+    * Output: file, n_rows, n_buckets, bucket_set (sorted array<long>).
+    */
+  def keyManifest(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String, buckets: Int = 65536): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val df = spark.read.parquet(path)
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        sort_array(collect_set(
+          pmod(graft.functions.TextOps.hash32(col(keyCol).cast("string")),
+            lit(buckets.toLong)))).as("bucket_set"))
+      .withColumn("n_buckets", size(col("bucket_set")).cast("long"))
+      .select("file", "n_rows", "n_buckets", "bucket_set")
+  }
+
+  /** Files that may contain `key` per the manifest (bucket-membership
+    * test; false positives possible, false negatives not). Driver-side
+    * over the manifest-sized frame.
+    */
+  def pruneFilesByKey(manifest: DataFrame, key: Column,
+      buckets: Int = 65536): Seq[String] =
+    manifest.filter(array_contains(col("bucket_set"),
+        pmod(graft.functions.TextOps.hash32(key.cast("string")),
+          lit(buckets.toLong))))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Point-lookup read through the key manifest: scan ONLY the
+    * bucket-positive files with the exact key predicate still applied
+    * (membership is necessary, not sufficient). Returns (frame,
+    * filesKept, filesTotal).
+    */
+  def readPrunedByKey(spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame, keyCol: String, key: Column,
+      buckets: Int = 65536): (DataFrame, Int, Int) = {
+    val keep = pruneFilesByKey(manifest, key, buckets)
+    val all = manifest.select("file").collect().map(_.getString(0)).toSeq
+    val df =
+      if (keep.isEmpty)
+        spark.read.parquet(all: _*).filter(lit(false))
+      else spark.read.parquet(keep: _*).filter(col(keyCol) === key)
+    (df, keep.length, all.length)
+  }
+
   def zorderLayout(df: DataFrame, aCol: String, bCol: String, bits: Int,
       partitions: Int): DataFrame = {
     val withZ = df.withColumn("z",

@@ -1010,6 +1010,31 @@ object Stats {
              |FROM p GROUP BY 1, 2, 3
              |ORDER BY agree_lang, agree_source, agree_len""".stripMargin)),
 
+    // Point lookup through the per-file key-membership manifest over a
+    // RANDOM layout (where zone maps would prune nothing) — pruned
+    // read equals the plain filter row-for-row.
+    GraftQuery(
+      "qN2_keyman_read",
+      "Point lookup of one customer key through the per-file bucket " +
+        "manifest over a randomly-laid-out rewrite of orders — " +
+        "bucket-positive files only, exact predicate kept.",
+      (s, d) => {
+        val out = s"target/keyman_demo/${math.abs(d.hashCode)}"
+        t(s, d, "orders")
+          .repartition(16, col("o_orderkey"))
+          .write.mode("overwrite").parquet(out)
+        val man = graft.operators.Layout.keyManifest(
+          s, out, "o_custkey").localCheckpoint(true)
+        val (df, _, _) = graft.operators.Layout.readPrunedByKey(
+          s, man, "o_custkey", lit(42L))
+        df.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_custkey = 42
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

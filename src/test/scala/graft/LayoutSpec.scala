@@ -145,4 +145,36 @@ class LayoutSpec extends SparkTestBase {
       Layout.readPruned(spark, zc, "k", lit(9000L), lit(9999L))
     assert(keptNone == 0 && emptyDf.count() == 0)
   }
+
+  test("key manifest prunes point lookups even on a RANDOM layout; " +
+    "absent keys read zero files") {
+    val dir = java.nio.file.Files.createTempDirectory("keyman").toFile
+    val path = s"${dir.getAbsolutePath}/random"
+    // random layout: key ranges overlap across all files — zone maps
+    // prune nothing here, the bucket manifest still does
+    val rows = (0L until 4096L).map(i => (i, s"p$i")).toDF("k", "payload")
+    rows.repartition(16, col("payload")).write.parquet(path)
+    val man = Layout.keyManifest(spark, path, "k").localCheckpoint(true)
+    assert(man.count() == 16)
+    assert(man.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .collect()(0).getLong(0) == 4096L)
+
+    val (hitDf, kept, total) =
+      Layout.readPrunedByKey(spark, man, "k", lit(1234L))
+    assert(total == 16)
+    // 256 keys/file over 2^16 buckets: expected false-positive files
+    // ~16·256/65536 ≈ 0.06 — the true file plus at most a couple
+    assert(kept >= 1 && kept <= 3,
+      s"bucket manifest should prune a random layout to ~1 file: $kept")
+    val hits = hitDf.select("k", "payload").collect()
+    assert(hits.map(_.toSeq).toSet == Set(Seq(1234L, "p1234")),
+      "pruned lookup lost or invented rows")
+
+    // absent key: overwhelmingly likely to touch zero files; never
+    // loses correctness either way (residual predicate still applies)
+    val (missDf, keptMiss, _) =
+      Layout.readPrunedByKey(spark, man, "k", lit(999999L))
+    assert(keptMiss <= 2)
+    assert(missDf.count() == 0)
+  }
 }

@@ -307,7 +307,20 @@ class PlanSpec extends SparkTestBase {
       "qH9_dhash_pairs" -> 4,  // band shuffle pair + dedup + order
       "qI2_audio_fp_pairs" -> 4, // same banded shape as qH9
       "qH3_binary_auc" -> 11, // score partials + block offsets frames
-      "qJ0_ks_drift" -> 12)   // tagged-union partials + offsets frames
+      "qJ0_ks_drift" -> 12,   // tagged-union partials + offsets frames
+      // round-7 heavies (audited this round; every exchange carries a
+      // bounded frame — value-count/block-offset tables, daily frames,
+      // |R×C| grids, candidate blocks — never the raw corpus):
+      "qM9_qq_table" -> 30,        // 2× quantile block prefix sums
+      "qN0_conformal" -> 24,       // means + residual-rank prefix sum
+      "qL3_quantiles_merged" -> 20, // 2 half-counts + merge + prefix sum
+      "qK7_acf" -> 17,             // daily frame + lag equi-join legs
+      "qM4_label_prop_step" -> 14, // pair gen + vote/winner joins
+      "qN1_fs_patterns" -> 14,     // blocking rank + pattern aggregate
+      "qL5_mutual_information" -> 13, // cells + margins + sorted folds
+      "qL4_fellegi_sunter" -> 13,  // blocking rank + two field joins
+      "qL0_chi2_independence" -> 12, // cells + margins + grid complete
+      "qM5_clustering_coeff" -> 8) // fenced und + degree + wedge joins
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

@@ -140,6 +140,122 @@ object Eval {
       r6(isotonicApplyExpr(blocks, col("s"))).as("p_fit"))
   }
 
+  /** Brier score of a probability column against a binary outcome:
+    * mean (p − y)². Probabilities are SNAPPED to integer 1e-4 units so
+    * the squared-error sum is an exact BIGINT in any aggregation
+    * order; one final division. Output: one row — n, brier (6 dp).
+    */
+  def brierScore(df: DataFrame, prob: Column, label: Column): DataFrame = {
+    val p4 = floor(prob.cast("double") * 10000.0 + 0.5).cast("long")
+    val y4 = when(label, 10000L).otherwise(0L)
+    df.select(p4.as("p"), y4.as("y"))
+      .filter(col("p").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum((col("p") - col("y")) * (col("p") - col("y"))).as("s"))
+      .select(col("n"),
+        (floor(col("s").cast("double") / col("n") / 100000000.0
+          * 1000000.0 + 0.5) / 1000000.0).as("brier"))
+  }
+
+  /** Cohen's kappa between two boolean raters: chance-corrected
+    * agreement (po − pe)/(1 − pe) from the 2×2 confusion counts —
+    * all-integer margins, fixed expression tree, null when pe = 1
+    * (degenerate constant raters). One conditional-sum aggregate.
+    * Output: one row — n, n11, n10, n01, n00, po (4 dp), pe (4 dp),
+    * kappa (4 dp).
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column)
+      : DataFrame = {
+    val a = coalesce(raterA, lit(false))
+    val b = coalesce(raterB, lit(false))
+    val counts = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    counts
+      .withColumn("po",
+        (col("n11") + col("n00")).cast("double") / col("n"))
+      .withColumn("pe",
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .cast("double") / col("n") / col("n"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        r4(col("po")).as("po"), r4(col("pe")).as("pe"),
+        when(col("pe") === 1.0, lit(null).cast("double"))
+          .otherwise(r4((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+          .as("kappa"))
+  }
+
+  /** AUC with DeLong standard error and 95% CI — the
+    * is-this-ranking-actually-better rigor layer over [[binaryAuc]]:
+    * per-positive placements (fraction of negatives ranked below,
+    * ties half) have variance V10, per-negative placements V01, and
+    * SE² = V10/n1 + V01/n0 (DeLong, DeLong & Clarke-Pearson 1988).
+    *
+    * Distributed shape: everything derives from the same mergeable
+    * [[scorePartials]] frame (quantize unbounded scores first — the
+    * AUC-path contract); cumulative negative/positive counts come from
+    * one ordered pass over that bounded frame, and the variance sums
+    * fold in score order on both engines (sorted-array fold vs
+    * list(ORDER BY) + list_sum). Placements are exact one-division
+    * rationals; the CI uses the snapped literal 1.96.
+    * Output: one row — n_pos, n_neg, auc (6 dp), se (6 dp),
+    * ci95_lo (6 dp), ci95_hi (6 dp).
+    */
+  def aucDelong(df: DataFrame, score: Column, label: Column)
+      : DataFrame = {
+    val parts = scorePartials(df, score, label)
+      .withColumn("neg", col("cnt") - col("pos"))
+    val folded = parts
+      .agg(sort_array(collect_list(
+        struct(col("s"), col("pos"), col("neg")))).as("xs"))
+      .select(col("xs"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x.getField("pos"))
+          .as("n1"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x.getField("neg"))
+          .as("n0"))
+    // One ordered pass: running negatives/positives BELOW the current
+    // score drive both placement families.
+    val sums = folded.select(col("n1"), col("n0"),
+      aggregate(col("xs"),
+        struct(lit(0L).as("cnb"), lit(0L).as("cpb"),
+          lit(0.0).as("sp1"), lit(0.0).as("sp2"),
+          lit(0.0).as("sq1"), lit(0.0).as("sq2")),
+        (acc, x) => {
+          // placement of positives at s: negatives below + half ties
+          val pPos = (acc.getField("cnb") + x.getField("neg") * 0.5) /
+            col("n0")
+          // placement of negatives at s: positives ABOVE + half ties
+          val pNeg = (col("n1") - acc.getField("cpb") -
+            x.getField("pos") * 0.5) / col("n1")
+          struct(
+            (acc.getField("cnb") + x.getField("neg")).as("cnb"),
+            (acc.getField("cpb") + x.getField("pos")).as("cpb"),
+            (acc.getField("sp1") + x.getField("pos") * pPos).as("sp1"),
+            (acc.getField("sp2") + x.getField("pos") * pPos * pPos)
+              .as("sp2"),
+            (acc.getField("sq1") + x.getField("neg") * pNeg).as("sq1"),
+            (acc.getField("sq2") + x.getField("neg") * pNeg * pNeg)
+              .as("sq2"))
+        }).as("f"))
+    def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
+    sums.select(col("n1"), col("n0"),
+        (col("f.sp1") / col("n1")).as("auc_raw"),
+        ((col("f.sp2") - col("f.sp1") * col("f.sp1") / col("n1")) /
+          (col("n1") - 1)).as("v10"),
+        ((col("f.sq2") - col("f.sq1") * col("f.sq1") / col("n0")) /
+          (col("n0") - 1)).as("v01"))
+      .withColumn("se_raw",
+        sqrt(col("v10") / col("n1") + col("v01") / col("n0")))
+      .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+        r6(col("auc_raw")).as("auc"), r6(col("se_raw")).as("se"),
+        r6(col("auc_raw") - lit(1.96) * col("se_raw")).as("ci95_lo"),
+        r6(col("auc_raw") + lit(1.96) * col("se_raw")).as("ci95_hi"))
+  }
+
   /** Split-conformal prediction interval (Vovk et al.; the
     * distribution-free coverage guarantee): fit a point predictor on
     * the CALIBRATION split (here the per-group mean — any predictor

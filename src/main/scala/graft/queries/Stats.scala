@@ -1035,6 +1035,120 @@ object Stats {
              |FROM orders WHERE o_custkey = 42
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Brier score of the scaled event value as a purchase
+    // probability: integer-1e-4-snapped probabilities, exact BIGINT
+    // squared-error sum.
+    GraftQuery(
+      "qN3_brier",
+      "Brier score of value/500 (clamped to 1) as a purchase " +
+        "probability.",
+      (s, d) => graft.operators.Eval.brierScore(
+        t(s, d, "events"),
+        least(col("value") / 500.0, lit(1.0)),
+        col("event_type") === "purchase"),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(least(value/500.0, CAST(1.0 AS DOUBLE))
+             |      * 10000.0 + 0.5) AS BIGINT) AS p,
+             |    CASE WHEN event_type = 'purchase' THEN 10000 ELSE 0 END
+             |      AS y
+             |  FROM events WHERE value IS NOT NULL)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  floor(CAST(sum((p - y)*(p - y)) AS DOUBLE) / count(*)
+             |    / 100000000.0 * 1000000.0 + 0.5) / 1000000.0 AS brier
+             |FROM b""".stripMargin)),
+
+    // Cohen's kappa between two rule raters over documents:
+    // chance-corrected agreement from all-integer confusion margins.
+    GraftQuery(
+      "qN4_kappa",
+      "Cohen's kappa between the length rater (n_chars >= 250) and " +
+        "the token rater (>= 50 tokens) on documents.",
+      (s, d) => graft.operators.Eval.cohenKappa(
+        t(s, d, "documents"),
+        col("n_chars") >= 250,
+        size(graft.functions.TextOps.tokens(col("text"))) >= 50),
+      Some("""WITH r AS (
+             |  SELECT coalesce(n_chars >= 250, false) AS a,
+             |    coalesce(len(string_split(text, ' ')) >= 50, false)
+             |      AS b
+             |  FROM documents),
+             |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n11,
+             |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n10,
+             |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n01,
+             |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n00
+             |  FROM r),
+             |k AS (SELECT *,
+             |    CAST(n11 + n00 AS DOUBLE) / n AS po_raw,
+             |    CAST((n11 + n10)*(n11 + n01) +
+             |      (n01 + n00)*(n10 + n00) AS DOUBLE) / n / n AS pe_raw
+             |  FROM c)
+             |SELECT n, n11, n10, n01, n00,
+             |  floor(po_raw * 10000.0 + 0.5) / 10000.0 AS po,
+             |  floor(pe_raw * 10000.0 + 0.5) / 10000.0 AS pe,
+             |  CASE WHEN pe_raw = 1.0 THEN CAST(NULL AS DOUBLE)
+             |    ELSE floor((po_raw - pe_raw) / (1.0 - pe_raw)
+             |      * 10000.0 + 0.5) / 10000.0 END AS kappa
+             |FROM k""".stripMargin)),
+
+    // DeLong AUC confidence interval from the mergeable score
+    // partials: placement variances via one score-ordered fold on
+    // both engines.
+    GraftQuery(
+      "qN5_auc_delong",
+      "AUC of value vs purchase with DeLong SE and 95% CI — " +
+        "placement variances from the score-partials frame.",
+      (s, d) => graft.operators.Eval.aucDelong(
+        t(s, d, "events"), col("value"),
+        col("event_type") === "purchase"),
+      Some("""WITH s AS (
+             |  SELECT value AS sc,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |      AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |p AS (SELECT sc AS s, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(y) AS BIGINT) AS pos
+             |  FROM s GROUP BY 1),
+             |p2 AS (SELECT s, pos, cnt - pos AS neg FROM p),
+             |t AS (SELECT CAST(sum(pos) AS BIGINT) AS n1,
+             |    CAST(sum(neg) AS BIGINT) AS n0 FROM p2),
+             |w AS (SELECT s, pos, neg,
+             |    coalesce(sum(neg) OVER (ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS cnb,
+             |    coalesce(sum(pos) OVER (ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS cpb
+             |  FROM p2),
+             |pl AS (SELECT s, pos, neg,
+             |    (cnb + neg * 0.5) / (SELECT n0 FROM t) AS ppos,
+             |    ((SELECT n1 FROM t) - cpb - pos * 0.5) /
+             |      (SELECT n1 FROM t) AS pneg
+             |  FROM w),
+             |f AS (SELECT
+             |    list_sum(list(pos * ppos ORDER BY s)) AS sp1,
+             |    list_sum(list(pos * ppos * ppos ORDER BY s)) AS sp2,
+             |    list_sum(list(neg * pneg ORDER BY s)) AS sq1,
+             |    list_sum(list(neg * pneg * pneg ORDER BY s)) AS sq2
+             |  FROM pl),
+             |g AS (SELECT t.n1, t.n0, sp1 / t.n1 AS auc_raw,
+             |    (sp2 - sp1*sp1/t.n1) / (t.n1 - 1) AS v10,
+             |    (sq2 - sq1*sq1/t.n0) / (t.n0 - 1) AS v01
+             |  FROM f, t),
+             |h AS (SELECT *, sqrt(v10/n1 + v01/n0) AS se_raw FROM g)
+             |SELECT n1 AS n_pos, n0 AS n_neg,
+             |  floor(auc_raw * 1000000.0 + 0.5) / 1000000.0 AS auc,
+             |  floor(se_raw * 1000000.0 + 0.5) / 1000000.0 AS se,
+             |  floor((auc_raw - CAST(1.96 AS DOUBLE) * se_raw)
+             |    * 1000000.0 + 0.5) / 1000000.0 AS ci95_lo,
+             |  floor((auc_raw + CAST(1.96 AS DOUBLE) * se_raw)
+             |    * 1000000.0 + 0.5) / 1000000.0 AS ci95_hi
+             |FROM h""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

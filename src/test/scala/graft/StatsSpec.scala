@@ -634,6 +634,52 @@ class StatsSpec extends SparkTestBase {
     assert(pats.values.sum == 4L)
   }
 
+  // ---- Brier / kappa / DeLong --------------------------------------
+
+  test("Eval.brierScore: perfect forecasts 0, coin forecasts 0.25") {
+    val perfect = Seq((1.0, true), (0.0, false), (1.0, true))
+      .toDF("p", "y")
+    assert(Eval.brierScore(perfect, col("p"), col("y"))
+      .collect()(0).getAs[Double]("brier") == 0.0)
+    val coin = Seq((0.5, true), (0.5, false)).toDF("p", "y")
+    assert(Eval.brierScore(coin, col("p"), col("y"))
+      .collect()(0).getAs[Double]("brier") == 0.25)
+  }
+
+  test("Eval.cohenKappa: textbook 2x2 and degenerate guard") {
+    // classic example: n11=20, n10=5, n01=10, n00=15 -> po=0.7,
+    // pe = (25*30 + 25*20)/2500 = 0.5, kappa = 0.4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+    // constant raters agree everywhere by chance: pe = 1 -> null
+    val const = Seq.fill(10)((true, true)).toDF("a", "b")
+    val r2 = Eval.cohenKappa(const, col("a"), col("b")).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("kappa")))
+  }
+
+  test("Eval.aucDelong: AUC matches binaryAuc; CI brackets it") {
+    val rows = (1 to 200).map(i =>
+      (i.toDouble + (if (i % 3 == 0) 50 else 0), i % 3 == 0))
+    val df = rows.toDF("s", "y")
+    val d = Eval.aucDelong(df, col("s"), col("y")).collect()(0)
+    val a = Eval.binaryAuc(df, col("s"), col("y")).collect()(0)
+    assert(d.getAs[Double]("auc") == a.getAs[Double]("auc"),
+      "DeLong AUC must equal the rank-sum AUC")
+    assert(d.getAs[Double]("se") > 0)
+    assert(d.getAs[Double]("ci95_lo") < d.getAs[Double]("auc"))
+    assert(d.getAs[Double]("ci95_hi") > d.getAs[Double]("auc"))
+    // a perfect separator has zero placement variance: SE = 0
+    val perfect = ((1 to 50).map(i => (i.toDouble, false)) ++
+      (51 to 100).map(i => (i.toDouble, true))).toDF("s", "y")
+    val dp = Eval.aucDelong(perfect, col("s"), col("y")).collect()(0)
+    assert(dp.getAs[Double]("auc") == 1.0 && dp.getAs[Double]("se") == 0.0)
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

@@ -163,6 +163,54 @@ object Drift {
       .select(col("q"), col("target_rank"), col("v"))
   }
 
+  /** Mergeable CATEGORY counts — the categorical sibling of
+    * [[valueCounts]] (same sum-merge lifecycle, string keys).
+    */
+  def catCounts(df: DataFrame, category: Column): DataFrame =
+    df.select(category.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+
+  /** Sum-merge two (k, cnt) category tables. */
+  def mergeCatCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("k").agg(sum("cnt").as("cnt"))
+
+  /** Pearson χ² two-sample test from two category-count tables — the
+    * categorical drift statistic beside [[ksFromCounts]] (continuous):
+    * a 2×C independence test of (sample tag × category) computed
+    * directly from the merged margins. Absent categories complete with
+    * zero observed; per-cell contributions snap to integer 1e-6 units
+    * (the [[Robust.chi2Independence]] discipline) so the statistic is
+    * exact. Output: one row — n_a, n_b, c_levels, df, chi2 (4 dp).
+    */
+  def chi2FromCounts(aCounts: DataFrame, bCounts: DataFrame): DataFrame = {
+    val byK = aCounts
+      .select(col("k"), col("cnt").as("ca"), lit(0L).as("cb"))
+      .unionAll(bCounts
+        .select(col("k"), lit(0L).as("ca"), col("cnt").as("cb")))
+      .groupBy("k").agg(sum("ca").as("oa"), sum("cb").as("ob"))
+    val tot = byK.agg(sum("oa").as("na"), sum("ob").as("nb"),
+      count(lit(1)).as("c_levels"))
+    val cells = byK.crossJoin(broadcast(tot))
+      .withColumn("colm", col("oa") + col("ob"))
+      .withColumn("n", col("na") + col("nb"))
+      // expected under independence: rowTotal·colTotal/n for each of
+      // the two sample rows
+      .withColumn("ea", col("na").cast("double") * col("colm") / col("n"))
+      .withColumn("eb", col("nb").cast("double") * col("colm") / col("n"))
+      .withColumn("contrib6",
+        floor((col("oa") - col("ea")) * (col("oa") - col("ea")) /
+          col("ea") * 1000000.0 + 0.5).cast("long") +
+        floor((col("ob") - col("eb")) * (col("ob") - col("eb")) /
+          col("eb") * 1000000.0 + 0.5).cast("long"))
+    cells.agg(first("na").as("n_a"), first("nb").as("n_b"),
+        first("c_levels").as("c_levels"), sum("contrib6").as("s6"))
+      .select(col("n_a"), col("n_b"), col("c_levels"),
+        (col("c_levels") - 1).as("df"),
+        (floor(col("s6").cast("double") / 1000000.0 * 10000.0 + 0.5) /
+          10000.0).as("chi2"))
+  }
+
   /** Quantile-quantile drift table: matched exact quantiles of two
     * (v, cnt) count tables at the given probabilities, with the
     * per-quantile gap — the where-does-it-drift complement to the

@@ -1149,6 +1149,59 @@ object Stats {
              |    * 1000000.0 + 0.5) / 1000000.0 AS ci95_hi
              |FROM h""".stripMargin)),
 
+    // The mergeable-state form of qM1: category counts built per half
+    // and fed to the two-sample chi2 reduction — the batch face of the
+    // streaming categorical-drift screen.
+    GraftQuery(
+      "qN6_chi2_counts_drift",
+      "Two-sample chi-square of the event_type mix from mergeable " +
+        "category-count state (first vs second half of month).",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        Drift.chi2FromCounts(
+          Drift.catCounts(ev.filter(dayofmonth(col("ts")) <= 15),
+            col("event_type")),
+          Drift.catCounts(ev.filter(dayofmonth(col("ts")) > 15),
+            col("event_type")))
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(event_type AS VARCHAR) AS k,
+             |    count(*) AS cnt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL
+             |    AND day(CAST(ts AS DATE)) <= 15 GROUP BY 1),
+             |b AS (
+             |  SELECT CAST(event_type AS VARCHAR) AS k,
+             |    count(*) AS cnt
+             |  FROM events
+             |  WHERE event_type IS NOT NULL
+             |    AND day(CAST(ts AS DATE)) > 15 GROUP BY 1),
+             |byk AS (SELECT coalesce(a.k, b.k) AS k,
+             |    coalesce(a.cnt, 0) AS oa, coalesce(b.cnt, 0) AS ob
+             |  FROM a FULL JOIN b ON a.k = b.k),
+             |tot AS (SELECT CAST(sum(oa) AS BIGINT) AS na,
+             |    CAST(sum(ob) AS BIGINT) AS nb,
+             |    CAST(count(*) AS BIGINT) AS c_levels FROM byk),
+             |cells AS (SELECT oa, ob, na, nb, c_levels,
+             |    oa + ob AS colm, na + nb AS n
+             |  FROM byk, tot),
+             |e AS (SELECT *,
+             |    CAST(na AS DOUBLE) * colm / n AS ea,
+             |    CAST(nb AS DOUBLE) * colm / n AS eb
+             |  FROM cells),
+             |c AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+             |    max(c_levels) AS c_levels,
+             |    CAST(sum(
+             |      CAST(floor((oa - ea)*(oa - ea)/ea * 1000000.0 + 0.5)
+             |        AS BIGINT) +
+             |      CAST(floor((ob - eb)*(ob - eb)/eb * 1000000.0 + 0.5)
+             |        AS BIGINT)) AS BIGINT) AS s6
+             |  FROM e)
+             |SELECT n_a, n_b, c_levels, c_levels - 1 AS df,
+             |  floor(CAST(s6 AS DOUBLE) / 1000000.0 * 10000.0 + 0.5)
+             |    / 10000.0 AS chi2
+             |FROM c""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

@@ -373,6 +373,30 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming categorical-drift screen: micro-batch category counts
+    * sum-merge into standing state; each batch appends the running χ²
+    * of EVERYTHING ingested vs the static baseline mix — the
+    * categorical sibling of [[startKsScreen]], same versioned
+    * exactly-once layout.
+    */
+  def startChi2Screen(stream: DataFrame,
+      categoryExpr: org.apache.spark.sql.Column, baseline: DataFrame,
+      stateDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.operators.Drift.catCounts(batch, categoryExpr)
+        val standing = mergeVersioned(spark, stateDir, batchId, fresh,
+          graft.operators.Drift.mergeCatCounts(_, _))
+        graft.operators.Drift.chi2FromCounts(standing, baseline)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Append sink into the engine's date-partitioned layout: the streaming
     * continuation of the CTAS contract (transform/web100.sql:8-13).
     */

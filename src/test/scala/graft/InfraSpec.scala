@@ -808,6 +808,45 @@ class InfraSpec extends SparkTestBase {
     assert(b1.toSeq == Seq(50.0, 90.0))
   }
 
+  test("streaming chi2 screen: running categorical drift equals the " +
+    "batch statistic of the concatenated stream") {
+    import graft.operators.Drift
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("x2-in").toFile
+    val stDir = Files.createTempDirectory("x2-st").toFile
+      .getAbsolutePath + "/state"
+    val outDir = Files.createTempDirectory("x2-out").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("x2-ck").toFile.getAbsolutePath
+    val base = Seq.fill(100)("a") ++ Seq.fill(100)("b")
+    val day1 = Seq.fill(90)("a") ++ Seq.fill(30)("b") // shifted mix
+    val day2 = Seq.fill(50)("a") ++ Seq.fill(10)("b")
+    day1.toDF("k").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    Thread.sleep(1500)
+    day2.toDF("k").coalesce(1)
+      .write.parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val baseCounts = Drift.catCounts(base.toDF("k"), col("k"))
+      .localCheckpoint(true)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("k STRING"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.getAbsolutePath + "/drop*")
+    val q = Ingest.startChi2Screen(stream, col("k"), baseCounts,
+      stDir, outDir, ckpt)
+    q.awaitTermination(60000)
+    val outs = spark.read.parquet(outDir).orderBy("batch_id").collect()
+    assert(outs.length == 2)
+    val batch = Drift.chi2FromCounts(
+      Drift.catCounts((day1 ++ day2).toDF("k"), col("k")), baseCounts)
+      .collect()(0)
+    assert(outs.last.getAs[Double]("chi2") ==
+      batch.getAs[Double]("chi2"),
+      "running chi2 diverged from the batch statistic")
+    assert(batch.getAs[Double]("chi2") > 6.63,
+      "shifted mix should exceed the df=1 p<0.01 threshold")
+  }
+
   test("quality gate applies unchanged to a file stream — stateless " +
     "scan-speed ops need no streaming variant") {
     import graft.operators.TextAnalysis

@@ -162,6 +162,69 @@ object Graph {
           .as("cc"))
   }
 
+  /** One k-core peeling step: among the ACTIVE node set, degree over
+    * the induced subgraph (both endpoints active), survives iff
+    * deg ≥ k. The oracle-checkable step of [[kcore]]; isolated active
+    * nodes report degree 0.
+    * Output: node, deg, survives.
+    */
+  def kcoreStep(active: DataFrame, nodeCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val nodes = active.select(col(nodeCol).as("node"))
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .join(nodes.select(col("node").as("u")).hint("shuffle_hash"),
+        Seq("u"), "left_semi")
+      .join(nodes.select(col("node").as("v")).hint("shuffle_hash"),
+        Seq("v"), "left_semi")
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    nodes.join(deg.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),
+        (coalesce(col("deg"), lit(0L)) >= k).as("survives"))
+  }
+
+  /** k-core decomposition for one k: iterate [[kcoreStep]] until the
+    * active set stops shrinking (checkpoint-fenced driver rounds, the
+    * HashMin loop discipline — convergence is a count compare on the
+    * already-materialized frame, never an extra scan of upstream).
+    * Output: node, in_kcore — over the ORIGINAL node universe.
+    */
+  def kcore(nodes: DataFrame, nodeCol: String, edges: DataFrame,
+      srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val universe = nodes.select(col(nodeCol).as("node"))
+      .localCheckpoint(true)
+    val fencedEdges = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .localCheckpoint(true)
+    var active = universe
+    var n = active.count()
+    var round = 0
+    var shrinking = true
+    while (shrinking && round < maxRounds) {
+      val next = kcoreStep(active, "node", fencedEdges, "s", "d", k)
+        .filter(col("survives")).select("node")
+        .localCheckpoint(true)
+      val m = next.count()
+      shrinking = m < n
+      active = next
+      n = m
+      round += 1
+    }
+    universe.join(
+        active.select(col("node"), lit(true).as("in_kcore"))
+          .hint("shuffle_hash"),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("in_kcore"), lit(false)).as("in_kcore"))
+  }
+
   /** One label-propagation step for semi-supervised labeling over a
     * similarity graph: every UNLABELED node takes the most common
     * label among its labeled neighbors (ties → lexicographically

@@ -1202,6 +1202,32 @@ object Stats {
              |    / 10000.0 AS chi2
              |FROM c""".stripMargin)),
 
+    // One k-core peeling step over the near-dup graph (k = 2):
+    // induced-subgraph degrees, survives iff deg >= 2. The iterated
+    // decomposition (Graph.kcore) is spec-locked; this is its
+    // oracle-checked step (the qM4 convention).
+    GraftQuery(
+      "qN7_kcore_step",
+      "k-core peeling step (k=2) on the 3-gram-Jaccard near-dup " +
+        "graph: per-doc induced degree and survival.",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.5)
+        graft.operators.Graph.kcoreStep(
+          docs, "doc_id", pairs, "doc_a", "doc_b", k = 2)
+          .orderBy("node")
+      },
+      Some(s"""WITH $duckShingleSets,
+              |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT unnest([u, v]) AS node FROM und)
+              |  GROUP BY 1)
+              |SELECT d.doc_id AS node,
+              |  CAST(coalesce(dg.deg, 0) AS BIGINT) AS deg,
+              |  coalesce(dg.deg, 0) >= 2 AS survives
+              |FROM documents d LEFT JOIN dg ON dg.node = d.doc_id
+              |ORDER BY node""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

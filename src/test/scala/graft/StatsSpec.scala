@@ -465,6 +465,23 @@ class StatsSpec extends SparkTestBase {
     assert(r(4).getAs[Long]("deg") == 0)
   }
 
+  test("Graph.kcore: triangle survives 2-core, chain dissolves") {
+    // triangle 1-2-3 + chain 3-4-5: after peeling, only the triangle
+    // remains in the 2-core (4 and 5 peel in cascading rounds)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("node") // 6 isolated
+    val r = Graph.kcore(nodes, "node", edges, "src", "dst", k = 2)
+      .orderBy("node").collect()
+    val in = r.filter(_.getAs[Boolean]("in_kcore")).map(_.getLong(0))
+    assert(in.toSet == Set(1L, 2L, 3L))
+    // the first step alone would KEEP node 4 (deg 2: edges to 3 and 5)
+    // — peeling must cascade, which is the reason for the loop
+    val step1 = Graph.kcoreStep(nodes, "node", edges, "src", "dst", 2)
+      .filter(col("survives")).collect().map(_.getLong(0))
+    assert(step1.toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   // ---- feature hashing / decayed aggregates ------------------------
 
   test("TextAnalysis.featureHash: counts collide into dims buckets") {

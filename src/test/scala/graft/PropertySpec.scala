@@ -314,4 +314,99 @@ class PropertySpec extends SparkTestBase {
       assert(got == expected, s"W=$w diverged (${pts.size}x${ivs.size})")
     }
   }
+
+  test("quantilesFromCounts: lower-rank quantiles match the sorted " +
+    "reference on random multisets at random block counts") {
+    import graft.operators.Drift
+    val caseGen = for {
+      n <- Gen.choose(1, 400)
+      vals <- Gen.listOfN(n, Gen.choose(-50, 50))
+      nb <- Gen.choose(1, 9)
+      qs <- Gen.listOfN(3, Gen.choose(1, 100))
+    } yield (vals.map(_.toDouble), nb, qs.map(_ / 100.0))
+    samples(caseGen, 6).foreach { case (vals, nb, qs) =>
+      val counts = Drift.valueCounts(vals.toDF("x"), col("x"))
+      val got = Drift.quantilesFromCounts(counts, qs, nBlocks = nb)
+        .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("v"))
+        .toMap
+      val sorted = vals.sorted
+      qs.distinct.foreach { q =>
+        val k = math.ceil(q * vals.size).toInt.max(1)
+        assert(got(q) == sorted(k - 1),
+          s"q=$q nb=$nb n=${vals.size}: ${got(q)} vs ${sorted(k - 1)}")
+      }
+    }
+  }
+
+  test("giniCoefficient matches the mean-absolute-difference identity " +
+    "on random non-negative data") {
+    import graft.operators.Info
+    val caseGen = for {
+      n <- Gen.choose(2, 200)
+      vals <- Gen.listOfN(n, Gen.choose(0, 500))
+      nb <- Gen.choose(1, 7)
+    } yield (vals.map(_ / 100.0), nb)
+    samples(caseGen, 5).foreach { case (vals, nb) =>
+      val total = vals.sum
+      if (total > 0) {
+        val got = Info.giniCoefficient(vals.toDF("x"), col("x"),
+          nBlocks = nb).collect()(0).getAs[Double]("gini")
+        // independent identity: G = sum_ij |xi - xj| / (2 n^2 mean)
+        val n = vals.size
+        val mad = (for (a <- vals; b <- vals) yield math.abs(a - b)).sum
+        val ref = mad / (2.0 * n * n * (total / n))
+        assert(math.abs(got - ref) < 1e-4,
+          s"n=$n nb=$nb: $got vs $ref")
+      }
+    }
+  }
+
+  test("isotonicBlocks: monotone rates, conserved mass, pooled means " +
+    "on random label sequences") {
+    import graft.operators.Eval
+    val caseGen = for {
+      n <- Gen.choose(1, 60)
+      scores <- Gen.listOfN(n, Gen.choose(0, 20))
+      ys <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield scores.map(_.toDouble).zip(ys)
+    samples(caseGen, 6).foreach { rows =>
+      val df = rows.toDF("s", "y")
+      val blocks = Eval.isotonicBlocks(df, col("s"), col("y"))
+      // strictly increasing rates (equal-rate neighbors pool)
+      assert(blocks.map(_.p).sliding(2)
+        .forall(p => p.length < 2 || p(0) < p(1)), s"not monotone")
+      // mass conservation
+      assert(blocks.map(_.cnt).sum == rows.size)
+      assert(blocks.map(_.pos).sum == rows.count(_._2))
+      // non-overlapping, ordered block ranges
+      assert(blocks.sliding(2).forall(b =>
+        b.length < 2 || b(0).hi < b(1).lo))
+    }
+  }
+
+  test("aucDelong AUC equals the direct pair-count AUC on random data") {
+    import graft.operators.Eval
+    val caseGen = for {
+      n <- Gen.choose(10, 150)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, 30); y <- Gen.oneOf(true, false)
+      } yield (s.toDouble, y))
+    } yield rows
+    samples(caseGen, 5).foreach { rows =>
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      if (pos.size >= 2 && neg.size >= 2) {
+        val d = Eval.aucDelong(rows.toDF("s", "y"), col("s"), col("y"))
+          .collect()(0)
+        val wins = (for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val ref = math.floor(wins / (pos.size.toLong * neg.size)
+          * 1e6 + 0.5) / 1e6
+        assert(d.getAs[Double]("auc") == ref,
+          s"np=${pos.size} nn=${neg.size}")
+        assert(d.getAs[Double]("ci95_lo") <= d.getAs[Double]("auc"))
+        assert(d.getAs[Double]("ci95_hi") >= d.getAs[Double]("auc"))
+      }
+    }
+  }
 }

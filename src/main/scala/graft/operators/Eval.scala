@@ -327,6 +327,58 @@ object Eval {
       r4(col("covered").cast("double") / col("n_test")).as("coverage"))
   }
 
+  /** Per-group split-conformal intervals — [[splitConformal]] with
+    * group-local residual ranks (a per-type interval is what
+    * production monitoring wants: tails differ by segment, and the
+    * coverage guarantee is then PER GROUP). The residual rank runs as
+    * a group-PARTITIONED window over the (group, residual) count frame
+    * — partitioned, never a global window, the standard grouped shape.
+    * Output per group: g, n_cal, n_test, qhat (4 dp), coverage (4 dp;
+    * null for groups with no test rows).
+    */
+  def splitConformalBy(df: DataFrame, group: Column, value: Column,
+      isCalib: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(group.cast("string").as("g"),
+        floor(value.cast("double") * 100 + 0.5).cast("long").as("c"),
+        isCalib.as("cal"))
+      .filter(col("c").isNotNull && col("g").isNotNull)
+      .localCheckpoint()
+    val means = base.filter(col("cal"))
+      .groupBy("g").agg(count(lit(1)).as("n_cal"), sum("c").as("s_g"))
+      .select(col("g"), col("n_cal"),
+        (col("s_g").cast("double") / col("n_cal")).as("m"))
+    val residCounts = base.filter(col("cal"))
+      .join(broadcast(means), Seq("g"))
+      .select(col("g"),
+        floor(abs(col("c") - col("m")) * 100 + 0.5).cast("long").as("r"))
+      .groupBy("g", "r").agg(count(lit(1)).as("cnt"))
+    val wG = Window.partitionBy("g").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qhat = residCounts
+      .withColumn("cc", sum("cnt").over(wG))
+      .join(broadcast(means.select(col("g"), col("n_cal"))), Seq("g"))
+      .withColumn("k",
+        ceil((col("n_cal") + 1).cast("double") * lit(1.0 - alpha))
+          .cast("long"))
+      .filter(col("cc") >= least(col("k"), col("n_cal")))
+      .groupBy("g").agg(min("r").as("qr"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    base.filter(!col("cal"))
+      .join(broadcast(means), Seq("g"))
+      .join(broadcast(qhat), Seq("g"))
+      .groupBy("g")
+      .agg(first("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        first("qr").as("qr"),
+        sum(when(floor(abs(col("c") - col("m")) * 100 + 0.5)
+          .cast("long") <= col("qr"), 1L).otherwise(0L)).as("covered"))
+      .select(col("g"), col("n_cal"), col("n_test"),
+        r4(col("qr").cast("double") / 10000.0).as("qhat"),
+        r4(col("covered").cast("double") / col("n_test"))
+          .as("coverage"))
+  }
+
   /** Step-function application of a PAV fit as a pure projection: the
     * bounded block list becomes a CASE chain of literals — no join, no
     * shuffle, scan speed on the full corpus. Scores below the first

@@ -1228,6 +1228,51 @@ object Stats {
               |FROM documents d LEFT JOIN dg ON dg.node = d.doc_id
               |ORDER BY node""".stripMargin)),
 
+    // Per-group conformal: qN0's guarantee per event_type — segment
+    // tails differ, so the interval should too.
+    GraftQuery(
+      "qN8_conformal_by_type",
+      "Per-event-type split-conformal 90% intervals: group-local " +
+        "residual ranks, per-group q-hat and test coverage.",
+      (s, d) => graft.operators.Eval.splitConformalBy(
+        t(s, d, "events"), col("event_type"), col("value"),
+        col("event_id") % 2 === 0, alpha = 0.1).orderBy("g"),
+      Some("""WITH base AS (
+             |  SELECT CAST(event_type AS VARCHAR) AS g,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+             |    (event_id % 2 = 0) AS cal
+             |  FROM events
+             |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |means AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+             |    CAST(sum(c) AS DOUBLE)/count(*) AS m
+             |  FROM base WHERE cal GROUP BY 1),
+             |rc AS (SELECT b.g,
+             |    CAST(floor(abs(b.c - m.m)*100 + 0.5) AS BIGINT) AS r,
+             |    count(*) AS cnt
+             |  FROM base b JOIN means m USING (g) WHERE b.cal
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT g, r,
+             |    sum(cnt) OVER (PARTITION BY g ORDER BY r) AS cc
+             |  FROM rc),
+             |kk AS (SELECT cum.g, cum.r, cum.cc, means.n_cal,
+             |    CAST(ceil(CAST(means.n_cal + 1 AS DOUBLE) * 0.9)
+             |      AS BIGINT) AS k
+             |  FROM cum JOIN means USING (g)),
+             |q AS (SELECT g, min(r) AS qr FROM kk
+             |  WHERE cc >= least(k, n_cal) GROUP BY 1),
+             |t AS (SELECT b.g, means.n_cal, q.qr,
+             |    count(*) AS n_test,
+             |    sum(CASE WHEN CAST(floor(abs(b.c - means.m)*100 + 0.5)
+             |      AS BIGINT) <= q.qr THEN 1 ELSE 0 END) AS covered
+             |  FROM base b JOIN means USING (g) JOIN q USING (g)
+             |  WHERE NOT b.cal GROUP BY 1, 2, 3)
+             |SELECT g, n_cal, CAST(n_test AS BIGINT) AS n_test,
+             |  floor(CAST(qr AS DOUBLE) / 10000.0 * 10000.0 + 0.5)
+             |    / 10000.0 AS qhat,
+             |  floor(CAST(covered AS DOUBLE) / n_test * 10000.0 + 0.5)
+             |    / 10000.0 AS coverage
+             |FROM t ORDER BY g""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

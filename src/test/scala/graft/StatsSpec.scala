@@ -573,6 +573,27 @@ class StatsSpec extends SparkTestBase {
     assert(r2.getAs[Double]("qhat") >= r.getAs[Double]("qhat"))
   }
 
+  test("Eval.splitConformalBy: per-group q-hats reflect group spread") {
+    // tight group vs wide group, same pair layout as the global test
+    val rows = (0 until 400).map { i =>
+      val g = if (i < 200) "tight" else "wide"
+      val spread = if (g == "tight") 10 else 100
+      (i.toLong, g, ((i / 2) % spread).toDouble)
+    }
+    val df = rows.toDF("event_id", "g", "x")
+    val r = Eval.splitConformalBy(df, col("g"), col("x"),
+      col("event_id") % 2 === 0, alpha = 0.1)
+      .orderBy("g").collect()
+    val byG = r.map(x => x.getAs[String]("g") -> x).toMap
+    assert(byG("wide").getAs[Double]("qhat") >
+      byG("tight").getAs[Double]("qhat"),
+      "wider group must get the wider interval")
+    r.foreach { row =>
+      val cov = row.getAs[Double]("coverage")
+      assert(cov >= 0.85 && cov <= 1.0,
+        s"${row.getAs[String]("g")}: coverage $cov") }
+  }
+
   test("end-to-end: hash features -> train LR -> calibrate -> gate") {
     // Synthetic corpus where label = contains the token "good".
     // featureHash feeds LogReg.train; the trained gate separates; the

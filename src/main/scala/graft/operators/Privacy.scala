@@ -82,4 +82,64 @@ object Privacy {
         countDistinct(col("__s")).as("n_sensitive"))
       .withColumn("diverse", col("n_sensitive") >= l)
   }
+
+  /** t-closeness screen (Li, Li & Venkatasubramanian 2007) for an
+    * ORDERED sensitive attribute — the skewness-attack check
+    * [[lDiversity]] misses (a class can be diverse yet still
+    * concentrated in the sensitive tail): each quasi-class's sensitive
+    * distribution must sit within Earth-Mover's-Distance `t` of the
+    * GLOBAL distribution. For an ordered attribute with m values the
+    * EMD is (1/(m−1))·Σ_i |Σ_{j≤i}(p_j − q_j)| — cumulative
+    * share-difference mass.
+    *
+    * Shape: one global value-count aggregate (m rows, broadcast), one
+    * (class × value) count aggregate completed against the global
+    * value list (absent cells contribute p_j = 0), a class-PARTITIONED
+    * cumulative window in value order, one bounded per-class
+    * re-aggregation. Shares are one-division rationals; the cumulative
+    * sums add in the same value order on both engines.
+    *
+    * Output per class: quasi..., n, emd (6 dp), close (emd ≤ t).
+    */
+  def tCloseness(df: DataFrame, quasi: Seq[(String, Column)],
+      sensitive: Column, t: Double): DataFrame = {
+    require(t > 0, "t must be positive")
+    require(quasi.nonEmpty, "need at least one quasi-identifier")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(quasi.map { case (n, c) => c.as(n) } :+
+        sensitive.cast("double").as("__s"): _*)
+      .filter(col("__s").isNotNull)
+      .localCheckpoint()
+    val qCols = quasi.map(_._1)
+    val global = base.groupBy("__s").agg(count(lit(1)).as("gc"))
+    val gTot = global.agg(sum("gc").as("gn"),
+      count(lit(1)).as("m"))
+    val classes = base.groupBy(qCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val cells = base.groupBy((qCols.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("cc"))
+    // complete: every class × every global value
+    val grid = classes.crossJoin(broadcast(global))
+      .join(cells, qCols :+ "__s", "left")
+      .withColumn("pc", coalesce(col("cc"), lit(0L)))
+    val wC = Window.partitionBy(qCols.map(col): _*).orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
+    grid.crossJoin(broadcast(gTot))
+      .withColumn("d",
+        col("pc").cast("double") / col("n") -
+          col("gc").cast("double") / col("gn"))
+      .withColumn("cum", sum("d").over(wC))
+      .groupBy((qCols.map(col) :+ col("n") :+ col("m")): _*)
+      // Σ|cum| folds in value order (bounded m rows per class) so the
+      // double sum is order-pinned on both engines
+      .agg(sort_array(collect_list(struct(col("__s"), col("cum"))))
+        .as("cs"))
+      .select((qCols.map(col) :+ col("n") :+
+        when(col("m") <= 1, lit(0.0))
+          .otherwise(r6(aggregate(col("cs"), lit(0.0),
+            (a, s) => a + abs(s.getField("cum"))) / (col("m") - 1)))
+          .as("emd")): _*)
+      .withColumn("close", col("emd") <= t)
+  }
 }

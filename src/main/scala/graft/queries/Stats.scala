@@ -1273,6 +1273,53 @@ object Stats {
              |    / 10000.0 AS coverage
              |FROM t ORDER BY g""".stripMargin)),
 
+    // t-closeness release screen: per-event-type EMD of the binned
+    // value distribution against the global one — the skewness-attack
+    // check completing the k-anonymity / l-diversity triad.
+    GraftQuery(
+      "qN9_t_closeness",
+      "t-closeness (ordered EMD, t=0.15) of the binned event value " +
+        "per event_type vs the global distribution.",
+      (s, d) => graft.operators.Privacy.tCloseness(
+        t(s, d, "events"),
+        Seq("event_type" -> col("event_type")),
+        floor(col("value") / 50), t = 0.15)
+        .orderBy("event_type"),
+      Some("""WITH base AS (
+             |  SELECT event_type, CAST(floor(value/50) AS DOUBLE) AS s
+             |  FROM events
+             |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+             |gl AS (SELECT s, CAST(count(*) AS BIGINT) AS gc
+             |  FROM base GROUP BY 1),
+             |gt AS (SELECT CAST(sum(gc) AS BIGINT) AS gn,
+             |    CAST(count(*) AS BIGINT) AS m FROM gl),
+             |cls AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM base GROUP BY 1),
+             |cells AS (SELECT event_type, s, CAST(count(*) AS BIGINT)
+             |    AS cc
+             |  FROM base GROUP BY 1, 2),
+             |grid AS (SELECT cls.event_type, cls.n, gl.s, gl.gc,
+             |    coalesce(cells.cc, 0) AS pc
+             |  FROM cls CROSS JOIN gl
+             |  LEFT JOIN cells ON cells.event_type = cls.event_type
+             |    AND cells.s = gl.s),
+             |cum AS (SELECT event_type, n, s,
+             |    sum(CAST(pc AS DOUBLE)/n -
+             |      CAST(gc AS DOUBLE)/(SELECT gn FROM gt))
+             |      OVER (PARTITION BY event_type ORDER BY s) AS cum
+             |  FROM grid),
+             |e AS (SELECT event_type, n,
+             |    list_sum(list(abs(cum) ORDER BY s)) AS sabs
+             |  FROM cum GROUP BY 1, 2)
+             |SELECT event_type, n,
+             |  CASE WHEN (SELECT m FROM gt) <= 1 THEN 0.0
+             |    ELSE floor(sabs / ((SELECT m FROM gt) - 1)
+             |      * 1000000.0 + 0.5) / 1000000.0 END AS emd,
+             |  (CASE WHEN (SELECT m FROM gt) <= 1 THEN 0.0
+             |    ELSE floor(sabs / ((SELECT m FROM gt) - 1)
+             |      * 1000000.0 + 0.5) / 1000000.0 END) <= 0.15 AS close
+             |FROM e ORDER BY event_type""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

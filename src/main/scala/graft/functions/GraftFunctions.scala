@@ -48,6 +48,7 @@ object GraftFunctions {
     "winnow_select" -> (es => WinnowSelectExpr(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "char_entropy" -> (es => CharEntropyExpr(es.head)),
+    "lexical_stats" -> (es => LexicalStatsExpr(es.head)),
     "merge_pair" -> (es => MergePairExpr(es(0),
       es(1).eval().toString, es(2).eval().toString)),
     "stop_hits" -> (es => StopHitsExpr(es(0),
@@ -105,6 +106,8 @@ object GraftFunctions {
     call_function("token_hashes", tokens)
   def charEntropy(text: Column): Column =
     call_function("char_entropy", text)
+  def lexicalStats(tokens: Column): Column =
+    call_function("lexical_stats", tokens)
   def mergePair(symbols: Column, a: String, b: String): Column =
     call_function("merge_pair", symbols,
       org.apache.spark.sql.functions.lit(a),

@@ -219,6 +219,36 @@ object VectorHashOps {
     * reproducible — the oracle mirrors with an ORDER BY ch list sum.
     * Empty string → 0.0.
     */
+  /** One-pass lexical stats over a token array: [n_tokens, n_types,
+    * n_hapax]. Replaces the O(types·tokens) nested-filter HOF form
+    * (CodegenFallback, interpreted) with a single hash-count pass —
+    * the qK5 hot path. Null tokens (can't come from split, but
+    * defensively) count as tokens and as one shared type.
+    */
+  def lexicalStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, Integer](
+      Math.max(16, n * 2))
+    var nulls = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) nulls += 1
+      else {
+        val t = arr.getUTF8String(i)
+        val c = counts.get(t)
+        counts.put(t, if (c == null) 1 else c + 1)
+      }
+      i += 1
+    }
+    var hapax = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) if (it.next() == 1) hapax += 1
+    val types = counts.size().toLong + (if (nulls > 0) 1L else 0L)
+    if (nulls == 1) hapax += 1
+    new GenericArrayData(Array[Long](n.toLong, types, hapax))
+  }
+
   def charEntropy(s: org.apache.spark.unsafe.types.UTF8String): Double = {
     val str = s.toString
     val n = str.codePointCount(0, str.length)
@@ -450,6 +480,23 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharEntropyExpr =
     copy(child = c)
   override def prettyName: String = "char_entropy"
+}
+
+/** lexical_stats(array<string>) → array<long> [n_tokens, n_types,
+  * n_hapax]: the one-pass hash-count kernel behind
+  * [[graft.operators.TextAnalysis.lexicalDiversity]].
+  */
+case class LexicalStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.lexicalStats(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.lexicalStats($c)")
+  override protected def withNewChildInternal(c: Expression): LexicalStatsExpr =
+    copy(child = c)
+  override def prettyName: String = "lexical_stats"
 }
 
 /** stop_hits(array<string> tokens, words): occurrences of any listed word.

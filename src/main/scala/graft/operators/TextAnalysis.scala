@@ -210,15 +210,17 @@ object TextAnalysis {
     */
   def lexicalDiversity(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    // one-pass codegen kernel (lexical_stats): the nested-filter HOF
+    // form is CodegenFallback and O(types·tokens) per row
+    val stats = graft.functions.GraftFunctions.lexicalStats(
+      TextOps.tokens(col(textCol)))
+    df.select(col(idCol).as("doc_id"), stats.as("st"))
       .select(
         col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        size(array_distinct(col("toks"))).cast("long").as("n_types"),
-        size(filter(array_distinct(col("toks")),
-          t => size(filter(col("toks"), x => x === t)) === 1))
-          .cast("long").as("n_hapax"))
+        element_at(col("st"), 1).as("n_tokens"),
+        element_at(col("st"), 2).as("n_types"),
+        element_at(col("st"), 3).as("n_hapax"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         graft.functions.SafeOps.stableRound4(
           col("n_types").cast("double") / col("n_tokens")).as("ttr"),

@@ -258,6 +258,24 @@ class FunctionsSpec extends SparkTestBase {
     assert(u == expected)
   }
 
+  test("lexical_stats: one-pass [n_tokens, n_types, n_hapax] kernel") {
+    val df = Seq(Seq("a", "a", "b", "c"), Seq("x"), Seq.empty[String])
+      .toDF("toks")
+      .select(GraftFunctions.lexicalStats(col("toks")).as("st"))
+    val r = df.collect().map(_.getSeq[Long](0))
+    assert(r(0) == Seq(4L, 3L, 2L)) // hapax {b, c}
+    assert(r(1) == Seq(1L, 1L, 1L))
+    assert(r(2) == Seq(0L, 0L, 0L))
+    // null array is null-safe; null ELEMENTS count as one shared type
+    val n = Seq(Option.empty[Seq[String]]).toDF("toks")
+      .select(GraftFunctions.lexicalStats(col("toks"))).collect()(0)
+    assert(n.isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT lexical_stats(array('a', CAST(NULL AS STRING), 'a')) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(withNullElem == Seq(3L, 2L, 1L))
+  }
+
   test("registered expressions are callable from SQL text") {
     val r = spark.sql(
       "SELECT is_private_ip('192.168.0.1') AS p, " +

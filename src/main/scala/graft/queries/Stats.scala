@@ -1320,6 +1320,106 @@ object Stats {
              |      * 1000000.0 + 0.5) / 1000000.0 END) <= 0.15 AS close
              |FROM e ORDER BY event_type""".stripMargin)),
 
+    // Per-user event cadence: inter-arrival gaps in exact epoch
+    // seconds, user-bounded sorted arrays, lower-rank medians.
+    GraftQuery(
+      "qO0_interarrival",
+      "Per-user inter-arrival profile (users with >= 2 events): " +
+        "mean/median/max gap in seconds.",
+      (s, d) => graft.operators.Funnel.interArrival(
+        t(s, d, "events"), "user_id", "ts").orderBy("user_id"),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             |g AS (SELECT user_id,
+             |    sec - lag(sec) OVER (PARTITION BY user_id
+             |      ORDER BY sec) AS gap
+             |  FROM e),
+             |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+             |  FROM e GROUP BY 1),
+             |gg AS (SELECT user_id, list_sort(list(gap)) AS gaps
+             |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT u.user_id, u.n_events,
+             |  floor(CAST(list_sum(gaps) AS DOUBLE) / (u.n_events - 1)
+             |    * 10000.0 + 0.5) / 10000.0 AS mean_gap_s,
+             |  CAST(gaps[CAST(ceil(CAST(u.n_events - 1 AS DOUBLE) / 2)
+             |    AS INT)] AS BIGINT) AS median_gap_s,
+             |  CAST(gaps[-1] AS BIGINT) AS max_gap_s
+             |FROM u JOIN gg USING (user_id)
+             |WHERE u.n_events >= 2
+             |ORDER BY user_id""".stripMargin)),
+
+    // RFM segmentation with scale-safe quintiles: exact lower-rank
+    // quantile CUT POINTS broadcast back, bucket assignment a pure
+    // projection — no corpus-wide ntile window.
+    GraftQuery(
+      "qO1_rfm",
+      "RFM customer segmentation of the event stream: per-user " +
+        "recency/frequency/monetary metrics, exact-quantile quintile " +
+        "scores, 3-digit segment code.",
+      (s, d) => graft.operators.Rfm.segment(
+        t(s, d, "events"), "user_id", "ts", col("value"))
+        .orderBy("user_id"),
+      Some("""WITH base AS (
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
+             |    CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+             |a AS (SELECT max(day) AS d0 FROM base),
+             |m AS (SELECT user_id,
+             |    CAST(min(date_diff('day', day, (SELECT d0 FROM a)))
+             |      AS BIGINT) AS recency_days,
+             |    CAST(count(*) AS BIGINT) AS frequency,
+             |    CAST(sum(c) AS BIGINT) AS monetary_c
+             |  FROM base GROUP BY 1),
+             |qs AS (SELECT unnest([CAST(0.2 AS DOUBLE),
+             |    CAST(0.4 AS DOUBLE), CAST(0.6 AS DOUBLE),
+             |    CAST(0.8 AS DOUBLE)]) AS q),
+             |rcnt AS (SELECT CAST(recency_days AS DOUBLE) AS v,
+             |    count(*) AS cnt FROM m GROUP BY 1),
+             |rtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM rcnt),
+             |rcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc
+             |  FROM rcnt),
+             |rq AS (SELECT q, min(v) AS v FROM rcum, qs
+             |  WHERE cc >= ceil(q * (SELECT n FROM rtot)) GROUP BY 1),
+             |fcnt AS (SELECT CAST(frequency AS DOUBLE) AS v,
+             |    count(*) AS cnt FROM m GROUP BY 1),
+             |ftot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM fcnt),
+             |fcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc
+             |  FROM fcnt),
+             |fq AS (SELECT q, min(v) AS v FROM fcum, qs
+             |  WHERE cc >= ceil(q * (SELECT n FROM ftot)) GROUP BY 1),
+             |mcnt AS (SELECT CAST(monetary_c AS DOUBLE) AS v,
+             |    count(*) AS cnt FROM m GROUP BY 1),
+             |mtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM mcnt),
+             |mcum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cc
+             |  FROM mcnt),
+             |mq AS (SELECT q, min(v) AS v FROM mcum, qs
+             |  WHERE cc >= ceil(q * (SELECT n FROM mtot)) GROUP BY 1),
+             |rb AS (SELECT m.user_id,
+             |    CAST(1 + sum(CASE WHEN CAST(m.recency_days AS DOUBLE)
+             |      > rq.v THEN 1 ELSE 0 END) AS INTEGER) AS b
+             |  FROM m CROSS JOIN rq GROUP BY m.user_id),
+             |fb AS (SELECT m.user_id,
+             |    CAST(1 + sum(CASE WHEN CAST(m.frequency AS DOUBLE)
+             |      > fq.v THEN 1 ELSE 0 END) AS INTEGER) AS b
+             |  FROM m CROSS JOIN fq GROUP BY m.user_id),
+             |mb AS (SELECT m.user_id,
+             |    CAST(1 + sum(CASE WHEN CAST(m.monetary_c AS DOUBLE)
+             |      > mq.v THEN 1 ELSE 0 END) AS INTEGER) AS b
+             |  FROM m CROSS JOIN mq GROUP BY m.user_id)
+             |SELECT m.user_id, m.recency_days, m.frequency,
+             |  floor(CAST(m.monetary_c AS DOUBLE) / 100.0
+             |    * 10000.0 + 0.5) / 10000.0 AS monetary,
+             |  CAST(6 - rb.b AS INTEGER) AS r_score,
+             |  fb.b AS f_score, mb.b AS m_score,
+             |  CAST(6 - rb.b AS VARCHAR) || CAST(fb.b AS VARCHAR) ||
+             |    CAST(mb.b AS VARCHAR) AS segment
+             |FROM m JOIN rb USING (user_id) JOIN fb USING (user_id)
+             |JOIN mb USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

@@ -744,6 +744,48 @@ class StatsSpec extends SparkTestBase {
     assert(dp.getAs[Double]("auc") == 1.0 && dp.getAs[Double]("se") == 0.0)
   }
 
+  // ---- inter-arrival / RFM -----------------------------------------
+
+  test("Funnel.interArrival: exact gaps, lower-rank median, min-2 filter") {
+    val df = Seq(
+      (1L, ts(1, 10)), (1L, ts(1, 12)), (1L, ts(1, 13)), (1L, ts(2, 13)),
+      (2L, ts(1)),                       // single event -> excluded
+      (3L, ts(1, 10)), (3L, ts(1, 10))) // tied timestamps -> gap 0
+      .toDF("user_id", "ts")
+    val r = Funnel.interArrival(df, "user_id", "ts")
+      .orderBy("user_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val u1 = r(0)
+    // gaps: 2h, 1h, 24h -> sorted (3600, 7200, 86400)
+    assert(u1.getAs[Long]("median_gap_s") == 7200L)
+    assert(u1.getAs[Long]("max_gap_s") == 86400L)
+    assert(math.abs(u1.getAs[Double]("mean_gap_s") -
+      (3600.0 + 7200 + 86400) / 3) < 1e-6)
+    assert(r(1).getAs[Long]("median_gap_s") == 0L)
+  }
+
+  test("Rfm.segment: quintile scores follow the metric order") {
+    // 10 users, user u has u events of value u*10 on day u
+    val rows = (1 to 10).flatMap { u =>
+      (1 to u).map(i => (u.toLong, ts(u), u * 10.0)) }
+    val df = rows.toDF("user_id", "ts", "value")
+    val r = graft.operators.Rfm.segment(df, "user_id", "ts",
+      col("value")).orderBy("user_id").collect()
+    val byU = r.map(x => x.getLong(0) -> x).toMap
+    // user 10: most recent (day 10 anchor), most frequent, biggest
+    assert(byU(10L).getAs[Int]("r_score") == 5)
+    assert(byU(10L).getAs[Int]("f_score") == 5)
+    assert(byU(10L).getAs[Int]("m_score") == 5)
+    assert(byU(10L).getAs[String]("segment") == "555")
+    // user 1: oldest, least frequent, smallest
+    assert(byU(1L).getAs[Int]("r_score") == 1)
+    assert(byU(1L).getAs[Int]("f_score") == 1)
+    assert(byU(1L).getAs[String]("segment") == "111")
+    // monotone scores along the construction
+    val f = (1 to 10).map(u => byU(u.toLong).getAs[Int]("f_score"))
+    assert(f.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

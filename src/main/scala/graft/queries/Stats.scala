@@ -1420,6 +1420,74 @@ object Stats {
              |JOIN mb USING (user_id)
              |ORDER BY user_id""".stripMargin)),
 
+    // Kaplan-Meier / Nelson-Aalen over days-to-first-purchase with
+    // right censoring at the stream horizon — the survival curve of
+    // the conversion process; the oracle replays the product fold with
+    // a recursive CTE.
+    GraftQuery(
+      "qO2_kaplan_meier",
+      "Kaplan-Meier survival and Nelson-Aalen cumulative hazard of " +
+        "days from a user's first event to first purchase, censored " +
+        "at the stream horizon.",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val horizon = ev.agg(max(to_date(col("ts"))).as("hz"))
+        val perUser = ev.groupBy("user_id").agg(
+          min(to_date(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase",
+            to_date(col("ts")))).as("tp"))
+        val subj = perUser.crossJoin(broadcast(horizon))
+          .select(
+            when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+              .otherwise(datediff(col("hz"), col("t0")))
+              .cast("long").as("dur"),
+            col("tp").isNotNull.as("ev"))
+        graft.operators.Survival.kaplanMeier(subj, col("dur"),
+          col("ev")).orderBy("t")
+      },
+      Some("""WITH RECURSIVE u AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS t0,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(ts AS DATE) END) AS tp
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+             |hz AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events
+             |  WHERE user_id IS NOT NULL),
+             |subj AS (SELECT
+             |    CASE WHEN tp IS NOT NULL
+             |      THEN date_diff('day', t0, tp)
+             |      ELSE date_diff('day', t0, (SELECT hz FROM hz)) END
+             |      AS t,
+             |    (tp IS NOT NULL) AS e
+             |  FROM u),
+             |byt AS (SELECT CAST(t AS BIGINT) AS t,
+             |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS d,
+             |    CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT)
+             |      AS c
+             |  FROM subj GROUP BY 1),
+             |ord AS (SELECT *, row_number() OVER (ORDER BY t) AS rk
+             |  FROM byt),
+             |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM byt),
+             |rec AS (
+             |  SELECT rk, t, d, c,
+             |    (SELECT n FROM tot) AS n_risk,
+             |    1.0 * (1.0 - CAST(d AS DOUBLE)/(SELECT n FROM tot))
+             |      AS s,
+             |    0.0 + CAST(d AS DOUBLE)/(SELECT n FROM tot) AS h
+             |  FROM ord WHERE rk = 1
+             |  UNION ALL
+             |  SELECT o.rk, o.t, o.d, o.c,
+             |    rec.n_risk - rec.d - rec.c AS n_risk,
+             |    rec.s * (1.0 - CAST(o.d AS DOUBLE) /
+             |      (rec.n_risk - rec.d - rec.c)) AS s,
+             |    rec.h + CAST(o.d AS DOUBLE) /
+             |      (rec.n_risk - rec.d - rec.c) AS h
+             |  FROM rec JOIN ord o ON o.rk = rec.rk + 1)
+             |SELECT t, n_risk, d AS n_event, c AS n_censored,
+             |  floor(s * 1000000.0 + 0.5) / 1000000.0 AS survival,
+             |  floor(h * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard
+             |FROM rec ORDER BY t""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

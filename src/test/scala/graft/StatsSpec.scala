@@ -786,6 +786,34 @@ class StatsSpec extends SparkTestBase {
     assert(f.sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  // ---- survival ------------------------------------------------------
+
+  test("Survival.kaplanMeier matches the textbook small example") {
+    // durations/events: 1+, 2, 2, 3+, 4 ( + = censored ): classic KM
+    // t=2: n=4 (1 left at t=1 censored), d=2 -> S = 1*(1-2/4) = .5
+    // t=4: n=1, d=1 -> S = .5 * (1-1/1) = 0
+    val df = Seq((1L, false), (2L, true), (2L, true), (3L, false),
+      (4L, true)).toDF("dur", "ev")
+    val r = Survival.kaplanMeier(df, col("dur"), col("ev"))
+      .orderBy("t").collect()
+    val byT = r.map(x => x.getLong(0) -> x).toMap
+    assert(byT(1L).getAs[Long]("n_risk") == 5)
+    assert(byT(1L).getAs[Double]("survival") == 1.0) // censor only
+    assert(byT(2L).getAs[Long]("n_risk") == 4)
+    assert(byT(2L).getAs[Double]("survival") == 0.5)
+    assert(byT(3L).getAs[Double]("survival") == 0.5) // censor only
+    assert(byT(4L).getAs[Long]("n_risk") == 1)
+    assert(byT(4L).getAs[Double]("survival") == 0.0)
+    // Nelson-Aalen: H(2) = 0 + 2/4; H(4) = .5 + 0 + 1/1
+    assert(byT(2L).getAs[Double]("cum_hazard") == 0.5)
+    assert(byT(4L).getAs[Double]("cum_hazard") == 1.5)
+    // survival is nonincreasing, hazard nondecreasing
+    val ss = r.map(_.getAs[Double]("survival"))
+    assert(ss.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val hs = r.map(_.getAs[Double]("cum_hazard"))
+    assert(hs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

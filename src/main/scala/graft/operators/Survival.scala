@@ -70,4 +70,65 @@ object Survival {
         r6(col("r.s")).as("survival"),
         r6(col("r.h")).as("cum_hazard"))
   }
+
+  /** Two-group log-rank test (Mantel-Haenszel): does group A's
+    * survival curve differ from group B's? Z = Σ_t (d_{A,t} − e_{A,t})
+    * with e_{A,t} = d_t·n_{A,t}/n_t, Var = Σ_t d_t·(n_A/n)·(1−n_A/n)·
+    * (n−d)/(n−1), χ² = Z²/Var (df 1). `groupA` tags each subject.
+    *
+    * Everything reduces to the per-duration (d_A, c_A, d_B, c_B)
+    * frame; at-risk counts come from one ordered pass and the Z/Var
+    * sums fold in duration order on both engines. Output: one row —
+    * n_a, n_b, obs_a, exp_a (4 dp), z (4 dp... the raw sum, not a
+    * normal score), var_s (4 dp), chi2 (4 dp).
+    */
+  def logRank(df: DataFrame, duration: Column, event: Column,
+      groupA: Column): DataFrame = {
+    val subjects = df.select(duration.cast("long").as("t"),
+        when(event, 1L).otherwise(0L).as("e"),
+        when(groupA, 1L).otherwise(0L).as("a"))
+      .filter(col("t").isNotNull && col("t") >= 0)
+    val byT = subjects.groupBy("t").agg(
+      sum(col("e") * col("a")).as("da"),
+      sum((lit(1L) - col("e")) * col("a")).as("ca"),
+      sum(col("e") * (lit(1L) - col("a"))).as("db"),
+      sum((lit(1L) - col("e")) * (lit(1L) - col("a"))).as("cb"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    byT
+      .agg(sort_array(collect_list(struct(col("t"), col("da"),
+          col("ca"), col("db"), col("cb")))).as("xs"),
+        sum(col("da") + col("ca")).as("n_a"),
+        sum(col("db") + col("cb")).as("n_b"))
+      .select(col("n_a"), col("n_b"), aggregate(
+        col("xs"),
+        struct(col("n_a").as("ra"), col("n_b").as("rb"),
+          lit(0L).as("oa"), lit(0.0).as("ea"),
+          lit(0.0).as("z"), lit(0.0).as("v")),
+        (acc, x) => {
+          val n = acc.getField("ra") + acc.getField("rb")
+          val d = x.getField("da") + x.getField("db")
+          val eA = d.cast("double") * acc.getField("ra") / n
+          val frac = acc.getField("ra").cast("double") / n
+          // hypergeometric variance term; 0 when n = 1 (guarded)
+          val vT = when(n <= 1, lit(0.0)).otherwise(
+            d.cast("double") * frac * (lit(1.0) - frac) *
+              (n - d).cast("double") / (n - 1))
+          struct(
+            (acc.getField("ra") - x.getField("da") - x.getField("ca"))
+              .as("ra"),
+            (acc.getField("rb") - x.getField("db") - x.getField("cb"))
+              .as("rb"),
+            (acc.getField("oa") + x.getField("da")).as("oa"),
+            (acc.getField("ea") + eA).as("ea"),
+            (acc.getField("z") + (x.getField("da").cast("double") - eA))
+              .as("z"),
+            (acc.getField("v") + vT).as("v"))
+        }).as("f"))
+      .select(col("n_a"), col("n_b"), col("f.oa").as("obs_a"),
+        r4(col("f.ea")).as("exp_a"), r4(col("f.z")).as("z"),
+        r4(col("f.v")).as("var_s"),
+        when(col("f.v") <= 0, lit(null).cast("double"))
+          .otherwise(r4(col("f.z") * col("f.z") / col("f.v")))
+          .as("chi2"))
+  }
 }

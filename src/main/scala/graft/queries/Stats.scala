@@ -1488,6 +1488,86 @@ object Stats {
              |  floor(h * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard
              |FROM rec ORDER BY t""".stripMargin)),
 
+    // Log-rank test between the even- and odd-user cohorts on the
+    // same days-to-purchase durations as qO2.
+    GraftQuery(
+      "qO3_log_rank",
+      "Two-group log-rank test of days-to-first-purchase survival: " +
+        "even vs odd user-id cohorts, hypergeometric variance.",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val horizon = ev.agg(max(to_date(col("ts"))).as("hz"))
+        val perUser = ev.groupBy("user_id").agg(
+          min(to_date(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase",
+            to_date(col("ts")))).as("tp"))
+        val subj = perUser.crossJoin(broadcast(horizon))
+          .select(
+            when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+              .otherwise(datediff(col("hz"), col("t0")))
+              .cast("long").as("dur"),
+            col("tp").isNotNull.as("ev"),
+            (col("user_id") % 2 === 0).as("grp"))
+        graft.operators.Survival.logRank(subj, col("dur"), col("ev"),
+          col("grp"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS t0,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(ts AS DATE) END) AS tp
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+             |hz AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events
+             |  WHERE user_id IS NOT NULL),
+             |subj AS (SELECT
+             |    CAST(CASE WHEN tp IS NOT NULL
+             |      THEN date_diff('day', t0, tp)
+             |      ELSE date_diff('day', t0, (SELECT hz FROM hz)) END
+             |      AS BIGINT) AS t,
+             |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e,
+             |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+             |  FROM u),
+             |byt AS (SELECT t,
+             |    CAST(sum(e*a) AS BIGINT) AS da,
+             |    CAST(sum((1-e)*a) AS BIGINT) AS ca,
+             |    CAST(sum(e*(1-a)) AS BIGINT) AS db,
+             |    CAST(sum((1-e)*(1-a)) AS BIGINT) AS cb
+             |  FROM subj GROUP BY 1),
+             |tot AS (SELECT CAST(sum(da+ca) AS BIGINT) AS n_a,
+             |    CAST(sum(db+cb) AS BIGINT) AS n_b FROM byt),
+             |w AS (SELECT *,
+             |    (SELECT n_a FROM tot) - coalesce(sum(da+ca)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND 1 PRECEDING), 0) AS ra,
+             |    (SELECT n_b FROM tot) - coalesce(sum(db+cb)
+             |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND 1 PRECEDING), 0) AS rb
+             |  FROM byt),
+             |terms AS (SELECT t, da,
+             |    CAST(da + db AS DOUBLE) * ra / (ra + rb) AS ea,
+             |    CASE WHEN ra + rb <= 1 THEN 0.0
+             |      ELSE CAST(da + db AS DOUBLE) *
+             |        (CAST(ra AS DOUBLE) / (ra + rb)) *
+             |        (1.0 - CAST(ra AS DOUBLE) / (ra + rb)) *
+             |        CAST((ra + rb) - (da + db) AS DOUBLE) /
+             |        ((ra + rb) - 1) END AS vt
+             |  FROM w),
+             |f AS (SELECT CAST(sum(da) AS BIGINT) AS oa,
+             |    list_sum(list(ea ORDER BY t)) AS ea_s,
+             |    list_sum(list(CAST(da AS DOUBLE) - ea ORDER BY t))
+             |      AS z,
+             |    list_sum(list(vt ORDER BY t)) AS v
+             |  FROM terms)
+             |SELECT (SELECT n_a FROM tot) AS n_a,
+             |  (SELECT n_b FROM tot) AS n_b,
+             |  oa AS obs_a,
+             |  floor(ea_s * 10000.0 + 0.5) / 10000.0 AS exp_a,
+             |  floor(z * 10000.0 + 0.5) / 10000.0 AS z,
+             |  floor(v * 10000.0 + 0.5) / 10000.0 AS var_s,
+             |  CASE WHEN v <= 0 THEN CAST(NULL AS DOUBLE)
+             |    ELSE floor(z * z / v * 10000.0 + 0.5) / 10000.0 END
+             |    AS chi2
+             |FROM f""".stripMargin)),
+
     // Fellegi-Sunter scoring over the qE9 blocking chain: per-pair
     // log-likelihood-ratio sum of 6-dp-snapped weight literals (the
     // SAME Scala-computed constants are interpolated into the oracle),

@@ -814,6 +814,27 @@ class StatsSpec extends SparkTestBase {
     assert(hs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("Survival.logRank: identical groups ~0, separated groups large") {
+    // identical curves: A and B each (1,2,3 events)
+    val same = Seq((1L, true, true), (2L, true, true), (3L, true, true),
+      (1L, true, false), (2L, true, false), (3L, true, false))
+      .toDF("dur", "ev", "grp")
+    val r0 = Survival.logRank(same, col("dur"), col("ev"), col("grp"))
+      .collect()(0)
+    assert(math.abs(r0.getAs[Double]("z")) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("chi2")) < 1e-9)
+    // clearly separated: A dies at 1,2,3; B at 11,12,13
+    val sep = (Seq(1L, 2L, 3L).map((_, true, true)) ++
+      Seq(11L, 12L, 13L).map((_, true, false)))
+      .toDF("dur", "ev", "grp")
+    val r1 = Survival.logRank(sep, col("dur"), col("ev"), col("grp"))
+      .collect()(0)
+    assert(r1.getAs[Double]("chi2") > 3.84,
+      s"separated curves should clear p<0.05: ${r1.getAs[Double]("chi2")}")
+    assert(r1.getAs[Long]("obs_a") == 3)
+    assert(r1.getAs[Double]("exp_a") < 3.0)
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

@@ -71,6 +71,50 @@ object Survival {
         r6(col("r.h")).as("cum_hazard"))
   }
 
+  /** Restricted mean survival time: ∫₀^τ S(t)dt — the area under the
+    * Kaplan-Meier step curve up to horizon τ, the single-number
+    * "expected event-free time within τ" that compares cohorts without
+    * a proportional-hazards assumption. Same bounded fold as
+    * [[kaplanMeier]], accumulating the step integral (durations > τ
+    * stay in the at-risk denominator but contribute no step).
+    * Output: one row — tau, n_subjects, rmst (6 dp).
+    */
+  def rmst(df: DataFrame, duration: Column, event: Column,
+      tau: Long): DataFrame = {
+    require(tau > 0, "tau must be positive")
+    val subjects = df.select(duration.cast("long").as("t"),
+        when(event, 1L).otherwise(0L).as("e"))
+      .filter(col("t").isNotNull && col("t") >= 0)
+    val byT = subjects.groupBy("t")
+      .agg(sum("e").as("d"), sum(lit(1L) - col("e")).as("c"))
+      .localCheckpoint() // total and the filtered fold read it once
+    val tot = byT.agg(sum(col("d") + col("c")).as("n_total"))
+    val folded = byT.filter(col("t") <= tau)
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("d"), col("c")))).as("xs"))
+    def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
+    folded.crossJoin(broadcast(tot))
+      .select(lit(tau).as("tau"), col("n_total").as("n_subjects"),
+        r6(aggregate(
+          col("xs"),
+          struct(col("n_total").as("at_risk"), lit(1.0).as("s"),
+            lit(0L).as("tprev"), lit(0.0).as("integ")),
+          (acc, x) => {
+            val integ = acc.getField("integ") + acc.getField("s") *
+              (x.getField("t") - acc.getField("tprev"))
+            val s = acc.getField("s") *
+              (lit(1.0) - x.getField("d").cast("double") /
+                acc.getField("at_risk"))
+            struct(
+              (acc.getField("at_risk") - x.getField("d") -
+                x.getField("c")).as("at_risk"),
+              s.as("s"), x.getField("t").as("tprev"),
+              integ.as("integ"))
+          },
+          acc => acc.getField("integ") + acc.getField("s") *
+            (lit(tau) - acc.getField("tprev")))).as("rmst"))
+  }
+
   /** Two-group log-rank test (Mantel-Haenszel): does group A's
     * survival curve differ from group B's? Z = Σ_t (d_{A,t} − e_{A,t})
     * with e_{A,t} = d_t·n_{A,t}/n_t, Var = Σ_t d_t·(n_A/n)·(1−n_A/n)·

@@ -1488,6 +1488,83 @@ object Stats {
              |  floor(h * 1000000.0 + 0.5) / 1000000.0 AS cum_hazard
              |FROM rec ORDER BY t""".stripMargin)),
 
+    // RMST: area under the qO2 survival curve up to 14 days — the
+    // assumption-free "expected purchase-free days within two weeks".
+    GraftQuery(
+      "qO4_rmst",
+      "Restricted mean survival time (tau = 14 days) of the " +
+        "days-to-first-purchase curve.",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        val horizon = ev.agg(max(to_date(col("ts"))).as("hz"))
+        val perUser = ev.groupBy("user_id").agg(
+          min(to_date(col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase",
+            to_date(col("ts")))).as("tp"))
+        val subj = perUser.crossJoin(broadcast(horizon))
+          .select(
+            when(col("tp").isNotNull, datediff(col("tp"), col("t0")))
+              .otherwise(datediff(col("hz"), col("t0")))
+              .cast("long").as("dur"),
+            col("tp").isNotNull.as("ev"))
+        graft.operators.Survival.rmst(subj, col("dur"), col("ev"),
+          tau = 14L)
+      },
+      Some("""WITH RECURSIVE u AS (
+             |  SELECT user_id, min(CAST(ts AS DATE)) AS t0,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(ts AS DATE) END) AS tp
+             |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+             |hz AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events
+             |  WHERE user_id IS NOT NULL),
+             |subj AS (SELECT
+             |    CASE WHEN tp IS NOT NULL
+             |      THEN date_diff('day', t0, tp)
+             |      ELSE date_diff('day', t0, (SELECT hz FROM hz)) END
+             |      AS t,
+             |    (tp IS NOT NULL) AS e
+             |  FROM u),
+             |byt AS (SELECT CAST(t AS BIGINT) AS t,
+             |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS d,
+             |    CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT)
+             |      AS c
+             |  FROM subj GROUP BY 1),
+             |ord AS (SELECT *, row_number() OVER (ORDER BY t) AS rk
+             |  FROM byt WHERE t <= 14),
+             |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM byt),
+             |rec AS (
+             |  SELECT rk, t, d, c,
+             |    (SELECT n FROM tot) AS n_risk,
+             |    1.0 * (1.0 - CAST(d AS DOUBLE)/(SELECT n FROM tot))
+             |      AS s
+             |  FROM ord WHERE rk = 1
+             |  UNION ALL
+             |  SELECT o.rk, o.t, o.d, o.c,
+             |    rec.n_risk - rec.d - rec.c AS n_risk,
+             |    rec.s * (1.0 - CAST(o.d AS DOUBLE) /
+             |      (rec.n_risk - rec.d - rec.c)) AS s
+             |  FROM rec JOIN ord o ON o.rk = rec.rk + 1),
+             |steps AS (SELECT t, s,
+             |    coalesce(lag(s) OVER (ORDER BY t), 1.0) AS s_prev,
+             |    coalesce(lag(t) OVER (ORDER BY t), 0) AS t_prev
+             |  FROM rec),
+             |i AS (SELECT
+             |    coalesce(list_sum(list(s_prev * (t - t_prev)
+             |      ORDER BY t)), 0.0) AS integ,
+             |    coalesce(max(t), 0) AS t_last
+             |  FROM steps),
+             |tl AS (SELECT coalesce(
+             |    (SELECT s FROM steps
+             |     WHERE t = (SELECT t_last FROM i)), 1.0) AS s_last)
+             |SELECT CAST(14 AS BIGINT) AS tau,
+             |  (SELECT n FROM tot) AS n_subjects,
+             |  floor((
+             |    (SELECT integ FROM i) +
+             |    (SELECT s_last FROM tl) *
+             |      (14 - (SELECT t_last FROM i)))
+             |    * 1000000.0 + 0.5) / 1000000.0 AS rmst""".stripMargin)),
+
     // Log-rank test between the even- and odd-user cohorts on the
     // same days-to-purchase durations as qO2.
     GraftQuery(

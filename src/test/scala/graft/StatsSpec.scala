@@ -814,6 +814,30 @@ class StatsSpec extends SparkTestBase {
     assert(hs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("Survival.rmst integrates the step curve by hand") {
+    // events at t=2 (S: 1 -> .5) and t=4 (S: .5 -> 0), no censoring,
+    // tau = 6: area = 1*2 + .5*2 + 0*2 = 3
+    val df = Seq((2L, true), (2L, true), (4L, true), (4L, true))
+      .toDF("dur", "ev")
+    val r = Survival.rmst(df, col("dur"), col("ev"), tau = 6L)
+      .collect()(0)
+    assert(r.getAs[Long]("tau") == 6L)
+    assert(r.getAs[Long]("n_subjects") == 4L)
+    assert(r.getAs[Double]("rmst") == 3.0)
+    // tau before any event: survival 1 throughout -> rmst = tau
+    val r2 = Survival.rmst(df, col("dur"), col("ev"), tau = 1L)
+      .collect()(0)
+    assert(r2.getAs[Double]("rmst") == 1.0)
+    // durations beyond tau stay in the denominator: one event at 2 of
+    // four subjects, others survive past tau=3 -> S=.75 after t=2;
+    // rmst = 1*2 + .75*1 = 2.75
+    val mix = Seq((2L, true), (9L, true), (9L, true), (9L, false))
+      .toDF("dur", "ev")
+    val r3 = Survival.rmst(mix, col("dur"), col("ev"), tau = 3L)
+      .collect()(0)
+    assert(r3.getAs[Double]("rmst") == 2.75)
+  }
+
   test("Survival.logRank: identical groups ~0, separated groups large") {
     // identical curves: A and B each (1,2,3 events)
     val same = Seq((1L, true, true), (2L, true, true), (3L, true, true),

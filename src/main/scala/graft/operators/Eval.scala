@@ -140,6 +140,50 @@ object Eval {
       r6(isotonicApplyExpr(blocks, col("s"))).as("p_fit"))
   }
 
+  /** Decile lift/gains table — the campaign-targeting view of a
+    * classifier: rank the population into `buckets` score bands via
+    * EXACT quantile cut points (broadcast driver artifact, the RFM
+    * discipline — no corpus-wide ntile window; ties make bands
+    * uneven, the quantile-cut convention), then per-band response
+    * rates and cumulative lift from the top band down. All counts
+    * integer; ratios single divisions; the cumulative pass runs over
+    * the bounded |buckets|-row frame.
+    * Output per band: band (1 = highest scores), n, n_pos, resp_rate
+    * (4 dp), cum_n, cum_pos, cum_lift (4 dp).
+    */
+  def liftTable(df: DataFrame, score: Column, label: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 bands")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
+      .localCheckpoint() // cuts + the banded aggregate read it once
+    val counts = base.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("s", "v") // quantilesFromCounts' (v, cnt) shape
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = graft.operators.Drift.quantilesFromCounts(counts, qs)
+      .orderBy("q").collect().map(_.getAs[Double]("v")).toSeq
+    val band = lit(buckets) -
+      cuts.map(c => when(col("s") > lit(c), 1).otherwise(0))
+        .reduce(_ + _)
+    val byBand = base.withColumn("band", band)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    val w = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = byBand.agg(sum("n").as("tn"), sum("n_pos").as("tp"))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    byBand.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .select(col("band"), col("n"), col("n_pos"),
+        r4(col("n_pos").cast("double") / col("n")).as("resp_rate"),
+        col("cum_n"), col("cum_pos"),
+        r4((col("cum_pos").cast("double") / col("cum_n")) /
+          (col("tp").cast("double") / col("tn"))).as("cum_lift"))
+  }
+
   /** Brier score of a probability column against a binary outcome:
     * mean (p − y)². Probabilities are SNAPPED to integer 1e-4 units so
     * the squared-error sum is an exact BIGINT in any aggregation

@@ -194,6 +194,40 @@ object Robust {
         * 100.0 + 0.5) / 100.0).as("df_welch"))
   }
 
+  /** Cohen's d effect size between two samples — the
+    * practical-significance companion to [[welchTTest]]'s p-value
+    * machinery (a tiny p on 10^9 rows can mean a trivial effect):
+    * d = (x̄_a − x̄_b)/s_pooled with the pooled SD
+    * √(((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2)). Same integer-cent
+    * moment discipline as Welch: one aggregate per side, every derived
+    * double a fixed expression tree.
+    * Output: one row — n_a, n_b, mean_a (4 dp), mean_b (4 dp),
+    * cohens_d (4 dp).
+    */
+  def cohensD(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def stats(df: DataFrame, t: String) =
+      df.select(floor(value.cast("double") * 100 + 0.5).cast("long")
+          .as("c"))
+        .filter(col("c").isNotNull)
+        .agg(count(lit(1)).cast("double").as(s"n$t"),
+          sum("c").cast("double").as(s"s$t"),
+          sum(col("c") * col("c")).cast("double").as(s"q$t"))
+    val j = stats(a, "a").crossJoin(stats(b, "b"))
+    val ma = col("sa") / col("na")
+    val mb = col("sb") / col("nb")
+    val va = (col("qa") - col("sa") * col("sa") / col("na")) /
+      (col("na") - 1)
+    val vb = (col("qb") - col("sb") * col("sb") / col("nb")) /
+      (col("nb") - 1)
+    val sp = sqrt(((col("na") - 1) * va + (col("nb") - 1) * vb) /
+      (col("na") + col("nb") - 2))
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    j.select(col("na").cast("long").as("n_a"),
+      col("nb").cast("long").as("n_b"),
+      r4(ma / 100.0).as("mean_a"), r4(mb / 100.0).as("mean_b"),
+      r4((ma - mb) / sp).as("cohens_d"))
+  }
+
   /** Pearson χ² test of independence between two categorical columns —
     * the A/B-categorical sibling of [[welchTTest]] (means) and the
     * same statistic [[benfordScreen]] computes against a FIXED

@@ -1565,6 +1565,103 @@ object Stats {
              |      (14 - (SELECT t_last FROM i)))
              |    * 1000000.0 + 0.5) / 1000000.0 AS rmst""".stripMargin)),
 
+    // Cohen's d effect size beside qJ4's Welch significance.
+    GraftQuery(
+      "qO5_cohens_d",
+      "Cohen's d (pooled-SD effect size) of event value between even " +
+        "and odd user-id cohorts.",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+        Robust.cohensD(ev.filter(col("user_id") % 2 === 0),
+          ev.filter(col("user_id") % 2 === 1), col("value"))
+      },
+      Some("""WITH a AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS na,
+             |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+             |      AS DOUBLE) AS sa,
+             |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT) *
+             |      CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      AS qa
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND user_id % 2 = 0
+             |    AND value IS NOT NULL),
+             |b AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS nb,
+             |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+             |      AS DOUBLE) AS sb,
+             |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT) *
+             |      CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      AS qb
+             |  FROM events
+             |  WHERE user_id IS NOT NULL AND user_id % 2 = 1
+             |    AND value IS NOT NULL),
+             |j AS (SELECT *,
+             |    sa/na AS ma, sb/nb AS mb,
+             |    (qa - sa*sa/na)/(na - 1) AS va,
+             |    (qb - sb*sb/nb)/(nb - 1) AS vb
+             |  FROM a, b),
+             |k AS (SELECT *,
+             |    sqrt(((na - 1)*va + (nb - 1)*vb)/(na + nb - 2)) AS sp
+             |  FROM j)
+             |SELECT CAST(na AS BIGINT) AS n_a,
+             |  CAST(nb AS BIGINT) AS n_b,
+             |  floor(ma/100.0 * 10000.0 + 0.5) / 10000.0 AS mean_a,
+             |  floor(mb/100.0 * 10000.0 + 0.5) / 10000.0 AS mean_b,
+             |  floor((ma - mb)/sp * 10000.0 + 0.5) / 10000.0
+             |    AS cohens_d
+             |FROM k""".stripMargin)),
+
+    // Decile lift table of the value score vs purchase outcome —
+    // exact-quantile score bands (no corpus ntile), cumulative lift
+    // from the top band.
+    GraftQuery(
+      "qO6_lift_table",
+      "Decile gains/lift table of event value as a purchase " +
+        "predictor: per-band response rates, cumulative lift.",
+      (s, d) => graft.operators.Eval.liftTable(
+        t(s, d, "events"), col("value"),
+        col("event_type") === "purchase", buckets = 10)
+        .orderBy("band"),
+      Some("""WITH base AS (
+             |  SELECT CAST(value AS DOUBLE) AS s,
+             |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+             |      AS y
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (SELECT s, count(*) AS cnt FROM base GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+             |cum AS (SELECT s, sum(cnt) OVER (ORDER BY s) AS cc
+             |  FROM c),
+             |qs AS (SELECT unnest([CAST(0.1 AS DOUBLE),
+             |    CAST(0.2 AS DOUBLE), CAST(0.3 AS DOUBLE),
+             |    CAST(0.4 AS DOUBLE), CAST(0.5 AS DOUBLE),
+             |    CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE),
+             |    CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+             |cuts AS (SELECT q, min(s) AS v FROM cum, qs
+             |  WHERE cc >= ceil(q * (SELECT n FROM tot)) GROUP BY 1),
+             |banded AS (SELECT b.s, b.y,
+             |    10 - (SELECT CAST(sum(CASE WHEN b.s > cuts.v THEN 1
+             |      ELSE 0 END) AS INTEGER) FROM cuts) AS band
+             |  FROM base b),
+             |g AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y) AS BIGINT) AS n_pos
+             |  FROM banded GROUP BY 1),
+             |t2 AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+             |    CAST(sum(n_pos) AS BIGINT) AS tp FROM g),
+             |w AS (SELECT *,
+             |    CAST(sum(n) OVER (ORDER BY band) AS BIGINT) AS cum_n,
+             |    CAST(sum(n_pos) OVER (ORDER BY band) AS BIGINT)
+             |      AS cum_pos
+             |  FROM g)
+             |SELECT band, n, n_pos,
+             |  floor(CAST(n_pos AS DOUBLE) / n * 10000.0 + 0.5)
+             |    / 10000.0 AS resp_rate,
+             |  cum_n, cum_pos,
+             |  floor((CAST(cum_pos AS DOUBLE) / cum_n) /
+             |    (CAST((SELECT tp FROM t2) AS DOUBLE) /
+             |     (SELECT tn FROM t2)) * 10000.0 + 0.5) / 10000.0
+             |    AS cum_lift
+             |FROM w ORDER BY band""".stripMargin)),
+
     // Log-rank test between the even- and odd-user cohorts on the
     // same days-to-purchase durations as qO2.
     GraftQuery(

@@ -859,6 +859,33 @@ class StatsSpec extends SparkTestBase {
     assert(r1.getAs[Double]("exp_a") < 3.0)
   }
 
+  test("Robust.cohensD matches the hand pooled-SD formula") {
+    val a = Seq(10.0, 12.0, 14.0, 16.0).toDF("x")  // mean 13, var 20/3
+    val b = Seq(8.0, 10.0, 12.0).toDF("x")         // mean 10, var 4
+    val r = Robust.cohensD(a, b, col("x")).collect()(0)
+    assert(r.getAs[Double]("mean_a") == 13.0)
+    assert(r.getAs[Double]("mean_b") == 10.0)
+    val sp = math.sqrt((3 * 20.0 / 3 + 2 * 4.0) / 5)
+    assert(math.abs(r.getAs[Double]("cohens_d") - 3.0 / sp) < 1e-3)
+  }
+
+  test("Eval.liftTable: a perfect score ranks all positives into the " +
+    "top bands; lift telescopes to 1") {
+    // 100 rows, score = i, positives = top 20 scores
+    val rows = (1 to 100).map(i => (i.toDouble, i > 80))
+    val r = Eval.liftTable(rows.toDF("s", "y"), col("s"), col("y"),
+      buckets = 5).orderBy("band").collect()
+    assert(r.length == 5)
+    // band 1 = top 20 scores: all positive, lift = 1.0/0.2 = 5
+    assert(r(0).getAs[Long]("n_pos") == 20)
+    assert(r(0).getAs[Double]("resp_rate") == 1.0)
+    assert(r(0).getAs[Double]("cum_lift") == 5.0)
+    // lower bands: no positives; final cumulative lift is exactly 1
+    assert(r.drop(1).forall(_.getAs[Long]("n_pos") == 0))
+    assert(r.last.getAs[Double]("cum_lift") == 1.0)
+    assert(r.map(_.getAs[Long]("n")).sum == 100)
+  }
+
   // ---- lexical diversity / Zipf ------------------------------------
 
   test("TextAnalysis.lexicalDiversity: TTR and hapax by hand") {

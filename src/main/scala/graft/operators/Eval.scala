@@ -101,10 +101,20 @@ object Eval {
 
   /** PAV over an existing (s, cnt, pos) partials table — the
     * streaming/merged-state entry point (partials sum-merge, then one
-    * driver fit).
+    * driver fit). The quantize-first contract is enforced: the partials
+    * frame is counted before the driver collect, so an unquantized
+    * caller fails fast instead of pulling an unbounded distinct-score
+    * frame onto the driver.
     */
-  def isotonicBlocksFromPartials(partials: DataFrame): Seq[IsoBlock] = {
-    val rows = partials.orderBy("s").collect()
+  def isotonicBlocksFromPartials(partials: DataFrame,
+      maxDistinctScores: Long = 100000L): Seq[IsoBlock] = {
+    val bounded = partials.localCheckpoint()
+    val nDistinct = bounded.count()
+    require(nDistinct <= maxDistinctScores,
+      s"isotonic: $nDistinct distinct scores exceed the " +
+        s"$maxDistinctScores driver-fit cap — quantize scores first " +
+        "(the PAV-path contract) or raise maxDistinctScores")
+    val rows = bounded.orderBy("s").collect()
     val stack = scala.collection.mutable.ArrayBuffer.empty[IsoBlock]
     rows.foreach { r =>
       var b = IsoBlock(r.getDouble(0), r.getDouble(0),
@@ -246,13 +256,29 @@ object Eval {
     * fold in score order on both engines (sorted-array fold vs
     * list(ORDER BY) + list_sum). Placements are exact one-division
     * rationals; the CI uses the snapped literal 1.96.
+    *
+    * Guards: the quantize-first contract is ENFORCED, not just
+    * documented — the distinct-score partials frame is counted before
+    * the single-row fold, and an unquantized caller (more than
+    * `maxDistinctScores` distinct scores) fails fast instead of
+    * building a single-task O(n) array. Degenerate label mixes (0 or
+    * 1 positives, or 0 or 1 negatives) leave the variance terms
+    * undefined — auc/se/ci are null there, matching [[binaryAucBy]]'s
+    * convention on quiet slices.
+    *
     * Output: one row — n_pos, n_neg, auc (6 dp), se (6 dp),
     * ci95_lo (6 dp), ci95_hi (6 dp).
     */
-  def aucDelong(df: DataFrame, score: Column, label: Column)
-      : DataFrame = {
+  def aucDelong(df: DataFrame, score: Column, label: Column,
+      maxDistinctScores: Long = 100000L): DataFrame = {
     val parts = scorePartials(df, score, label)
       .withColumn("neg", col("cnt") - col("pos"))
+      .localCheckpoint() // counted by the guard, then folded once
+    val nDistinct = parts.count()
+    require(nDistinct <= maxDistinctScores,
+      s"aucDelong: $nDistinct distinct scores exceed the " +
+        s"$maxDistinctScores single-row fold cap — quantize scores " +
+        "first (the AUC-path contract) or raise maxDistinctScores")
     val folded = parts
       .agg(sort_array(collect_list(
         struct(col("s"), col("pos"), col("neg")))).as("xs"))
@@ -269,12 +295,16 @@ object Eval {
           lit(0.0).as("sp1"), lit(0.0).as("sp2"),
           lit(0.0).as("sq1"), lit(0.0).as("sq2")),
         (acc, x) => {
+          // divisors clamped to 1 so an empty class can't trip ANSI
+          // divide-by-zero mid-fold — the degenerate-mix guard below
+          // nulls every statistic built from these placements anyway
+          val d0 = greatest(col("n0"), lit(1L))
+          val d1 = greatest(col("n1"), lit(1L))
           // placement of positives at s: negatives below + half ties
-          val pPos = (acc.getField("cnb") + x.getField("neg") * 0.5) /
-            col("n0")
+          val pPos = (acc.getField("cnb") + x.getField("neg") * 0.5) / d0
           // placement of negatives at s: positives ABOVE + half ties
           val pNeg = (col("n1") - acc.getField("cpb") -
-            x.getField("pos") * 0.5) / col("n1")
+            x.getField("pos") * 0.5) / d1
           struct(
             (acc.getField("cnb") + x.getField("neg")).as("cnb"),
             (acc.getField("cpb") + x.getField("pos")).as("cpb"),
@@ -286,18 +316,30 @@ object Eval {
               .as("sq2"))
         }).as("f"))
     def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
+    // n1 <= 1 or n0 <= 1 leaves v10/v01 (divisors n1-1, n0-1) or
+    // auc_raw (divisor n1) undefined — null the statistics instead of
+    // emitting NaN/Infinity.
+    val defined = col("n1") > 1 && col("n0") > 1
+    def guard(c: Column) =
+      when(defined, c).otherwise(lit(null).cast("double"))
+    // same ANSI-safe clamp as in the fold: every consumer of these
+    // divisions is guard()-nulled when a class has < 2 members
+    def c1(c: Column) = greatest(c, lit(1L))
     sums.select(col("n1"), col("n0"),
-        (col("f.sp1") / col("n1")).as("auc_raw"),
-        ((col("f.sp2") - col("f.sp1") * col("f.sp1") / col("n1")) /
-          (col("n1") - 1)).as("v10"),
-        ((col("f.sq2") - col("f.sq1") * col("f.sq1") / col("n0")) /
-          (col("n0") - 1)).as("v01"))
+        (col("f.sp1") / c1(col("n1"))).as("auc_raw"),
+        ((col("f.sp2") - col("f.sp1") * col("f.sp1") / c1(col("n1"))) /
+          c1(col("n1") - 1)).as("v10"),
+        ((col("f.sq2") - col("f.sq1") * col("f.sq1") / c1(col("n0"))) /
+          c1(col("n0") - 1)).as("v01"))
       .withColumn("se_raw",
-        sqrt(col("v10") / col("n1") + col("v01") / col("n0")))
+        sqrt(col("v10") / c1(col("n1")) + col("v01") / c1(col("n0"))))
       .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
-        r6(col("auc_raw")).as("auc"), r6(col("se_raw")).as("se"),
-        r6(col("auc_raw") - lit(1.96) * col("se_raw")).as("ci95_lo"),
-        r6(col("auc_raw") + lit(1.96) * col("se_raw")).as("ci95_hi"))
+        guard(r6(col("auc_raw"))).as("auc"),
+        guard(r6(col("se_raw"))).as("se"),
+        guard(r6(col("auc_raw") - lit(1.96) * col("se_raw")))
+          .as("ci95_lo"),
+        guard(r6(col("auc_raw") + lit(1.96) * col("se_raw")))
+          .as("ci95_hi"))
   }
 
   /** Split-conformal prediction interval (Vovk et al.; the
@@ -378,7 +420,10 @@ object Eval {
     * a group-PARTITIONED window over the (group, residual) count frame
     * — partitioned, never a global window, the standard grouped shape.
     * Output per group: g, n_cal, n_test, qhat (4 dp), coverage (4 dp;
-    * null for groups with no test rows).
+    * n_test = 0 and coverage null for groups with calibration rows but
+    * no test rows). Groups with test rows but NO calibration rows are
+    * omitted: no predictor or residual quantile exists for them, so
+    * there is no interval to report coverage of.
     */
   def splitConformalBy(df: DataFrame, group: Column, value: Column,
       isCalib: Column, alpha: Double): DataFrame = {
@@ -409,17 +454,23 @@ object Eval {
       .filter(col("cc") >= least(col("k"), col("n_cal")))
       .groupBy("g").agg(min("r").as("qr"))
     def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
-    base.filter(!col("cal"))
+    val testAgg = base.filter(!col("cal"))
       .join(broadcast(means), Seq("g"))
       .join(broadcast(qhat), Seq("g"))
       .groupBy("g")
-      .agg(first("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
-        first("qr").as("qr"),
+      .agg(count(lit(1)).as("n_test"),
         sum(when(floor(abs(col("c") - col("m")) * 100 + 0.5)
           .cast("long") <= col("qr"), 1L).otherwise(0L)).as("covered"))
-      .select(col("g"), col("n_cal"), col("n_test"),
+    // Anchor on the per-group (means × qhat) frame so groups whose
+    // test split is empty still report their interval (n_test = 0,
+    // coverage null) instead of vanishing.
+    means.join(qhat, Seq("g"))
+      .join(testAgg, Seq("g"), "left")
+      .select(col("g"), col("n_cal"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
         r4(col("qr").cast("double") / 10000.0).as("qhat"),
-        r4(col("covered").cast("double") / col("n_test"))
+        when(col("n_test").isNull, lit(null).cast("double"))
+          .otherwise(r4(col("covered").cast("double") / col("n_test")))
           .as("coverage"))
   }
 

@@ -142,8 +142,12 @@ object Robust {
       count(lit(1)).as("bn"))
     val loo = byB.crossJoin(broadcast(tot))
       .withColumn("loo",
-        (col("s") - col("sb")).cast("double") /
-          (col("n") - col("nb")).cast("double"))
+        // n == nb iff this is the only occupied bucket — the 0/0
+        // leave-one-out mean is null here (ANSI-safe), and the bn < 2
+        // guard below nulls the SE/CI built from it
+        when(col("n") === col("nb"), lit(null).cast("double"))
+          .otherwise((col("s") - col("sb")).cast("double") /
+            (col("n") - col("nb")).cast("double")))
     val arr = loo.agg(first("n").as("n"), first("s").as("s"),
       first("bn").as("bn"),
       array_sort(collect_list(struct(col("b"), col("loo"))))
@@ -160,10 +164,19 @@ object Robust {
           (col("bn") - 1.0) / col("bn")))
       .select(col("n").cast("long").as("n"),
         r4(col("s") / col("n") / 100.0).as("mean"),
-        (floor(col("se") / 100.0 * 1e6 + 0.5) / 1e6).as("se_jack"),
-        r4((col("s") / col("n") - lit(1.96) * col("se")) / 100.0)
+        // one occupied bucket (single distinct id, or pathological key
+        // skew on tiny input) leaves every leave-one-out mean 0/0 —
+        // null the error bar rather than emitting NaN
+        when(col("bn") < 2, lit(null).cast("double"))
+          .otherwise(floor(col("se") / 100.0 * 1e6 + 0.5) / 1e6)
+          .as("se_jack"),
+        when(col("bn") < 2, lit(null).cast("double"))
+          .otherwise(
+            r4((col("s") / col("n") - lit(1.96) * col("se")) / 100.0))
           .as("ci_lo"),
-        r4((col("s") / col("n") + lit(1.96) * col("se")) / 100.0)
+        when(col("bn") < 2, lit(null).cast("double"))
+          .otherwise(
+            r4((col("s") / col("n") + lit(1.96) * col("se")) / 100.0))
           .as("ci_hi"))
   }
 

@@ -277,6 +277,10 @@ object Timeseries {
     val daily = df
       .select(to_date(col(tsCol)).as("day"),
         when(success, 1L).otherwise(0L).as("s"))
+      // a null timestamp would otherwise become a null day row whose
+      // position in the running-sum window is engine-dependent (Spark
+      // sorts nulls first, DuckDB last) — drop it before the window
+      .filter(col("day").isNotNull)
       .groupBy("day")
       .agg(count(lit(1)).as("n"), sum("s").as("conv"))
       .withColumn("llr_raw",

@@ -655,7 +655,7 @@ object Stats {
            |    CAST(count(*) AS BIGINT) AS n,
            |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
            |      ELSE 0 END) AS BIGINT) AS conv
-           |  FROM events GROUP BY 1),
+           |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
            |l AS (SELECT *,
            |    conv * CAST($wS AS DOUBLE) +
            |    (n - conv) * CAST($wF AS DOUBLE) AS llr_raw
@@ -1260,18 +1260,22 @@ object Stats {
              |  FROM cum JOIN means USING (g)),
              |q AS (SELECT g, min(r) AS qr FROM kk
              |  WHERE cc >= least(k, n_cal) GROUP BY 1),
-             |t AS (SELECT b.g, means.n_cal, q.qr,
+             |t AS (SELECT b.g,
              |    count(*) AS n_test,
              |    sum(CASE WHEN CAST(floor(abs(b.c - means.m)*100 + 0.5)
              |      AS BIGINT) <= q.qr THEN 1 ELSE 0 END) AS covered
              |  FROM base b JOIN means USING (g) JOIN q USING (g)
-             |  WHERE NOT b.cal GROUP BY 1, 2, 3)
-             |SELECT g, n_cal, CAST(n_test AS BIGINT) AS n_test,
+             |  WHERE NOT b.cal GROUP BY 1)
+             |SELECT means.g, n_cal,
+             |  CAST(coalesce(t.n_test, 0) AS BIGINT) AS n_test,
              |  floor(CAST(qr AS DOUBLE) / 10000.0 * 10000.0 + 0.5)
              |    / 10000.0 AS qhat,
-             |  floor(CAST(covered AS DOUBLE) / n_test * 10000.0 + 0.5)
-             |    / 10000.0 AS coverage
-             |FROM t ORDER BY g""".stripMargin)),
+             |  CASE WHEN t.n_test IS NULL THEN CAST(NULL AS DOUBLE)
+             |    ELSE floor(CAST(covered AS DOUBLE) / t.n_test
+             |      * 10000.0 + 0.5) / 10000.0 END AS coverage
+             |FROM means JOIN q USING (g)
+             |LEFT JOIN t ON t.g = means.g
+             |ORDER BY means.g""".stripMargin)),
 
     // t-closeness release screen: per-event-type EMD of the binned
     // value distribution against the global one — the skewness-attack

@@ -471,4 +471,73 @@ class EvalSpec extends SparkTestBase {
     assert(out("robert") == "R163", "case-insensitive")
     assert(out("  12 3!") == null && out("") == null)
   }
+
+  test("Eval.aucDelong: degenerate label mixes null the statistics; " +
+    "the quantize-first cap rejects continuous scores") {
+    import spark.implicits._
+    // all-positive frame: n1=4, n0=0 -> auc/se/ci null, counts intact
+    val onlyPos = Seq((0.9, true), (0.8, true), (0.7, true), (0.4, true))
+      .toDF("s", "y")
+    val r = Eval.aucDelong(onlyPos, col("s"), col("y")).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 0)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) &&
+      r.isNullAt(5), s"degenerate mix must null auc/se/ci: $r")
+    // one positive: variance divisor n1-1 = 0 -> also null
+    val onePos = Seq((0.9, true), (0.8, false), (0.7, false))
+      .toDF("s", "y")
+    val r1 = Eval.aucDelong(onePos, col("s"), col("y")).collect()(0)
+    assert(r1.isNullAt(2) && r1.isNullAt(3))
+    // unquantized caller: 500 distinct doubles vs a cap of 100 fails
+    // fast instead of folding a single-task array
+    val continuous = (1 to 500)
+      .map(i => (i / 500.0 + 1e-9 * i, i % 2 == 0)).toDF("s", "y")
+    val ex = intercept[IllegalArgumentException](
+      Eval.aucDelong(continuous, col("s"), col("y"),
+        maxDistinctScores = 100))
+    assert(ex.getMessage.contains("quantize"), ex.getMessage)
+    // same contract on the isotonic driver fit
+    val ex2 = intercept[IllegalArgumentException](
+      Eval.isotonicBlocksFromPartials(
+        Eval.scorePartials(continuous, col("s"), col("y")),
+        maxDistinctScores = 100))
+    assert(ex2.getMessage.contains("quantize"), ex2.getMessage)
+  }
+
+  test("Eval.splitConformalBy: calibration-only groups keep their " +
+    "interval with n_test=0/null coverage; test-only groups are " +
+    "omitted") {
+    import spark.implicits._
+    // group "a": calibration AND test rows; group "b": calibration
+    // only; group "c": test only (no predictor -> omitted)
+    val rows =
+      (1 to 20).map(i => ("a", i.toDouble, i % 2 == 0)) ++
+      (1 to 20).map(i => ("b", i.toDouble, true)) ++
+      (1 to 20).map(i => ("c", i.toDouble, false))
+    val df = rows.toDF("g", "v", "cal")
+    val out = Eval.splitConformalBy(df, col("g"), col("v"),
+      col("cal"), alpha = 0.1).orderBy("g").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"),
+      s"expected groups a,b only: ${out.mkString(",")}")
+    val a = out(0)
+    assert(a.getAs[Long]("n_test") == 10 &&
+      !a.isNullAt(a.fieldIndex("coverage")))
+    val b = out(1)
+    assert(b.getAs[Long]("n_cal") == 20 &&
+      b.getAs[Long]("n_test") == 0 &&
+      b.isNullAt(b.fieldIndex("coverage")) &&
+      !b.isNullAt(b.fieldIndex("qhat")),
+      s"calibration-only group must keep qhat with null coverage: $b")
+  }
+
+  test("Robust.bucketJackknife: a single occupied bucket nulls the " +
+    "error bar instead of emitting NaN") {
+    import spark.implicits._
+    // one distinct id -> every row hashes to the same bucket
+    val df = (1 to 50).map(_ => (7L, 3.5)).toDF("id", "v")
+    val r = graft.operators.Robust.bucketJackknife(
+      df, col("id"), col("v"), buckets = 20).collect()(0)
+    assert(r.getLong(0) == 50 && r.getDouble(1) == 3.5)
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4),
+      s"single-bucket SE/CI must be null: $r")
+  }
 }

@@ -382,6 +382,21 @@ class StatsSpec extends SparkTestBase {
       r(2).getAs[Double]("cum_llr"))
   }
 
+  test("Timeseries.sprtDaily ignores null timestamps (no null day " +
+    "row whose window position is engine-dependent)") {
+    val rows = (1 to 2).flatMap(d => (1 to 10).map(i =>
+      (d.toLong * 100 + i, ts(d), true))) :+
+      (999L, null.asInstanceOf[java.sql.Timestamp], true)
+    val df = rows.toDF("event_id", "ts", "ok")
+    val r = graft.operators.Timeseries.sprtDaily(df, "ts", col("ok"),
+      p0 = 0.1, p1 = 0.5, alpha = 0.05, beta = 0.05)
+      .orderBy("day").collect()
+    assert(r.length == 2, s"null ts must not create a day row: " +
+      r.mkString(","))
+    assert(r.forall(!_.isNullAt(0)))
+    assert(r.forall(_.getAs[Long]("n") == 10))
+  }
+
   test("Eval.isotonicBlocks pools the classic 1,0,0,1 violation") {
     val df = Seq((1.0, true), (2.0, false), (3.0, false), (4.0, true))
       .toDF("s", "y")

@@ -48,6 +48,8 @@ object GraftFunctions {
     "winnow_select" -> (es => WinnowSelectExpr(es(0),
       es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "char_entropy" -> (es => CharEntropyExpr(es.head)),
+    "mg_sketch" -> (es => MisraGriesSketchExpr(es(0),
+      es(1).eval().asInstanceOf[Int])),
     "lexical_stats" -> (es => LexicalStatsExpr(es.head)),
     "merge_pair" -> (es => MergePairExpr(es(0),
       es(1).eval().toString, es(2).eval().toString)),
@@ -106,6 +108,9 @@ object GraftFunctions {
     call_function("token_hashes", tokens)
   def charEntropy(text: Column): Column =
     call_function("char_entropy", text)
+  def mgSketch(item: Column, k: Int): Column =
+    call_function("mg_sketch", item,
+      org.apache.spark.sql.functions.lit(k))
   def lexicalStats(tokens: Column): Column =
     call_function("lexical_stats", tokens)
   def mergePair(symbols: Column, a: String, b: String): Column =

@@ -1,13 +1,17 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Misra-Gries heavy-hitters sketch as a typed Aggregator — the
+import graft.functions.GraftFunctions
+
+/** Misra-Gries heavy-hitters sketches over DataFrames — the
   * frequency-sketch class next to the library's bloom (membership),
-  * MinHash (similarity), and SimHash (distance) sketches.
+  * MinHash (similarity), and SimHash (distance) sketches. The sketch
+  * itself is the native Catalyst aggregate
+  * [[graft.functions.MisraGriesSketchExpr]] (`mg_sketch`), which reads
+  * items straight off the InternalRow — no encoder bridge, no kryo
+  * buffer blobs.
   *
   * Why not a plain groupBy-count at 100 TB: counting every distinct
   * token/URL/domain materializes |vocabulary| rows — web-scale token
@@ -32,85 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Buffer: a mutable counter map, kryo-encoded (the encoder only
-    * matters at partial-buffer shuffle boundaries, where kryo ships the
-    * map opaquely). The reduce path runs once per STREAM ITEM; in-place
-    * mutation keeps it allocation-free vs an immutable Map.updated's
-    * tree nodes — a modest win (~5% at sf0.1: the dominant per-row cost
-    * is the untyped→typed bridge any typed Aggregator pays), and the
-    * full-map decrement/re-cap passes stay O(k) in place instead of
-    * rebuilding the map.
-    */
-  type Buf = java.util.HashMap[String, Long]
-
-  final class MisraGriesAgg(k: Int)
-      extends Aggregator[String, Buf, Map[String, Long]] {
-    require(k > 0, "sketch capacity must be positive")
-
-    override def zero: Buf = new Buf()
-
-    override def reduce(b: Buf, item: String): Buf = {
-      val cur = b.get(item)
-      if (cur != 0L || b.containsKey(item)) b.put(item, cur + 1)
-      else if (b.size < k) b.put(item, 1L)
-      else {
-        // classic MG decrement: drop every counter by one (the new
-        // item's single occurrence cancels against them), shedding
-        // zeroed entries. O(k) only when the map is full of distinct
-        // values — amortized O(1) per stream item.
-        val it = b.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue > 1) e.setValue(e.getValue - 1) else it.remove()
-        }
-      }
-      b
-    }
-
-    override def merge(a: Buf, b: Buf): Buf = {
-      val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
-      val fit = from.entrySet().iterator()
-      while (fit.hasNext) {
-        val e = fit.next()
-        into.put(e.getKey, into.getOrDefault(e.getKey, 0L) + e.getValue)
-      }
-      if (into.size > k) {
-        // subtract the (k+1)-st largest count, keep what stays positive
-        // (ties at the threshold fall to zero and drop with it) — the
-        // mergeable-summaries re-cap, valid for any merge tree
-        val counts = new Array[Long](into.size)
-        var i = 0
-        val vit = into.values().iterator()
-        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
-        java.util.Arrays.sort(counts)
-        val thresh = counts(counts.length - 1 - k)
-        val it = into.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue > thresh) e.setValue(e.getValue - thresh)
-          else it.remove()
-        }
-      }
-      into
-    }
-
-    override def finish(r: Buf): Map[String, Long] = {
-      val b = Map.newBuilder[String, Long]
-      r.forEach((t, c) => b += t -> c)
-      b.result()
-    }
-    override def bufferEncoder: Encoder[Buf] =
-      org.apache.spark.sql.Encoders.kryo[Buf]
-    override def outputEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
-  }
-
   /** Global top-`topN` heavy hitters of `itemCol` under a k-entry MG
     * sketch. Output: item, est_count, rank — (est_count desc, item asc)
     * total order. Exact counts whenever k ≥ |distinct itemCol|.
     */
   def top(df: DataFrame, itemCol: String, k: Int, topN: Int): DataFrame = {
-    val agg = udaf(new MisraGriesAgg(k))
+    require(k > 0, "sketch capacity must be positive")
+    GraftFunctions.registerAll(df.sparkSession)
+    def agg(c: org.apache.spark.sql.Column) = GraftFunctions.mgSketch(c, k)
     df.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
       .agg(agg(col("item")).as("sketch"))
@@ -131,7 +64,9 @@ object HeavyHitters {
     */
   def topPerGroup(df: DataFrame, groupCols: Seq[String],
       itemCol: String, k: Int, topN: Int): DataFrame = {
-    val agg = udaf(new MisraGriesAgg(k))
+    require(k > 0, "sketch capacity must be positive")
+    GraftFunctions.registerAll(df.sparkSession)
+    def agg(c: org.apache.spark.sql.Column) = GraftFunctions.mgSketch(c, k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(col("est_count").desc, col("item").asc)
@@ -168,11 +103,13 @@ object HeavyHitters {
     import spark.implicits._
     val items = df.select(col(itemCol).cast("string").as("item"))
       .filter(col("item").isNotNull)
-    val agg = udaf(new MisraGriesAgg(k))
+    require(k > 0, "sketch capacity must be positive")
+    GraftFunctions.registerAll(df.sparkSession)
     // pass 1: sketch AND stream length in the same job — the MG pass
     // scans everything anyway, so n is free
     val first = items
-      .agg(agg(col("item")).as("sketch"), count(lit(1)).as("n"))
+      .agg(GraftFunctions.mgSketch(col("item"), k).as("sketch"),
+        count(lit(1)).as("n"))
       .collect()(0)
     val n = first.getLong(1)
     val candidates = first.getMap[String, Long](0).keys.toSeq // ≤ k

@@ -19,6 +19,23 @@ object Bench {
     // driver never sets it, so round artifacts are always the full set.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Load fence: a benchmark started on an already-busy host measures
+    // the neighbors, not the engine (two past round artifacts recorded
+    // 1.3-3.4x phantom regressions that vanished on an idle re-run).
+    // Record the 1-min load average at start and flag the artifact —
+    // readings taken with load_ok=false should be discarded in favor of
+    // SCALE.md's clean-run numbers.
+    val load1 = try {
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+    val nCpu = Runtime.getRuntime.availableProcessors
+    // idle threshold: anything over half the cores already running when
+    // the bench starts will contend with the 32 task threads
+    val loadOk = load1 < 0 || load1 <= nCpu * 0.5
+    if (!loadOk)
+      System.err.println(f"[bench] WARNING: start load1=$load1%.1f on " +
+        s"$nCpu cpus — timings will include neighbor contention")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -91,7 +108,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""load_ok":$loadOk,"load1":${fmt(load1)},""" +
+        s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // debug artifact alongside the stdout contract — full runs only, so a
     // probe can't clobber the last full-suite numbers

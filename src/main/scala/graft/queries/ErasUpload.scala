@@ -482,6 +482,182 @@ object ErasUpload {
              |  CAST(count(*) AS BIGINT) AS n_pinned,
              |  CAST(0 AS BIGINT) AS n_only_modern,
              |  CAST(0 AS BIGINT) AS n_only_pinned
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // The website uploads-direction decile rollup
+    // (views/website/entry07_platform_decile_uploads_dedup_daily_after
+    // .sql:1, _before.sql:1): per-era best-test-per-client dedup (W1,
+    // the raw_*_remote ROW_NUMBER), grouped deciles over the deduped
+    // set (A5), exploded WITH OFFSET, then the two era frames joined
+    // per (period, decile) exactly as the reference joins
+    // ndt5_quantiles x web100_quantiles. The reference's before/after
+    // pair differs only by date window (and site regex); the fixture
+    // mirrors that as a before/after split of the covered range, both
+    // periods in one frame. Client identity stands in as
+    // IP + MetroCode (the fixture's per-client key; the reference uses
+    // remote_ip). mbps is 4dp-snapped BEFORE ranking/deciling so both
+    // engines order and interpolate identical doubles.
+    GraftQuery(
+      "qO7_uploads_decile_rollup",
+      "Uploads decile-dedup rollup: top-1 per client per era period " +
+        "-> grouped exact deciles -> WITH OFFSET explode -> ndt5/web100 " +
+        "era join, before/after periods (W1+A5+posexplode, " +
+        "entry07_platform_decile_uploads_dedup_daily_after.sql:1).",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val uu = UnifiedViews.unifiedUploads(unifiedBranches(s, d))
+          .filter(dateWindow)
+        val base = uu
+          .filter(col("metadata.View").isin(
+            "extended_ndt5_uploads", "extended_web100_uploads"))
+          .select(
+            when(col("date") < lit("1996-01-01").cast("timestamp"),
+              "before").otherwise("after").as("period"),
+            col("metadata.View").as("view_name"),
+            concat(col("client.IP"), lit("-"),
+              col("client.Geo.MetroCode").cast("string"))
+              .as("client_key"),
+            round4(col("a.MeanThroughputMbps")).as("mbps4"),
+            col("id"))
+        val best = base.withColumn("rn", row_number().over(
+            Window.partitionBy("period", "view_name", "client_key")
+              .orderBy(col("mbps4").desc, col("id").asc)))
+          .filter(col("rn") === 1)
+        // bounded post-agg frame (periods x eras x 11), checkpointed so
+        // the two era filters below read it instead of re-running the
+        // whole upload chain twice
+        val decs = best.groupBy("period", "view_name")
+          .agg(count(lit(1)).as("uploads"),
+            expr("percentile(mbps4, array(0.0,0.1,0.2,0.3,0.4,0.5," +
+              "0.6,0.7,0.8,0.9,1.0))").as("qs"))
+          .select(col("period"), col("view_name"), col("uploads"),
+            posexplode(col("qs")).as(Seq("decile", "qv")))
+          .localCheckpoint()
+        val n5 = decs
+          .filter(col("view_name") === "extended_ndt5_uploads")
+          .select(col("period"), col("decile"),
+            col("uploads").as("ndt5_uploads"), round4(col("qv")).as("ndt5"))
+        val w1 = decs
+          .filter(col("view_name") === "extended_web100_uploads")
+          .select(col("period"), col("decile"),
+            col("uploads").as("web100_uploads"),
+            round4(col("qv")).as("web100"))
+        n5.join(w1, Seq("period", "decile"))
+          .select(col("period"), col("decile"), col("ndt5_uploads"),
+            col("web100_uploads"), col("ndt5"), col("web100"))
+          .orderBy("period", "decile")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |    CAST(o_orderdate AS DATE) AS d,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) % 100000
+             |      AS recv,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN '10.0.0.1'
+             |         WHEN o_orderkey % 17 = 0 THEN '2001:db8::1'
+             |         WHEN o_orderkey % 29 = 0 THEN '35.193.254.117'
+             |         ELSE '203.0.113.5' END AS cip
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+             |    AND o_orderdate < TIMESTAMP '1997-01-01'
+             |    AND o_orderkey % 10 != 0),
+             |u AS (
+             |  SELECT 'ndt5-' || CAST(k AS VARCHAR) AS id, d, c, cip,
+             |    'extended_ndt5_uploads' AS view_name,
+             |    (recv * 8.0) / CAST((k % 80) * 1000000 AS DOUBLE)
+             |      AS mbps
+             |  FROM base
+             |  WHERE k % 3 = 1 AND k % 11 != 0 AND k % 13 != 0
+             |    AND k % 5 != 4
+             |    AND NOT (k % 29 = 0 AND k % 7 != 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 BETWEEN 9 AND 60
+             |  UNION ALL
+             |  SELECT 'web100-' || CAST(k AS VARCHAR), d, c, cip,
+             |    'extended_web100_uploads',
+             |    (recv * 0.008) / (((k % 40) * 1000000 + 500000) * 0.001)
+             |  FROM base
+             |  WHERE k % 3 = 2 AND k % 9 != 0 AND k % 21 != 0
+             |    AND k % 7 != 0 AND recv >= 8192 AND k % 40 >= 9),
+             |v AS (
+             |  SELECT CASE WHEN d < DATE '1996-01-01' THEN 'before'
+             |      ELSE 'after' END AS period,
+             |    view_name,
+             |    cip || '-' || CAST(c % 100 AS VARCHAR) AS client_key,
+             |    floor(mbps * 10000.0 + 0.5) / 10000.0 AS mbps4, id
+             |  FROM u),
+             |best AS (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY period, view_name, client_key
+             |      ORDER BY mbps4 DESC, id) AS rn
+             |    FROM v) WHERE rn = 1),
+             |g AS (
+             |  SELECT period, view_name,
+             |    CAST(count(*) AS BIGINT) AS uploads,
+             |    quantile_cont(mbps4, [0.0,0.1,0.2,0.3,0.4,0.5,
+             |      0.6,0.7,0.8,0.9,1.0]) AS qs
+             |  FROM best GROUP BY 1, 2),
+             |e AS (
+             |  SELECT period, view_name, uploads,
+             |    CAST(r.range AS INT) AS decile,
+             |    floor(qs[CAST(r.range AS INT) + 1] * 10000.0 + 0.5)
+             |      / 10000.0 AS qv
+             |  FROM g, range(11) r)
+             |SELECT n5.period, n5.decile,
+             |  n5.uploads AS ndt5_uploads, w1.uploads AS web100_uploads,
+             |  n5.qv AS ndt5, w1.qv AS web100
+             |FROM e n5 JOIN e w1
+             |  ON n5.period = w1.period AND n5.decile = w1.decile
+             |WHERE n5.view_name = 'extended_ndt5_uploads'
+             |  AND w1.view_name = 'extended_web100_uploads'
+             |ORDER BY n5.period, n5.decile""".stripMargin)),
+
+    // The website uploads-direction hourly rollup
+    // (views/website/entry07_platform_hourly_uploads_after.sql:1,
+    // _before.sql:1): per-(hour, era) test counts over ALL upload eras
+    // unioned — the reference's web100_hosts UNION ALL ndt5_hosts with
+    // TIMESTAMP_TRUNC(start_time, hour); here the era union is inherent
+    // in unified_uploads and the ndt7 leg joins the mlab[123] breadth.
+    GraftQuery(
+      "qO8_uploads_hourly_rollup",
+      "Uploads hourly rollup: per-hour per-era test counts over the " +
+        "unified uploads union " +
+        "(entry07_platform_hourly_uploads_after.sql:1).",
+      (s, d) => {
+        UnifiedViews.unifiedUploads(unifiedBranches(s, d))
+          .filter(dateWindow)
+          .groupBy(
+            date_trunc("hour", col("date")).cast("timestamp_ntz")
+              .as("hour"),
+            col("metadata.View").as("view_name"))
+          .agg(count(lit(1)).as("n_tests"))
+          .orderBy("hour", "view_name")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) % 100000
+             |      AS recv
+             |  FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1993-01-01'
+             |    AND o_orderdate < TIMESTAMP '1997-01-01'
+             |    AND o_orderkey % 10 != 0),
+             |u AS (
+             |  SELECT d, 'extended_ndt7_uploads' AS view_name FROM base
+             |  WHERE k % 3 = 0 AND k % 19 != 0 AND k % 7 != 0
+             |    AND NOT (k % 29 = 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 <= 50
+             |  UNION ALL
+             |  SELECT d, 'extended_ndt5_uploads' FROM base
+             |  WHERE k % 3 = 1 AND k % 11 != 0 AND k % 13 != 0
+             |    AND k % 5 != 4
+             |    AND NOT (k % 29 = 0 AND k % 7 != 0 AND k % 17 != 0)
+             |    AND recv >= 8192 AND k % 80 BETWEEN 9 AND 60
+             |  UNION ALL
+             |  SELECT d, 'extended_web100_uploads' FROM base
+             |  WHERE k % 3 = 2 AND k % 9 != 0 AND k % 21 != 0
+             |    AND k % 7 != 0 AND recv >= 8192 AND k % 40 >= 9)
+             |SELECT CAST(d AS TIMESTAMP) AS hour, view_name,
+             |  CAST(count(*) AS BIGINT) AS n_tests
+             |FROM u GROUP BY 1, 2
+             |ORDER BY hour, view_name""".stripMargin))
   )
 }

@@ -224,6 +224,75 @@ object Evaluation {
               |LEFT JOIN bordercl bc ON e.vec_id = bc.id
               |ORDER BY id""".stripMargin)),
 
+    // qH6's scale path, declared: the SAME density core
+    // (degree/core/components/border) fed by the LSH-bucketed cosine
+    // generator instead of the exact all-pairs one — Density.dbscan
+    // takes the pair frame as an argument precisely so the O(n²)
+    // generator swaps out at corpus scale (the q34→q70 pairing, now
+    // proven for DBSCAN too). The oracle replays the generator-composed
+    // definition: neighbors are same-bucket cosine hits, so the
+    // assignment matches EXACTLY by construction, no recall caveat.
+    // The plan contains only equi-joins (bucket equality + id keys) —
+    // the PlanSpec sweep's no-cartesian/no-BNLJ guard covers it.
+    GraftQuery(
+      "qO9_dbscan_lsh",
+      "DBSCAN over embeddings with the LSH-bucketed pair generator " +
+        "(3 hyperplanes, cosine >= 0.3 within bucket, minPts=4): " +
+        "bucketed generator composed into the qH6 density core — " +
+        "the declared 100 TB path, no all-pairs join in the plan.",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val pairs = graft.operators.Dedup.embeddingLshPairs(
+          emb, "vec_id", "embedding", planes = 3, threshold = 0.3)
+        Density.dbscan(emb, "vec_id", pairs, "id_a", "id_b", minPts = 4)
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $duckVecNorm,
+              |b AS (SELECT vec_id, v, nrm,
+              |  CAST(list_sum(list_transform(range(0,3), j ->
+              |    CASE WHEN list_sum(list_transform(v, (x,i) ->
+              |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
+              |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+              |    AS bucket
+              |  FROM n),
+              |p0 AS (
+              |  SELECT a.vec_id AS ia, y.vec_id AS ib
+              |  FROM b a JOIN b y
+              |    ON a.bucket = y.bucket AND a.vec_id < y.vec_id
+              |  WHERE list_sum(list_transform(range(1,65),
+              |      i -> a.v[i]*y.v[i])) / (a.nrm*y.nrm) >= 0.3),
+              |p AS (SELECT ia, ib FROM p0
+              |  UNION ALL SELECT ib AS ia, ia AS ib FROM p0),
+              |deg AS (SELECT ia, count(*) AS nbrs FROM p GROUP BY ia),
+              |core AS (SELECT ia AS id FROM deg WHERE nbrs + 1 >= 4),
+              |ce AS (
+              |  SELECT p.ia AS a, p.ib AS b FROM p
+              |  JOIN core c1 ON p.ia = c1.id
+              |  JOIN core c2 ON p.ib = c2.id),
+              |reach(node, r) AS (
+              |  SELECT a, a FROM ce
+              |  UNION
+              |  SELECT e.a, r.r FROM ce e JOIN reach r ON e.b = r.node),
+              |comp AS (SELECT node, min(r) AS cluster
+              |  FROM reach GROUP BY node),
+              |corecl AS (
+              |  SELECT c.id, coalesce(comp.cluster, c.id) AS cluster
+              |  FROM core c LEFT JOIN comp ON c.id = comp.node),
+              |bordercl AS (
+              |  SELECT p.ia AS id, min(cc.cluster) AS cluster
+              |  FROM p JOIN corecl cc ON p.ib = cc.id
+              |  WHERE p.ia NOT IN (SELECT id FROM core)
+              |  GROUP BY p.ia)
+              |SELECT e.vec_id AS id,
+              |  CASE WHEN cc.id IS NOT NULL THEN 'core'
+              |    WHEN bc.id IS NOT NULL THEN 'border'
+              |    ELSE 'noise' END AS role,
+              |  coalesce(cc.cluster, bc.cluster) AS cluster
+              |FROM embeddings e
+              |LEFT JOIN corecl cc ON e.vec_id = cc.id
+              |LEFT JOIN bordercl bc ON e.vec_id = bc.id
+              |ORDER BY id""".stripMargin)),
+
     // Phonetic blocking: Soundex keys (translate + RE2-safe
     // regexp_replace chain — the DuckDB side is GENERATED from the same
     // loop, so parity holds by construction) over the distinct part-name

@@ -320,7 +320,10 @@ class PlanSpec extends SparkTestBase {
       "qL5_mutual_information" -> 13, // cells + margins + sorted folds
       "qL4_fellegi_sunter" -> 13,  // blocking rank + two field joins
       "qL0_chi2_independence" -> 12, // cells + margins + grid complete
-      "qM5_clustering_coeff" -> 8) // fenced und + degree + wedge joins
+      "qM5_clustering_coeff" -> 8, // fenced und + degree + wedge joins
+      // round-8 (audited this round):
+      "qO9_dbscan_lsh" -> 8, // bucket equi-join pair gen + qH6 core
+      "qO7_uploads_decile_rollup" -> 3) // dedup window + decile agg + era join
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

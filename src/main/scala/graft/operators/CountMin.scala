@@ -39,6 +39,14 @@ import graft.functions.TextOps
   * `depth` md5s: the md5 is the sketch build's dominant per-row cost
   * (measured 4× on the depth-4 bench query), the affine derivation is
   * two integer ops.
+  *
+  * `saltedDepth = true` restores the formal 1 − e^−d bound at that
+  * measured ~depth× hash cost: each row hashes `d || ':' || value`
+  * through its own md5, so two values colliding on one row's hash are
+  * independent on every other row — the base-hash-collision caveat
+  * above vanishes. Build and [[estimate]] must agree on the flag
+  * (cells are incompatible across modes, like mismatched
+  * depth/width).
   */
 object CountMin {
 
@@ -52,20 +60,33 @@ object CountMin {
     * (row, cell). Missing cells are zero.
     */
   def sketch(df: DataFrame, groupCols: Seq[String], value: Column,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int, saltedDepth: Boolean = false): DataFrame = {
     require(depth >= 1 && depth <= 8, "depth in [1,8]")
     require(width >= 16, "width >= 16")
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("d")
     // NULL values hash to NULL cells — phantom counter rows; drop them
-    df.filter(value.isNotNull)
-      .select((groupCols.map(col) :+
-        TextOps.hash32(value).as("__h") :+ rows): _*)
-      .select((groupCols.map(col) :+ col("d") :+
-        pmod(rowHash(col("__h"), col("d")), lit(width.toLong))
-          .as("cell")): _*)
+    val src = df.filter(value.isNotNull)
+    (if (saltedDepth)
+      src.select((groupCols.map(col) :+
+          value.cast("string").as("__v") :+ rows): _*)
+        .select((groupCols.map(col) :+ col("d") :+
+          pmod(saltedHash(col("__v"), col("d")), lit(width.toLong))
+            .as("cell")): _*)
+    else
+      src.select((groupCols.map(col) :+
+          TextOps.hash32(value).as("__h") :+ rows): _*)
+        .select((groupCols.map(col) :+ col("d") :+
+          pmod(rowHash(col("__h"), col("d")), lit(width.toLong))
+            .as("cell")): _*))
       .groupBy((groupCols.map(col) :+ col("d") :+ col("cell")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Row-d salted hash: an independent md5 per (row, value) —
+    * `hash32(d || ':' || value)`, the formal-bound mode.
+    */
+  private def saltedHash(v: Column, d: Column): Column =
+    TextOps.hash32(concat(d.cast("string"), lit(":"), v))
 
   /** Event-time-windowed counter tables — [[graft.operators.Hll
     * .windowedRegisters]]'s Count-Min sibling: `groupBy(window(ts), d,
@@ -111,12 +132,17 @@ object CountMin {
     * Output: groupCols..., probe, est_count.
     */
   def estimate(sk: DataFrame, groupCols: Seq[String], probes: DataFrame,
-      probeCol: String, depth: Int, width: Int): DataFrame = {
+      probeCol: String, depth: Int, width: Int,
+      saltedDepth: Boolean = false): DataFrame = {
     val pr = probes.select(col(probeCol).as("probe")).distinct()
       .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("cell",
-        pmod(rowHash(TextOps.hash32(col("probe")), col("d")),
-          lit(width.toLong)))
+        if (saltedDepth)
+          pmod(saltedHash(col("probe").cast("string"), col("d")),
+            lit(width.toLong))
+        else
+          pmod(rowHash(TextOps.hash32(col("probe")), col("d")),
+            lit(width.toLong)))
     // a stored cell means counter > 0; an ABSENT cell is a zero
     // counter, which min-dominates — so any probe whose d rows don't
     // all match has estimate 0 (CM never undercounts: value present c

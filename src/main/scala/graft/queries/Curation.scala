@@ -831,6 +831,73 @@ object Curation {
              |LEFT JOIN tc ON tc.source = u.source AND tc.probe = p.probe
              |ORDER BY u.source, p.probe""".stripMargin)),
 
+    // qE4's formal-bound mode: saltedDepth hashes d||':'||value through
+    // an independent md5 per row, so two values colliding on one row
+    // are independent on every other — the base-hash-collision caveat
+    // of the default affine family (CountMin.scala:24-32) vanishes, at
+    // the documented ~depth x hash cost. The oracle rebuilds the salted
+    // cells closed-form; qE4's default-mode oracle is untouched.
+    GraftQuery(
+      "qP2_countmin_salted",
+      "Count-Min (d=4, w=8192, saltedDepth) per-source token-frequency " +
+        "estimates — per-row independent md5s restore the formal " +
+        "1-e^-d bound; sketch recomputed closed-form by the oracle.",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TextOps
+        val probeVals = Seq("the", "agg", "spark", "row", "zzz_absent")
+        val toks = t(s, d, "documents").select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("item"))
+        val sk = CountMin.sketch(toks, Seq("source"), col("item"),
+          depth = 4, width = 8192, saltedDepth = true)
+        val est = CountMin.estimate(sk, Seq("source"),
+          probeVals.toDF("tok"), "tok", depth = 4, width = 8192,
+          saltedDepth = true)
+        val truth = toks.filter(col("item").isin(probeVals: _*))
+          .groupBy(col("source"), col("item").as("probe"))
+          .agg(count(lit(1)).as("tc"))
+        est.join(truth, Seq("source", "probe"), "left")
+          .select(col("source"), col("probe"), col("est_count"),
+            coalesce(col("tc"), lit(0L)).as("true_count"))
+          .orderBy("source", "probe")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text,' ')) AS item
+             |  FROM documents),
+             |pr AS (SELECT * FROM (VALUES ('the'),('agg'),('spark'),
+             |    ('row'),('zzz_absent')) AS t(probe)),
+             |cells AS (
+             |  -- one independent md5 per (row, occurrence): d||':'||v
+             |  SELECT source, d,
+             |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || item),
+             |      1, 8))::BIGINT % 8192 AS cell,
+             |    count(*) AS cnt
+             |  FROM tok, LATERAL unnest(range(0, 4)) AS t(d)
+             |  GROUP BY 1, 2, 3),
+             |prc AS (
+             |  SELECT probe, d,
+             |    ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || probe),
+             |      1, 8))::BIGINT % 8192 AS cell
+             |  FROM pr, LATERAL unnest(range(0, 4)) AS t(d)),
+             |hit AS (
+             |  SELECT source, probe, min(cnt) AS mc, count(*) AS rh
+             |  FROM cells JOIN prc USING (d, cell) GROUP BY 1, 2),
+             |uni AS (SELECT DISTINCT source FROM documents),
+             |tc AS (
+             |  SELECT source, item AS probe, CAST(count(*) AS BIGINT)
+             |    AS true_count
+             |  FROM tok WHERE item IN ('the','agg','spark','row',
+             |    'zzz_absent')
+             |  GROUP BY 1, 2)
+             |SELECT u.source AS source, p.probe AS probe,
+             |  CAST(CASE WHEN rh IS NULL OR rh < 4 THEN 0 ELSE mc END
+             |    AS BIGINT) AS est_count,
+             |  coalesce(tc.true_count, 0) AS true_count
+             |FROM uni u CROSS JOIN pr p
+             |LEFT JOIN hit ON hit.source = u.source AND hit.probe = p.probe
+             |LEFT JOIN tc ON tc.source = u.source AND tc.probe = p.probe
+             |ORDER BY u.source, p.probe""".stripMargin)),
+
     // HLL set algebra: the overlap of two shards' distinct 3-gram sets
     // from their REGISTER TABLES alone — union by max-merge, then
     // inclusion-exclusion for the intersection. No raw-data rescan;

@@ -2034,4 +2034,46 @@ class OperatorsSpec extends SparkTestBase {
       IntervalJoin.pointInInterval(pts, "v", iv, "lo", "hi", 8L,
         joinType = "full"))
   }
+
+  test("CountMin.saltedDepth: a genuine base-hash collision overcounts " +
+    "in EVERY row of the default affine family but not in salted mode") {
+    import spark.implicits._
+    // replicate TextOps.hash32 (first 8 md5 hex chars -> long) and
+    // birthday-search a real 32-bit collision — ~77k probes for 50%,
+    // 400k leaves P(miss) < 1e-4
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val seen = scala.collection.mutable.HashMap.empty[Long, String]
+    var pair: Option[(String, String)] = None
+    var i = 0
+    while (pair.isEmpty && i < 400000) {
+      val s = "cmv" + i
+      seen.put(h32(s), s).foreach(prev => pair = Some((prev, s)))
+      i += 1
+    }
+    assert(pair.nonEmpty, "no 32-bit md5-prefix collision in 400k probes")
+    val (a, b) = pair.get
+    val df = Seq(a, b).toDF("v")
+    val probes = Seq(a).toDF("p")
+    // default affine family: the collision propagates to EVERY row —
+    // probing `a` returns 2 (counts `b`'s occurrence too), the caveat
+    // CountMin.scala documents
+    val skDflt = CountMin.sketch(df, Nil, col("v"), 4, 1 << 20)
+    val estDflt = CountMin.estimate(skDflt, Nil, probes, "p", 4, 1 << 20)
+      .collect()(0).getLong(1)
+    assert(estDflt == 2L,
+      s"affine family should overcount the colliding pair, got $estDflt")
+    // salted rows: independent md5 per row -> the pair separates and
+    // the estimate is exact
+    val skSalt = CountMin.sketch(df, Nil, col("v"), 4, 1 << 20,
+      saltedDepth = true)
+    val estSalt = CountMin.estimate(skSalt, Nil, probes, "p", 4, 1 << 20,
+      saltedDepth = true).collect()(0).getLong(1)
+    assert(estSalt == 1L,
+      s"salted rows should separate the base-hash collision, got $estSalt")
+  }
 }

@@ -20,7 +20,6 @@ import org.apache.spark.sql.functions._
 object GenScale {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
-    val out = "/root/repo/target/sf1"
     val replicas = 10
     val off = 10000000L
     val spark = SparkSession.builder()
@@ -29,6 +28,28 @@ object GenScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // "hv" mode: events-only variant with 10x VALUE cardinality —
+    // each replica's values banded into its own +r*1000 range, so the
+    // post-cent-snap distinct-value frames (quantile cut-points,
+    // residual ranks, score partials) genuinely grow 10x instead of
+    // dedup-collapsing across shards. Probes the |distinct values|
+    // boundedness claim the value-copying default cannot stress.
+    if (args.headOption.contains("hv")) {
+      val base = graft.Tables.load(spark, src, "events")
+      (0 until replicas).map { r =>
+        base.select((col("event_id") + lit(r * off)).as("event_id"),
+          col("ts"), (col("user_id") + lit(r * off)).as("user_id"),
+          col("event_type"),
+          (col("value") + lit(r * 1000.0)).as("value"), col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite")
+        .parquet("/root/repo/target/sf1hv/events.parquet")
+      spark.stop()
+      println("wrote high-cardinality events to target/sf1hv")
+      return
+    }
+    val out = "/root/repo/target/sf1"
 
     def load(n: String): DataFrame =
       graft.Tables.load(spark, src, n)

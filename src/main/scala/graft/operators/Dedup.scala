@@ -552,7 +552,10 @@ object Dedup {
     val bits = 60
     val bandBits = bits / bandsCount
     val mask = (1L << bandBits) - 1
-    val sh = simhash(df, idCol, textCol)
+    // 16-byte (id, simhash) rows, consumed by both self-join sides —
+    // fence so the tokenize+simhash pipeline runs once, not twice
+    // (same rationale as codeHammingPairs)
+    val sh = simhash(df, idCol, textCol).localCheckpoint()
     // shuffle_hash: don't let AQE broadcast the banded corpus (bands x
     // corpus rows) — shuffle on the band key, as at scale.
     val bandRows = sh.select(col("doc_id"), col("simhash"),
@@ -601,8 +604,15 @@ object Dedup {
     require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
     val bandBits = bits / bandsCount
     val mask = (1L << bandBits) - 1
+    // Materialize the (id, code) frame ONCE: it is 16 bytes/row however
+    // expensive the upstream signature pipeline was (decode, downsample,
+    // fingerprint), and it is consumed 2-4x below — both self-join
+    // sides, plus the hot-band screen and its anti-join when capped.
+    // Without the fence the whole decode chain re-executes per consumer
+    // (measured: the capped image query ran its synthesis 4x).
     val sh = codes.select(col(idCol).cast("long").as("doc_id"),
       col(codeCol).cast("long").as("code"))
+      .localCheckpoint()
     // shuffle_hash: don't let AQE broadcast the banded corpus
     val bandRowsAll = sh.select(col("doc_id"), col("code"),
       posexplode(array((0 until bandsCount).map(b =>

@@ -2035,6 +2035,74 @@ class OperatorsSpec extends SparkTestBase {
         joinType = "full"))
   }
 
+  test("Dedup.codeHammingPairs maxPosting: output equals a reference " +
+    "model; capped is a subset of uncapped; a pair is lost ONLY when " +
+    "every agreeing band is hot") {
+    import spark.implicits._
+    val bits = 56
+    val bands = 7
+    val bandBits = 8
+    val maxHamming = 6
+    val maxPosting = 10
+    // deterministic corpus: 60 random codes, 15 planted near-dup pairs
+    // (flip 1-6 bits of a base), plus 18 codes sharing band-0 value
+    // 0x55 to plant a HOT band value (count 18 > 10)
+    val rnd = new scala.util.Random(42)
+    def r56() = rnd.nextLong() & ((1L << 56) - 1)
+    val singles = (1L to 60L).map(i => i -> r56())
+    val nearDups = (0 until 15).flatMap { j =>
+      val b = r56()
+      val flipped = (0 to j % 6).foldLeft(b)((acc, t) =>
+        acc ^ (1L << ((j * 7 + t * 11) % 56)))
+      Seq((100L + j * 2) -> b, (101L + j * 2) -> flipped)
+    }
+    val hotBand = (0 until 18).map(i =>
+      (200L + i) -> ((r56() & ~0xFFL) | 0x55L))
+    val codes = (singles ++ nearDups ++ hotBand).toMap
+    val df = codes.toSeq.toDF("id", "code")
+
+    // reference model, computed directly from the definition
+    def bandVals(c: Long): Seq[(Int, Long)] =
+      (0 until bands).map(b => b -> ((c >> (b * bandBits)) & 0xFF))
+    val occupancy = codes.values.toSeq.flatMap(bandVals)
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val hot = occupancy.filter(_._2 > maxPosting).keySet
+    def pairs(excludeHot: Boolean): Set[(Long, Long, Int)] = (for {
+      (ia, ca) <- codes.toSeq
+      (ib, cb) <- codes.toSeq
+      if ia < ib
+      shared = bandVals(ca).toSet intersect bandVals(cb).toSet
+      kept = if (excludeHot) shared -- hot else shared
+      if kept.nonEmpty
+      h = java.lang.Long.bitCount(ca ^ cb)
+      if h <= maxHamming
+    } yield (ia, ib, h)).toSet
+    val expUncapped = pairs(excludeHot = false)
+    val expCapped = pairs(excludeHot = true)
+
+    def run(posting: Int) = graft.operators.Dedup.codeHammingPairs(
+      df, "id", "code", bits, maxHamming, bands, posting)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2))).toSet
+    assert(run(0) == expUncapped, "uncapped output != model")
+    assert(run(maxPosting) == expCapped, "capped output != model")
+    // the planted hot band must actually fire, and capping must cost
+    // recall ONLY on pairs whose every agreeing band is hot
+    assert(hot.nonEmpty, "fixture failed to plant a hot band value")
+    val lost = expUncapped -- expCapped
+    assert(expCapped.subsetOf(expUncapped))
+    assert(lost.forall { case (a, b, _) =>
+      (bandVals(codes(a)).toSet intersect bandVals(codes(b)).toSet)
+        .forall(hot.contains)
+    }, "a pair with a non-hot agreeing band was lost")
+    // the near-dup population survives: planted pairs don't touch the
+    // hot band, so every one of them is in BOTH outputs
+    val planted = (0 until 15).map(j => (100L + j * 2, 101L + j * 2))
+    planted.foreach { case (a, b) =>
+      assert(expCapped.exists(p => p._1 == a && p._2 == b),
+        s"planted near-dup ($a,$b) lost under capping") }
+  }
+
   test("CountMin.saltedDepth: a genuine base-hash collision overcounts " +
     "in EVERY row of the default affine family but not in salted mode") {
     import spark.implicits._

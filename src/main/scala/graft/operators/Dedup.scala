@@ -667,6 +667,17 @@ object Dedup {
     * self-join is shuffle-pinned like every pair-generating self-join
     * here (AQE would broadcast the bucketed corpus).
     *
+    * Sizing contract: `planes` SCALES WITH THE CORPUS. A fixed plane
+    * count is a constant-factor (2^planes) reduction of a quadratic —
+    * fine at one scale, quadratic again at 100×. Choose
+    * planes ≈ log2(n / B) for a target mean bucket size B (e.g.
+    * B ≈ 10³-10⁴): expected candidate volume is then O(n·B) — linear
+    * in the corpus — while each added plane costs recall only on pairs
+    * near the threshold (sign-agreement probability (1−θ/π) per
+    * plane). The declared sf0.01 queries use planes=3 because their
+    * oracles need exact recall at that scale; the parameter, not the
+    * operator, carries the scale knob.
+    *
     * Output: id_a, id_b, cosine (≥ threshold, within-bucket only).
     */
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -2103,6 +2103,39 @@ class OperatorsSpec extends SparkTestBase {
         s"planted near-dup ($a,$b) lost under capping") }
   }
 
+  test("Dedup.embeddingLshPairs: added planes REFINE the bucketing — " +
+    "pair sets nest monotonically and exact duplicates survive any " +
+    "plane count (the planes-scale-with-corpus contract)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    // 10 planted exact-duplicate pairs (cosine 1.0 -> same bucket under
+    // ANY plane count) in a sea of 60 random vectors
+    val planted = (0 until 10).flatMap { i =>
+      val v = vec()
+      Seq((1000L + i * 2) -> v, (1001L + i * 2) -> v)
+    }
+    val noise = (1L to 60L).map(i => i -> vec())
+    val df = (planted ++ noise).toDF("vid", "embedding")
+    def pairsAt(planes: Int): Set[(Long, Long)] =
+      graft.operators.Dedup.embeddingLshPairs(
+        df, "vid", "embedding", planes, threshold = 0.99)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairsAt(1)
+    val p3 = pairsAt(3)
+    val p6 = pairsAt(6)
+    // lshBucket(p) prefixes lshBucket(p+1): same-bucket at more planes
+    // implies same-bucket at fewer -> scored sets nest
+    assert(p6.subsetOf(p3) && p3.subsetOf(p1),
+      s"plane refinement violated: |p1|=${p1.size} |p3|=${p3.size} " +
+        s"|p6|=${p6.size}")
+    val expected = (0 until 10)
+      .map(i => (1000L + i * 2, 1001L + i * 2)).toSet
+    Seq(p1, p3, p6).foreach(p => assert(expected.subsetOf(p),
+      "an exact-duplicate pair fell out of its bucket"))
+  }
+
   test("CountMin.saltedDepth: a genuine base-hash collision overcounts " +
     "in EVERY row of the default affine family but not in salted mode") {
     import spark.implicits._

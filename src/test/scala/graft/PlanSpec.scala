@@ -323,7 +323,10 @@ class PlanSpec extends SparkTestBase {
       "qM5_clustering_coeff" -> 8, // fenced und + degree + wedge joins
       // round-8 (audited this round):
       "qO9_dbscan_lsh" -> 8, // bucket equi-join pair gen + qH6 core
-      "qO7_uploads_decile_rollup" -> 3) // dedup window + decile agg + era join
+      "qO7_uploads_decile_rollup" -> 3, // dedup window + decile agg + era join
+      "qP0_dhash_pairs_capped" -> 8, // hot screen + anti + banded self-join
+      "qP1_audio_fp_pairs_wide" -> 8, // same capped shape, 14-bit bands
+      "qP2_countmin_salted" -> 11) // sketch cells + probe joins + truth rider
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

@@ -640,6 +640,77 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Persistable band index of a bit-signature table — the media twin of
+    * the MinHash band index (see [[lshBandIndex]]/q74): one row per
+    * (band_idx, band_val, doc_id, code), written once per corpus
+    * snapshot and equi-joined by every subsequent [[codeHammingScreen]]
+    * batch. Size is bandsCount × corpus rows of 4 longs.
+    */
+  def codeBandIndex(codes: DataFrame, idCol: String, codeCol: String,
+      bits: Int, bandsCount: Int): DataFrame = {
+    require(bits % bandsCount == 0, "bands must divide the bit width")
+    val bandBits = bits / bandsCount
+    val mask = (1L << bandBits) - 1
+    codes.select(col(idCol).cast("long").as("doc_id"),
+        col(codeCol).cast("long").as("code"))
+      .select(col("doc_id"), col("code"),
+        posexplode(array((0 until bandsCount).map(b =>
+          shiftright(col("code"), b * bandBits).bitwiseAND(mask)): _*))
+          .as(Seq("band_idx", "band_val")))
+  }
+
+  /** Incremental banded-Hamming screen — the arrival-time form of
+    * [[codeHammingPairs]]: each NEW code probes the persisted
+    * [[codeBandIndex]] of the corpus instead of self-joining a rebuilt
+    * one, so a daily batch costs O(new × bands) index probes however
+    * large the history is. Completes the media-dedup lifecycle the
+    * MinHash path already has (batch pairs → incremental screen →
+    * persisted index).
+    *
+    * `maxPosting > 0` caps hot INDEX band values (the new side is
+    * never capped — its batches are small by construction); same
+    * graceful-recall contract as [[codeHammingPairs]].
+    *
+    * Output: one row per NEW doc — doc_id, is_dup, match_id (the
+    * nearest in-range indexed doc: min hamming, min id tie-break;
+    * null when none), hamming (null when none).
+    */
+  def codeHammingScreen(newCodes: DataFrame, idCol: String,
+      codeCol: String, index: DataFrame, bits: Int, maxHamming: Int,
+      bandsCount: Int, maxPosting: Int = 0): DataFrame = {
+    require(maxHamming < bandsCount, "need maxHamming < bands (pigeonhole)")
+    require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
+    // 16-byte rows, consumed by the band probe AND the final left join
+    val newSh = newCodes.select(col(idCol).cast("long").as("doc_id"),
+      col(codeCol).cast("long").as("code")).localCheckpoint()
+    val nbands = codeBandIndex(newSh, "doc_id", "code", bits, bandsCount)
+      .select(col("doc_id").as("nid"), col("code").as("nc"),
+        col("band_idx"), col("band_val"))
+    val idx = (if (maxPosting > 0) {
+      val hot = index.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxPosting)
+        .select("band_idx", "band_val")
+      index.join(broadcast(hot), Seq("band_idx", "band_val"),
+        "left_anti")
+    } else index)
+      .select(col("doc_id").as("oid"), col("code").as("oc"),
+        col("band_idx"), col("band_val"))
+    val cand = nbands.hint("shuffle_hash")
+      .join(idx.hint("shuffle_hash"), Seq("band_idx", "band_val"))
+      .select(col("nid"), col("oid"), col("nc"), col("oc"))
+      .dropDuplicates("nid", "oid")
+      .withColumn("hamming",
+        bit_count(col("nc").bitwiseXOR(col("oc"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val best = cand.groupBy("nid")
+      .agg(min(struct(col("hamming"), col("oid"))).as("m"))
+    newSh.join(best, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"),
+        col("m").isNotNull.as("is_dup"),
+        col("m.oid").as("match_id"),
+        col("m.hamming").as("hamming"))
+  }
+
   /** Embedding-cosine near-dup pairs (brute force; the scale path buckets
     * candidates first — see Similarity.lshTopK). Norms are precomputed
     * per row so the pair stage does one dot product, not three.

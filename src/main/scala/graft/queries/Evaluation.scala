@@ -682,7 +682,82 @@ object Evaluation {
               |SELECT doc_a, doc_b,
               |  CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
               |FROM pr WHERE bit_count(xor(fa, fb)) <= 3
-              |ORDER BY doc_a, doc_b""".stripMargin))) ++ tail
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The arrival-time form of the media dedup — completes the
+    // lifecycle the MinHash path has (q32 batch / q74 incremental /
+    // q85 bloom): NEW images (the doc_id%3==1 trio variants) probe the
+    // persisted band index of the rest of the corpus, capped with the
+    // same hot-band screen as qP0. Each new doc reports its nearest
+    // indexed neighbor (min hamming, min id) or no-dup. The oracle
+    // replays index build, cap, probe, and argmin.
+    GraftQuery(
+      "qP3_dhash_screen",
+      "Incremental visual-dup screen: new images (doc_id%3==1) probe " +
+        "the capped persisted dHash band index of the corpus rest " +
+        "(d <= 6, 7 bands, maxPosting=12) — nearest match or no-dup " +
+        "per new doc.",
+      (s, d) => {
+        val media = trioImageMedia(t(s, d, "documents"))
+        // fence: in production the band index is a PERSISTED table;
+        // here it and the hot screen would otherwise re-run the decode
+        // chain per consumer (the codeHammingPairs fence rationale)
+        val hashes = graft.operators.Multimodal.dhashImages(media).toDF()
+          .localCheckpoint()
+        val newSide = hashes.filter(pmod(col("doc_id"), lit(3L)) === 1)
+        val oldSide = hashes.filter(pmod(col("doc_id"), lit(3L)) =!= 1)
+        val index = graft.operators.Dedup.codeBandIndex(
+          oldSide, "doc_id", "dhash", bits = 56, bandsCount = 7)
+        graft.operators.Dedup.codeHammingScreen(
+          newSide, "doc_id", "dhash", index,
+          bits = 56, maxHamming = 6, bandsCount = 7, maxPosting = 12)
+          .select(col("doc_id"), col("is_dup"), col("match_id"),
+            col("hamming").cast("int").as("hamming"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH hsh AS (
+              |  SELECT doc_id,
+              |    list_sum(list_transform(range(0, 56), i ->
+              |      CASE WHEN ${dhashCellSql("i % 8", "i // 8")} >
+              |          ${dhashCellSql("i % 8 + 1", "i // 8")}
+              |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+              |        ELSE 0 END)) AS dh
+              |  FROM documents),
+              |obands AS (
+              |  SELECT doc_id, dh, band_idx,
+              |    (dh >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
+              |  FROM hsh, (SELECT unnest(range(7)) AS band_idx)
+              |  WHERE doc_id % 3 != 1),
+              |hot AS (SELECT band_idx, band_val FROM obands
+              |  GROUP BY 1, 2 HAVING count(*) > 12),
+              |okept AS (
+              |  SELECT o.* FROM obands o
+              |  LEFT JOIN hot h ON o.band_idx = h.band_idx
+              |    AND o.band_val = h.band_val
+              |  WHERE h.band_idx IS NULL),
+              |nbands AS (
+              |  SELECT doc_id, dh, band_idx,
+              |    (dh >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
+              |  FROM hsh, (SELECT unnest(range(7)) AS band_idx)
+              |  WHERE doc_id % 3 = 1),
+              |scored AS (
+              |  SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid,
+              |    bit_count(xor(n.dh, o.dh)) AS h
+              |  FROM nbands n JOIN okept o
+              |    ON n.band_idx = o.band_idx AND n.band_val = o.band_val
+              |  WHERE bit_count(xor(n.dh, o.dh)) <= 6),
+              |best AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (
+              |      PARTITION BY nid ORDER BY h, oid) AS rn
+              |    FROM scored) WHERE rn = 1)
+              |SELECT n.doc_id,
+              |  best.oid IS NOT NULL AS is_dup,
+              |  best.oid AS match_id,
+              |  CAST(best.h AS INTEGER) AS hamming
+              |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1) n
+              |LEFT JOIN best ON n.doc_id = best.nid
+              |ORDER BY n.doc_id""".stripMargin))) ++ tail
 
   /** Tail queries (qJ0+) — split into a second Seq only to keep the
     * primary literal under the compiler's method-size comfort zone.

@@ -2136,6 +2136,40 @@ class OperatorsSpec extends SparkTestBase {
       "an exact-duplicate pair fell out of its bucket"))
   }
 
+  test("Dedup.codeHammingScreen: nearest match with min-id tie-break, " +
+    "candidate-but-too-far stays no-dup, index hot cap can hide an " +
+    "exact match (graceful recall)") {
+    import spark.implicits._
+    val D = graft.operators.Dedup
+    // old ids 1 (code 0) and 2 (code 3); new id 10 (code 1) is at
+    // hamming 1 from BOTH -> tie broken to id 1. new id 11 (0xFF)
+    // shares six zero bands with both olds but is 8 bits away -> a
+    // generated-then-filtered candidate, reported no-dup.
+    val old1 = Seq((1L, 0L), (2L, 3L)).toDF("id", "code")
+    val new1 = Seq((10L, 1L), (11L, 0xFFL)).toDF("id", "code")
+    val idx1 = D.codeBandIndex(old1, "id", "code", 56, 7)
+    val r1 = D.codeHammingScreen(new1, "id", "code", idx1, 56,
+        maxHamming = 2, bandsCount = 7)
+      .orderBy("doc_id").collect()
+    assert(r1(0).getBoolean(1) && r1(0).getLong(2) == 1L &&
+      r1(0).getLong(3) == 1L, s"tie-break failed: ${r1(0)}")
+    assert(!r1(1).getBoolean(1) && r1(1).isNullAt(2) && r1(1).isNullAt(3),
+      s"too-far candidate must be no-dup: ${r1(1)}")
+    // three identical indexed codes make EVERY band value hot under
+    // maxPosting=1 -> an exact-duplicate probe finds nothing (the
+    // documented graceful-recall trade); uncapped it matches id 1
+    val old2 = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("id", "code")
+    val new2 = Seq((10L, 5L)).toDF("id", "code")
+    val idx2 = D.codeBandIndex(old2, "id", "code", 56, 7)
+    val capped = D.codeHammingScreen(new2, "id", "code", idx2, 56,
+      2, 7, maxPosting = 1).collect()(0)
+    assert(!capped.getBoolean(1), s"hot-capped index still matched: $capped")
+    val uncapped = D.codeHammingScreen(new2, "id", "code", idx2, 56,
+      2, 7).collect()(0)
+    assert(uncapped.getBoolean(1) && uncapped.getLong(2) == 1L &&
+      uncapped.getLong(3) == 0L)
+  }
+
   test("CountMin.saltedDepth: a genuine base-hash collision overcounts " +
     "in EVERY row of the default affine family but not in salted mode") {
     import spark.implicits._

@@ -352,6 +352,71 @@ object Multimodal {
       }
   }
 
+  /** One sampled video frame's perceptual hash. */
+  case class FrameHash(doc_id: Long, frame_idx: Int, dhash: Option[Long])
+
+  /** Frame-sample + feature-extract over "video" columns — the
+    * multi-frame form of [[dhashImages]]: a video is a binary column of
+    * CONCATENATED PNM frames (each self-delimiting: header + w·h or
+    * 3·w·h payload), the standard shape after a container demux. The
+    * scanner walks the byte stream frame by frame, keeps every
+    * `everyK`-th frame (the training-pipeline sampling step — nobody
+    * hashes all 30 fps), and emits the 56-bit dHash per kept frame.
+    * Malformed bytes stop the scan for that document; frames already
+    * decoded are kept (the quarantine discipline of the other
+    * decoders).
+    *
+    * Scale shape: one mapPartitions pass, no shuffle; output is
+    * ceil(frames/everyK) rows per video. Downstream the frame hashes
+    * feed the SAME banded-Hamming machinery as still images
+    * ([[graft.operators.Dedup.codeHammingPairs]]/
+    * [[graft.operators.Dedup.codeHammingScreen]]) — near-dup VIDEO
+    * detection is frame-hash set overlap.
+    *
+    * Output: doc_id, frame_idx (position in the stream), dhash (null
+    * when the frame decodes but is below the 9×7 grid).
+    */
+  def frameSampleDhash(media: DataFrame, everyK: Int)
+      : Dataset[FrameHash] = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .flatMap { r =>
+        val bytes = r.media
+        val out = scala.collection.mutable.ArrayBuffer.empty[FrameHash]
+        var off = 0
+        var idx = 0
+        var ok = true
+        while (ok && off + 2 <= bytes.length) {
+          val rest = java.util.Arrays.copyOfRange(bytes, off, bytes.length)
+          val hdr =
+            if (rest(0) == 'P'.toByte &&
+              (rest(1) == '5'.toByte || rest(1) == '6'.toByte))
+              pnmHeader(rest)
+            else None
+          hdr match {
+            case Some((rgb, w, h, start))
+                if w > 0 && h > 0 &&
+                  off + start + (if (rgb) 3 else 1) * w * h <=
+                    bytes.length =>
+              val flen = start + (if (rgb) 3 else 1) * w * h
+              if (idx % everyK == 0) {
+                val fb = java.util.Arrays.copyOfRange(bytes, off,
+                  off + flen)
+                val dh = decodeGray(fb)
+                  .flatMap { case (w2, h2, px) => dhash56(w2, h2, px) }
+                out += FrameHash(r.doc_id, idx, dh)
+              }
+              off += flen
+              idx += 1
+            case _ => ok = false
+          }
+        }
+        out
+      }
+  }
+
   /** Decoded-audio record: RIFF/WAVE header fields + PCM sample stats.
     * `zero_cross` counts sign changes on channel 0 (the standard cheap
     * voicing/noisiness feature); mean/RMS/peak run over all samples.

@@ -114,6 +114,50 @@ object Evaluation {
         octet_length(media).cast("long").as("n_bytes"))
   }
 
+  /** qP4 fixture: per-doc "videos" of `frames` concatenated 18×14 P5
+    * frames, frame f's pixel noise = hex pairs of md5(doc:f:y:g) —
+    * per-doc (no trio structure; this fixture exercises the frame
+    * scanner/sampler plumbing, not dedup). Because no perturbation is
+    * applied, a payload ROW is literally its digests' hex: 16 pixels
+    * from md5(d:f:y:0) plus the first 2 from md5(d:f:y:1) — so the
+    * synthesis is h concats per frame, not w·h interpreted pixel
+    * lambdas (measured 6.2 → 2.0 s at sf0.1).
+    */
+  private def videoMedia(docs: DataFrame, frames: Int): DataFrame = {
+    val w = 18
+    val h = 14
+    def frameBin(f: Int): Column = {
+      def m(y: Column, g: Int) =
+        md5(concat(col("doc_id").cast("string"), lit(s":$f:"),
+          y.cast("string"), lit(s":$g")))
+      val payloadHex = array_join(
+        transform(sequence(lit(0L), lit(h - 1L)), y =>
+          concat(m(y, 0), substring(m(y, 1), 1, 2 * (w - 16)))), "")
+      concat(encode(lit(s"P5\n$w $h\n255\n"), "UTF-8"),
+        unhex(payloadHex))
+    }
+    val media = concat((0 until frames).map(frameBin): _*)
+    docs.select(col("doc_id"),
+      media.as("media"), lit("video/x-pnm-frames").as("mime"),
+      octet_length(media).cast("long").as("n_bytes"))
+  }
+
+  /** qP4 oracle cell: the 9×7 box-mean over frame `fE`'s 18×14 grid —
+    * the per-frame twin of [[dhashCellSql]] (no trio perturbation).
+    */
+  private def dhashCellVideoSql(txE: String, tyE: String, fE: String)
+      : String = {
+    def pix(xE: String, yE: String): String =
+      s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+        s"CAST($fE AS VARCHAR) || ':' || CAST($yE AS VARCHAR) || ':' " +
+        s"|| CAST(($xE) // 16 AS VARCHAR)), " +
+        s"2*(($xE) % 16)+1, 2))::BIGINT)"
+    val tx = s"($txE)"
+    val ty = s"($tyE)"
+    s"((${pix(s"2*$tx", s"2*$ty")} + ${pix(s"2*$tx+1", s"2*$ty")} + " +
+      s"${pix(s"2*$tx", s"2*$ty+1")} + ${pix(s"2*$tx+1", s"2*$ty+1")}) // 4)"
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // Exact ROC AUC as a distributed rank-sum: per-distinct-score
@@ -757,7 +801,38 @@ object Evaluation {
               |  CAST(best.h AS INTEGER) AS hamming
               |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 1) n
               |LEFT JOIN best ON n.doc_id = best.nid
-              |ORDER BY n.doc_id""".stripMargin))) ++ tail
+              |ORDER BY n.doc_id""".stripMargin)),
+
+    // Video frame-sampling: 4-frame P5 "videos" scanned frame-by-frame
+    // (self-delimiting headers, the post-demux shape), every 2nd frame
+    // kept and dHashed — the training-pipeline sampling step, one
+    // mapPartitions pass, no shuffle. The oracle rebuilds each sampled
+    // frame's hash closed-form from the generator (the qH9 discipline,
+    // per frame). Frame hashes feed the same banded-Hamming machinery
+    // as stills for near-dup VIDEO detection.
+    GraftQuery(
+      "qP4_video_frame_sample",
+      "Frame-sample + dHash over multi-frame P5 video columns " +
+        "(4 frames, every 2nd kept): self-delimiting frame scan under " +
+        "mapPartitions, per-frame 56-bit perceptual hash.",
+      (s, d) => {
+        val media = videoMedia(t(s, d, "documents"), frames = 4)
+        Multimodal.frameSampleDhash(media, everyK = 2).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("dhash"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some(s"""WITH fr AS (SELECT unnest([0, 2]) AS f),
+              |hsh AS (
+              |  SELECT doc_id, f,
+              |    list_sum(list_transform(range(0, 56), i ->
+              |      CASE WHEN ${dhashCellVideoSql("i % 8", "i // 8", "f")} >
+              |          ${dhashCellVideoSql("i % 8 + 1", "i // 8", "f")}
+              |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+              |        ELSE 0 END)) AS dh
+              |  FROM documents, fr)
+              |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+              |  CAST(dh AS BIGINT) AS dhash
+              |FROM hsh ORDER BY doc_id, frame_idx""".stripMargin))) ++ tail
 
   /** Tail queries (qJ0+) — split into a second Seq only to keep the
     * primary literal under the compiler's method-size comfort zone.

@@ -472,6 +472,47 @@ class EvalSpec extends SparkTestBase {
     assert(out("  12 3!") == null && out("") == null)
   }
 
+  test("Multimodal.frameSampleDhash: self-delimiting frame scan " +
+    "samples every k-th frame, mixes P5/P6, nulls sub-grid frames, " +
+    "and stops at garbage keeping decoded frames") {
+    import spark.implicits._
+    def p5(w: Int, h: Int, f: Int => Int): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("UTF-8").toSeq ++
+        (0 until w * h).map(i => f(i).toByte)).toArray
+    def p6(w: Int, h: Int, f: Int => Int): Array[Byte] =
+      (s"P6\n$w $h\n255\n".getBytes("UTF-8").toSeq ++
+        (0 until 3 * w * h).map(i => f(i / 3).toByte)).toArray
+    val fA = p5(18, 14, i => i % 251)        // frame 0 (sampled)
+    val fB = p6(18, 14, i => (i * 7) % 249)  // frame 1 (skipped, RGB)
+    val fC = p5(18, 14, i => (i * 3) % 247)  // frame 2 (sampled)
+    val fSmall = p5(4, 3, _ => 9)            // frame 3: below 9x7 grid
+    val clean = (1L, fA ++ fB ++ fC, "video/x-pnm-frames",
+      (fA.length + fB.length + fC.length).toLong)
+    // doc 2: a valid frame, then garbage — scan stops, frame 0 kept
+    val garbled = (2L, fA ++ Array[Byte]('X', 'Y', 'Z'),
+      "video/x-pnm-frames", (fA.length + 3).toLong)
+    // doc 3: sampled frame below the dHash grid -> null hash row
+    val tiny = (3L, fSmall ++ fA, "video/x-pnm-frames",
+      (fSmall.length + fA.length).toLong)
+    val media = Seq(clean, garbled, tiny)
+      .toDF("doc_id", "media", "mime", "n_bytes")
+    val out = Multimodal.frameSampleDhash(media, everyK = 2)
+      .collect().map(r => (r.doc_id, r.frame_idx, r.dhash))
+      .sortBy(x => (x._1, x._2))
+    val expA = Multimodal.decodeGray(fA)
+      .flatMap { case (w, h, px) => Multimodal.dhash56(w, h, px) }
+    val expC = Multimodal.decodeGray(fC)
+      .flatMap { case (w, h, px) => Multimodal.dhash56(w, h, px) }
+    assert(expA.nonEmpty && expC.nonEmpty)
+    assert(out.toSeq == Seq(
+      (1L, 0, expA), (1L, 2, expC),   // doc 1: frames 0,2 (1 skipped)
+      (2L, 0, expA),                  // doc 2: stop at garbage
+      (3L, 0, None)),                 // doc 3: sub-grid frame -> null
+      s"frame scan mismatch: ${out.mkString(",")}")
+    intercept[IllegalArgumentException](
+      Multimodal.frameSampleDhash(media, 0))
+  }
+
   test("Eval.aucDelong: degenerate label mixes null the statistics; " +
     "the quantize-first cap rejects continuous scores") {
     import spark.implicits._

@@ -123,12 +123,13 @@ object Evaluation {
     * synthesis is h concats per frame, not w·h interpreted pixel
     * lambdas (measured 6.2 → 2.0 s at sf0.1).
     */
-  private def videoMedia(docs: DataFrame, frames: Int): DataFrame = {
+  private def videoMedia(docs: DataFrame, frames: Int,
+      frameKey: Int => Column = _ => col("doc_id")): DataFrame = {
     val w = 18
     val h = 14
     def frameBin(f: Int): Column = {
       def m(y: Column, g: Int) =
-        md5(concat(col("doc_id").cast("string"), lit(s":$f:"),
+        md5(concat(frameKey(f).cast("string"), lit(s":$f:"),
           y.cast("string"), lit(s":$g")))
       val payloadHex = array_join(
         transform(sequence(lit(0L), lit(h - 1L)), y =>
@@ -145,10 +146,10 @@ object Evaluation {
   /** qP4 oracle cell: the 9×7 box-mean over frame `fE`'s 18×14 grid —
     * the per-frame twin of [[dhashCellSql]] (no trio perturbation).
     */
-  private def dhashCellVideoSql(txE: String, tyE: String, fE: String)
-      : String = {
+  private def dhashCellVideoSql(txE: String, tyE: String, fE: String,
+      keyE: String = "doc_id"): String = {
     def pix(xE: String, yE: String): String =
-      s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+      s"(('0x' || substr(md5(CAST($keyE AS VARCHAR) || ':' || " +
         s"CAST($fE AS VARCHAR) || ':' || CAST($yE AS VARCHAR) || ':' " +
         s"|| CAST(($xE) // 16 AS VARCHAR)), " +
         s"2*(($xE) % 16)+1, 2))::BIGINT)"
@@ -832,7 +833,57 @@ object Evaluation {
               |  FROM documents, fr)
               |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
               |  CAST(dh AS BIGINT) AS dhash
-              |FROM hsh ORDER BY doc_id, frame_idx""".stripMargin))) ++ tail
+              |FROM hsh ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Video-level near-dup: clips sharing sampled-frame hashes. Pure
+    // composition — frameSampleDhash feeds the SAME generic
+    // shared-signature inverted index the winnowing text path uses
+    // (Winnow.sharedFingerprintPairs, hot-key cap available), matching
+    // on hash only (not frame position: shifted clips still match).
+    // Fixture: trio videos share all frames except each doc's "own"
+    // frame (frame doc%3 keyed per-doc; for the v0 member the own key
+    // equals the base key, so v0 is the unmodified original). Of the
+    // sampled frames {0, 2}: (v0,v1) share both, (v0,v2) and (v1,v2)
+    // share one — every trio pair surfaces, with a shared-count
+    // gradient the oracle replays closed-form.
+    GraftQuery(
+      "qP5_video_neardup",
+      "Near-duplicate video pairs via shared sampled-frame dHashes " +
+        "(hash-only inverted index, the winnowing pair machinery " +
+        "reused) over trio videos with per-doc own frames.",
+      (s, d) => {
+        val media = videoMedia(t(s, d, "documents"), frames = 4,
+          frameKey = f =>
+            when(pmod(col("doc_id"), lit(3L)) === f, col("doc_id"))
+              .otherwise(col("doc_id") - pmod(col("doc_id"), lit(3L))))
+        val fps = Multimodal.frameSampleDhash(media, everyK = 2).toDF()
+          .filter(col("dhash").isNotNull)
+          .select(col("doc_id"), col("dhash").as("fp"))
+        graft.operators.Winnow.sharedFingerprintPairs(fps)
+          .filter(col("shared_fps") >= 1)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val key = "CASE WHEN doc_id % 3 = f THEN doc_id " +
+          "ELSE doc_id - doc_id % 3 END"
+        s"""WITH fr AS (SELECT unnest([0, 2]) AS f),
+           |hsh AS (
+           |  SELECT doc_id, f,
+           |    CAST(list_sum(list_transform(range(0, 56), i ->
+           |      CASE WHEN ${dhashCellVideoSql("i % 8", "i // 8", "f",
+                  key)} >
+           |          ${dhashCellVideoSql("i % 8 + 1", "i // 8", "f",
+                  key)}
+           |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+           |        ELSE 0 END)) AS BIGINT) AS dh
+           |  FROM documents, fr)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(count(*) AS BIGINT) AS shared_fps
+           |FROM hsh a JOIN hsh b
+           |  ON a.dh = b.dh AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2
+           |ORDER BY doc_a, doc_b""".stripMargin
+      })) ++ tail
 
   /** Tail queries (qJ0+) — split into a second Seq only to keep the
     * primary literal under the compiler's method-size comfort zone.

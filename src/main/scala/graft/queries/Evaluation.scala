@@ -883,7 +883,74 @@ object Evaluation {
            |  ON a.dh = b.dh AND a.doc_id < b.doc_id
            |GROUP BY 1, 2
            |ORDER BY doc_a, doc_b""".stripMargin
-      })) ++ tail
+      }),
+
+    // The media-corpus capstone — the image-side q86: decode gate →
+    // CAPPED banded-Hamming pairs (the qP0 scale form) → HashMin
+    // components → canonical keep-min disposition per doc. One
+    // composite proving the media dedup lifecycle end-to-end with the
+    // scale-path generator, oracle-replayed via the recursive-CTE
+    // closure (the qH6/qF1 discipline).
+    GraftQuery(
+      "qP6_media_corpus_build",
+      "Media corpus build: dHash decode gate -> capped banded pairs " +
+        "(maxPosting=12) -> connected components -> per-doc " +
+        "keep/drop disposition with cluster id.",
+      (s, d) => {
+        val media = trioImageMedia(t(s, d, "documents"))
+        val hashes = graft.operators.Multimodal.dhashImages(media).toDF()
+          .localCheckpoint()
+        val good = hashes
+          .filter(col("decoded") && col("dhash").isNotNull)
+        val pairs = graft.operators.Dedup.codeHammingPairs(
+          good, "doc_id", "dhash",
+          bits = 56, maxHamming = 6, bandsCount = 7, maxPosting = 12)
+        val comp = graft.operators.Dedup.connectedComponents(
+          pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        good.join(comp, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("cluster"))
+          .withColumn("kept", col("cluster") === col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE hsh AS (
+              |  SELECT doc_id,
+              |    list_sum(list_transform(range(0, 56), i ->
+              |      CASE WHEN ${dhashCellSql("i % 8", "i // 8")} >
+              |          ${dhashCellSql("i % 8 + 1", "i // 8")}
+              |        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+              |        ELSE 0 END)) AS dh
+              |  FROM documents),
+              |bands AS (
+              |  SELECT doc_id, dh, band_idx,
+              |    (dh >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
+              |  FROM hsh, (SELECT unnest(range(7)) AS band_idx)),
+              |hot AS (SELECT band_idx, band_val FROM bands
+              |  GROUP BY 1, 2 HAVING count(*) > 12),
+              |kept_b AS (
+              |  SELECT b.* FROM bands b
+              |  LEFT JOIN hot h ON b.band_idx = h.band_idx
+              |    AND b.band_val = h.band_val
+              |  WHERE h.band_idx IS NULL),
+              |pr AS (
+              |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM kept_b a JOIN kept_b b
+              |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+              |    AND a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.dh, b.dh)) <= 6),
+              |e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+              |  UNION ALL SELECT doc_b, doc_a FROM pr),
+              |reach(node, r) AS (
+              |  SELECT a, a FROM e
+              |  UNION
+              |  SELECT e.a, r.r FROM e JOIN reach r ON e.b = r.node),
+              |comp AS (SELECT node, min(r) AS cluster
+              |  FROM reach GROUP BY node)
+              |SELECT h.doc_id,
+              |  coalesce(c.cluster, h.doc_id) AS cluster,
+              |  coalesce(c.cluster, h.doc_id) = h.doc_id AS kept
+              |FROM hsh h LEFT JOIN comp c ON h.doc_id = c.node
+              |ORDER BY h.doc_id""".stripMargin))) ++ tail
 
   /** Tail queries (qJ0+) — split into a second Seq only to keep the
     * primary literal under the compiler's method-size comfort zone.

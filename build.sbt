@@ -36,3 +36,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // allocation-heavy pair stages). Don't raise without re-measuring.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 ) ++ sys.env.get("SPARK_GC_OPTS").map(_.split(" ").toSeq).getOrElse(Seq.empty)
+scalacOptions ++= Seq("-deprecation")

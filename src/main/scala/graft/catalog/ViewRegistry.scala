@@ -83,7 +83,7 @@ class ViewRegistry(spark: SparkSession) {
         other.subqueries.foreach(walk) // scalar/EXISTS subqueries
     }
     walk(plan)
-    (refs -- cteNames).toSet
+    refs.toSet -- cteNames
   }
 
   /** Topologically sort views by their dependencies *within the set*

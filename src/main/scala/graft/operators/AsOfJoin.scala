@@ -58,7 +58,7 @@ object AsOfJoin {
     }
     filled.filter(col("_asof_side") === 1)
       .drop("_asof_side")
-      .select(left.columns.map(col) ++
-        valueCols.map(c => col(s"_asof_$c").as(c)): _*)
+      .select((left.columns.map(col) ++
+        valueCols.map(c => col(s"_asof_$c").as(c))).toIndexedSeq: _*)
   }
 }

@@ -299,17 +299,25 @@ object Multimodal {
     *
     * Requires w ≥ 9 and h ≥ 7 (each box must be non-empty).
     */
-  def dhash56(w: Int, h: Int, px: Array[Int]): Option[Long] = {
-    if (w < 9 || h < 7) return None
-    val cells = new Array[Long](9 * 7)
+  /** Integer box downsample of a grayscale grid to outW×outH: target
+    * cell (tx, ty) is the integer mean of source box
+    * `[tx·w/outW, (tx+1)·w/outW) × [ty·h/outH, (ty+1)·h/outH)` — the
+    * shared kernel under [[dhash56]] and [[resizeGray]] (one
+    * implementation, so the resize path and the hash path cannot
+    * drift). Requires w ≥ outW and h ≥ outH (non-empty boxes).
+    */
+  def boxDownsample(w: Int, h: Int, px: Array[Int], outW: Int,
+      outH: Int): Option[Array[Int]] = {
+    if (w < outW || h < outH || outW < 1 || outH < 1) return None
+    val cells = new Array[Int](outW * outH)
     var ty = 0
-    while (ty < 7) {
-      val y0 = ty * h / 7
-      val y1 = (ty + 1) * h / 7
+    while (ty < outH) {
+      val y0 = ty * h / outH
+      val y1 = (ty + 1) * h / outH
       var tx = 0
-      while (tx < 9) {
-        val x0 = tx * w / 9
-        val x1 = (tx + 1) * w / 9
+      while (tx < outW) {
+        val x0 = tx * w / outW
+        val x1 = (tx + 1) * w / outW
         var s = 0L
         var y = y0
         while (y < y1) {
@@ -317,20 +325,58 @@ object Multimodal {
           while (x < x1) { s += px(y * w + x); x += 1 }
           y += 1
         }
-        cells(ty * 9 + tx) = s / ((y1 - y0).toLong * (x1 - x0))
+        cells(ty * outW + tx) =
+          (s / ((y1 - y0).toLong * (x1 - x0))).toInt
         tx += 1
       }
       ty += 1
     }
-    var hash = 0L
-    var i = 0
-    while (i < 56) {
-      val ty = i / 8
-      val tx = i % 8
-      if (cells(ty * 9 + tx) > cells(ty * 9 + tx + 1)) hash |= 1L << i
-      i += 1
+    Some(cells)
+  }
+
+  def dhash56(w: Int, h: Int, px: Array[Int]): Option[Long] = {
+    boxDownsample(w, h, px, 9, 7).map { cells =>
+      var hash = 0L
+      var i = 0
+      while (i < 56) {
+        val ty = i / 8
+        val tx = i % 8
+        if (cells(ty * 9 + tx) > cells(ty * 9 + tx + 1)) hash |= 1L << i
+        i += 1
+      }
+      hash
     }
-    Some(hash)
+  }
+
+  /** Resize a grayscale media table to outW×outH via the integer box
+    * downsample, re-encoded as P5 — the thumbnail/normalization step of
+    * an image pipeline, exposed as a media→media transform so it
+    * composes with every other media consumer ([[dhashImages]],
+    * [[extractFeatures]], the screens). One mapPartitions pass, no
+    * shuffle; undecodable or sub-target images are dropped (quarantine
+    * discipline — the caller anti-joins to find them).
+    */
+  def resizeGray(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "target dims must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .flatMap { r =>
+        decodeGray(r.media).flatMap { case (w, h, px) =>
+          boxDownsample(w, h, px, outW, outH).map { cells =>
+            val header = s"P5\n$outW $outH\n255\n".getBytes("UTF-8")
+            val out = new Array[Byte](header.length + cells.length)
+            System.arraycopy(header, 0, out, 0, header.length)
+            var i = 0
+            while (i < cells.length) {
+              out(header.length + i) = cells(i).toByte
+              i += 1
+            }
+            MediaRow(r.doc_id, out, "image/x-portable-graymap",
+              out.length.toLong)
+          }
+        }
+      }.toDF()
   }
 
   /** Per-image dHash over a media table (mapPartitions, quarantine

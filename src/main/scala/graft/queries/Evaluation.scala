@@ -950,7 +950,47 @@ object Evaluation {
               |  coalesce(c.cluster, h.doc_id) AS cluster,
               |  coalesce(c.cluster, h.doc_id) = h.doc_id AS kept
               |FROM hsh h LEFT JOIN comp c ON h.doc_id = c.node
-              |ORDER BY h.doc_id""".stripMargin))) ++ tail
+              |ORDER BY h.doc_id""".stripMargin)),
+
+    // Image resize as a media→media transform: integer box downsample
+    // to 9×7 (the same kernel the dHash path uses — one implementation,
+    // no drift), re-encoded P5, then re-decoded for its header fields
+    // and pixel mean. The 18×14→9×7 boxes are exactly 2×2 integer
+    // means, so the oracle rebuilds every resized pixel closed-form
+    // (dhashCellSql) and checks byte length + mean.
+    GraftQuery(
+      "qP7_image_resize",
+      "Resize the trio images 18x14 -> 9x7 (integer box downsample, " +
+        "P5 re-encode) and re-decode: byte length, dims, and resized " +
+        "pixel mean checked closed-form.",
+      (s, d) => {
+        val media = trioImageMedia(t(s, d, "documents"))
+        // fence: the 74-byte/row thumbnail table is what production
+        // would persist; without it the synthesis+resize chain re-runs
+        // for the decode leg and the n_bytes leg
+        val resized = graft.operators.Multimodal.resizeGray(media, 9, 7)
+          .localCheckpoint()
+        val decoded = graft.operators.Multimodal.decodeImages(resized)
+          .toDF()
+        decoded.join(resized.select(col("doc_id"), col("n_bytes")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("n_bytes"),
+            col("width").cast("long").as("out_w"),
+            col("height").cast("long").as("out_h"),
+            (floor(col("mean_r") * 10000.0 + 0.5) / 10000.0)
+              .as("mean_pix"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH cellsum AS (
+              |  SELECT doc_id,
+              |    list_sum(list_transform(range(0, 63), i ->
+              |      ${dhashCellSql("i % 9", "i // 9")})) AS cs
+              |  FROM documents)
+              |SELECT doc_id, CAST(74 AS BIGINT) AS n_bytes,
+              |  CAST(9 AS BIGINT) AS out_w, CAST(7 AS BIGINT) AS out_h,
+              |  floor(CAST(cs AS DOUBLE) / 63 * 10000.0 + 0.5) / 10000.0
+              |    AS mean_pix
+              |FROM cellsum ORDER BY doc_id""".stripMargin))) ++ tail
 
   /** Tail queries (qJ0+) — split into a second Seq only to keep the
     * primary literal under the compiler's method-size comfort zone.

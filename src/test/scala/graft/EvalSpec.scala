@@ -472,6 +472,38 @@ class EvalSpec extends SparkTestBase {
     assert(out("  12 3!") == null && out("") == null)
   }
 
+  test("Multimodal.resizeGray: identity at equal dims, drop below " +
+    "target, and dHash commutes with resize-to-hash-grid") {
+    import spark.implicits._
+    def p5(w: Int, h: Int, f: Int => Int): Array[Byte] =
+      (s"P5\n$w $h\n255\n".getBytes("UTF-8").toSeq ++
+        (0 until w * h).map(i => f(i).toByte)).toArray
+    val img = p5(18, 14, i => (i * 37) % 251)
+    val tiny = p5(4, 3, _ => 5)
+    val media = Seq(
+      (1L, img, "image/x-portable-graymap", img.length.toLong),
+      (2L, tiny, "image/x-portable-graymap", tiny.length.toLong))
+      .toDF("doc_id", "media", "mime", "n_bytes")
+    // identity: resizing to the source dims returns the same pixels
+    val same = Multimodal.resizeGray(media.filter(col("doc_id") === 1),
+      18, 14).select("media").collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(same, img), "identity resize drifted")
+    // below-target images are dropped (quarantine discipline)
+    val out = Multimodal.resizeGray(media, 9, 7)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L), "sub-target image must be dropped")
+    // commutation: dHash's internal 9x7 downsample of a 9x7 input is
+    // the identity, so hash(resize(img, 9, 7)) == hash(img) — the
+    // shared-kernel guarantee (boxDownsample under both paths)
+    val direct = Multimodal.dhashImages(media.filter(col("doc_id") === 1))
+      .collect()(0).dhash
+    val viaResize = Multimodal.dhashImages(
+      Multimodal.resizeGray(media.filter(col("doc_id") === 1), 9, 7))
+      .collect()(0).dhash
+    assert(direct.nonEmpty && direct == viaResize,
+      s"dHash/resize kernel drift: $direct vs $viaResize")
+  }
+
   test("Multimodal.frameSampleDhash: self-delimiting frame scan " +
     "samples every k-th frame, mixes P5/P6, nulls sub-grid frames, " +
     "and stops at garbage keeping decoded frames") {

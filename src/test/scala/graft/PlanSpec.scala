@@ -326,7 +326,12 @@ class PlanSpec extends SparkTestBase {
       "qO7_uploads_decile_rollup" -> 3, // dedup window + decile agg + era join
       "qP0_dhash_pairs_capped" -> 8, // hot screen + anti + banded self-join
       "qP1_audio_fp_pairs_wide" -> 8, // same capped shape, 14-bit bands
-      "qP2_countmin_salted" -> 11) // sketch cells + probe joins + truth rider
+      "qP2_countmin_salted" -> 11, // sketch cells + probe joins + truth rider
+      "qP3_dhash_screen" -> 8,  // index hot screen + band probe + argmin
+      "qP4_video_frame_sample" -> 1, // one scan pass + order
+      "qP5_video_neardup" -> 6, // inverted index self-join + pair agg
+      "qP6_media_corpus_build" -> 3, // capped pairs + CC post-join
+      "qP7_image_resize" -> 2) // thumbnail decode + n_bytes join
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

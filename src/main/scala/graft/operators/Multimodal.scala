@@ -570,6 +570,50 @@ object Multimodal {
       }
   }
 
+  /** Decimate a mono PCM16 WAV media table by `everyK` — the audio
+    * twin of [[resizeGray]]: keep every k-th sample, divide the header
+    * sample rate by k, re-encode RIFF/WAVE. The
+    * normalization/downsampling step of an audio pipeline (a real
+    * deployment adds an anti-alias filter in the codec; the plumbing —
+    * schema, one mapPartitions pass, media→media composition with
+    * [[decodeWavs]]/[[audioFingerprints]] — is what this exercises).
+    * Non-mono / undecodable rows are dropped (quarantine discipline).
+    */
+  def decimatePcm(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
+      .flatMap { r =>
+        for {
+          info <- decodeWav(r.media)
+          if info.channels == 1 && info.sampleRate % everyK == 0
+          samples <- decodePcm0(r.media)
+        } yield {
+          val kept = Array.range(0, samples.length)
+            .filter(_ % everyK == 0).map(samples)
+          val dataLen = kept.length * 2
+          val rate = info.sampleRate / everyK
+          val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
+          def le16(v: Int): Unit = {
+            bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+          }
+          def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
+          bos.write("RIFF".getBytes("US-ASCII"))
+          le32(36 + dataLen)
+          bos.write("WAVEfmt ".getBytes("US-ASCII"))
+          le32(16); le16(1); le16(1) // PCM, mono
+          le32(rate); le32(rate * 2) // byte rate = rate * blockAlign
+          le16(2); le16(16)          // blockAlign, bits
+          bos.write("data".getBytes("US-ASCII"))
+          le32(dataLen)
+          kept.foreach(le16)
+          val out = bos.toByteArray
+          MediaRow(r.doc_id, out, "audio/wav", out.length.toLong)
+        }
+      }.toDF()
+  }
+
   /** Channel-0 PCM samples of a decoded WAV — the raw material for the
     * audio fingerprint (and any frame-level feature). Same validation
     * path as [[decodeWav]]; None on anything undecodable.

@@ -990,7 +990,47 @@ object Evaluation {
               |  CAST(9 AS BIGINT) AS out_w, CAST(7 AS BIGINT) AS out_h,
               |  floor(CAST(cs AS DOUBLE) / 63 * 10000.0 + 0.5) / 10000.0
               |    AS mean_pix
-              |FROM cellsum ORDER BY doc_id""".stripMargin))) ++ tail
+              |FROM cellsum ORDER BY doc_id""".stripMargin)),
+
+    // Audio decimation — the audio twin of qP7's resize: keep every
+    // 2nd PCM sample, halve the header rate, re-encode RIFF/WAVE, then
+    // re-decode for header fields and amplitude stats. Every kept
+    // sample is closed-form (the same generator the fingerprint oracle
+    // replays), so the oracle checks the whole
+    // decode→decimate→re-encode→decode round trip exactly.
+    GraftQuery(
+      "qP8_audio_decimate",
+      "Decimate the trio WAVs by 2 (every 2nd sample, 8 kHz -> 4 kHz, " +
+        "RIFF re-encode) and re-decode: header fields and " +
+        "mean/RMS/peak over the kept samples, checked closed-form.",
+      (s, d) => {
+        val media = trioWavMedia(t(s, d, "documents"))
+        val dec = graft.operators.Multimodal.decimatePcm(media, 2)
+        graft.operators.Multimodal.decodeWavs(dec).toDF()
+          .select(col("doc_id"),
+            col("sample_rate"), col("n_frames"),
+            (floor(col("mean_amp") * 10000.0 + 0.5) / 10000.0)
+              .as("mean_amp"),
+            (floor(col("rms") * 10000.0 + 0.5) / 10000.0).as("rms"),
+            col("peak_abs"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH st AS (
+              |  SELECT doc_id,
+              |    list_sum(list_transform(range(0, 57), i ->
+              |      CAST(${wavSampleSql("2*i")} AS DOUBLE))) AS sv,
+              |    list_sum(list_transform(range(0, 57), i ->
+              |      CAST(${wavSampleSql("2*i")} AS DOUBLE) *
+              |      CAST(${wavSampleSql("2*i")} AS DOUBLE))) AS svv,
+              |    list_max(list_transform(range(0, 57), i ->
+              |      abs(${wavSampleSql("2*i")}))) AS pk
+              |  FROM documents)
+              |SELECT doc_id, CAST(4000 AS INTEGER) AS sample_rate,
+              |  CAST(57 AS BIGINT) AS n_frames,
+              |  floor(sv / 57 * 10000.0 + 0.5) / 10000.0 AS mean_amp,
+              |  floor(sqrt(svv / 57) * 10000.0 + 0.5) / 10000.0 AS rms,
+              |  CAST(pk AS INTEGER) AS peak_abs
+              |FROM st ORDER BY doc_id""".stripMargin))) ++ tail
 
   /** Tail queries (qJ0+) — split into a second Seq only to keep the
     * primary literal under the compiler's method-size comfort zone.
@@ -1643,16 +1683,20 @@ object Evaluation {
   /** qI2 oracle frame energy, generated from the same constants as the
     * Spark-side sample synthesizer (integer v² sums, no FP).
     */
+  /** Closed-form PCM sample j of the trio WAV fixture — sample noise =
+    * hex triple (j mod 10) of md5(base:(j div 10)), the grouped-digest
+    * scheme the Spark side hoists into an array; shared by the frame
+    * energies (qI2) and the decimation oracle (qP8).
+    */
+  private def wavSampleSql(jE: String): String =
+    s"((('0x' || substr(md5(CAST(doc_id - doc_id%3 AS VARCHAR) || " +
+      s"':' || CAST(($jE) // 10 AS VARCHAR)), 3*(($jE) % 10)+1, 3))" +
+      s"::BIGINT) % 4001 - 2000 + " +
+      s"CASE WHEN ($jE) % 9 = 0 THEN (doc_id%3)*150 ELSE 0 END)"
+
   private def afpEnergySql(tE: String): String = {
-    // sample noise = hex triple (j mod 10) of md5(base:(j div 10)) —
-    // the grouped-digest scheme the Spark side hoists into an array
-    def v(jE: String): String =
-      s"((('0x' || substr(md5(CAST(doc_id - doc_id%3 AS VARCHAR) || " +
-        s"':' || CAST(($jE) // 10 AS VARCHAR)), 3*(($jE) % 10)+1, 3))" +
-        s"::BIGINT) % 4001 - 2000 + " +
-        s"CASE WHEN ($jE) % 9 = 0 THEN (doc_id%3)*150 ELSE 0 END)"
-    val v0 = v(s"2*($tE)")
-    val v1 = v(s"2*($tE)+1")
+    val v0 = wavSampleSql(s"2*($tE)")
+    val v1 = wavSampleSql(s"2*($tE)+1")
     s"(($v0)*($v0) + ($v1)*($v1))"
   }
 

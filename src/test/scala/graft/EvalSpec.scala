@@ -472,6 +472,46 @@ class EvalSpec extends SparkTestBase {
     assert(out("  12 3!") == null && out("") == null)
   }
 
+  test("Multimodal.decimatePcm: every-k-th samples at rate/k, k=1 " +
+    "identity, stereo dropped") {
+    import spark.implicits._
+    def wav(rate: Int, channels: Int, samples: Seq[Int]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      def le16(v: Int): Unit = {
+        bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      }
+      def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
+      val dataLen = samples.length * 2
+      bos.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+      bos.write("WAVEfmt ".getBytes("US-ASCII"))
+      le32(16); le16(1); le16(channels)
+      le32(rate); le32(rate * 2 * channels); le16(2 * channels); le16(16)
+      bos.write("data".getBytes("US-ASCII")); le32(dataLen)
+      samples.foreach(le16)
+      bos.toByteArray
+    }
+    val mono = wav(8000, 1, Seq(100, -200, 300, -400, 500, -600))
+    val stereo = wav(8000, 2, Seq(1, 2, 3, 4))
+    val media = Seq(
+      (1L, mono, "audio/wav", mono.length.toLong),
+      (2L, stereo, "audio/wav", stereo.length.toLong))
+      .toDF("doc_id", "media", "mime", "n_bytes")
+    val dec = Multimodal.decimatePcm(media, 2)
+    val rows = dec.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L),
+      "stereo input must be dropped")
+    val outBytes = rows(0).getAs[Array[Byte]](1)
+    val info = Multimodal.decodeWav(outBytes).get
+    assert(info.sampleRate == 4000 && info.nFrames == 3)
+    assert(Multimodal.decodePcm0(outBytes).get.toSeq ==
+      Seq(100, 300, 500), "kept samples must be positions 0,2,4")
+    // k=1 round-trips the canonical mono header and all samples
+    val id = Multimodal.decimatePcm(media.filter(col("doc_id") === 1), 1)
+      .collect()(0).getAs[Array[Byte]](1)
+    assert(java.util.Arrays.equals(id, mono), "k=1 must be identity")
+    intercept[IllegalArgumentException](Multimodal.decimatePcm(media, 0))
+  }
+
   test("Multimodal.resizeGray: identity at equal dims, drop below " +
     "target, and dHash commutes with resize-to-hash-grid") {
     import spark.implicits._

@@ -409,4 +409,59 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("codeHammingScreen agrees with codeHammingPairs restricted to " +
+    "the old/new cut on random code sets (argmin consistency)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val bits = 56
+    val bands = 7
+    val maxHamming = 5
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      def r56() = rnd.nextLong() & ((1L << 56) - 1)
+      // random codes + planted near-dups straddling the old/new cut
+      val base = (1L to 80L).map(i => i -> r56())
+      val planted = (0 until 12).flatMap { j =>
+        val b = r56()
+        Seq((200L + j) -> b,
+          (300L + j) -> (b ^ (1L << ((j * 13) % 56))))
+      }
+      val codes = (base ++ planted).toMap
+      val all = codes.toSeq.toDF("id", "code")
+      val isNew = (id: Long) => id % 2 == 0
+      val newDf = all.filter(col("id") % 2 === 0)
+      val oldDf = all.filter(col("id") % 2 =!= 0)
+      val screen = Dedup.codeHammingScreen(newDf, "id", "code",
+        Dedup.codeBandIndex(oldDf, "id", "code", bits, bands),
+        bits, maxHamming, bands)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some((r.getLong(3), r.getLong(2)))))
+        .toMap
+      // reference: full pair set, restricted to cross-cut pairs, argmin
+      val pairs = Dedup.codeHammingPairs(all, "id", "code", bits,
+        maxHamming, bands)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      val best = scala.collection.mutable.Map
+        .empty[Long, (Long, Long)] // nid -> (hamming, oid)
+      pairs.foreach { case (a, b, h) =>
+        val cross = Seq((a, b), (b, a)).filter { case (x, y) =>
+          isNew(x) && !isNew(y) }
+        cross.foreach { case (nid, oid) =>
+          val cur = best.get(nid)
+          val cand = (h, oid)
+          if (cur.forall(c =>
+            cand._1 < c._1 || (cand._1 == c._1 && cand._2 < c._2)))
+            best(nid) = cand
+        }
+      }
+      codes.keys.filter(isNew).foreach { nid =>
+        assert(screen(nid) == best.get(nid),
+          s"seed $seed id $nid: screen ${screen(nid)} vs pairs-argmin " +
+            s"${best.get(nid)}")
+      }
+    }
+  }
 }

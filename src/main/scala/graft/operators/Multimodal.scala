@@ -140,13 +140,16 @@ object Multimodal {
     else None
   }
 
-  /** PNM ASCII-token header scan shared by the stats decode and the
-    * pixel-grid decode: (rgb, width, height, sample start offset).
+  /** PNM ASCII-token header scan shared by the stats decode, the
+    * pixel-grid decode, and the frame-stream scanner: (rgb, width,
+    * height, payload start). `off` is where the "P5"/"P6" magic sits —
+    * frame streams parse in place, no per-frame tail copies; `start`
+    * is absolute within `bytes`.
     */
-  private def pnmHeader(bytes: Array[Byte])
+  private def pnmHeader(bytes: Array[Byte], off: Int = 0)
       : Option[(Boolean, Int, Int, Int)] = {
-    val rgb = bytes(1) == '6'.toByte
-    var i = 2
+    val rgb = bytes(off + 1) == '6'.toByte
+    var i = off + 2
     // ASCII token scanner: whitespace-separated, '#' comments to EOL
     def nextInt(): Option[Int] = {
       while (i < bytes.length &&
@@ -435,26 +438,26 @@ object Multimodal {
         var idx = 0
         var ok = true
         while (ok && off + 2 <= bytes.length) {
-          val rest = java.util.Arrays.copyOfRange(bytes, off, bytes.length)
           val hdr =
-            if (rest(0) == 'P'.toByte &&
-              (rest(1) == '5'.toByte || rest(1) == '6'.toByte))
-              pnmHeader(rest)
+            if (bytes(off) == 'P'.toByte &&
+              (bytes(off + 1) == '5'.toByte ||
+                bytes(off + 1) == '6'.toByte))
+              pnmHeader(bytes, off) // parses in place, no tail copy
             else None
           hdr match {
             case Some((rgb, w, h, start))
-                if w > 0 && h > 0 &&
-                  off + start + (if (rgb) 3 else 1) * w * h <=
-                    bytes.length =>
-              val flen = start + (if (rgb) 3 else 1) * w * h
+                if start + (if (rgb) 3 else 1) * w * h <= bytes.length =>
+              val end = start + (if (rgb) 3 else 1) * w * h
               if (idx % everyK == 0) {
-                val fb = java.util.Arrays.copyOfRange(bytes, off,
-                  off + flen)
+                // only the SAMPLED frame is sliced out (decodeGray
+                // wants a standalone image); skipped frames cost a
+                // header parse and an offset bump
+                val fb = java.util.Arrays.copyOfRange(bytes, off, end)
                 val dh = decodeGray(fb)
                   .flatMap { case (w2, h2, px) => dhash56(w2, h2, px) }
                 out += FrameHash(r.doc_id, idx, dh)
               }
-              off += flen
+              off = end
               idx += 1
             case _ => ok = false
           }

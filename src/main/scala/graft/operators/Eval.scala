@@ -107,8 +107,15 @@ object Eval {
     * frame onto the driver.
     */
   def isotonicBlocksFromPartials(partials: DataFrame,
-      maxDistinctScores: Long = 100000L): Seq[IsoBlock] = {
-    val bounded = partials.localCheckpoint()
+      maxDistinctScores: Long = 100000L): Seq[IsoBlock] =
+    fitBlocks(partials.localCheckpoint(), maxDistinctScores)
+
+  /** PAV over an ALREADY-MATERIALIZED partials frame — the internal
+    * entry [[isotonicFit]] uses so its fenced frame isn't checkpointed
+    * a second time (the guard count and the collect both read it).
+    */
+  private def fitBlocks(bounded: DataFrame,
+      maxDistinctScores: Long): Seq[IsoBlock] = {
     val nDistinct = bounded.count()
     require(nDistinct <= maxDistinctScores,
       s"isotonic: $nDistinct distinct scores exceed the " +
@@ -142,7 +149,7 @@ object Eval {
     // fence the partials once: the driver fit and the expansion read
     // the same bounded frame, not two corpus scans
     val parts = scorePartials(df, score, label).localCheckpoint()
-    val blocks = isotonicBlocksFromPartials(parts)
+    val blocks = fitBlocks(parts, 100000L)
     def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
     // expansion is the step-function CASE chain — a pure projection
     // over the bounded frame, no join for the plan sweep to question
@@ -261,10 +268,12 @@ object Eval {
     * documented — the distinct-score partials frame is counted before
     * the single-row fold, and an unquantized caller (more than
     * `maxDistinctScores` distinct scores) fails fast instead of
-    * building a single-task O(n) array. Degenerate label mixes (0 or
-    * 1 positives, or 0 or 1 negatives) leave the variance terms
-    * undefined — auc/se/ci are null there, matching [[binaryAucBy]]'s
-    * convention on quiet slices.
+    * building a single-task O(n) array. Degenerate label mixes follow
+    * [[binaryAucBy]]'s convention for the POINT estimate (auc is null
+    * only when a class is EMPTY — one positive against many negatives
+    * still has a well-defined AUC); the DeLong variance additionally
+    * needs two members per class, so se/ci are null whenever either
+    * class has fewer than 2.
     *
     * Output: one row — n_pos, n_neg, auc (6 dp), se (6 dp),
     * ci95_lo (6 dp), ci95_hi (6 dp).
@@ -316,12 +325,15 @@ object Eval {
               .as("sq2"))
         }).as("f"))
     def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
-    // n1 <= 1 or n0 <= 1 leaves v10/v01 (divisors n1-1, n0-1) or
-    // auc_raw (divisor n1) undefined — null the statistics instead of
-    // emitting NaN/Infinity.
-    val defined = col("n1") > 1 && col("n0") > 1
+    // the AUC point estimate needs one member per class (binaryAucBy's
+    // convention); the variance divisors n1-1/n0-1 need two — null each
+    // tier instead of emitting NaN/Infinity
+    val aucDefined = col("n1") > 0 && col("n0") > 0
+    val seDefined = col("n1") > 1 && col("n0") > 1
+    def guardAuc(c: Column) =
+      when(aucDefined, c).otherwise(lit(null).cast("double"))
     def guard(c: Column) =
-      when(defined, c).otherwise(lit(null).cast("double"))
+      when(seDefined, c).otherwise(lit(null).cast("double"))
     // same ANSI-safe clamp as in the fold: every consumer of these
     // divisions is guard()-nulled when a class has < 2 members
     def c1(c: Column) = greatest(c, lit(1L))
@@ -334,7 +346,7 @@ object Eval {
       .withColumn("se_raw",
         sqrt(col("v10") / c1(col("n1")) + col("v01") / c1(col("n0"))))
       .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
-        guard(r6(col("auc_raw"))).as("auc"),
+        guardAuc(r6(col("auc_raw"))).as("auc"),
         guard(r6(col("se_raw"))).as("se"),
         guard(r6(col("auc_raw") - lit(1.96) * col("se_raw")))
           .as("ci95_lo"),

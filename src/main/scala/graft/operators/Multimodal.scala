@@ -445,8 +445,9 @@ object Multimodal {
               pnmHeader(bytes, off) // parses in place, no tail copy
             else None
           hdr match {
-            case Some((rgb, w, h, start))
-                if start + (if (rgb) 3 else 1) * w * h <= bytes.length =>
+            // pnmHeader only returns Some when the payload fits within
+            // bytes, so `end` needs no re-check here
+            case Some((rgb, w, h, start)) =>
               val end = start + (if (rgb) 3 else 1) * w * h
               if (idx % everyK == 0) {
                 // only the SAMPLED frame is sliced out (decodeGray
@@ -580,7 +581,12 @@ object Multimodal {
     * deployment adds an anti-alias filter in the codec; the plumbing —
     * schema, one mapPartitions pass, media→media composition with
     * [[decodeWavs]]/[[audioFingerprints]] — is what this exercises).
-    * Non-mono / undecodable rows are dropped (quarantine discipline).
+    *
+    * Dropped (quarantine discipline — anti-join the output against the
+    * input to route them): undecodable bytes, non-mono clips, AND
+    * clips whose sample rate is not divisible by `everyK` (an integral
+    * output rate is part of the WAV contract; a production resampler
+    * interpolates those instead of decimating).
     */
   def decimatePcm(media: DataFrame, everyK: Int): DataFrame = {
     require(everyK >= 1, "everyK must be >= 1")

@@ -835,20 +835,22 @@ object Evaluation {
               |  CAST(dh AS BIGINT) AS dhash
               |FROM hsh ORDER BY doc_id, frame_idx""".stripMargin)),
 
-    // Video-level near-dup: clips sharing sampled-frame hashes. Pure
-    // composition — frameSampleDhash feeds the SAME generic
-    // shared-signature inverted index the winnowing text path uses
+    // Video-level near-dup: clips sharing >= 2 sampled-frame hashes —
+    // the same coincidental-single-hit screen as the winnowing text
+    // pairs (qG5). Pure composition: frameSampleDhash feeds the
+    // generic shared-signature inverted index
     // (Winnow.sharedFingerprintPairs, hot-key cap available), matching
     // on hash only (not frame position: shifted clips still match).
     // Fixture: trio videos share all frames except each doc's "own"
     // frame (frame doc%3 keyed per-doc; for the v0 member the own key
     // equals the base key, so v0 is the unmodified original). Of the
     // sampled frames {0, 2}: (v0,v1) share both, (v0,v2) and (v1,v2)
-    // share one — every trio pair surfaces, with a shared-count
-    // gradient the oracle replays closed-form.
+    // share one — so the >= 2 threshold keeps exactly the (v0,v1)
+    // pairs and screens the single-hash ones, which the oracle
+    // replays closed-form.
     GraftQuery(
       "qP5_video_neardup",
-      "Near-duplicate video pairs via shared sampled-frame dHashes " +
+      "Near-duplicate video pairs sharing >= 2 sampled-frame dHashes " +
         "(hash-only inverted index, the winnowing pair machinery " +
         "reused) over trio videos with per-doc own frames.",
       (s, d) => {
@@ -860,7 +862,7 @@ object Evaluation {
           .filter(col("dhash").isNotNull)
           .select(col("doc_id"), col("dhash").as("fp"))
         graft.operators.Winnow.sharedFingerprintPairs(fps)
-          .filter(col("shared_fps") >= 1)
+          .filter(col("shared_fps") >= 2)
           .orderBy("doc_a", "doc_b")
       },
       Some {
@@ -882,6 +884,7 @@ object Evaluation {
            |FROM hsh a JOIN hsh b
            |  ON a.dh = b.dh AND a.doc_id < b.doc_id
            |GROUP BY 1, 2
+           |HAVING count(*) >= 2
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 

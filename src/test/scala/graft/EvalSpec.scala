@@ -588,18 +588,26 @@ class EvalSpec extends SparkTestBase {
   test("Eval.aucDelong: degenerate label mixes null the statistics; " +
     "the quantize-first cap rejects continuous scores") {
     import spark.implicits._
-    // all-positive frame: n1=4, n0=0 -> auc/se/ci null, counts intact
+    // all-positive frame: n1=4, n0=0 -> auc AND se/ci null (empty
+    // class: no point estimate, binaryAucBy's convention)
     val onlyPos = Seq((0.9, true), (0.8, true), (0.7, true), (0.4, true))
       .toDF("s", "y")
     val r = Eval.aucDelong(onlyPos, col("s"), col("y")).collect()(0)
     assert(r.getLong(0) == 4 && r.getLong(1) == 0)
     assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) &&
-      r.isNullAt(5), s"degenerate mix must null auc/se/ci: $r")
-    // one positive: variance divisor n1-1 = 0 -> also null
+      r.isNullAt(5), s"empty class must null auc/se/ci: $r")
+    // one positive ranked above two negatives: the POINT estimate is
+    // well-defined (AUC 1.0, matching binaryAuc) but the DeLong
+    // variance divisor n1-1 = 0 -> se/ci null
     val onePos = Seq((0.9, true), (0.8, false), (0.7, false))
       .toDF("s", "y")
     val r1 = Eval.aucDelong(onePos, col("s"), col("y")).collect()(0)
-    assert(r1.isNullAt(2) && r1.isNullAt(3))
+    assert(r1.getDouble(2) == 1.0,
+      s"single-positive point estimate must match binaryAuc: $r1")
+    assert(Eval.binaryAuc(onePos, col("s"), col("y"))
+      .collect()(0).getDouble(2) == 1.0)
+    assert(r1.isNullAt(3) && r1.isNullAt(4) && r1.isNullAt(5),
+      s"variance needs 2 per class -> se/ci null: $r1")
     // unquantized caller: 500 distinct doubles vs a cap of 100 fails
     // fast instead of folding a single-task array
     val continuous = (1 to 500)

@@ -45,32 +45,43 @@ object Evaluation {
     * work drops to element_at + substring.
     */
   private def trioImageMedia(docs: DataFrame): DataFrame = {
+    // typed mapPartitions builder: interpreted per-pixel Catalyst HOFs
+    // cost ~250 subexpressions/row; this builds the IDENTICAL bytes
+    // (same md5 scheme, verified by the unchanged closed-form oracles)
+    // with one MessageDigest per partition — the fixture is test
+    // machinery, the operators under test consume the media table
+    // exactly as before
+    val spark = docs.sparkSession
+    import spark.implicits._
     val w = 18
     val h = 14
-    val base = col("doc_id") - pmod(col("doc_id"), lit(3L))
-    val md5Arr = transform(sequence(lit(0L), lit(2L * h - 1L)), r =>
-      md5(concat(base.cast("string"), lit(":"),
-        floor(r / 2).cast("long").cast("string"), lit(":"),
-        pmod(r, lit(2L)).cast("string"))))
-    def pixHex(arr: Column, x: Column, y: Column) = {
-      val noise = conv(
-        element_at(arr, (y * 2 + floor(x / 16) + 1).cast("int"))
-          .substr((pmod(x, lit(16L)) * 2 + 1).cast("int"), lit(2)),
-        16, 10).cast("long")
-      val pert = when(pmod(x * 31 + y * 17, lit(19L)) === 0,
-        pmod(col("doc_id"), lit(3L)) * 24).otherwise(lit(0L))
-      lpad(hex(pmod(noise + pert, lit(256L))), 2, "0")
-    }
-    val payloadHex = array_join(
-      transform(sequence(lit(0L), lit(w * h - 1L)), j =>
-        pixHex(col("m5"), j % w, floor(j / w).cast("long"))), "")
-    val media = concat(
-      encode(lit(s"P5\n$w $h\n255\n"), "UTF-8"), unhex(payloadHex))
-    docs
-      .withColumn("m5", md5Arr)
-      .select(col("doc_id"),
-        media.as("media"), lit("image/x-portable-graymap").as("mime"),
-        octet_length(media).cast("long").as("n_bytes"))
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5Hex(text: String): String =
+          md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        ids.map { id =>
+          val base = id - id % 3
+          val hex = Array.tabulate(2 * h)(r =>
+            md5Hex(s"$base:${r / 2}:${r % 2}"))
+          val header = s"P5\n$w $h\n255\n".getBytes("UTF-8")
+          val out = new Array[Byte](header.length + w * h)
+          System.arraycopy(header, 0, out, 0, header.length)
+          var j = 0
+          while (j < w * h) {
+            val x = j % w
+            val y = j / w
+            val hs = hex(y * 2 + x / 16)
+            val noise =
+              Integer.parseInt(hs.substring((x % 16) * 2, (x % 16) * 2 + 2), 16)
+            val pert = if ((x * 31 + y * 17) % 19 == 0) (id % 3) * 24 else 0L
+            out(header.length + j) = (((noise + pert) % 256).toInt).toByte
+            j += 1
+          }
+          (id, out, "image/x-portable-graymap",
+            out.length.toLong)
+        }
+      }.toDF("doc_id", "media", "mime", "n_bytes")
   }
 
   /** qI2/qP1 fixture: md5-noise trio WAV clips as a media table — the
@@ -80,38 +91,42 @@ object Evaluation {
     * samples (3 hex chars each): 12 digests/clip instead of 114.
     */
   private def trioWavMedia(docs: DataFrame): DataFrame = {
-    val n = 114L
-    val base = col("doc_id") - pmod(col("doc_id"), lit(3L))
-    def u16le(c: Column): Column = concat(
-      lpad(hex(pmod(c, lit(256L))), 2, "0"),
-      lpad(hex(pmod(floor(c / 256).cast("long"), lit(256L))), 2, "0"))
-    val md5Arr = transform(sequence(lit(0L), lit(11L)), g =>
-      md5(concat(base.cast("string"), lit(":"), g.cast("string"))))
-    def sampleVal(arr: Column, j: Column): Column = {
-      val noise = pmod(conv(
-        element_at(arr, (floor(j / 10) + 1).cast("int"))
-          .substr((pmod(j, lit(10L)) * 3 + 1).cast("int"), lit(3)),
-        16, 10).cast("long"), lit(4001L)) - 2000L
-      noise + when(pmod(j, lit(9L)) === 0,
-        pmod(col("doc_id"), lit(3L)) * 150).otherwise(lit(0L))
-    }
-    val samplesHex = array_join(
-      transform(sequence(lit(0L), lit(n - 1)), j =>
-        u16le(pmod(sampleVal(col("m5"), j), lit(65536L)))), "")
-    val dataLen = n * 2
-    val fmtHex = "57415645666d7420" + "10000000" + "0100" + "0100" +
-      "401f0000" + "803e0000" + "0200" + "1000" + "64617461"
-    def u32le(c: Column): Column = concat(
-      u16le(pmod(c, lit(65536L))),
-      u16le(floor(c / 65536).cast("long")))
-    val media = unhex(concat(lit("52494646"),
-      u32le(lit(dataLen + 36)), lit(fmtHex), u32le(lit(dataLen)),
-      samplesHex))
-    docs
-      .withColumn("m5", md5Arr)
-      .select(col("doc_id"),
-        media.as("media"), lit("audio/wav").as("mime"),
-        octet_length(media).cast("long").as("n_bytes"))
+    // typed mapPartitions builder — same rationale and identical bytes
+    // as [[trioImageMedia]]'s (the closed-form oracles are unchanged)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = 114
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5Hex(text: String): String =
+          md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        ids.map { id =>
+          val base = id - id % 3
+          val hex = Array.tabulate(12)(g => md5Hex(s"$base:$g"))
+          val dataLen = n * 2
+          val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
+          def le16(v: Int): Unit = {
+            bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+          }
+          def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
+          bos.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+          bos.write("WAVEfmt ".getBytes("US-ASCII"))
+          le32(16); le16(1); le16(1) // PCM, mono
+          le32(8000); le32(16000); le16(2); le16(16)
+          bos.write("data".getBytes("US-ASCII")); le32(dataLen)
+          var j = 0
+          while (j < n) {
+            val h3 = hex(j / 10).substring((j % 10) * 3, (j % 10) * 3 + 3)
+            val noise = Integer.parseInt(h3, 16) % 4001 - 2000
+            val pert = if (j % 9 == 0) ((id % 3) * 150).toInt else 0
+            le16((noise + pert) & 0xFFFF)
+            j += 1
+          }
+          val out = bos.toByteArray
+          (id, out, "audio/wav", out.length.toLong)
+        }
+      }.toDF("doc_id", "media", "mime", "n_bytes")
   }
 
   /** qP4 fixture: per-doc "videos" of `frames` concatenated 18×14 P5

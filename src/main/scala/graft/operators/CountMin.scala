@@ -98,18 +98,26 @@ object CountMin {
     */
   def windowedSketch(df: DataFrame, tsCol: String, value: Column,
       depth: Int, width: Int, windowDuration: String,
-      watermarkDelay: String): DataFrame = {
+      watermarkDelay: String, saltedDepth: Boolean = false): DataFrame = {
     require(depth >= 1 && depth <= 8, "depth in [1,8]")
     require(width >= 16, "width >= 16")
     val src = (if (df.isStreaming) df.withWatermark(tsCol, watermarkDelay)
       else df).filter(value.isNotNull)
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("d")
-    src
-      .select(window(col(tsCol), windowDuration).as("win"),
-        TextOps.hash32(value).as("__h"), rows)
-      .select(col("win"), col("d"),
-        pmod(rowHash(col("__h"), col("d")), lit(width.toLong))
-          .as("cell"))
+    // build and estimate must agree on saltedDepth (cells are
+    // incompatible across modes) — same contract as [[sketch]]
+    (if (saltedDepth)
+      src.select(window(col(tsCol), windowDuration).as("win"),
+          value.cast("string").as("__v"), rows)
+        .select(col("win"), col("d"),
+          pmod(saltedHash(col("__v"), col("d")), lit(width.toLong))
+            .as("cell"))
+    else
+      src.select(window(col(tsCol), windowDuration).as("win"),
+          TextOps.hash32(value).as("__h"), rows)
+        .select(col("win"), col("d"),
+          pmod(rowHash(col("__h"), col("d")), lit(width.toLong))
+            .as("cell")))
       .groupBy(col("win"), col("d"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("win.start").as("window_start"), col("d"),

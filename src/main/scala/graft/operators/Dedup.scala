@@ -602,8 +602,6 @@ object Dedup {
     require(maxHamming < bandsCount, "need maxHamming < bands (pigeonhole)")
     require(bits % bandsCount == 0, "bands must divide the bit width")
     require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
-    val bandBits = bits / bandsCount
-    val mask = (1L << bandBits) - 1
     // Materialize the (id, code) frame ONCE: it is 16 bytes/row however
     // expensive the upstream signature pipeline was (decode, downsample,
     // fingerprint), and it is consumed 2-4x below — both self-join
@@ -613,20 +611,12 @@ object Dedup {
     val sh = codes.select(col(idCol).cast("long").as("doc_id"),
       col(codeCol).cast("long").as("code"))
       .localCheckpoint()
+    // band decomposition and hot screen shared with the incremental
+    // path ([[codeBandIndex]]/[[dropHotBands]]) — one implementation,
+    // so batch pairs and the screen cannot drift.
     // shuffle_hash: don't let AQE broadcast the banded corpus
-    val bandRowsAll = sh.select(col("doc_id"), col("code"),
-      posexplode(array((0 until bandsCount).map(b =>
-        shiftright(col("code"), b * bandBits).bitwiseAND(mask)): _*))
-        .as(Seq("band_idx", "band_val")))
-    val bandRows = (if (maxPosting > 0) {
-      // hot-band screen: the over-cap (band, value) list is tiny —
-      // broadcast anti-join, same shape as the shingle maxPosting cap
-      val hot = bandRowsAll.groupBy("band_idx", "band_val")
-        .agg(count(lit(1)).as("n")).filter(col("n") > maxPosting)
-        .select("band_idx", "band_val")
-      bandRowsAll.join(broadcast(hot), Seq("band_idx", "band_val"),
-        "left_anti")
-    } else bandRowsAll)
+    val bandRows = dropHotBands(
+      codeBandIndex(sh, "doc_id", "code", bits, bandsCount), maxPosting)
       .hint("shuffle_hash")
     bandRows.as("x")
       .join(bandRows.as("y"),
@@ -639,6 +629,22 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Drop (band_idx, band_val) groups hotter than `maxPosting` via a
+    * broadcast anti-join on the (tiny) over-cap list — the shared
+    * hot-band screen of [[codeHammingPairs]] and [[codeHammingScreen]].
+    * No-op when maxPosting <= 0.
+    */
+  private def dropHotBands(bands: DataFrame, maxPosting: Int)
+      : DataFrame =
+    if (maxPosting <= 0) bands
+    else {
+      val hot = bands.groupBy("band_idx", "band_val")
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxPosting)
+        .select("band_idx", "band_val")
+      bands.join(broadcast(hot), Seq("band_idx", "band_val"),
+        "left_anti")
+    }
 
   /** Persistable band index of a bit-signature table — the media twin of
     * the MinHash band index (see [[lshBandIndex]]/q74): one row per
@@ -686,13 +692,7 @@ object Dedup {
     val nbands = codeBandIndex(newSh, "doc_id", "code", bits, bandsCount)
       .select(col("doc_id").as("nid"), col("code").as("nc"),
         col("band_idx"), col("band_val"))
-    val idx = (if (maxPosting > 0) {
-      val hot = index.groupBy("band_idx", "band_val")
-        .agg(count(lit(1)).as("n")).filter(col("n") > maxPosting)
-        .select("band_idx", "band_val")
-      index.join(broadcast(hot), Seq("band_idx", "band_val"),
-        "left_anti")
-    } else index)
+    val idx = dropHotBands(index, maxPosting)
       .select(col("doc_id").as("oid"), col("code").as("oc"),
         col("band_idx"), col("band_val"))
     val cand = nbands.hint("shuffle_hash")

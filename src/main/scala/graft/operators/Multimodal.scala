@@ -574,6 +574,31 @@ object Multimodal {
       }
   }
 
+  /** Canonical mono PCM16 RIFF/WAVE encoder — the single writer behind
+    * [[decimatePcm]] and the test fixtures (one implementation, so the
+    * encode and decode paths cannot drift). Samples are truncated to
+    * their low 16 bits (two's complement wrap, the PCM16 contract).
+    */
+  private[graft] def writeWavMono16(rate: Int,
+      samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def le16(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+    }
+    def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
+    bos.write("RIFF".getBytes("US-ASCII"))
+    le32(36 + dataLen)
+    bos.write("WAVEfmt ".getBytes("US-ASCII"))
+    le32(16); le16(1); le16(1) // PCM, mono
+    le32(rate); le32(rate * 2) // byte rate = rate * blockAlign
+    le16(2); le16(16)          // blockAlign, bits
+    bos.write("data".getBytes("US-ASCII"))
+    le32(dataLen)
+    samples.foreach(le16)
+    bos.toByteArray
+  }
+
   /** Decimate a mono PCM16 WAV media table by `everyK` — the audio
     * twin of [[resizeGray]]: keep every k-th sample, divide the header
     * sample rate by k, re-encode RIFF/WAVE. The
@@ -599,25 +624,12 @@ object Multimodal {
           if info.channels == 1 && info.sampleRate % everyK == 0
           samples <- decodePcm0(r.media)
         } yield {
-          val kept = Array.range(0, samples.length)
-            .filter(_ % everyK == 0).map(samples)
-          val dataLen = kept.length * 2
-          val rate = info.sampleRate / everyK
-          val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
-          def le16(v: Int): Unit = {
-            bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
-          }
-          def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
-          bos.write("RIFF".getBytes("US-ASCII"))
-          le32(36 + dataLen)
-          bos.write("WAVEfmt ".getBytes("US-ASCII"))
-          le32(16); le16(1); le16(1) // PCM, mono
-          le32(rate); le32(rate * 2) // byte rate = rate * blockAlign
-          le16(2); le16(16)          // blockAlign, bits
-          bos.write("data".getBytes("US-ASCII"))
-          le32(dataLen)
-          kept.foreach(le16)
-          val out = bos.toByteArray
+          // stride copy straight into the kept buffer — no index array
+          // or filtered intermediate on the hot decode path
+          val kept = new Array[Int]((samples.length + everyK - 1) / everyK)
+          var i = 0
+          while (i < kept.length) { kept(i) = samples(i * everyK); i += 1 }
+          val out = writeWavMono16(info.sampleRate / everyK, kept)
           MediaRow(r.doc_id, out, "audio/wav", out.length.toLong)
         }
       }.toDF()

@@ -31,6 +31,14 @@ object Evaluation {
       |n AS (SELECT vec_id, v,
       |  sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM v)""".stripMargin
 
+  /** Hex md5 via a caller-owned digest — the one formatting helper both
+    * trio fixture builders close over (one per-partition MessageDigest,
+    * one implementation of the hex convention the oracles replay).
+    */
+  private def md5HexOf(md: java.security.MessageDigest,
+      text: String): String =
+    md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** qH9/qP0 fixture: md5-noise trio P5 images as a media table
     * (doc_id, media, mime, n_bytes). Base image shared by doc-id TRIOS;
     * the two variant docs perturb ~5% of pixels (+v*24 where
@@ -58,12 +66,10 @@ object Evaluation {
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def md5Hex(text: String): String =
-          md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
         ids.map { id =>
           val base = id - id % 3
           val hex = Array.tabulate(2 * h)(r =>
-            md5Hex(s"$base:${r / 2}:${r % 2}"))
+            md5HexOf(md, s"$base:${r / 2}:${r % 2}"))
           val header = s"P5\n$w $h\n255\n".getBytes("UTF-8")
           val out = new Array[Byte](header.length + w * h)
           System.arraycopy(header, 0, out, 0, header.length)
@@ -99,31 +105,17 @@ object Evaluation {
     docs.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def md5Hex(text: String): String =
-          md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
         ids.map { id =>
           val base = id - id % 3
-          val hex = Array.tabulate(12)(g => md5Hex(s"$base:$g"))
-          val dataLen = n * 2
-          val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
-          def le16(v: Int): Unit = {
-            bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
-          }
-          def le32(v: Int): Unit = { le16(v & 0xFFFF); le16(v >>> 16) }
-          bos.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
-          bos.write("WAVEfmt ".getBytes("US-ASCII"))
-          le32(16); le16(1); le16(1) // PCM, mono
-          le32(8000); le32(16000); le16(2); le16(16)
-          bos.write("data".getBytes("US-ASCII")); le32(dataLen)
-          var j = 0
-          while (j < n) {
+          val hex = Array.tabulate(12)(g => md5HexOf(md, s"$base:$g"))
+          val samples = Array.tabulate(n) { j =>
             val h3 = hex(j / 10).substring((j % 10) * 3, (j % 10) * 3 + 3)
             val noise = Integer.parseInt(h3, 16) % 4001 - 2000
             val pert = if (j % 9 == 0) ((id % 3) * 150).toInt else 0
-            le16((noise + pert) & 0xFFFF)
-            j += 1
+            noise + pert
           }
-          val out = bos.toByteArray
+          // the canonical encoder decimatePcm also uses — one writer
+          val out = Multimodal.writeWavMono16(8000, samples)
           (id, out, "audio/wav", out.length.toLong)
         }
       }.toDF("doc_id", "media", "mime", "n_bytes")

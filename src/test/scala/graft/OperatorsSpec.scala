@@ -2035,6 +2035,28 @@ class OperatorsSpec extends SparkTestBase {
         joinType = "full"))
   }
 
+  test("CountMin.windowedSketch saltedDepth: estimate in the matching " +
+    "mode is exact; the mismatched mode visibly corrupts") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    val df = (1 to 30).map(i => (ts0, s"v${i % 5}")).toDF("ts", "v")
+    val sk = CountMin.windowedSketch(df, "ts", col("v"),
+      depth = 4, width = 1 << 16, windowDuration = "1 hour",
+      watermarkDelay = "1 hour", saltedDepth = true)
+      .withColumnRenamed("window_start", "w")
+    val probes = Seq("v0", "v1").toDF("p")
+    val good = CountMin.estimate(sk, Seq("w"), probes, "p", 4, 1 << 16,
+        saltedDepth = true)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(good("v0") == 6 && good("v1") == 6, s"salted exact: $good")
+    // estimating salted cells with affine probe cells must NOT silently
+    // agree — the modes are incompatible by contract
+    val bad = CountMin.estimate(sk, Seq("w"), probes, "p", 4, 1 << 16)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(bad.values.forall(_ == 0L),
+      s"mode mismatch should miss every cell at this width: $bad")
+  }
+
   test("Dedup.codeHammingPairs maxPosting: output equals a reference " +
     "model; capped is a subset of uncapped; a pair is lost ONLY when " +
     "every agreeing band is hot") {

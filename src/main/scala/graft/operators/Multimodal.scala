@@ -355,9 +355,12 @@ object Multimodal {
     * downsample, re-encoded as P5 — the thumbnail/normalization step of
     * an image pipeline, exposed as a media→media transform so it
     * composes with every other media consumer ([[dhashImages]],
-    * [[extractFeatures]], the screens). One mapPartitions pass, no
-    * shuffle; undecodable or sub-target images are dropped (quarantine
-    * discipline — the caller anti-joins to find them).
+    * [[extractFeatures]], the screens). P6 (RGB) inputs pass through
+    * [[decodeGray]]'s integer luma first, so resizing at the source
+    * dimensions doubles as an RGB→grayscale converter. One
+    * mapPartitions pass, no shuffle; undecodable or sub-target images
+    * are dropped (quarantine discipline — the caller anti-joins to
+    * find them).
     */
   def resizeGray(media: DataFrame, outW: Int, outH: Int): DataFrame = {
     require(outW >= 1 && outH >= 1, "target dims must be positive")

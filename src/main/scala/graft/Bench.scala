@@ -112,12 +112,28 @@ object Bench {
         s""""load_ok":$loadOk,"load1":${fmt(load1)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // debug artifact alongside the stdout contract — full runs only, so a
-    // probe can't clobber the last full-suite numbers
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("target/bench_last.json"), json)
-      catch { case _: Throwable => () }
+    // File twin of the stdout contract: the driver captures stdout from a
+    // 2000-char log tail, which has truncated the artifact three rounds
+    // running ("parsed": null + a cut-off summary). target/BENCH_full.json
+    // carries the SAME two-run minima under FULL query names plus both
+    // per-pass readings, so adjudication can always read an intact
+    // artifact off disk. Full runs only — a SPARK_GRAFT_ONLY probe can't
+    // clobber the last full-suite numbers.
+    if (only.isEmpty) {
+      val fullQs = results.map { case (k, v) =>
+        s""""$k":{"min":${fmt(v)},"p1":${fmt(p1(k))},"p2":${fmt(p2(k))}}"""
+      }.mkString("{", ",", "}")
+      val fullJson =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+          s""""load_ok":$loadOk,"load1":${fmt(load1)},""" +
+          s""""n_queries":$nQueries,"queries":$fullQs,"sf":"$sfDir"}"""
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_last.json"), json)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/BENCH_full.json"), fullJson)
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -65,7 +65,11 @@ case class MisraGriesSketchExpr(
   override def nullable: Boolean = false
   override def prettyName: String = "mg_sketch"
 
-  override def createAggregationBuffer(): Buf = new Buf()
+  // pre-sized to capacity like deserialize(): the buffer fills to k
+  // entries on any non-trivial stream, and the default 16-entry map
+  // would rehash log2(k/16) times while filling
+  override def createAggregationBuffer(): Buf =
+    new Buf(math.max(16, (k / 0.75).toInt + 1))
 
   override def update(b: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)

@@ -361,6 +361,13 @@ object Multimodal {
     * mapPartitions pass, no shuffle; undecodable or sub-target images
     * are dropped (quarantine discipline — the caller anti-joins to
     * find them).
+    *
+    * Upscaling is NOT supported: a box downsample has no pixels to
+    * invent, so any image with w < outW or h < outH — including an
+    * accidental upscale request — lands in the same dropped set as an
+    * undecodable payload. Callers that must tell the two apart should
+    * join against [[decodeImages]] (decoded=true + sub-target dims ⇒
+    * "too small", decoded=false ⇒ "undecodable").
     */
   def resizeGray(media: DataFrame, outW: Int, outH: Int): DataFrame = {
     require(outW >= 1 && outH >= 1, "target dims must be positive")
@@ -489,7 +496,18 @@ object Multimodal {
     * never throws on foreign bytes (same poison-row contract as
     * [[decodeImage]]).
     */
-  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+  /** Validated RIFF layout of a PCM16 WAV: where the samples live.
+    * The single header walk shared by [[decodeWav]], [[decodePcm0]] and
+    * [[decimatePcm]] — each clip is parsed exactly once per operator
+    * pass, and the sample-stat walk (which [[decodeWav]] adds) never
+    * runs for consumers that only need the raw samples.
+    */
+  private[graft] case class WavLayout(channels: Int, sampleRate: Int,
+      bits: Int, dataOff: Int, nSamples: Int) {
+    def nFrames: Int = nSamples / channels
+  }
+
+  private[graft] def parseWavLayout(bytes: Array[Byte]): Option[WavLayout] = {
     def u16(o: Int) = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     def u32(o: Int) = (bytes(o) & 0xFF).toLong |
       ((bytes(o + 1) & 0xFF).toLong << 8) |
@@ -520,7 +538,13 @@ object Multimodal {
       sampleRate <= 0) return None
     if (bytes.length < dataOff + dataLen || dataLen % (2L * channels) != 0)
       return None
-    val nSamples = (dataLen / 2).toInt
+    Some(WavLayout(channels, sampleRate, bits, dataOff, (dataLen / 2).toInt))
+  }
+
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = parseWavLayout(bytes).map { lay =>
+    val channels = lay.channels
+    val dataOff = lay.dataOff
+    val nSamples = lay.nSamples
     var sum = 0L
     var sumSq = 0L
     var peak = 0
@@ -543,9 +567,9 @@ object Multimodal {
       }
       k += 1
     }
-    Some(WavInfo(channels, sampleRate, bits, nSamples.toLong / channels,
+    WavInfo(channels, lay.sampleRate, lay.bits, nSamples.toLong / channels,
       sum.toDouble / nSamples, math.sqrt(sumSq.toDouble / nSamples),
-      peak, zc))
+      peak, zc)
   }
 
   /** Decoded-audio features over a media table — the same
@@ -623,16 +647,20 @@ object Multimodal {
     media.select("doc_id", "media", "mime", "n_bytes").as[MediaRow]
       .flatMap { r =>
         for {
-          info <- decodeWav(r.media)
-          if info.channels == 1 && info.sampleRate % everyK == 0
-          samples <- decodePcm0(r.media)
+          lay <- parseWavLayout(r.media)
+          if lay.channels == 1 && lay.sampleRate % everyK == 0
         } yield {
-          // stride copy straight into the kept buffer — no index array
-          // or filtered intermediate on the hot decode path
-          val kept = new Array[Int]((samples.length + everyK - 1) / everyK)
+          // single header parse, then a stride copy straight out of the
+          // payload bytes — no stats walk, no full-sample intermediate
+          val kept = new Array[Int]((lay.nFrames + everyK - 1) / everyK)
           var i = 0
-          while (i < kept.length) { kept(i) = samples(i * everyK); i += 1 }
-          val out = writeWavMono16(info.sampleRate / everyK, kept)
+          while (i < kept.length) {
+            val o = lay.dataOff + 2 * i * everyK
+            kept(i) = ((r.media(o) & 0xFF) | (r.media(o + 1) << 8))
+              .toShort.toInt
+            i += 1
+          }
+          val out = writeWavMono16(lay.sampleRate / everyK, kept)
           MediaRow(r.doc_id, out, "audio/wav", out.length.toLong)
         }
       }.toDF()
@@ -643,25 +671,12 @@ object Multimodal {
     * path as [[decodeWav]]; None on anything undecodable.
     */
   def decodePcm0(bytes: Array[Byte]): Option[Array[Int]] =
-    decodeWav(bytes).map { w =>
-      // re-walk to the data chunk (cheap: header-only scan)
-      var off = 12
-      var dataOff = -1
-      def tag(o: Int, t: String) =
-        bytes.length >= o + 4 && new String(bytes, o, 4, "US-ASCII") == t
-      def u32(o: Int) = (bytes(o) & 0xFF).toLong |
-        ((bytes(o + 1) & 0xFF).toLong << 8) |
-        ((bytes(o + 2) & 0xFF).toLong << 16) |
-        ((bytes(o + 3) & 0xFF).toLong << 24)
-      while (off + 8 <= bytes.length && dataOff < 0) {
-        val size = u32(off + 4)
-        if (tag(off, "data")) dataOff = off + 8
-        else off += 8 + size.toInt + (size.toInt & 1)
-      }
-      val out = new Array[Int](w.nFrames.toInt)
+    parseWavLayout(bytes).map { lay =>
+      // one header parse, one extraction pass — no stats walk
+      val out = new Array[Int](lay.nFrames)
       var k = 0
       while (k < out.length) {
-        val o = dataOff + 2 * k * w.channels // channel 0 of frame k
+        val o = lay.dataOff + 2 * k * lay.channels // channel 0 of frame k
         out(k) = ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort.toInt
         k += 1
       }

@@ -351,4 +351,163 @@ object TextAnalysis {
           col("stop_hits") >= 2 &&
           col("symbol_ratio") <= 0.1)
   }
+
+  // ---------------------------------------------------------------- HTML
+
+  /** `<script>...</script>` including contents (dotall — scripts span
+    * lines and legally contain `<`).
+    */
+  val HtmlScriptRe = "(?is)<script[^>]*>.*?</script>"
+
+  /** `<style>...</style>` including contents. */
+  val HtmlStyleRe = "(?is)<style[^>]*>.*?</style>"
+
+  /** HTML comments `<!-- ... -->` (dotall). */
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+
+  /** Block-level tags (open or close): each occurrence is a block
+    * boundary for segmentation. `(?:...)` — no capture group, and no
+    * backreference anywhere: the whole rule set must stay inside the
+    * RE2-safe subset so the DuckDB replay is the same automaton.
+    */
+  val HtmlBlockTagRe =
+    "(?i)</?(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|" +
+      "blockquote|pre|section|article|aside|header|footer|nav|form)" +
+      "[^>]*>|<br[^>]*>"
+
+  /** Anchor element with plain-text content (`[^<]*` — no nested tags;
+    * nested-markup anchors contribute via the residual tag strip
+    * instead). Group 1 is the anchor text used for link density.
+    */
+  val HtmlAnchorRe = "(?is)<a[^>]*>([^<]*)</a>"
+
+  /** Any remaining tag, stripped to a space inside each block. */
+  val HtmlTagRe = "<[^>]*>"
+
+  /** The entity subset decoded after tag-stripping, in application
+    * order (`&amp;` last so `&amp;lt;` decodes to the literal `&lt;`,
+    * not `<`).
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** jusText-style block gates: a block is main content when its
+    * cleaned text has at least [[HtmlMinBlockChars]] characters and at
+    * most [[HtmlMaxLinkDensityPct]]% of them inside anchors. The
+    * density gate is evaluated as an integer cross-multiply
+    * (`anchor·100 ≤ text·pct`) so the boolean can never straddle an
+    * engine FP-rounding difference.
+    */
+  val HtmlMinBlockChars = 25
+  val HtmlMaxLinkDensityPct = 33
+
+  /** Block separator injected at block-tag boundaries — U+001E (record
+    * separator), a control char no text corpus contains.
+    */
+  private val HtmlSep = "\u001e"
+
+  /** Main-content extraction from raw HTML (boilerplate removal) — the
+    * standard LLM-curation stage between "crawl WARC" and the quality
+    * gates ([[gopherRules]]); jusText/Arria-style rules, no DOM
+    * library:
+    *
+    *  1. strip `<script>`/`<style>` blocks, then comments;
+    *  2. segment at block-level tags;
+    *  3. per block: strip residual tags, decode entities, collapse
+    *     whitespace;
+    *  4. keep blocks ≥ [[HtmlMinBlockChars]] chars with link density
+    *     ≤ [[HtmlMaxLinkDensityPct]]% (anchor-text chars / text chars);
+    *  5. join kept blocks with a single space.
+    *
+    * Pure per-row column math (codegen'd regexp + HOFs), zero shuffles
+    * — at 100 TB this runs at scan speed and pipelines straight into
+    * the Gopher gate, exactly like the reference's parser stages feed
+    * its annotation views (ref: schema/README.md ingestion pipeline).
+    *
+    * Output: doc_id, n_blocks (non-empty blocks), n_kept, n_chars,
+    * content.
+    */
+  def extractMainContent(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    def entityDecode(c: Column): Column =
+      HtmlEntities.foldLeft(c) { case (acc, (f, to)) =>
+        replace(acc, lit(f), lit(to)) }
+    def cleanBlock(b: Column): Column =
+      trim(regexp_replace(
+        entityDecode(regexp_replace(b, HtmlTagRe, " ")), "\\s+", " "))
+    def anchorChars(b: Column): Column =
+      aggregate(
+        transform(regexp_extract_all(b, lit(HtmlAnchorRe), lit(1)),
+          a => length(trim(regexp_replace(entityDecode(a), "\\s+", " ")))
+            .cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val stripped = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(col(htmlCol), HtmlScriptRe, " "),
+      HtmlStyleRe, " "), HtmlCommentRe, " "), HtmlBlockTagRe, HtmlSep)
+    val blocks = split(stripped, HtmlSep)
+    df.select(col(idCol).as("doc_id"),
+        transform(blocks, b => cleanBlock(b)).as("ct"),
+        transform(blocks, b => anchorChars(b)).as("al"))
+      .select(col("doc_id"),
+        size(filter(col("ct"), t => length(t) > 0)).cast("long")
+          .as("n_blocks"),
+        filter(col("ct"), (t, i) =>
+          length(t) >= HtmlMinBlockChars &&
+            element_at(col("al"), i + 1) * 100 <=
+              length(t).cast("long") * HtmlMaxLinkDensityPct)
+          .as("kept"))
+      .select(col("doc_id"), col("n_blocks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("content"))
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+        length(col("content")).cast("long").as("n_chars"),
+        col("content"))
+  }
+
+  /** DuckDB CTE chain replaying [[extractMainContent]] over `src`
+    * (columns: doc_id, html) — generated from the SAME regex constants
+    * and thresholds, so parity holds by construction (the
+    * [[graft.functions.PhoneticOps.soundexSql]] pattern). Emits CTEs
+    * `mc_s, mc_b, mc_p, mc_r, ext`; `ext` has (doc_id, n_blocks,
+    * n_kept, n_chars, content). Caller composes it inside a `WITH`.
+    */
+  def mainContentSqlCtes(src: String): String = {
+    def decode(e: String): String =
+      HtmlEntities.foldLeft(e) { case (acc, (f, to)) =>
+        s"replace($acc, '$f', '${to.replace("'", "''")}')" }
+    def clean(x: String): String =
+      "trim(regexp_replace(" +
+        decode(s"regexp_replace($x, '$HtmlTagRe', ' ', 'g')") +
+        ", '\\s+', ' ', 'g'))"
+    val aLen =
+      "CAST(coalesce(list_sum(list_transform(" +
+        s"regexp_extract_all(x, '$HtmlAnchorRe', 1), " +
+        "y -> len(trim(regexp_replace(" + decode("y") +
+        ", '\\s+', ' ', 'g'))))), 0) AS BIGINT)"
+    s"""mc_s AS (SELECT doc_id, regexp_replace(regexp_replace(
+       |    regexp_replace(regexp_replace(html,
+       |    '$HtmlScriptRe', ' ', 'g'),
+       |    '$HtmlStyleRe', ' ', 'g'),
+       |    '$HtmlCommentRe', ' ', 'g'),
+       |    '$HtmlBlockTagRe', chr(30), 'g') AS st
+       |  FROM $src),
+       |mc_b AS (SELECT doc_id, string_split(st, chr(30)) AS blocks
+       |  FROM mc_s),
+       |mc_p AS (SELECT doc_id,
+       |    list_transform(blocks, x -> ${clean("x")}) AS ct,
+       |    list_transform(blocks, x -> $aLen) AS al
+       |  FROM mc_b),
+       |mc_r AS (SELECT doc_id,
+       |    CAST(len(list_filter(ct, x -> len(x) > 0)) AS BIGINT)
+       |      AS n_blocks,
+       |    list_filter(ct, (x, i) -> len(x) >= $HtmlMinBlockChars
+       |      AND al[i]*100 <= len(x)*$HtmlMaxLinkDensityPct) AS kept
+       |  FROM mc_p),
+       |ext AS (SELECT doc_id, n_blocks,
+       |    CAST(len(kept) AS BIGINT) AS n_kept,
+       |    CAST(len(array_to_string(kept, ' ')) AS BIGINT) AS n_chars,
+       |    array_to_string(kept, ' ') AS content
+       |  FROM mc_r)""".stripMargin
+  }
 }

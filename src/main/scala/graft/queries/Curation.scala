@@ -48,6 +48,106 @@ object Curation {
       lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string"),
       when(col("doc_id") % 2 === 0, "#frag").otherwise(""))
 
+  /** Gopher-rule DuckDB CTEs over `src` (columns: doc_id, text) —
+    * generated once, composed by qC9 (over documents) and qQ1 (over the
+    * HTML-extracted content), so both oracles replay the identical rule
+    * text.
+    */
+  private def gopherSqlCtes(src: String): String = {
+    val stopSum = TextAnalysis.GopherRequiredWords
+      .map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""g_t AS (SELECT doc_id, text, len(text) AS n_chars,
+       |    string_split(text, ' ') AS toks FROM $src),
+       |g_m AS (SELECT doc_id, n_chars,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(toks,
+       |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+       |      AS alpha_words,
+       |    CAST($stopSum AS BIGINT) AS stop_hits,
+       |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+       |      AS BIGINT) AS symbols
+       |  FROM g_t),
+       |g_r AS (SELECT doc_id, n_words,
+       |    floor((n_chars - (n_words - 1)) * 1.0 / n_words
+       |      * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+       |    floor(alpha_words * 1.0 / n_words * 10000.0 + 0.5)
+       |      / 10000.0 AS frac_alpha,
+       |    stop_hits,
+       |    floor(symbols * 1.0 / n_words * 10000.0 + 0.5)
+       |      / 10000.0 AS symbol_ratio
+       |  FROM g_m)""".stripMargin
+  }
+
+  private val gopherSqlSelect =
+    """SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
+      |  symbol_ratio,
+      |  (n_words BETWEEN 50 AND 100000)
+      |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      |    AND frac_alpha >= 0.8 AND stop_hits >= 2
+      |    AND symbol_ratio <= 0.1 AS keep
+      |FROM g_r ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ HTML
+  // Synthetic raw-HTML fixture for the boilerplate-removal stage: the
+  // corpus has no HTML column, so the page is built deterministically
+  // around each document's text — nav, sidebar (every 3rd doc), ad,
+  // footer, script/style/comment chrome, plus a second content
+  // paragraph with entities (every 2nd doc). One piece-DSL renders
+  // BOTH the Spark Column and the DuckDB expression, so fixture parity
+  // holds by construction (same pattern as the raw-URL synthesis
+  // above).
+  private sealed trait Hp
+  private case class HL(s: String) extends Hp
+  private case object HText extends Hp
+  private case class HSub(from: Int, len: Int) extends Hp
+  private case class HWhen(mod: Int, rem: Int, inner: Seq[Hp]) extends Hp
+
+  private val htmlPieces: Seq[Hp] = Seq(
+    HL("<html><head><title>doc</title>"),
+    HL("<style>body { color: #333; }</style>"),
+    HL("<script>var n = 1; if (n < 2) { n = 3; }</script>"),
+    HL("</head><body>"),
+    HL("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact us</a></nav>"),
+    HL("<h1>"), HSub(1, 40), HL("</h1>"),
+    HWhen(3, 0, Seq(HL("<div class=\"sidebar\"><ul>" +
+      "<li><a href=\"/t/1\">Trending one</a></li>" +
+      "<li><a href=\"/t/2\">Trending two</a></li></ul></div>"))),
+    HL("<p>"), HText, HL("</p>"),
+    HWhen(2, 0, Seq(HL("<p>"), HSub(20, 600),
+      HL(" &amp; more on the &quot;topic&quot;.</p>"))),
+    HL("<div class=\"ad\"><a href=\"/buy\">Buy now! Limited offer - " +
+      "click here to save 20% today</a></div>"),
+    HL("<!-- page chrome -->"),
+    HL("<footer><a href=\"/privacy\">Privacy</a> " +
+      "<a href=\"/terms\">Terms</a> (c) example</footer>"),
+    HL("</body></html>"))
+
+  private def htmlSpark(textCol: org.apache.spark.sql.Column,
+      idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def piece(p: Hp): org.apache.spark.sql.Column = p match {
+      case HL(s) => lit(s)
+      case HText => textCol
+      case HSub(f, l) => substring(textCol, f, l)
+      case HWhen(m, r, inner) =>
+        when(idCol % m === r, concat(inner.map(piece): _*)).otherwise("")
+    }
+    concat(htmlPieces.map(piece): _*)
+  }
+
+  private def htmlSql: String = {
+    def piece(p: Hp): String = p match {
+      case HL(s) => "'" + s.replace("'", "''") + "'"
+      case HText => "text"
+      case HSub(f, l) => s"substr(text, $f, $l)"
+      case HWhen(m, r, inner) =>
+        s"CASE WHEN doc_id % $m = $r THEN " +
+          inner.map(piece).mkString(" || ") + " ELSE '' END"
+    }
+    htmlPieces.map(piece).mkString(" ||\n    ")
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // SemDeDup with the deterministic LSH-cell assignment: within-cell
@@ -141,38 +241,7 @@ object Curation {
       (s, d) => TextAnalysis.gopherRules(
         t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      Some {
-        val stopSum = TextAnalysis.GopherRequiredWords
-          .map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, text, len(text) AS n_chars,
-           |    string_split(text, ' ') AS toks FROM documents),
-           |m AS (SELECT doc_id, n_chars,
-           |    CAST(len(toks) AS BIGINT) AS n_words,
-           |    CAST(len(list_filter(toks,
-           |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
-           |      AS alpha_words,
-           |    CAST($stopSum AS BIGINT) AS stop_hits,
-           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
-           |      AS BIGINT) AS symbols
-           |  FROM t),
-           |r AS (SELECT doc_id, n_words,
-           |    floor((n_chars - (n_words - 1)) * 1.0 / n_words
-           |      * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
-           |    floor(alpha_words * 1.0 / n_words * 10000.0 + 0.5)
-           |      / 10000.0 AS frac_alpha,
-           |    stop_hits,
-           |    floor(symbols * 1.0 / n_words * 10000.0 + 0.5)
-           |      / 10000.0 AS symbol_ratio
-           |  FROM m)
-           |SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
-           |  symbol_ratio,
-           |  (n_words BETWEEN 50 AND 100000)
-           |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
-           |    AND frac_alpha >= 0.8 AND stop_hits >= 2
-           |    AND symbol_ratio <= 0.1 AS keep
-           |FROM r ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"WITH ${gopherSqlCtes("documents")}\n$gopherSqlSelect")),
 
     // Mixture planner: T=0.5 flattening over per-source token mass, a
     // 10M-token budget. target_toks is floored from the UNROUNDED share
@@ -1751,5 +1820,51 @@ object Curation {
              |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_chars,
              |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_chars,
              |  md5(nfc_normalize(raw)) AS norm_md5
-             |FROM r ORDER BY doc_id""".stripMargin)))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // HTML main-content extraction (boilerplate removal): the one
+    // standard LLM-curation stage between "raw crawl" and the quality
+    // gates. The oracle replays the SAME regex chain, generated from
+    // the same constants (TextAnalysis.mainContentSqlCtes — the qH7
+    // soundexSql parity-by-construction pattern), over the SAME
+    // piece-DSL-built HTML fixture.
+    GraftQuery(
+      "qQ0_html_extract",
+      "HTML main-content extraction: strip script/style/comments, " +
+        "segment at block tags, per-block tag strip + entity decode + " +
+        "whitespace collapse, keep blocks >=25 chars with link " +
+        "density <=33%, join kept blocks.",
+      (s, d) => TextAnalysis.extractMainContent(
+        t(s, d, "documents").select(col("doc_id"),
+          htmlSpark(col("text"), col("doc_id")).as("html")),
+        "doc_id", "html").orderBy("doc_id"),
+      Some(s"""WITH mc_h AS (SELECT doc_id, $htmlSql AS html
+              |  FROM documents),
+              |${TextAnalysis.mainContentSqlCtes("mc_h")}
+              |SELECT doc_id, n_blocks, n_kept, n_chars, content
+              |FROM ext ORDER BY doc_id""".stripMargin)),
+
+    // The extraction chained into the Gopher gate — raw HTML to
+    // quality verdict in one declared plan, the way q88 chains
+    // normalization into dedup. Still scan-speed: two stacked per-row
+    // projections, zero shuffles.
+    GraftQuery(
+      "qQ1_html_gopher_chain",
+      "HTML extraction chained into the Gopher quality rules: " +
+        "boilerplate-removed content scored by the published gates.",
+      (s, d) => TextAnalysis.gopherRules(
+        TextAnalysis.extractMainContent(
+          t(s, d, "documents").select(col("doc_id"),
+            htmlSpark(col("text"), col("doc_id")).as("html")),
+          "doc_id", "html")
+          .where(col("n_kept") > 0)
+          .select(col("doc_id"), col("content").as("text")),
+        "doc_id", "text").orderBy("doc_id"),
+      Some(s"""WITH mc_h AS (SELECT doc_id, $htmlSql AS html
+              |  FROM documents),
+              |${TextAnalysis.mainContentSqlCtes("mc_h")},
+              |mc_x AS (SELECT doc_id, content AS text FROM ext
+              |  WHERE n_kept > 0),
+              |${gopherSqlCtes("mc_x")}
+              |$gopherSqlSelect""".stripMargin)))
 }

@@ -170,4 +170,46 @@ class CurationSpec extends SparkTestBase {
     assert(prop.find(_.getAs[String]("stratum") == "big").get
       .getAs[Double]("share") == 0.9)
   }
+
+  test("extractMainContent: boilerplate dropped, body kept, entities " +
+      "decoded, script contents (with '<') never leak") {
+    val body = "This is the real article body with enough characters " +
+      "to clear the minimum block length gate."
+    val html =
+      "<html><head><title>t</title>" +
+        "<style>p { margin: 0; }</style>" +
+        "<script>if (a < b) { alert(\"boilerplate\"); }</script>" +
+        "</head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/x\">Docs</a></nav>" +
+        "<p>" + body + "</p>" +
+        "<p>Tom &amp; Jerry say &quot;hi&quot; &#39;loudly&#39; - a " +
+        "second kept paragraph with entities.</p>" +
+        "<div><a href=\"/buy\">A long advertisement link whose anchor " +
+        "text alone exceeds the length gate easily</a></div>" +
+        "<!-- hidden comment boilerplate -->" +
+        "<footer><a href=\"/tos\">Terms</a> (c) corp</footer>" +
+        "</body></html>"
+    val out = TextAnalysis.extractMainContent(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html")
+      .head()
+    val content = out.getAs[String]("content")
+    // body and the entity paragraph kept, decoded
+    assert(content.startsWith(body))
+    assert(content.contains("Tom & Jerry say \"hi\" 'loudly'"))
+    // nav, ad (dropped by link density despite length), footer,
+    // comment, script and style text all gone
+    for (bad <- Seq("Home", "Docs", "advertisement", "Terms", "corp",
+        "hidden comment", "alert", "margin"))
+      assert(!content.contains(bad), s"boilerplate leaked: $bad")
+    assert(out.getAs[Long]("n_kept") == 2L)
+    assert(out.getAs[Long]("n_blocks") > 2L)
+    assert(out.getAs[Long]("n_chars") == content.length.toLong)
+
+    // an empty/garbage page yields zero kept blocks, not an error
+    val junk = TextAnalysis.extractMainContent(
+      Seq((2L, "<p>short</p><div><a href='/x'>tiny</a></div>"))
+        .toDF("doc_id", "html"), "doc_id", "html").head()
+    assert(junk.getAs[Long]("n_kept") == 0L)
+    assert(junk.getAs[String]("content") == "")
+  }
 }

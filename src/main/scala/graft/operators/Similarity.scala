@@ -60,6 +60,29 @@ object Similarity {
   private def planeWeight(j: Column, i: Column): Column =
     ((j * 2 + 3) * (i + 17)) % 101 - 50
 
+  /** Corpus-adaptive hyperplane count: the smallest k ∈ [1, 30] with
+    * 2^k · targetBucket ≥ n, i.e. enough sign-buckets that expected
+    * occupancy stays ≤ targetBucket however large the corpus — the
+    * production scale knob for [[lshBucket]]-based pair generators
+    * (fixed planes leave bucket occupancy ∝ n, so any same-bucket
+    * self-join goes quadratic in the second decade of scale; the
+    * round-9 100× probe OOM'd qO9 exactly that way). Pure integer
+    * rule, so a SQL oracle replays it exactly:
+    *
+    * {{{ SELECT min(range) AS k FROM range(1,31)
+    *     WHERE (1 << range) * 64 >= (SELECT count(*) FROM t) }}}
+    *
+    * n is a bounded driver artifact (one count), like the codebooks
+    * and cut-point frames. targetBucket=64 reproduces the historical
+    * planes=3 at the 500-vector fixture, so correctness rows are
+    * unchanged while 100× corpora get 2^12+ buckets.
+    */
+  def adaptivePlanes(n: Long, targetBucket: Int = 64): Int = {
+    var k = 1
+    while (k < 30 && (1L << k) * targetBucket < n) k += 1
+    k
+  }
+
   /** Sign-bucket of a vector under `planes` hyperplanes: bit j is set iff
     * Σ_i v[i]·w(j,i) > 0.
     */

@@ -372,19 +372,28 @@ object Evaluation {
     GraftQuery(
       "qO9_dbscan_lsh",
       "DBSCAN over embeddings with the LSH-bucketed pair generator " +
-        "(3 hyperplanes, cosine >= 0.3 within bucket, minPts=4): " +
-        "bucketed generator composed into the qH6 density core — " +
-        "the declared 100 TB path, no all-pairs join in the plan.",
+        "(ADAPTIVE hyperplane count: smallest k with 2^k*64 >= n, " +
+        "cosine >= 0.3 within bucket, minPts=4): bucketed generator " +
+        "composed into the qH6 density core — the declared 100 TB " +
+        "path, no all-pairs join, bucket occupancy bounded at any n.",
       (s, d) => {
         val emb = t(s, d, "embeddings")
+        // bounded driver artifact (one count) — the production scale
+        // knob: fixed planes leave occupancy ∝ n and the 100× probe
+        // OOMs; see Similarity.adaptivePlanes
+        val planes = graft.operators.Similarity.adaptivePlanes(emb.count())
         val pairs = graft.operators.Dedup.embeddingLshPairs(
-          emb, "vec_id", "embedding", planes = 3, threshold = 0.3)
+          emb, "vec_id", "embedding", planes = planes, threshold = 0.3)
         Density.dbscan(emb, "vec_id", pairs, "id_a", "id_b", minPts = 4)
           .orderBy("id")
       },
       Some(s"""WITH RECURSIVE $duckVecNorm,
+              |pl AS (SELECT min(range) AS k FROM range(1,31)
+              |  WHERE (1 << range) * 64 >=
+              |    (SELECT count(*) FROM embeddings)),
               |b AS (SELECT vec_id, v, nrm,
-              |  CAST(list_sum(list_transform(range(0,3), j ->
+              |  CAST(list_sum(list_transform(
+              |    range(0, (SELECT k FROM pl)), j ->
               |    CASE WHEN list_sum(list_transform(v, (x,i) ->
               |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
               |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)

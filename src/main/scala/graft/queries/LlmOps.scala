@@ -221,18 +221,29 @@ object LlmOps {
 
     GraftQuery(
       "q70_dedup_embedding_lsh",
-      "Embedding near-dup pairs via LSH buckets (3 deterministic " +
-        "hyperplanes, 8 buckets): only same-bucket pairs scored — the " +
-        "100 TB embedding-dedup path; q34 is its brute-force baseline.",
-      (s, d) => Dedup.embeddingLshPairs(
-        t(s, d, "embeddings"), "vec_id", "embedding",
-        planes = 3, threshold = 0.3)
-        .select(col("id_a"), col("id_b"),
-          (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"))
-        .orderBy("id_a", "id_b"),
+      "Embedding near-dup pairs via LSH buckets (ADAPTIVE deterministic " +
+        "hyperplane count: smallest k with 2^k*64 >= n): only " +
+        "same-bucket pairs scored — the 100 TB embedding-dedup path; " +
+        "q34 is its brute-force baseline.",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        // bounded driver artifact (one count); see
+        // Similarity.adaptivePlanes — reproduces planes=3 at the
+        // 500-vector fixture, scales buckets ∝ n beyond it
+        val planes = graft.operators.Similarity.adaptivePlanes(emb.count())
+        Dedup.embeddingLshPairs(
+          emb, "vec_id", "embedding", planes = planes, threshold = 0.3)
+          .select(col("id_a"), col("id_b"),
+            (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
       Some(s"""WITH $duckVecNorm,
+              |pl AS (SELECT min(range) AS k FROM range(1,31)
+              |  WHERE (1 << range) * 64 >=
+              |    (SELECT count(*) FROM embeddings)),
               |b AS (SELECT vec_id, v, nrm,
-              |  CAST(list_sum(list_transform(range(0,3), j ->
+              |  CAST(list_sum(list_transform(
+              |    range(0, (SELECT k FROM pl)), j ->
               |    CASE WHEN list_sum(list_transform(v, (x,i) ->
               |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
               |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)

@@ -49,6 +49,47 @@ object GenScale {
       println("wrote high-cardinality events to target/sf1hv")
       return
     }
+    // "sf10" mode: documents + embeddings only at 100 REPLICAS (100x
+    // sf0.1) — the second decade of the similarity-family scale probe.
+    // The sf1 probe extrapolates one decade; the birthday-curve knee
+    // the posting caps exist for appears in the second, so the banded/
+    // capped pair generators (qP0/qP1/qP3/qB7) and the LSH DBSCAN
+    // generator (qO9) are probed at 100x against exactly these shards.
+    // Same disjointness discipline as the default mode: ids offset
+    // r*10^7, tokens salted per replica (zero cross-shard shingle
+    // overlap), embeddings perturbed per replica with a BOUNDED
+    // deterministic delta (the sf1 formula grows linearly in r and
+    // would swamp the cosine structure by r=99).
+    if (args.headOption.contains("sf10")) {
+      val reps = 100
+      val docs = graft.Tables.load(spark, src, "documents")
+      (0 until reps).map { r =>
+        val text =
+          if (r == 0) col("text")
+          else array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"~$r"))), " ")
+        docs.select((col("doc_id") + lit(r * off)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite")
+        .parquet("/root/repo/target/sf10/documents.parquet")
+      val emb = graft.Tables.load(spark, src, "embeddings")
+      (0 until reps).map { r =>
+        val e =
+          if (r == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, i) => (x + lit(((r * 37) % 19 - 9) * 0.0008) *
+              ((i % 7) - lit(3.0))).cast("float"))
+        emb.select((col("vec_id") + lit(r * off)).as("vec_id"),
+          e.as("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite")
+        .parquet("/root/repo/target/sf10/embeddings.parquet")
+      spark.stop()
+      println("wrote 100x documents+embeddings shards to target/sf10")
+      return
+    }
     val out = "/root/repo/target/sf1"
 
     def load(n: String): DataFrame =

@@ -195,4 +195,50 @@ object Bpe {
     }
     toks.withColumn("sym", seg)
   }
+
+  /** [[segment]] with a 1-based token position — the oracle-checked
+    * form (qQ2): (doc_id, tok_idx) is a unique, deterministic key for
+    * the row-order-independent compare. Same per-row kernel chain,
+    * zero shuffles.
+    */
+  def segmentWithPos(df: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    GraftFunctions.registerAll(df.sparkSession)
+    val toks = df.select(col(idCol),
+      posexplode(graft.functions.TextOps.tokens(col(textCol)))
+        .as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val seg = rules.foldLeft(chars(col("w"))) { case (c, (a, b)) =>
+      GraftFunctions.mergePair(c, a, b)
+    }
+    toks.select(col(idCol), (col("pos") + 1).cast("long").as("tok_idx"),
+      col("w"), seg.as("sym"))
+  }
+
+  /** DuckDB replay of [[segmentWithPos]]'s merge chain as an UNROLLED
+    * nested-`replace` expression over a delimiter-wrapped symbol
+    * string — generated from the SAME rule literals (the qJ6/qK8
+    * generated-oracle pattern), closing the documented "BPE is not
+    * SQL-expressible" gap for the APPLICATION half (training remains
+    * spec-locked: the greedy argmax loop needs a fold and DuckDB's
+    * reduce() corrupts list accumulators).
+    *
+    * Encoding: each symbol wrapped `\x01sym\x01` and concatenated, so
+    * rule (l, r) is the literal substring `\x01l\x01\x01r\x01` and
+    * SQL `replace()` — leftmost, non-overlapping, like every string
+    * replace — reproduces [[VectorHashOps.mergePair]]'s greedy
+    * semantics EXACTLY: after "aa"←(a,a) consumes two wrapped symbols
+    * the residual `\x01a\x01` has no second wrapped operand to pair
+    * with, which is precisely the kernel's skip-ahead. chr(1) cannot
+    * occur in corpus tokens (whitespace tokenization).
+    *
+    * Returns the expression text producing the merged wrapped string
+    * from a column `s` holding the wrapped initial characters.
+    */
+  def mergeChainSql(rules: Seq[(String, String)]): String = {
+    def wrap(sym: String) = s"chr(1)||'${sym.replace("'", "''")}'||chr(1)"
+    rules.foldLeft("s") { case (e, (l, r)) =>
+      s"replace($e, ${wrap(l)}||${wrap(r)}, ${wrap(l + r)})"
+    }
+  }
 }

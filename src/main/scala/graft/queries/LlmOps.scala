@@ -45,6 +45,17 @@ object LlmOps {
     "len(list_filter(string_split(text,' '), t -> " +
       words.map(w => s"t = '$w'").mkString(" OR ") + "))"
 
+  /** The merge table qQ2 applies — trained once on the sf0.01 fixture
+    * corpus by `graft.tools.BpeDump` (Bpe.train, 24 merges, counts in
+    * the tool's output); OperatorsSpec pins the training provenance.
+    */
+  val BpeFixtureRules: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1120,6 +1131,50 @@ object LlmOps {
               |    AS recall,
               |  floor((SELECT count(*) FROM hit) * 1.0 /
               |    (SELECT count(*) FROM lshp) * 10000.0 + 0.5) / 10000.0
-              |    AS precision""".stripMargin))
+              |    AS precision""".stripMargin)),
+
+    // BPE segmentation, oracle-checked (round-9 verdict item 4): the
+    // merge table below was trained ONCE on the sf0.01 fixture corpus
+    // (graft.tools.BpeDump — Bpe.train, 24 merges; a tokenizer trains
+    // once and its merge table ships as an artifact), and the query
+    // APPLIES it via the mergePair kernel chain. The DuckDB oracle
+    // replays the identical rules as an unrolled nested-replace over a
+    // delimiter-wrapped symbol string (Bpe.mergeChainSql — generated
+    // from the SAME literals, the qJ6/qK8 pattern), converting the
+    // larger of the two spec-locked engine surfaces into a green row.
+    // Training itself stays spec-locked (documented DuckDB reduce()
+    // limitation).
+    GraftQuery(
+      "qQ2_bpe_segment",
+      "BPE segmentation: apply the fixture-trained 24-rule merge " +
+        "table to every corpus token via the greedy-leftmost " +
+        "merge_pair kernel; per-token piece list, zero shuffles.",
+      (s, d) => graft.operators.Bpe.segmentWithPos(
+        t(s, d, "documents"), "doc_id", "text", BpeFixtureRules)
+        .select(col("doc_id"), col("tok_idx"), col("w"),
+          size(col("sym")).cast("long").as("n_pieces"),
+          array_join(col("sym"), " ").as("pieces"))
+        .orderBy("doc_id", "tok_idx"),
+      Some(s"""WITH bt AS (SELECT doc_id,
+              |    unnest(list_transform(string_split(text, ' '),
+              |      (w, i) -> struct_pack(w := w, i := i))) AS u
+              |  FROM documents),
+              |bw AS (SELECT doc_id, CAST(u.i AS BIGINT) AS tok_idx,
+              |    u.w AS w,
+              |    array_to_string(list_transform(string_split(u.w, ''),
+              |      c -> chr(1)||c||chr(1)), '') AS s
+              |  FROM bt WHERE u.w <> ''),
+              |bm AS (SELECT doc_id, tok_idx, w,
+              |    ${graft.operators.Bpe.mergeChainSql(BpeFixtureRules)}
+              |      AS ms
+              |  FROM bw),
+              |br AS (SELECT doc_id, tok_idx, w,
+              |    string_split(substr(ms, 2, len(ms) - 2),
+              |      chr(1)||chr(1)) AS sym
+              |  FROM bm)
+              |SELECT doc_id, tok_idx, w,
+              |  CAST(len(sym) AS BIGINT) AS n_pieces,
+              |  array_to_string(sym, ' ') AS pieces
+              |FROM br ORDER BY doc_id, tok_idx""".stripMargin))
   )
 }

@@ -181,6 +181,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(seg("pun") == Seq("p", "u", "n"))
   }
 
+  test("BpeFixtureRules provenance: Bpe.train on the sf0.01 fixture " +
+    "reproduces qQ2's embedded merge table exactly") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01",
+      "documents")
+    val trained = Bpe.train(docs, "text", merges = 24)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(trained == graft.queries.LlmOps.BpeFixtureRules,
+      "the embedded literal diverged from training — re-run " +
+        "graft.tools.BpeDump and refresh LlmOps.BpeFixtureRules")
+  }
+
+  test("mergeChainSql wrapping reproduces greedy-leftmost kernel " +
+    "semantics on the overlap edge cases") {
+    // the wrapped-replace encoding must skip-ahead exactly like the
+    // kernel: (a,a) on "aaaa" -> [aa, aa]; on "aaa" -> [aa, a];
+    // cascaded multi-char rules on a held-out word
+    val rules = Seq(("a", "a"), ("aa", "a"))
+    val docs = Seq((1L, "aaaa aaa aaaaa")).toDF("doc_id", "text")
+    val segs = Bpe.segmentWithPos(docs, "doc_id", "text", rules)
+      .collect().map(r => (r.getString(2), r.getSeq[String](3))).toMap
+    assert(segs("aaaa") == Seq("aa", "aa"))
+    assert(segs("aaa") == Seq("aaa"))          // (a,a) then (aa,a)
+    // (a,a): [aa, aa, a]; then (aa,a) first matches at index 1
+    assert(segs("aaaaa") == Seq("aa", "aaa"))
+    // the generated SQL text unrolls one replace per rule, in order
+    val sql = Bpe.mergeChainSql(rules)
+    assert(sql.indexOf("'aa'") > 0 && sql.startsWith("replace(replace(s"))
+  }
+
   test("cooldownDedupStreamed (custom physical operator) agrees with " +
     "the fold-based operator on the events table") {
     val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")

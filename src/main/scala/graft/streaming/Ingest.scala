@@ -18,9 +18,15 @@ import org.apache.spark.sql.types.StructType
 object Ingest {
 
   /** File-arrival stream over a directory of parquet drops. */
-  def streamTable(spark: SparkSession, dir: String, schema: StructType)
-      : DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  def streamTable(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    // rate limit ⇒ micro-batch granularity (honored by AvailableNow);
+    // 0 = everything available in one batch
+    val r2 = if (maxFilesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", maxFilesPerTrigger) else r
+    r2.parquet(dir)
+  }
 
   /** At-least-once → effectively-once: drop duplicate test ids within the
     * watermark horizon (the reference relies on the parser's daily
@@ -409,5 +415,118 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .partitionBy("date")
       .outputMode("append")
+      .start()
+
+  /** Latest committed `v_<batchId>` version under `dir`, if any. */
+  private def latestVersion(spark: SparkSession, dir: String)
+      : Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(base)) None
+    else fsys.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v_")).sortBy(_.getName).lastOption
+      .map(p => spark.read.parquet(p.toString))
+  }
+
+  /** Exactly-once per-batch output write: `df` lands in
+    * `baseDir/v_<batchId>` via tmp-write + atomic rename, and a
+    * replayed batch whose version already exists writes NOTHING — the
+    * stronger sibling of the screens' at-least-once `mode("append")`
+    * rows, for outputs where a duplicated decision row would corrupt a
+    * downstream join rather than merely repeat a monitoring line.
+    * `df` is evaluated only when the write actually happens.
+    */
+  private def writeVersionedOnce(spark: SparkSession, baseDir: String,
+      batchId: Long)(df: => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(base, f"v_$batchId%020d")
+    if (!fsys.exists(target)) {
+      val tmp = new Path(base, s"_tmp_$batchId")
+      fsys.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (!fsys.rename(tmp, target))
+        throw new java.io.IOException(s"promote failed: $tmp -> $target")
+    }
+  }
+
+  /** All committed decision rows written by a versioned screen
+    * ([[startMediaScreen]]): one parquet dir per batch under `dir`,
+    * resolved through the Hadoop FileSystem API (committed `v_*`
+    * versions only — in-flight `_tmp_*` dirs are never read).
+    */
+  def versionedRows(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fsys.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v_")).sortBy(_.getName)
+    require(versions.nonEmpty, s"no committed versions under $dir")
+    spark.read.parquet(versions.map(_.toString): _*)
+  }
+
+  /** Streaming visual near-dup screen — qP3's arrival-time face with a
+    * GROWING index, completing the media-dedup lifecycle the MinHash
+    * path already has (batch pairs qP0 → incremental screen qP3 →
+    * THIS). Per micro-batch of media rows:
+    *
+    *   1. decode + 56-bit dHash ([[graft.operators.Multimodal
+    *      .dhashImages]] — undecodable rows ride through with null
+    *      hash and screen as no-dup, the quarantine discipline);
+    *   2. screen against the STANDING band index (previous batches +
+    *      the seed corpus) with the SAME capped probe as the batch
+    *      operator ([[graft.operators.Dedup.codeHammingScreen]] — one
+    *      implementation, so stream and batch cannot drift), decisions
+    *      written EXACTLY-ONCE to `outDir/v_<batchId>` (a replayed
+    *      batch re-emits nothing — a duplicated decision row would
+    *      corrupt a downstream disposition join);
+    *   3. merge the batch's own band rows into the standing index
+    *      through the versioned rename-promoted layout
+    *      ([[mergeVersioned]]), so later batches screen against
+    *      everything that arrived before them.
+    *
+    * Crash/replay: decisions are written BEFORE the index version, so
+    * on replay either both exist (skip both), or only decisions exist
+    * (skip 2, redo 3 against the still-intact previous version) —
+    * index-committed-but-no-decisions cannot occur.
+    *
+    * `seedIndex` is the prebuilt corpus index
+    * ([[graft.operators.Dedup.codeBandIndex]] schema: doc_id, code,
+    * band_idx, band_val); it is folded into version 0 on the first
+    * batch. At 100 TB the standing index is bands × corpus rows of 4
+    * longs and each batch costs O(new × bands) equi-join probes,
+    * however large the history — the qP3 scale shape, now with
+    * arrival-time state.
+    */
+  def startMediaScreen(stream: DataFrame, seedIndex: DataFrame,
+      bits: Int, maxHamming: Int, bandsCount: Int, maxPosting: Int,
+      idxDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // one decode pass per batch, consumed by screen AND index build
+        val hashes = graft.operators.Multimodal.dhashImages(batch)
+          .toDF().localCheckpoint()
+        val standing = latestVersion(spark, idxDir)
+        writeVersionedOnce(spark, outDir, batchId) {
+          graft.operators.Dedup.codeHammingScreen(
+            hashes, "doc_id", "dhash", standing.getOrElse(seedIndex),
+            bits, maxHamming, bandsCount, maxPosting)
+            .withColumn("batch_id", lit(batchId))
+        }
+        val freshBands = graft.operators.Dedup.codeBandIndex(
+          hashes, "doc_id", "dhash", bits, bandsCount)
+        val init =
+          if (standing.isEmpty) seedIndex.unionByName(freshBands)
+          else freshBands
+        mergeVersioned(spark, idxDir, batchId, init,
+          (old, fresh) => old.unionByName(fresh))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 }

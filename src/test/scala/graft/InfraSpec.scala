@@ -932,6 +932,96 @@ class InfraSpec extends SparkTestBase {
       (12L, Some(1L), true)))
   }
 
+  test("streaming media screen: growing band index, exactly-once " +
+    "decisions, agrees with the composed batch screens") {
+    import graft.operators.{Dedup, Multimodal}
+    // deterministic 18x14 P5 images: hash-grade pixels per seed, so two
+    // seeds differ in far more than maxHamming dhash bits while an
+    // exact byte copy is hamming 0
+    def p5(seed: Int): Array[Byte] = {
+      val w = 18; val h = 14
+      val header = s"P5\n$w $h\n255\n".getBytes("UTF-8")
+      val out = new Array[Byte](header.length + w * h)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var j = 0
+      while (j < w * h) {
+        val x = j % w; val y = j / w
+        // multiplicative mix: the seed must shuffle adjacent-pixel
+        // ORDERINGS (what dHash compares), not just add a constant
+        // that neighbor comparisons cancel out
+        out(header.length + j) =
+          (((x + y * 18 + seed * 252 + 1) * 2654435761L >>> 16) % 256)
+            .toByte
+        j += 1
+      }
+      out
+    }
+    def media(rows: (Long, Int)*) =
+      rows.map { case (id, seed) =>
+        val b = p5(seed)
+        (id, b, "image/x-portable-graymap", b.length.toLong)
+      }.toDF("doc_id", "media", "mime", "n_bytes")
+
+    val seedMedia = media(0L -> 1, 1L -> 2)
+    val drop1 = media(10L -> 1, 11L -> 3) // copy of seed A; unique C
+    val drop2 = media(20L -> 3, 21L -> 4) // copy of DROP-1's C; unique D
+
+    val inDir = Files.createTempDirectory("med-in").toFile
+    val outDir = Files.createTempDirectory("med-out").toFile.getAbsolutePath
+    val idxDir = Files.createTempDirectory("med-idx").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("med-ck").toFile.getAbsolutePath
+    // one part file per drop + per-file trigger ⇒ one micro-batch per
+    // drop (AvailableNow otherwise folds all available files into one
+    // batch, which would hide the growing-index property)
+    drop1.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    drop2.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+
+    val seedIndex = Dedup.codeBandIndex(
+      Multimodal.dhashImages(seedMedia).toDF(), "doc_id", "dhash",
+      bits = 56, bandsCount = 7).localCheckpoint()
+    val stream = Ingest.streamTable(spark,
+      inDir.getAbsolutePath + "/drop*", drop1.schema,
+      maxFilesPerTrigger = 1)
+    val q = Ingest.startMediaScreen(stream, seedIndex,
+      bits = 56, maxHamming = 6, bandsCount = 7, maxPosting = 12,
+      idxDir = idxDir, outDir = outDir, checkpointDir = ckpt)
+    q.awaitTermination(120000)
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "is_dup", "match_id").orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    val got = norm(Ingest.versionedRows(spark, outDir))
+    // the cross-batch pair (20 ~ 11) is the growing-index property a
+    // static-seed screen would miss
+    assert(got == Seq(
+      (10L, true, Some(0L)), (11L, false, None),
+      (20L, true, Some(11L)), (21L, false, None)))
+
+    // stream == composed batch screens on the same one-implementation
+    // operator: drop1 vs seed, then drop2 vs seed + drop1's bands
+    val h1 = Multimodal.dhashImages(drop1).toDF()
+    val h2 = Multimodal.dhashImages(drop2).toDF()
+    val batch =
+      Dedup.codeHammingScreen(h1, "doc_id", "dhash", seedIndex,
+        bits = 56, maxHamming = 6, bandsCount = 7, maxPosting = 12)
+        .unionByName(Dedup.codeHammingScreen(h2, "doc_id", "dhash",
+          seedIndex.unionByName(Dedup.codeBandIndex(h1, "doc_id",
+            "dhash", bits = 56, bandsCount = 7)),
+          bits = 56, maxHamming = 6, bandsCount = 7, maxPosting = 12))
+    assert(got == norm(batch))
+
+    // the standing index now holds seed + both drops; decisions are
+    // versioned one dir per batch (exactly-once layout)
+    assert(Ingest.standingSketch(spark, idxDir).count() ==
+      seedIndex.count() + (h1.count() + h2.count()) * 7)
+    assert(new java.io.File(outDir).listFiles()
+      .count(_.getName.startsWith("v_")) == 2)
+  }
+
   test("streaming ingest: file source -> watermark dedup -> windowed agg") {
     val dir = Files.createTempDirectory("stream-in").toFile
     val ckpt = Files.createTempDirectory("stream-ck").toFile

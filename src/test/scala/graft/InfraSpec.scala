@@ -1130,4 +1130,83 @@ class InfraSpec extends SparkTestBase {
     assert(shaped.filter(col("id") === 1L).collect()(0)
       .getAs[Any]("added") == null)
   }
+
+  test("partition-incremental unified refresh: one new date partition " +
+    "equals the full recompute's slice, scanning exactly one " +
+    "partition of each era table") {
+    import graft.views.UnifiedViews
+    UnifiedViews.prepare(spark)
+    // minimal ndt7-shape raw rows satisfying the validity gates (q42's
+    // recipe: 20 measurements in [18,120], production archive, public
+    // client IP), two dates per era — the reference's daily
+    // partition-append ingestion contract (schema/README.md:6-9)
+    def rawEra(tag: String): org.apache.spark.sql.DataFrame =
+      spark.range(0, 24).toDF("n").select(
+        concat(lit(s"uuid-$tag-"), col("n").cast("string")).as("id"),
+        when(col("n") % 2 === 0, lit("2024-03-01"))
+          .otherwise(lit("2024-03-02")).cast("date").as("date"),
+        struct(lit("v1").as("Version"),
+          to_timestamp(lit("2024-03-01 00:00:00")).as("Time"),
+          lit("gs://archive/mlab2-abc01-x.tgz").as("ArchiveURL"),
+          lit("f.tgz").as("Filename")).as("parser"),
+        struct(lit("1.2.3.4").as("IP"), lit(443L).as("Port")).as("server"),
+        struct(lit("203.0.113.5").as("IP"), lit(5201L).as("Port"))
+          .as("client"),
+        struct(struct(
+          concat(lit(s"uuid-$tag-"), col("n").cast("string")).as("UUID"),
+          to_timestamp(lit("2024-03-01 00:00:00")).as("StartTime"),
+          lit("bbr").as("CongestionControl"),
+          transform(sequence(lit(1), lit(20)), i => struct(
+            (i.cast("long") * 500000L).as("ElapsedTime"),
+            struct(
+              (i.cast("long") * 50000L + col("n") * 7L).as("BytesAcked"),
+              (col("n") % 50 * 1000L + 1000L).as("MinRTT"),
+              lit(0L).as("BytesRetrans"),
+              (i.cast("long") * 50000L + col("n") * 7L + 1000L)
+                .as("BytesSent")).as("TCPInfo")))
+            .as("ServerMeasurements")).as("Download")).as("raw"))
+    val d1 = Files.createTempDirectory("era1").toFile.getAbsolutePath
+    val d2 = Files.createTempDirectory("era2").toFile.getAbsolutePath
+    rawEra("a").write.mode("overwrite").partitionBy("date").parquet(d1)
+    rawEra("b").write.mode("overwrite").partitionBy("date").parquet(d2)
+
+    def chain(): org.apache.spark.sql.DataFrame =
+      UnifiedViews.unifiedDownloads(Seq(
+        UnifiedViews.extendedDownloads(spark.read.parquet(d1)),
+        UnifiedViews.extendedDownloads(spark.read.parquet(d2))))
+    val newDay = java.sql.Date.valueOf("2024-03-02")
+    // the refresh is DECLARED as a filter on the unified view — the
+    // Spark-first shape: Catalyst pushes the date predicate through
+    // * EXCEPT(filter) / validity projections / the union down to
+    // partition pruning on every era scan, no bespoke refresh operator
+    val refresh = chain().where(col("date") === lit(newDay))
+    val full = chain()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("date"),
+        col("a.MeanThroughputMbps"), col("a.MinRTT"))
+        .orderBy("id").collect().toSeq
+    val fullSlice = rows(full.where(col("date") === lit(newDay)))
+    assert(rows(refresh) == fullSlice && fullSlice.nonEmpty)
+    // full output = old slice + refreshed slice (per-row chain: no
+    // cross-partition state, so single-partition recompute is exact)
+    assert(rows(full).size ==
+      fullSlice.size + rows(full.where(col("date") =!= lit(newDay))).size)
+
+    // plan guard: both era scans prune to EXACTLY the one new
+    // partition (the 100 TB contract — a daily refresh reads one day,
+    // not the archive)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = refresh.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.length == 2, s"expected 2 era scans, got ${scans.length}")
+    scans.foreach { s =>
+      assert(s.metadata.getOrElse("PartitionFilters", "")
+        .contains("date"), s"no partition filter on era scan: $s")
+      assert(s.selectedPartitions.partitionCount == 1,
+        s"era scan read ${s.selectedPartitions.partitionCount} " +
+          "partitions, expected 1")
+    }
+  }
 }

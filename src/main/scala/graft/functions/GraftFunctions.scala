@@ -40,6 +40,8 @@ object GraftFunctions {
     "shingle_hash_set" -> (es => ShingleHashSetExpr(es(0),
       es(1).eval().asInstanceOf[Int])),
     "token_hashes" -> (es => TokenHashesExpr(es.head)),
+    "word_ngrams" -> (es => WordNgramsExpr(es(0),
+      es(1).eval().asInstanceOf[Int])),
     "jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
     "deflate_ratio" -> (es => DeflateRatioExpr(es.head)),
     "nfc_normalize" -> (es => NfcNormalizeExpr(es.head)),
@@ -106,6 +108,9 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(n))
   def tokenHashes(tokens: Column): Column =
     call_function("token_hashes", tokens)
+  def wordNgrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text,
+      org.apache.spark.sql.functions.lit(n))
   def charEntropy(text: Column): Column =
     call_function("char_entropy", text)
   def mgSketch(item: Column, k: Int): Column =

@@ -70,6 +70,45 @@ object VectorHashOps {
       ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
   }
 
+  /** Word n-gram STRINGS straight from the raw text, one byte pass —
+    * semantics identical to TextOps.shingles(TextOps.tokens(text), n)
+    * (single-space split, space-joined grams, empty array below n
+    * tokens) but with none of the interpreted HOF machinery: because
+    * tokens split on single spaces and grams re-join with single
+    * spaces, every gram IS a contiguous byte slice of the input, so
+    * the kernel collects word-start offsets once and emits zero-copy
+    * slices — no token array, no `sequence`, no per-gram
+    * slice/array_join allocations. (0x20 never occurs inside a UTF-8
+    * multibyte sequence, so the byte scan is code-point-safe.)
+    */
+  def wordNgrams(text: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val b = text.getBytes
+    var spaces = 0
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') spaces += 1; i += 1 }
+    val words = spaces + 1
+    if (words < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](words)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' ') { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val out = new Array[Any](words - n + 1)
+    var g = 0
+    while (g <= words - n) {
+      val s = starts(g)
+      val e = if (g + n < words) starts(g + n) - 1 else b.length
+      out(g) = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(b, s, e - s)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct hashed word-n-gram shingles of a token array, single pass
     * (first-occurrence order — downstream consumers are set ops, order
     * never observable). Semantics identical to
@@ -433,6 +472,27 @@ case class TokenHashesExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenHashesExpr =
     copy(child = c)
   override def prettyName: String = "token_hashes"
+}
+
+/** word_ngrams(string, n) → array<string>: space-joined word n-grams as
+  * zero-copy byte slices of the input — the explode feed for the
+  * heavy-hitter passes (one generated-code static call per row instead
+  * of the interpreted sequence/slice/array_join HOF chain).
+  */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    VectorHashOps.wordNgrams(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorHashOps.wordNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNgramsExpr =
+    copy(child = c)
+  override def prettyName: String = "word_ngrams"
 }
 
 /** merge_pair(array<string>, a, b) → array<string>: greedy leftmost BPE

@@ -765,8 +765,8 @@ object Analytics {
           .select(pmod(graft.functions.TextOps.hash32(
               concat(lit("vg:"), col("doc_id").cast("string"))), lit(10))
               .as("decile"),
-            explode(graft.functions.TextOps.shingles(
-              graft.functions.TextOps.tokens(col("text")), 3)).as("g"))
+            explode(graft.functions.GraftFunctions.wordNgrams(
+              col("text"), 3)).as("g"))
           .groupBy("g").agg(min(col("decile")).as("first_decile"))
           .groupBy(col("first_decile").as("decile"))
           .agg(count(lit(1)).as("new_grams"))

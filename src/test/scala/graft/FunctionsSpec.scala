@@ -202,6 +202,24 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("word_ngrams kernel == shingles(tokens) HOF formulation, " +
+    "including space edge cases") {
+    // double/leading/trailing spaces make empty split-tokens; the
+    // byte-slice kernel must reproduce them byte-for-byte, and
+    // multibyte text must never be cut mid code point
+    val docs = sampleDocs ++ Seq("a  b c", " x y z", "p q r ",
+      "é ü 漢字 test ok", "one two", "a b c d e f")
+    for (n <- Seq(2, 3, 4)) {
+      val both = docs.toDF("text").select(
+        GraftFunctions.wordNgrams(col("text"), n).as("k"),
+        TextOps.shingles(TextOps.tokens(col("text")), n).as("h"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n diverged: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("simhash60 kernel == HOF formulation") {
     val df = sampleDocs.filter(_.nonEmpty).toDF("text")
     val both = df.select(

@@ -42,6 +42,7 @@ object GraftFunctions {
     "token_hashes" -> (es => TokenHashesExpr(es.head)),
     "word_ngrams" -> (es => WordNgramsExpr(es(0),
       es(1).eval().asInstanceOf[Int])),
+    "html_main_content" -> (es => HtmlMainContentExpr(es.head)),
     "jaro_winkler" -> (es => JaroWinklerExpr(es(0), es(1))),
     "deflate_ratio" -> (es => DeflateRatioExpr(es.head)),
     "nfc_normalize" -> (es => NfcNormalizeExpr(es.head)),
@@ -111,6 +112,8 @@ object GraftFunctions {
   def wordNgrams(text: Column, n: Int): Column =
     call_function("word_ngrams", text,
       org.apache.spark.sql.functions.lit(n))
+  def htmlMainContent(html: Column): Column =
+    call_function("html_main_content", html)
   def charEntropy(text: Column): Column =
     call_function("char_entropy", text)
   def mgSketch(item: Column, k: Int): Column =

@@ -354,58 +354,19 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- HTML
 
-  /** `<script>...</script>` including contents (dotall — scripts span
-    * lines and legally contain `<`).
-    */
-  val HtmlScriptRe = "(?is)<script[^>]*>.*?</script>"
-
-  /** `<style>...</style>` including contents. */
-  val HtmlStyleRe = "(?is)<style[^>]*>.*?</style>"
-
-  /** HTML comments `<!-- ... -->` (dotall). */
-  val HtmlCommentRe = "(?s)<!--.*?-->"
-
-  /** Block-level tags (open or close): each occurrence is a block
-    * boundary for segmentation. `(?:...)` — no capture group, and no
-    * backreference anywhere: the whole rule set must stay inside the
-    * RE2-safe subset so the DuckDB replay is the same automaton.
-    */
-  val HtmlBlockTagRe =
-    "(?i)</?(?:p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|" +
-      "blockquote|pre|section|article|aside|header|footer|nav|form)" +
-      "[^>]*>|<br[^>]*>"
-
-  /** Anchor element with plain-text content (`[^<]*` — no nested tags;
-    * nested-markup anchors contribute via the residual tag strip
-    * instead). Group 1 is the anchor text used for link density.
-    */
-  val HtmlAnchorRe = "(?is)<a[^>]*>([^<]*)</a>"
-
-  /** Any remaining tag, stripped to a space inside each block. */
-  val HtmlTagRe = "<[^>]*>"
-
-  /** The entity subset decoded after tag-stripping, in application
-    * order (`&amp;` last so `&amp;lt;` decodes to the literal `&lt;`,
-    * not `<`).
-    */
-  val HtmlEntities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-
-  /** jusText-style block gates: a block is main content when its
-    * cleaned text has at least [[HtmlMinBlockChars]] characters and at
-    * most [[HtmlMaxLinkDensityPct]]% of them inside anchors. The
-    * density gate is evaluated as an integer cross-multiply
-    * (`anchor·100 ≤ text·pct`) so the boolean can never straddle an
-    * engine FP-rounding difference.
-    */
-  val HtmlMinBlockChars = 25
-  val HtmlMaxLinkDensityPct = 33
-
-  /** Block separator injected at block-tag boundaries — U+001E (record
-    * separator), a control char no text corpus contains.
-    */
-  private val HtmlSep = "\u001e"
+  // Rule constants live in graft.functions.HtmlOps (shared by the JVM
+  // kernel, the HOF reference formulation below, and the generated
+  // oracle); re-exported here for spec/doc continuity.
+  val HtmlScriptRe: String = graft.functions.HtmlOps.ScriptRe
+  val HtmlStyleRe: String = graft.functions.HtmlOps.StyleRe
+  val HtmlCommentRe: String = graft.functions.HtmlOps.CommentRe
+  val HtmlBlockTagRe: String = graft.functions.HtmlOps.BlockTagRe
+  val HtmlAnchorRe: String = graft.functions.HtmlOps.AnchorRe
+  val HtmlTagRe: String = graft.functions.HtmlOps.TagRe
+  val HtmlEntities: Seq[(String, String)] = graft.functions.HtmlOps.Entities
+  val HtmlMinBlockChars: Int = graft.functions.HtmlOps.MinBlockChars
+  val HtmlMaxLinkDensityPct: Int = graft.functions.HtmlOps.MaxLinkDensityPct
+  private val HtmlSep = graft.functions.HtmlOps.Sep
 
   /** Main-content extraction from raw HTML (boilerplate removal) — the
     * standard LLM-curation stage between "crawl WARC" and the quality
@@ -430,6 +391,29 @@ object TextAnalysis {
     */
   def extractMainContent(df: DataFrame, idCol: String, htmlCol: String)
       : DataFrame = {
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
+    // one codegen'd kernel expression (graft.functions.HtmlOps) — the
+    // stacked-projection Column formulation re-evaluated the regex
+    // chain up to ~8x per row (CodegenFallback HOFs get no CSE);
+    // extractMainContentHof keeps that formulation as the specced
+    // parity reference
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.htmlMainContent(col(htmlCol))
+          .as("mc"))
+      .select(col("doc_id"), col("mc.n_blocks").as("n_blocks"),
+        col("mc.n_kept").as("n_kept"), col("mc.n_chars").as("n_chars"),
+        col("mc.content").as("content"))
+  }
+
+  /** The Column-HOF reference formulation of [[extractMainContent]] —
+    * identical semantics built only from Spark's own regexp/HOF
+    * surface (same `java.util.regex` engine as the kernel). Kept
+    * non-private for the kernel↔HOF parity spec; not the engine path
+    * (interpreted CodegenFallback, and every downstream field
+    * reference re-evaluates the chain).
+    */
+  private[graft] def extractMainContentHof(df: DataFrame, idCol: String,
+      htmlCol: String): DataFrame = {
     def entityDecode(c: Column): Column =
       HtmlEntities.foldLeft(c) { case (acc, (f, to)) =>
         replace(acc, lit(f), lit(to)) }

@@ -1859,14 +1859,23 @@ object Curation {
       "qQ1_html_gopher_chain",
       "HTML extraction chained into the Gopher quality rules: " +
         "boilerplate-removed content scored by the published gates.",
-      (s, d) => TextAnalysis.gopherRules(
-        TextAnalysis.extractMainContent(
+      (s, d) => {
+        // stage-boundary fence: the gopher projection references the
+        // extracted content in five signal expressions, and the HOF
+        // extraction chain is CodegenFallback (no CSE), so without a
+        // barrier the whole regex chain re-evaluates per signal
+        // (measured 4-5x). Production materializes extracted text
+        // anyway — that is literally what WET files are — so the
+        // fence stands in for the extraction stage's table write.
+        val ext = TextAnalysis.extractMainContent(
           t(s, d, "documents").select(col("doc_id"),
             htmlSpark(col("text"), col("doc_id")).as("html")),
           "doc_id", "html")
           .where(col("n_kept") > 0)
-          .select(col("doc_id"), col("content").as("text")),
-        "doc_id", "text").orderBy("doc_id"),
+          .select(col("doc_id"), col("content").as("text"))
+          .localCheckpoint()
+        TextAnalysis.gopherRules(ext, "doc_id", "text").orderBy("doc_id")
+      },
       Some(s"""WITH mc_h AS (SELECT doc_id, $htmlSql AS html
               |  FROM documents),
               |${TextAnalysis.mainContentSqlCtes("mc_h")},

@@ -212,4 +212,34 @@ class CurationSpec extends SparkTestBase {
     assert(junk.getAs[Long]("n_kept") == 0L)
     assert(junk.getAs[String]("content") == "")
   }
+
+  test("html_main_content kernel == Column-HOF formulation on messy " +
+    "markup") {
+    val pages = Seq(
+      "<html><body><p>plain paragraph long enough to pass the gate " +
+        "today</p></body></html>",
+      "<p>Tom &amp; Jerry &quot;quoted&quot; &#39;s &nbsp;entity " +
+        "soup paragraph</p><nav><a href='/'>Home</a></nav>",
+      "<script>a<b</script><style>x{}</style><!--c--><div>kept block " +
+        "with sufficient characters present</div>",
+      "<ul><li><a href='/1'>one</a></li><li>list item that is long " +
+        "enough to be treated as content</li></ul>",
+      "<p>unicode éü 漢字 block padded out to the " +
+        "minimum content length gate</p>",
+      "<p>  spaced   out   content   with   runs   of   whitespace " +
+        "  everywhere  </p>",
+      "no markup at all just a bare text fragment of decent length",
+      "", "<p></p><div></div>",
+      "<div><a href='/x'>anchor one text</a> plus surrounding prose " +
+        "to dilute the link density below threshold</div>")
+      .zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("doc_id", "html")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+    assert(
+      rows(TextAnalysis.extractMainContent(pages, "doc_id", "html")) ==
+        rows(TextAnalysis.extractMainContentHof(pages, "doc_id", "html")))
+  }
 }

@@ -1882,5 +1882,79 @@ object Curation {
               |mc_x AS (SELECT doc_id, content AS text FROM ext
               |  WHERE n_kept > 0),
               |${gopherSqlCtes("mc_x")}
-              |$gopherSqlSelect""".stripMargin)))
+              |$gopherSqlSelect""".stripMargin)),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2) — the other
+    // canonical curation rule set beside Gopher's, applied one level
+    // below it. The corpus has no newlines, so the fixture builds a
+    // 7-line page around each document deterministically (terminal
+    // punctuation present/absent, a JavaScript boilerplate line, a
+    // lorem-ipsum page poison every 7th doc, a code-brace line every
+    // 11th); both engines replay identical construction and rules.
+    GraftQuery(
+      "qQ3_c4_line_filters",
+      "C4-style line filters: keep lines ending in terminal " +
+        "punctuation with >=3 words and no 'javascript'; drop pages " +
+        "with braces, 'lorem ipsum', or <5 sentences retained.",
+      (s, d) => {
+        val page = concat(
+          substring(col("text"), 1, 60), lit(".\n"),
+          lit("short line\n"),
+          substring(col("text"), 30, 80), lit("!\n"),
+          lit("Please enable JavaScript to view this page.\n"),
+          substring(col("text"), 90, 60), lit(".\n"),
+          when(col("doc_id") % 7 === 0,
+            lit("lorem ipsum dolor sit amet."))
+            .otherwise(concat(substring(col("text"), 60, 70), lit("?"))),
+          lit("\n"),
+          when(col("doc_id") % 11 === 0,
+            lit("function f() { return 1; }"))
+            .otherwise(lit("\"A final quoted closing line here.\"")))
+        TextAnalysis.c4LineFilters(
+          t(s, d, "documents").select(col("doc_id"), page.as("text")),
+          "doc_id", "text").orderBy("doc_id")
+      },
+      Some(s"""WITH c4 AS (SELECT doc_id,
+              |    substr(text, 1, 60) || '.' || chr(10) ||
+              |    'short line' || chr(10) ||
+              |    substr(text, 30, 80) || '!' || chr(10) ||
+              |    'Please enable JavaScript to view this page.' ||
+              |      chr(10) ||
+              |    substr(text, 90, 60) || '.' || chr(10) ||
+              |    CASE WHEN doc_id % 7 = 0
+              |      THEN 'lorem ipsum dolor sit amet.'
+              |      ELSE substr(text, 60, 70) || '?' END || chr(10) ||
+              |    CASE WHEN doc_id % 11 = 0
+              |      THEN 'function f() { return 1; }'
+              |      ELSE '"A final quoted closing line here."' END
+              |      AS text
+              |  FROM documents),
+              |c4k AS (SELECT doc_id,
+              |    CAST(len(string_split(text, chr(10))) AS BIGINT)
+              |      AS n_lines,
+              |    list_filter(string_split(text, chr(10)), x ->
+              |      regexp_matches(trim(x),
+              |        '${TextAnalysis.C4TerminalRe}')
+              |      AND len(list_filter(string_split(trim(x), ' '),
+              |        w -> w <> '')) >= ${TextAnalysis.C4MinLineWords}
+              |      AND NOT contains(lower(x), 'javascript')) AS kept,
+              |    contains(text, '{') AS has_brace,
+              |    contains(lower(text), 'lorem ipsum') AS has_lorem
+              |  FROM c4),
+              |c4m AS (SELECT doc_id, n_lines,
+              |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+              |    array_to_string(kept, chr(10)) AS clean_text,
+              |    has_brace, has_lorem
+              |  FROM c4k),
+              |c4r AS (SELECT doc_id, n_lines, n_kept_lines,
+              |    CAST(len(regexp_extract_all(clean_text, '[.!?]'))
+              |      AS BIGINT) AS n_sentences,
+              |    has_brace, has_lorem, clean_text
+              |  FROM c4m)
+              |SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+              |  (NOT has_brace AND NOT has_lorem AND
+              |    n_sentences >= ${TextAnalysis.C4MinSentences})
+              |    AS keep_doc,
+              |  clean_text
+              |FROM c4r ORDER BY doc_id""".stripMargin)))
 }

@@ -213,6 +213,39 @@ class CurationSpec extends SparkTestBase {
     assert(junk.getAs[String]("content") == "")
   }
 
+  test("c4LineFilters: terminal-punctuation/min-words/javascript line " +
+    "rules and the brace/lorem/sentence page gates") {
+    val good = "This is a good long sentence that ends properly.\n" +
+      "no terminal punctuation on this line\n" + // dropped: no . ! ? "
+      "ok.\n" +                                  // dropped: < 3 words
+      "Please enable JavaScript in your browser.\n" + // dropped
+      "Another valid line with enough words!\n" +
+      "A third full sentence right here?\n" +
+      "Fourth sentence lands safely here.\n" +
+      "\"Fifth sentence closes the page.\""
+    val rows = TextAnalysis.c4LineFilters(Seq(
+      (1L, good),
+      (2L, good + "\nlorem ipsum dolor sit amet."),
+      (3L, good + "\nvar conf = { \"a\": 1 };"),
+      (4L, "One good sentence here.\nAnother fine one lands!"))
+      .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = rows(0)
+    assert(d1.getAs[Long]("n_lines") == 8L)
+    assert(d1.getAs[Long]("n_kept_lines") == 5L)
+    assert(d1.getAs[Long]("n_sentences") == 5L)
+    assert(d1.getAs[Boolean]("keep_doc"))
+    val clean = d1.getAs[String]("clean_text")
+    assert(!clean.contains("JavaScript") && !clean.contains("ok.") &&
+      !clean.contains("no terminal"))
+    // lorem-ipsum and code-brace pages are dropped whole; a clean but
+    // short page fails the 5-sentence gate
+    assert(!rows(1).getAs[Boolean]("keep_doc"))
+    assert(!rows(2).getAs[Boolean]("keep_doc"))
+    assert(!rows(3).getAs[Boolean]("keep_doc") &&
+      rows(3).getAs[Long]("n_kept_lines") == 2L)
+  }
+
   test("html_main_content kernel == Column-HOF formulation on messy " +
     "markup") {
     val pages = Seq(

@@ -72,6 +72,14 @@ object HtmlOps {
   val MinBlockChars = 25
   val MaxLinkDensityPct = 33
 
+  /** Whitespace-run class for the collapse step — an EXPLICIT char
+    * class instead of `\s` because the two engines disagree on `\s`:
+    * java.util.regex includes U+000B (vertical tab), RE2 does not.
+    * `[ \t\n\x0B\f\r]+` parses identically in both, keeping the
+    * same-automaton parity claim true for this step too.
+    */
+  val WsRe = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Block separator injected at block-tag boundaries — U+001E. */
   val Sep = "\u001e"
 
@@ -81,7 +89,7 @@ object HtmlOps {
   private val BlockP = Pattern.compile(BlockTagRe)
   private val AnchorP = Pattern.compile(AnchorRe)
   private val TagP = Pattern.compile(TagRe)
-  private val WsP = Pattern.compile("\\s+")
+  private val WsP = Pattern.compile(WsRe)
 
   private def decodeEntities(s: String): String = {
     var out = s

@@ -229,8 +229,11 @@ object Bpe {
     * replace — reproduces [[VectorHashOps.mergePair]]'s greedy
     * semantics EXACTLY: after "aa"←(a,a) consumes two wrapped symbols
     * the residual `\x01a\x01` has no second wrapped operand to pair
-    * with, which is precisely the kernel's skip-ahead. chr(1) cannot
-    * occur in corpus tokens (whitespace tokenization).
+    * with, which is precisely the kernel's skip-ahead. U+0001 is the
+    * transport delimiter, so a token CONTAINING it would silently
+    * shift symbol boundaries — callers must exclude such tokens
+    * identically on both sides (qQ2 filters them in query and oracle;
+    * the same discipline as GraftFunctions' VocabSep).
     *
     * Returns the expression text producing the merged wrapped string
     * from a column `s` holding the wrapped initial characters.

@@ -419,6 +419,7 @@ object TextAnalysis {
   val HtmlTagRe: String = graft.functions.HtmlOps.TagRe
   val HtmlEntities: Seq[(String, String)] = graft.functions.HtmlOps.Entities
   val HtmlMinBlockChars: Int = graft.functions.HtmlOps.MinBlockChars
+  val HtmlWsRe: String = graft.functions.HtmlOps.WsRe
   val HtmlMaxLinkDensityPct: Int = graft.functions.HtmlOps.MaxLinkDensityPct
   private val HtmlSep = graft.functions.HtmlOps.Sep
 
@@ -473,11 +474,11 @@ object TextAnalysis {
         replace(acc, lit(f), lit(to)) }
     def cleanBlock(b: Column): Column =
       trim(regexp_replace(
-        entityDecode(regexp_replace(b, HtmlTagRe, " ")), "\\s+", " "))
+        entityDecode(regexp_replace(b, HtmlTagRe, " ")), HtmlWsRe, " "))
     def anchorChars(b: Column): Column =
       aggregate(
         transform(regexp_extract_all(b, lit(HtmlAnchorRe), lit(1)),
-          a => length(trim(regexp_replace(entityDecode(a), "\\s+", " ")))
+          a => length(trim(regexp_replace(entityDecode(a), HtmlWsRe, " ")))
             .cast("long")),
         lit(0L), (acc, v) => acc + v)
     val stripped = regexp_replace(regexp_replace(regexp_replace(
@@ -515,9 +516,9 @@ object TextAnalysis {
       HtmlEntities.foldLeft(e) { case (acc, (f, to)) =>
         s"replace($acc, '$f', '${to.replace("'", "''")}')" }
     def clean(x: String): String =
-      "trim(regexp_replace(" +
+      s"trim(regexp_replace(" +
         decode(s"regexp_replace($x, '$HtmlTagRe', ' ', 'g')") +
-        ", '\\s+', ' ', 'g'))"
+        s", '$HtmlWsRe', ' ', 'g'))"
     val aLen =
       "CAST(coalesce(list_sum(list_transform(" +
         s"regexp_extract_all(x, '$HtmlAnchorRe', 1), " +

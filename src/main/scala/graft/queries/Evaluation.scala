@@ -388,7 +388,7 @@ object Evaluation {
           .orderBy("id")
       },
       Some(s"""WITH RECURSIVE $duckVecNorm,
-              |pl AS (SELECT min(range) AS k FROM range(1,31)
+              |pl AS (SELECT coalesce(min(range), 30) AS k FROM range(1,31)
               |  WHERE (1 << range) * 64 >=
               |    (SELECT count(*) FROM embeddings)),
               |b AS (SELECT vec_id, v, nrm,

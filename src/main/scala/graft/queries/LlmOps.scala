@@ -249,7 +249,7 @@ object LlmOps {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $duckVecNorm,
-              |pl AS (SELECT min(range) AS k FROM range(1,31)
+              |pl AS (SELECT coalesce(min(range), 30) AS k FROM range(1,31)
               |  WHERE (1 << range) * 64 >=
               |    (SELECT count(*) FROM embeddings)),
               |b AS (SELECT vec_id, v, nrm,
@@ -1151,6 +1151,11 @@ object LlmOps {
         "merge_pair kernel; per-token piece list, zero shuffles.",
       (s, d) => graft.operators.Bpe.segmentWithPos(
         t(s, d, "documents"), "doc_id", "text", BpeFixtureRules)
+        // transport guard, mirrored in the oracle: U+0001 is the
+        // wrapped-symbol delimiter of the oracle's replay encoding
+        // (and the VocabSep discipline) — a token containing it would
+        // silently shift symbol boundaries, so both sides exclude it
+        .filter(!col("w").contains("\u0001"))
         .select(col("doc_id"), col("tok_idx"), col("w"),
           size(col("sym")).cast("long").as("n_pieces"),
           array_join(col("sym"), " ").as("pieces"))
@@ -1163,7 +1168,7 @@ object LlmOps {
               |    u.w AS w,
               |    array_to_string(list_transform(string_split(u.w, ''),
               |      c -> chr(1)||c||chr(1)), '') AS s
-              |  FROM bt WHERE u.w <> ''),
+              |  FROM bt WHERE u.w <> '' AND NOT contains(u.w, chr(1))),
               |bm AS (SELECT doc_id, tok_idx, w,
               |    ${graft.operators.Bpe.mergeChainSql(BpeFixtureRules)}
               |      AS ms

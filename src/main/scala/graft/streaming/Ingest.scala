@@ -130,6 +130,39 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Committed `v_*` version dirs under `dir`, oldest → newest (empty
+    * when the dir itself does not exist yet) — the ONE listing every
+    * version-layout consumer (merge, standing reader, decision reader)
+    * goes through, so the naming/ordering protocol lives in one place.
+    */
+  private def versionPaths(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(dir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(base)) Seq.empty
+    else fsys.listStatus(base).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v_")).sortBy(_.getName)
+  }
+
+  /** Atomic tmp-write + rename promote of `df` into
+    * `baseDir/v_<batchId>` — the shared commit step of the versioned
+    * layout (committed versions are never mutated in place).
+    */
+  private def promoteVersion(spark: SparkSession, baseDir: String,
+      batchId: Long, df: DataFrame): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(base, f"v_$batchId%020d")
+    val tmp = new Path(base, s"_tmp_$batchId")
+    fsys.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fsys.rename(tmp, target))
+      throw new java.io.IOException(s"promote failed: $tmp -> $target")
+    target
+  }
+
   /** Exactly-once merge of a per-batch sketch into a standing versioned
     * sketch table at `baseDir` (layout: `baseDir/v_<batchId>` parquet
     * dirs; readers resolve the latest via [[standingSketch]]).
@@ -161,37 +194,25 @@ object Ingest {
     if (fsys.exists(target)) { // replayed, already-committed batch
       spark.read.parquet(target.toString)
     } else {
-      val prev =
-        if (!fsys.exists(base)) None
-        else fsys.listStatus(base).toSeq.map(_.getPath)
-          .filter(_.getName.startsWith("v_")).sortBy(_.getName).lastOption
+      val prev = versionPaths(spark, baseDir).lastOption
       val merged = prev match {
         case Some(p) => mergeFn(spark.read.parquet(p.toString), fresh)
         case None => fresh
       }
-      val tmp = new Path(base, s"_tmp_$batchId")
-      fsys.delete(tmp, true)
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      if (!fsys.rename(tmp, target))
-        throw new java.io.IOException(s"promote failed: $tmp -> $target")
+      val committed = promoteVersion(spark, baseDir, batchId, merged)
       prev.foreach(p => fsys.delete(p, true))
-      spark.read.parquet(target.toString)
+      spark.read.parquet(committed.toString)
     }
   }
 
   /** Resolve the current standing sketch written by the incremental
     * screens (the latest committed `v_<batchId>` version under `dir`).
     */
-  def standingSketch(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(dir)
-    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val latest = fsys.listStatus(base).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("v_")).sortBy(_.getName).lastOption
+  def standingSketch(spark: SparkSession, dir: String): DataFrame =
+    versionPaths(spark, dir).lastOption
+      .map(p => spark.read.parquet(p.toString))
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no committed sketch version under $dir"))
-    spark.read.parquet(latest.toString)
-  }
 
   /** Incremental-cardinality screen: each micro-batch's values are
     * sketched ([[graft.operators.Hll.registers]]) and max-merged into
@@ -419,15 +440,9 @@ object Ingest {
 
   /** Latest committed `v_<batchId>` version under `dir`, if any. */
   private def latestVersion(spark: SparkSession, dir: String)
-      : Option[DataFrame] = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(dir)
-    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fsys.exists(base)) None
-    else fsys.listStatus(base).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("v_")).sortBy(_.getName).lastOption
+      : Option[DataFrame] =
+    versionPaths(spark, dir).lastOption
       .map(p => spark.read.parquet(p.toString))
-  }
 
   /** Exactly-once per-batch output write: `df` lands in
     * `baseDir/v_<batchId>` via tmp-write + atomic rename, and a
@@ -442,14 +457,9 @@ object Ingest {
     import org.apache.hadoop.fs.Path
     val base = new Path(baseDir)
     val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(base, f"v_$batchId%020d")
-    if (!fsys.exists(target)) {
-      val tmp = new Path(base, s"_tmp_$batchId")
-      fsys.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      if (!fsys.rename(tmp, target))
-        throw new java.io.IOException(s"promote failed: $tmp -> $target")
-    }
+    if (!fsys.exists(new Path(base, f"v_$batchId%020d")))
+      promoteVersion(spark, baseDir, batchId, df)
+    ()
   }
 
   /** All committed decision rows written by a versioned screen
@@ -458,11 +468,7 @@ object Ingest {
     * versions only — in-flight `_tmp_*` dirs are never read).
     */
   def versionedRows(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(dir)
-    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fsys.listStatus(base).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("v_")).sortBy(_.getName)
+    val versions = versionPaths(spark, dir)
     require(versions.nonEmpty, s"no committed versions under $dir")
     spark.read.parquet(versions.map(_.toString): _*)
   }
@@ -517,8 +523,12 @@ object Ingest {
             bits, maxHamming, bandsCount, maxPosting)
             .withColumn("batch_id", lit(batchId))
         }
+        // undecodable rows still get a no-dup DECISION above, but
+        // their null hashes never equi-match and would otherwise
+        // accumulate as permanent dead weight in the standing index
         val freshBands = graft.operators.Dedup.codeBandIndex(
-          hashes, "doc_id", "dhash", bits, bandsCount)
+          hashes.filter(col("dhash").isNotNull),
+          "doc_id", "dhash", bits, bandsCount)
         val init =
           if (standing.isEmpty) seedIndex.unionByName(freshBands)
           else freshBands

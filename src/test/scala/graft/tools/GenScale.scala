@@ -76,11 +76,18 @@ object GenScale {
         .parquet("/root/repo/target/sf10/documents.parquet")
       val emb = graft.Tables.load(spark, src, "embeddings")
       (0 until reps).map { r =>
+        // two coprime-modulus terms: (r mod 19, r mod 17) is unique
+        // for r < 323 and never (9-zero, 8-zero) simultaneously for
+        // 1 <= r <= 99, so every replica gets a DISTINCT nonzero
+        // bounded delta (a single mod-19 term collapses 100 replicas
+        // to 19 variants with 5 exact copies — round-9 review find)
         val e =
           if (r == 0) col("embedding")
           else transform(col("embedding"),
-            (x, i) => (x + lit(((r * 37) % 19 - 9) * 0.0008) *
-              ((i % 7) - lit(3.0))).cast("float"))
+            (x, i) => (x +
+              (lit(((r * 37) % 19 - 9) * 0.0008) +
+                lit(((r * 53) % 17 - 8) * 0.00013)) *
+                ((i % 7) - lit(3.0))).cast("float"))
         emb.select((col("vec_id") + lit(r * off)).as("vec_id"),
           e.as("embedding"), col("label"))
       }.reduce(_ unionAll _)

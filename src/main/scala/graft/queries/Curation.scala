@@ -79,14 +79,17 @@ object Curation {
        |  FROM g_m)""".stripMargin
   }
 
-  private val gopherSqlSelect =
-    """SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
-      |  symbol_ratio,
-      |  (n_words BETWEEN 50 AND 100000)
+  private val gopherKeepSql =
+    """(n_words BETWEEN 50 AND 100000)
       |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
       |    AND frac_alpha >= 0.8 AND stop_hits >= 2
-      |    AND symbol_ratio <= 0.1 AS keep
-      |FROM g_r ORDER BY doc_id""".stripMargin
+      |    AND symbol_ratio <= 0.1""".stripMargin
+
+  private def gopherSqlSelect =
+    s"""SELECT doc_id, n_words, mean_word_len, frac_alpha, stop_hits,
+       |  symbol_ratio,
+       |  $gopherKeepSql AS keep
+       |FROM g_r ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ HTML
   // Synthetic raw-HTML fixture for the boilerplate-removal stage: the
@@ -1956,5 +1959,60 @@ object Curation {
               |    n_sentences >= ${TextAnalysis.C4MinSentences})
               |    AS keep_doc,
               |  clean_text
-              |FROM c4r ORDER BY doc_id""".stripMargin)))
+              |FROM c4r ORDER BY doc_id""".stripMargin)),
+
+    // Web corpus-build capstone — the q86 shape with the round-9 web
+    // front end: raw HTML through boilerplate removal, the Gopher
+    // quality gate and exact content dedup to a per-doc disposition,
+    // in ONE declared plan. Scale shape: extraction at scan speed
+    // behind the WET-style stage boundary, one 16-byte-key shuffle for
+    // the dedup groups (the q30 shape), broadcast-eligible joins back.
+    GraftQuery(
+      "qQ4_web_corpus_build",
+      "Web corpus build: HTML -> main-content extraction -> Gopher " +
+        "gate -> exact content dedup (md5, keep-min) -> disposition " +
+        "(keep = quality AND canonical).",
+      (s, d) => {
+        val ext = TextAnalysis.extractMainContent(
+          t(s, d, "documents").select(col("doc_id"),
+            htmlSpark(col("text"), col("doc_id")).as("html")),
+          "doc_id", "html")
+          .where(col("n_kept") > 0)
+          .select(col("doc_id"), col("content").as("text"))
+          .localCheckpoint() // extraction stage boundary (see qQ1)
+        val quality = TextAnalysis.gopherRules(ext, "doc_id", "text")
+          .select(col("doc_id"), col("keep").as("quality_keep"))
+        val hashed = ext.select(col("doc_id"),
+          md5(col("text")).as("content_hash"))
+        val groups = hashed.groupBy("content_hash")
+          .agg(min("doc_id").as("canonical"),
+            count(lit(1)).as("n_dupes"))
+        hashed.join(groups, "content_hash")
+          .join(quality, "doc_id")
+          .select(col("doc_id"), col("content_hash"), col("canonical"),
+            col("n_dupes"), col("quality_keep"),
+            (col("quality_keep") && col("doc_id") === col("canonical"))
+              .as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH mc_h AS (SELECT doc_id, $htmlSql AS html
+              |  FROM documents),
+              |${TextAnalysis.mainContentSqlCtes("mc_h")},
+              |mc_x AS (SELECT doc_id, content AS text FROM ext
+              |  WHERE n_kept > 0),
+              |${gopherSqlCtes("mc_x")},
+              |wq AS (SELECT doc_id, $gopherKeepSql AS quality_keep
+              |  FROM g_r),
+              |wh AS (SELECT doc_id, md5(text) AS content_hash
+              |  FROM mc_x),
+              |wg AS (SELECT content_hash, min(doc_id) AS canonical,
+              |    count(*) AS n_dupes
+              |  FROM wh GROUP BY 1)
+              |SELECT wh.doc_id, wh.content_hash, wg.canonical,
+              |  wg.n_dupes, wq.quality_keep,
+              |  (wq.quality_keep AND wh.doc_id = wg.canonical) AS keep
+              |FROM wh
+              |JOIN wg ON wh.content_hash = wg.content_hash
+              |JOIN wq ON wh.doc_id = wq.doc_id
+              |ORDER BY wh.doc_id""".stripMargin)))
 }

@@ -25,9 +25,26 @@ object PerfProbe {
         println(s"[probe] ${q.name} run$i: " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
-      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
-      val wsc = "WholeStageCodegen".r.findAllIn(plan).size
-      println(s"[probe] ${q.name} WholeStageCodegen spans: $wsc")
+      // count codegen spans on the POST-EXECUTION plan: with AQE on,
+      // an unexecuted df prints "isFinalPlan=false" without the
+      // WholeStageCodegen wrappers, which made this metric read 0 for
+      // every query. The action must run on THIS df's QueryExecution —
+      // df.write clones the plan into a fresh one and leaves the
+      // original unfinalized.
+      val df = q.run(spark, sfDir)
+      // execute the plan object itself: df.write / df.foreach both
+      // clone into a fresh QueryExecution and leave this one
+      // unfinalized
+      val exec = df.queryExecution.executedPlan
+      exec.executeTake(1)
+      val plan = exec.toString
+      // the simple tree renders a codegen span as a "*(id)" node
+      // prefix (the word WholeStageCodegen only appears in formatted
+      // explain); distinct ids = span count
+      val wsc = """\*\((\d+)\)""".r
+        .findAllMatchIn(plan).map(_.group(1)).toSet.size
+      println(s"[probe] ${q.name} WholeStageCodegen spans: $wsc " +
+        s"(finalPlan=${plan.contains("isFinalPlan=true")})")
     }
     spark.stop()
   }

@@ -1863,20 +1863,22 @@ object Curation {
       "HTML extraction chained into the Gopher quality rules: " +
         "boilerplate-removed content scored by the published gates.",
       (s, d) => {
-        // stage-boundary fence: the gopher projection references the
-        // extracted content in five signal expressions, and the HOF
-        // extraction chain is CodegenFallback (no CSE), so without a
-        // barrier the whole regex chain re-evaluates per signal
-        // (measured 4-5x). Production materializes extracted text
-        // anyway — that is literally what WET files are — so the
-        // fence stands in for the extraction stage's table write.
-        val ext = TextAnalysis.extractMainContent(
-          t(s, d, "documents").select(col("doc_id"),
-            htmlSpark(col("text"), col("doc_id")).as("html")),
-          "doc_id", "html")
-          .where(col("n_kept") > 0)
-          .select(col("doc_id"), col("content").as("text"))
-          .localCheckpoint()
+        // stage boundary: the gopher projection references the
+        // extracted content in five signal expressions, so without a
+        // barrier the extraction kernel re-evaluates per signal.
+        // Production materializes extracted text as a stage table —
+        // that is literally what WET files are — so the fence IS a
+        // table write: parquet out, columnar scan back
+        // (graft.plans.Stage; durable + lineage-free at cluster
+        // scale, unlike localCheckpoint's executor-pinned blocks).
+        val ext = graft.plans.Stage.materialize(
+          TextAnalysis.extractMainContent(
+            t(s, d, "documents").select(col("doc_id"),
+              htmlSpark(col("text"), col("doc_id")).as("html")),
+            "doc_id", "html")
+            .where(col("n_kept") > 0)
+            .select(col("doc_id"), col("content").as("text")),
+          "qQ1_wet")
         TextAnalysis.gopherRules(ext, "doc_id", "text").orderBy("doc_id")
       },
       Some(s"""WITH mc_h AS (SELECT doc_id, $htmlSql AS html
@@ -1973,13 +1975,17 @@ object Curation {
         "gate -> exact content dedup (md5, keep-min) -> disposition " +
         "(keep = quality AND canonical).",
       (s, d) => {
-        val ext = TextAnalysis.extractMainContent(
-          t(s, d, "documents").select(col("doc_id"),
-            htmlSpark(col("text"), col("doc_id")).as("html")),
-          "doc_id", "html")
-          .where(col("n_kept") > 0)
-          .select(col("doc_id"), col("content").as("text"))
-          .localCheckpoint() // extraction stage boundary (see qQ1)
+        // extraction stage boundary — durable WET-style stage table
+        // (see qQ1); the quality and hash legs each read it back as
+        // an independent column-pruned parquet scan.
+        val ext = graft.plans.Stage.materialize(
+          TextAnalysis.extractMainContent(
+            t(s, d, "documents").select(col("doc_id"),
+              htmlSpark(col("text"), col("doc_id")).as("html")),
+            "doc_id", "html")
+            .where(col("n_kept") > 0)
+            .select(col("doc_id"), col("content").as("text")),
+          "qQ4_wet")
         val quality = TextAnalysis.gopherRules(ext, "doc_id", "text")
           .select(col("doc_id"), col("keep").as("quality_keep"))
         val hashed = ext.select(col("doc_id"),

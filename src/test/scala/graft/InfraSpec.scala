@@ -1209,4 +1209,52 @@ class InfraSpec extends SparkTestBase {
           "partitions, expected 1")
     }
   }
+
+  test("durable stage writer: parquet round-trip preserves the frame, " +
+    "and the corpus-build chains read the staged table, not the " +
+    "extraction lineage") {
+    import graft.plans.Stage
+    // 1. round-trip equality vs the in-memory fence it replaced —
+    // same rows, same schema, including a null and a unicode value
+    val src = spark.range(0, 100).toDF("id").select(col("id"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(concat(lit("héllo→"), col("id"))).as("text"),
+      (col("id") * 3.5).as("score"))
+    val staged = Stage.materialize(src, "infra_roundtrip")
+    // parquet read-back widens nullability (Spark reads all parquet
+    // columns as nullable) — names and types must survive exactly
+    assert(staged.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(staged.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+    // materializeUnique: two calls must not clobber each other
+    val u1 = Stage.materializeUnique(src.where(col("id") < 10), "u")
+    val u2 = Stage.materializeUnique(src.where(col("id") >= 90), "u")
+    assert(u1.count() == 10 && u2.count() == 10)
+
+    // 2. plan guard: qQ1's declared plan reads ONLY the staged WET
+    // table (one pruned parquet scan) — the extraction kernel ran
+    // inside the stage write, not in this plan. qQ4 reads it three
+    // times (hash leg, dedup-group leg, quality leg), every scan on
+    // the stage path — the cheap columnar rescan that is the point
+    // of a durable stage table.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def stageScans(name: String): (Int, Int) = {
+      val q = SparkEntry.allQueries.find(_.name == name).get
+      // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its
+      // input plan from collect()
+      val scans = q.run(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+      (scans.length, scans.count(
+        _.metadata.getOrElse("Location", "").contains("_wet")))
+    }
+    val (q1All, q1Stage) = stageScans("qQ1_html_gopher_chain")
+    assert(q1All == 1 && q1Stage == 1,
+      s"qQ1: $q1All scans, $q1Stage staged (want 1/1)")
+    val (q4All, q4Stage) = stageScans("qQ4_web_corpus_build")
+    assert(q4All == 3 && q4Stage == 3,
+      s"qQ4: $q4All scans, $q4Stage staged (want 3/3)")
+  }
 }

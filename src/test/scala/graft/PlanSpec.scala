@@ -331,7 +331,10 @@ class PlanSpec extends SparkTestBase {
       "qP4_video_frame_sample" -> 1, // one scan pass + order
       "qP5_video_neardup" -> 6, // inverted index self-join + pair agg
       "qP6_media_corpus_build" -> 3, // capped pairs + CC post-join
-      "qP7_image_resize" -> 2) // thumbnail decode + n_bytes join
+      "qP7_image_resize" -> 2, // thumbnail decode + n_bytes join
+      // round-9 web queries (audited round 10, post stage-writer):
+      "qQ1_html_gopher_chain" -> 1, // stage scan + order only
+      "qQ4_web_corpus_build" -> 4) // 1 hash-key dedup shuffle + 2 broadcast + order
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

@@ -42,6 +42,22 @@ object Tables {
     cache.computeIfAbsent((System.identityHashCode(spark).toString,
       s"$sfDir/$name"), _ => loadUncached(spark, sfDir, name))
 
+  // Corpus-stats surface: row counts memoized per (session, table).
+  // Every corpus-adaptive parameter rule (LSH plane count, and any
+  // future band/nlist tuning) reads n through here, so the scalar
+  // count job runs once per session per table instead of once per
+  // query invocation. A real catalog serves this from table
+  // statistics; the parquet scan count is the local stand-in.
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      java.lang.Long]()
+
+  /** Cached row count of one table (bounded driver artifact: a single
+    * scalar aggregate job on first use, a map lookup afterwards). */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.computeIfAbsent((System.identityHashCode(spark).toString,
+      s"$sfDir/$name"), _ => load(spark, sfDir, name).count())
+
   private def loadUncached(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
     if (name == "events") {

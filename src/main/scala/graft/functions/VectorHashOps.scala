@@ -83,6 +83,10 @@ object VectorHashOps {
     */
   def wordNgrams(text: org.apache.spark.unsafe.types.UTF8String,
       n: Int): ArrayData = {
+    // n = 0 would compute a negative slice length below (undefined
+    // UTF8String.fromBytes behavior), silently diverging from the HOF
+    // reference formulation — fail fast instead.
+    require(n >= 1, s"wordNgrams: n must be >= 1, got $n")
     val b = text.getBytes
     var spaces = 0
     var i = 0

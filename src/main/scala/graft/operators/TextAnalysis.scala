@@ -523,7 +523,7 @@ object TextAnalysis {
       "CAST(coalesce(list_sum(list_transform(" +
         s"regexp_extract_all(x, '$HtmlAnchorRe', 1), " +
         "y -> len(trim(regexp_replace(" + decode("y") +
-        ", '\\s+', ' ', 'g'))))), 0) AS BIGINT)"
+        s", '$HtmlWsRe', ' ', 'g'))))), 0) AS BIGINT)"
     s"""mc_s AS (SELECT doc_id, regexp_replace(regexp_replace(
        |    regexp_replace(regexp_replace(html,
        |    '$HtmlScriptRe', ' ', 'g'),

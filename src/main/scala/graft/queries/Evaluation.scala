@@ -378,10 +378,11 @@ object Evaluation {
         "path, no all-pairs join, bucket occupancy bounded at any n.",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        // bounded driver artifact (one count) — the production scale
-        // knob: fixed planes leave occupancy ∝ n and the 100× probe
-        // OOMs; see Similarity.adaptivePlanes
-        val planes = graft.operators.Similarity.adaptivePlanes(emb.count())
+        // corpus stats via the session-cached count — the production
+        // scale knob: fixed planes leave occupancy ∝ n and the 100×
+        // probe OOMs; see Similarity.adaptivePlanes
+        val planes = graft.operators.Similarity.adaptivePlanes(
+          graft.Tables.rowCount(s, d, "embeddings"))
         val pairs = graft.operators.Dedup.embeddingLshPairs(
           emb, "vec_id", "embedding", planes = planes, threshold = 0.3)
         Density.dbscan(emb, "vec_id", pairs, "id_a", "id_b", minPts = 4)

@@ -238,10 +238,12 @@ object LlmOps {
         "q34 is its brute-force baseline.",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        // bounded driver artifact (one count); see
+        // corpus stats via the session-cached count (one scalar job
+        // per session, not per invocation); see
         // Similarity.adaptivePlanes — reproduces planes=3 at the
         // 500-vector fixture, scales buckets ∝ n beyond it
-        val planes = graft.operators.Similarity.adaptivePlanes(emb.count())
+        val planes = graft.operators.Similarity.adaptivePlanes(
+          graft.Tables.rowCount(s, d, "embeddings"))
         Dedup.embeddingLshPairs(
           emb, "vec_id", "embedding", planes = planes, threshold = 0.3)
           .select(col("id_a"), col("id_b"),

@@ -192,6 +192,12 @@ object Ingest {
     val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(base, f"v_$batchId%020d")
     if (fsys.exists(target)) { // replayed, already-committed batch
+      // a crash after the rename promote but before the prev delete
+      // leaves stale versions behind; retry the cleanup here so the
+      // "at most two live versions" contract self-heals on replay
+      versionPaths(spark, baseDir)
+        .filter(_.getName < target.getName)
+        .foreach(p => fsys.delete(p, true))
       spark.read.parquet(target.toString)
     } else {
       val prev = versionPaths(spark, baseDir).lastOption

@@ -32,10 +32,14 @@ object Blocking {
     */
   def globalRank(df: DataFrame, idCol: String, key: Column,
       nRanges: Int = 64): DataFrame = {
-    val keyed = df.withColumn("__bk", key)
-      .repartitionByRange(nRanges, col("__bk"), col(idCol))
-      .withColumn("__part", spark_partition_id())
-      .localCheckpoint(true) // counts + ranking both read it
+    // per-row frame (the whole input + 2 cols) — corpus-sized; the
+    // range-partition ids are COMPUTED INTO the rows before the fence,
+    // so the durable read-back preserves them as plain values
+    val keyed = graft.plans.Fence.corpus(
+      df.withColumn("__bk", key)
+        .repartitionByRange(nRanges, col("__bk"), col(idCol))
+        .withColumn("__part", spark_partition_id()),
+      "rank_keyed")
     val wParts = Window.orderBy("__part")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy("__part")

@@ -38,9 +38,10 @@ object BloomScreen {
     // four times. NULL text hashes to null and can never be an exact
     // dup of anything — dropped from the old side, screened as
     // not-dup on the new side (the probe also null-guards).
-    val hashed = df.select(col(idCol).as("doc_id"),
-      md5(col(textCol)).as("h"), isNew.as("is_new"))
-      .localCheckpoint(true)
+    val hashed = graft.plans.Fence.corpus(
+      df.select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as("h"), isNew.as("is_new")),
+      "bloom_hashed")
     val old = hashed.filter(!col("is_new") && col("h").isNotNull)
     val bloom = old.stat.bloomFilter("h", math.max(expectedItems, 1L), fpp)
     val bc = df.sparkSession.sparkContext.broadcast(bloom)

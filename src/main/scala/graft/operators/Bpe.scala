@@ -20,8 +20,8 @@ import graft.functions.GraftFunctions
   *   2. argmax — TakeOrderedAndProject of 1 row to the driver
   *      (deterministic (count desc, left, right) tie-break);
   *   3. apply — the `merge_pair` codegen kernel as a per-row
-  *      projection, re-fenced with localCheckpoint so round lineage
-  *      stays flat.
+  *      projection, re-fenced behind the durable stage writer so
+  *      round lineage stays flat and rounds survive executor loss.
   *
   * Nothing here is SQL-expressible for the DuckDB oracle (the greedy
   * leftmost merge needs either a fold — DuckDB 1.0's reduce() corrupts
@@ -59,7 +59,9 @@ object Bpe {
       localThreshold: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     GraftFunctions.registerAll(spark)
-    val words0 = wordTable(df, textCol).localCheckpoint()
+    // vocab-sized but corpus-derived and unbounded (heaps-law growth
+    // at 100 TB) -> durable stage fence, not executor-pinned blocks
+    val words0 = graft.plans.Fence.corpus(wordTable(df, textCol), "bpe_words")
     val rules =
       if (words0.count() <= localThreshold) trainLocal(words0, merges)
       else trainDistributed(words0, merges)
@@ -86,8 +88,8 @@ object Bpe {
         val (l, rr, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rules += Row(r.toLong, l, rr, cnt)
-        words = words.withColumn("sym",
-          GraftFunctions.mergePair(col("sym"), l, rr)).localCheckpoint()
+        words = graft.plans.Fence.corpus(words.withColumn("sym",
+          GraftFunctions.mergePair(col("sym"), l, rr)), "bpe_round")
         r += 1
       }
     }

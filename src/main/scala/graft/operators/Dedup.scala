@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextOps}
+import graft.plans.Fence
 
 /** Document deduplication suite for training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
@@ -139,7 +140,10 @@ object Dedup {
       dfOrdered: Boolean = false): DataFrame = {
     require(threshold > 0.0, "prefix filtering needs a positive threshold")
     import org.apache.spark.sql.expressions.Window
-    val sets = shingleSets(df, idCol, textCol, n).localCheckpoint()
+    // corpus-sized (per-doc shingle sets), read back by three legs
+    // (prefix derivation + both verification joins) as pruned scans
+    val sets = Fence.corpus(
+      shingleSets(df, idCol, textCol, n), "jpp_sets")
     // FP-safe pigeonhole bound: t*sz can round a hair ABOVE the exact
     // rational product (0.1*30 = 3.0000000000000004), inflating the
     // ceil and shortening the prefix below what exactness requires.
@@ -220,6 +224,72 @@ object Dedup {
         (col("common").cast("double") /
           (col("sa") + col("sb") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** EXACT directed containment pairs via PREFIX FILTERING — the
+    * [[ngramJaccardPrefixPairs]] treatment for the asymmetric relation
+    * of [[containmentPairs]]. Containment C(A→B) = |A∩B|/|A| ≥ t needs
+    * overlap ≥ ⌈t·|A|⌉, so by pigeonhole A's value-ordered prefix of
+    * length |A| − ⌈t·|A|⌉ + 1 must contain a shared token. Only the
+    * CONTAINED side is prefix-sliced: the container side has no size
+    * upper bound (that is the point of containment), so B is indexed in
+    * full — candidate volume per shingle drops from |posting|² to
+    * |prefix-posting| × |posting|, which is what kills the hot-shingle
+    * Σp² blow-up (the prefix is an unbiased hash-order sample, so a
+    * million-doc boilerplate shingle lands in almost no prefixes at
+    * realistic thresholds).
+    *
+    * Exactness: candidates are a superset of true pairs (pigeonhole +
+    * the size filter sb ≥ ⌈t·sa⌉ and the positional filter
+    * min(sa−pa, sb−pb) ≥ ⌈t·sa⌉, both necessary conditions — the
+    * first-shared-token row always survives, see the `pos` proof in
+    * [[ngramJaccardPrefixPairs]]); verification recomputes the exact
+    * intersection per candidate. OperatorsSpec asserts bit-equality to
+    * [[containmentPairs]].
+    *
+    * Output: doc_a, doc_b, containment (≥ threshold) — doc_a is the
+    * contained (denominator) side.
+    */
+  def containmentPrefixPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "prefix filtering needs a positive threshold")
+    val sets = Fence.corpus(
+      shingleSets(df, idCol, textCol, n), "cpp_sets")
+    // same epsilon-guarded ceil as the Jaccard variant: FP rounding may
+    // only LENGTHEN the prefix / RELAX the filters, never tighten them
+    def need(sz: Column): Column = ceil(lit(threshold) * sz - lit(1e-6))
+    val prefixA = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+        posexplode(slice(col("sh"), lit(1),
+          (size(col("sh")) - need(size(col("sh"))) + 1).cast("int")))
+          .as(Seq("pos", "shingle")))
+      .hint("shuffle_hash")
+    val fullB = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+        posexplode(col("sh")).as(Seq("pos", "shingle")))
+      .hint("shuffle_hash")
+    val cand = prefixA.as("x")
+      .join(fullB.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          // overlap <= sb, so sb >= ceil(t*sa) is necessary
+          col("y.sz") >= need(col("x.sz")) &&
+          // positional bound: overlap <= min(sa - pa, sb - pb) for the
+          // pair's first shared token (valid there; see Jaccard proof)
+          least(col("x.sz") - col("x.pos"), col("y.sz") - col("y.pos")) >=
+            need(col("x.sz")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        GraftFunctions.sortedIntersectSize(col("sh_a"), col("sh_b"))
+          .as("common"),
+        size(col("sh_a")).as("sa"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / col("sa")).as("containment"))
+      .filter(col("containment") >= threshold)
   }
 
   /** Directed n-gram CONTAINMENT pairs — the asymmetric near-dup
@@ -438,7 +508,7 @@ object Dedup {
     *
     * Same MinHash+LSH machinery as [[minhashLshPairs]], but the bucket
     * join is new→old only: the band index is computed ONCE and
-    * materialized (`localCheckpoint`, same device as
+    * materialized (durable stage fence, same device as
     * [[connectedComponents]]'s edges — splitting the lazy frame by
     * `isNew` would otherwise evaluate the whole shingle→MinHash pipeline
     * twice, doubling the dominant scan phase; a branch-side filter can't
@@ -510,14 +580,15 @@ object Dedup {
     val bandRows = bandRowsOf(
       df.withColumn("is_new", isNew), idCol, textCol,
       shingleN, bands, rowsPerBand, extra = Seq("is_new"))
-    val pruned =
-      (if (maxBucket == Int.MaxValue) bandRows
+    val pruned0 =
+      if (maxBucket == Int.MaxValue) bandRows
       else {
         val hot = bandRows.groupBy("band_idx", "band_key")
           .agg(count(lit(1)).as("bucket_n"))
           .filter(col("bucket_n") > maxBucket)
         bandRows.join(hot, Seq("band_idx", "band_key"), "left_anti")
-      }).localCheckpoint(true)
+      }
+    val pruned = Fence.corpus(pruned0, "lsh_inc_bands")
     val newSide = pruned.filter(col("is_new"))
       .select(col("doc_id"), col("sh"), col("band_idx"), col("band_key"))
       .hint("shuffle_hash")
@@ -555,7 +626,7 @@ object Dedup {
     // 16-byte (id, simhash) rows, consumed by both self-join sides —
     // fence so the tokenize+simhash pipeline runs once, not twice
     // (same rationale as codeHammingPairs)
-    val sh = simhash(df, idCol, textCol).localCheckpoint()
+    val sh = Fence.corpus(simhash(df, idCol, textCol), "simhash_codes")
     // shuffle_hash: don't let AQE broadcast the banded corpus (bands x
     // corpus rows) — shuffle on the band key, as at scale.
     val bandRows = sh.select(col("doc_id"), col("simhash"),
@@ -608,9 +679,9 @@ object Dedup {
     // sides, plus the hot-band screen and its anti-join when capped.
     // Without the fence the whole decode chain re-executes per consumer
     // (measured: the capped image query ran its synthesis 4x).
-    val sh = codes.select(col(idCol).cast("long").as("doc_id"),
-      col(codeCol).cast("long").as("code"))
-      .localCheckpoint()
+    val sh = Fence.corpus(
+      codes.select(col(idCol).cast("long").as("doc_id"),
+        col(codeCol).cast("long").as("code")), "code_pairs_codes")
     // band decomposition and hot screen shared with the incremental
     // path ([[codeBandIndex]]/[[dropHotBands]]) — one implementation,
     // so batch pairs and the screen cannot drift.
@@ -687,8 +758,9 @@ object Dedup {
     require(maxHamming < bandsCount, "need maxHamming < bands (pigeonhole)")
     require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
     // 16-byte rows, consumed by the band probe AND the final left join
-    val newSh = newCodes.select(col(idCol).cast("long").as("doc_id"),
-      col(codeCol).cast("long").as("code")).localCheckpoint()
+    val newSh = Fence.corpus(
+      newCodes.select(col(idCol).cast("long").as("doc_id"),
+        col(codeCol).cast("long").as("code")), "code_screen_new")
     val nbands = codeBandIndex(newSh, "doc_id", "code", bits, bandsCount)
       .select(col("doc_id").as("nid"), col("code").as("nc"),
         col("band_idx"), col("band_val"))
@@ -781,9 +853,10 @@ object Dedup {
     * one distributed join + partial-aggregated min — the standard
     * MapReduce-era algorithm, still the right shape at 100 TB. The
     * driver loop iterates over ROUND COUNTS (small), never over data;
-    * `localCheckpoint` truncates plan lineage each round so the
-    * iteration count doesn't compound planning cost (a durable
-    * `checkpoint` on a real cluster).
+    * each round's label table goes behind a durable stage fence
+    * ([[graft.plans.Fence.corpus]]) so lineage stays constant-depth
+    * and an executor loss replays a file scan, not the whole
+    * propagation history.
     *
     * Near-dup graphs are overwhelmingly tiny cliques + chains (diameter
     * 1-3), so convergence is fast; `maxIter` only bounds adversarial
@@ -798,50 +871,87 @@ object Dedup {
     // Materialize the (possibly expensive) edge derivation ONCE — every
     // propagation round joins against `sym`, and without this the whole
     // upstream pair pipeline (MinHash etc.) would re-execute per round.
-    // Pre-partitioned on `b` (the side every round's join probes):
-    // localCheckpoint preserves the physical partitioning, so each round
-    // shuffles only the label table, never the (larger) edge list.
-    val sym = edges.select(col("a").cast("long").as("a"),
-        col("b").cast("long").as("b"))
-      .unionAll(edges.select(col("b").cast("long").as("a"),
-        col("a").cast("long").as("b")))
-      .repartition(col("b"))
-      .localCheckpoint(true)
+    // Staged BUCKETED on `b` (the side every round's join probes): the
+    // durable read-back keeps HashPartitioning(b), so each round
+    // shuffles only the label table, never the (larger) edge list —
+    // and an executor loss mid-propagation replays a file scan instead
+    // of killing the job (the localCheckpoint failure mode). The
+    // repartition ahead of the write makes each bucket exactly one
+    // file (bucketed writes emit one file per bucket PER TASK).
+    val sym = Fence.corpusBucketed(
+      edges.select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"))
+        .unionAll(edges.select(col("b").cast("long").as("a"),
+          col("a").cast("long").as("b")))
+        .repartition(col("b")),
+      "cc_sym", "b")
     // Round 1 fused into initialization: a node's first propagated label
     // is min(self, neighbors), which is one groupBy over the symmetric
     // edge list — no join. (The classic formulation spends a full
     // join-round computing exactly this.)
-    var labels = sym.groupBy("a").agg(min("b").as("nb"))
-      .select(col("a").as("node"),
-        least(col("a"), col("nb")).as("component"))
-      .localCheckpoint(true)
+    var labels = Fence.corpus(
+      sym.groupBy("a").agg(min("b").as("nb"))
+        .select(col("a").as("node"),
+          least(col("a"), col("nb")).as("component")),
+      "cc_labels")
     var iter = 1
     var converged = false
+    // Rounds are fenced in geometrically growing BATCHES (1, 2, 4, 4,
+    // …): inside a batch the rounds chain lazily, so ONE stage write
+    // evaluates the whole batch — near-dup graphs converge in 1-3
+    // rounds (one write), while a diameter-13 chain pays 5 writes
+    // instead of 13. Within a chained batch each round references the
+    // previous label frame twice (the join and the self-union), but
+    // both references sit above the round's groupBy exchange, so
+    // ReusedExchange dedups the shuffle at every level — the fan-out
+    // is a constant 2x re-read of shuffle files per round, never
+    // exponential re-computation. The batch cap (4) bounds both the
+    // plan depth and the wasted no-op rounds after convergence.
+    // The convergence check rides INSIDE the stage-writing job via an
+    // accumulator counting shrunk labels: one job per batch instead of
+    // a write + a separate count. Retry- and fan-out-safe for the
+    // boolean we need — task retries and the 2x reference re-reads can
+    // only inflate a non-zero count, never turn a genuine zero
+    // non-zero (a batch is converged iff NO round in it shrank a
+    // label, and no-op rounds add exactly 0).
+    var batch = 1
     while (!converged && iter < maxIter) {
-      // One join + one aggregate per round: neighbor labels and the
-      // node's own label meet in a union tagged by provenance, so the
-      // min-propagation AND the old label fall out of a single groupBy
-      // (the textbook shape joins labels a second time to recover the
-      // old value — one more shuffle of the label table per round).
-      // The convergence check rides INSIDE the checkpoint-materializing
-      // job via an accumulator counting shrunk labels: one job per
-      // round instead of checkpoint + a separate count(). Retry-safe
-      // for the boolean we need — task retries can only inflate a
-      // non-zero count, never turn a genuine zero non-zero.
+      val rounds = math.min(batch, maxIter - iter)
       val changed = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
-      labels = sym.join(labels, col("b") === col("node"))
-        .select(col("a"), col("component"), lit(false).as("self"))
-        .unionAll(labels.select(col("node").as("a"), col("component"),
-          lit(true).as("self")))
-        .groupBy("a")
-        .agg(min("component").as("component"),
-          min(when(col("self"), col("component"))).as("old_c"))
-        .as[(Long, Long, Long)]
-        .map { r => if (r._2 < r._3) changed.add(1L); (r._1, r._2) }
-        .toDF("node", "component")
-        .localCheckpoint(true) // materializes → populates the accumulator
+      var cur = labels
+      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to rounds) {
+        // One join + one aggregate per round: neighbor labels and the
+        // node's own label meet in a union tagged by provenance, so the
+        // min-propagation AND the old label fall out of a single groupBy
+        // (the textbook shape joins labels a second time to recover the
+        // old value — one more shuffle of the label table per round).
+        cur = sym.join(cur, col("b") === col("node"))
+          .select(col("a"), col("component"), lit(false).as("self"))
+          .unionAll(cur.select(col("node").as("a"), col("component"),
+            lit(true).as("self")))
+          .groupBy("a")
+          .agg(min("component").as("component"),
+            min(when(col("self"), col("component"))).as("old_c"))
+          .as[(Long, Long, Long)]
+          .map { r => if (r._2 < r._3) changed.add(1L); (r._1, r._2) }
+          .toDF("node", "component")
+        // GraphX's checkpoint-interval pattern: persist (NOT
+        // localCheckpoint) every in-batch round — the two references
+        // the next round makes read the cache instead of re-running
+        // the round, while lineage back to the last durable stage
+        // stays intact, so an executor loss mid-batch recomputes at
+        // most `batch` rounds through native Spark recovery instead
+        // of failing the job
+        cur = cur.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached += cur
+      }
+      labels = Fence.corpus(cur, "cc_labels") // write runs the batch
+      cached.foreach(_.unpersist(false))
       converged = changed.value == 0L
-      iter += 1
+      iter += rounds
+      batch = math.min(batch * 2, 4)
     }
     labels
   }

@@ -41,11 +41,12 @@ object Density {
     // Symmetrized neighbor list, materialized once: degree pass,
     // core-edge pass, and border attachment all read it, and the
     // upstream pair generator is the expensive part.
-    val sym = pairs
-      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-      .unionAll(pairs.select(col(bCol).cast("long").as("a"),
-        col(aCol).cast("long").as("b")))
-      .localCheckpoint(true)
+    val sym = graft.plans.Fence.corpus(
+      pairs
+        .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .unionAll(pairs.select(col(bCol).cast("long").as("a"),
+          col(aCol).cast("long").as("b"))),
+      "dbscan_sym")
 
     val core = sym.groupBy("a").agg(count(lit(1)).as("nbrs"))
       .filter(col("nbrs") + 1 >= minPts)
@@ -59,11 +60,12 @@ object Density {
       .join(core.withColumnRenamed("cid", "cid2"),
         col("b") === col("cid2"), "left_semi")
     val comp = Dedup.connectedComponents(coreEdges)
-    val coreClusters = core
-      .join(comp, core("cid") === comp("node"), "left")
-      .select(col("cid").as("id"),
-        coalesce(col("component"), col("cid")).as("cluster"))
-      .localCheckpoint(true)
+    val coreClusters = graft.plans.Fence.corpus(
+      core
+        .join(comp, core("cid") === comp("node"), "left")
+        .select(col("cid").as("id"),
+          coalesce(col("component"), col("cid")).as("cluster")),
+      "dbscan_core")
 
     // Border: non-core adjacent to >= 1 core; min cluster id wins.
     val borderClusters = sym

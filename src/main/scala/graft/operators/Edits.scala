@@ -56,12 +56,13 @@ object Edits {
       sequence(lit(0), length(padded) - q),
       i => conv(substring(md5(substring(padded, i + 1, lit(q))), 1, 8),
         16, 10).cast("long"))))
-    val sets = df
-      .select(col(idCol).as("id"), col(strCol).as("s"))
-      .filter(col("s").isNotNull && length(col("s")) >= 1)
-      .withColumn("g", grams)
-      .withColumn("sz", size(col("g")))
-      .localCheckpoint() // df aggregate + prefix derivation reuse this
+    val sets = graft.plans.Fence.corpus(
+      df
+        .select(col(idCol).as("id"), col(strCol).as("s"))
+        .filter(col("s").isNotNull && length(col("s")) >= 1)
+        .withColumn("g", grams)
+        .withColumn("sz", size(col("g"))),
+      "edits_sets") // df aggregate + prefix derivation reuse this
     val prefixLen = maxDist * q + 1
     // Ed-Join global order: ascending document frequency, gram hash as
     // the tiebreak. The window frame is one string's gram list.

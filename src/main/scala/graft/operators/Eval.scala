@@ -172,10 +172,13 @@ object Eval {
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, "need at least 2 bands")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(score.cast("double").as("s"),
-        when(label, 1L).otherwise(0L).as("y"))
-      .filter(col("s").isNotNull)
-      .localCheckpoint() // cuts + the banded aggregate read it once
+    // per-row (s, y) frame — corpus-sized, read by the cuts pass AND
+    // the banded aggregate -> durable stage fence
+    val base = graft.plans.Fence.corpus(
+      df.select(score.cast("double").as("s"),
+          when(label, 1L).otherwise(0L).as("y"))
+        .filter(col("s").isNotNull),
+      "lift_base")
     val counts = base.groupBy("s").agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("s", "v") // quantilesFromCounts' (v, cnt) shape
     val qs = (1 until buckets).map(_.toDouble / buckets)
@@ -375,12 +378,14 @@ object Eval {
       isCalib: Column, alpha: Double, nBlocks: Int = 256): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(group.cast("string").as("g"),
-        floor(value.cast("double") * 100 + 0.5).cast("long").as("c"),
-        isCalib.as("cal"))
-      .filter(col("c").isNotNull && col("g").isNotNull)
-      .localCheckpoint() // calibration means, residuals, and the test
-                         // pass all read it; don't re-scan per consumer
+    // per-row frame read by means + residuals + the test pass ->
+    // corpus-sized -> durable stage fence, not executor-pinned blocks
+    val base = graft.plans.Fence.corpus(
+      df.select(group.cast("string").as("g"),
+          floor(value.cast("double") * 100 + 0.5).cast("long").as("c"),
+          isCalib.as("cal"))
+        .filter(col("c").isNotNull && col("g").isNotNull),
+      "conformal_base")
     val means = base.filter(col("cal"))
       .groupBy("g").agg(count(lit(1)).as("n_g"), sum("c").as("s_g"))
       .select(col("g"), (col("s_g").cast("double") / col("n_g")).as("m"))
@@ -441,11 +446,12 @@ object Eval {
       isCalib: Column, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(group.cast("string").as("g"),
-        floor(value.cast("double") * 100 + 0.5).cast("long").as("c"),
-        isCalib.as("cal"))
-      .filter(col("c").isNotNull && col("g").isNotNull)
-      .localCheckpoint()
+    val base = graft.plans.Fence.corpus(
+      df.select(group.cast("string").as("g"),
+          floor(value.cast("double") * 100 + 0.5).cast("long").as("c"),
+          isCalib.as("cal"))
+        .filter(col("c").isNotNull && col("g").isNotNull),
+      "conformal_by_base")
     val means = base.filter(col("cal"))
       .groupBy("g").agg(count(lit(1)).as("n_cal"), sum("c").as("s_g"))
       .select(col("g"), col("n_cal"),

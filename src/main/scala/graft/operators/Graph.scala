@@ -3,18 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Fence
+
 /** Iterative graph ranking over a corpus-sized node set — the companion
   * to [[Dedup.connectedComponents]]'s HashMin propagation: where
   * components tell you WHICH docs form a near-dup cluster, PageRank over
   * the same pair graph scores how CENTRAL each doc is (the natural
   * canonical-pick when clusters are large and min-id is arbitrary).
   *
-  * Scale shape: edges (+ out-degrees) materialize ONCE behind a
-  * localCheckpoint — without the fence the upstream pair generator
-  * (MinHash/LSH or the shingle index) would re-execute every iteration.
-  * Each iteration is one edge→rank equi-join and one groupBy(dst) — the
-  * same two-shuffle round as components — with per-round checkpoints
-  * truncating lineage. The rank join is shuffle-pinned: the rank table
+  * Scale shape: edges materialize ONCE behind a durable stage fence
+  * ([[graft.plans.Fence.corpusBucketed]], bucketed on `src`) — without
+  * the fence the upstream pair generator (MinHash/LSH or the shingle
+  * index) would re-execute every iteration, and a localCheckpoint
+  * fence would pin the corpus-sized frame in executor-local storage
+  * (executor loss unrecoverable mid-iteration). The bucketed read-back
+  * keeps its hash partitioning, so the degree aggregate and the
+  * per-round rank joins probe it exchange-free and each round shuffles
+  * only the rank table. Each iteration is one edge→rank equi-join and
+  * one groupBy(dst) — the same two-shuffle round as components — and
+  * the rank chain itself stays an unfenced single-reference dataflow
+  * (re-fenced every 8 rounds to bound plan depth). The rank join is shuffle-pinned: the rank table
   * has one row per NODE (corpus-sized at 100 TB), and AQE's small-SF
   * size estimate would otherwise broadcast it.
   *
@@ -42,16 +50,31 @@ object Graph {
     import spark.implicits._
     val round9 = (c: org.apache.spark.sql.Column) =>
       floor(c * 1e9 + 0.5) / 1e9
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+    // ONE durable fence for the whole loop: the edge table is staged
+    // BUCKETED on src (the upstream pair generator runs exactly once,
+    // inside this write), so the per-round degree aggregate and the
+    // deg join are exchange-free colocated reads of the bucketed scan,
+    // and every round shuffles only the rank table. ids and the rank
+    // chain stay UNFENCED: each round's rank frame is referenced
+    // exactly once (by the next round), so the whole loop is a
+    // fixed-depth dataflow that one job evaluates once per round — no
+    // per-round materialization cost, nothing pinned in executor
+    // storage; every 8 rounds the chain re-fences through the stage
+    // writer to bound plan depth (PageRank runs are conventionally
+    // 3-20 rounds).
+    val e = Fence.corpusBucketed(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      "pr_edges", "src")
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").localCheckpoint(true)
-    val ids = nodes.select(col(nodeCol).as("node")).localCheckpoint(true)
+    val ed = e.join(deg, "src")
+    // ids: re-read per round as a pruned column scan — cheaper than a
+    // stage round-trip; callers with an EXPENSIVE node derivation
+    // should fence it before calling
+    val ids = nodes.select(col(nodeCol).as("node"))
     val n = ids.count()
     val teleport = (1.0 - damping) / n.toDouble
     var ranks = ids.withColumn("r", lit(1.0) / n.toDouble)
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = ed
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .groupBy(col("dst"))
@@ -62,7 +85,8 @@ object Graph {
         .select(col("node"),
           round9(lit(teleport) +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
+      if (i % 8 == 0 && i < iterations)
+        ranks = Fence.corpus(ranks, "pr_ranks")
     }
     ranks.select(col("node"), col("r").as("rank"),
       (col("r") * n.toDouble).as("rel_rank"))
@@ -103,13 +127,13 @@ object Graph {
     val lowFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     // oriented edge low→high, carrying the HEAD's (deg, id) order key
     // so a wedge's two heads can be re-ordered without a re-join
-    val o = withDeg.select(
+    val o0 = withDeg.select(
       when(lowFirst, col("u")).otherwise(col("v")).as("a"),
       when(lowFirst, col("v")).otherwise(col("u")).as("b"),
       when(lowFirst, struct(col("dv").as("kd"), col("v").as("kn")))
         .otherwise(struct(col("du").as("kd"), col("u").as("kn")))
         .as("bk"))
-      .localCheckpoint(true) // edges reused 3×; don't re-run upstream
+    val o = Fence.corpus(o0, "tri_oriented") // edges reused 3x; don't re-run upstream
     val e1 = o.select(col("a"), col("b").as("x"), col("bk").as("xk"))
     val e2 = o.select(col("a"), col("b").as("y"), col("bk").as("yk"))
     val wedges = e1.hint("shuffle_hash")
@@ -142,12 +166,12 @@ object Graph {
     // and the triangle pass consume it, and the upstream pair
     // generator (an n-gram index or LSH band join) must not re-run
     // per consumer — the qE7/q86 fencing discipline
-    val und = edges
+    val und0 = edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+    val und = Fence.corpus(und0, "ccoef_und")
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val tri = triangleCount(nodes, nodeCol, und, "u", "v")
@@ -198,19 +222,19 @@ object Graph {
       srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 50): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    val universe = nodes.select(col(nodeCol).as("node"))
-      .localCheckpoint(true)
-    val fencedEdges = edges
-      .select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .localCheckpoint(true)
+    val universe = Fence.corpus(
+      nodes.select(col(nodeCol).as("node")), "kcore_universe")
+    val fencedEdges = Fence.corpus(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("d")),
+      "kcore_edges")
     var active = universe
     var n = active.count()
     var round = 0
     var shrinking = true
     while (shrinking && round < maxRounds) {
-      val next = kcoreStep(active, "node", fencedEdges, "s", "d", k)
-        .filter(col("survives")).select("node")
-        .localCheckpoint(true)
+      val next = Fence.corpus(
+        kcoreStep(active, "node", fencedEdges, "s", "d", k)
+          .filter(col("survives")).select("node"), "kcore_active")
       val m = next.count()
       shrinking = m < n
       active = next
@@ -274,9 +298,9 @@ object Graph {
   }
 
   /** Iterated label propagation: `iters` driver-bounded rounds of
-    * [[labelPropStep]], each fenced with an eager localCheckpoint (the
+    * [[labelPropStep]], each behind a durable stage fence (the
     * HashMin/PageRank loop discipline — lineage stays constant-depth,
-    * nothing loops over data).
+    * nothing loops over data, executor loss replays a file scan).
     */
   def labelPropagate(labeled: DataFrame, nodeCol: String,
       labelCol: String, edges: DataFrame, srcCol: String,
@@ -284,14 +308,14 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     var cur = labeled.select(col(nodeCol).as("node"),
       col(labelCol).cast("string").as("label"))
-    val fencedEdges = edges
-      .select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .localCheckpoint(true)
+    val fencedEdges = Fence.corpus(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("d")),
+      "lp_edges")
     var i = 0
     while (i < iters) {
-      cur = labelPropStep(cur, "node", "label", fencedEdges, "s", "d")
-        .select(col("node"), col("label"))
-        .localCheckpoint(true)
+      cur = Fence.corpus(
+        labelPropStep(cur, "node", "label", fencedEdges, "s", "d")
+          .select(col("node"), col("label")), "lp_labels")
       i += 1
     }
     cur

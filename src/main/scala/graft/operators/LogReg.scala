@@ -71,12 +71,14 @@ object LogReg {
       label: Column, lr: Double, iters: Int): (Array[Double], Double) = {
     require(iters >= 0, "iters must be >= 0")
     val yc = when(label, 1.0).otherwise(0.0)
-    val withF = df.select(
+    val withF0 = df.select(
       (features.map { case (n, c) =>
         c.cast("double").as(s"f_$n") } :+ yc.as("y")): _*)
       .filter(features.map(f => col(s"f_${f._1}").isNotNull)
         .reduce(_ && _))
-      .localCheckpoint()  // featurize once; iterate over the fenced frame
+      // corpus-sized featurized frame, re-aggregated every epoch ->
+      // durable stage fence (epochs survive executor loss)
+    val withF = graft.plans.Fence.corpus(withF0, "logreg_features")
     val k = features.size
     var w = Array.fill(k)(0.0)
     var b = 0.0

@@ -32,11 +32,11 @@ object Order {
     val blockWidth = (1L << 32) / nBlocks + 1
     // Materialized once (3 longs/row): the counts phase and the ranking
     // phase both read it; lazy, the upstream would evaluate twice.
-    val rows = df.select(col(idCol).as("doc_id"))
+    val rows0 = df.select(col(idCol).as("doc_id"))
       .withColumn("h", TextOps.hash32(
         concat(lit(s"$salt:"), col("doc_id").cast("string"))))
       .withColumn("block", (col("h") / blockWidth).cast("long"))
-      .localCheckpoint(true)
+    val rows = graft.plans.Fence.corpus(rows0, "order_rows")
 
     val wBlocks = Window.orderBy("block")
       .rowsBetween(Window.unboundedPreceding, -1)

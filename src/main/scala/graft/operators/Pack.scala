@@ -42,11 +42,11 @@ object Pack {
     // it, and a lazy frame would re-evaluate the ENTIRE upstream chain
     // (e.g. q86's dedup gate + sampling) per consumer. 24 bytes/doc —
     // the cheapest possible fence.
-    val docs = df
+    val docs0 = df
       .select(col(idCol).cast("long").as("doc_id"), nTok.cast("long").as("ntok"))
       .filter(col("ntok") > 0)
       .withColumn("block", expr(s"doc_id div $blockLen"))
-      .localCheckpoint(true)
+    val docs = graft.plans.Fence.corpus(docs0, "pack_docs")
 
     // Phase 2: block totals → running offsets. |blocks| rows only; the
     // single-partition window here is over the aggregated frame, never
@@ -96,11 +96,11 @@ object Pack {
       targetBytes: Long, blockLen: Long): DataFrame = {
     require(targetBytes > 0 && blockLen > 0,
       "targetBytes/blockLen must be > 0")
-    val rows = df
+    val rows0 = df
       .select(col(idCol).cast("long").as("doc_id"),
         bytesCol.cast("long").as("bytes"))
       .withColumn("block", expr(s"doc_id div $blockLen"))
-      .localCheckpoint(true)
+    val rows = graft.plans.Fence.corpus(rows0, "pack_rows")
     val wBlocks = Window.orderBy("block")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = rows.groupBy("block").agg(sum("bytes").as("bb"))

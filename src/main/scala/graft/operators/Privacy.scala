@@ -106,10 +106,11 @@ object Privacy {
     require(t > 0, "t must be positive")
     require(quasi.nonEmpty, "need at least one quasi-identifier")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(quasi.map { case (n, c) => c.as(n) } :+
-        sensitive.cast("double").as("__s"): _*)
-      .filter(col("__s").isNotNull)
-      .localCheckpoint()
+    val base = graft.plans.Fence.corpus(
+      df.select(quasi.map { case (n, c) => c.as(n) } :+
+          sensitive.cast("double").as("__s"): _*)
+        .filter(col("__s").isNotNull),
+      "tclose_base")
     val qCols = quasi.map(_._1)
     val global = base.groupBy("__s").agg(count(lit(1)).as("gc"))
     val gTot = global.agg(sum("gc").as("gn"),

@@ -26,19 +26,21 @@ object Rfm {
     */
   def segment(df: DataFrame, userCol: String, tsCol: String,
       value: Column): DataFrame = {
-    val base = df.select(col(userCol).as("user_id"),
-        to_date(col(tsCol)).as("day"),
-        floor(value.cast("double") * 100 + 0.5).cast("long").as("c"))
-      .filter(col("user_id").isNotNull && col("c").isNotNull)
-      .localCheckpoint() // metrics + three cut derivations read it once
+    val base = graft.plans.Fence.corpus(
+      df.select(col(userCol).as("user_id"),
+          to_date(col(tsCol)).as("day"),
+          floor(value.cast("double") * 100 + 0.5).cast("long").as("c"))
+        .filter(col("user_id").isNotNull && col("c").isNotNull),
+      "rfm_base") // metrics + three cut derivations read it once
     val anchor = base.agg(max("day").as("d0"))
-    val metrics = base.crossJoin(broadcast(anchor))
+    val metrics0 = base.crossJoin(broadcast(anchor))
       .groupBy("user_id")
       .agg(min(datediff(col("d0"), col("day"))).cast("long")
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum("c").as("monetary_c"))
-      .localCheckpoint() // three quantile passes + the final projection
+    val metrics = graft.plans.Fence.corpus(metrics0,
+      "rfm_metrics") // three quantile passes + the final projection
     def cuts(metric: Column): Seq[Double] = {
       val counts = metrics.select(metric.cast("double").as("v"))
         .groupBy("v").agg(count(lit(1)).as("cnt"))

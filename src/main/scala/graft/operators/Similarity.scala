@@ -453,9 +453,10 @@ object Similarity {
       maxCentroids: Int = 4096): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
-    val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .localCheckpoint() // scanned once, re-read per round
+    val base = graft.plans.Fence.corpus(
+      df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", norm(col("v"))),
+      "kmeans_base") // embedded once, re-read per round as a file scan
     val picked = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
       .select(col("vid").cast("long"), col("v"),
         (col("nrm") * col("nrm")).as("cn2"))
@@ -531,13 +532,14 @@ object Similarity {
     // fence: tf feeds both posting sides AND the norms — unfenced, the
     // scan→explode→groupBy pipeline re-evaluates once per consumer
     // (audited: 8 scans / 24 exchanges in the declared query's plan)
-    val tf =
-      (if (maxPosting == Int.MaxValue) tf0
+    val tf1 =
+      if (maxPosting == Int.MaxValue) tf0
       else {
         val hot = tf0.groupBy("tok").agg(count(lit(1)).as("posting_n"))
           .filter(col("posting_n") > maxPosting)
         tf0.join(hot, Seq("tok"), "left_anti")
-      }).localCheckpoint()
+      }
+    val tf = graft.plans.Fence.corpus(tf1, "cosine_tf")
     // keep the exact integer norm-square; the pair cosine divides by
     // sqrt(n2_a * n2_b) in ONE square root so identical vectors come
     // out exactly 1.0 (sqrt(x)*sqrt(x) != x in floating point)
@@ -581,13 +583,13 @@ object Similarity {
   def sparseCosineTopK(df: DataFrame, idCol: String, textCol: String,
       isQuery: Column, k: Int): DataFrame = {
     import graft.functions.TextOps
-    val tf = df
+    val tfq0 = df
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      // fence: tf feeds the corpus side, the probe side, and the norms
-      .localCheckpoint()
+    // fence: tf feeds the corpus side, the probe side, and the norms
+    val tf = graft.plans.Fence.corpus(tfq0, "cosine_topk_tf")
     val norms = tf.groupBy("doc_id")
       .agg(sum(col("tf") * col("tf")).as("n2"))
     val qtf = tf.filter(isQuery)

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** THE fence-policy chokepoint: every multi-consumer / iterative
+  * barrier in the operator library routes through here, and the choice
+  * of fence is a SIZE policy, not a per-call-site judgment call
+  * (InfraSpec enumerates the allowed direct `localCheckpoint` sites so
+  * a new fence can't silently pick the wrong tier):
+  *
+  *  - [[corpus]] — the frame is proportional to the corpus (per-doc
+  *    shingle sets, signatures, featurized rows, edge lists, per-round
+  *    rank/label tables). `localCheckpoint` would pin corpus-scale
+  *    blocks in executor-local storage (100 TB must fit on executor
+  *    disks) and make any executor loss unrecoverable mid-job; these
+  *    take the durable [[Stage]] writer instead — parquet under the
+  *    stage root, read back as a plain pruned columnar scan. Unique
+  *    per call, so per-round fences never clobber a frame still being
+  *    read.
+  *  - [[corpusBucketed]] — [[corpus]] for frames an iterative consumer
+  *    re-probes on one key every round (HashMin edges, PageRank edge+
+  *    degree tables): written bucketed so the read-back keeps its
+  *    hash partitioning and rounds shuffle only the small re-derived
+  *    side.
+  *  - [[bounded]] — the frame is DRIVER-BOUNDED (cut points, block
+  *    offsets, codebooks, sketch registers, |groups|-row partials):
+  *    executor-local checkpoint is the right fence — cheaper than a
+  *    filesystem round-trip, and losing it re-runs a bounded
+  *    computation, not a corpus pass.
+  */
+object Fence {
+
+  /** Durable fence for a corpus-sized frame (unique per call). */
+  def corpus(df: DataFrame, name: String): DataFrame =
+    Stage.materializeUnique(df, name)
+
+  /** Durable fence for a corpus-sized frame probed on `bucketCol`
+    * every round by an iterative consumer. */
+  def corpusBucketed(df: DataFrame, name: String,
+      bucketCol: String): DataFrame =
+    Stage.materializeBucketed(df, name, bucketCol)
+
+  /** Eager executor-local fence for a DRIVER-BOUNDED partial. */
+  def bounded(df: DataFrame): DataFrame = df.localCheckpoint(true)
+}

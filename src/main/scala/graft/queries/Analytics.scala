@@ -233,7 +233,7 @@ object Analytics {
       "Directed 3-gram containment pairs (|A intersect B| / |A| >= 0.6) " +
         "via the shingle inverted index — catches short docs quoted " +
         "inside long ones where Jaccard ~ |A|/|B| stays tiny.",
-      (s, d) => Dedup.containmentPairs(
+      (s, d) => Dedup.containmentPrefixPairs(
         t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.6)
         .select(col("doc_a"), col("doc_b"),
           SafeOps.stableRound4(col("containment")).as("containment"))
@@ -260,7 +260,7 @@ object Analytics {
         "as nodes; rel_rank = rank x n.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.ngramJaccardPairs(
+        val pairs = Dedup.ngramJaccardPrefixPairs(
           docs, "doc_id", "text", n = 3, threshold = 0.5)
         val edges = pairs.select(col("doc_a").as("src"),
             col("doc_b").as("dst"))
@@ -998,7 +998,7 @@ object Analytics {
         "docs report 0.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.ngramJaccardPairs(
+        val pairs = Dedup.ngramJaccardPrefixPairs(
           docs, "doc_id", "text", n = 3, threshold = 0.5)
         Graph.triangleCount(docs, "doc_id", pairs, "doc_a", "doc_b")
           .withColumnRenamed("node", "doc_id")

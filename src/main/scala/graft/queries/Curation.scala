@@ -991,11 +991,12 @@ object Curation {
         // re-scanning and re-shingling the corpus per leg (the fencing
         // discipline q84/qC1 use for tokenFreq).
         graft.functions.GraftFunctions.registerAll(s)
-        val shards = t(s, d, "documents").select(
-          (col("doc_id") % 2).as("shard"),
-          explode(graft.functions.GraftFunctions.wordNgrams(
-            col("text"), 3)).as("item"))
-          .distinct().localCheckpoint()
+        val shards = graft.plans.Fence.corpus(
+          t(s, d, "documents").select(
+            (col("doc_id") % 2).as("shard"),
+            explode(graft.functions.GraftFunctions.wordNgrams(
+              col("text"), 3)).as("item"))
+            .distinct(), "hll_shards")
         val ra = Hll.registers(shards.filter(col("shard") === 0),
           Seq.empty, col("item"), p = 9)
         val rb = Hll.registers(shards.filter(col("shard") === 1),

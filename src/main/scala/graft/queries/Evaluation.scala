@@ -764,8 +764,9 @@ object Evaluation {
         // fence: in production the band index is a PERSISTED table;
         // here it and the hot screen would otherwise re-run the decode
         // chain per consumer (the codeHammingPairs fence rationale)
-        val hashes = graft.operators.Multimodal.dhashImages(media).toDF()
-          .localCheckpoint()
+        val hashes = graft.plans.Fence.corpus(
+          graft.operators.Multimodal.dhashImages(media).toDF(),
+          "dhash_index")
         val newSide = hashes.filter(pmod(col("doc_id"), lit(3L)) === 1)
         val oldSide = hashes.filter(pmod(col("doc_id"), lit(3L)) =!= 1)
         val index = graft.operators.Dedup.codeBandIndex(
@@ -918,8 +919,9 @@ object Evaluation {
         "keep/drop disposition with cluster id.",
       (s, d) => {
         val media = trioImageMedia(t(s, d, "documents"))
-        val hashes = graft.operators.Multimodal.dhashImages(media).toDF()
-          .localCheckpoint()
+        val hashes = graft.plans.Fence.corpus(
+          graft.operators.Multimodal.dhashImages(media).toDF(),
+          "dhash_corpus")
         val good = hashes
           .filter(col("decoded") && col("dhash").isNotNull)
         val pairs = graft.operators.Dedup.codeHammingPairs(
@@ -988,8 +990,9 @@ object Evaluation {
         // fence: the 74-byte/row thumbnail table is what production
         // would persist; without it the synthesis+resize chain re-runs
         // for the decode leg and the n_bytes leg
-        val resized = graft.operators.Multimodal.resizeGray(media, 9, 7)
-          .localCheckpoint()
+        val resized = graft.plans.Fence.corpus(
+          graft.operators.Multimodal.resizeGray(media, 9, 7),
+          "thumb_table")
         val decoded = graft.operators.Multimodal.decodeImages(resized)
           .toDF()
         decoded.join(resized.select(col("doc_id"), col("n_bytes")),

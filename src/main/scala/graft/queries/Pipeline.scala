@@ -562,7 +562,8 @@ object Pipeline {
         // ONE token-stream pass (the fenced tf aggregate); the total and
         // the top-100 are then two tiny jobs over the |vocab|-row frame
         // instead of two more corpus scans
-        val tf = TextAnalysis.tokenFreq(docs, "text").localCheckpoint()
+        val tf = graft.plans.Fence.corpus(
+          TextAnalysis.tokenFreq(docs, "text"), "pipe_tf")
         val total = tf.agg(coalesce(sum("cnt"), lit(0L)))
           .collect()(0).getLong(0)
         val top = TextAnalysis.topVocab(tf, 100)
@@ -615,7 +616,8 @@ object Pipeline {
       (s, d) => {
         val docs = t(s, d, "documents")
         GraftFunctions.registerAll(s)
-        val tf = TextAnalysis.tokenFreq(docs, "text").localCheckpoint()
+        val tf = graft.plans.Fence.corpus(
+          TextAnalysis.tokenFreq(docs, "text"), "pipe_tf")
         val total = tf.agg(coalesce(sum("cnt"), lit(0L)))
           .collect()(0).getLong(0)
         val top = TextAnalysis.topVocab(tf, 100)
@@ -623,9 +625,10 @@ object Pipeline {
         val uniLp = math.log(1.0 / total) +:
           top.map(t2 => math.log(t2._2.toDouble / total))
         // encoded ids reused by bigram counting AND scoring — fence it
-        val idsDf = docs.select(col("doc_id"),
-          GraftFunctions.vocabEncode(TextOps.tokens(col("text")), vocab)
-            .as("ids")).localCheckpoint()
+        val idsDf = graft.plans.Fence.corpus(
+          docs.select(col("doc_id"),
+            GraftFunctions.vocabEncode(TextOps.tokens(col("text")), vocab)
+              .as("ids")), "pipe_ids")
         val n1 = greatest(size(col("ids")) - 1, lit(0))
         // adjacent-pair key a*101+b (ids 0..100): monotone in (a, b),
         // so the (count desc, key) top-k tie-break equals (c, a, b)

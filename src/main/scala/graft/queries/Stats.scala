@@ -730,7 +730,7 @@ object Stats {
         "with source; majority-neighbor vote, min-label ties.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        val pairs = graft.operators.Dedup.ngramJaccardPrefixPairs(
           docs, "doc_id", "text", n = 3, threshold = 0.5)
         val seeded = docs.select(col("doc_id"),
           when(col("doc_id") % 10 === 0, col("source")).as("lbl"))
@@ -768,7 +768,7 @@ object Stats {
         "on the 3-gram-Jaccard near-dup graph; null when deg < 2.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        val pairs = graft.operators.Dedup.ngramJaccardPrefixPairs(
           docs, "doc_id", "text", n = 3, threshold = 0.5)
         graft.operators.Graph.clusteringCoefficient(
           docs, "doc_id", pairs, "doc_a", "doc_b")
@@ -1212,7 +1212,7 @@ object Stats {
         "graph: per-doc induced degree and survival.",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        val pairs = graft.operators.Dedup.ngramJaccardPrefixPairs(
           docs, "doc_id", "text", n = 3, threshold = 0.5)
         graft.operators.Graph.kcoreStep(
           docs, "doc_id", pairs, "doc_a", "doc_b", k = 2)

@@ -1257,4 +1257,49 @@ class InfraSpec extends SparkTestBase {
     assert(q4All == 3 && q4Stage == 3,
       s"qQ4: $q4All scans, $q4Stage staged (want 3/3)")
   }
+
+  test("fence policy: every remaining direct localCheckpoint site is " +
+    "on the reviewed DRIVER-BOUNDED allowlist") {
+    // The size policy lives in graft.plans.Fence: corpus-sized frames
+    // take the durable Stage writer (executor loss replays a file
+    // scan; nothing corpus-scale pins executor-local storage), and
+    // ONLY reviewed driver-bounded partials may call localCheckpoint
+    // directly. This guard fails when a new direct call site appears,
+    // forcing the size-policy review instead of a silent default.
+    // Allowed sites (file -> expected call count), each bounded by:
+    //   Fence.scala        the bounded() helper itself
+    //   Ingest.scala       one microbatch (trigger-bounded)
+    //   Eval.scala         distinct-quantized-score partials
+    //                      (<= 100k cap enforced at the collect)
+    //   Survival.scala     per-distinct-duration value counts
+    //   ErasUpload.scala   |periods x views| x 11 decile rows
+    //   Evaluation.scala   per-file zone manifest (|files| rows)
+    //   Stats.scala        per-file key manifest (|files| rows)
+    val allowed = Map(
+      "plans/Fence.scala" -> 1,
+      "streaming/Ingest.scala" -> 1,
+      "operators/Eval.scala" -> 3,
+      "operators/Survival.scala" -> 1,
+      "queries/ErasUpload.scala" -> 1,
+      "queries/Evaluation.scala" -> 1,
+      "queries/Stats.scala" -> 1)
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val body = new String(java.nio.file.Files.readAllBytes(p))
+        // count CALL sites, not comment mentions
+        val n = "\\.localCheckpoint\\(".r.findAllIn(body).length
+        if (n > 0) found(root.relativize(p).toString) = n
+      }
+    }
+    val extra = found.toSeq.collect {
+      case (f, n) if n > allowed.getOrElse(f, 0) =>
+        s"$f: $n direct localCheckpoint calls " +
+          s"(allowlisted: ${allowed.getOrElse(f, 0)})"
+    }
+    assert(extra.isEmpty,
+      "un-reviewed direct localCheckpoint sites (route corpus-sized " +
+        "frames through graft.plans.Fence):\n" + extra.mkString("\n"))
+  }
 }

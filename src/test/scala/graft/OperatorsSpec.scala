@@ -286,6 +286,41 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("Dedup.containmentPrefixPairs equals the full inverted-index " +
+    "containment join at several thresholds") {
+    for (t <- Seq(0.1, 0.3, 0.6, 0.9)) {
+      val full = Dedup.containmentPairs(corpus, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val pref = Dedup.containmentPrefixPairs(corpus, "doc_id", "text",
+          3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(pref == full, s"containment prefix filter drifted at t=$t")
+    }
+  }
+
+  test("Dedup.containmentPrefixPairs keeps the asymmetric " +
+    "short-in-long pair a Jaccard threshold misses") {
+    // doc 2 (5 shingles) quoted wholesale inside doc 1 (30 shingles):
+    // containment(2→1) = 1.0 while J = 5/30 ≈ 0.17 — and the directed
+    // prefix must come from the CONTAINED side only (a full-side
+    // prefix would lose the pair: doc 1's prefix at t=0.9 is 4 tokens
+    // of 30 and need not hit the 5 shared ones)
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val fix = Seq(
+      1L -> ((1 to 25).map(i => s"a$i").mkString(" ") + " " + shared),
+      2L -> shared,
+      3L -> "x1 x2 x3 x4 x5 x6 x7 x8").toDF("doc_id", "text")
+    val got = Dedup.containmentPrefixPairs(fix, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.exists(p => p._1 == 2L && p._2 == 1L && p._3 == 1.0),
+      s"lost the contained pair: ${got.toSeq}")
+    val full = Dedup.containmentPairs(fix, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == full.toSet)
+  }
+
   test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -88,8 +88,16 @@ object Bpe {
         val (l, rr, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rules += Row(r.toLong, l, rr, cnt)
-        words = graft.plans.Fence.corpus(words.withColumn("sym",
+        val next = graft.plans.Fence.corpus(words.withColumn("sym",
           GraftFunctions.mergePair(col("sym"), l, rr)), "bpe_round")
+        // BPE runs are 10k+ merges and each round stages the FULL word
+        // table: reclaim round r-1 the moment round r's write commits
+        // (no-op on r=1, where `words` is the caller's bpe_words stage
+        // — Fence.reclaim only touches frames the stage writer
+        // returned, and that one is reclaimed by the session cleanup),
+        // so storage is 2 word-table stages, not `merges` of them
+        if (words ne words0) graft.plans.Fence.reclaim(words)
+        words = next
         r += 1
       }
     }

@@ -55,11 +55,16 @@ object Density {
     // Core-core edges -> components -> cluster = min core id. A core
     // point with no core neighbor keeps itself as a singleton cluster
     // (it IS dense; its neighbors are all border).
+    // coreEdges inherits sym's symmetry (a semi-join filter keeps (x,y)
+    // iff it keeps (y,x) — both endpoints must be core), so the
+    // components pass is told NOT to re-symmetrize: without the flag
+    // every core edge was staged twice into cc_sym and doubled each
+    // propagation round's join fan-in (VERDICT r11 #2).
     val coreEdges = sym
       .join(core, sym("a") === core("cid"), "left_semi")
       .join(core.withColumnRenamed("cid", "cid2"),
         col("b") === col("cid2"), "left_semi")
-    val comp = Dedup.connectedComponents(coreEdges)
+    val comp = Dedup.connectedComponents(coreEdges, edgesSymmetric = true)
     val coreClusters = graft.plans.Fence.corpus(
       core
         .join(comp, core("cid") === comp("node"), "left")

@@ -39,6 +39,13 @@ object Graph {
     * leak their mass to teleport, the convention that needs no global
     * redistribution pass.
     *
+    * `nodes` is staged bucketed on the node id: the node set is read
+    * once for the count and once per iteration, so an expensive
+    * caller-side derivation runs exactly once (inside the stage
+    * write), and the bucketed read-back's HashPartitioning(node) is
+    * what makes both per-round joins exchange-free (see the loop
+    * comment).
+    *
     * Output: node, rank (raw), rel_rank (rank·|nodes| — ≈1.0 for an
     * average node, the scale-free form worth reading).
     */
@@ -50,30 +57,45 @@ object Graph {
     import spark.implicits._
     val round9 = (c: org.apache.spark.sql.Column) =>
       floor(c * 1e9 + 0.5) / 1e9
-    // ONE durable fence for the whole loop: the edge table is staged
+    // TWO durable fences for the whole loop: the edge table staged
     // BUCKETED on src (the upstream pair generator runs exactly once,
-    // inside this write), so the per-round degree aggregate and the
-    // deg join are exchange-free colocated reads of the bucketed scan,
-    // and every round shuffles only the rank table. ids and the rank
-    // chain stay UNFENCED: each round's rank frame is referenced
-    // exactly once (by the next round), so the whole loop is a
-    // fixed-depth dataflow that one job evaluates once per round — no
-    // per-round materialization cost, nothing pinned in executor
-    // storage; every 8 rounds the chain re-fences through the stage
-    // writer to bound plan depth (PageRank runs are conventionally
-    // 3-20 rounds).
+    // inside this write — the degree aggregate and the deg join are
+    // exchange-free colocated reads of the bucketed scan) and the node
+    // set staged BUCKETED on node. The rank chain stays UNFENCED: each
+    // round's rank frame is referenced exactly once (by the next
+    // round), so the whole loop is a fixed-depth dataflow that one job
+    // evaluates once per round — no per-round materialization cost,
+    // nothing pinned in executor storage; every 8 rounds the chain
+    // re-fences through the stage writer to bound plan depth (PageRank
+    // runs are conventionally 3-20 rounds). With both stages bucketed,
+    // each round's two joins inherit/meet HashPartitioning(node|src)
+    // on every side and the round's ONLY exchange is the groupBy(dst)
+    // contribution aggregate.
     val e = Fence.corpusBucketed(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
       "pr_edges", "src")
+    // deg join shuffle-pinned like the rank join: deg has one row per
+    // node WITH out-edges (corpus-sized at 100 TB) and AQE's small-SF
+    // estimate would broadcast it; pinned, both sides sit on the
+    // bucketed scan's HashPartitioning(src) and the join plans with
+    // ZERO exchanges
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src")
-    // ids: re-read per round as a pruned column scan — cheaper than a
-    // stage round-trip; callers with an EXPENSIVE node derivation
-    // should fence it before calling
-    val ids = nodes.select(col(nodeCol).as("node"))
+    val ed = e.join(deg.hint("shuffle_hash"), "src")
+    // ids: staged bucketed on node — the rank-update join's left side
+    // every round, and (being HashPartitioning(node), the same
+    // partitioning the contrib join wants on the rank side) it makes
+    // BOTH per-round joins exchange-free: rank-update output inherits
+    // the node partitioning, which is exactly what the next round's
+    // contrib probe requires, so each round's ONLY shuffle is the
+    // groupBy(dst) aggregate. Also fixes the r11 ADVICE hazard: an
+    // expensive caller-side node derivation now runs once, not
+    // iterations+1 times.
+    val ids = Fence.corpusBucketed(
+      nodes.select(col(nodeCol).as("node")), "pr_nodes", "node")
     val n = ids.count()
     val teleport = (1.0 - damping) / n.toDouble
     var ranks = ids.withColumn("r", lit(1.0) / n.toDouble)
+    var prevFence: DataFrame = null
     for (i <- 1 to iterations) {
       val contrib = ed
         .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
@@ -85,8 +107,15 @@ object Graph {
         .select(col("node"),
           round9(lit(teleport) +
             lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-      if (i % 8 == 0 && i < iterations)
-        ranks = Fence.corpus(ranks, "pr_ranks")
+      if (i % 8 == 0 && i < iterations) {
+        // bucketed on node so the re-fenced rank table re-enters the
+        // loop with the partitioning the contrib join expects
+        ranks = Fence.corpusBucketed(ranks, "pr_ranks", "node")
+        // this fence's write consumed the previous one; storage stays
+        // bounded by the 2 live rank stages, not iterations/8
+        if (prevFence != null) Fence.reclaim(prevFence)
+        prevFence = ranks
+      }
     }
     ranks.select(col("node"), col("r").as("rank"),
       (col("r") * n.toDouble).as("rel_rank"))
@@ -236,6 +265,9 @@ object Graph {
         kcoreStep(active, "node", fencedEdges, "s", "d", k)
           .filter(col("survives")).select("node"), "kcore_active")
       val m = next.count()
+      // reclaim the superseded round's stage (no-op on round 1, where
+      // `active` is the still-needed kcore_universe — guard it)
+      if (active ne universe) Fence.reclaim(active)
       shrinking = m < n
       active = next
       n = m
@@ -266,13 +298,29 @@ object Graph {
   def labelPropStep(labeled: DataFrame, nodeCol: String,
       labelCol: String, edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val lbl = labeled.select(col(nodeCol).as("node"),
-      col(labelCol).cast("string").as("lbl"))
-    val und = edges
+    // und is referenced TWICE (once per explode direction): without a
+    // fence the whole upstream edge derivation — for qM4 the full
+    // prefix-pair generation — executes twice (VERDICT r11 audit).
+    // [[labelPropagate]] hoists this fence out of its loop (und is
+    // round-invariant) via stepOnUnd.
+    val und = Fence.corpus(undirected(edges, srcCol, dstCol), "lps_und")
+    stepOnUnd(labeled, nodeCol, labelCol, und)
+  }
+
+  /** De-duplicated undirected edge set: (u, v) with u < v. */
+  private def undirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+
+  /** [[labelPropStep]] given an already-fenced undirected edge set. */
+  private def stepOnUnd(labeled: DataFrame, nodeCol: String,
+      labelCol: String, und: DataFrame): DataFrame = {
+    val lbl = labeled.select(col(nodeCol).as("node"),
+      col(labelCol).cast("string").as("lbl"))
     val dir = und.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
     val votes = dir
@@ -308,14 +356,20 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     var cur = labeled.select(col(nodeCol).as("node"),
       col(labelCol).cast("string").as("label"))
-    val fencedEdges = Fence.corpus(
-      edges.select(col(srcCol).as("s"), col(dstCol).as("d")),
-      "lp_edges")
+    // the undirected edge set is ROUND-INVARIANT: symmetrize + dedup
+    // once, fence once, and every round reads the staged scan — the
+    // per-round re-derivation (and the double upstream execution
+    // labelPropStep would pay) is hoisted out of the loop
+    val und = Fence.corpus(undirected(edges, srcCol, dstCol), "lp_und")
     var i = 0
+    var prevFence: DataFrame = null
     while (i < iters) {
       cur = Fence.corpus(
-        labelPropStep(cur, "node", "label", fencedEdges, "s", "d")
+        stepOnUnd(cur, "node", "label", und)
           .select(col("node"), col("label")), "lp_labels")
+      // round i's write consumed round i-1's stage; keep 2 live stages
+      if (prevFence != null) Fence.reclaim(prevFence)
+      prevFence = cur
       i += 1
     }
     cur

@@ -42,4 +42,13 @@ object Fence {
 
   /** Eager executor-local fence for a DRIVER-BOUNDED partial. */
   def bounded(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Eagerly reclaim a SUPERSEDED [[corpus]]/[[corpusBucketed]] frame
+    * — the iterative-operator discipline: once round N+1's fence has
+    * committed (the write is an action) and round N's frame has no
+    * other consumer, delete round N's stage so storage is bounded by
+    * live rounds, not total rounds. No-op for frames that didn't come
+    * from the stage writer (e.g. a loop's round-0 input), so loops may
+    * call it unconditionally on the previous round's frame. */
+  def reclaim(df: DataFrame): Unit = Stage.reclaim(df)
 }

@@ -42,13 +42,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * extracted text vs raw HTML).
   *
   * Namespacing & lifetime: every session's stages live under
-  * `<root>/<applicationId>[-<sessionUUID>]` — two concurrent drivers
-  * (or two sessions in one application) sharing a configured stage
-  * root can never overwrite each other's stage tables mid-read. The
-  * per-session root is deleted on clean JVM shutdown (best-effort,
-  * registered before Hadoop closes its FileSystems), so iterative
-  * operators don't grow stage storage without bound; after a crash
-  * the orphaned root is identifiable by its applicationId.
+  * `<root>/<applicationId>-<sessionHash>` — two concurrent drivers
+  * (or two sessions in one application) sharing a stage root can
+  * never overwrite each other's stage tables mid-read, and bucketed
+  * stage CATALOG names carry the same discriminator so a persistent
+  * (Hive) metastore shared by two drivers never repoints one
+  * driver's stage table at the other's path. The per-session root is
+  * deleted on clean JVM shutdown (best-effort, registered before
+  * Hadoop closes its FileSystems); after a crash the orphaned root
+  * is identifiable by its applicationId. Within a session, iterative
+  * operators additionally [[reclaim]] each superseded round's stage
+  * eagerly (once the next round's write has committed), so stage
+  * storage during a 10k-round BPE training run or a long HashMin
+  * propagation is bounded by the LIVE rounds, not the total.
   */
 object Stage {
 
@@ -59,19 +65,38 @@ object Stage {
   private val seq = new AtomicLong(0)
   private val cleanupRegistered = new ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** Per-session stage root: configured roots are shared, so they get
-    * the full application+session namespace (ADVICE r10); the local
-    * default is already per-application scratch under the build
-    * target, so concurrent test/bench JVMs never collide. */
+  /** Staged-frame registry for in-session reclamation: the exact
+    * DataFrame returned by a materialize — identity-keyed (DataFrame
+    * does not override equals) and weak, so holding the registry never
+    * extends a staged frame's lifetime; the shutdown hook is the
+    * backstop for anything the GC collected before [[reclaim]] ran. */
+  private val stagedFrames: java.util.Map[DataFrame, (String, Option[String])] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, (String, Option[String])]())
+
+  /** `applicationId-sessionHash`: the namespace that makes both stage
+    * paths and bucketed-stage catalog names collision-free across
+    * concurrent drivers AND across sessions within one application. */
+  private def sessionNs(spark: SparkSession): String =
+    s"${spark.sparkContext.applicationId}-" +
+      Integer.toHexString(System.identityHashCode(spark))
+
+  /** Per-session stage root: the application+session namespace is
+    * applied in BOTH branches (ADVICE r11 — the unconfigured default
+    * previously omitted the session discriminator, so two sessions in
+    * one application could clobber each other's same-name plain
+    * stages under target/stage). */
   private def stageRoot(spark: SparkSession): String = {
+    // ABSOLUTE path always: plain `DataFrameWriter.parquet` resolves a
+    // relative path against the process cwd, but `saveAsTable`'s
+    // `path` option resolves against the WAREHOUSE dir — a relative
+    // root would scatter plain and bucketed stages across two trees
+    // (and the shutdown cleanup would miss one of them)
     val base = spark.conf.getOption(DirKey) match {
-      case Some(dir) =>
-        // session discriminator: two SparkSessions in one application
-        // (notebook forks, test suites) must not share stage paths
-        s"$dir/${spark.sparkContext.applicationId}-" +
-          Integer.toHexString(System.identityHashCode(spark))
+      case Some(dir) => s"$dir/${sessionNs(spark)}"
       case None =>
-        s"target/stage/${spark.sparkContext.applicationId}"
+        new java.io.File(s"target/stage/${sessionNs(spark)}")
+          .getAbsolutePath
     }
     registerCleanup(spark, base)
     base
@@ -111,16 +136,55 @@ object Stage {
     df.write.mode("overwrite").parquet(path)
     if (sys.env.contains("GRAFT_STAGE_DEBUG"))
       System.err.println(f"[stage] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    spark.read.parquet(path)
+    val back = spark.read.parquet(path)
+    stagedFrames.put(back, (path, None))
+    back
   }
 
   /** [[materialize]] with a unique per-call suffix — for iterative
     * operators that fence a frame once per round inside one query
     * (each round's stage output must not clobber a prior round's
-    * frame that is still being read). Superseded rounds are reclaimed
-    * by the shutdown-hook cleanup of the session stage root. */
+    * frame that is still being read). Iterative callers [[reclaim]]
+    * each superseded round eagerly; the shutdown-hook cleanup of the
+    * session stage root is the backstop. */
   def materializeUnique(df: DataFrame, name: String): DataFrame =
     materialize(df, s"${name}_${seq.incrementAndGet()}")
+
+  /** Eagerly delete a superseded stage — the storage-bound for
+    * iterative operators (ADVICE r11: a 10k-merge BPE run writes the
+    * full word table once per round; without in-session reclamation
+    * stage storage grows linearly with rounds until JVM exit).
+    *
+    * `df` must be the exact frame a materialize returned, and must no
+    * longer be referenced by any un-executed plan — the calling
+    * pattern is "write round N+1's stage (an action), THEN reclaim
+    * round N". No-op for frames this writer didn't stage (safe to
+    * call unconditionally in loops whose first input is the caller's
+    * un-staged frame). Bucketed stages also drop their catalog entry,
+    * so a persistent metastore never accumulates dangling tables. */
+  def reclaim(df: DataFrame): Unit = {
+    val entry = stagedFrames.remove(df)
+    if (entry != null) {
+      val (path, table) = entry
+      table.foreach { tbl =>
+        try df.sparkSession.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        catch { case _: Throwable => () }
+      }
+      try {
+        val p = new Path(path)
+        p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+      if (sys.env.contains("GRAFT_STAGE_DEBUG"))
+        System.err.println(s"[stage] reclaimed $path")
+    }
+  }
+
+  /** Test/debug hook: the staged path behind a materialized frame
+    * (None if `df` is not a live staged read-back). */
+  private[graft] def stagedPath(df: DataFrame): Option[String] =
+    Option(stagedFrames.get(df)).map(_._1)
 
   /** [[materializeUnique]] for frames an iterative consumer probes on
     * the same key every round (connected-components / PageRank edge
@@ -135,6 +199,19 @@ object Stage {
     * each round shuffles only the (re-derived) rank/label table, never
     * the staged side. `buckets` defaults to the session's shuffle
     * parallelism so the probe side lands on the same partition count.
+    *
+    * The input is repartitioned on `bucketCol` HERE, at the
+    * chokepoint: a bucketed write emits one file per bucket PER TASK,
+    * so an unrepartitioned upstream with T tasks writes up to T×nb
+    * small files — thousands of tiny objects per stage at cluster
+    * scale (VERDICT r11 #3). After the repartition each task owns
+    * exactly one bucket's rows, so the stage is exactly `nb` files.
+    *
+    * The catalog name carries the application+session namespace, not
+    * just the per-JVM seq: with a persistent (Hive) metastore, two
+    * concurrent drivers both count seq from 1, and un-namespaced
+    * names would let `saveAsTable(overwrite)` repoint the other
+    * driver's stage table mid-read (ADVICE r11).
     */
   def materializeBucketed(df: DataFrame, name: String,
       bucketCol: String, buckets: Int = 0): DataFrame = {
@@ -143,14 +220,18 @@ object Stage {
       else spark.sessionState.conf.numShufflePartitions
     val unique = s"${name}_${seq.incrementAndGet()}"
     val path = s"${stageRoot(spark)}/$unique"
-    val table = s"graft_stage_$unique"
+    val table = ("graft_stage_" + sessionNs(spark) + "_" + unique)
+      .replaceAll("[^a-zA-Z0-9_]", "_")
     val t0 = System.nanoTime()
-    df.write.mode("overwrite")
+    df.repartition(nb, df(bucketCol))
+      .write.mode("overwrite")
       .option("path", path)
       .bucketBy(nb, bucketCol)
       .saveAsTable(table)
     if (sys.env.contains("GRAFT_STAGE_DEBUG"))
       System.err.println(f"[stage] $unique (bucketed) ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    spark.table(table)
+    val back = spark.table(table)
+    stagedFrames.put(back, (path, Some(table)))
+    back
   }
 }

@@ -309,13 +309,21 @@ class PlanSpec extends SparkTestBase {
       "qE3_hll_cardinality" -> 6,  // register groupBy O(groups x 2^p) + exact rider
       "qC2_vocab_growth" -> 3,     // one gram-key groupBy + 10-row decile window
       "q28_hop_annotation_chain" -> 3, // broadcast annotation joins; U+agg exchanges
-      "qA1_pagerank_dedup_graph" -> 1, // post-loop join (rounds checkpoint-fenced)
+      // qA1 re-audited round 12 after the bucketed-stage migration:
+      // edge table AND node set staged bucketed (src / node), so both
+      // per-round joins meet HashPartitioning on every side and each
+      // of the 3 PageRank rounds contributes exactly ONE exchange (the
+      // groupBy(dst) contribution aggregate) + 1 final ORDER BY range
+      // exchange. The deg join is shuffle-pinned and colocated (zero
+      // exchanges); no exchange ever carries the rank table.
+      "qA1_pagerank_dedup_graph" -> 4,
       "qB7_dedup_jaccard_prefix" -> 8, // the round-5 8-exchange restructure
       "q58_dedup_canonical" -> 3,  // post-loop canonical join
       "qF5_unified_uploads" -> 2,  // per-row era projections + ndt5 tcpinfo join
       "qF8_hll64_cardinality" -> 6, // register groupBy + exact rider (qE3's shape)
       // round-6 batch-5 heavies (audited this round):
-      "qH6_dbscan" -> 8,  // pair gen + degree + CC rounds' label joins
+      "qH6_dbscan" -> 7,  // pair gen + degree + CC rounds' label joins
+                          // (r12: -1, edgesSymmetric skips a swap leg)
       "qH9_dhash_pairs" -> 4,  // band shuffle pair + dedup + order
       "qI2_audio_fp_pairs" -> 4, // same banded shape as qH9
       "qH3_binary_auc" -> 11, // score partials + block offsets frames
@@ -327,14 +335,22 @@ class PlanSpec extends SparkTestBase {
       "qN0_conformal" -> 24,       // means + residual-rank prefix sum
       "qL3_quantiles_merged" -> 20, // 2 half-counts + merge + prefix sum
       "qK7_acf" -> 17,             // daily frame + lag equi-join legs
-      "qM4_label_prop_step" -> 14, // pair gen + vote/winner joins
+      // qM4 re-audited round 12: labelPropStep fences its undirected
+      // edge set (the prefix pair generation previously executed TWICE
+      // — once per explode direction); the declared plan is now 2
+      // nbr-key shuffles of the staged edge scan's two explode legs +
+      // vote groupBy(node,nl) + winner groupBy(node) + label join
+      // shuffle + final ORDER BY — every exchange carries an edge- or
+      // label-sized frame, never the shingle stream
+      "qM4_label_prop_step" -> 6,
       "qN1_fs_patterns" -> 14,     // blocking rank + pattern aggregate
       "qL5_mutual_information" -> 13, // cells + margins + sorted folds
       "qL4_fellegi_sunter" -> 13,  // blocking rank + two field joins
       "qL0_chi2_independence" -> 12, // cells + margins + grid complete
       "qM5_clustering_coeff" -> 8, // fenced und + degree + wedge joins
       // round-8 (audited this round):
-      "qO9_dbscan_lsh" -> 8, // bucket equi-join pair gen + qH6 core
+      "qO9_dbscan_lsh" -> 7, // bucket equi-join pair gen + qH6 core
+                             // (r12: -1, edgesSymmetric skips a swap leg)
       "qO7_uploads_decile_rollup" -> 3, // dedup window + decile agg + era join
       "qP0_dhash_pairs_capped" -> 8, // hot screen + anti + banded self-join
       "qP1_audio_fp_pairs_wide" -> 8, // same capped shape, 14-bit bands

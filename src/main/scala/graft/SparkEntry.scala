@@ -23,7 +23,8 @@ object SparkEntry {
       _root_.graft.queries.Analytics.all ++
       _root_.graft.queries.Curation.all ++
       _root_.graft.queries.Evaluation.all ++
-      _root_.graft.queries.Stats.all
+      _root_.graft.queries.Stats.all ++
+      _root_.graft.queries.ViewSurface.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The pdf/cdf histogram TVF — the reference's marquee table function

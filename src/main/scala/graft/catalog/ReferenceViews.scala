@@ -1,0 +1,394 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's NAMED view surface — every view name
+  * `create_dataset_views.sh` deploys, registered as a real
+  * dataset-qualified Spark view so a user porting a reference query by
+  * view name (`ndt.unified_downloads`, `wehe.scamper1_hopannotation2`,
+  * `statistics.v0_countries`, …) hits a catalog entry.
+  *
+  * Fidelity contract (what is and isn't mirrored):
+  *   - NAMES + DATASETS + DEPLOY ORDER are the reference's, line for
+  *     line (/root/reference/views/create_dataset_views.sh:35-157; the
+  *     measurement-lab public block included). [[manifest]] is ordered
+  *     exactly as the script runs, and [[ViewRegistry.deployQualified]]
+  *     verifies that order is dependency-valid instead of re-deriving
+  *     it — the script order IS the reference contract.
+  *   - TEMPLATING is the reference's `{{.ProjectID}}` convention
+  *     (views/README.md:17-19), rendered here to the Spark catalog
+  *     name.
+  *   - The `nofilter` variants are produced by the reference's OWN
+  *     mechanism — the script sed-patches the unified templates,
+  *     deleting the EXCEPT clause and the `WHERE IsValidBest` line
+  *     (create_dataset_views.sh:108-110); [[nofilterPatch]] applies
+  *     the same two line-wise substitutions to the template.
+  *   - BODIES are re-expressions over the synthetic `events` table: the
+  *     reference's bottom tables are parser outputs of raw archives
+  *     (web100 snapshots, scamper traceroutes) that do not exist here,
+  *     so [[registerBase]] normalizes `events` into a date/experiment/
+  *     datatype-discriminated `archive` (the raw-table layer the
+  *     reference assumes exists before any view deploys), and every
+  *     view keeps its reference SHAPE: raw pass-throughs, legacy
+  *     `partition_date` casts (web100_legacy.sql:5), annotation joins
+  *     (ndt/ndt5.sql: "materializes ndt_raw.ndt5 with
+  *     ndt_raw.annotation2"), the ndt7 legacy/dynamic/union trio with
+  *     its star-EXCEPT (archiver|Parser) union (ndt/ndt7_union.sql:5-7),
+  *     extended-to-unified validity filtering, and the statistics
+  *     dimension ladder (global/continent/country/region/city/US
+  *     state/county, each x asn — the statistics/v0 family).
+  */
+object ReferenceViews {
+
+  /** Catalog the rendered views live in ({{.ProjectID}} binding). */
+  val Project = "spark_catalog"
+
+  val vars: Map[String, String] = Map("ProjectID" -> Project)
+
+  // ---- the synthetic raw layer ------------------------------------------
+
+  /** Experiments (dataset families) and datatypes, discriminated from
+    * event_id deterministically (5 and 23 are coprime, so every
+    * (experiment, datatype) combination occurs). The datatype list is
+    * the union of every sql-file basename the script deploys a raw
+    * view for. */
+  private val experiments =
+    Seq("ndt", "msak", "wehe", "host", "revtr")
+  private val datatypes = Seq(
+    "ndt5", "ndt7", "web100", "tcpinfo", "annotation2", "pcap",
+    "hopannotation2", "scamper1", "scamper2", "throughput1", "latency1",
+    "paris1", "nodeinfo1", "clientXputs1", "decisions1", "replayInfo1",
+    "ping1", "ranked_spoofers1", "revtr1", "trace1", "traceatlas1",
+    "switch", "speedtest_speed1")
+  private val continents = Seq("AF", "AS", "EU", "NA", "OC", "SA")
+
+  private def caseOver(expr: String, values: Seq[String]): String =
+    values.zipWithIndex.map { case (v, i) =>
+      s"WHEN $expr % ${values.length} = $i THEN '$v'"
+    }.mkString("CASE ", " ", " END")
+
+  /** The normalized-archive projection over the raw events columns —
+    * shared with the DuckDB oracle builder so the two can't drift.
+    * `tsDateExpr` abstracts the one engine difference (events.ts ships
+    * as INT64 nanos, which Spark reads as a raw long under the legacy
+    * conf while DuckDB reads TIMESTAMP_NS natively). */
+  private[graft] def archiveColumns(tsDateExpr: String,
+      str: String => String): Seq[String] = Seq(
+    s"$tsDateExpr AS date",
+    "event_id AS id",
+    "user_id",
+    s"${caseOver("event_id", experiments)} AS experiment",
+    s"${caseOver("event_id", datatypes)} AS datatype",
+    "CASE WHEN event_id % 2 = 0 THEN 'download' ELSE 'upload' END" +
+      " AS direction",
+    "value AS mbps",
+    "CAST(user_id % 50 + 1 AS DOUBLE) AS min_rtt",
+    s"${str("user_id % 20")} AS site",
+    s"${caseOver("user_id", continents)} AS continent_code",
+    s"CONCAT('C', ${str("user_id % 30")}) AS country_code",
+    s"CONCAT('R', ${str("user_id % 60")}) AS region_code",
+    s"CONCAT('city-', ${str("user_id % 120")}) AS city",
+    s"CONCAT('US-', ${str("user_id % 50")}) AS us_state",
+    s"CONCAT('cty-', ${str("user_id % 200")}) AS us_county",
+    "CAST(64500 + user_id % 100 AS BIGINT) AS asn")
+
+  /** Bottom tables: the reference deploys views over raw/parser tables
+    * that "exist before any view deploys" (the deployAll invariant).
+    * Here that layer is one external parquet table + the normalized
+    * `archive` view + per-experiment raw datasets, created BEFORE the
+    * manifest deploys. Idempotent; re-binding to a new sfDir replaces
+    * the external table. */
+  def registerBase(spark: SparkSession, sfDir: String): Unit = {
+    // events.ts is INT64 TIMESTAMP(NANOS) in some generations — read as
+    // raw nanos (Tables.load discipline) and rebuild with integer math
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def sql(s: String): Unit = { spark.sql(s); () }
+    sql("CREATE DATABASE IF NOT EXISTS base_tables")
+    sql("DROP TABLE IF EXISTS base_tables.events_raw")
+    sql("CREATE TABLE base_tables.events_raw USING parquet " +
+      s"LOCATION '$sfDir/events.parquet'")
+    val tsType = spark.table("base_tables.events_raw")
+      .schema("ts").dataType.typeName
+    val tsDate = tsType match {
+      case "long" => "CAST(timestamp_micros(ts DIV 1000) AS DATE)"
+      case _ => "CAST(CAST(ts AS TIMESTAMP) AS DATE)"
+    }
+    val cols = archiveColumns(tsDate,
+      m => s"CAST($m AS STRING)")
+    sql("CREATE OR REPLACE VIEW base_tables.archive AS SELECT " +
+      cols.mkString(", ") + s" FROM $Project.base_tables.events_raw")
+    def filtered(pred: String): String =
+      s"SELECT a.*, 'v2' AS parser FROM $Project.base_tables.archive a" +
+        s" WHERE $pred"
+    // legacy bottom tables (base_tables.<x>): the old parser's outputs
+    for (d <- Seq("ndt" -> "web100", "ndt5" -> "ndt5",
+        "tcpinfo" -> "tcpinfo", "paris1" -> "paris1",
+        "switch" -> "switch"))
+      sql(s"CREATE OR REPLACE VIEW base_tables.${d._1} AS " +
+        filtered(s"experiment = 'ndt' AND datatype = '${d._2}'"))
+    // global sidestream: web100 across every experiment
+    sql("CREATE OR REPLACE VIEW base_tables.sidestream AS " +
+      filtered("datatype = 'web100'"))
+    // per-experiment raw datasets (the new parser's outputs)
+    val rawSets: Seq[(String, String, Seq[String])] = Seq(
+      ("raw_ndt", "ndt", Seq("ndt5", "ndt7", "tcpinfo", "annotation2",
+        "pcap", "hopannotation2", "scamper1", "scamper2")),
+      ("raw_msak", "msak", Seq("throughput1", "latency1", "annotation2",
+        "hopannotation2", "pcap", "scamper1", "tcpinfo")),
+      ("raw_host", "host", Seq("nodeinfo1")),
+      ("raw_wehe", "wehe", Seq("annotation2", "hopannotation2",
+        "scamper1", "clientXputs1", "decisions1", "replayInfo1")),
+      ("raw_revtr", "revtr", Seq("ping1", "ranked_spoofers1", "revtr1",
+        "trace1", "traceatlas1")),
+      ("raw_utilization", "ndt", Seq("switch")),
+      ("raw_cloudflare", "ndt", Seq("speedtest_speed1")))
+    for ((db, exp, dts) <- rawSets) {
+      sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      for (dt <- dts)
+        sql(s"CREATE OR REPLACE VIEW $db.$dt AS " +
+          filtered(s"experiment = '$exp' AND datatype = '$dt'"))
+    }
+    // the autoload (dynamic-fleet) tables the autojoin views union —
+    // tagged `archiver`, the column ndt7_union strips (ndt7_union.sql:5)
+    sql("CREATE DATABASE IF NOT EXISTS autoload_v2_ndt")
+    for (dt <- Seq("ndt7", "scamper2"))
+      sql(s"CREATE OR REPLACE VIEW autoload_v2_ndt.$dt AS " +
+        s"SELECT a.*, 'autojoin' AS archiver FROM " +
+        s"$Project.base_tables.archive a WHERE experiment = 'ndt' " +
+        s"AND datatype = '$dt'")
+  }
+
+  // ---- manifest body builders -------------------------------------------
+
+  private val P = "{{.ProjectID}}"
+
+  private def pass(from: String): String = s"SELECT * FROM $P.$from"
+
+  /** The legacy views' partition pseudo-column cast
+    * (ndt_raw/web100_legacy.sql:5: `CAST(_PARTITIONTIME AS DATE) AS
+    * partition_date, *`). */
+  private def legacy(from: String): String =
+    s"SELECT date AS partition_date, * FROM $P.$from"
+
+  /** The public annotated pass-throughs: "materializes data from
+    * ndt_raw.X with ndt_raw.annotation2 into a single location"
+    * (ndt/ndt5.sql:2-4) — here an explicit LEFT annotation join on the
+    * (date, user_id) measurement key, annotation deduped first so the
+    * join can't fan out. */
+  private def annotated(from: String, annFrom: String): String =
+    s"""SELECT r.*, a.ann_value
+       |FROM $P.$from r
+       |LEFT JOIN (
+       |  SELECT date, user_id, MIN(mbps) AS ann_value
+       |  FROM $P.$annFrom GROUP BY date, user_id) a
+       |ON r.date = a.date AND r.user_id = a.user_id""".stripMargin
+
+  /** The IsValidBest predicate — shared verbatim with the DuckDB
+    * oracle builder so the two engines' unified row sets can't drift.
+    * The reference's form gates on throughput/rtt plausibility
+    * (unified_downloads.sql IsValidBest); these bounds are chosen so
+    * the gate actually FIRES on the synthetic value range. */
+  private[graft] val validPredicate: String =
+    "mbps > 25.0 AND min_rtt >= 1.0 AND mbps < 10000.0"
+
+  /** One extended (intermediate) view: direction-filtered, flattened to
+    * the unified column list, with the validity flag the unified views
+    * filter on (the reference's IsValidBest,
+    * ndt_intermediate/extended_*.sql). */
+  private def extended(viewName: String, from: String,
+      direction: String): String =
+    s"""SELECT date, id, user_id, '$viewName' AS view_name,
+       |  mbps, min_rtt, continent_code, country_code, region_code,
+       |  city, us_state, us_county, asn,
+       |  ($validPredicate) AS isvalidbest
+       |FROM $P.$from
+       |WHERE direction = '$direction'""".stripMargin
+
+  /** The unified union: three era branches, valid rows only, the flag
+    * stripped (unified_downloads.sql:86-98). The EXCEPT and the WHERE
+    * sit on their own lines because [[nofilterPatch]] — the script's
+    * sed — edits them line-wise. `pin` is the dated-variant predicate
+    * (unified_downloads_20201026x.sql's regression-pin convention). */
+  private def unified(dir: String, pin: String = ""): String = {
+    val legs = Seq("ndt7", "ndt5", "web100").map(v =>
+        s"  SELECT * FROM $P.ndt_intermediate.extended_${v}_$dir")
+      .mkString("\n  UNION ALL\n")
+    s"""SELECT * EXCEPT (isvalidbest)
+       |FROM (
+       |$legs
+       |)
+       |WHERE isvalidbest$pin""".stripMargin
+  }
+
+  /** The script's literal nofilter sed patch — delete everything from
+    * EXCEPT to end-of-line, delete the `WHERE IsValidBest` text
+    * (create_dataset_views.sh:108-110) — applied line-wise like sed. */
+  private[graft] def nofilterPatch(sql: String): String =
+    sql.linesIterator
+      .map(_.replaceAll("EXCEPT.*", "").replaceAll("WHERE isvalidbest", ""))
+      .mkString("\n")
+
+  /** The statistics dimension ladder (statistics/v0_*.sql): per-date
+    * download rollups at each geographic grain, each with an ×asn
+    * variant. Rounded with the stable floor form so results are
+    * reproducible across partial-aggregation orders. */
+  private def stats(dims: Seq[String]): String = {
+    val d = dims.mkString(", ")
+    s"""SELECT $d, date,
+       |  COUNT(*) AS dl_tests,
+       |  FLOOR(AVG(mbps) * 10000 + 0.5) / 10000 AS dl_mean_mbps,
+       |  FLOOR(MIN(mbps) * 10000 + 0.5) / 10000 AS dl_min_mbps,
+       |  FLOOR(MAX(mbps) * 10000 + 0.5) / 10000 AS dl_max_mbps
+       |FROM $P.ndt.unified_downloads
+       |GROUP BY $d, date""".stripMargin
+  }
+
+  private def v(dataset: String, name: String, body: String): ViewDef =
+    ViewDef(name, body, dataset = dataset)
+
+  // ---- the manifest, in create_dataset_views.sh order ---------------------
+
+  private val statDims: Seq[(String, Seq[String])] = Seq(
+    "v0_global_asn" -> Seq("asn"),
+    "v0_continents" -> Seq("continent_code"),
+    "v0_continents_asn" -> Seq("continent_code", "asn"),
+    "v0_countries" -> Seq("continent_code", "country_code"),
+    "v0_countries_asn" -> Seq("continent_code", "country_code", "asn"),
+    "v0_regions" -> Seq("continent_code", "country_code", "region_code"),
+    "v0_regions_asn" ->
+      Seq("continent_code", "country_code", "region_code", "asn"),
+    "v0_cities" ->
+      Seq("continent_code", "country_code", "region_code", "city"),
+    "v0_cities_asn" ->
+      Seq("continent_code", "country_code", "region_code", "city", "asn"),
+    "v0_us_states" -> Seq("us_state"),
+    "v0_us_states_asn" -> Seq("us_state", "asn"),
+    "v0_us_counties" -> Seq("us_state", "us_county"),
+    "v0_us_counties_asn" -> Seq("us_state", "us_county", "asn"))
+
+  /** Every view the script creates, in script order
+    * (create_dataset_views.sh:35-157). */
+  val manifest: Seq[ViewDef] = Seq(
+    // NDT raw (legacy parser) — :35-38
+    v("ndt_raw", "web100_legacy", legacy("base_tables.ndt")),
+    v("ndt_raw", "ndt5_legacy", legacy("base_tables.ndt5")),
+    v("ndt_raw", "tcpinfo_legacy", legacy("base_tables.tcpinfo")),
+    v("ndt_raw", "paris1_legacy", legacy("base_tables.paris1")),
+    // NDT raw — :40-46
+    v("ndt_raw", "annotation2", pass("raw_ndt.annotation2")),
+    v("ndt_raw", "ndt5", pass("raw_ndt.ndt5")),
+    v("ndt_raw", "ndt7", pass("raw_ndt.ndt7")),
+    v("ndt_raw", "pcap", pass("raw_ndt.pcap")),
+    v("ndt_raw", "hopannotation2", pass("raw_ndt.hopannotation2")),
+    v("ndt_raw", "scamper1", pass("raw_ndt.scamper1")),
+    v("ndt_raw", "tcpinfo", pass("raw_ndt.tcpinfo")),
+    // MSAK raw — :49-55
+    v("msak_raw", "throughput1", pass("raw_msak.throughput1")),
+    v("msak_raw", "latency1", pass("raw_msak.latency1")),
+    v("msak_raw", "annotation2", pass("raw_msak.annotation2")),
+    v("msak_raw", "hopannotation2", pass("raw_msak.hopannotation2")),
+    v("msak_raw", "pcap", pass("raw_msak.pcap")),
+    v("msak_raw", "scamper1", pass("raw_msak.scamper1")),
+    v("msak_raw", "tcpinfo", pass("raw_msak.tcpinfo")),
+    // HOST raw — :58
+    v("host_raw", "nodeinfo1", pass("raw_host.nodeinfo1")),
+    // WEHE — :61-69
+    v("wehe_raw", "annotation2", pass("raw_wehe.annotation2")),
+    v("wehe_raw", "hopannotation2", pass("raw_wehe.hopannotation2")),
+    v("wehe_raw", "scamper1", pass("raw_wehe.scamper1")),
+    v("wehe_raw", "clientXputs1", pass("raw_wehe.clientXputs1")),
+    v("wehe_raw", "decisions1", pass("raw_wehe.decisions1")),
+    v("wehe_raw", "replayInfo1", pass("raw_wehe.replayInfo1")),
+    v("wehe", "clientXputs1", pass("wehe_raw.clientXputs1")),
+    v("wehe", "decisions1", pass("wehe_raw.decisions1")),
+    v("wehe", "replayInfo1", pass("wehe_raw.replayInfo1")),
+    // public pass-throughs (the measurement-lab block) — :72-90
+    v("ndt", "ndt5", annotated("ndt_raw.ndt5", "ndt_raw.annotation2")),
+    v("ndt", "ndt7", annotated("ndt_raw.ndt7", "ndt_raw.annotation2")),
+    v("ndt", "tcpinfo",
+      annotated("ndt_raw.tcpinfo", "ndt_raw.annotation2")),
+    v("ndt", "scamper1",
+      annotated("ndt_raw.scamper1", "ndt_raw.hopannotation2")),
+    v("ndt", "scamper2",
+      annotated("raw_ndt.scamper2", "ndt_raw.hopannotation2")),
+    v("ndt", "web100", annotated("base_tables.ndt", "ndt_raw.annotation2")),
+    v("wehe", "scamper1", pass("wehe_raw.scamper1")),
+    v("wehe", "scamper1_hopannotation2",
+      s"""SELECT s.*, h.n_hops
+         |FROM $P.wehe.scamper1 s
+         |LEFT JOIN (
+         |  SELECT date, user_id, COUNT(*) AS n_hops
+         |  FROM $P.wehe_raw.hopannotation2 GROUP BY date, user_id) h
+         |ON s.date = h.date AND s.user_id = h.user_id""".stripMargin),
+    // REVTR — :84-88
+    v("revtr_raw", "ping1", pass("raw_revtr.ping1")),
+    v("revtr_raw", "ranked_spoofers1", pass("raw_revtr.ranked_spoofers1")),
+    v("revtr_raw", "revtr1", pass("raw_revtr.revtr1")),
+    v("revtr_raw", "trace1", pass("raw_revtr.trace1")),
+    v("revtr_raw", "traceatlas1", pass("raw_revtr.traceatlas1")),
+    // NDT extended (mixed parsers) — :93-98
+    v("ndt_intermediate", "extended_ndt5_downloads",
+      extended("extended_ndt5_downloads", "ndt.ndt5", "download")),
+    v("ndt_intermediate", "extended_ndt5_uploads",
+      extended("extended_ndt5_uploads", "ndt.ndt5", "upload")),
+    v("ndt_intermediate", "extended_ndt7_downloads",
+      extended("extended_ndt7_downloads", "ndt.ndt7", "download")),
+    v("ndt_intermediate", "extended_ndt7_uploads",
+      extended("extended_ndt7_uploads", "ndt.ndt7", "upload")),
+    v("ndt_intermediate", "extended_web100_downloads",
+      extended("extended_web100_downloads", "ndt.web100", "download")),
+    v("ndt_intermediate", "extended_web100_uploads",
+      extended("extended_web100_uploads", "ndt.web100", "upload")),
+    // NDT unified — :101-113 (dated pin first, then live, then the
+    // sed-patched nofilter variant — script order)
+    v("ndt", "unified_downloads_20201026x",
+      unified("downloads", " AND date < DATE '2024-07-01'")),
+    v("ndt", "unified_downloads", unified("downloads")),
+    v("ndt", "unified_downloads_nofilter",
+      nofilterPatch(unified("downloads"))),
+    v("ndt", "unified_uploads_20201026x",
+      unified("uploads", " AND date < DATE '2024-07-01'")),
+    v("ndt", "unified_uploads", unified("uploads")),
+    v("ndt", "unified_uploads_nofilter", nofilterPatch(unified("uploads"))),
+    // autojoin passthrough + legacy/dynamic/union trio — :117-122
+    v("autojoin_autoload_v2_ndt", "ndt7_union",
+      pass("autoload_v2_ndt.ndt7")),
+    v("autojoin_autoload_v2_ndt", "scamper2_union",
+      pass("autoload_v2_ndt.scamper2")),
+    v("ndt", "ndt7_legacy", pass("ndt.ndt7")),
+    v("ndt", "ndt7_dynamic", pass("autojoin_autoload_v2_ndt.ndt7_union")),
+    v("ndt", "ndt7_union",
+      s"""SELECT * EXCEPT ( archiver ) FROM $P.autojoin_autoload_v2_ndt.ndt7_union
+         |UNION ALL
+         |SELECT * EXCEPT ( parser, ann_value ) FROM $P.ndt.ndt7""".stripMargin),
+    // traceroute — :125-126
+    v("traceroute", "scamper1", pass("ndt_raw.scamper1")),
+    v("traceroute", "paris1_legacy", pass("ndt_raw.paris1_legacy")),
+    // sidestream — :129
+    v("sidestream", "web100_legacy", legacy("base_tables.sidestream")),
+    // utilization — :132-135
+    v("utilization", "switch_legacy", legacy("base_tables.switch")),
+    v("utilization", "switch", pass("raw_utilization.switch")),
+    // cloudflare — :138
+    v("cloudflare", "speedtest_speed1", pass("raw_cloudflare.speedtest_speed1")),
+    // MSAK — :141-142
+    v("msak", "throughput1",
+      annotated("msak_raw.throughput1", "msak_raw.annotation2")),
+    v("msak", "throughput1_downloads",
+      s"""SELECT date, user_id, COUNT(*) AS n_streams,
+         |  FLOOR(MIN(mbps) * 10000 + 0.5) / 10000 AS min_mbps,
+         |  FLOOR(MAX(mbps) * 10000 + 0.5) / 10000 AS max_mbps
+         |FROM $P.msak.throughput1
+         |WHERE direction = 'download'
+         |GROUP BY date, user_id""".stripMargin)) ++
+    // statistics — :145-157
+    statDims.map { case (name, dims) => v("statistics", name, stats(dims)) }
+
+  /** Deploy the raw layer + the full manifest (script order, verified
+    * dependency-valid, ACL-synced). Returns the qualified names. */
+  def deploy(spark: SparkSession, sfDir: String,
+      acl: AclRegistry = new AclRegistry): Seq[String] = {
+    registerBase(spark, sfDir)
+    new ViewRegistry(spark).deployQualified(manifest, acl, vars)
+  }
+}

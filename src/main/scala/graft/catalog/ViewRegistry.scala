@@ -159,6 +159,45 @@ class ViewRegistry(spark: SparkSession) {
     * read tables its callers can't. Pure metadata (grants land in
     * `acl`); Spark enforces nothing.
     */
+  /** [[deployAllWithAccess]] for DATASET-QUALIFIED persistent views —
+    * the named-manifest path ([[ReferenceViews]]): each view is created
+    * as `<dataset>.<name>` in the session catalog (reference view names
+    * like `ndt_raw.annotation2` and `msak_raw.annotation2` share bare
+    * names across datasets, so temp views can't carry the surface), in
+    * the GIVEN order. The order is not re-derived: the reference's
+    * deploy script order is the contract, and this method VERIFIES it
+    * is dependency-valid (every in-set reference already deployed —
+    * BigQuery's create-time validation invariant) instead of
+    * topo-sorting, failing fast on a violation. Same per-view ACL sync
+    * as [[deployAllWithAccess]].
+    */
+  def deployQualified(views: Seq[ViewDef], acl: AclRegistry,
+      vars: Map[String, String] = Map.empty, user: String = "")
+      : Seq[String] = {
+    val catalog = spark.sessionState.catalogManager.currentCatalog.name
+    def norm(dep: String): String = dep.stripPrefix(s"$catalog.")
+    val byQ = views.map(v => v.qualifiedName.toLowerCase -> v).toMap
+    val deployed = mutable.Set[String]()
+    views.foreach { v =>
+      val body = render(v.sqlTemplate, vars)
+      val inSet = dependencies(body).map(norm) & byQ.keySet
+      val early = inSet -- deployed
+      require(early.isEmpty, s"${v.qualifiedName} deploys before its " +
+        s"dependencies: ${early.mkString(", ")} (order violates the " +
+        "create-before-use invariant)")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS ${v.dataset}")
+      spark.sql(s"CREATE OR REPLACE VIEW ${v.qualifiedName} AS $body")
+      deployed += v.qualifiedName.toLowerCase
+      acl.syncDataset(v.dataset, user, v.access)
+      dependencies(body).map(norm).foreach { dep =>
+        val target = byQ.get(dep).map(_.qualifiedName).getOrElse(dep)
+        acl.syncDataset(acl.datasetOf(target))
+        acl.syncViewAccess(v.qualifiedName, target)
+      }
+    }
+    views.map(_.qualifiedName)
+  }
+
   def deployAllWithAccess(views: Seq[ViewDef], acl: AclRegistry,
       vars: Map[String, String] = Map.empty, user: String = "")
       : Seq[String] = {

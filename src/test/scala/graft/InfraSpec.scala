@@ -1258,6 +1258,65 @@ class InfraSpec extends SparkTestBase {
       s"qQ4: $q4All scans, $q4Stage staged (want 3/3)")
   }
 
+  test("reference-view manifest: names, datasets, and deploy order " +
+    "mirror create_dataset_views.sh line for line; every name resolves " +
+    "to a queryable view; cross-dataset grants recorded") {
+    import graft.catalog.{AccessEntry, AclRegistry, ReferenceViews}
+    // 1. parse the reference script's own create_view invocations
+    // (including the sed-generated nofilter SQL~ lines) — the expected
+    // (dataset, view) sequence comes from the artifact itself, so a
+    // reference update would fail this test instead of drifting
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/views/create_dataset_views.sh")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val re = ("""(?m)^\s*create_view \$\{\w+\} \$\{\w+\} (\S+) """ +
+      """\./[^/]+/([^/ ]+)\.(?:sql|SQL~)""").r
+    val expected = re.findAllMatchIn(script)
+      .map(m => (m.group(1), m.group(2))).toSeq
+    assert(expected.size >= 75, s"script parse broke: ${expected.size}")
+    val got = ReferenceViews.manifest.map(v => (v.dataset, v.name))
+    assert(got == expected,
+      "manifest diverges from the script:\n" +
+        got.zipAll(expected, ("?", "?"), ("?", "?"))
+          .filter(p => p._1 != p._2).take(10).mkString("\n"))
+    // 2. deploy — deployQualified itself verifies the script order is
+    // dependency-valid (create-before-use) and fails on a violation
+    val acl = new AclRegistry
+    val names = ReferenceViews.deploy(spark, "/root/testdata/sf0.001", acl)
+    assert(names.size == expected.size)
+    // 3. every deployed name resolves through the catalog and yields
+    // rows (the "a reference user hits a catalog entry" criterion)
+    val empty = names.filter(n => spark.table(n).head(1).isEmpty)
+    assert(empty.isEmpty, s"deployed but empty: ${empty.mkString(", ")}")
+    // 4. authorized-view grants across the stacked datasets: the
+    // unified views read ndt_intermediate, the statistics ladder reads
+    // ndt, the intermediate views read ndt
+    assert(acl.accessOf("ndt_intermediate")
+      .contains(AccessEntry.view("ndt.unified_downloads")))
+    assert(acl.accessOf("ndt")
+      .contains(AccessEntry.view("statistics.v0_countries")))
+    assert(acl.accessOf("ndt")
+      .contains(AccessEntry.view("ndt_intermediate.extended_ndt7_downloads")))
+    // 5. the nofilter variants really are the sed-patch of the live
+    // template: no EXCEPT, no IsValidBest filter, same FROM legs
+    val nf = ReferenceViews.manifest
+      .find(v => v.dataset == "ndt" && v.name == "unified_downloads_nofilter")
+      .get.sqlTemplate
+    assert(!nf.contains("EXCEPT") && !nf.contains("WHERE isvalidbest"))
+    val live = ReferenceViews.manifest
+      .find(v => v.dataset == "ndt" && v.name == "unified_downloads")
+      .get.sqlTemplate
+    assert(ReferenceViews.nofilterPatch(live) == nf)
+    // and semantically: nofilter keeps the invalid rows the live view
+    // drops, plus the flag column the EXCEPT strips
+    val nfDf = spark.table("ndt.unified_downloads_nofilter")
+    val liveDf = spark.table("ndt.unified_downloads")
+    assert(nfDf.columns.contains("isvalidbest") &&
+      !liveDf.columns.contains("isvalidbest"))
+    assert(nfDf.count() > liveDf.count())
+  }
+
   test("bucketed stage: exactly one file per bucket (chokepoint " +
     "repartition), edgesSymmetric halves the staged edge volume, and " +
     "superseded label stages are reclaimed in-session") {

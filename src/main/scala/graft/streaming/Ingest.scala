@@ -545,4 +545,85 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** Streaming web-curation screen — qQ4's corpus build (HTML → main-
+    * content extraction → Gopher quality gate → exact-content-hash
+    * dedup → disposition) at arrival time, with a GROWING canonical
+    * index in the [[startMediaScreen]] layout. Per micro-batch of raw
+    * (doc_id, html) rows:
+    *
+    *   1. ONE extraction pass (the expensive kernel), consumed by both
+    *      the quality leg and the hash leg — micro-batch-bounded, so
+    *      the in-batch fence is a localCheckpoint, not a stage write;
+    *   2. resolve each batch hash against the STANDING canonical index
+    *      (content_hash → first-arrival canonical doc id): a hash seen
+    *      in ANY earlier batch keeps its standing canonical — the
+    *      cross-batch duplicate only a growing index catches; unseen
+    *      hashes take the batch-minimum id, qQ4's keep-min rule;
+    *   3. write the disposition rows (doc_id, content_hash, canonical,
+    *      quality_keep, keep = quality AND canonical) EXACTLY-ONCE to
+    *      `outDir/v_<batchId>` — a duplicated disposition would corrupt
+    *      the downstream corpus join;
+    *   4. merge the batch's resolved hashes into the standing index
+    *      (min-canonical per hash — idempotent, so a replayed merge is
+    *      harmless) through the versioned rename-promoted layout.
+    *
+    * Crash/replay ordering is [[startMediaScreen]]'s: dispositions land
+    * before the index version, so replay either skips both or redoes
+    * the merge against the still-intact previous version.
+    *
+    * At 100 TB the standing index is one (16-byte hash, id) row per
+    * DISTINCT document ever seen, and each batch costs one equi-join of
+    * the batch hashes against it — the exact-dedup scale shape, now
+    * with arrival-time state. InfraSpec asserts stream == batch (qQ4's
+    * disposition over the concatenated batches) with a cross-batch
+    * duplicate that only the growing index catches.
+    */
+  def startWebScreen(stream: DataFrame, idCol: String, htmlCol: String,
+      idxDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // one extraction pass per batch, consumed by two legs
+        val ext = graft.operators.TextAnalysis.extractMainContent(
+            batch, idCol, htmlCol)
+          .where(col("n_kept") > 0)
+          .select(col("doc_id"), col("content").as("text"))
+          .localCheckpoint()
+        val quality = graft.operators.TextAnalysis
+          .gopherRules(ext, "doc_id", "text")
+          .select(col("doc_id"), col("keep").as("quality_keep"))
+        val hashed = ext.select(col("doc_id"),
+          md5(col("text")).as("content_hash"))
+        val standing = latestVersion(spark, idxDir)
+        val batchMin = hashed.groupBy("content_hash")
+          .agg(min("doc_id").as("batch_min"))
+        val resolved = standing match {
+          case Some(idx) => batchMin
+            .join(idx.withColumnRenamed("canonical", "standing"),
+              Seq("content_hash"), "left")
+            .select(col("content_hash"),
+              coalesce(col("standing"), col("batch_min")).as("canonical"))
+          case None => batchMin
+            .select(col("content_hash"), col("batch_min").as("canonical"))
+        }
+        writeVersionedOnce(spark, outDir, batchId) {
+          hashed.join(resolved, "content_hash")
+            .join(quality, "doc_id")
+            .select(col("doc_id"), col("content_hash"), col("canonical"),
+              col("quality_keep"),
+              (col("quality_keep") && col("doc_id") === col("canonical"))
+                .as("keep"),
+              lit(batchId).as("batch_id"))
+        }
+        mergeVersioned(spark, idxDir, batchId, resolved,
+          (old, fresh) => old.unionByName(fresh)
+            .groupBy("content_hash")
+            .agg(min("canonical").as("canonical")))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -1022,6 +1022,89 @@ class InfraSpec extends SparkTestBase {
       .count(_.getName.startsWith("v_")) == 2)
   }
 
+  test("streaming web-curation screen: extraction -> Gopher gate -> " +
+    "exact dedup against a growing canonical index; stream == qQ4's " +
+    "batch disposition; cross-batch duplicate only the index catches") {
+    import graft.operators.TextAnalysis
+    // good1/good2 pass every Gopher gate (>= 50 words, >= 2 required
+    // stopwords, alpha-heavy); bad survives EXTRACTION (block >= 25
+    // chars) but fails the word-count gate — so it gets a disposition
+    // row with quality_keep = false, not silently dropped
+    val good1 = ("the curious engineer wrote careful notes about the " +
+      "design of the system and shared them with the team ") * 3
+    val good2 = ("a different author kept the draft of the report " +
+      "and sent it to the editors with thanks ") * 4
+    val bad = "this short block survives extraction but fails the gate"
+    def html(t: String) = s"<html><body><p>${t.trim}</p></body></html>"
+    val drop1 = Seq((1L, html(good1)), (2L, html(bad)), (3L, html(good1)))
+      .toDF("doc_id", "html")
+    val drop2 = Seq((10L, html(good1)), (11L, html(good2)),
+      (12L, html(bad))).toDF("doc_id", "html")
+
+    val inDir = Files.createTempDirectory("web-in").toFile
+    val outDir = Files.createTempDirectory("web-out").toFile.getAbsolutePath
+    val idxDir = Files.createTempDirectory("web-idx").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("web-ck").toFile.getAbsolutePath
+    drop1.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    drop2.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+
+    val stream = Ingest.streamTable(spark,
+      inDir.getAbsolutePath + "/drop*", drop1.schema,
+      maxFilesPerTrigger = 1)
+    val q = Ingest.startWebScreen(stream, "doc_id", "html",
+      idxDir = idxDir, outDir = outDir, checkpointDir = ckpt)
+    q.awaitTermination(120000)
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "canonical", "quality_keep", "keep")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          r.getBoolean(3))).toSeq
+    val got = norm(Ingest.versionedRows(spark, outDir))
+    assert(got == Seq(
+      (1L, 1L, true, true),
+      (2L, 2L, false, false), // extracted, failed the gate
+      (3L, 1L, true, false), // within-batch duplicate of 1
+      // 10 duplicates batch-1's doc 1: a per-batch screen would call
+      // it canonical (min of ITS batch) and wrongly keep it — the
+      // growing index is what catches it
+      (10L, 1L, true, false),
+      (11L, 11L, true, true),
+      // cross-batch duplicate of the LOW-QUALITY doc: canonical
+      // resolution and the quality gate are independent
+      (12L, 2L, false, false)), got.mkString(", "))
+
+    // stream == batch: qQ4's disposition over the concatenated drops
+    // (same extraction kernel, same gopher gate, same keep-min rule)
+    val all = drop1.unionByName(drop2)
+    val ext = TextAnalysis.extractMainContent(all, "doc_id", "html")
+      .where(col("n_kept") > 0)
+      .select(col("doc_id"), col("content").as("text"))
+    val qual = TextAnalysis.gopherRules(ext, "doc_id", "text")
+      .select(col("doc_id"), col("keep").as("quality_keep"))
+    val hashed = ext.select(col("doc_id"),
+      md5(col("text")).as("content_hash"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(min("doc_id").as("canonical"))
+    val batch = hashed.join(groups, "content_hash").join(qual, "doc_id")
+      .select(col("doc_id"), col("canonical"), col("quality_keep"),
+        (col("quality_keep") && col("doc_id") === col("canonical"))
+          .as("keep"))
+    assert(got == norm(batch))
+
+    // the standing index holds one row per DISTINCT content hash with
+    // the global-min canonical; decisions are one versioned dir per
+    // batch (exactly-once layout)
+    val idx = Ingest.versionedRows(spark, idxDir)
+    assert(idx.count() == 3)
+    assert(idx.select("canonical").orderBy("canonical").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 11L))
+    assert(new java.io.File(outDir).listFiles()
+      .count(_.getName.startsWith("v_")) == 2)
+  }
+
   test("streaming ingest: file source -> watermark dedup -> windowed agg") {
     val dir = Files.createTempDirectory("stream-in").toFile
     val ckpt = Files.createTempDirectory("stream-ck").toFile
@@ -1402,7 +1485,9 @@ class InfraSpec extends SparkTestBase {
     //   Stats.scala        per-file key manifest (|files| rows)
     val allowed = Map(
       "plans/Fence.scala" -> 1,
-      "streaming/Ingest.scala" -> 1,
+      // two microbatch-bounded fences: the media screen's per-batch
+      // decode pass and the web screen's per-batch extraction pass
+      "streaming/Ingest.scala" -> 2,
       "operators/Eval.scala" -> 3,
       "operators/Survival.scala" -> 1,
       "queries/ErasUpload.scala" -> 1,

@@ -107,20 +107,27 @@ object Dedup {
     * J ≥ t must share a token within their (|x| − ⌈t·|x|⌉ + 1)-length
     * prefixes under any fixed global token order, so only prefix
     * tokens are indexed. The theorem holds for ANY consistent order —
-    * which order you pick trades candidate quality against index cost:
+    * which order you pick decides whether the operator SURVIVES a
+    * boilerplate-heavy corpus:
     *
-    *   - `dfOrdered = false` (default): order by the shingle hash
-    *     value itself. The prefix is then a straight `array_sort` +
-    *     `slice` off the already-materialized set array — ZERO extra
-    *     shuffles (no document-frequency aggregate, no per-doc window).
-    *     Since the shingles are md5-derived 32-bit hashes, value order
-    *     is a pseudo-random order: the prefix is an unbiased sample of
-    *     the doc's shingles, not adversarially popular ones.
-    *   - `dfOrdered = true`: the textbook rare-df-first order. Costs
-    *     two more full-index shuffles (df groupBy + join) and a
-    *     per-doc ranking window, but prefixes hold the LEAST-shared
-    *     shingles — the right trade when the corpus is boilerplate-
-    *     heavy and posting lists are long/skewed.
+    *   - `dfOrdered = true` (DEFAULT): the textbook rare-df-first
+    *     order. Costs a df aggregate + join and a per-doc ranking
+    *     window, but prefixes hold the LEAST-shared shingles, so a
+    *     corpus-wide hot shingle (site boilerplate, license tails)
+    *     sorts LAST and falls out of every prefix — its posting list
+    *     never self-joins. The round-12 overlapping-boilerplate probe
+    *     (SCALE.md): df-order holds exp 0.43/decade over two decades
+    *     on a corpus where every doc shares 10 hot shingles, and on
+    *     the boilerplate-light bench corpus the extra shuffles cost
+    *     ~nothing (2.73 vs 2.76 s at sf0.1) because the same ordering
+    *     also shrinks the candidate set.
+    *   - `dfOrdered = false`: order by the shingle hash value itself —
+    *     a straight `slice` off the already-sorted set array, ZERO
+    *     extra shuffles. But value order is a uniform sample, so a hot
+    *     shingle lands in ~(1−t) of prefixes and its candidate block
+    *     grows ∝ posting²: the same probe melts at exp 0.88 in the
+    *     FIRST decade. Only for corpora KNOWN boilerplate-free (e.g.
+    *     post-extraction, post-C4 line filtering).
     *
     * Both orders produce the IDENTICAL final pair set (verification is
     * exact); OperatorsSpec asserts their bit-equality to each other
@@ -137,7 +144,7 @@ object Dedup {
     */
   def ngramJaccardPrefixPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      dfOrdered: Boolean = false): DataFrame = {
+      dfOrdered: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefix filtering needs a threshold in (0, 1]")
     import org.apache.spark.sql.expressions.Window
@@ -183,14 +190,16 @@ object Dedup {
       // enough to show 10-30x wall-time variance in the bench JVM.)
       val w = Window.partitionBy("doc_id")
         .orderBy(col("df_"), col("shingle"))
-      inv.hint("shuffle_hash")
+      // fenced: the prefix frame joins itself (x and y legs) — without
+      // the fence the df-aggregate + window chain executes twice
+      Fence.corpus(inv.hint("shuffle_hash")
         .join(freq.hint("shuffle_hash"), Seq("shingle"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= bound(col("sz")))
         // rk is 1-based rank under the (df_, shingle) total order — the
         // same 0-based `pos` contract as the value-ordered branch
         .select(col("doc_id"), col("sz"), (col("rk") - 1).as("pos"),
-          col("shingle"))
+          col("shingle")), "jpp_prefix")
     }).hint("shuffle_hash")
     val cand = prefix.as("x")
       .join(prefix.as("y"),
@@ -252,21 +261,50 @@ object Dedup {
     * contained (denominator) side.
     */
   def containmentPrefixPairs(df: DataFrame, idCol: String,
-      textCol: String, n: Int, threshold: Double): DataFrame = {
+      textCol: String, n: Int, threshold: Double,
+      dfOrdered: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefix filtering needs a threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
     val sets = Fence.corpus(
       shingleSets(df, idCol, textCol, n), "cpp_sets")
     // same epsilon-guarded ceil as the Jaccard variant: FP rounding may
     // only LENGTHEN the prefix / RELAX the filters, never tighten them
     def need(sz: Column): Column = ceil(lit(threshold) * sz - lit(1e-6))
-    val prefixA = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-        posexplode(slice(col("sh"), lit(1),
-          (size(col("sh")) - need(size(col("sh"))) + 1).cast("int")))
-          .as(Seq("pos", "shingle")))
+    // dfOrdered: the same rare-df-first total order as the Jaccard
+    // variant — the prefix theorem holds under ANY consistent order,
+    // and df-order is the boilerplate-robust choice (a corpus-wide hot
+    // shingle is the COMMONEST, so it sorts last and falls out of
+    // every prefix; value order samples it into ~(1-t) of prefixes,
+    // and its |prefix-posting| x |posting| candidate block grows
+    // quadratically with corpus size — the ov-probe melt, SCALE.md).
+    // The positional filter compares ranks on BOTH sides, so the full
+    // B side must be re-ranked under the same order.
+    val ranked = if (dfOrdered) {
+      val inv = sets.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("shingle"))
+      val freq = inv.groupBy("shingle").agg(count(lit(1)).as("df_"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("df_"), col("shingle"))
+      // fenced: referenced by BOTH join legs — without the fence the
+      // df-aggregate + window chain executes once per leg
+      Some(Fence.corpus(inv.hint("shuffle_hash")
+        .join(freq.hint("shuffle_hash"), Seq("shingle"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("sz"), (col("rk") - 1).as("pos"),
+          col("shingle")), "cpp_ranked"))
+    } else None
+    val prefixA = ranked.map(r =>
+        r.filter(col("pos") <= col("sz") - need(col("sz"))))
+      .getOrElse(
+        sets.select(col("doc_id"), size(col("sh")).as("sz"),
+          posexplode(slice(col("sh"), lit(1),
+            (size(col("sh")) - need(size(col("sh"))) + 1).cast("int")))
+            .as(Seq("pos", "shingle"))))
       .hint("shuffle_hash")
-    val fullB = sets.select(col("doc_id"), size(col("sh")).as("sz"),
-        posexplode(col("sh")).as(Seq("pos", "shingle")))
+    val fullB = ranked.getOrElse(
+        sets.select(col("doc_id"), size(col("sh")).as("sz"),
+          posexplode(col("sh")).as(Seq("pos", "shingle"))))
       .hint("shuffle_hash")
     val cand = prefixA.as("x")
       .join(fullB.as("y"),

@@ -83,6 +83,22 @@ object Similarity {
     k
   }
 
+  /** Corpus-adaptive every-Kth-id codebook stride — [[adaptivePlanes]]'
+    * sibling for the IVF/k-means/PQ "every 73rd/97th id is a seed"
+    * rules: a FIXED stride leaves |codebook| ∝ n, which both inflates
+    * the O(n·|codebook|) assignment pass toward O(n²/stride) and (for
+    * the PQ lookup tables, built as per-codeword literal expressions)
+    * blows up the compiled plan — the round-12 sf10 probe measured
+    * qE5 melting on exactly this. `max(base, ⌈n/maxSeeds⌉)` keeps the
+    * codebook ≤ maxSeeds at any corpus size and reproduces the
+    * historical stride at fixture scale (n ≤ base·maxSeeds), so
+    * correctness rows are bit-unchanged. Integer-exact; the DuckDB
+    * oracles replay it as
+    * `greatest(base, CAST(ceil(count(*)/maxSeeds.0) AS BIGINT))`.
+    */
+  def adaptiveEvery(n: Long, base: Int = 73, maxSeeds: Int = 512): Int =
+    math.max(base, math.ceil(n.toDouble / maxSeeds).toInt)
+
   /** Sign-bucket of a vector under `planes` hyperplanes: bit j is set iff
     * Σ_i v[i]·w(j,i) > 0.
     */

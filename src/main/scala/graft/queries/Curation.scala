@@ -160,15 +160,29 @@ object Curation {
     GraftQuery(
       "qC7_semdedup",
       "SemDeDup over the embedding corpus: LSH-cell cosine pairs " +
-        "(3 planes, t=0.4) contracted to components, one kept vector " +
-        "per semantic-duplicate group.",
-      (s, d) => Dedup.semDedup(
-        t(s, d, "embeddings"), "vec_id", "embedding",
-        planes = 3, threshold = 0.4)
-        .orderBy("doc_id"),
+        "(ADAPTIVE hyperplane count: smallest k with 2^k*64 >= n, " +
+        "t=0.4) contracted to components, one kept vector per " +
+        "semantic-duplicate group.",
+      (s, d) => {
+        // corpus-adaptive cell count (qO9's production rule): fixed
+        // planes leave cell occupancy ∝ n and the within-cell cosine
+        // self-join melts at the 100x probe; the adaptive rule keeps
+        // expected occupancy <= 64 at any corpus size and reproduces
+        // planes=3 at the sf0.01 fixture (rows bit-unchanged)
+        val planes = graft.operators.Similarity.adaptivePlanes(
+          graft.Tables.rowCount(s, d, "embeddings"))
+        Dedup.semDedup(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          planes = planes, threshold = 0.4)
+          .orderBy("doc_id")
+      },
       Some(s"""WITH RECURSIVE $duckVecNorm,
+              |pl AS (SELECT coalesce(min(range), 30) AS k FROM range(1,31)
+              |  WHERE (1 << range) * 64 >=
+              |    (SELECT count(*) FROM embeddings)),
               |b AS (SELECT vec_id, v, nrm,
-              |  CAST(list_sum(list_transform(range(0,3), j ->
+              |  CAST(list_sum(list_transform(
+              |    range(0, (SELECT k FROM pl)), j ->
               |    CASE WHEN list_sum(list_transform(v, (x,i) ->
               |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
               |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)

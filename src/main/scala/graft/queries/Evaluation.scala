@@ -1635,11 +1635,14 @@ object Evaluation {
         "centroid, clamped sqrt, per-cell means.",
       (s, d) => graft.operators.Similarity.simplifiedSilhouette(
         t(s, d, "embeddings"), "vec_id", "embedding",
-        centroidEvery = 73)
+        centroidEvery = graft.operators.Similarity.adaptiveEvery(
+          graft.Tables.rowCount(s, d, "embeddings")))
         .orderBy("cell"),
       Some(s"""WITH $duckVecNorm,
+              |ce AS (SELECT greatest(73, CAST(ceil(count(*) / 512.0)
+              |    AS BIGINT)) AS e FROM embeddings),
               |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
-              |  FROM n WHERE vec_id % 73 = 0),
+              |  FROM n WHERE vec_id % (SELECT e FROM ce) = 0),
               |a0 AS (
               |  SELECT n.vec_id, c.cid,
               |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),

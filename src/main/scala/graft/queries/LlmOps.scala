@@ -120,12 +120,22 @@ object LlmOps {
 
     GraftQuery(
       "q32_dedup_minhash_lsh",
-      "MinHash(32) + LSH(8 bands × 4 rows) candidate generation, " +
-        "exact-Jaccard verification on candidates only — the 100 TB " +
-        "near-dup path.",
+      "MinHash(32) + LSH(8 bands × 4 rows) candidate generation with " +
+        "the 256-cap on band buckets, exact-Jaccard verification on " +
+        "candidates only — the 100 TB near-dup path.",
+      // maxBucket=256 is the declared plan's hot-bucket guard: without
+      // it, boilerplate-dominated docs share band keys across the
+      // whole corpus and bucket occupancy grows ∝ n — the round-12
+      // overlapping-boilerplate probe measured the uncapped generator
+      // at exp 2.0/decade (4.5 s -> 538 s over one decade, SCALE.md).
+      // A >256-bucket carries no near-dup signal (its members agree on
+      // one band by sharing COMMON shingles); the oracle replays the
+      // same exclusion, and at the sf0.01 fixture no bucket reaches
+      // the cap, so rows are bit-unchanged.
       (s, d) => Dedup.minhashLshPairs(
         t(s, d, "documents"), "doc_id", "text",
-        shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = 256)
         .select(col("doc_a"), col("doc_b"),
           (floor((col("jaccard")) * 10000.0 + 0.5) / 10000.0).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
@@ -142,10 +152,16 @@ object LlmOps {
               |      sig[b.range*4+1 : b.range*4+4],
               |      x -> CAST(x AS VARCHAR)), '-') AS band_key
               |  FROM sigs, range(0,8) b),
+              |hot AS (
+              |  SELECT band_idx, band_key FROM bandrows
+              |  GROUP BY band_idx, band_key HAVING count(*) > 256),
+              |pruned AS (
+              |  SELECT b.* FROM bandrows b ANTI JOIN hot h
+              |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
               |cands AS (
               |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
               |    x.sh AS sha, y.sh AS shb
-              |  FROM bandrows x JOIN bandrows y
+              |  FROM pruned x JOIN pruned y
               |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               |   AND x.doc_id < y.doc_id)
               |SELECT doc_a, doc_b,
@@ -331,13 +347,16 @@ object LlmOps {
         "to nearest centroid by L2, queries search their own cell only.",
       (s, d) => Similarity.ivfTopK(
         t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vid") % 100 === 0, centroidEvery = 73, k = 3)
+        col("vid") % 100 === 0, centroidEvery = graft.operators.Similarity.adaptiveEvery(
+          graft.Tables.rowCount(s, d, "embeddings")), k = 3)
         .select(col("q_id"), col("cand_id"),
           (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"), col("rank"))
         .orderBy("q_id", "rank"),
       Some(s"""WITH $duckVecNorm,
+              |ce AS (SELECT greatest(73, CAST(ceil(count(*) / 512.0)
+              |    AS BIGINT)) AS e FROM embeddings),
               |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
-              |  FROM n WHERE vec_id % 73 = 0),
+              |  FROM n WHERE vec_id % (SELECT e FROM ce) = 0),
               |a0 AS (
               |  SELECT n.vec_id, n.v, n.nrm, c.cid,
               |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
@@ -371,13 +390,16 @@ object LlmOps {
         "frame; the corpus is still scanned once.",
       (s, d) => Similarity.ivfTopKMultiProbe(
         t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vid") % 100 === 0, centroidEvery = 73, k = 3, nProbe = 2)
+        col("vid") % 100 === 0, centroidEvery = graft.operators.Similarity.adaptiveEvery(
+          graft.Tables.rowCount(s, d, "embeddings")), k = 3, nProbe = 2)
         .select(col("q_id"), col("cand_id"),
           (floor((col("cosine")) * 10000.0 + 0.5) / 10000.0).as("cosine"), col("rank"))
         .orderBy("q_id", "rank"),
       Some(s"""WITH $duckVecNorm,
+              |ce AS (SELECT greatest(73, CAST(ceil(count(*) / 512.0)
+              |    AS BIGINT)) AS e FROM embeddings),
               |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
-              |  FROM n WHERE vec_id % 73 = 0),
+              |  FROM n WHERE vec_id % (SELECT e FROM ce) = 0),
               |a0 AS (
               |  SELECT n.vec_id, n.v, n.nrm, c.cid,
               |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
@@ -421,15 +443,19 @@ object LlmOps {
         "candidates ranked by ADC without touching raw vectors.",
       (s, d) => Similarity.ivfPqTopK(
         t(s, d, "embeddings"), "vec_id", "embedding",
-        col("vid") % 100 === 0, centroidEvery = 73, pqEvery = 97,
+        col("vid") % 100 === 0, centroidEvery = graft.operators.Similarity.adaptiveEvery(
+          graft.Tables.rowCount(s, d, "embeddings")), pqEvery = graft.operators.Similarity.adaptiveEvery(
+          graft.Tables.rowCount(s, d, "embeddings"), 97, 128),
         subspaces = 4, k = 3)
         .select(col("q_id"), col("cand_id"),
           (floor(col("adc") * 10000.0 + 0.5) / 10000.0).as("adc"),
           col("rank"))
         .orderBy("q_id", "rank"),
       Some(s"""WITH $duckVecNorm,
+              |ce AS (SELECT greatest(73, CAST(ceil(count(*) / 512.0)
+              |    AS BIGINT)) AS e FROM embeddings),
               |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
-              |  FROM n WHERE vec_id % 73 = 0),
+              |  FROM n WHERE vec_id % (SELECT e FROM ce) = 0),
               |a0 AS (
               |  SELECT n.vec_id, n.v, n.nrm, c.cid,
               |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
@@ -440,7 +466,9 @@ object LlmOps {
               |    ORDER BY d2, cid) AS rn FROM a0) WHERE rn = 1),
               |ps AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
               |    AS ord, v AS pv
-              |  FROM n WHERE vec_id % 97 = 0),
+              |  FROM n WHERE vec_id %
+              |    (SELECT greatest(97, CAST(ceil(count(*) / 128.0)
+              |      AS BIGINT)) FROM embeddings) = 0),
               |sub AS (SELECT vec_id, t.s AS s,
               |    v[t.s*16+1 : (t.s+1)*16] AS vs
               |  FROM n, LATERAL unnest(range(0, 4)) AS t(s)),
@@ -672,7 +700,8 @@ object LlmOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+          maxBucket = 256)
         Dedup.canonicalAssignment(docs, "doc_id", pairs)
           .orderBy("doc_id")
       },
@@ -689,10 +718,16 @@ object LlmOps {
               |      sig[b.range*4+1 : b.range*4+4],
               |      x -> CAST(x AS VARCHAR)), '-') AS band_key
               |  FROM sigs, range(0,8) b),
+              |hot AS (
+              |  SELECT band_idx, band_key FROM bandrows
+              |  GROUP BY band_idx, band_key HAVING count(*) > 256),
+              |pruned AS (
+              |  SELECT b.* FROM bandrows b ANTI JOIN hot h
+              |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
               |cands AS (
               |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
               |    x.sh AS sha, y.sh AS shb
-              |  FROM bandrows x JOIN bandrows y
+              |  FROM pruned x JOIN pruned y
               |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               |   AND x.doc_id < y.doc_id),
               |p AS (
@@ -725,7 +760,8 @@ object LlmOps {
       (s, d) => {
         val docs = t(s, d, "documents")
         val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+          maxBucket = 256)
         Dedup.canonicalByPriority(docs, "doc_id", pairs, col("n_chars"))
           .orderBy("doc_id")
       },
@@ -742,10 +778,16 @@ object LlmOps {
               |      sig[b.range*4+1 : b.range*4+4],
               |      x -> CAST(x AS VARCHAR)), '-') AS band_key
               |  FROM sigs, range(0,8) b),
+              |hot AS (
+              |  SELECT band_idx, band_key FROM bandrows
+              |  GROUP BY band_idx, band_key HAVING count(*) > 256),
+              |pruned AS (
+              |  SELECT b.* FROM bandrows b ANTI JOIN hot h
+              |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
               |cands AS (
               |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
               |    x.sh AS sha, y.sh AS shb
-              |  FROM bandrows x JOIN bandrows y
+              |  FROM pruned x JOIN pruned y
               |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               |   AND x.doc_id < y.doc_id),
               |p AS (
@@ -938,7 +980,8 @@ object LlmOps {
         val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
           .select(col("doc_id"), col("quality_score"))
         val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+          maxBucket = 256)
         val keep = Dedup.canonicalAssignment(docs, "doc_id", pairs)
           .filter(col("keep")).select(col("doc_id"))
         val train = docs.select(col("doc_id"), col("lang"))
@@ -968,10 +1011,16 @@ object LlmOps {
               |      sig[b.range*4+1 : b.range*4+4],
               |      x -> CAST(x AS VARCHAR)), '-') AS band_key
               |  FROM sigs, range(0,8) b),
+              |hot AS (
+              |  SELECT band_idx, band_key FROM bandrows
+              |  GROUP BY band_idx, band_key HAVING count(*) > 256),
+              |pruned AS (
+              |  SELECT b.* FROM bandrows b ANTI JOIN hot h
+              |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
               |cands AS (
               |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
               |    x.sh AS sha, y.sh AS shb
-              |  FROM bandrows x JOIN bandrows y
+              |  FROM pruned x JOIN pruned y
               |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               |   AND x.doc_id < y.doc_id),
               |p AS (
@@ -1079,7 +1128,8 @@ object LlmOps {
         val exact = Dedup.ngramJaccardPairs(
           docs, "doc_id", "text", 3, 0.5).select("doc_a", "doc_b")
         val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+          shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+          maxBucket = 256)
           .select("doc_a", "doc_b")
         val hits = exact.join(lsh.hint("shuffle_hash"),
           Seq("doc_a", "doc_b"), "left_semi")
@@ -1113,9 +1163,15 @@ object LlmOps {
               |      sig[b.range*4+1 : b.range*4+4],
               |      x -> CAST(x AS VARCHAR)), '-') AS band_key
               |  FROM sigs, range(0,8) b),
+              |hot AS (
+              |  SELECT band_idx, band_key FROM bandrows
+              |  GROUP BY band_idx, band_key HAVING count(*) > 256),
+              |pruned AS (
+              |  SELECT b.* FROM bandrows b ANTI JOIN hot h
+              |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
               |lshp AS (
               |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-              |  FROM bandrows x JOIN bandrows y
+              |  FROM pruned x JOIN pruned y
               |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
               |   AND x.doc_id < y.doc_id
               |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
@@ -1182,6 +1238,51 @@ object LlmOps {
               |SELECT doc_id, tok_idx, w,
               |  CAST(len(sym) AS BIGINT) AS n_pieces,
               |  array_to_string(sym, ' ') AS pieces
-              |FROM br ORDER BY doc_id, tok_idx""".stripMargin))
+              |FROM br ORDER BY doc_id, tok_idx""".stripMargin)),
+
+    // The BPE overlap edge cases (aaaa/aaa/aaaaa/...) executed through
+    // the DUCKDB replace-chain encoding itself — OperatorsSpec asserts
+    // them against the Spark kernel only, but the behavior they
+    // protect is DuckDB replace()'s leftmost/non-overlapping scan, so
+    // the equivalence must be tested where it runs (r11 verdict item
+    // 8). Both sides synthesize the same literal token row; the rules
+    // exercise self-overlap ((a,a) on odd/even runs), a cascaded
+    // multi-char rule ((aa,a) after (a,a)), greedy-leftmost tie
+    // placement ((aa,aa) on a 6-run), and a non-run rule ((b,a)).
+    GraftQuery(
+      "qR3_bpe_overlap_oracle",
+      "BPE greedy-leftmost overlap semantics (self-overlapping runs, " +
+        "cascaded merges) replayed through the oracle's own " +
+        "wrapped-replace encoding.",
+      (s, _) => graft.operators.Bpe.segmentWithPos(
+        s.range(1).select(lit(1L).as("doc_id"),
+          lit("aaaa aaa aaaaa aaaaaa ababa").as("text")),
+        "doc_id", "text",
+        Seq(("a", "a"), ("aa", "a"), ("aa", "aa"), ("b", "a")))
+        .select(col("tok_idx"), col("w"),
+          size(col("sym")).cast("long").as("n_pieces"),
+          array_join(col("sym"), " ").as("pieces"))
+        .orderBy("tok_idx"),
+      Some(s"""WITH bt AS (SELECT
+              |    unnest(list_transform(string_split(
+              |      'aaaa aaa aaaaa aaaaaa ababa', ' '),
+              |      (w, i) -> struct_pack(w := w, i := i))) AS u),
+              |bw AS (SELECT CAST(u.i AS BIGINT) AS tok_idx, u.w AS w,
+              |    array_to_string(list_transform(string_split(u.w, ''),
+              |      c -> chr(1)||c||chr(1)), '') AS s
+              |  FROM bt),
+              |bm AS (SELECT tok_idx, w,
+              |    ${graft.operators.Bpe.mergeChainSql(
+                      Seq(("a", "a"), ("aa", "a"), ("aa", "aa"),
+                        ("b", "a")))} AS ms
+              |  FROM bw),
+              |br AS (SELECT tok_idx, w,
+              |    string_split(substr(ms, 2, len(ms) - 2),
+              |      chr(1)||chr(1)) AS sym
+              |  FROM bm)
+              |SELECT tok_idx, w,
+              |  CAST(len(sym) AS BIGINT) AS n_pieces,
+              |  array_to_string(sym, ' ') AS pieces
+              |FROM br ORDER BY tok_idx""".stripMargin))
   )
 }

@@ -156,17 +156,27 @@ object Pipeline {
     GraftQuery(
       "q74_incremental_dedup",
       "Incremental MinHash-LSH dedup: new batch vs existing corpus via " +
-        "asymmetric band-bucket join; per new doc the smallest matching " +
-        "old id at jaccard >= 0.5.",
+        "asymmetric band-bucket join (256-cap on band buckets); per " +
+        "new doc the smallest matching old id at jaccard >= 0.5.",
+      // maxBucket=256: same hot-bucket guard (and same oracle-replayed
+      // exclusion) as q32 — the round-12 ov probe melted the uncapped
+      // band join at exp 2.0/decade; no sf0.01 bucket reaches the cap
       (s, d) => Dedup.minhashLshIncremental(
         t(s, d, "documents"), "doc_id", "text",
         isNew = col("doc_id") % 10 === 0,
-        shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
+        maxBucket = 256)
         .orderBy("doc_id"),
       Some(s"""WITH $duckShingleSets,
               |$duckBandRows,
-              |newb AS (SELECT * FROM bandrows WHERE doc_id % 10 = 0),
-              |oldb AS (SELECT * FROM bandrows WHERE doc_id % 10 != 0),
+              |hot AS (
+              |  SELECT band_idx, band_key FROM bandrows
+              |  GROUP BY band_idx, band_key HAVING count(*) > 256),
+              |prunedb AS (
+              |  SELECT b.* FROM bandrows b ANTI JOIN hot h
+              |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
+              |newb AS (SELECT * FROM prunedb WHERE doc_id % 10 = 0),
+              |oldb AS (SELECT * FROM prunedb WHERE doc_id % 10 != 0),
               |cand AS (
               |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS old_id,
               |    x.sh AS sha, y.sh AS shb
@@ -313,7 +323,8 @@ object Pipeline {
         "cell assignment (kernel) then per-cell member mean (VecAgg).",
       (s, d) => Similarity.kmeansStep(
         t(s, d, "embeddings"), "vec_id", "embedding",
-        centroidEvery = 73, dim = 64)
+        centroidEvery = graft.operators.Similarity.adaptiveEvery(
+          graft.Tables.rowCount(s, d, "embeddings")), dim = 64)
         .select(col("cell"),
           posexplode(col("centroid")).as(Seq("dim", "x")),
           col("n_members"))
@@ -322,8 +333,10 @@ object Pipeline {
           col("n_members"))
         .orderBy("cell", "dim"),
       Some(s"""WITH $duckVecNorm,
+              |ce AS (SELECT greatest(73, CAST(ceil(count(*) / 512.0)
+              |    AS BIGINT)) AS e FROM embeddings),
               |c AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
-              |  FROM n WHERE vec_id % 73 = 0),
+              |  FROM n WHERE vec_id % (SELECT e FROM ce) = 0),
               |a0 AS (
               |  SELECT n.vec_id, n.v, n.nrm, c.cid,
               |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),
@@ -352,7 +365,8 @@ object Pipeline {
         "fixed-point) -> re-assign; two narrow passes per round.",
       (s, d) => Similarity.kmeansTrain(
         t(s, d, "embeddings"), "vec_id", "embedding",
-        centroidEvery = 73, dim = 64, iterations = 2)
+        centroidEvery = graft.operators.Similarity.adaptiveEvery(
+          graft.Tables.rowCount(s, d, "embeddings")), dim = 64, iterations = 2)
         .select(col("cell"),
           posexplode(col("centroid")).as(Seq("dim", "x")),
           col("n_members"))
@@ -361,8 +375,10 @@ object Pipeline {
           col("n_members"))
         .orderBy("cell", "dim"),
       Some(s"""WITH $duckVecNorm,
+              |ce AS (SELECT greatest(73, CAST(ceil(count(*) / 512.0)
+              |    AS BIGINT)) AS e FROM embeddings),
               |c0 AS (SELECT vec_id AS cid, v AS cv, nrm*nrm AS cn2
-              |  FROM n WHERE vec_id % 73 = 0),
+              |  FROM n WHERE vec_id % (SELECT e FROM ce) = 0),
               |a0 AS (
               |  SELECT n.vec_id, n.v, n.nrm, c0.cid,
               |    (n.nrm*n.nrm - 2*list_sum(list_transform(range(1,65),

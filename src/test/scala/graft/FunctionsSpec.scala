@@ -37,6 +37,37 @@ class StringSimSpec extends SparkTestBase {
     assert(one(1L) == ratio(boiler) && one(2L) == ratio(entropy))
   }
 
+  test("deflateRatio cross-checked against the independent LZW second " +
+    "source: identical ranking on a repetitiveness ladder, analytic " +
+    "windows, RFC-1951 expansion bound") {
+    import graft.functions.CompressOps
+    def dr(s: String) = CompressOps.deflateRatio(UTF8String.fromString(s))
+    def lr(s: String) = CompressOps.lzwRatio(UTF8String.fromString(s))
+    val rnd = new scala.util.Random(7)
+    // a strict repetitiveness ladder, most- to least-compressible
+    val ladder = Seq(
+      "a" * 4000,                                   // pure run
+      "click here to subscribe " * 160,             // short boilerplate
+      Seq.fill(400)(Seq("the", "cat", "sat", "on", "a", "mat", "and",
+        "slept")(rnd.nextInt(8))).mkString(" "),    // tiny vocabulary
+      Seq.fill(4000)(('a' + rnd.nextInt(26)).toChar).mkString, // a-z
+      Seq.fill(4000)((33 + rnd.nextInt(94)).toChar).mkString)  // ascii94
+    val ds = ladder.map(dr)
+    val ls = ladder.map(lr)
+    // both sources rank the ladder identically (strictly increasing)
+    assert(ds == ds.sorted && ds.distinct == ds, s"deflate ladder: $ds")
+    assert(ls == ls.sorted && ls.distinct == ls, s"lzw ladder: $ls")
+    // analytic windows: a pure run is near-free under BOTH algorithms;
+    // high-entropy ascii is expensive under both
+    assert(ds.head < 0.02 && ls.head < 0.1, s"${ds.head} / ${ls.head}")
+    assert(ds.last > 0.5 && ls.last > 0.5, s"${ds.last} / ${ls.last}")
+    // RFC 1951 worst-case expansion: 5 bytes per 16 KiB block + 6 —
+    // ratio can never exceed ~1.01 on a 4k input, whatever the data
+    assert(ds.last <= 1.0 + (5.0 * 1 + 6.0) / 4000.0 + 1e-9)
+    // edges agree with the deflate conventions
+    assert(lr("") == 1.0 && lr("a") > 0.5)
+  }
+
   test("jaroWinkler: textbook known answers, edge conventions, and " +
     "codegen path agreement") {
     // the classic Winkler examples

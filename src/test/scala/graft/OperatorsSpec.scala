@@ -287,16 +287,17 @@ class OperatorsSpec extends SparkTestBase {
   }
 
   test("Dedup.containmentPrefixPairs equals the full inverted-index " +
-    "containment join at several thresholds") {
-    for (t <- Seq(0.1, 0.3, 0.6, 0.9)) {
+    "containment join at several thresholds, under BOTH prefix orders") {
+    for (t <- Seq(0.1, 0.3, 0.6, 0.9); byDf <- Seq(false, true)) {
       val full = Dedup.containmentPairs(corpus, "doc_id", "text", 3, t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
       val pref = Dedup.containmentPrefixPairs(corpus, "doc_id", "text",
-          3, t)
+          3, t, dfOrdered = byDf)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSet
-      assert(pref == full, s"containment prefix filter drifted at t=$t")
+      assert(pref == full,
+        s"containment prefix filter drifted at t=$t dfOrdered=$byDf")
     }
   }
 

@@ -97,6 +97,40 @@ object GenScale {
       println("wrote 100x documents+embeddings shards to target/sf10")
       return
     }
+    // "ov" mode: OVERLAPPING-boilerplate document corpora — the
+    // adversarial shape the disjoint salting deliberately avoids and
+    // therefore can never falsify: every document (every shard) gets
+    // the SAME 12-token boilerplate tail, so ten corpus-wide hot
+    // shingles whose posting lists grow ∝ n thread through every
+    // inverted-index/prefix/band generator. Four sizes: small (sf0.01
+    // base), mid (sf0.1 base), sf1 (10 shards), sf10 (100 shards) —
+    // real tokens still salted per shard, ids still offset, so the
+    // ONLY cross-shard overlap is the boilerplate (plus sf0.1's
+    // within-shard near-dup structure).
+    if (args.headOption.contains("ov")) {
+      val bp = (0 until 12).map(i => s"zbp$i").mkString(" ", " ", "")
+      def withBp(base: DataFrame, reps: Int): DataFrame =
+        (0 until reps).map { r =>
+          val text =
+            if (r == 0) col("text")
+            else array_join(transform(split(col("text"), " "),
+              t => concat(t, lit(s"~$r"))), " ")
+          base.select((col("doc_id") + lit(r * off)).as("doc_id"),
+            concat(text, lit(bp)).as("text"), col("lang"), col("source"),
+            (length(text) + lit(bp.length)).cast("long").as("n_chars"))
+        }.reduce(_ unionAll _)
+      val d001 = graft.Tables.load(spark, "/root/testdata/sf0.01",
+        "documents")
+      val d01 = graft.Tables.load(spark, src, "documents")
+      for ((name, df) <- Seq(
+          "small" -> withBp(d001, 1), "mid" -> withBp(d01, 1),
+          "sf1" -> withBp(d01, 10), "sf10" -> withBp(d01, 100)))
+        df.write.mode("overwrite")
+          .parquet(s"/root/repo/target/ov/$name/documents.parquet")
+      spark.stop()
+      println("wrote overlapping-boilerplate corpora to target/ov")
+      return
+    }
     val out = "/root/repo/target/sf1"
 
     def load(n: String): DataFrame =

@@ -143,11 +143,15 @@ object Graph {
     */
   def triangleCount(nodes: DataFrame, nodeCol: String, edges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+    // fenced: und feeds BOTH the degree aggregate and the orientation
+    // join — without the fence the caller's (usually expensive) pair
+    // generation executes once per reference (the labelPropStep r12
+    // finding, same shape)
+    val und = Fence.corpus(edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+      .distinct(), "tri_und")
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("dg"))
     val withDeg = und

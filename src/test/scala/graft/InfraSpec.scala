@@ -1366,7 +1366,10 @@ class InfraSpec extends SparkTestBase {
     // 2. deploy — deployQualified itself verifies the script order is
     // dependency-valid (create-before-use) and fails on a violation
     val acl = new AclRegistry
-    val names = ReferenceViews.deploy(spark, "/root/testdata/sf0.001", acl)
+    // force: another suite's query may have memoized this (session,
+    // sfDir) deploy with a throwaway ACL registry
+    val names = ReferenceViews.deploy(spark, "/root/testdata/sf0.001",
+      acl, force = true)
     assert(names.size == expected.size)
     // 3. every deployed name resolves through the catalog and yields
     // rows (the "a reference user hits a catalog entry" criterion)

@@ -934,18 +934,27 @@ object Dedup {
     // is min(self, neighbors), which is one groupBy over the symmetric
     // edge list — no join. (The classic formulation spends a full
     // join-round computing exactly this.)
+    // `labels` is the live frame the next batch reads (possibly a lazy
+    // pointer-jump over the stage); `stagedLabels` tracks the durable
+    // stage itself for in-session reclamation
     var labels = Fence.corpus(
       sym.groupBy("a").agg(min("b").as("nb"))
         .select(col("a").as("node"),
           least(col("a"), col("nb")).as("component")),
       "cc_labels")
+    var stagedLabels = labels
     var iter = 1
     var converged = false
     // Rounds are fenced in geometrically growing BATCHES (1, 2, 4, 4,
     // …): inside a batch the rounds chain lazily, so ONE stage write
     // evaluates the whole batch — near-dup graphs converge in 1-3
     // rounds (one write), while a diameter-13 chain pays 5 writes
-    // instead of 13. Within a chained batch each round references the
+    // instead of 13. (Cap 8 was tried in r12 and REVERTED on
+    // measurement: qO9's chain-like eps graph needs ~15 rounds, and
+    // the deeper lazily-chained batch more than repaid the saved
+    // barrier writes — 13.3 s vs 5.7 s warm at sf0.1 — because the
+    // batch-level convergence check also coarsens, wasting up to a
+    // full 8-round no-op batch of join+agg passes.) Within a chained batch each round references the
     // previous label frame twice (the join and the self-union), but
     // both references sit above the round's groupBy exchange, so
     // ReusedExchange dedups the shuffle at every level — the fan-out
@@ -997,9 +1006,30 @@ object Dedup {
       // the new batch's stage is durable and the old label frame has
       // no remaining consumer -> reclaim it eagerly, so a long
       // propagation holds at most 2 label stages at any moment
-      Fence.reclaim(labels)
-      labels = next
+      Fence.reclaim(stagedLabels)
+      stagedLabels = next
       converged = changed.value == 0L
+      // POINTER JUMP between batches: label <- min(label,
+      // label(label)) — the shortcut that turns O(diameter) relax
+      // rounds into ~O(log d) (HashMin labels only ever point at
+      // smaller ids, so the jump is monotone and its fixpoint is the
+      // same component minimum; when relaxation is stable, labels are
+      // component-constant and the jump is the identity, so the
+      // relax-only convergence check stays sound). Placed HERE, on the
+      // just-staged frame, because the jump's self-join needs TWO
+      // reads of the label table — two pruned scans of the stage we
+      // just wrote, free — where an in-round jump would double the
+      // per-round persist pressure. The next batch's fence evaluates
+      // jump + rounds in one job.
+      labels =
+        if (converged) next
+        else next.join(
+            next.select(col("node").as("jn"), col("component").as("jc"))
+              .hint("shuffle_hash"),
+            col("component") === col("jn"), "left")
+          .select(col("node"),
+            least(col("component"), coalesce(col("jc"), col("component")))
+              .as("component"))
       iter += rounds
       batch = math.min(batch * 2, 4)
     }

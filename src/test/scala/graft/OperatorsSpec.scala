@@ -322,6 +322,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.toSet == full.toSet)
   }
 
+  test("connectedComponents: pointer jumping converges a graph whose " +
+    "diameter far exceeds the relax-round budget") {
+    // a 61-node chain has diameter 60: 20 relax rounds alone cover
+    // distance <= 20, so full convergence PROVES the between-batch
+    // label <- label(label) shortcut is live (r12 — without it, long
+    // chains silently terminated at maxIter with wrong components)
+    val chain = spark.range(0, 60).toDF("a")
+      .select(col("a"), (col("a") + 1).as("b"))
+    val r = Dedup.connectedComponents(chain, maxIter = 20)
+    assert(r.count() == 61)
+    assert(r.filter(col("component") =!= 0L).count() == 0,
+      "diameter-60 chain did not fully converge to the component min")
+  }
+
   test("Dedup.minhashLshPairs agrees with exact Jaccard at threshold") {
     val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -385,24 +385,31 @@ object ReferenceViews {
     statDims.map { case (name, dims) => v("statistics", name, stats(dims)) }
 
   // deploy memo: the manifest is ~90 DDL statements (parse + analyze
-  // per view) — a real catalog deploys once, not once per query, so
-  // repeat calls for the same (session, sfDir) are no-ops. Keyed by
-  // session identity so a new session (or a different table root)
-  // redeploys; CREATE OR REPLACE keeps a forced redeploy idempotent.
-  private val deployedFor =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+  // per view) — a real catalog deploys once, not once per query. The
+  // memo records the sfDir each session is CURRENTLY bound to (the
+  // catalog has exactly one base-table binding per session, so a SET
+  // of seen dirs would go stale the moment a session returned to an
+  // earlier dir), and it is written only AFTER a successful deploy —
+  // a mid-deploy failure leaves the memo empty so the next call
+  // retries instead of serving names for half-deployed views.
+  private val deployedDir =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
 
   /** Deploy the raw layer + the full manifest (script order, verified
     * dependency-valid, ACL-synced). Returns the qualified names.
-    * Idempotent and memoized per (session, sfDir); pass `force = true`
-    * to redeploy (e.g. after external catalog surgery). */
+    * Idempotent and memoized per session while the bound sfDir is
+    * unchanged; pass `force = true` to redeploy regardless (e.g. for
+    * a fresh ACL sync). Serialized: concurrent callers never observe
+    * a half-deployed manifest. */
   def deploy(spark: SparkSession, sfDir: String,
       acl: AclRegistry = new AclRegistry,
-      force: Boolean = false): Seq[String] = {
-    val key = (System.identityHashCode(spark), sfDir)
-    if (force || deployedFor.add(key)) {
+      force: Boolean = false): Seq[String] = synchronized {
+    val key = System.identityHashCode(spark)
+    if (force || deployedDir.get(key) != sfDir) {
       registerBase(spark, sfDir)
-      new ViewRegistry(spark).deployQualified(manifest, acl, vars)
+      val names = new ViewRegistry(spark).deployQualified(manifest, acl, vars)
+      deployedDir.put(key, sfDir)
+      names
     } else manifest.map(_.qualifiedName)
   }
 }

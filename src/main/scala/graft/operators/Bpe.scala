@@ -91,11 +91,11 @@ object Bpe {
         val next = graft.plans.Fence.corpus(words.withColumn("sym",
           GraftFunctions.mergePair(col("sym"), l, rr)), "bpe_round")
         // BPE runs are 10k+ merges and each round stages the FULL word
-        // table: reclaim round r-1 the moment round r's write commits
-        // (no-op on r=1, where `words` is the caller's bpe_words stage
-        // — Fence.reclaim only touches frames the stage writer
-        // returned, and that one is reclaimed by the session cleanup),
-        // so storage is 2 word-table stages, not `merges` of them
+        // table: reclaim round r-1 the moment round r's write commits,
+        // so storage is 2 word-table stages, not `merges` of them. The
+        // `ne words0` guard is LOAD-BEARING: bpe_words IS a live
+        // stage-writer frame the caller may still read, and an
+        // unconditional reclaim on round 1 would delete it
         if (words ne words0) graft.plans.Fence.reclaim(words)
         words = next
         r += 1

@@ -146,12 +146,20 @@ object Graph {
     // fenced: und feeds BOTH the degree aggregate and the orientation
     // join — without the fence the caller's (usually expensive) pair
     // generation executes once per reference (the labelPropStep r12
-    // finding, same shape)
+    // finding, same shape). Callers that already hold a fenced
+    // deduped undirected edge set use [[triangleCountOnUnd]].
     val und = Fence.corpus(edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct(), "tri_und")
+    triangleCountOnUnd(nodes, nodeCol, und)
+  }
+
+  /** [[triangleCount]] over an ALREADY-FENCED deduped undirected edge
+    * set (u, v) with u < v — skips the re-distinct + re-stage. */
+  private[graft] def triangleCountOnUnd(nodes: DataFrame,
+      nodeCol: String, und: DataFrame): DataFrame = {
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("dg"))
     val withDeg = und
@@ -207,7 +215,9 @@ object Graph {
     val und = Fence.corpus(und0, "ccoef_und")
     val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = triangleCount(nodes, nodeCol, und, "u", "v")
+    // und is already fenced + deduped: take the pre-fenced entry so
+    // the triangle pass doesn't re-distinct and re-stage it
+    val tri = triangleCountOnUnd(nodes, nodeCol, und)
     def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
     tri.join(deg.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"),

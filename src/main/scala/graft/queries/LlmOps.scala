@@ -97,10 +97,11 @@ object LlmOps {
     // prefix token.
     GraftQuery(
       "qB7_dedup_jaccard_prefix",
-      "Exact 3-gram Jaccard pairs via Bayardo prefix filtering: " +
-        "hash-value-ordered prefixes sliced off the set arrays (zero " +
-        "extra shuffles), size-ratio pre-filter, verification on " +
-        "candidates only — bit-equal to q31.",
+      "Exact 3-gram Jaccard pairs via Bayardo/ppjoin prefix filtering: " +
+        "rare-df-first prefixes (the r12 boilerplate-robust default — " +
+        "hot shingles sort out of every prefix), size-ratio + " +
+        "positional pre-filters, verification on candidates only — " +
+        "bit-equal to q31.",
       (s, d) => Dedup.ngramJaccardPrefixPairs(
         t(s, d, "documents"), "doc_id", "text", 3, 0.5)
         .select(col("doc_a"), col("doc_b"),

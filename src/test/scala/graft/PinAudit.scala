@@ -15,7 +15,7 @@ object PinAudit {
       println(s"===== $name : exchanges=$ex reused=$rex net=${ex - rex}")
       println(qe.executedPlan.treeString.linesIterator
         .filter(l => l.contains("Exchange") || l.contains("Scan") ||
-          l.contains("Join") || l.contains("Aggregate") && false)
+          l.contains("Join"))
         .take(80).mkString("\n"))
       println()
     }

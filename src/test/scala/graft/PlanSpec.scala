@@ -317,7 +317,11 @@ class PlanSpec extends SparkTestBase {
       // exchange. The deg join is shuffle-pinned and colocated (zero
       // exchanges); no exchange ever carries the rank table.
       "qA1_pagerank_dedup_graph" -> 4,
-      "qB7_dedup_jaccard_prefix" -> 8, // the round-5 8-exchange restructure
+      "qB7_dedup_jaccard_prefix" -> 8, // the round-5 8-exchange
+      // restructure; re-audited r12 after the df-ordered default flip:
+      // still 8 — the df aggregate/join/window run inside the fenced
+      // jpp_prefix stage write, so the declared plan reads staged
+      // prefix scans and keeps its shape
       "q58_dedup_canonical" -> 3,  // post-loop canonical join
       "qF5_unified_uploads" -> 2,  // per-row era projections + ndt5 tcpinfo join
       "qF8_hll64_cardinality" -> 6, // register groupBy + exact rider (qE3's shape)

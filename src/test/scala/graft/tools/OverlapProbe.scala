@@ -107,11 +107,13 @@ object OverlapProbe {
             maxBucket = 256)
         }
     }
-    if (want("queries") || which.exists(_.startsWith("q"))) {
+    val explicitQs =
+      which.filter(w => w.startsWith("q") && w != "queries").toSeq.sorted
+    if (want("queries") || explicitQs.nonEmpty) {
       // never-probed declared families on the standard disjoint shards
       // (documents+embeddings only at sf10); pass query-name prefixes
       // to probe a subset
-      val explicit = which.filter(_.startsWith("q")).toSeq.sorted
+      val explicit = explicitQs
       val qs = if (explicit.nonEmpty) explicit.map(p =>
           SparkEntry.allQueries.find(_.name.startsWith(p)).get.name)
         else Seq("q32_dedup_minhash_lsh", "q74_incremental_dedup",

@@ -236,14 +236,20 @@ object Graph {
     * Output: node, deg, survives.
     */
   def kcoreStep(active: DataFrame, nodeCol: String, edges: DataFrame,
-      srcCol: String, dstCol: String, k: Int): DataFrame = {
+      srcCol: String, dstCol: String, k: Int): DataFrame =
+    kcoreStepOnUnd(active, nodeCol,
+      undirected(edges, srcCol, dstCol), k)
+
+  /** [[kcoreStep]] over an already deduped undirected edge set — the
+    * [[kcore]] loop's entry point: the least/greatest + distinct pass
+    * is ROUND-INVARIANT, so the loop dedups (and fences) it once
+    * instead of re-shuffling the full edge list every peeling round;
+    * only the active-set semi-joins are per-round. */
+  private def kcoreStepOnUnd(active: DataFrame, nodeCol: String,
+      und0: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val nodes = active.select(col(nodeCol).as("node"))
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val und = und0
       .join(nodes.select(col("node").as("u")).hint("shuffle_hash"),
         Seq("u"), "left_semi")
       .join(nodes.select(col("node").as("v")).hint("shuffle_hash"),
@@ -267,16 +273,19 @@ object Graph {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val universe = Fence.corpus(
       nodes.select(col(nodeCol).as("node")), "kcore_universe")
-    val fencedEdges = Fence.corpus(
-      edges.select(col(srcCol).as("s"), col(dstCol).as("d")),
-      "kcore_edges")
+    // the deduped undirected edge set is ROUND-INVARIANT: dedup + fence
+    // it once, so each peeling round pays only the active-set
+    // semi-joins + the degree aggregate, never a re-distinct of the
+    // full edge list (r12 — the labelPropagate hoist, same shape)
+    val und = Fence.corpus(
+      undirected(edges, srcCol, dstCol), "kcore_und")
     var active = universe
     var n = active.count()
     var round = 0
     var shrinking = true
     while (shrinking && round < maxRounds) {
       val next = Fence.corpus(
-        kcoreStep(active, "node", fencedEdges, "s", "d", k)
+        kcoreStepOnUnd(active, "node", und, k)
           .filter(col("survives")).select("node"), "kcore_active")
       val m = next.count()
       // reclaim the superseded round's stage (no-op on round 1, where

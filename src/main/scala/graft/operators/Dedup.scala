@@ -881,6 +881,56 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** LSH cell index over an embedding corpus — the standing state of
+    * the incremental semantic-dedup path ([[embeddingLshScreen]] /
+    * `Ingest.startAnnScreen`): one row per vector with its normalized
+    * payload and sign-bucket. `planes` is the caller's scale knob
+    * (size it with [[Similarity.adaptivePlanes]] on the SEED corpus —
+    * the bucket function must stay fixed for the index's lifetime, so
+    * a stream sizes it once at screen start).
+    * Output: vec_id, v (array<double>), norm, bucket.
+    */
+  def embeddingLshIndex(df: DataFrame, idCol: String, vecCol: String,
+      planes: Int): DataFrame = {
+    GraftFunctions.registerAll(df.sparkSession)
+    df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(GraftFunctions.vecDot(col("v"), col("v"))))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+  }
+
+  /** Incremental SEMANTIC dedup: screen a batch of new vectors against
+    * a standing [[embeddingLshIndex]] — the embedding analogue of
+    * [[screenAgainstIndex]] (MinHash) and [[codeHammingScreen]]
+    * (dHash), completing the arrival-time dedup matrix. One
+    * bucket-equi-join probe per new vector (never a corpus self-join);
+    * a match is any same-bucket index vector with cosine ≥ threshold,
+    * and `match_id` is the MINIMUM matching id (the semdedup
+    * keep-canonical convention — order-free and deterministic).
+    * Output: one row per NEW vector — vec_id, is_dup, match_id
+    * (null when no match).
+    */
+  def embeddingLshScreen(newVecs: DataFrame, idCol: String,
+      vecCol: String, index: DataFrame, planes: Int,
+      threshold: Double): DataFrame = {
+    val fresh = embeddingLshIndex(newVecs, idCol, vecCol, planes)
+    val matches = fresh.as("x").hint("shuffle_hash")
+      .join(index.as("y")
+          .select(col("vec_id").as("old_id"), col("v").as("ov"),
+            col("norm").as("onorm"), col("bucket"))
+          .hint("shuffle_hash"),
+        Seq("bucket"))
+      .filter(col("x.vec_id") =!= col("old_id"))
+      .filter((GraftFunctions.vecDot(col("x.v"), col("ov")) /
+        (col("x.norm") * col("onorm"))) >= threshold)
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(min(col("old_id")).as("match_id"))
+    newVecs.select(col(idCol).as("vec_id"))
+      .join(matches.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id").isNotNull.as("is_dup"),
+        col("match_id"))
+  }
+
   /** Connected components over near-dup pairs — the step that turns
     * pairwise dedup output into per-document canonical assignment (a
     * pipeline keeps ONE doc per component, not one per pair: with docs

@@ -208,6 +208,56 @@ object Curation {
               |FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
               |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental SEMANTIC dedup: the embedding screen the streaming
+    // AnnScreen drives (one implementation; Ingest.startAnnScreen's
+    // foreachBatch calls exactly this operator) — new vectors probed
+    // against a standing LSH cell index, min matching id wins. The
+    // asymmetric sibling of qC7's symmetric semdedup, the q74 shape
+    // for vectors.
+    GraftQuery(
+      "qR4_embedding_screen",
+      "Incremental embedding near-dup screen: every-10th-id vectors " +
+        "probed against the LSH cell index of the rest (adaptive " +
+        "planes, cosine >= 0.4); min matching old id per new vector.",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val planes = graft.operators.Similarity.adaptivePlanes(
+          graft.Tables.rowCount(s, d, "embeddings"))
+        val idx = Dedup.embeddingLshIndex(
+          emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          planes)
+        Dedup.embeddingLshScreen(
+          emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          idx, planes, threshold = 0.4)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $duckVecNorm,
+              |pl AS (SELECT coalesce(min(range), 30) AS k FROM range(1,31)
+              |  WHERE (1 << range) * 64 >=
+              |    (SELECT count(*) FROM embeddings)),
+              |b AS (SELECT vec_id, v, nrm,
+              |  CAST(list_sum(list_transform(
+              |    range(0, (SELECT k FROM pl)), j ->
+              |    CASE WHEN list_sum(list_transform(v, (x,i) ->
+              |        x * (((2*j+3)*(i+16)) % 101 - 50))) > 0
+              |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+              |    AS bucket
+              |  FROM n),
+              |news AS (SELECT * FROM b WHERE vec_id % 10 = 0),
+              |olds AS (SELECT * FROM b WHERE vec_id % 10 != 0),
+              |m AS (
+              |  SELECT x.vec_id, min(y.vec_id) AS match_id
+              |  FROM news x JOIN olds y
+              |    ON x.bucket = y.bucket AND x.vec_id != y.vec_id
+              |  WHERE list_sum(list_transform(range(1,65),
+              |      i -> x.v[i]*y.v[i])) / (x.nrm*y.nrm) >= 0.4
+              |  GROUP BY x.vec_id)
+              |SELECT e.vec_id, m.match_id IS NOT NULL AS is_dup,
+              |  m.match_id
+              |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) e
+              |LEFT JOIN m ON e.vec_id = m.vec_id
+              |ORDER BY e.vec_id""".stripMargin)),
+
     // URL-canonicalization dedup: the normalization chain is the operator
     // under test (fragment, tracking params, case, default port, trailing
     // slash); the keep-min grouping is the cheapest dedup pass a crawl

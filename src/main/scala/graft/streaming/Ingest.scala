@@ -546,6 +546,55 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming SEMANTIC near-dup screen — the embedding face of the
+    * arrival-time dedup matrix (MinHash [[startDedupScreen]], dHash
+    * [[startMediaScreen]], exact-hash [[startWebScreen]], THIS): per
+    * micro-batch of (id, embedding) rows, screen against the GROWING
+    * LSH cell index with the batch operator
+    * ([[graft.operators.Dedup.embeddingLshScreen]] — one
+    * implementation, stream and batch cannot drift), write decisions
+    * EXACTLY-ONCE to `outDir/v_<batchId>`, then merge the batch's own
+    * index rows into the standing state via the versioned
+    * rename-promoted layout. Crash/replay ordering is the media
+    * screen's: decisions before index, so a replay either skips both
+    * or redoes the merge against the intact previous version.
+    *
+    * `seedIndex` is the prebuilt corpus index
+    * ([[graft.operators.Dedup.embeddingLshIndex]]); `planes` must be
+    * the value the seed was built with (size it once via
+    * `Similarity.adaptivePlanes` on the seed count — the bucket
+    * function is the index's identity and cannot change mid-stream).
+    * At 100 TB the standing index is one row per vector ever seen and
+    * each batch costs O(new × occupancy) bucket-join probes — the
+    * qC7/qO9 cell shape with arrival-time state.
+    */
+  def startAnnScreen(stream: DataFrame, idCol: String, vecCol: String,
+      seedIndex: DataFrame, planes: Int, threshold: Double,
+      idxDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val standing = latestVersion(spark, idxDir)
+        writeVersionedOnce(spark, outDir, batchId) {
+          graft.operators.Dedup.embeddingLshScreen(
+            batch, idCol, vecCol, standing.getOrElse(seedIndex),
+            planes, threshold)
+            .withColumn("batch_id", lit(batchId))
+        }
+        val freshRows = graft.operators.Dedup.embeddingLshIndex(
+          batch, idCol, vecCol, planes)
+        val init =
+          if (standing.isEmpty) seedIndex.unionByName(freshRows)
+          else freshRows
+        mergeVersioned(spark, idxDir, batchId, init,
+          (old, fresh) => old.unionByName(fresh))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming web-curation screen — qQ4's corpus build (HTML → main-
     * content extraction → Gopher quality gate → exact-content-hash
     * dedup → disposition) at arrival time, with a GROWING canonical

@@ -1022,6 +1022,62 @@ class InfraSpec extends SparkTestBase {
       .count(_.getName.startsWith("v_")) == 2)
   }
 
+  test("streaming semantic (embedding) near-dup screen: growing LSH " +
+    "cell index, exactly-once decisions, stream == composed batch " +
+    "screens; cross-batch duplicate only the growing index catches") {
+    import graft.operators.Dedup
+    def vec(dir: Int): Seq[Float] =
+      (0 until 4).map(i => if (i == dir) 1.0f else 0.0f)
+    val seed = Seq((0L, vec(0)), (1L, vec(1)))
+      .toDF("vec_id", "embedding")
+    val drop1 = Seq((10L, vec(0)), (11L, vec(2)))
+      .toDF("vec_id", "embedding") // copy of seed 0; new C
+    val drop2 = Seq((20L, vec(2)), (21L, vec(3)))
+      .toDF("vec_id", "embedding") // copy of DROP-1's C; new D
+
+    val inDir = Files.createTempDirectory("ann-in").toFile
+    val outDir = Files.createTempDirectory("ann-out").toFile.getAbsolutePath
+    val idxDir = Files.createTempDirectory("ann-idx").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("ann-ck").toFile.getAbsolutePath
+    drop1.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    drop2.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+
+    val planes = 3
+    val seedIndex = Dedup.embeddingLshIndex(seed, "vec_id", "embedding",
+      planes).localCheckpoint()
+    val stream = Ingest.streamTable(spark,
+      inDir.getAbsolutePath + "/drop*", drop1.schema,
+      maxFilesPerTrigger = 1)
+    val q = Ingest.startAnnScreen(stream, "vec_id", "embedding",
+      seedIndex, planes, threshold = 0.9,
+      idxDir = idxDir, outDir = outDir, checkpointDir = ckpt)
+    q.awaitTermination(120000)
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "is_dup", "match_id").orderBy("vec_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    val got = norm(Ingest.versionedRows(spark, outDir))
+    // 20 ~ 11 is the cross-batch pair a static-seed screen would miss
+    assert(got == Seq(
+      (10L, true, Some(0L)), (11L, false, None),
+      (20L, true, Some(11L)), (21L, false, None)), got.mkString(", "))
+
+    // stream == composed batch screens on the one implementation
+    val batch = Dedup.embeddingLshScreen(drop1, "vec_id", "embedding",
+        seedIndex, planes, 0.9)
+      .unionByName(Dedup.embeddingLshScreen(drop2, "vec_id", "embedding",
+        seedIndex.unionByName(Dedup.embeddingLshIndex(drop1, "vec_id",
+          "embedding", planes)), planes, 0.9))
+    assert(got == norm(batch))
+
+    // the standing index holds seed + both drops, one row per vector
+    assert(Ingest.versionedRows(spark, idxDir).count() == 6)
+  }
+
   test("streaming web-curation screen: extraction -> Gopher gate -> " +
     "exact dedup against a growing canonical index; stream == qQ4's " +
     "batch disposition; cross-batch duplicate only the index catches") {

@@ -162,13 +162,16 @@ object ReferenceViews {
 
   private val P = "{{.ProjectID}}"
 
-  private def pass(from: String): String = s"SELECT * FROM $P.$from"
+  private def pass(from: String): String =
+    s"-- Pass-through view of $from.\nSELECT * FROM $P.$from"
 
   /** The legacy views' partition pseudo-column cast
     * (ndt_raw/web100_legacy.sql:5: `CAST(_PARTITIONTIME AS DATE) AS
     * partition_date, *`). */
   private def legacy(from: String): String =
-    s"SELECT date AS partition_date, * FROM $P.$from"
+    s"-- Legacy-parser view of $from (partition_date cast, " +
+      s"web100_legacy.sql:5 convention).\n" +
+      s"SELECT date AS partition_date, * FROM $P.$from"
 
   /** The public annotated pass-throughs: "materializes data from
     * ndt_raw.X with ndt_raw.annotation2 into a single location"
@@ -176,7 +179,9 @@ object ReferenceViews {
     * (date, user_id) measurement key, annotation deduped first so the
     * join can't fan out. */
   private def annotated(from: String, annFrom: String): String =
-    s"""SELECT r.*, a.ann_value
+    s"""-- Materializes data from $from with $annFrom into a single
+       |-- location (the public annotated pass-through convention).
+       |SELECT r.*, a.ann_value
        |FROM $P.$from r
        |LEFT JOIN (
        |  SELECT date, user_id, MIN(mbps) AS ann_value
@@ -197,7 +202,9 @@ object ReferenceViews {
     * ndt_intermediate/extended_*.sql). */
   private def extended(viewName: String, from: String,
       direction: String): String =
-    s"""SELECT date, id, user_id, '$viewName' AS view_name,
+    s"""-- Extended $direction rows over $from, flattened to the
+       |-- unified column list with the IsValidBest flag.
+       |SELECT date, id, user_id, '$viewName' AS view_name,
        |  mbps, min_rtt, continent_code, country_code, region_code,
        |  city, us_state, us_county, asn,
        |  ($validPredicate) AS isvalidbest
@@ -213,7 +220,9 @@ object ReferenceViews {
     val legs = Seq("ndt7", "ndt5", "web100").map(v =>
         s"  SELECT * FROM $P.ndt_intermediate.extended_${v}_$dir")
       .mkString("\n  UNION ALL\n")
-    s"""SELECT * EXCEPT (isvalidbest)
+    s"""-- Unified $dir: the three era branches, valid rows only,
+       |-- the validity flag stripped (unified views convention).
+       |SELECT * EXCEPT (isvalidbest)
        |FROM (
        |$legs
        |)
@@ -234,7 +243,9 @@ object ReferenceViews {
     * reproducible across partial-aggregation orders. */
   private def stats(dims: Seq[String]): String = {
     val d = dims.mkString(", ")
-    s"""SELECT $d, date,
+    s"""-- Per-(${dims.mkString(", ")}, date) download rollups over
+       |-- ndt.unified_downloads (the statistics ladder).
+       |SELECT $d, date,
        |  COUNT(*) AS dl_tests,
        |  FLOOR(AVG(mbps) * 10000 + 0.5) / 10000 AS dl_mean_mbps,
        |  FLOOR(MIN(mbps) * 10000 + 0.5) / 10000 AS dl_min_mbps,
@@ -244,7 +255,9 @@ object ReferenceViews {
   }
 
   private def v(dataset: String, name: String, body: String): ViewDef =
-    ViewDef(name, body, dataset = dataset)
+    // description extracted from the body's leading `--` lines — the
+    // reference's awk contract (create_view_lib.sh:32-33)
+    ViewDef(name, body, ViewDef.descriptionFrom(body), dataset)
 
   // ---- the manifest, in create_dataset_views.sh order ---------------------
 
@@ -314,7 +327,9 @@ object ReferenceViews {
     v("ndt", "web100", annotated("base_tables.ndt", "ndt_raw.annotation2")),
     v("wehe", "scamper1", pass("wehe_raw.scamper1")),
     v("wehe", "scamper1_hopannotation2",
-      s"""SELECT s.*, h.n_hops
+      s"""-- Scamper traceroutes joined with per-measurement hop
+         |-- annotation counts (wehe/scamper1_hopannotation2.sql shape).
+         |SELECT s.*, h.n_hops
          |FROM $P.wehe.scamper1 s
          |LEFT JOIN (
          |  SELECT date, user_id, COUNT(*) AS n_hops
@@ -358,7 +373,9 @@ object ReferenceViews {
     v("ndt", "ndt7_legacy", pass("ndt.ndt7")),
     v("ndt", "ndt7_dynamic", pass("autojoin_autoload_v2_ndt.ndt7_union")),
     v("ndt", "ndt7_union",
-      s"""SELECT * EXCEPT ( archiver ) FROM $P.autojoin_autoload_v2_ndt.ndt7_union
+      s"""-- Union pass-through for annotated ndt7 data: legacy and
+         |-- dynamic fleets in one location (ndt/ndt7_union.sql:2-3).
+         |SELECT * EXCEPT ( archiver ) FROM $P.autojoin_autoload_v2_ndt.ndt7_union
          |UNION ALL
          |SELECT * EXCEPT ( parser, ann_value ) FROM $P.ndt.ndt7""".stripMargin),
     // traceroute — :125-126
@@ -375,7 +392,9 @@ object ReferenceViews {
     v("msak", "throughput1",
       annotated("msak_raw.throughput1", "msak_raw.annotation2")),
     v("msak", "throughput1_downloads",
-      s"""SELECT date, user_id, COUNT(*) AS n_streams,
+      s"""-- Per-measurement download rollups over msak.throughput1
+         |-- (msak/throughput1_downloads.sql shape).
+         |SELECT date, user_id, COUNT(*) AS n_streams,
          |  FLOOR(MIN(mbps) * 10000 + 0.5) / 10000 AS min_mbps,
          |  FLOOR(MAX(mbps) * 10000 + 0.5) / 10000 AS max_mbps
          |FROM $P.msak.throughput1

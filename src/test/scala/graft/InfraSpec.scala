@@ -1440,7 +1440,14 @@ class InfraSpec extends SparkTestBase {
       .contains(AccessEntry.view("statistics.v0_countries")))
     assert(acl.accessOf("ndt")
       .contains(AccessEntry.view("ndt_intermediate.extended_ndt7_downloads")))
-    // 5. the nofilter variants really are the sed-patch of the live
+    // 5. every manifest view carries a description extracted from its
+    // body's leading `--` lines — the reference's awk contract
+    // (create_view_lib.sh:32-33)
+    val undescribed = ReferenceViews.manifest
+      .filter(_.description.isEmpty).map(_.qualifiedName)
+    assert(undescribed.isEmpty,
+      s"views without descriptions: ${undescribed.mkString(", ")}")
+    // 6. the nofilter variants really are the sed-patch of the live
     // template: no EXCEPT, no IsValidBest filter, same FROM legs
     val nf = ReferenceViews.manifest
       .find(v => v.dataset == "ndt" && v.name == "unified_downloads_nofilter")

@@ -366,7 +366,19 @@ class PlanSpec extends SparkTestBase {
       "qP7_image_resize" -> 2, // thumbnail decode + n_bytes join
       // round-9 web queries (audited round 10, post stage-writer):
       "qQ1_html_gopher_chain" -> 1, // stage scan + order only
-      "qQ4_web_corpus_build" -> 4) // 1 hash-key dedup shuffle + 2 broadcast + order
+      "qQ4_web_corpus_build" -> 4, // 1 hash-key dedup shuffle + 2 broadcast + order
+      // round-12 additions (audited this round; every exchange carries
+      // a pair/edge/node/rollup-sized frame — the gram stream lives in
+      // the fenced jpp/cpp stages):
+      "qE6_triangle_count" -> 7,  // staged-und orient + wedge/closing joins
+      "qA0_containment_pairs" -> 8, // prefix+full legs, cand distinct, verify
+      "q68_training_batch" -> 5,  // capped bands + CC post-join + split rank
+      "qN7_kcore_step" -> 15, // 2 prefix legs + cand + 2 verify + und
+                              // distinct + 2 semi legs + degree + join + order
+      "qR0_stats_countries_view" -> 2, // stats rollup + order over the view stack
+      "qR1_unified_downloads_view" -> 1, // unified scan + order
+      "qR2_ndt7_union_view" -> 2, // union group rollup + order
+      "qR4_embedding_screen" -> 5) // bucket probe join + min agg + left join + order
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

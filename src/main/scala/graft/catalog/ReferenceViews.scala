@@ -232,6 +232,14 @@ object ReferenceViews {
   /** The script's literal nofilter sed patch — delete everything from
     * EXCEPT to end-of-line, delete the `WHERE IsValidBest` text
     * (create_dataset_views.sh:108-110) — applied line-wise like sed. */
+  /** The sed patch edits only the SQL; the DESCRIPTION comment still
+    * claims "valid rows only" — rewrite it so the extracted catalog
+    * metadata describes what the nofilter variant actually serves. */
+  private[graft] def nofilterDesc(sql: String): String = sql
+    .replace("valid rows only,", "ALL rows,")
+    .replace("-- the validity flag stripped (unified views convention).",
+      "-- the validity flag RETAINED (the script's sed nofilter patch).")
+
   private[graft] def nofilterPatch(sql: String): String =
     sql.linesIterator
       .map(_.replaceAll("EXCEPT.*", "").replaceAll("WHERE isvalidbest", ""))
@@ -360,11 +368,12 @@ object ReferenceViews {
       unified("downloads", " AND date < DATE '2024-07-01'")),
     v("ndt", "unified_downloads", unified("downloads")),
     v("ndt", "unified_downloads_nofilter",
-      nofilterPatch(unified("downloads"))),
+      nofilterDesc(nofilterPatch(unified("downloads")))),
     v("ndt", "unified_uploads_20201026x",
       unified("uploads", " AND date < DATE '2024-07-01'")),
     v("ndt", "unified_uploads", unified("uploads")),
-    v("ndt", "unified_uploads_nofilter", nofilterPatch(unified("uploads"))),
+    v("ndt", "unified_uploads_nofilter",
+      nofilterDesc(nofilterPatch(unified("uploads")))),
     // autojoin passthrough + legacy/dynamic/union trio — :117-122
     v("autojoin_autoload_v2_ndt", "ndt7_union",
       pass("autoload_v2_ndt.ndt7")),
@@ -411,8 +420,9 @@ object ReferenceViews {
   // earlier dir), and it is written only AFTER a successful deploy —
   // a mid-deploy failure leaves the memo empty so the next call
   // retries instead of serving names for half-deployed views.
-  private val deployedDir =
-    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+  // guarded by the deploy() lock — deploy is fully serialized, so a
+  // concurrent structure would only misstate the concurrency contract
+  private val deployedDir = scala.collection.mutable.Map[Int, String]()
 
   /** Deploy the raw layer + the full manifest (script order, verified
     * dependency-valid, ACL-synced). Returns the qualified names.
@@ -424,7 +434,11 @@ object ReferenceViews {
       acl: AclRegistry = new AclRegistry,
       force: Boolean = false): Seq[String] = synchronized {
     val key = System.identityHashCode(spark)
-    if (force || deployedDir.get(key) != sfDir) {
+    if (force || !deployedDir.get(key).contains(sfDir)) {
+      // invalidate BEFORE touching the catalog: registerBase rebinds
+      // the base tables immediately, so a failure mid-deploy must not
+      // leave the memo claiming the PREVIOUS dir is still served
+      deployedDir.remove(key)
       registerBase(spark, sfDir)
       val names = new ViewRegistry(spark).deployQualified(manifest, acl, vars)
       deployedDir.put(key, sfDir)

@@ -912,12 +912,29 @@ object Dedup {
     */
   def embeddingLshScreen(newVecs: DataFrame, idCol: String,
       vecCol: String, index: DataFrame, planes: Int,
-      threshold: Double): DataFrame = {
-    val fresh = embeddingLshIndex(newVecs, idCol, vecCol, planes)
-    val matches = fresh.as("x").hint("shuffle_hash")
+      threshold: Double): DataFrame =
+    embeddingLshScreenOnIndex(
+      embeddingLshIndex(newVecs, idCol, vecCol, planes),
+      newVecs.select(col(idCol).as("vec_id")), index, threshold)
+
+  /** [[embeddingLshScreen]] given the batch's ALREADY-BUILT index rows
+    * — the streaming screen's entry point, so one projection pass per
+    * micro-batch serves both the probe and the index merge. `ids` is
+    * the full new-id universe (rows with null/zero-norm embeddings
+    * still get a no-dup DECISION, the quarantine discipline).
+    *
+    * Zero-norm guard on BOTH sides: cosine's denominator is
+    * norm·onorm, and 0/0 = NaN, which Spark's ordering ranks ABOVE
+    * every number — an unguarded NaN >= threshold is TRUE, declaring
+    * an all-zero vector a duplicate of an arbitrary bucket-mate. */
+  private[graft] def embeddingLshScreenOnIndex(fresh: DataFrame,
+      ids: DataFrame, index: DataFrame, threshold: Double): DataFrame = {
+    val matches = fresh.filter(col("norm") > 0)
+      .as("x").hint("shuffle_hash")
       .join(index.as("y")
           .select(col("vec_id").as("old_id"), col("v").as("ov"),
             col("norm").as("onorm"), col("bucket"))
+          .filter(col("onorm") > 0)
           .hint("shuffle_hash"),
         Seq("bucket"))
       .filter(col("x.vec_id") =!= col("old_id"))
@@ -925,7 +942,7 @@ object Dedup {
         (col("x.norm") * col("onorm"))) >= threshold)
       .groupBy(col("x.vec_id").as("vec_id"))
       .agg(min(col("old_id")).as("match_id"))
-    newVecs.select(col(idCol).as("vec_id"))
+    ids
       .join(matches.hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("match_id").isNotNull.as("is_dup"),
         col("match_id"))

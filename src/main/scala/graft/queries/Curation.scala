@@ -249,7 +249,8 @@ object Curation {
               |  SELECT x.vec_id, min(y.vec_id) AS match_id
               |  FROM news x JOIN olds y
               |    ON x.bucket = y.bucket AND x.vec_id != y.vec_id
-              |  WHERE list_sum(list_transform(range(1,65),
+              |  WHERE x.nrm > 0 AND y.nrm > 0
+              |    AND list_sum(list_transform(range(1,65),
               |      i -> x.v[i]*y.v[i])) / (x.nrm*y.nrm) >= 0.4
               |  GROUP BY x.vec_id)
               |SELECT e.vec_id, m.match_id IS NOT NULL AS is_dup,

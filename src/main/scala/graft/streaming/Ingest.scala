@@ -575,15 +575,23 @@ object Ingest {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // ONE projection pass per batch (cast + norm + plane dots),
+        // consumed by the screen probe AND the index merge —
+        // micro-batch-bounded, so the fence is a localCheckpoint
+        val fresh = graft.operators.Dedup.embeddingLshIndex(
+          batch, idCol, vecCol, planes).localCheckpoint()
         val standing = latestVersion(spark, idxDir)
         writeVersionedOnce(spark, outDir, batchId) {
-          graft.operators.Dedup.embeddingLshScreen(
-            batch, idCol, vecCol, standing.getOrElse(seedIndex),
-            planes, threshold)
+          graft.operators.Dedup.embeddingLshScreenOnIndex(
+            fresh, batch.select(col(idCol).as("vec_id")),
+            standing.getOrElse(seedIndex), threshold)
             .withColumn("batch_id", lit(batchId))
         }
-        val freshRows = graft.operators.Dedup.embeddingLshIndex(
-          batch, idCol, vecCol, planes)
+        // null/zero-norm rows still got a no-dup DECISION above, but
+        // they can never match (the screen's norm guard) and would
+        // otherwise accumulate as permanent dead weight in the
+        // standing index — the media screen's quarantine discipline
+        val freshRows = fresh.filter(col("norm") > 0)
         val init =
           if (standing.isEmpty) seedIndex.unionByName(freshRows)
           else freshRows

@@ -1456,7 +1456,8 @@ class InfraSpec extends SparkTestBase {
     val live = ReferenceViews.manifest
       .find(v => v.dataset == "ndt" && v.name == "unified_downloads")
       .get.sqlTemplate
-    assert(ReferenceViews.nofilterPatch(live) == nf)
+    assert(ReferenceViews.nofilterDesc(
+      ReferenceViews.nofilterPatch(live)) == nf)
     // and semantically: nofilter keeps the invalid rows the live view
     // drops, plus the flag column the EXCEPT strips
     val nfDf = spark.table("ndt.unified_downloads_nofilter")
@@ -1551,9 +1552,10 @@ class InfraSpec extends SparkTestBase {
     //   Stats.scala        per-file key manifest (|files| rows)
     val allowed = Map(
       "plans/Fence.scala" -> 1,
-      // two microbatch-bounded fences: the media screen's per-batch
-      // decode pass and the web screen's per-batch extraction pass
-      "streaming/Ingest.scala" -> 2,
+      // three microbatch-bounded fences: the media screen's per-batch
+      // decode pass, the web screen's per-batch extraction pass, and
+      // the ANN screen's per-batch LSH projection pass
+      "streaming/Ingest.scala" -> 3,
       "operators/Eval.scala" -> 3,
       "operators/Survival.scala" -> 1,
       "queries/ErasUpload.scala" -> 1,

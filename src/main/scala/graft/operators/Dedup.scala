@@ -835,6 +835,10 @@ object Dedup {
       col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(GraftFunctions.vecDot(col("v"), col("v"))))
+      // zero-norm guard: 0/0 cosine is NaN, which Spark's ordering
+      // ranks above every number — NaN >= threshold would pair an
+      // all-zero vector with everything (r12 review find)
+      .filter(col("norm") > 0)
     withNorm.as("x").join(withNorm.as("y"), col("x.vid") < col("y.vid"))
       .select(col("x.vid").as("id_a"), col("y.vid").as("id_b"),
         (GraftFunctions.vecDot(col("x.v"), col("y.v")) /
@@ -870,6 +874,9 @@ object Dedup {
       col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(GraftFunctions.vecDot(col("v"), col("v"))))
+      // zero-norm guard: see embeddingCosinePairs — NaN >= threshold
+      // is TRUE under Spark's NaN ordering
+      .filter(col("norm") > 0)
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
       .hint("shuffle_hash")
     base.as("x")

@@ -97,7 +97,20 @@ object ReferenceViews {
     * Here that layer is one external parquet table + the normalized
     * `archive` view + per-experiment raw datasets, created BEFORE the
     * manifest deploys. Idempotent; re-binding to a new sfDir replaces
-    * the external table. */
+    * the external table.
+    *
+    * SINGLE-SESSION-PER-METASTORE ASSUMPTION (ADVICE r12): the catalog
+    * objects created here carry the reference's OWN dataset names
+    * (`base_tables`, the per-experiment raw datasets) — the name
+    * fidelity is the S7 contract, so they are deliberately NOT
+    * session-namespaced the way [[graft.plans.Stage]] namespaces its
+    * scratch tables. Two sessions sharing one persistent (Hive)
+    * metastore would therefore repoint each other's base-table
+    * binding, and the nanosAsLong conf set below is session-scoped
+    * while the tables are not. Run one deploying session per
+    * metastore (the in-memory-catalog default satisfies this
+    * trivially); a multi-tenant deployment should point each driver
+    * at its own metastore or database prefix. */
   def registerBase(spark: SparkSession, sfDir: String): Unit = {
     // events.ts is INT64 TIMESTAMP(NANOS) in some generations — read as
     // raw nanos (Tables.load discipline) and rebuild with integer math
@@ -422,7 +435,13 @@ object ReferenceViews {
   // retries instead of serving names for half-deployed views.
   // guarded by the deploy() lock — deploy is fully serialized, so a
   // concurrent structure would only misstate the concurrency contract
-  private val deployedDir = scala.collection.mutable.Map[Int, String]()
+  // weak-keyed by the session itself (VERDICT r12 #4): an
+  // identityHashCode-keyed strong map never evicts entries for dead
+  // sessions — harmless under the one-session-per-JVM driver contract,
+  // wrong for a long-lived multi-session driver. The WeakHashMap drops
+  // a session's memo as soon as the session is unreachable.
+  private val deployedDir =
+    new java.util.WeakHashMap[SparkSession, String]()
 
   /** Deploy the raw layer + the full manifest (script order, verified
     * dependency-valid, ACL-synced). Returns the qualified names.
@@ -433,15 +452,14 @@ object ReferenceViews {
   def deploy(spark: SparkSession, sfDir: String,
       acl: AclRegistry = new AclRegistry,
       force: Boolean = false): Seq[String] = synchronized {
-    val key = System.identityHashCode(spark)
-    if (force || !deployedDir.get(key).contains(sfDir)) {
+    if (force || deployedDir.get(spark) != sfDir) {
       // invalidate BEFORE touching the catalog: registerBase rebinds
       // the base tables immediately, so a failure mid-deploy must not
       // leave the memo claiming the PREVIOUS dir is still served
-      deployedDir.remove(key)
+      deployedDir.remove(spark)
       registerBase(spark, sfDir)
       val names = new ViewRegistry(spark).deployQualified(manifest, acl, vars)
-      deployedDir.put(key, sfDir)
+      deployedDir.put(spark, sfDir)
       names
     } else manifest.map(_.qualifiedName)
   }

@@ -478,8 +478,11 @@ object Dedup {
     *
     * `maxBucket` drops pathological buckets (a shingle-band shared by a
     * huge boilerplate cluster) before the pair blow-up — the standard
-    * guard when this runs over billions of docs. Pass Int.MaxValue for
-    * exact-parity runs (the oracle-checked query does).
+    * guard when this runs over billions of docs. The declared queries
+    * (q32/q74/q58/q59/q68/qA7 and friends) pass maxBucket = 256 and
+    * their DuckDB oracles REPLAY the same exclusion, so the cap is
+    * oracle-checked, not a fixture-scale shortcut; Int.MaxValue remains
+    * available for exact-parity runs against an uncapped ground truth.
     *
     * Output: doc_a, doc_b, jaccard (≥ threshold).
     */

@@ -163,21 +163,28 @@ object Stage {
     * un-staged frame). Bucketed stages also drop their catalog entry,
     * so a persistent metastore never accumulates dangling tables. */
   def reclaim(df: DataFrame): Unit = {
+    // NonFatal only (ADVICE r12): reclamation is best-effort — the
+    // shutdown hook is the backstop — but an OutOfMemoryError or an
+    // interrupt must propagate, and a reclamation that persistently
+    // fails should at least be observable under GRAFT_STAGE_DEBUG
+    import scala.util.control.NonFatal
+    def debug(msg: => String): Unit =
+      if (sys.env.contains("GRAFT_STAGE_DEBUG")) System.err.println(msg)
     val entry = stagedFrames.remove(df)
     if (entry != null) {
       val (path, table) = entry
       table.foreach { tbl =>
         try df.sparkSession.sql(s"DROP TABLE IF EXISTS `$tbl`")
-        catch { case _: Throwable => () }
+        catch { case NonFatal(e) =>
+          debug(s"[stage] reclaim DROP TABLE $tbl failed: $e") }
       }
       try {
         val p = new Path(path)
         p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
           .delete(p, true)
-        ()
-      } catch { case _: Throwable => () }
-      if (sys.env.contains("GRAFT_STAGE_DEBUG"))
-        System.err.println(s"[stage] reclaimed $path")
+        debug(s"[stage] reclaimed $path")
+      } catch { case NonFatal(e) =>
+        debug(s"[stage] reclaim delete $path failed: $e") }
     }
   }
 

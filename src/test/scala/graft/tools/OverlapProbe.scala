@@ -49,13 +49,17 @@ object OverlapProbe {
     if (want("jppv")) {
       // value-ordered melt demo: ONE decade only (the sf1 run would be
       // the 10^9-candidate block this probe exists to demonstrate)
+      // dfOrdered = false EXPLICITLY: the round-12 default flip made
+      // df-order the default, so an implicit call here would measure
+      // df order under a "value-ordered" label and the SCALE.md melt
+      // numbers would stop being reproducible (ADVICE r12)
       timed("jpp value-ordered ov-small") {
         Dedup.ngramJaccardPrefixPairs(docs(small), "doc_id", "text",
-          3, 0.5)
+          3, 0.5, dfOrdered = false)
       }
       timed("jpp value-ordered ov-mid") {
         Dedup.ngramJaccardPrefixPairs(docs(mid), "doc_id", "text",
-          3, 0.5)
+          3, 0.5, dfOrdered = false)
       }
     }
     if (want("jppdf")) {
@@ -75,11 +79,11 @@ object OverlapProbe {
     if (want("cpp")) {
       timed("cpp value-ordered ov-small") {
         Dedup.containmentPrefixPairs(docs(small), "doc_id", "text",
-          3, 0.6)
+          3, 0.6, dfOrdered = false)
       }
       timed("cpp value-ordered ov-mid") {
         Dedup.containmentPrefixPairs(docs(mid), "doc_id", "text",
-          3, 0.6)
+          3, 0.6, dfOrdered = false)
       }
       timed("cpp df-ordered ov-mid") {
         Dedup.containmentPrefixPairs(docs(mid), "doc_id", "text",

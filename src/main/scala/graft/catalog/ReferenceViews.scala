@@ -443,6 +443,10 @@ object ReferenceViews {
   private val deployedDir =
     new java.util.WeakHashMap[SparkSession, String]()
 
+  /** Test hook: live deploy-memo entry count (WeakHashMap.size expunges
+    * entries whose session has been collected). */
+  private[graft] def memoSize: Int = synchronized { deployedDir.size }
+
   /** Deploy the raw layer + the full manifest (script order, verified
     * dependency-valid, ACL-synced). Returns the qualified names.
     * Idempotent and memoized per session while the bound sfDir is

@@ -23,6 +23,22 @@ import graft.plans.Fence
   */
 object Dedup {
 
+  /** Session default for the prefix generators' shingle total order.
+    * df-order (rare-first) is the boilerplate-robust choice and the
+    * default: a corpus-wide hot shingle sorts LAST and exits every
+    * prefix, which is what keeps the candidate volume sub-linear on
+    * boilerplate-heavy corpora (the round-12 ov probe melted value
+    * order at exp 0.88-1.32/decade). Value order skips the df
+    * aggregate + re-rank (one fewer shuffle + window over the shingle
+    * table), worth 10-30% at query grain on corpora KNOWN to be
+    * boilerplate-light — opt in per JVM with
+    * `-Dgraft.dedup.valueOrder=true`, or per call via the parameter.
+    * Read per call (a `def`), so an A/B harness can flip it between
+    * runs without recompiling.
+    */
+  private[graft] def dfOrderedDefault: Boolean =
+    !java.lang.Boolean.getBoolean("graft.dedup.valueOrder")
+
   /** Exact dedup: group by content hash, keep the smallest id.
     * Output: text_hash, keep_id, dup_cnt.
     */
@@ -144,7 +160,7 @@ object Dedup {
     */
   def ngramJaccardPrefixPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      dfOrdered: Boolean = true): DataFrame = {
+      dfOrdered: Boolean = Dedup.dfOrderedDefault): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefix filtering needs a threshold in (0, 1]")
     import org.apache.spark.sql.expressions.Window
@@ -262,7 +278,7 @@ object Dedup {
     */
   def containmentPrefixPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
-      dfOrdered: Boolean = true): DataFrame = {
+      dfOrdered: Boolean = Dedup.dfOrderedDefault): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefix filtering needs a threshold in (0, 1]")
     import org.apache.spark.sql.expressions.Window
@@ -607,14 +623,25 @@ object Dedup {
     */
   def screenAgainstIndex(newDocs: DataFrame, idCol: String,
       textCol: String, oldIndex: DataFrame, shingleN: Int, bands: Int,
-      rowsPerBand: Int, threshold: Double): DataFrame = {
-    val newBand = bandRowsOf(newDocs, idCol, textCol, shingleN, bands,
-      rowsPerBand).hint("shuffle_hash")
+      rowsPerBand: Int, threshold: Double): DataFrame =
+    screenAgainstIndexRows(
+      bandRowsOf(newDocs, idCol, textCol, shingleN, bands, rowsPerBand),
+      newDocs.select(col(idCol).as("doc_id")), oldIndex, threshold)
+
+  /** [[screenAgainstIndex]] given the batch's ALREADY-BUILT band rows
+    * ([[lshBandIndex]] schema) — the streaming growing-index screen's
+    * entry point, so ONE shingle+signature pass per micro-batch serves
+    * both the probe and the index merge (the
+    * [[embeddingLshScreenOnIndex]] pattern). `ids` is the full new-id
+    * universe — docs whose band rows were filtered upstream still get
+    * a no-dup decision row. */
+  private[graft] def screenAgainstIndexRows(newBand: DataFrame,
+      ids: DataFrame, oldIndex: DataFrame, threshold: Double)
+      : DataFrame = {
     val old = oldIndex.select(col("doc_id").as("old_id"),
       col("sh").as("sho"), col("band_idx"), col("band_key"))
       .hint("shuffle_hash")
-    screenDecisions(newBand, old,
-      newDocs.select(col(idCol).as("doc_id")), threshold)
+    screenDecisions(newBand.hint("shuffle_hash"), old, ids, threshold)
   }
 
   def minhashLshIncremental(df: DataFrame, idCol: String, textCol: String,

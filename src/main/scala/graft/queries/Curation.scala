@@ -2086,5 +2086,84 @@ object Curation {
               |FROM wh
               |JOIN wg ON wh.content_hash = wg.content_hash
               |JOIN wq ON wh.doc_id = wq.doc_id
-              |ORDER BY wh.doc_id""".stripMargin)))
+              |ORDER BY wh.doc_id""".stripMargin)),
+
+    // Boilerplate-gated containment -- the production posture
+    // SCALE.md's cpp adjudication prescribes for containment over
+    // boilerplate-heavy corpora, as ONE declared plan: every page
+    // carries two corpus-wide boilerplate lines (the melt fuel -- a
+    // shared line's shingles land in every doc's set, inflating true
+    // containment and the prefix-index postings alike), the C4 line
+    // gate strips them BEFORE pairing, and directed containment runs
+    // on the cleaned text only. Scale shape: the gate is a per-row
+    // HOF pass at scan speed; the pair stage then sees a
+    // boilerplate-FREE corpus, which is what keeps the prefix-index
+    // candidate volume at its measured sub-linear decade exponent
+    // (the ungated ov corpus is output-bound linear -- SCALE.md).
+    GraftQuery(
+      "qS0_gated_containment",
+      "Boilerplate-gated containment chain: C4 line filters strip " +
+        "corpus-wide boilerplate lines, then directed 3-gram " +
+        "containment (>= 0.6) pairs run on the cleaned text only.",
+      (s, d) => {
+        val page = concat(
+          substring(col("text"), 1, 150), lit(".\n"),
+          lit("Please enable JavaScript to view this page.\n"),
+          lit("All content copyright of the site owners all rights " +
+            "reserved\n"),
+          substring(col("text"), 151, 100000), lit("."))
+        val cleaned = TextAnalysis.c4LineFilters(
+          t(s, d, "documents").select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+          .where(col("n_kept_lines") > 0)
+          .select(col("doc_id"),
+            regexp_replace(col("clean_text"), "\n", " ").as("text"))
+        Dedup.containmentPrefixPairs(cleaned, "doc_id", "text",
+          n = 3, threshold = 0.6)
+          .select(col("doc_a"), col("doc_b"),
+            graft.functions.SafeOps.stableRound4(col("containment"))
+              .as("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH page AS (SELECT doc_id,
+              |    substr(text, 1, 150) || '.' || chr(10) ||
+              |    'Please enable JavaScript to view this page.' ||
+              |      chr(10) ||
+              |    'All content copyright of the site owners all ' ||
+              |      'rights reserved' || chr(10) ||
+              |    substr(text, 151, 100000) || '.' AS text
+              |  FROM documents),
+              |ckept AS (SELECT doc_id,
+              |    list_filter(string_split(text, chr(10)), x ->
+              |      regexp_matches(trim(x),
+              |        '${TextAnalysis.C4TerminalRe}')
+              |      AND len(list_filter(string_split(trim(x), ' '),
+              |        w -> w <> '')) >= ${TextAnalysis.C4MinLineWords}
+              |      AND NOT contains(lower(x), 'javascript'))
+              |      AS lines
+              |  FROM page),
+              |clean AS (SELECT doc_id,
+              |    array_to_string(lines, ' ') AS text
+              |  FROM ckept WHERE len(lines) > 0),
+              |sets AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(
+              |      list_transform(
+              |        range(1, len(string_split(text,' ')) - 1),
+              |        i -> string_split(text,' ')[i] || ' ' ||
+              |             string_split(text,' ')[i+1] || ' ' ||
+              |             string_split(text,' ')[i+2]),
+              |      g -> ('0x' || substr(md5(g),1,8))::BIGINT)) AS sh
+              |  FROM clean
+              |  WHERE len(string_split(text,' ')) >= 3),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS common,
+              |    len(a.sh) AS sa
+              |  FROM sets a JOIN sets b ON a.doc_id != b.doc_id)
+              |SELECT doc_a, doc_b,
+              |  floor((CAST(common AS DOUBLE) / sa) * 10000.0 + 0.5)
+              |    / 10000.0 AS containment
+              |FROM p WHERE CAST(common AS DOUBLE) / sa >= 0.6
+              |ORDER BY doc_a, doc_b""".stripMargin)))
 }

@@ -104,6 +104,57 @@ object Ingest {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** [[startDedupScreen]] with a GROWING index — the MinHash face of
+    * the arrival-time dedup matrix (dHash [[startMediaScreen]],
+    * embedding [[startAnnScreen]], exact-hash [[startWebScreen]],
+    * THIS): where the static screen only catches duplicates of the
+    * seed corpus, this one also catches a doc that duplicates an
+    * EARLIER BATCH. Per micro-batch:
+    *
+    *   1. ONE shingle + MinHash-signature pass
+    *      ([[graft.operators.Dedup.lshBandIndex]]), consumed by both
+    *      the probe and the index merge — micro-batch-bounded, so the
+    *      fence is a localCheckpoint;
+    *   2. screen against the standing band index with the batch
+    *      operator ([[graft.operators.Dedup.screenAgainstIndexRows]] —
+    *      one implementation, stream and batch cannot drift),
+    *      decisions written EXACTLY-ONCE to `outDir/v_<batchId>`;
+    *   3. append the batch's own band rows as a DELTA layer of the
+    *      layered standing index ([[appendVersioned]]) — O(batch)
+    *      written bytes per batch, full rewrite only at compaction.
+    *
+    * Crash/replay ordering is [[startMediaScreen]]'s: decisions land
+    * before the index layer, so a replay either skips both or redoes
+    * the append against the still-intact standing state.
+    */
+  def startMinhashScreen(stream: DataFrame, idCol: String,
+      textCol: String, seedIndex: DataFrame, shingleN: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double, idxDir: String,
+      outDir: String, checkpointDir: String, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val freshBands = graft.operators.Dedup.lshBandIndex(
+          batch, idCol, textCol, shingleN, bands, rowsPerBand)
+          .localCheckpoint()
+        val standing = standingIndex(spark, idxDir)
+        writeVersionedOnce(spark, outDir, batchId) {
+          graft.operators.Dedup.screenAgainstIndexRows(freshBands,
+            batch.select(col(idCol).as("doc_id")),
+            standing.getOrElse(seedIndex), threshold)
+            .withColumn("batch_id", lit(batchId))
+        }
+        val init =
+          if (standing.isEmpty) seedIndex.unionByName(freshBands)
+          else freshBands
+        appendVersioned(spark, idxDir, batchId, init, compactEvery)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Per-micro-batch distribution-drift screen: each arriving batch is
     * histogrammed on `binExpr` and scored (PSI) against a STATIC
     * baseline histogram — the ingest-path monitoring loop that catches
@@ -183,6 +234,12 @@ object Ingest {
     * Versions are |groups| × sketch-width rows — tiny; the previous
     * version is deleted after promote so at most two live at once.
     * Returns the standing sketch as of `batchId`.
+    *
+    * This full-rewrite merge is for BOUNDED state only (the sketch
+    * screens, whose standing tables are |groups| × width rows — a
+    * rewrite is cheaper than layering). Corpus-scale standing state
+    * (the dedup screens' indexes) uses [[appendVersioned]], whose
+    * per-batch write cost is the batch, not the index.
     */
   private[graft] def mergeVersioned(spark: SparkSession, baseDir: String,
       batchId: Long, fresh: DataFrame,
@@ -209,6 +266,150 @@ object Ingest {
       prev.foreach(p => fsys.delete(p, true))
       spark.read.parquet(committed.toString)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Layered standing-index layout — the corpus-scale sibling of
+  // [[mergeVersioned]].
+  //
+  // mergeVersioned rewrites the FULL standing state every micro-batch,
+  // which is the right trade for the sketch screens (state is
+  // |groups| × sketch-width rows — a rewrite is cheaper than a layered
+  // read) but a scale-killer for the dedup screens, whose standing
+  // index is CORPUS-scale: a 1000-row batch against a 10⁹-row band
+  // index would rewrite 10⁹ rows, O(B·|index|) write amplification
+  // across B batches (VERDICT r12 #1). The layered layout bounds
+  // per-batch I/O by the BATCH instead:
+  //
+  //   baseDir/v_<batchId>b[_p<planes>]  — compacted BASE (≤1 live)
+  //   baseDir/v_<batchId>d              — per-batch DELTA dirs
+  //
+  // Standing state = latest base ∪ all newer deltas. A normal batch
+  // appends ONE delta dir of exactly its own rows (O(batch) written
+  // bytes); every `compactEvery`-th batch folds base+deltas+fresh into
+  // a new base (O(index), amortized O(index/compactEvery) per batch)
+  // so the read side never layers more than `compactEvery` dirs.
+  //
+  // The exactly-once contract is mergeVersioned's, unchanged: versions
+  // are tmp-written and atomically renamed, a replayed batch whose
+  // version dir already exists (base OR delta) appends nothing, and
+  // dirs older than the latest base are stale compaction leftovers
+  // that every call self-heals away. Correctness requires deltas to be
+  // PURE ADDITIONS (new rows only — the dedup indexes are append-only
+  // by construction; the web screen anti-joins its batch hashes
+  // against the standing index so a delta never re-states a hash).
+  // ------------------------------------------------------------------
+
+  /** One committed layer of a layered standing index. */
+  private case class IndexLayer(path: org.apache.hadoop.fs.Path,
+      batchId: Long, isBase: Boolean, planes: Option[Int])
+
+  /** Parse the committed layers under `dir`, oldest → newest. Plain
+    * `v_<digits>` dirs (the mergeVersioned layout) are not layers and
+    * are ignored — the two layouts never share a directory. */
+  private def indexLayers(spark: SparkSession, dir: String)
+      : Seq[IndexLayer] = {
+    val Base = """v_(\d{20})b(?:_p(\d+))?""".r
+    val Delta = """v_(\d{20})d""".r
+    versionPaths(spark, dir).flatMap { p =>
+      p.getName match {
+        case Base(id, pl) => Some(IndexLayer(p, id.toLong, isBase = true,
+          Option(pl).map(_.toInt)))
+        case Delta(id) => Some(IndexLayer(p, id.toLong, isBase = false,
+          None))
+        case _ => None
+      }
+    }
+  }
+
+  /** The LIVE layers of a layered index: the latest base (if any) plus
+    * every delta newer than it. Anything older is a stale compaction
+    * leftover awaiting self-heal. */
+  private def liveLayers(spark: SparkSession, dir: String)
+      : Seq[IndexLayer] = {
+    val layers = indexLayers(spark, dir)
+    val base = layers.filter(_.isBase).lastOption
+    base.toSeq ++ layers.filter(l =>
+      !l.isBase && base.forall(_.batchId < l.batchId))
+  }
+
+  /** Current standing index under the layered layout: latest base ∪
+    * newer deltas, or None before the first commit. One multi-path
+    * parquet scan — the read cost is the standing state itself, same
+    * as the single-version layout, just split across ≤compactEvery
+    * dirs. */
+  def standingIndex(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val live = liveLayers(spark, dir)
+    if (live.isEmpty) None
+    else Some(spark.read.parquet(live.map(_.path.toString): _*))
+  }
+
+  /** The planes tag recorded on the latest base layer (the ANN
+    * screen's bucket-function generation), if any. */
+  private[graft] def standingIndexPlanes(spark: SparkSession,
+      dir: String): Option[Int] =
+    indexLayers(spark, dir).filter(_.isBase).lastOption.flatMap(_.planes)
+
+  /** Exactly-once append of a micro-batch's NEW index rows into the
+    * layered standing index at `baseDir`. A normal batch writes one
+    * delta dir of exactly `fresh`; every `compactEvery`-th batch (and
+    * the first, which seeds the base) compacts base+deltas+fresh
+    * through `compact`, which may rewrite rows (e.g. the ANN rotation
+    * re-buckets) and returns an optional planes tag for the base dir
+    * name. Replayed batches append nothing; stale pre-base layers are
+    * self-healed on every call.
+    */
+  private[graft] def appendVersioned(spark: SparkSession, baseDir: String,
+      batchId: Long, fresh: DataFrame, compactEvery: Int,
+      compact: DataFrame => (DataFrame, Option[Int]) =
+        df => (df, None)): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val layers = indexLayers(spark, baseDir)
+    def selfHeal(ls: Seq[IndexLayer]): Unit = {
+      val latestBase = ls.filter(_.isBase).lastOption
+      latestBase.foreach(b => ls.filter(_.batchId < b.batchId)
+        .foreach(l => fsys.delete(l.path, true)))
+    }
+    if (layers.exists(_.batchId == batchId)) selfHeal(layers) // replay
+    else {
+      val baseOpt = layers.filter(_.isBase).lastOption
+      val deltas = layers.filter(l =>
+        !l.isBase && baseOpt.forall(_.batchId < l.batchId))
+      if (baseOpt.isEmpty || deltas.size + 1 >= compactEvery) {
+        val standing = (baseOpt.toSeq ++ deltas).map(_.path.toString)
+        val unioned =
+          if (standing.isEmpty) fresh
+          else spark.read.parquet(standing: _*).unionByName(fresh)
+        val (compacted, planes) = compact(unioned)
+        val suffix = "b" + planes.map(p => s"_p$p").getOrElse("")
+        promoteNamed(spark, baseDir, f"v_$batchId%020d$suffix", compacted)
+        // compaction supersedes everything older; delete AFTER the
+        // promote so a crash in between leaves a readable (stale but
+        // complete) state that the next call self-heals
+        layers.foreach(l => fsys.delete(l.path, true))
+      } else {
+        selfHeal(layers)
+        promoteNamed(spark, baseDir, f"v_$batchId%020dd", fresh)
+      }
+    }
+  }
+
+  /** [[promoteVersion]] with an explicit dir name (the layered layout
+    * encodes base/delta and the planes generation in the name). */
+  private def promoteNamed(spark: SparkSession, baseDir: String,
+      name: String, df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(base, name)
+    val tmp = new Path(base, s"_tmp_$name")
+    fsys.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fsys.rename(tmp, target))
+      throw new java.io.IOException(s"promote failed: $tmp -> $target")
+    ()
   }
 
   /** Resolve the current standing sketch written by the incremental
@@ -506,15 +707,20 @@ object Ingest {
     *
     * `seedIndex` is the prebuilt corpus index
     * ([[graft.operators.Dedup.codeBandIndex]] schema: doc_id, code,
-    * band_idx, band_val); it is folded into version 0 on the first
-    * batch. At 100 TB the standing index is bands × corpus rows of 4
-    * longs and each batch costs O(new × bands) equi-join probes,
+    * band_idx, band_val); it is folded into the base layer on the
+    * first batch. At 100 TB the standing index is bands × corpus rows
+    * of 4 longs and each batch costs O(new × bands) equi-join probes,
     * however large the history — the qP3 scale shape, now with
-    * arrival-time state.
+    * arrival-time state. Index maintenance is the LAYERED layout
+    * ([[appendVersioned]]): a batch writes one delta dir of its own
+    * band rows (O(batch) bytes), compacted every `compactEvery`
+    * batches — never the full-index rewrite the single-version layout
+    * would pay per batch.
     */
   def startMediaScreen(stream: DataFrame, seedIndex: DataFrame,
       bits: Int, maxHamming: Int, bandsCount: Int, maxPosting: Int,
-      idxDir: String, outDir: String, checkpointDir: String)
+      idxDir: String, outDir: String, checkpointDir: String,
+      compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -522,7 +728,7 @@ object Ingest {
         // one decode pass per batch, consumed by screen AND index build
         val hashes = graft.operators.Multimodal.dhashImages(batch)
           .toDF().localCheckpoint()
-        val standing = latestVersion(spark, idxDir)
+        val standing = standingIndex(spark, idxDir)
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.codeHammingScreen(
             hashes, "doc_id", "dhash", standing.getOrElse(seedIndex),
@@ -538,8 +744,7 @@ object Ingest {
         val init =
           if (standing.isEmpty) seedIndex.unionByName(freshBands)
           else freshBands
-        mergeVersioned(spark, idxDir, batchId, init,
-          (old, fresh) => old.unionByName(fresh))
+        appendVersioned(spark, idxDir, batchId, init, compactEvery)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -560,27 +765,43 @@ object Ingest {
     * or redoes the merge against the intact previous version.
     *
     * `seedIndex` is the prebuilt corpus index
-    * ([[graft.operators.Dedup.embeddingLshIndex]]); `planes` must be
-    * the value the seed was built with (size it once via
-    * `Similarity.adaptivePlanes` on the seed count — the bucket
-    * function is the index's identity and cannot change mid-stream).
-    * At 100 TB the standing index is one row per vector ever seen and
-    * each batch costs O(new × occupancy) bucket-join probes — the
-    * qC7/qO9 cell shape with arrival-time state.
+    * ([[graft.operators.Dedup.embeddingLshIndex]]); `seedPlanes` must
+    * be the value the seed was built with. The bucket function is the
+    * index's identity, so it never changes IN PLACE — but a growing
+    * stream outgrows any fixed plane count (bucket occupancy ∝
+    * n/2^planes, and the screen join cost is O(new × occupancy)), so
+    * compaction ROTATES the index generation: when the standing count
+    * crosses the `Similarity.adaptivePlanes` target, the compacted
+    * base is re-bucketed from its stored normalized vectors under the
+    * larger plane count and the base dir name carries the new
+    * generation tag (`_p<planes>`); subsequent batches probe and
+    * append under the rotated generation. Decisions already written
+    * are append-only and untouched, and an exact duplicate of an
+    * already-seen vector still screens as a duplicate across a
+    * rotation (identical vectors share a bucket under ANY plane
+    * count). At 100 TB the standing index is one row per vector ever
+    * seen; index maintenance is the layered layout
+    * ([[appendVersioned]]) — O(batch) written bytes per batch, full
+    * rewrite only at compaction.
     */
   def startAnnScreen(stream: DataFrame, idCol: String, vecCol: String,
-      seedIndex: DataFrame, planes: Int, threshold: Double,
-      idxDir: String, outDir: String, checkpointDir: String)
+      seedIndex: DataFrame, seedPlanes: Int, threshold: Double,
+      idxDir: String, outDir: String, checkpointDir: String,
+      compactEvery: Int = 16, targetBucket: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // the CURRENT bucket-function generation: the latest base's
+        // planes tag, else the seed's (pre-first-compaction batches)
+        val planes = standingIndexPlanes(spark, idxDir)
+          .getOrElse(seedPlanes)
         // ONE projection pass per batch (cast + norm + plane dots),
         // consumed by the screen probe AND the index merge —
         // micro-batch-bounded, so the fence is a localCheckpoint
         val fresh = graft.operators.Dedup.embeddingLshIndex(
           batch, idCol, vecCol, planes).localCheckpoint()
-        val standing = latestVersion(spark, idxDir)
+        val standing = standingIndex(spark, idxDir)
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.embeddingLshScreenOnIndex(
             fresh, batch.select(col(idCol).as("vec_id")),
@@ -595,8 +816,20 @@ object Ingest {
         val init =
           if (standing.isEmpty) seedIndex.unionByName(freshRows)
           else freshRows
-        mergeVersioned(spark, idxDir, batchId, init,
-          (old, fresh) => old.unionByName(fresh))
+        appendVersioned(spark, idxDir, batchId, init, compactEvery,
+          compact = unioned => {
+            // rotation decision: planes only grows (adaptivePlanes is
+            // monotone in n), and the count is paid at compaction
+            // cadence, not per batch
+            val n = unioned.count()
+            val next = math.max(planes,
+              graft.operators.Similarity.adaptivePlanes(n, targetBucket))
+            if (next != planes)
+              (unioned.withColumn("bucket",
+                graft.operators.Similarity.lshBucket(col("v"), next)),
+                Some(next))
+            else (unioned, Some(planes))
+          })
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -632,12 +865,18 @@ object Ingest {
     * At 100 TB the standing index is one (16-byte hash, id) row per
     * DISTINCT document ever seen, and each batch costs one equi-join of
     * the batch hashes against it — the exact-dedup scale shape, now
-    * with arrival-time state. InfraSpec asserts stream == batch (qQ4's
-    * disposition over the concatenated batches) with a cross-batch
-    * duplicate that only the growing index catches.
+    * with arrival-time state. Index maintenance is the layered layout
+    * ([[appendVersioned]]): a batch's delta holds only the hashes the
+    * standing index had NOT seen (the left-join that resolves
+    * canonicals also marks them), so layers are disjoint by
+    * construction and a batch writes O(its own novel hashes) bytes —
+    * never the full-index rewrite. InfraSpec asserts stream == batch
+    * (qQ4's disposition over the concatenated batches) with a
+    * cross-batch duplicate that only the growing index catches.
     */
   def startWebScreen(stream: DataFrame, idCol: String, htmlCol: String,
-      idxDir: String, outDir: String, checkpointDir: String)
+      idxDir: String, outDir: String, checkpointDir: String,
+      compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -653,20 +892,25 @@ object Ingest {
           .select(col("doc_id"), col("keep").as("quality_keep"))
         val hashed = ext.select(col("doc_id"),
           md5(col("text")).as("content_hash"))
-        val standing = latestVersion(spark, idxDir)
+        val standing = standingIndex(spark, idxDir)
         val batchMin = hashed.groupBy("content_hash")
           .agg(min("doc_id").as("batch_min"))
-        val resolved = standing match {
+        // `novel` marks hashes the standing index had not seen — they
+        // and ONLY they go into this batch's index delta, which keeps
+        // the layers disjoint (union-exact) and delta size O(batch)
+        val resolved = (standing match {
           case Some(idx) => batchMin
             .join(idx.withColumnRenamed("canonical", "standing"),
               Seq("content_hash"), "left")
             .select(col("content_hash"),
-              coalesce(col("standing"), col("batch_min")).as("canonical"))
+              coalesce(col("standing"), col("batch_min")).as("canonical"),
+              col("standing").isNull.as("novel"))
           case None => batchMin
-            .select(col("content_hash"), col("batch_min").as("canonical"))
-        }
+            .select(col("content_hash"), col("batch_min").as("canonical"),
+              lit(true).as("novel"))
+        }).localCheckpoint() // one resolve pass: decisions leg + delta leg
         writeVersionedOnce(spark, outDir, batchId) {
-          hashed.join(resolved, "content_hash")
+          hashed.join(resolved.drop("novel"), "content_hash")
             .join(quality, "doc_id")
             .select(col("doc_id"), col("content_hash"), col("canonical"),
               col("quality_keep"),
@@ -674,10 +918,13 @@ object Ingest {
                 .as("keep"),
               lit(batchId).as("batch_id"))
         }
-        mergeVersioned(spark, idxDir, batchId, resolved,
-          (old, fresh) => old.unionByName(fresh)
-            .groupBy("content_hash")
-            .agg(min("canonical").as("canonical")))
+        appendVersioned(spark, idxDir, batchId,
+          resolved.filter(col("novel")).drop("novel"), compactEvery,
+          // defensive min-merge at compaction: layers are disjoint by
+          // construction, so this is a no-op that self-heals any
+          // duplicate a future edge case might introduce
+          compact = u => (u.groupBy("content_hash")
+            .agg(min("canonical").as("canonical")), None))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -1016,7 +1016,7 @@ class InfraSpec extends SparkTestBase {
 
     // the standing index now holds seed + both drops; decisions are
     // versioned one dir per batch (exactly-once layout)
-    assert(Ingest.standingSketch(spark, idxDir).count() ==
+    assert(Ingest.standingIndex(spark, idxDir).get.count() ==
       seedIndex.count() + (h1.count() + h2.count()) * 7)
     assert(new java.io.File(outDir).listFiles()
       .count(_.getName.startsWith("v_")) == 2)
@@ -1075,7 +1075,7 @@ class InfraSpec extends SparkTestBase {
     assert(got == norm(batch))
 
     // the standing index holds seed + both drops, one row per vector
-    assert(Ingest.versionedRows(spark, idxDir).count() == 6)
+    assert(Ingest.standingIndex(spark, idxDir).get.count() == 6)
   }
 
   test("streaming web-curation screen: extraction -> Gopher gate -> " +
@@ -1153,12 +1153,230 @@ class InfraSpec extends SparkTestBase {
     // the standing index holds one row per DISTINCT content hash with
     // the global-min canonical; decisions are one versioned dir per
     // batch (exactly-once layout)
-    val idx = Ingest.versionedRows(spark, idxDir)
+    val idx = Ingest.standingIndex(spark, idxDir).get
     assert(idx.count() == 3)
     assert(idx.select("canonical").orderBy("canonical").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L, 11L))
     assert(new java.io.File(outDir).listFiles()
       .count(_.getName.startsWith("v_")) == 2)
+  }
+
+  test("layered standing index: per-batch written bytes scale with the " +
+    "batch (not the index), replay appends nothing, compaction folds " +
+    "the layers back to one base") {
+    import graft.streaming.Ingest
+    val dir = Files.createTempDirectory("layer-idx").toFile.getAbsolutePath
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), (col("id") * 2).as("payload"))
+    def vdirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v_")).sortBy(_.getName)
+    def bytes(f: java.io.File): Long =
+      f.listFiles().filter(_.isFile).map(_.length()).sum
+
+    // batch 0: the 50k-row seed becomes the base layer
+    Ingest.appendVersioned(spark, dir, 0L, rows(0, 50000), compactEvery = 3)
+    assert(vdirs.map(_.getName).toSeq == Seq(f"v_${0L}%020db"))
+    val baseBytes = bytes(vdirs.head)
+
+    // batches 1-2: 10-row deltas -- the WRITE BOUND: each delta dir is
+    // a tiny fraction of the standing index (the old single-version
+    // layout rewrote all 50k rows per batch)
+    Ingest.appendVersioned(spark, dir, 1L, rows(50000, 50010), 3)
+    Ingest.appendVersioned(spark, dir, 2L, rows(50010, 50020), 3)
+    val deltas = vdirs.filter(_.getName.endsWith("d"))
+    assert(deltas.length == 2)
+    deltas.foreach { d =>
+      assert(bytes(d) < baseBytes / 20,
+        s"delta ${d.getName} wrote ${bytes(d)} B vs base $baseBytes B " +
+          "-- per-batch I/O is scaling with the index, not the batch")
+    }
+    assert(Ingest.standingIndex(spark, dir).get.count() == 50020)
+
+    // foreachBatch crash-replay of batch 2: a replayed batch whose
+    // layer exists appends NOTHING (different rows on purpose -- they
+    // must not land)
+    Ingest.appendVersioned(spark, dir, 2L, rows(900000, 900100), 3)
+    assert(Ingest.standingIndex(spark, dir).get.count() == 50020)
+    assert(vdirs.length == 3)
+
+    // batch 3 is the compactEvery-th layer: base + 2 deltas + fresh fold into
+    // ONE new base and the superseded layers are deleted
+    Ingest.appendVersioned(spark, dir, 3L, rows(50020, 50030), 3)
+    assert(vdirs.map(_.getName).toSeq == Seq(f"v_${3L}%020db"))
+    val standing = Ingest.standingIndex(spark, dir).get
+    assert(standing.count() == 50030)
+    assert(standing.agg(sum(col("id"))).head.getLong(0)
+      == (0L until 50030L).sum)
+  }
+
+  test("streaming MinHash dedup screen with a GROWING band index: " +
+    "cross-batch duplicate caught, stream == composed batch screens, " +
+    "delta layers hold only each batch's own band rows") {
+    import graft.operators.Dedup
+    import graft.streaming.Ingest
+    val a = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while the sun sets slowly behind the old stone bridge"
+    val b = "completely different content about compilers and type " +
+      "systems that shares nothing with the fox sentence at all today"
+    val c = "a third document describing the migration of monarch " +
+      "butterflies across the continent in early autumn every year"
+    val d = "yet another unrelated text on the economics of container " +
+      "shipping routes and the ports that serve them through winter"
+    val seed = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val drop1 = Seq((10L, a), (11L, c)).toDF("doc_id", "text")
+    val drop2 = Seq((20L, c), (21L, d)).toDF("doc_id", "text")
+
+    val inDir = Files.createTempDirectory("mh-in").toFile
+    val outDir = Files.createTempDirectory("mh-out").toFile.getAbsolutePath
+    val idxDir = Files.createTempDirectory("mh-idx").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("mh-ck").toFile.getAbsolutePath
+    drop1.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    drop2.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+
+    val (sn, bands, rpb, t) = (3, 8, 4, 0.5)
+    val seedIndex = Dedup.lshBandIndex(seed, "doc_id", "text", sn,
+      bands, rpb).localCheckpoint()
+    val stream = Ingest.streamTable(spark,
+      inDir.getAbsolutePath + "/drop*", drop1.schema,
+      maxFilesPerTrigger = 1)
+    val q = Ingest.startMinhashScreen(stream, "doc_id", "text",
+      seedIndex, sn, bands, rpb, t, idxDir, outDir, ckpt)
+    q.awaitTermination(120000)
+
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "is_dup", "dup_of").orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    val got = norm(Ingest.versionedRows(spark, outDir))
+    // 20 ~ 11 is the cross-batch pair the static-seed screen misses
+    assert(got == Seq(
+      (10L, true, Some(0L)), (11L, false, None),
+      (20L, true, Some(11L)), (21L, false, None)), got.mkString(", "))
+
+    // stream == composed batch screens on the one implementation
+    val batch = Dedup.screenAgainstIndex(drop1, "doc_id", "text",
+        seedIndex, sn, bands, rpb, t)
+      .unionByName(Dedup.screenAgainstIndex(drop2, "doc_id", "text",
+        seedIndex.unionByName(Dedup.lshBandIndex(drop1, "doc_id",
+          "text", sn, bands, rpb)), sn, bands, rpb, t))
+    assert(got == norm(batch.withColumn("batch_id", lit(0L))
+      .drop("batch_id")))
+
+    // standing index = seed + both drops' band rows; batch 1's layer is
+    // a DELTA holding only its own rows (the bounded-merge contract)
+    assert(Ingest.standingIndex(spark, idxDir).get.count() ==
+      seedIndex.count() + 4 * bands)
+    val layerDirs = new java.io.File(idxDir).listFiles()
+      .filter(_.getName.startsWith("v_")).map(_.getName).sorted
+    assert(layerDirs.head.endsWith("b") && layerDirs.last.endsWith("d"),
+      layerDirs.mkString(", "))
+    assert(spark.read.parquet(idxDir + "/" + layerDirs.last).count()
+      == 2 * bands)
+  }
+
+  test("ANN screen index rotation: compaction re-buckets under a grown " +
+    "plane count, occupancy stays bounded, and an already-seen vector " +
+    "still screens as a duplicate across the rotation") {
+    import graft.operators.{Dedup, Similarity}
+    import graft.streaming.Ingest
+    // one-hot 64-dim vectors: distinct ids are orthogonal (cosine 0),
+    // planted duplicates are exact copies (cosine 1) -- decisions are
+    // deterministic at any plane count
+    def oneHot(dim: Int): Seq[Float] =
+      (0 until 64).map(i => if (i == dim) 1.0f else 0.0f)
+    val seed = (0 until 4).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    def drop(ids: Range, dims: Range, extra: (Long, Int)*) =
+      (ids.zip(dims).map { case (id, dm) => (id.toLong, oneHot(dm)) } ++
+        extra.map { case (id, dm) => (id, oneHot(dm)) })
+        .toDF("vec_id", "embedding")
+    // drop1: 12 new + a copy of seed vector 0
+    val drop1 = drop(10 until 22, 4 until 16, 22L -> 0)
+    // drop2: 12 new + a copy of drop1's vector 10 (dim 4)
+    val drop2 = drop(30 until 42, 16 until 28, 42L -> 4)
+    // drop3: 12 new + another copy of seed vector 0
+    val drop3 = drop(50 until 62, 28 until 40, 62L -> 0)
+    // drop4 arrives AFTER the rotation: a copy of drop1's vector 11
+    // (dim 5) must still be caught by the re-bucketed index
+    val drop4 = drop(70 until 76, 40 until 46, 76L -> 5)
+
+    val inDir = Files.createTempDirectory("rot-in").toFile
+    val outDir = Files.createTempDirectory("rot-out").toFile.getAbsolutePath
+    val idxDir = Files.createTempDirectory("rot-idx").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("rot-ck").toFile.getAbsolutePath
+    for ((d, i) <- Seq(drop1, drop2, drop3, drop4).zipWithIndex)
+      d.repartition(1).write
+        .parquet(new java.io.File(inDir, s"drop$i").getAbsolutePath)
+
+    val targetBucket = 2
+    val seedPlanes = Similarity.adaptivePlanes(4, targetBucket)
+    val seedIndex = Dedup.embeddingLshIndex(seed, "vec_id", "embedding",
+      seedPlanes).localCheckpoint()
+    val stream = Ingest.streamTable(spark,
+      inDir.getAbsolutePath + "/drop*", drop1.schema,
+      maxFilesPerTrigger = 1)
+    val q = Ingest.startAnnScreen(stream, "vec_id", "embedding",
+      seedIndex, seedPlanes, threshold = 0.9, idxDir = idxDir,
+      outDir = outDir, checkpointDir = ckpt, compactEvery = 2,
+      targetBucket = targetBucket)
+    q.awaitTermination(240000)
+
+    // the rotation happened: the base layer's generation tag grew with
+    // the corpus (adaptivePlanes of the final count, not the seed's)
+    val planesNow = Ingest.standingIndexPlanes(spark, idxDir).get
+    assert(planesNow > seedPlanes,
+      s"planes never rotated: seed $seedPlanes, now $planesNow")
+    val standing = Ingest.standingIndex(spark, idxDir).get
+    val n = standing.count()
+    assert(n == 4 + 13 + 13 + 13 + 7)
+    // bounded occupancy: the rotated bucket function keeps the largest
+    // bucket near the adaptive target, not proportional to n
+    val maxOcc = standing.groupBy("bucket").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxOcc <= 8L * targetBucket,
+      s"max bucket occupancy $maxOcc for n=$n at planes=$planesNow")
+    // the standing index is fully re-bucketed under ONE generation:
+    // every identical-vector pair shares a bucket (here, none left as
+    // dups -- check instead that the planted copies matched)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "is_dup", "match_id").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    val dec = norm(Ingest.versionedRows(spark, outDir))
+    assert(dec(22L) == ((true, Some(0L))))   // batch 0 vs seed
+    assert(dec(42L) == ((true, Some(10L)))) // batch 1 vs batch 0
+    assert(dec(62L) == ((true, Some(0L))))   // batch 2 vs seed
+    // batch 3 probes AFTER the rotation -- the re-bucketed index must
+    // still surface the already-seen vector
+    assert(dec(76L) == ((true, Some(11L))))
+    // and the orthogonal ids never matched anything
+    assert(Seq(10L, 11L, 30L, 50L, 70L).forall(id => !dec(id)._1))
+  }
+
+  test("deploy memo is weak-keyed: a dead session's entry is " +
+    "collectable (no session leak in a long-lived multi-session driver)") {
+    import graft.catalog.ReferenceViews
+    val before = ReferenceViews.memoSize
+    var s2 = spark.newSession()
+    // same sfDir as the sibling deploy test: the catalog objects are
+    // shared (single-metastore contract), so re-binding is a no-op
+    ReferenceViews.deploy(s2, "/root/testdata/sf0.001")
+    assert(ReferenceViews.memoSize == before + 1)
+    val ref = new java.lang.ref.WeakReference(s2)
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    s2 = null
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (ref.get != null && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(100)
+    }
+    assert(ref.get == null,
+      "second session not collectable -- something is pinning it")
+    assert(ReferenceViews.memoSize == before,
+      "WeakHashMap kept the dead session's memo entry")
   }
 
   test("streaming ingest: file source -> watermark dedup -> windowed agg") {
@@ -1552,10 +1770,13 @@ class InfraSpec extends SparkTestBase {
     //   Stats.scala        per-file key manifest (|files| rows)
     val allowed = Map(
       "plans/Fence.scala" -> 1,
-      // three microbatch-bounded fences: the media screen's per-batch
-      // decode pass, the web screen's per-batch extraction pass, and
-      // the ANN screen's per-batch LSH projection pass
-      "streaming/Ingest.scala" -> 3,
+      // five microbatch-bounded fences: the media screen's per-batch
+      // decode pass, the web screen's per-batch extraction pass AND
+      // its per-batch canonical-resolve pass (|batch hashes| rows,
+      // read by the decisions leg and the delta leg), the ANN
+      // screen's per-batch LSH projection pass, and the MinHash
+      // screen's per-batch band-row pass (|batch| x bands rows)
+      "streaming/Ingest.scala" -> 5,
       "operators/Eval.scala" -> 3,
       "operators/Survival.scala" -> 1,
       "queries/ErasUpload.scala" -> 1,

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions._
 import graft.{SparkEntry, Tables}
 import graft.operators.Dedup
 
@@ -17,8 +18,19 @@ import graft.operators.Dedup
   *     qE5/qB5 IVF, qG5/qF9 winnowing, qE9 sorted-neighborhood) at
   *     sf0.1 → sf1 → sf10 on the standard disjoint shards.
   *
-  * Usage: Test/runMain graft.tools.OverlapProbe [jppv|jppdf|cpp|band|queries|all]
-  * Results recorded in SCALE.md round-12 section.
+  * Round-13 legs: `graph` (the iterative text-graph loops qA1/qE6/
+  * qM4/qM5/qN7 at ov decades — rounds x durable-stage I/O, previously
+  * unprobed), `dbscan` (qH6/qO9 on the standard shards, embeddings
+  * grow with sf), `gated` (qS0's boilerplate-gated containment chain
+  * on the ov corpus — the posture SCALE.md prescribes, demonstrated),
+  * `aborder` (per-QUERY A/B of the df-order default via
+  * -Dgraft.dedup.valueOrder, VERDICT r12 #2), `screens` (end-to-end
+  * micro-batch cost of the web/ANN screens against decade-scale
+  * standing indexes on the layered layout).
+  *
+  * Usage: Test/runMain graft.tools.OverlapProbe
+  *   [jppv|jppdf|cpp|band|queries|graph|dbscan|gated|aborder|screens|all]
+  * Results recorded in SCALE.md round-12/13 sections.
   */
 object OverlapProbe {
   def main(args: Array[String]): Unit = {
@@ -110,6 +122,142 @@ object OverlapProbe {
             shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
             maxBucket = 256)
         }
+    }
+    if (want("graph")) {
+      // the iterative graph loops: generators are probed, the LOOPS
+      // (rounds x durable-stage I/O, pointer-jumping convergence on
+      // boilerplate-dense components) were not (VERDICT r12 #2)
+      for (qn <- Seq("qA1_pagerank_dedup_graph", "qE6_triangle_count",
+          "qM4_label_prop_step", "qM5_clustering_coeff",
+          "qN7_kcore_step");
+          (label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+            "ov-sf10" -> sf10)) {
+        val q = SparkEntry.allQueries.find(_.name == qn).get
+        timed(s"$qn @$label")(q.run(spark, dir))
+      }
+    }
+    if (want("dbscan")) {
+      // DBSCAN loops run over embeddings (the ov corpus has none);
+      // the standard shards grow embeddings with sf, which is the
+      // rounds-x-stage-I/O axis these loops were never probed on
+      for (qn <- Seq("qH6_dbscan", "qO9_dbscan_lsh");
+          (label, dir) <- Seq(
+            "sf0.1" -> "/root/testdata/sf0.1",
+            "sf1" -> "/root/repo/target/sf1",
+            "sf10" -> "/root/repo/target/sf10")) {
+        val q = SparkEntry.allQueries.find(_.name == qn).get
+        timed(s"$qn @$label")(q.run(spark, dir))
+      }
+    }
+    if (want("gated")) {
+      // the declared boilerplate-gated containment chain on the ov
+      // corpus: the C4 gate strips the shared tail BEFORE pairing --
+      // this is the <0.5/decade operating shape the cpp adjudication
+      // promises (ungated cpp is output-bound linear on ov)
+      val q = SparkEntry.allQueries.find(_.name == "qS0_gated_containment").get
+      for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+          "ov-sf10" -> sf10))
+        timed(s"qS0_gated_containment @$label")(q.run(spark, dir))
+    }
+    if (want("aborder")) {
+      // per-QUERY A/B of the df-order default (VERDICT r12 #2: the
+      // operator-grain A/B said FREE, the consuming queries regressed
+      // 13-29%) -- flip the JVM default between passes, same session
+      val qs = Seq("qA0_containment_pairs", "qA1_pagerank_dedup_graph",
+        "qE6_triangle_count", "qM4_label_prop_step",
+        "qM5_clustering_coeff", "qN7_kcore_step")
+      for (valueOrder <- Seq(false, true)) {
+        System.setProperty("graft.dedup.valueOrder", valueOrder.toString)
+        val tag = if (valueOrder) "value" else "df"
+        for (qn <- qs) {
+          val q = SparkEntry.allQueries.find(_.name == qn).get
+          timed(s"$qn order=$tag @sf0.1")(
+            q.run(spark, "/root/testdata/sf0.1"))
+        }
+      }
+      System.clearProperty("graft.dedup.valueOrder")
+    }
+    if (want("screens")) {
+      // end-to-end micro-batch cost of the streaming screens against
+      // decade-scale standing indexes: batch 0 ingests the CORPUS
+      // (builds the standing index at scale), batches 1-3 are FIXED
+      // 500-row drops; per-batch durations come from recentProgress.
+      // With the layered merge the small batches pay the screen JOIN
+      // (one read of the standing state) plus an O(batch) delta write
+      // -- never an index rewrite; the delta/base byte split is
+      // printed to prove it.
+      import graft.streaming.Ingest
+      def report(label: String,
+          q: org.apache.spark.sql.streaming.StreamingQuery,
+          idxDir: String): Unit = {
+        val batches = q.recentProgress
+          .map(p => f"b${p.batchId}%d:${p.batchDuration / 1000.0}%.2fs")
+          .mkString(" ")
+        val layers = new java.io.File(idxDir).listFiles()
+          .filter(_.getName.startsWith("v_")).sortBy(_.getName)
+          .map(d => s"${d.getName.drop(19)}=" +
+            s"${d.listFiles().filter(_.isFile).map(_.length()).sum / 1024}KB")
+          .mkString(" ")
+        println(s"[ov] $label  $batches  layers[$layers]")
+      }
+      for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+          "ov-sf10" -> sf10)) {
+        val corpus = docs(dir).select(col("doc_id"), col("text"))
+        val root = java.nio.file.Files
+          .createTempDirectory("scrprobe").toFile.getAbsolutePath
+        def page(c: org.apache.spark.sql.Column) =
+          concat(lit("<html><body><p>"), c, lit("</p></body></html>"))
+        // drop0 = the corpus (builds the standing index); drops 1-3 =
+        // 500 docs each, half exact duplicates, half novel
+        corpus.select(col("doc_id"), page(col("text")).as("html"))
+          .write.parquet(s"$root/in/drop0")
+        for (k <- 1 to 3)
+          corpus.limit(250)
+            .select((col("doc_id") + 10000000L * k).as("doc_id"),
+              col("text"))
+            .unionAll(corpus.limit(250)
+              .select((col("doc_id") + 20000000L * k).as("doc_id"),
+                concat(col("text"), lit(s" novel tail $k")).as("text")))
+            .select(col("doc_id"), page(col("text")).as("html"))
+            .repartition(1).write.parquet(s"$root/in/drop$k")
+        val schema = spark.read.parquet(s"$root/in/drop1").schema
+        val stream = Ingest.streamTable(spark, s"$root/in/drop*",
+          schema, maxFilesPerTrigger = 1)
+        val q = Ingest.startWebScreen(stream, "doc_id", "html",
+          idxDir = s"$root/idx", outDir = s"$root/out",
+          checkpointDir = s"$root/ck")
+        q.awaitTermination(600000)
+        report(s"webscreen 500-doc batches $label", q, s"$root/idx")
+      }
+      // ANN screen at embedding decades (standard shards)
+      for ((label, dir) <- Seq(
+          "sf0.1" -> "/root/testdata/sf0.1",
+          "sf1" -> "/root/repo/target/sf1",
+          "sf10" -> "/root/repo/target/sf10")) {
+        val emb = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val root = java.nio.file.Files
+          .createTempDirectory("annprobe").toFile.getAbsolutePath
+        val planes = graft.operators.Similarity.adaptivePlanes(emb.count())
+        val seedIndex = graft.operators.Dedup.embeddingLshIndex(
+          emb, "vec_id", "embedding", planes).localCheckpoint()
+        // drops 1-3: 500 vectors each, duplicates of the corpus (the
+        // screen's match path); the seed folds into batch 0's base
+        for (k <- 1 to 3)
+          emb.limit(500)
+            .select((col("vec_id") + 10000000L * k).as("vec_id"),
+              col("embedding"))
+            .repartition(1).write.parquet(s"$root/in/drop$k")
+        val schema = spark.read.parquet(s"$root/in/drop1").schema
+        val stream = Ingest.streamTable(spark, s"$root/in/drop*",
+          schema, maxFilesPerTrigger = 1)
+        val q = Ingest.startAnnScreen(stream, "vec_id", "embedding",
+          seedIndex, planes, threshold = 0.95,
+          idxDir = s"$root/idx", outDir = s"$root/out",
+          checkpointDir = s"$root/ck")
+        q.awaitTermination(600000)
+        report(s"annscreen 500-vec batches $label", q, s"$root/idx")
+      }
     }
     val explicitQs =
       which.filter(w => w.startsWith("q") && w != "queries").toSeq.sorted

@@ -95,6 +95,15 @@ object Density {
     * eps-neighbors (cosine ≥ `cosThreshold`) into [[dbscan]]. The 100 TB
     * variant swaps [[Dedup.embeddingLshPairs]] in as the generator —
     * everything downstream is identical.
+    *
+    * SCALE BOUND (round-13 probe): this exact variant is
+    * output-bound quadratic BY SEMANTICS — at t=0.3 over random
+    * 64-dim embeddings ~0.8% of all pairs are true neighbors, so the
+    * answer itself is ~p·n²/2 rows (≈1.5×10⁹ at 600k vectors, which
+    * OOMs an 8 GiB local JVM on the neighbor materialization). That
+    * is the cost of exact DBSCAN anywhere; use the LSH-cell variant
+    * (qO9's shape, adaptive planes) past ~10⁵ vectors and keep this
+    * one for fixture-parity and small corpora.
     */
   def dbscanCosine(df: DataFrame, idCol: String, vecCol: String,
       cosThreshold: Double, minPts: Int): DataFrame = {

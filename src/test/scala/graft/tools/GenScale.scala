@@ -131,6 +131,38 @@ object GenScale {
       println("wrote overlapping-boilerplate corpora to target/ov")
       return
     }
+
+    // "ovl" mode: the LINE-STRUCTURED sibling of "ov" — identical
+    // corpora except the boilerplate tail sits on its OWN line with no
+    // terminal punctuation (the realistic web shape: footers and nav
+    // chrome are block-separable, which is the premise of the C4/
+    // extraction gate posture). The gated containment chain (qS0's
+    // operator composition) can DROP the tail here, so probing it on
+    // ovl demonstrates the posture's operating shape, while raw "ov"
+    // (tail inline, gate-blind) isolates the output-bound residual.
+    if (args.headOption.contains("ovl")) {
+      val bpLine = (0 until 12).map(i => s"zbp$i").mkString(" ")
+      def withBpLine(base: DataFrame, reps: Int): DataFrame =
+        (0 until reps).map { r =>
+          val text =
+            if (r == 0) col("text")
+            else array_join(transform(split(col("text"), " "),
+              t => concat(t, lit(s"~$r"))), " ")
+          val full = concat(text, lit("."), lit("\n"), lit(bpLine))
+          base.select((col("doc_id") + lit(r * off)).as("doc_id"),
+            full.as("text"), col("lang"), col("source"),
+            length(full).cast("long").as("n_chars"))
+        }.reduce(_ unionAll _)
+      val d01l = graft.Tables.load(spark, src, "documents")
+      for ((name, df) <- Seq(
+          "mid" -> withBpLine(d01l, 1), "sf1" -> withBpLine(d01l, 10),
+          "sf10" -> withBpLine(d01l, 100)))
+        df.write.mode("overwrite")
+          .parquet(s"/root/repo/target/ovl/$name/documents.parquet")
+      spark.stop()
+      println("wrote line-boilerplate corpora to target/ovl")
+      return
+    }
     val out = "/root/repo/target/sf1"
 
     def load(n: String): DataFrame =

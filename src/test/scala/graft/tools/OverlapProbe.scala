@@ -129,24 +129,38 @@ object OverlapProbe {
       // boilerplate-dense components) were not (VERDICT r12 #2)
       for (qn <- Seq("qA1_pagerank_dedup_graph", "qE6_triangle_count",
           "qM4_label_prop_step", "qM5_clustering_coeff",
-          "qN7_kcore_step");
-          (label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
-            "ov-sf10" -> sf10)) {
+          "qN7_kcore_step")) {
         val q = SparkEntry.allQueries.find(_.name == qn).get
-        timed(s"$qn @$label")(q.run(spark, dir))
+        // untimed warm-up on the smallest corpus: the staged-loop
+        // plans pay ~20 s of first-execution janino codegen
+        q.run(spark, mid).write.format("noop").mode("overwrite").save()
+        for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+            "ov-sf10" -> sf10))
+          timed(s"$qn @$label")(q.run(spark, dir))
       }
     }
     if (want("dbscan")) {
       // DBSCAN loops run over embeddings (the ov corpus has none);
       // the standard shards grow embeddings with sf, which is the
       // rounds-x-stage-I/O axis these loops were never probed on
-      for (qn <- Seq("qH6_dbscan", "qO9_dbscan_lsh");
-          (label, dir) <- Seq(
+      // qH6 (EXACT dbscan) stops at sf1 BY DESIGN: its neighbor
+      // stage is all-pairs exact cosine, so the true answer itself is
+      // ~p*n^2 pairs (p ~ 0.8% at t=0.3) -- 1.5e9 pairs at sf10 OOMs
+      // an 8g JVM on the ANSWER, not on an index defect. qO9 is the
+      // declared scale path (LSH cells); it runs the full range.
+      for ((qn, dirs) <- Seq(
+          "qH6_dbscan" -> Seq(
+            "sf0.1" -> "/root/testdata/sf0.1",
+            "sf1" -> "/root/repo/target/sf1"),
+          "qO9_dbscan_lsh" -> Seq(
             "sf0.1" -> "/root/testdata/sf0.1",
             "sf1" -> "/root/repo/target/sf1",
-            "sf10" -> "/root/repo/target/sf10")) {
+            "sf10" -> "/root/repo/target/sf10"))) {
         val q = SparkEntry.allQueries.find(_.name == qn).get
-        timed(s"$qn @$label")(q.run(spark, dir))
+        q.run(spark, "/root/testdata/sf0.1")
+          .write.format("noop").mode("overwrite").save()
+        for ((label, dir) <- dirs)
+          timed(s"$qn @$label")(q.run(spark, dir))
       }
     }
     if (want("gated")) {
@@ -158,6 +172,27 @@ object OverlapProbe {
       for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
           "ov-sf10" -> sf10))
         timed(s"qS0_gated_containment @$label")(q.run(spark, dir))
+    }
+    if (want("gatedov")) {
+      // the SAME gate -> containment composition as qS0, run directly
+      // on the line-structured ovl corpora (GenScale ovl: boilerplate
+      // tail on its own unterminated line, the separable web shape the
+      // posture presumes): the C4 line gate drops the tail, so the
+      // pair stage sees salted-disjoint shingles only -- this is the
+      // <0.5/decade operating shape the cpp adjudication promises.
+      import graft.operators.{Dedup => D, TextAnalysis}
+      for ((label, dir) <- Seq("ovl-mid" -> "target/ovl/mid",
+          "ovl-sf1" -> "target/ovl/sf1", "ovl-sf10" -> "target/ovl/sf10"))
+        timed(s"gated cpp chain $label") {
+          val cleaned = TextAnalysis.c4LineFilters(
+            docs(dir).select(col("doc_id"), col("text")),
+            "doc_id", "text")
+            .where(col("n_kept_lines") > 0)
+            .select(col("doc_id"),
+              regexp_replace(col("clean_text"), "\n", " ").as("text"))
+          D.containmentPrefixPairs(cleaned, "doc_id", "text",
+            n = 3, threshold = 0.6)
+        }
     }
     if (want("aborder")) {
       // per-QUERY A/B of the df-order default (VERDICT r12 #2: the
@@ -171,6 +206,11 @@ object OverlapProbe {
         val tag = if (valueOrder) "value" else "df"
         for (qn <- qs) {
           val q = SparkEntry.allQueries.find(_.name == qn).get
+          // untimed warm-up, the Bench discipline: the staged-loop
+          // plans pay ~20 s of janino codegen on their first JVM
+          // execution, which otherwise lands in run 1 of the A/B
+          q.run(spark, "/root/testdata/sf0.1")
+            .write.format("noop").mode("overwrite").save()
           timed(s"$qn order=$tag @sf0.1")(
             q.run(spark, "/root/testdata/sf0.1"))
         }

@@ -636,12 +636,17 @@ object Dedup {
     * universe — docs whose band rows were filtered upstream still get
     * a no-dup decision row. */
   private[graft] def screenAgainstIndexRows(newBand: DataFrame,
-      ids: DataFrame, oldIndex: DataFrame, threshold: Double)
-      : DataFrame = {
+      ids: DataFrame, oldIndex: DataFrame, threshold: Double,
+      broadcastProbe: Boolean = false): DataFrame = {
+    // broadcastProbe: micro-batch probe side — broadcast it and leave
+    // the corpus-scale index shuffle-free (scan-only per batch)
     val old = oldIndex.select(col("doc_id").as("old_id"),
       col("sh").as("sho"), col("band_idx"), col("band_key"))
-      .hint("shuffle_hash")
-    screenDecisions(newBand.hint("shuffle_hash"), old, ids, threshold)
+    if (broadcastProbe)
+      screenDecisions(broadcast(newBand), old, ids, threshold)
+    else
+      screenDecisions(newBand.hint("shuffle_hash"),
+        old.hint("shuffle_hash"), ids, threshold)
   }
 
   def minhashLshIncremental(df: DataFrame, idCol: String, textCol: String,
@@ -824,7 +829,8 @@ object Dedup {
     */
   def codeHammingScreen(newCodes: DataFrame, idCol: String,
       codeCol: String, index: DataFrame, bits: Int, maxHamming: Int,
-      bandsCount: Int, maxPosting: Int = 0): DataFrame = {
+      bandsCount: Int, maxPosting: Int = 0,
+      broadcastProbe: Boolean = false): DataFrame = {
     require(maxHamming < bandsCount, "need maxHamming < bands (pigeonhole)")
     require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
     // 16-byte rows, consumed by the band probe AND the final left join
@@ -837,8 +843,16 @@ object Dedup {
     val idx = dropHotBands(index, maxPosting)
       .select(col("doc_id").as("oid"), col("code").as("oc"),
         col("band_idx"), col("band_val"))
-    val cand = nbands.hint("shuffle_hash")
-      .join(idx.hint("shuffle_hash"), Seq("band_idx", "band_val"))
+    // broadcastProbe: the streaming screens' shape — the probe side is
+    // one micro-batch (bounded by the trigger), so broadcasting it
+    // keeps the CORPUS-scale index entirely shuffle-free: the probe
+    // join degrades to one index scan per batch instead of one index
+    // SHUFFLE per batch (the difference between reading 32 GB and
+    // moving it across the cluster, every trigger, forever)
+    val cand = (if (broadcastProbe) broadcast(nbands)
+        else nbands.hint("shuffle_hash"))
+      .join(if (broadcastProbe) idx else idx.hint("shuffle_hash"),
+        Seq("band_idx", "band_val"))
       .select(col("nid"), col("oid"), col("nc"), col("oc"))
       .dropDuplicates("nid", "oid")
       .withColumn("hamming",
@@ -965,14 +979,18 @@ object Dedup {
     * every number — an unguarded NaN >= threshold is TRUE, declaring
     * an all-zero vector a duplicate of an arbitrary bucket-mate. */
   private[graft] def embeddingLshScreenOnIndex(fresh: DataFrame,
-      ids: DataFrame, index: DataFrame, threshold: Double): DataFrame = {
-    val matches = fresh.filter(col("norm") > 0)
-      .as("x").hint("shuffle_hash")
-      .join(index.as("y")
-          .select(col("vec_id").as("old_id"), col("v").as("ov"),
-            col("norm").as("onorm"), col("bucket"))
-          .filter(col("onorm") > 0)
-          .hint("shuffle_hash"),
+      ids: DataFrame, index: DataFrame, threshold: Double,
+      broadcastProbe: Boolean = false): DataFrame = {
+    // broadcastProbe: micro-batch probe side — broadcast it and leave
+    // the corpus-scale index shuffle-free (scan-only per batch)
+    val probe = fresh.filter(col("norm") > 0).as("x")
+    val idxSide = index.as("y")
+      .select(col("vec_id").as("old_id"), col("v").as("ov"),
+        col("norm").as("onorm"), col("bucket"))
+      .filter(col("onorm") > 0)
+    val matches = (if (broadcastProbe) broadcast(probe)
+        else probe.hint("shuffle_hash"))
+      .join(if (broadcastProbe) idxSide else idxSide.hint("shuffle_hash"),
         Seq("bucket"))
       .filter(col("x.vec_id") =!= col("old_id"))
       .filter((GraftFunctions.vecDot(col("x.v"), col("ov")) /

@@ -142,7 +142,8 @@ object Ingest {
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.screenAgainstIndexRows(freshBands,
             batch.select(col(idCol).as("doc_id")),
-            standing.getOrElse(seedIndex), threshold)
+            standing.getOrElse(seedIndex), threshold,
+            broadcastProbe = true) // batch bounded -> index never shuffles
             .withColumn("batch_id", lit(batchId))
         }
         val init =
@@ -732,7 +733,8 @@ object Ingest {
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.codeHammingScreen(
             hashes, "doc_id", "dhash", standing.getOrElse(seedIndex),
-            bits, maxHamming, bandsCount, maxPosting)
+            bits, maxHamming, bandsCount, maxPosting,
+            broadcastProbe = true) // batch bounded -> index never shuffles
             .withColumn("batch_id", lit(batchId))
         }
         // undecodable rows still get a no-dup DECISION above, but
@@ -805,7 +807,8 @@ object Ingest {
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.embeddingLshScreenOnIndex(
             fresh, batch.select(col(idCol).as("vec_id")),
-            standing.getOrElse(seedIndex), threshold)
+            standing.getOrElse(seedIndex), threshold,
+            broadcastProbe = true) // batch bounded -> index never shuffles
             .withColumn("batch_id", lit(batchId))
         }
         // null/zero-norm rows still got a no-dup DECISION above, but
@@ -897,14 +900,26 @@ object Ingest {
           .agg(min("doc_id").as("batch_min"))
         // `novel` marks hashes the standing index had not seen — they
         // and ONLY they go into this batch's index delta, which keeps
-        // the layers disjoint (union-exact) and delta size O(batch)
+        // the layers disjoint (union-exact) and delta size O(batch).
+        // The resolve against the standing index is an INNER join with
+        // the micro-batch side BROADCAST (an outer join cannot
+        // broadcast its preserved side, and a small-left outer join
+        // would SHUFFLE the corpus-scale index every batch); the
+        // unmatched = novel hashes come from a batch-local anti-join
+        // against the (checkpointed, batch-bounded) match set.
         val resolved = (standing match {
-          case Some(idx) => batchMin
-            .join(idx.withColumnRenamed("canonical", "standing"),
-              Seq("content_hash"), "left")
-            .select(col("content_hash"),
-              coalesce(col("standing"), col("batch_min")).as("canonical"),
-              col("standing").isNull.as("novel"))
+          case Some(idx) =>
+            val seen = idx.withColumnRenamed("canonical", "standing")
+              .join(broadcast(batchMin), Seq("content_hash"))
+              .localCheckpoint() // one index scan; read by both legs
+            seen.select(col("content_hash"),
+                col("standing").as("canonical"), lit(false).as("novel"))
+              .unionByName(batchMin
+                .join(seen.select("content_hash"),
+                  Seq("content_hash"), "left_anti")
+                .select(col("content_hash"),
+                  col("batch_min").as("canonical"),
+                  lit(true).as("novel")))
           case None => batchMin
             .select(col("content_hash"), col("batch_min").as("canonical"),
               lit(true).as("novel"))

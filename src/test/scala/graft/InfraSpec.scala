@@ -1379,6 +1379,71 @@ class InfraSpec extends SparkTestBase {
       "WeakHashMap kept the dead session's memo entry")
   }
 
+  test("broadcast-probe screens: decisions bit-equal to the shuffle " +
+    "variant and the standing index stays shuffle-free in the plan") {
+    import graft.operators.Dedup
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    def bhj(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // embedding screen
+    def vec(d: Int) = (0 until 8).map(i => if (i == d) 1.0f else 0.0f)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i % 8)))
+      .toDF("vec_id", "embedding")
+    val batchV = Seq((100L, vec(0)), (101L, vec(3)))
+      .toDF("vec_id", "embedding")
+    val eIdx = Dedup.embeddingLshIndex(corpus, "vec_id", "embedding", 3)
+      .localCheckpoint()
+    val eFresh = Dedup.embeddingLshIndex(batchV, "vec_id", "embedding", 3)
+      .localCheckpoint()
+    val eIds = batchV.select(col("vec_id"))
+    val eB = Dedup.embeddingLshScreenOnIndex(eFresh, eIds, eIdx, 0.9,
+      broadcastProbe = true)
+    val eS = Dedup.embeddingLshScreenOnIndex(eFresh, eIds, eIdx, 0.9)
+    assert(rows(eB) == rows(eS))
+    assert(bhj(eB) && shuffles(eB) < shuffles(eS),
+      s"embedding screen: ${shuffles(eB)} !< ${shuffles(eS)}")
+
+    // minhash screen
+    val texts = (0 until 20).map(i => (i.toLong,
+      s"document number $i speaks about topic ${i % 5} in long and " +
+        s"winding sentences that continue for a while item$i"))
+      .toDF("doc_id", "text")
+    val batchT = Seq((100L, texts.collect()(3).getString(1)),
+      (101L, "completely novel content nothing shared with anything"))
+      .toDF("doc_id", "text")
+    val mIdx = Dedup.lshBandIndex(texts, "doc_id", "text", 3, 4, 2)
+      .localCheckpoint()
+    val mFresh = Dedup.lshBandIndex(batchT, "doc_id", "text", 3, 4, 2)
+      .localCheckpoint()
+    val mIds = batchT.select(col("doc_id"))
+    val mB = Dedup.screenAgainstIndexRows(mFresh, mIds, mIdx, 0.5,
+      broadcastProbe = true)
+    val mS = Dedup.screenAgainstIndexRows(mFresh, mIds, mIdx, 0.5)
+    assert(rows(mB) == rows(mS))
+    assert(bhj(mB) && shuffles(mB) < shuffles(mS),
+      s"minhash screen: ${shuffles(mB)} !< ${shuffles(mS)}")
+
+    // dhash screen
+    val codes = (0 until 30).map(i => (i.toLong, (i * 77L) ^ 0x5a5aL))
+      .toDF("doc_id", "dhash")
+    val batchC = Seq((100L, (3L * 77L) ^ 0x5a5aL), (101L, 0x7fffL))
+      .toDF("doc_id", "dhash")
+    val cIdx = Dedup.codeBandIndex(codes, "doc_id", "dhash", 56, 7)
+      .localCheckpoint()
+    val cB = Dedup.codeHammingScreen(batchC, "doc_id", "dhash", cIdx,
+      56, 6, 7, maxPosting = 12, broadcastProbe = true)
+    val cS = Dedup.codeHammingScreen(batchC, "doc_id", "dhash", cIdx,
+      56, 6, 7, maxPosting = 12)
+    assert(rows(cB) == rows(cS))
+    assert(bhj(cB) && shuffles(cB) < shuffles(cS),
+      s"dhash screen: ${shuffles(cB)} !< ${shuffles(cS)}")
+  }
+
   test("streaming ingest: file source -> watermark dedup -> windowed agg") {
     val dir = Files.createTempDirectory("stream-in").toFile
     val ckpt = Files.createTempDirectory("stream-ck").toFile
@@ -1770,13 +1835,14 @@ class InfraSpec extends SparkTestBase {
     //   Stats.scala        per-file key manifest (|files| rows)
     val allowed = Map(
       "plans/Fence.scala" -> 1,
-      // five microbatch-bounded fences: the media screen's per-batch
-      // decode pass, the web screen's per-batch extraction pass AND
-      // its per-batch canonical-resolve pass (|batch hashes| rows,
-      // read by the decisions leg and the delta leg), the ANN
-      // screen's per-batch LSH projection pass, and the MinHash
-      // screen's per-batch band-row pass (|batch| x bands rows)
-      "streaming/Ingest.scala" -> 5,
+      // six microbatch-bounded fences: the media screen's per-batch
+      // decode pass; the web screen's per-batch extraction pass, its
+      // standing-match set (one index scan read by both resolve legs)
+      // and its canonical-resolve pass (|batch hashes| rows, read by
+      // the decisions leg and the delta leg); the ANN screen's
+      // per-batch LSH projection pass; and the MinHash screen's
+      // per-batch band-row pass (|batch| x bands rows)
+      "streaming/Ingest.scala" -> 6,
       "operators/Eval.scala" -> 3,
       "operators/Survival.scala" -> 1,
       "queries/ErasUpload.scala" -> 1,

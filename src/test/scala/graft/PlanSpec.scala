@@ -378,7 +378,11 @@ class PlanSpec extends SparkTestBase {
       "qR0_stats_countries_view" -> 2, // stats rollup + order over the view stack
       "qR1_unified_downloads_view" -> 1, // unified scan + order
       "qR2_ndt7_union_view" -> 2, // union group rollup + order
-      "qR4_embedding_screen" -> 5) // bucket probe join + min agg + left join + order
+      "qR4_embedding_screen" -> 5, // bucket probe join + min agg + left join + order
+      // round-13 addition (audited via PinAudit at declaration time):
+      // qA0's cpp machinery behind the C4 gate — the gate itself is a
+      // per-row HOF pass and adds no exchange
+      "qS0_gated_containment" -> 8)
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

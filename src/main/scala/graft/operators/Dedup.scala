@@ -845,10 +845,15 @@ object Dedup {
         col("band_idx"), col("band_val"))
     // broadcastProbe: the streaming screens' shape — the probe side is
     // one micro-batch (bounded by the trigger), so broadcasting it
-    // keeps the CORPUS-scale index entirely shuffle-free: the probe
-    // join degrades to one index scan per batch instead of one index
-    // SHUFFLE per batch (the difference between reading 32 GB and
-    // moving it across the cluster, every trigger, forever)
+    // makes the PROBE JOIN scan-only over the corpus-scale index (no
+    // index shuffle per batch — the difference between reading 32 GB
+    // and moving it across the cluster, every trigger, forever).
+    // HONESTY: with maxPosting > 0 the dropHotBands pass above still
+    // aggregates the index once per call — map-side combined, so its
+    // exchange carries only the distinct (band_idx, band_val) counts,
+    // but it is a second index SCAN; hoisting the hot-band list to
+    // compaction time is the known follow-up for screens that pass a
+    // cap.
     val cand = (if (broadcastProbe) broadcast(nbands)
         else nbands.hint("shuffle_hash"))
       .join(if (broadcastProbe) idx else idx.hint("shuffle_hash"),

@@ -130,7 +130,8 @@ object Ingest {
   def startMinhashScreen(stream: DataFrame, idCol: String,
       textCol: String, seedIndex: DataFrame, shingleN: Int, bands: Int,
       rowsPerBand: Int, threshold: Double, idxDir: String,
-      outDir: String, checkpointDir: String, compactEvery: Int = 16)
+      outDir: String, checkpointDir: String, compactEvery: Int = 16,
+      broadcastProbe: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -143,7 +144,7 @@ object Ingest {
           graft.operators.Dedup.screenAgainstIndexRows(freshBands,
             batch.select(col(idCol).as("doc_id")),
             standing.getOrElse(seedIndex), threshold,
-            broadcastProbe = true) // batch bounded -> index never shuffles
+            broadcastProbe = broadcastProbe)
             .withColumn("batch_id", lit(batchId))
         }
         val init =
@@ -203,16 +204,10 @@ object Ingest {
     */
   private def promoteVersion(spark: SparkSession, baseDir: String,
       batchId: Long, df: DataFrame): org.apache.hadoop.fs.Path = {
-    import org.apache.hadoop.fs.Path
-    val base = new Path(baseDir)
-    val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(base, f"v_$batchId%020d")
-    val tmp = new Path(base, s"_tmp_$batchId")
-    fsys.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (!fsys.rename(tmp, target))
-      throw new java.io.IOException(s"promote failed: $tmp -> $target")
-    target
+    val name = f"v_$batchId%020d"
+    promoteNamed(spark, baseDir, name, df)
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(baseDir), name)
   }
 
   /** Exactly-once merge of a per-batch sketch into a standing versioned
@@ -291,6 +286,15 @@ object Ingest {
   // a new base (O(index), amortized O(index/compactEvery) per batch)
   // so the read side never layers more than `compactEvery` dirs.
   //
+  // BROADCAST-PROBE CONTRACT: the screens default to broadcasting the
+  // micro-batch probe side (index stays scan-only, never shuffled per
+  // trigger). A broadcast hint BYPASSES autoBroadcastJoinThreshold, so
+  // this is only safe while the TRIGGER bounds the batch — set
+  // maxFilesPerTrigger / maxBytesPerTrigger on the source, or pass
+  // broadcastProbe = false for bulk backfills where one batch may be
+  // corpus-scale (streamTable's default of 0 folds EVERYTHING
+  // available into a single batch).
+  //
   // The exactly-once contract is mergeVersioned's, unchanged: versions
   // are tmp-written and atomically renamed, a replayed batch whose
   // version dir already exists (base OR delta) appends nothing, and
@@ -305,18 +309,30 @@ object Ingest {
   private case class IndexLayer(path: org.apache.hadoop.fs.Path,
       batchId: Long, isBase: Boolean, planes: Option[Int])
 
-  /** Parse the committed layers under `dir`, oldest → newest. Plain
-    * `v_<digits>` dirs (the mergeVersioned layout) are not layers and
-    * are ignored — the two layouts never share a directory. */
+  /** Parse the committed layers under `dir`, oldest → newest.
+    *
+    * MIGRATION: a plain `v_<digits>` dir is the old single-version
+    * (mergeVersioned) layout — its latest version IS the full
+    * standing state, so it parses as a BASE layer (no planes tag).
+    * A screen upgraded in place therefore keeps every duplicate it
+    * has ever seen: the first post-upgrade batch appends a delta on
+    * top of the legacy base (or compacts it into the new naming),
+    * and the self-heal deletes superseded legacy versions exactly
+    * like superseded layers. Without this, standingIndex would
+    * return None over a legacy dir and the screen would silently
+    * re-seed (round-13 review find). */
   private def indexLayers(spark: SparkSession, dir: String)
       : Seq[IndexLayer] = {
     val Base = """v_(\d{20})b(?:_p(\d+))?""".r
     val Delta = """v_(\d{20})d""".r
+    val Legacy = """v_(\d{20})""".r
     versionPaths(spark, dir).flatMap { p =>
       p.getName match {
         case Base(id, pl) => Some(IndexLayer(p, id.toLong, isBase = true,
           Option(pl).map(_.toInt)))
         case Delta(id) => Some(IndexLayer(p, id.toLong, isBase = false,
+          None))
+        case Legacy(id) => Some(IndexLayer(p, id.toLong, isBase = true,
           None))
         case _ => None
       }
@@ -721,7 +737,7 @@ object Ingest {
   def startMediaScreen(stream: DataFrame, seedIndex: DataFrame,
       bits: Int, maxHamming: Int, bandsCount: Int, maxPosting: Int,
       idxDir: String, outDir: String, checkpointDir: String,
-      compactEvery: Int = 16)
+      compactEvery: Int = 16, broadcastProbe: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -734,7 +750,7 @@ object Ingest {
           graft.operators.Dedup.codeHammingScreen(
             hashes, "doc_id", "dhash", standing.getOrElse(seedIndex),
             bits, maxHamming, bandsCount, maxPosting,
-            broadcastProbe = true) // batch bounded -> index never shuffles
+            broadcastProbe = broadcastProbe)
             .withColumn("batch_id", lit(batchId))
         }
         // undecodable rows still get a no-dup DECISION above, but
@@ -789,7 +805,8 @@ object Ingest {
   def startAnnScreen(stream: DataFrame, idCol: String, vecCol: String,
       seedIndex: DataFrame, seedPlanes: Int, threshold: Double,
       idxDir: String, outDir: String, checkpointDir: String,
-      compactEvery: Int = 16, targetBucket: Int = 64)
+      compactEvery: Int = 16, targetBucket: Int = 64,
+      broadcastProbe: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -808,7 +825,7 @@ object Ingest {
           graft.operators.Dedup.embeddingLshScreenOnIndex(
             fresh, batch.select(col(idCol).as("vec_id")),
             standing.getOrElse(seedIndex), threshold,
-            broadcastProbe = true) // batch bounded -> index never shuffles
+            broadcastProbe = broadcastProbe)
             .withColumn("batch_id", lit(batchId))
         }
         // null/zero-norm rows still got a no-dup DECISION above, but
@@ -849,7 +866,11 @@ object Ingest {
     *      the quality leg and the hash leg — micro-batch-bounded, so
     *      the in-batch fence is a localCheckpoint, not a stage write;
     *   2. resolve each batch hash against the STANDING canonical index
-    *      (content_hash → first-arrival canonical doc id): a hash seen
+    *      (content_hash → first-arrival canonical doc id): the match
+    *      set comes from ONE inner join of the index against the
+    *      (broadcast) batch hashes — an outer join cannot broadcast
+    *      its preserved side, so novel hashes are derived by a
+    *      batch-local anti-join against that match set. A hash seen
     *      in ANY earlier batch keeps its standing canonical — the
     *      cross-batch duplicate only a growing index catches; unseen
     *      hashes take the batch-minimum id, qQ4's keep-min rule;
@@ -857,9 +878,10 @@ object Ingest {
     *      quality_keep, keep = quality AND canonical) EXACTLY-ONCE to
     *      `outDir/v_<batchId>` — a duplicated disposition would corrupt
     *      the downstream corpus join;
-    *   4. merge the batch's resolved hashes into the standing index
-    *      (min-canonical per hash — idempotent, so a replayed merge is
-    *      harmless) through the versioned rename-promoted layout.
+    *   4. append ONLY the novel hashes as this batch's delta layer
+    *      ([[appendVersioned]]) — layers stay disjoint (union-exact)
+    *      and the write is O(batch); compaction min-merges
+    *      defensively.
     *
     * Crash/replay ordering is [[startMediaScreen]]'s: dispositions land
     * before the index version, so replay either skips both or redoes
@@ -870,16 +892,16 @@ object Ingest {
     * the batch hashes against it — the exact-dedup scale shape, now
     * with arrival-time state. Index maintenance is the layered layout
     * ([[appendVersioned]]): a batch's delta holds only the hashes the
-    * standing index had NOT seen (the left-join that resolves
-    * canonicals also marks them), so layers are disjoint by
-    * construction and a batch writes O(its own novel hashes) bytes —
-    * never the full-index rewrite. InfraSpec asserts stream == batch
+    * standing index had NOT seen (the batch-local anti-join above
+    * marks them), so layers are disjoint by construction and a batch
+    * writes O(its own novel hashes) bytes — never the full-index
+    * rewrite. InfraSpec asserts stream == batch
     * (qQ4's disposition over the concatenated batches) with a
     * cross-batch duplicate that only the growing index catches.
     */
   def startWebScreen(stream: DataFrame, idCol: String, htmlCol: String,
       idxDir: String, outDir: String, checkpointDir: String,
-      compactEvery: Int = 16)
+      compactEvery: Int = 16, broadcastProbe: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -909,8 +931,10 @@ object Ingest {
         // against the (checkpointed, batch-bounded) match set.
         val resolved = (standing match {
           case Some(idx) =>
+            val probe = if (broadcastProbe) broadcast(batchMin)
+              else batchMin
             val seen = idx.withColumnRenamed("canonical", "standing")
-              .join(broadcast(batchMin), Seq("content_hash"))
+              .join(probe, Seq("content_hash"))
               .localCheckpoint() // one index scan; read by both legs
             seen.select(col("content_hash"),
                 col("standing").as("canonical"), lit(false).as("novel"))

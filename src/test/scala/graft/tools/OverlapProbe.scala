@@ -29,13 +29,28 @@ import graft.operators.Dedup
   * standing indexes on the layered layout).
   *
   * Usage: Test/runMain graft.tools.OverlapProbe
-  *   [jppv|jppdf|cpp|band|queries|graph|dbscan|gated|aborder|screens|all]
+  *   [jppv|jppdf|cpp|band|queries|graph|dbscan|gated|gatedov|aborder|
+  *    screens|all]
+  * The ov legs need `GenScale ov`; gatedov needs `GenScale ovl`;
+  * dbscan/aborder/screens need `GenScale` (+ sf10). Legs whose corpus
+  * is missing are SKIPPED with a message instead of crashing an
+  * hours-long run.
   * Results recorded in SCALE.md round-12/13 sections.
   */
 object OverlapProbe {
   def main(args: Array[String]): Unit = {
     val which = if (args.isEmpty) Set("all") else args.toSet
+    def haveCorpus(dirs: String*): Boolean = dirs.forall(d =>
+      new java.io.File(s"$d/documents.parquet").exists() ||
+        new java.io.File(s"$d/embeddings.parquet").exists())
     def want(k: String) = which.contains("all") || which.contains(k)
+    def wantWith(k: String, dirs: String*): Boolean = {
+      val w = want(k)
+      val have = haveCorpus(dirs: _*)
+      if (w && !have) println(s"[ov] SKIP $k: missing corpus in " +
+        dirs.mkString(", ") + " (run GenScale first)")
+      w && have
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -58,7 +73,7 @@ object OverlapProbe {
     val (small, mid, sf1, sf10) = ("target/ov/small", "target/ov/mid",
       "target/ov/sf1", "target/ov/sf10")
 
-    if (want("jppv")) {
+    if (wantWith("jppv", small, mid)) {
       // value-ordered melt demo: ONE decade only (the sf1 run would be
       // the 10^9-candidate block this probe exists to demonstrate)
       // dfOrdered = false EXPLICITLY: the round-12 default flip made
@@ -74,7 +89,7 @@ object OverlapProbe {
           3, 0.5, dfOrdered = false)
       }
     }
-    if (want("jppdf")) {
+    if (wantWith("jppdf", mid, sf1, sf10)) {
       timed("jpp df-ordered ov-mid") {
         Dedup.ngramJaccardPrefixPairs(docs(mid), "doc_id", "text",
           3, 0.5, dfOrdered = true)
@@ -88,7 +103,7 @@ object OverlapProbe {
           3, 0.5, dfOrdered = true)
       }
     }
-    if (want("cpp")) {
+    if (wantWith("cpp", small, mid, sf1, sf10)) {
       timed("cpp value-ordered ov-small") {
         Dedup.containmentPrefixPairs(docs(small), "doc_id", "text",
           3, 0.6, dfOrdered = false)
@@ -110,7 +125,7 @@ object OverlapProbe {
           3, 0.6, dfOrdered = true)
       }
     }
-    if (want("band")) {
+    if (wantWith("band", mid, sf1, sf10)) {
       // UNCAPPED melted at exp 2.0/decade (4.5 -> 538 s, recorded in
       // SCALE.md): boilerplate-dominated docs share band keys across
       // every shard, so bucket occupancy grows ∝ n. The declared
@@ -123,7 +138,7 @@ object OverlapProbe {
             maxBucket = 256)
         }
     }
-    if (want("graph")) {
+    if (wantWith("graph", mid, sf1, sf10)) {
       // the iterative graph loops: generators are probed, the LOOPS
       // (rounds x durable-stage I/O, pointer-jumping convergence on
       // boilerplate-dense components) were not (VERDICT r12 #2)
@@ -139,7 +154,7 @@ object OverlapProbe {
           timed(s"$qn @$label")(q.run(spark, dir))
       }
     }
-    if (want("dbscan")) {
+    if (wantWith("dbscan", "/root/repo/target/sf1", "/root/repo/target/sf10")) {
       // DBSCAN loops run over embeddings (the ov corpus has none);
       // the standard shards grow embeddings with sf, which is the
       // rounds-x-stage-I/O axis these loops were never probed on
@@ -163,7 +178,7 @@ object OverlapProbe {
           timed(s"$qn @$label")(q.run(spark, dir))
       }
     }
-    if (want("gated")) {
+    if (wantWith("gated", mid, sf1, sf10)) {
       // the declared boilerplate-gated containment chain on the ov
       // corpus: the C4 gate strips the shared tail BEFORE pairing --
       // this is the <0.5/decade operating shape the cpp adjudication
@@ -173,7 +188,7 @@ object OverlapProbe {
           "ov-sf10" -> sf10))
         timed(s"qS0_gated_containment @$label")(q.run(spark, dir))
     }
-    if (want("gatedov")) {
+    if (wantWith("gatedov", "target/ovl/mid", "target/ovl/sf1", "target/ovl/sf10")) {
       // the SAME gate -> containment composition as qS0, run directly
       // on the line-structured ovl corpora (GenScale ovl: boilerplate
       // tail on its own unterminated line, the separable web shape the
@@ -217,11 +232,14 @@ object OverlapProbe {
       }
       System.clearProperty("graft.dedup.valueOrder")
     }
-    if (want("screens")) {
+    if (wantWith("screens", mid, sf1, sf10, "/root/repo/target/sf1", "/root/repo/target/sf10")) {
       // end-to-end micro-batch cost of the streaming screens against
-      // decade-scale standing indexes: batch 0 ingests the CORPUS
-      // (builds the standing index at scale), batches 1-3 are FIXED
-      // 500-row drops; per-batch durations come from recentProgress.
+      // decade-scale standing indexes: the CORPUS arrives first (one
+      // batch per part file under maxFilesPerTrigger=1 — at ov-sf10
+      // that is ~32 leading corpus batches, realistically crossing a
+      // mid-ingest compaction), then three FIXED 500-row drops, which
+      // are therefore the LAST THREE batch ids in the report line;
+      // per-batch durations come from recentProgress.
       // With the layered merge the small batches pay the screen JOIN
       // (one read of the standing state) plus an O(batch) delta write
       // -- never an index rewrite; the delta/base byte split is

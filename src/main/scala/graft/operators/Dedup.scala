@@ -623,10 +623,12 @@ object Dedup {
     */
   def screenAgainstIndex(newDocs: DataFrame, idCol: String,
       textCol: String, oldIndex: DataFrame, shingleN: Int, bands: Int,
-      rowsPerBand: Int, threshold: Double): DataFrame =
+      rowsPerBand: Int, threshold: Double,
+      broadcastProbe: Boolean = false): DataFrame =
     screenAgainstIndexRows(
       bandRowsOf(newDocs, idCol, textCol, shingleN, bands, rowsPerBand),
-      newDocs.select(col(idCol).as("doc_id")), oldIndex, threshold)
+      newDocs.select(col(idCol).as("doc_id")), oldIndex, threshold,
+      broadcastProbe)
 
   /** [[screenAgainstIndex]] given the batch's ALREADY-BUILT band rows
     * ([[lshBandIndex]] schema) — the streaming growing-index screen's

@@ -93,11 +93,13 @@ object Ingest {
   def startDedupScreen(newDocs: DataFrame, oldIndex: DataFrame,
       idCol: String, textCol: String, shingleN: Int, bands: Int,
       rowsPerBand: Int, threshold: Double, outDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String, broadcastProbe: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Dedup.screenAgainstIndex(batch, idCol, textCol,
-            oldIndex, shingleN, bands, rowsPerBand, threshold)
+            oldIndex, shingleN, bands, rowsPerBand, threshold,
+            broadcastProbe)
           .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", checkpointDir)

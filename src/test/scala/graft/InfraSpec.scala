@@ -1209,6 +1209,32 @@ class InfraSpec extends SparkTestBase {
       == (0L until 50030L).sum)
   }
 
+  test("layered index crash windows: a stale pre-base state (old base " +
+    "+ old delta left by a mid-compaction crash) is invisible to " +
+    "readers and self-healed by the next call") {
+    import graft.streaming.Ingest
+    val dir = Files.createTempDirectory("layer-crash").toFile.getAbsolutePath
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), (col("id") * 7).as("payload"))
+    // construct the exact on-disk state a crash BETWEEN the new-base
+    // rename and the old-layer deletes leaves behind: stale base v_1b,
+    // stale delta v_2d, and the already-promoted new base v_3b
+    rows(0, 50).write.parquet(dir + "/" + f"v_${1L}%020db")
+    rows(50, 60).write.parquet(dir + "/" + f"v_${2L}%020dd")
+    rows(0, 70).write.parquet(dir + "/" + f"v_${3L}%020db")
+    // reader: latest base only -- the stale layers must not double rows
+    assert(Ingest.standingIndex(spark, dir).get.count() == 70)
+    // replay of the compaction batch self-heals the stale layers
+    Ingest.appendVersioned(spark, dir, 3L, rows(900, 999), 4)
+    val afterReplay = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("v_")).map(_.getName).sorted.toSeq
+    assert(afterReplay == Seq(f"v_${3L}%020db"), afterReplay.mkString(", "))
+    assert(Ingest.standingIndex(spark, dir).get.count() == 70)
+    // and the next NEW batch appends normally on the healed state
+    Ingest.appendVersioned(spark, dir, 4L, rows(70, 80), 4)
+    assert(Ingest.standingIndex(spark, dir).get.count() == 80)
+  }
+
   test("layered index migration: a legacy single-version dir parses " +
     "as the base layer -- an upgraded screen keeps its standing state") {
     import graft.streaming.Ingest

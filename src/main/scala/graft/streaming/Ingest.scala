@@ -133,26 +133,47 @@ object Ingest {
       textCol: String, seedIndex: DataFrame, shingleN: Int, bands: Int,
       rowsPerBand: Int, threshold: Double, idxDir: String,
       outDir: String, checkpointDir: String, compactEvery: Int = 16,
-      broadcastProbe: Boolean = true)
+      broadcastProbe: Boolean = true, pruneBuckets: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val freshBands = graft.operators.Dedup.lshBandIndex(
+        // b = hash(band key) mod N: the base-partitioning /
+        // batch-restriction column of the pruneBuckets read path
+        // (see startWebScreen) — a function of the band join key
+        def bOf(i: org.apache.spark.sql.Column,
+            k: org.apache.spark.sql.Column) =
+          pmod(xxhash64(i, k), lit(pruneBuckets)).cast("int")
+        val freshBands0 = graft.operators.Dedup.lshBandIndex(
           batch, idCol, textCol, shingleN, bands, rowsPerBand)
           .localCheckpoint()
-        val standing = standingIndex(spark, idxDir)
+        val freshBands =
+          if (pruneBuckets > 0) freshBands0
+            .withColumn("b", bOf(col("band_idx"), col("band_key")))
+          else freshBands0
+        val standingAll = standingIndex(spark, idxDir)
+        val standing =
+          if (pruneBuckets > 0) standingAll.map { idx =>
+            val wanted = freshBands.select("b").distinct()
+              .collect().map(_.getInt(0)).toSeq // <= batch x bands
+            idx.filter(col("b").isin(wanted: _*))
+          } else standingAll
+        val seedFallback =
+          if (pruneBuckets > 0) seedIndex
+            .withColumn("b", bOf(col("band_idx"), col("band_key")))
+          else seedIndex
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.screenAgainstIndexRows(freshBands,
             batch.select(col(idCol).as("doc_id")),
-            standing.getOrElse(seedIndex), threshold,
+            standing.getOrElse(seedFallback), threshold,
             broadcastProbe = broadcastProbe)
             .withColumn("batch_id", lit(batchId))
         }
         val init =
-          if (standing.isEmpty) seedIndex.unionByName(freshBands)
+          if (standingAll.isEmpty) seedFallback.unionByName(freshBands)
           else freshBands
-        appendVersioned(spark, idxDir, batchId, init, compactEvery)
+        appendVersioned(spark, idxDir, batchId, init, compactEvery,
+          partitionCol = if (pruneBuckets > 0) Some("b") else None)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -360,7 +381,14 @@ object Ingest {
   def standingIndex(spark: SparkSession, dir: String): Option[DataFrame] = {
     val live = liveLayers(spark, dir)
     if (live.isEmpty) None
-    else Some(spark.read.parquet(live.map(_.path.toString): _*))
+    else Some(live.map(l => spark.read.parquet(l.path.toString))
+      .reduce(_.unionByName(_)))
+    // per-layer reads unioned BY NAME (not one multi-path read): a
+    // bucket-partitioned base stores its partition column in the
+    // directory names while deltas carry it as data — one multi-path
+    // read cannot mix the two layouts, and the union lets a bucket
+    // filter above it push into each leg, where the base leg becomes
+    // a PARTITION-PRUNED scan (the pruneBuckets read path)
   }
 
   /** The planes tag recorded on the latest base layer (the ANN
@@ -381,7 +409,8 @@ object Ingest {
   private[graft] def appendVersioned(spark: SparkSession, baseDir: String,
       batchId: Long, fresh: DataFrame, compactEvery: Int,
       compact: DataFrame => (DataFrame, Option[Int]) =
-        df => (df, None)): Unit = {
+        df => (df, None),
+      partitionCol: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(baseDir)
     val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -400,10 +429,15 @@ object Ingest {
         val standing = (baseOpt.toSeq ++ deltas).map(_.path.toString)
         val unioned =
           if (standing.isEmpty) fresh
-          else spark.read.parquet(standing: _*).unionByName(fresh)
+          else standing.map(spark.read.parquet(_))
+            .reduce(_.unionByName(_)).unionByName(fresh)
         val (compacted, planes) = compact(unioned)
         val suffix = "b" + planes.map(p => s"_p$p").getOrElse("")
-        promoteNamed(spark, baseDir, f"v_$batchId%020d$suffix", compacted)
+        // only BASE layers are bucket-partitioned: a delta is one
+        // small batch (partitioning it would spray tiny files), and
+        // the data column it carries serves the post-union filter
+        promoteNamed(spark, baseDir, f"v_$batchId%020d$suffix",
+          compacted, partitionCol)
         // compaction supersedes everything older; delete AFTER the
         // promote so a crash in between leaves a readable (stale but
         // complete) state that the next call self-heals
@@ -418,14 +452,16 @@ object Ingest {
   /** [[promoteVersion]] with an explicit dir name (the layered layout
     * encodes base/delta and the planes generation in the name). */
   private def promoteNamed(spark: SparkSession, baseDir: String,
-      name: String, df: DataFrame): Unit = {
+      name: String, df: DataFrame,
+      partitionCol: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(baseDir)
     val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(base, name)
     val tmp = new Path(base, s"_tmp_$name")
     fsys.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
     if (!fsys.rename(tmp, target))
       throw new java.io.IOException(s"promote failed: $tmp -> $target")
     ()
@@ -739,7 +775,8 @@ object Ingest {
   def startMediaScreen(stream: DataFrame, seedIndex: DataFrame,
       bits: Int, maxHamming: Int, bandsCount: Int, maxPosting: Int,
       idxDir: String, outDir: String, checkpointDir: String,
-      compactEvery: Int = 16, broadcastProbe: Boolean = true)
+      compactEvery: Int = 16, broadcastProbe: Boolean = true,
+      pruneBuckets: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -747,10 +784,35 @@ object Ingest {
         // one decode pass per batch, consumed by screen AND index build
         val hashes = graft.operators.Multimodal.dhashImages(batch)
           .toDF().localCheckpoint()
-        val standing = standingIndex(spark, idxDir)
+        // b = hash(band key) mod N: the pruneBuckets read path (see
+        // startWebScreen) — a function of the band join key. NOTE:
+        // a band value's full posting lives in ONE bucket (b is
+        // functional on the key), so the maxPosting hot-band counts
+        // over the restricted read remain EXACT.
+        def bOf(i: org.apache.spark.sql.Column,
+            v: org.apache.spark.sql.Column) =
+          pmod(xxhash64(i, v), lit(pruneBuckets)).cast("int")
+        val freshBands0 = graft.operators.Dedup.codeBandIndex(
+          hashes.filter(col("dhash").isNotNull),
+          "doc_id", "dhash", bits, bandsCount)
+        val freshBands =
+          if (pruneBuckets > 0) freshBands0
+            .withColumn("b", bOf(col("band_idx"), col("band_val")))
+          else freshBands0
+        val standingAll = standingIndex(spark, idxDir)
+        val standing =
+          if (pruneBuckets > 0) standingAll.map { idx =>
+            val wanted = freshBands.select("b").distinct()
+              .collect().map(_.getInt(0)).toSeq // <= batch x bands
+            idx.filter(col("b").isin(wanted: _*))
+          } else standingAll
+        val seedFallback =
+          if (pruneBuckets > 0) seedIndex
+            .withColumn("b", bOf(col("band_idx"), col("band_val")))
+          else seedIndex
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.codeHammingScreen(
-            hashes, "doc_id", "dhash", standing.getOrElse(seedIndex),
+            hashes, "doc_id", "dhash", standing.getOrElse(seedFallback),
             bits, maxHamming, bandsCount, maxPosting,
             broadcastProbe = broadcastProbe)
             .withColumn("batch_id", lit(batchId))
@@ -758,13 +820,11 @@ object Ingest {
         // undecodable rows still get a no-dup DECISION above, but
         // their null hashes never equi-match and would otherwise
         // accumulate as permanent dead weight in the standing index
-        val freshBands = graft.operators.Dedup.codeBandIndex(
-          hashes.filter(col("dhash").isNotNull),
-          "doc_id", "dhash", bits, bandsCount)
         val init =
-          if (standing.isEmpty) seedIndex.unionByName(freshBands)
+          if (standingAll.isEmpty) seedFallback.unionByName(freshBands)
           else freshBands
-        appendVersioned(spark, idxDir, batchId, init, compactEvery)
+        appendVersioned(spark, idxDir, batchId, init, compactEvery,
+          partitionCol = if (pruneBuckets > 0) Some("b") else None)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -808,7 +868,7 @@ object Ingest {
       seedIndex: DataFrame, seedPlanes: Int, threshold: Double,
       idxDir: String, outDir: String, checkpointDir: String,
       compactEvery: Int = 16, targetBucket: Int = 64,
-      broadcastProbe: Boolean = true)
+      broadcastProbe: Boolean = true, pruneBuckets: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -822,11 +882,28 @@ object Ingest {
         // micro-batch-bounded, so the fence is a localCheckpoint
         val fresh = graft.operators.Dedup.embeddingLshIndex(
           batch, idCol, vecCol, planes).localCheckpoint()
-        val standing = standingIndex(spark, idxDir)
+        // pruneBuckets > 0: partition the standing BASE by
+        // b = LSH bucket mod N and restrict each batch's standing
+        // read to its probes' bucket set (partition pruning on the
+        // base; b is a function of the join key, so every possible
+        // match survives). Rotation changes the LSH bucket, so the
+        // compaction below recomputes b alongside it.
+        def bOf(c: org.apache.spark.sql.Column) =
+          pmod(c, lit(pruneBuckets.toLong)).cast("int")
+        val standingAll = standingIndex(spark, idxDir)
+        val standing =
+          if (pruneBuckets > 0) standingAll.map { idx =>
+            val wanted = fresh.select(bOf(col("bucket")).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq // <= batch
+            idx.filter(col("b").isin(wanted: _*))
+          } else standingAll
+        val seedFallback =
+          if (pruneBuckets > 0) seedIndex.withColumn("b", bOf(col("bucket")))
+          else seedIndex
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.embeddingLshScreenOnIndex(
             fresh, batch.select(col(idCol).as("vec_id")),
-            standing.getOrElse(seedIndex), threshold,
+            standing.getOrElse(seedFallback), threshold,
             broadcastProbe = broadcastProbe)
             .withColumn("batch_id", lit(batchId))
         }
@@ -834,9 +911,13 @@ object Ingest {
         // they can never match (the screen's norm guard) and would
         // otherwise accumulate as permanent dead weight in the
         // standing index — the media screen's quarantine discipline
-        val freshRows = fresh.filter(col("norm") > 0)
+        val freshRows0 = fresh.filter(col("norm") > 0)
+        val freshRows =
+          if (pruneBuckets > 0)
+            freshRows0.withColumn("b", bOf(col("bucket")))
+          else freshRows0
         val init =
-          if (standing.isEmpty) seedIndex.unionByName(freshRows)
+          if (standingAll.isEmpty) seedFallback.unionByName(freshRows)
           else freshRows
         appendVersioned(spark, idxDir, batchId, init, compactEvery,
           compact = unioned => {
@@ -846,12 +927,19 @@ object Ingest {
             val n = unioned.count()
             val next = math.max(planes,
               graft.operators.Similarity.adaptivePlanes(n, targetBucket))
-            if (next != planes)
-              (unioned.withColumn("bucket",
-                graft.operators.Similarity.lshBucket(col("v"), next)),
-                Some(next))
-            else (unioned, Some(planes))
-          })
+            val rotated =
+              if (next != planes)
+                unioned.withColumn("bucket",
+                  graft.operators.Similarity.lshBucket(col("v"), next))
+              else unioned
+            // b follows the (possibly rotated) bucket
+            val rebucketed =
+              if (pruneBuckets > 0)
+                rotated.withColumn("b", bOf(col("bucket")))
+              else rotated
+            (rebucketed, Some(next))
+          },
+          partitionCol = if (pruneBuckets > 0) Some("b") else None)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -903,7 +991,8 @@ object Ingest {
     */
   def startWebScreen(stream: DataFrame, idCol: String, htmlCol: String,
       idxDir: String, outDir: String, checkpointDir: String,
-      compactEvery: Int = 16, broadcastProbe: Boolean = true)
+      compactEvery: Int = 16, broadcastProbe: Boolean = true,
+      pruneBuckets: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -919,9 +1008,29 @@ object Ingest {
           .select(col("doc_id"), col("keep").as("quality_keep"))
         val hashed = ext.select(col("doc_id"),
           md5(col("text")).as("content_hash"))
-        val standing = standingIndex(spark, idxDir)
-        val batchMin = hashed.groupBy("content_hash")
+        // pruneBuckets > 0: the standing BASE is partitioned by
+        // b = hash(content_hash) mod N, and each batch restricts the
+        // standing read to ITS OWN bucket set — parquet partition
+        // pruning then bounds the per-batch READ by the batch's
+        // bucket share of the index, not the whole index. b is a
+        // function of the join key, so every possible match survives
+        // the restriction. Size N well above the typical batch row
+        // count or the batch touches every bucket and nothing prunes.
+        def bOf(c: org.apache.spark.sql.Column) =
+          pmod(xxhash64(c), lit(pruneBuckets)).cast("int")
+        val standingAll = standingIndex(spark, idxDir)
+        val batchMin0 = hashed.groupBy("content_hash")
           .agg(min("doc_id").as("batch_min"))
+        val batchMin =
+          if (pruneBuckets > 0)
+            batchMin0.withColumn("b", bOf(col("content_hash")))
+          else batchMin0
+        val standing =
+          if (pruneBuckets > 0) standingAll.map { idx =>
+            val wanted = batchMin.select("b").distinct()
+              .collect().map(_.getInt(0)).toSeq // <= batch rows, bounded
+            idx.filter(col("b").isin(wanted: _*))
+          } else standingAll
         // `novel` marks hashes the standing index had not seen — they
         // and ONLY they go into this batch's index delta, which keeps
         // the layers disjoint (union-exact) and delta size O(batch).
@@ -933,25 +1042,35 @@ object Ingest {
         // against the (checkpointed, batch-bounded) match set.
         val resolved = (standing match {
           case Some(idx) =>
-            val probe = if (broadcastProbe) broadcast(batchMin)
-              else batchMin
+            val probeSide = batchMin.select(
+              col("content_hash") +: (if (pruneBuckets > 0)
+                Seq(col("b")) else Seq.empty): _*)
+            val probe = if (broadcastProbe) broadcast(probeSide)
+              else probeSide
+            val joinKeys = "content_hash" +:
+              (if (pruneBuckets > 0) Seq("b") else Seq.empty)
             val seen = idx.withColumnRenamed("canonical", "standing")
-              .join(probe, Seq("content_hash"))
+              .join(probe, joinKeys)
               .localCheckpoint() // one index scan; read by both legs
-            seen.select(col("content_hash"),
-                col("standing").as("canonical"), lit(false).as("novel"))
+            seen.select(col("content_hash") +: col("standing").as("canonical") +:
+                lit(false).as("novel") +: (if (pruneBuckets > 0)
+                  Seq(col("b")) else Seq.empty): _*)
               .unionByName(batchMin
                 .join(seen.select("content_hash"),
                   Seq("content_hash"), "left_anti")
-                .select(col("content_hash"),
-                  col("batch_min").as("canonical"),
-                  lit(true).as("novel")))
+                .select(col("content_hash") +:
+                  col("batch_min").as("canonical") +:
+                  lit(true).as("novel") +: (if (pruneBuckets > 0)
+                    Seq(col("b")) else Seq.empty): _*))
           case None => batchMin
-            .select(col("content_hash"), col("batch_min").as("canonical"),
-              lit(true).as("novel"))
+            .select(col("content_hash") +:
+              col("batch_min").as("canonical") +:
+              lit(true).as("novel") +: (if (pruneBuckets > 0)
+                Seq(col("b")) else Seq.empty): _*)
         }).localCheckpoint() // one resolve pass: decisions leg + delta leg
         writeVersionedOnce(spark, outDir, batchId) {
-          hashed.join(resolved.drop("novel"), "content_hash")
+          hashed.join(resolved.drop("novel")
+              .select("content_hash", "canonical"), "content_hash")
             .join(quality, "doc_id")
             .select(col("doc_id"), col("content_hash"), col("canonical"),
               col("quality_keep"),
@@ -963,9 +1082,15 @@ object Ingest {
           resolved.filter(col("novel")).drop("novel"), compactEvery,
           // defensive min-merge at compaction: layers are disjoint by
           // construction, so this is a no-op that self-heals any
-          // duplicate a future edge case might introduce
-          compact = u => (u.groupBy("content_hash")
-            .agg(min("canonical").as("canonical")), None))
+          // duplicate a future edge case might introduce (b rides
+          // along as a grouping key — it is functional on the hash)
+          compact = u => {
+            val keys = "content_hash" +:
+              (if (pruneBuckets > 0) Seq("b") else Seq.empty)
+            (u.groupBy(keys.map(col): _*)
+              .agg(min("canonical").as("canonical")), None)
+          },
+          partitionCol = if (pruneBuckets > 0) Some("b") else None)
         ()
       }
       .option("checkpointLocation", checkpointDir)

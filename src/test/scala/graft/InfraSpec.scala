@@ -1506,6 +1506,68 @@ class InfraSpec extends SparkTestBase {
       s"dhash screen: ${shuffles(cB)} !< ${shuffles(cS)}")
   }
 
+  test("pruneBuckets: bucket-partitioned standing base, per-batch " +
+    "read restricted to the batch's bucket set (partition pruning), " +
+    "decisions unchanged") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.Ingest
+    val good1 = ("the curious engineer wrote careful notes about the " +
+      "design of the system and shared them with the team ") * 3
+    val good2 = ("a different author kept the draft of the report " +
+      "and sent it to the editors with thanks ") * 4
+    def html(t: String) = s"<html><body><p>${t.trim}</p></body></html>"
+    val drop1 = (0 until 30).map(i =>
+        (i.toLong, html(good1 + s" unique marker number $i ok")))
+      .toDF("doc_id", "html")
+    val drop2 = Seq((100L, html(good1 + " unique marker number 3 ok")),
+      (101L, html(good2))).toDF("doc_id", "html")
+
+    val inDir = Files.createTempDirectory("pb-in").toFile
+    val outDir = Files.createTempDirectory("pb-out").toFile.getAbsolutePath
+    val idxDir = Files.createTempDirectory("pb-idx").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("pb-ck").toFile.getAbsolutePath
+    drop1.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop1").getAbsolutePath)
+    drop2.repartition(1).write
+      .parquet(new java.io.File(inDir, "drop2").getAbsolutePath)
+    val stream = Ingest.streamTable(spark,
+      inDir.getAbsolutePath + "/drop*", drop1.schema,
+      maxFilesPerTrigger = 1)
+    // compactEvery=2 so the SECOND batch compacts -> the base layer is
+    // written bucket-partitioned and batch 2's read exercises pruning
+    val q = Ingest.startWebScreen(stream, "doc_id", "html",
+      idxDir = idxDir, outDir = outDir, checkpointDir = ckpt,
+      compactEvery = 2, pruneBuckets = 8)
+    q.awaitTermination(120000)
+
+    // decisions: 100 duplicates batch-1's doc 3 (cross-batch, caught
+    // through the PRUNED standing read); 101 is novel and canonical
+    val dec = Ingest.versionedRows(spark, outDir)
+      .select("doc_id", "canonical", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(dec(100L) == ((3L, false)))
+    assert(dec(101L) == ((101L, true)))
+
+    // the compacted base is partitioned by b: its dir has b=<v> subdirs
+    val baseDir = new java.io.File(idxDir).listFiles()
+      .filter(_.getName.endsWith("b")).head
+    val bDirs = baseDir.listFiles().filter(_.getName.startsWith("b="))
+    assert(bDirs.length > 1, s"base not bucket-partitioned: " +
+      baseDir.listFiles().map(_.getName).mkString(", "))
+
+    // partition pruning fires: restricting the standing read to ONE
+    // bucket touches strictly fewer parquet files than the full read
+    val standing = Ingest.standingIndex(spark, idxDir).get
+    def filesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().count()
+    val oneB = standing.select("b").head.getInt(0)
+    assert(filesOf(standing.filter(col("b") === oneB))
+      < filesOf(standing),
+      "bucket filter did not reduce the files read")
+    // and the standing content is intact across the partitioned layout
+    assert(standing.select("content_hash").distinct().count() == 31)
+  }
+
   test("streaming ingest: file source -> watermark dedup -> windowed agg") {
     val dir = Files.createTempDirectory("stream-in").toFile
     val ckpt = Files.createTempDirectory("stream-ck").toFile

@@ -93,7 +93,7 @@ object Ingest {
   def startDedupScreen(newDocs: DataFrame, oldIndex: DataFrame,
       idCol: String, textCol: String, shingleN: Int, bands: Int,
       rowsPerBand: Int, threshold: Double, outDir: String,
-      checkpointDir: String, broadcastProbe: Boolean = true)
+      checkpointDir: String, broadcastProbe: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -138,30 +138,18 @@ object Ingest {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // b = hash(band key) mod N: the base-partitioning /
-        // batch-restriction column of the pruneBuckets read path
-        // (see startWebScreen) — a function of the band join key
-        def bOf(i: org.apache.spark.sql.Column,
-            k: org.apache.spark.sql.Column) =
-          pmod(xxhash64(i, k), lit(pruneBuckets)).cast("int")
-        val freshBands0 = graft.operators.Dedup.lshBandIndex(
+        // b = hash(band key) mod N (see the Prune harness) — a
+        // function of the band join key, so pruning loses no match
+        val prune = pruneFor(spark, idxDir, pruneBuckets, (df, n) =>
+          df.withColumn("b",
+            pmod(xxhash64(col("band_idx"), col("band_key")), lit(n))
+              .cast("int")))
+        val freshBands = prune.withB(graft.operators.Dedup.lshBandIndex(
           batch, idCol, textCol, shingleN, bands, rowsPerBand)
-          .localCheckpoint()
-        val freshBands =
-          if (pruneBuckets > 0) freshBands0
-            .withColumn("b", bOf(col("band_idx"), col("band_key")))
-          else freshBands0
+          .localCheckpoint())
         val standingAll = standingIndex(spark, idxDir)
-        val standing =
-          if (pruneBuckets > 0) standingAll.map { idx =>
-            val wanted = freshBands.select("b").distinct()
-              .collect().map(_.getInt(0)).toSeq // <= batch x bands
-            idx.filter(col("b").isin(wanted: _*))
-          } else standingAll
-        val seedFallback =
-          if (pruneBuckets > 0) seedIndex
-            .withColumn("b", bOf(col("band_idx"), col("band_key")))
-          else seedIndex
+        val standing = prune.restrict(standingAll, freshBands)
+        val seedFallback = prune.withB(seedIndex)
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.screenAgainstIndexRows(freshBands,
             batch.select(col(idCol).as("doc_id")),
@@ -173,7 +161,8 @@ object Ingest {
           if (standingAll.isEmpty) seedFallback.unionByName(freshBands)
           else freshBands
         appendVersioned(spark, idxDir, batchId, init, compactEvery,
-          partitionCol = if (pruneBuckets > 0) Some("b") else None)
+          compact = u => (prune.adopt(u), None),
+          pruneN = pruneBuckets)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -330,7 +319,8 @@ object Ingest {
 
   /** One committed layer of a layered standing index. */
   private case class IndexLayer(path: org.apache.hadoop.fs.Path,
-      batchId: Long, isBase: Boolean, planes: Option[Int])
+      batchId: Long, isBase: Boolean, planes: Option[Int],
+      pruneN: Option[Int] = None)
 
   /** Parse the committed layers under `dir`, oldest → newest.
     *
@@ -346,13 +336,13 @@ object Ingest {
     * re-seed (round-13 review find). */
   private def indexLayers(spark: SparkSession, dir: String)
       : Seq[IndexLayer] = {
-    val Base = """v_(\d{20})b(?:_p(\d+))?""".r
+    val Base = """v_(\d{20})b(?:_p(\d+))?(?:_n(\d+))?""".r
     val Delta = """v_(\d{20})d""".r
     val Legacy = """v_(\d{20})""".r
     versionPaths(spark, dir).flatMap { p =>
       p.getName match {
-        case Base(id, pl) => Some(IndexLayer(p, id.toLong, isBase = true,
-          Option(pl).map(_.toInt)))
+        case Base(id, pl, n) => Some(IndexLayer(p, id.toLong,
+          isBase = true, Option(pl).map(_.toInt), Option(n).map(_.toInt)))
         case Delta(id) => Some(IndexLayer(p, id.toLong, isBase = false,
           None))
         case Legacy(id) => Some(IndexLayer(p, id.toLong, isBase = true,
@@ -397,6 +387,62 @@ object Ingest {
       dir: String): Option[Int] =
     indexLayers(spark, dir).filter(_.isBase).lastOption.flatMap(_.planes)
 
+  /** The prune-bucket modulus tag on the latest base layer, if any. */
+  private[graft] def standingIndexPruneN(spark: SparkSession,
+      dir: String): Option[Int] =
+    indexLayers(spark, dir).filter(_.isBase).lastOption.flatMap(_.pruneN)
+
+  /** Bucket-pruning harness shared by the four screens (one
+    * implementation of the effective-N/restrict/delta/adopt
+    * invariants). The EFFECTIVE modulus for a batch is the LAYOUT's
+    * `_n` tag — pruning is a property of the index, not of the call:
+    * a restart with a different `param` (including 0, or against a
+    * pre-pruning/legacy index with no `b` column) keeps reading and
+    * writing under the layout's current scheme and ADOPTS the new
+    * parameter at the next compaction, the only point that rewrites
+    * every row. This is what makes N changes and on/off toggles safe:
+    * a batch never computes `b` under one modulus and filters a base
+    * written under another (which would silently drop true matches),
+    * and never unions a b-carrying delta onto a b-less layout (which
+    * would throw).
+    *
+    * `attach` overwrites/creates the `b` column from the screen's
+    * JOIN KEY under a given modulus — b must be functional on the key
+    * so the restriction can never lose a match. */
+  private[graft] case class Prune(effN: Int, param: Int,
+      attach: (DataFrame, Int) => DataFrame) {
+    def on: Boolean = effN > 0
+    /** b under the CURRENT layout scheme (deltas, probe side). */
+    def withB(df: DataFrame): DataFrame =
+      if (on) attach(df, effN) else df
+    /** Restrict the standing read to the probe's bucket set —
+      * partition pruning on the base, a data filter on deltas. */
+    def restrict(standing: Option[DataFrame], probeWithB: DataFrame)
+        : Option[DataFrame] =
+      if (!on) standing
+      else standing.map { idx =>
+        val wanted = probeWithB.select("b").distinct()
+          .collect().map(_.getInt(0)).toSeq // <= probe rows, bounded
+        idx.filter(col("b").isin(wanted: _*))
+      }
+    /** Adopt `param` at compaction: re-derive b for every row (or
+      * drop it when turning pruning off). */
+    def adopt(df: DataFrame): DataFrame =
+      if (param > 0) attach(df, param)
+      else if (df.columns.contains("b")) df.drop("b")
+      else df
+  }
+
+  private[graft] def pruneFor(spark: SparkSession, idxDir: String, param: Int,
+      attach: (DataFrame, Int) => DataFrame): Prune = {
+    val layers = indexLayers(spark, idxDir)
+    val effN =
+      if (layers.isEmpty) param // fresh index: the param creates it
+      else layers.filter(_.isBase).lastOption
+        .flatMap(_.pruneN).getOrElse(0) // existing: the layout's truth
+    Prune(effN, param, attach)
+  }
+
   /** Exactly-once append of a micro-batch's NEW index rows into the
     * layered standing index at `baseDir`. A normal batch writes one
     * delta dir of exactly `fresh`; every `compactEvery`-th batch (and
@@ -410,7 +456,7 @@ object Ingest {
       batchId: Long, fresh: DataFrame, compactEvery: Int,
       compact: DataFrame => (DataFrame, Option[Int]) =
         df => (df, None),
-      partitionCol: Option[String] = None): Unit = {
+      pruneN: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(baseDir)
     val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -432,12 +478,19 @@ object Ingest {
           else standing.map(spark.read.parquet(_))
             .reduce(_.unionByName(_)).unionByName(fresh)
         val (compacted, planes) = compact(unioned)
-        val suffix = "b" + planes.map(p => s"_p$p").getOrElse("")
-        // only BASE layers are bucket-partitioned: a delta is one
-        // small batch (partitioning it would spray tiny files), and
-        // the data column it carries serves the post-union filter
+        // the base dir name carries BOTH layout generations: the ANN
+        // plane count (_p) and the prune-bucket modulus (_n) — each a
+        // property of the INDEX, not of the call, so restarts with a
+        // different parameter read the layout's truth and adopt the
+        // new parameter only here, at compaction (the only point that
+        // rewrites every row). Only BASE layers are bucket-partitioned:
+        // a delta is one small batch (partitioning it would spray tiny
+        // files), and the data column it carries serves the post-union
+        // filter.
+        val suffix = "b" + planes.map(p => s"_p$p").getOrElse("") +
+          (if (pruneN > 0) s"_n$pruneN" else "")
         promoteNamed(spark, baseDir, f"v_$batchId%020d$suffix",
-          compacted, partitionCol)
+          compacted, if (pruneN > 0) Some("b") else None)
         // compaction supersedes everything older; delete AFTER the
         // promote so a crash in between leaves a readable (stale but
         // complete) state that the next call self-heals
@@ -784,32 +837,20 @@ object Ingest {
         // one decode pass per batch, consumed by screen AND index build
         val hashes = graft.operators.Multimodal.dhashImages(batch)
           .toDF().localCheckpoint()
-        // b = hash(band key) mod N: the pruneBuckets read path (see
-        // startWebScreen) — a function of the band join key. NOTE:
-        // a band value's full posting lives in ONE bucket (b is
+        // b = hash(band key) mod N (see the Prune harness). NOTE: a
+        // band value's full posting lives in ONE bucket (b is
         // functional on the key), so the maxPosting hot-band counts
         // over the restricted read remain EXACT.
-        def bOf(i: org.apache.spark.sql.Column,
-            v: org.apache.spark.sql.Column) =
-          pmod(xxhash64(i, v), lit(pruneBuckets)).cast("int")
-        val freshBands0 = graft.operators.Dedup.codeBandIndex(
+        val prune = pruneFor(spark, idxDir, pruneBuckets, (df, n) =>
+          df.withColumn("b",
+            pmod(xxhash64(col("band_idx"), col("band_val")), lit(n))
+              .cast("int")))
+        val freshBands = prune.withB(graft.operators.Dedup.codeBandIndex(
           hashes.filter(col("dhash").isNotNull),
-          "doc_id", "dhash", bits, bandsCount)
-        val freshBands =
-          if (pruneBuckets > 0) freshBands0
-            .withColumn("b", bOf(col("band_idx"), col("band_val")))
-          else freshBands0
+          "doc_id", "dhash", bits, bandsCount))
         val standingAll = standingIndex(spark, idxDir)
-        val standing =
-          if (pruneBuckets > 0) standingAll.map { idx =>
-            val wanted = freshBands.select("b").distinct()
-              .collect().map(_.getInt(0)).toSeq // <= batch x bands
-            idx.filter(col("b").isin(wanted: _*))
-          } else standingAll
-        val seedFallback =
-          if (pruneBuckets > 0) seedIndex
-            .withColumn("b", bOf(col("band_idx"), col("band_val")))
-          else seedIndex
+        val standing = prune.restrict(standingAll, freshBands)
+        val seedFallback = prune.withB(seedIndex)
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.codeHammingScreen(
             hashes, "doc_id", "dhash", standing.getOrElse(seedFallback),
@@ -824,7 +865,8 @@ object Ingest {
           if (standingAll.isEmpty) seedFallback.unionByName(freshBands)
           else freshBands
         appendVersioned(spark, idxDir, batchId, init, compactEvery,
-          partitionCol = if (pruneBuckets > 0) Some("b") else None)
+          compact = u => (prune.adopt(u), None),
+          pruneN = pruneBuckets)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -882,24 +924,15 @@ object Ingest {
         // micro-batch-bounded, so the fence is a localCheckpoint
         val fresh = graft.operators.Dedup.embeddingLshIndex(
           batch, idCol, vecCol, planes).localCheckpoint()
-        // pruneBuckets > 0: partition the standing BASE by
-        // b = LSH bucket mod N and restrict each batch's standing
-        // read to its probes' bucket set (partition pruning on the
-        // base; b is a function of the join key, so every possible
-        // match survives). Rotation changes the LSH bucket, so the
-        // compaction below recomputes b alongside it.
-        def bOf(c: org.apache.spark.sql.Column) =
-          pmod(c, lit(pruneBuckets.toLong)).cast("int")
+        // b = LSH bucket mod N (see the Prune harness); rotation
+        // changes the bucket, so the compaction adoption below
+        // re-derives b AFTER the (possible) rotation
+        val prune = pruneFor(spark, idxDir, pruneBuckets, (df, n) =>
+          df.withColumn("b",
+            pmod(col("bucket"), lit(n.toLong)).cast("int")))
         val standingAll = standingIndex(spark, idxDir)
-        val standing =
-          if (pruneBuckets > 0) standingAll.map { idx =>
-            val wanted = fresh.select(bOf(col("bucket")).as("b"))
-              .distinct().collect().map(_.getInt(0)).toSeq // <= batch
-            idx.filter(col("b").isin(wanted: _*))
-          } else standingAll
-        val seedFallback =
-          if (pruneBuckets > 0) seedIndex.withColumn("b", bOf(col("bucket")))
-          else seedIndex
+        val standing = prune.restrict(standingAll, prune.withB(fresh))
+        val seedFallback = prune.withB(seedIndex)
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.embeddingLshScreenOnIndex(
             fresh, batch.select(col(idCol).as("vec_id")),
@@ -911,11 +944,7 @@ object Ingest {
         // they can never match (the screen's norm guard) and would
         // otherwise accumulate as permanent dead weight in the
         // standing index — the media screen's quarantine discipline
-        val freshRows0 = fresh.filter(col("norm") > 0)
-        val freshRows =
-          if (pruneBuckets > 0)
-            freshRows0.withColumn("b", bOf(col("bucket")))
-          else freshRows0
+        val freshRows = prune.withB(fresh.filter(col("norm") > 0))
         val init =
           if (standingAll.isEmpty) seedFallback.unionByName(freshRows)
           else freshRows
@@ -932,14 +961,11 @@ object Ingest {
                 unioned.withColumn("bucket",
                   graft.operators.Similarity.lshBucket(col("v"), next))
               else unioned
-            // b follows the (possibly rotated) bucket
-            val rebucketed =
-              if (pruneBuckets > 0)
-                rotated.withColumn("b", bOf(col("bucket")))
-              else rotated
-            (rebucketed, Some(next))
+            // adopt the prune parameter on the (possibly rotated)
+            // bucket — b must follow the NEW bucket function
+            (prune.adopt(rotated), Some(next))
           },
-          partitionCol = if (pruneBuckets > 0) Some("b") else None)
+          pruneN = pruneBuckets)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1008,29 +1034,20 @@ object Ingest {
           .select(col("doc_id"), col("keep").as("quality_keep"))
         val hashed = ext.select(col("doc_id"),
           md5(col("text")).as("content_hash"))
-        // pruneBuckets > 0: the standing BASE is partitioned by
-        // b = hash(content_hash) mod N, and each batch restricts the
-        // standing read to ITS OWN bucket set — parquet partition
-        // pruning then bounds the per-batch READ by the batch's
-        // bucket share of the index, not the whole index. b is a
-        // function of the join key, so every possible match survives
-        // the restriction. Size N well above the typical batch row
-        // count or the batch touches every bucket and nothing prunes.
-        def bOf(c: org.apache.spark.sql.Column) =
-          pmod(xxhash64(c), lit(pruneBuckets)).cast("int")
+        // b = hash(content_hash) mod N (see the Prune harness):
+        // partition the standing BASE by b and restrict each batch's
+        // read to ITS OWN bucket set — parquet partition pruning then
+        // bounds the per-batch READ by the batch's bucket share of
+        // the index, not the whole index. Size N well above the
+        // typical batch row count or the batch touches every bucket
+        // and nothing prunes.
+        val prune = pruneFor(spark, idxDir, pruneBuckets, (df, n) =>
+          df.withColumn("b",
+            pmod(xxhash64(col("content_hash")), lit(n)).cast("int")))
         val standingAll = standingIndex(spark, idxDir)
-        val batchMin0 = hashed.groupBy("content_hash")
-          .agg(min("doc_id").as("batch_min"))
-        val batchMin =
-          if (pruneBuckets > 0)
-            batchMin0.withColumn("b", bOf(col("content_hash")))
-          else batchMin0
-        val standing =
-          if (pruneBuckets > 0) standingAll.map { idx =>
-            val wanted = batchMin.select("b").distinct()
-              .collect().map(_.getInt(0)).toSeq // <= batch rows, bounded
-            idx.filter(col("b").isin(wanted: _*))
-          } else standingAll
+        val batchMin = prune.withB(hashed.groupBy("content_hash")
+          .agg(min("doc_id").as("batch_min")))
+        val standing = prune.restrict(standingAll, batchMin)
         // `novel` marks hashes the standing index had not seen — they
         // and ONLY they go into this batch's index delta, which keeps
         // the layers disjoint (union-exact) and delta size O(batch).
@@ -1042,30 +1059,28 @@ object Ingest {
         // against the (checkpointed, batch-bounded) match set.
         val resolved = (standing match {
           case Some(idx) =>
-            val probeSide = batchMin.select(
-              col("content_hash") +: (if (pruneBuckets > 0)
-                Seq(col("b")) else Seq.empty): _*)
+            val bCols = if (prune.on) Seq(col("b")) else Seq.empty
+            val probeSide = batchMin.select(col("content_hash") +: bCols: _*)
             val probe = if (broadcastProbe) broadcast(probeSide)
               else probeSide
             val joinKeys = "content_hash" +:
-              (if (pruneBuckets > 0) Seq("b") else Seq.empty)
+              (if (prune.on) Seq("b") else Seq.empty)
             val seen = idx.withColumnRenamed("canonical", "standing")
               .join(probe, joinKeys)
               .localCheckpoint() // one index scan; read by both legs
-            seen.select(col("content_hash") +: col("standing").as("canonical") +:
-                lit(false).as("novel") +: (if (pruneBuckets > 0)
-                  Seq(col("b")) else Seq.empty): _*)
+            seen.select(col("content_hash") +:
+                col("standing").as("canonical") +:
+                lit(false).as("novel") +: bCols: _*)
               .unionByName(batchMin
                 .join(seen.select("content_hash"),
                   Seq("content_hash"), "left_anti")
                 .select(col("content_hash") +:
                   col("batch_min").as("canonical") +:
-                  lit(true).as("novel") +: (if (pruneBuckets > 0)
-                    Seq(col("b")) else Seq.empty): _*))
+                  lit(true).as("novel") +: bCols: _*))
           case None => batchMin
             .select(col("content_hash") +:
               col("batch_min").as("canonical") +:
-              lit(true).as("novel") +: (if (pruneBuckets > 0)
+              lit(true).as("novel") +: (if (prune.on)
                 Seq(col("b")) else Seq.empty): _*)
         }).localCheckpoint() // one resolve pass: decisions leg + delta leg
         writeVersionedOnce(spark, outDir, batchId) {
@@ -1082,15 +1097,15 @@ object Ingest {
           resolved.filter(col("novel")).drop("novel"), compactEvery,
           // defensive min-merge at compaction: layers are disjoint by
           // construction, so this is a no-op that self-heals any
-          // duplicate a future edge case might introduce (b rides
-          // along as a grouping key — it is functional on the hash)
+          // duplicate a future edge case might introduce. The prune
+          // parameter is ADOPTED here (b re-derived from the hash
+          // after the merge — functional on the grouping key).
           compact = u => {
-            val keys = "content_hash" +:
-              (if (pruneBuckets > 0) Seq("b") else Seq.empty)
-            (u.groupBy(keys.map(col): _*)
-              .agg(min("canonical").as("canonical")), None)
+            val merged = u.groupBy("content_hash")
+              .agg(min("canonical").as("canonical"))
+            (prune.adopt(merged), None)
           },
-          partitionCol = if (pruneBuckets > 0) Some("b") else None)
+          pruneN = pruneBuckets)
         ()
       }
       .option("checkpointLocation", checkpointDir)

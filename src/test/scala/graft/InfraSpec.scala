@@ -1506,6 +1506,62 @@ class InfraSpec extends SparkTestBase {
       s"dhash screen: ${shuffles(cB)} !< ${shuffles(cS)}")
   }
 
+  test("prune lifecycle: N is the LAYOUT's property -- parameter " +
+    "changes (off->on, resize, on->off) adopt at compaction, never " +
+    "mid-layout") {
+    import graft.streaming.Ingest
+    val dir = Files.createTempDirectory("prune-life").toFile.getAbsolutePath
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), (col("id") * 5).as("payload"))
+    val attach = (df: org.apache.spark.sql.DataFrame, n: Int) =>
+      df.withColumn("b", pmod(xxhash64(col("id")), lit(n)).cast("int"))
+
+    // an EXISTING unpruned index (base without the _n tag)
+    Ingest.appendVersioned(spark, dir, 0L, rows(0, 100), 2)
+    assert(Ingest.standingIndexPruneN(spark, dir).isEmpty)
+
+    // restart with param=8: the effective N stays 0 (the layout's
+    // truth) -- no b column is computed, filtered, or unioned, so the
+    // pre-pruning index neither crashes nor silently drops matches
+    val pr1 = Ingest.pruneFor(spark, dir, 8, attach)
+    assert(pr1.effN == 0 && !pr1.on)
+    Ingest.appendVersioned(spark, dir, 1L, pr1.withB(rows(100, 110)), 2,
+      compact = u => (pr1.adopt(u), None), pruneN = 8)
+    assert(Ingest.standingIndex(spark, dir).get.columns.toSeq
+      == Seq("id", "payload"), "delta grew a b column mid-layout")
+
+    // batch 2 compacts: the parameter is ADOPTED -- base tagged _n8,
+    // bucket-partitioned, b derived for every row
+    val pr2 = Ingest.pruneFor(spark, dir, 8, attach)
+    Ingest.appendVersioned(spark, dir, 2L, pr2.withB(rows(110, 120)), 2,
+      compact = u => (pr2.adopt(u), None), pruneN = 8)
+    assert(Ingest.standingIndexPruneN(spark, dir).contains(8))
+    val pruned = Ingest.standingIndex(spark, dir).get
+    assert(pruned.count() == 120 && pruned.columns.contains("b"))
+
+    // post-adoption batches read the tag and prune; restriction to
+    // the probe's bucket set keeps every joinable row
+    val pr3 = Ingest.pruneFor(spark, dir, 8, attach)
+    assert(pr3.effN == 8 && pr3.on)
+    val probe = pr3.withB(rows(0, 5)) // ids 0-4 exist in the index
+    val restricted = pr3.restrict(Some(pruned), probe).get
+    val hit = restricted.join(probe.select("id", "b"), Seq("id", "b"))
+    assert(hit.count() == 5, "restriction lost a true match")
+
+    // turning pruning OFF (param=0) also adopts at compaction: the
+    // tag and the b column disappear, rows intact
+    val pr4 = Ingest.pruneFor(spark, dir, 0, attach)
+    assert(pr4.effN == 8, "pruning must stay on until compaction")
+    Ingest.appendVersioned(spark, dir, 3L, pr4.withB(rows(120, 130)), 2,
+      compact = u => (pr4.adopt(u), None), pruneN = 0)
+    val pr5 = Ingest.pruneFor(spark, dir, 0, attach)
+    Ingest.appendVersioned(spark, dir, 4L, pr5.withB(rows(130, 140)), 2,
+      compact = u => (pr5.adopt(u), None), pruneN = 0)
+    assert(Ingest.standingIndexPruneN(spark, dir).isEmpty)
+    val off = Ingest.standingIndex(spark, dir).get
+    assert(off.count() == 140 && !off.columns.contains("b"))
+  }
+
   test("pruneBuckets: bucket-partitioned standing base, per-batch " +
     "read restricted to the batch's bucket set (partition pruning), " +
     "decisions unchanged") {
@@ -1550,7 +1606,7 @@ class InfraSpec extends SparkTestBase {
 
     // the compacted base is partitioned by b: its dir has b=<v> subdirs
     val baseDir = new java.io.File(idxDir).listFiles()
-      .filter(_.getName.endsWith("b")).head
+      .filter(_.getName.matches("""v_\d{20}b(_p\d+)?(_n\d+)?""")).head
     val bDirs = baseDir.listFiles().filter(_.getName.startsWith("b="))
     assert(bDirs.length > 1, s"base not bucket-partitioned: " +
       baseDir.listFiles().map(_.getName).mkString(", "))

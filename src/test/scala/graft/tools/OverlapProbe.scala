@@ -40,17 +40,22 @@ import graft.operators.Dedup
 object OverlapProbe {
   def main(args: Array[String]): Unit = {
     val which = if (args.isEmpty) Set("all") else args.toSet
-    def haveCorpus(dirs: String*): Boolean = dirs.forall(d =>
-      new java.io.File(s"$d/documents.parquet").exists() ||
-        new java.io.File(s"$d/embeddings.parquet").exists())
+    // each (dir, file) names the table the leg actually READS — an
+    // OR over file types would pass the guard on documents and still
+    // crash an embeddings leg mid-run (round-13 review find)
     def want(k: String) = which.contains("all") || which.contains(k)
-    def wantWith(k: String, dirs: String*): Boolean = {
+    def wantWith(k: String, needs: (String, String)*): Boolean = {
       val w = want(k)
-      val have = haveCorpus(dirs: _*)
-      if (w && !have) println(s"[ov] SKIP $k: missing corpus in " +
-        dirs.mkString(", ") + " (run GenScale first)")
-      w && have
+      val missing = needs.filterNot { case (d, f) =>
+        new java.io.File(s"$d/$f").exists() }
+      if (w && missing.nonEmpty)
+        println(s"[ov] SKIP $k: missing " + missing.map {
+          case (d, f) => s"$d/$f" }.mkString(", ") +
+          " (run GenScale first)")
+      w && missing.isEmpty
     }
+    def docsIn(dirs: String*) = dirs.map(_ -> "documents.parquet")
+    def embIn(dirs: String*) = dirs.map(_ -> "embeddings.parquet")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -73,7 +78,7 @@ object OverlapProbe {
     val (small, mid, sf1, sf10) = ("target/ov/small", "target/ov/mid",
       "target/ov/sf1", "target/ov/sf10")
 
-    if (wantWith("jppv", small, mid)) {
+    if (wantWith("jppv", docsIn(small, mid): _*)) {
       // value-ordered melt demo: ONE decade only (the sf1 run would be
       // the 10^9-candidate block this probe exists to demonstrate)
       // dfOrdered = false EXPLICITLY: the round-12 default flip made
@@ -89,7 +94,7 @@ object OverlapProbe {
           3, 0.5, dfOrdered = false)
       }
     }
-    if (wantWith("jppdf", mid, sf1, sf10)) {
+    if (wantWith("jppdf", docsIn(mid, sf1, sf10): _*)) {
       timed("jpp df-ordered ov-mid") {
         Dedup.ngramJaccardPrefixPairs(docs(mid), "doc_id", "text",
           3, 0.5, dfOrdered = true)
@@ -103,7 +108,7 @@ object OverlapProbe {
           3, 0.5, dfOrdered = true)
       }
     }
-    if (wantWith("cpp", small, mid, sf1, sf10)) {
+    if (wantWith("cpp", docsIn(small, mid, sf1, sf10): _*)) {
       timed("cpp value-ordered ov-small") {
         Dedup.containmentPrefixPairs(docs(small), "doc_id", "text",
           3, 0.6, dfOrdered = false)
@@ -125,7 +130,7 @@ object OverlapProbe {
           3, 0.6, dfOrdered = true)
       }
     }
-    if (wantWith("band", mid, sf1, sf10)) {
+    if (wantWith("band", docsIn(mid, sf1, sf10): _*)) {
       // UNCAPPED melted at exp 2.0/decade (4.5 -> 538 s, recorded in
       // SCALE.md): boilerplate-dominated docs share band keys across
       // every shard, so bucket occupancy grows ∝ n. The declared
@@ -138,7 +143,7 @@ object OverlapProbe {
             maxBucket = 256)
         }
     }
-    if (wantWith("graph", mid, sf1, sf10)) {
+    if (wantWith("graph", docsIn(mid, sf1, sf10): _*)) {
       // the iterative graph loops: generators are probed, the LOOPS
       // (rounds x durable-stage I/O, pointer-jumping convergence on
       // boilerplate-dense components) were not (VERDICT r12 #2)
@@ -154,7 +159,7 @@ object OverlapProbe {
           timed(s"$qn @$label")(q.run(spark, dir))
       }
     }
-    if (wantWith("dbscan", "/root/repo/target/sf1", "/root/repo/target/sf10")) {
+    if (wantWith("dbscan", embIn("/root/repo/target/sf1", "/root/repo/target/sf10"): _*)) {
       // DBSCAN loops run over embeddings (the ov corpus has none);
       // the standard shards grow embeddings with sf, which is the
       // rounds-x-stage-I/O axis these loops were never probed on
@@ -178,7 +183,7 @@ object OverlapProbe {
           timed(s"$qn @$label")(q.run(spark, dir))
       }
     }
-    if (wantWith("gated", mid, sf1, sf10)) {
+    if (wantWith("gated", docsIn(mid, sf1, sf10): _*)) {
       // the declared boilerplate-gated containment chain on the ov
       // corpus: the C4 gate strips the shared tail BEFORE pairing --
       // this is the <0.5/decade operating shape the cpp adjudication
@@ -188,7 +193,7 @@ object OverlapProbe {
           "ov-sf10" -> sf10))
         timed(s"qS0_gated_containment @$label")(q.run(spark, dir))
     }
-    if (wantWith("gatedov", "target/ovl/mid", "target/ovl/sf1", "target/ovl/sf10")) {
+    if (wantWith("gatedov", docsIn("target/ovl/mid", "target/ovl/sf1", "target/ovl/sf10"): _*)) {
       // the SAME gate -> containment composition as qS0, run directly
       // on the line-structured ovl corpora (GenScale ovl: boilerplate
       // tail on its own unterminated line, the separable web shape the
@@ -232,7 +237,7 @@ object OverlapProbe {
       }
       System.clearProperty("graft.dedup.valueOrder")
     }
-    if (wantWith("screens", mid, sf1, sf10, "/root/repo/target/sf1", "/root/repo/target/sf10")) {
+    if (wantWith("screens", (docsIn(mid, sf1, sf10) ++ embIn("/root/repo/target/sf1", "/root/repo/target/sf10")): _*)) {
       // end-to-end micro-batch cost of the streaming screens against
       // decade-scale standing indexes: the CORPUS arrives first (one
       // batch per part file under maxFilesPerTrigger=1 — at ov-sf10

@@ -371,14 +371,18 @@ object Ingest {
   def standingIndex(spark: SparkSession, dir: String): Option[DataFrame] = {
     val live = liveLayers(spark, dir)
     if (live.isEmpty) None
-    else Some(live.map(l => spark.read.parquet(l.path.toString))
-      .reduce(_.unionByName(_)))
-    // per-layer reads unioned BY NAME (not one multi-path read): a
-    // bucket-partitioned base stores its partition column in the
-    // directory names while deltas carry it as data — one multi-path
-    // read cannot mix the two layouts, and the union lets a bucket
-    // filter above it push into each leg, where the base leg becomes
-    // a PARTITION-PRUNED scan (the pruneBuckets read path)
+    else if (live.exists(l => l.isBase && l.pruneN.isDefined))
+      // bucket-pruned layout: the base stores its partition column in
+      // the directory names while deltas carry it as data — one
+      // multi-path read cannot mix the two, so read per layer and
+      // union BY NAME; a bucket filter above pushes into each leg,
+      // where the base leg becomes a PARTITION-PRUNED scan
+      Some(live.map(l => spark.read.parquet(l.path.toString))
+        .reduce(_.unionByName(_)))
+    else
+      // unpruned layout: one multi-path scan relation (same plan
+      // shape the round-13 screens probe measured)
+      Some(spark.read.parquet(live.map(_.path.toString): _*))
   }
 
   /** The planes tag recorded on the latest base layer (the ANN

@@ -161,8 +161,10 @@ object Ingest {
           if (standingAll.isEmpty) seedFallback.unionByName(freshBands)
           else freshBands
         appendVersioned(spark, idxDir, batchId, init, compactEvery,
-          compact = u => (prune.adopt(u), None),
-          pruneN = pruneBuckets)
+          compact = u => {
+            val (adopted, n) = prune.adoptN(u, u.count())
+            (adopted, None, n)
+          })
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -396,19 +398,55 @@ object Ingest {
       dir: String): Option[Int] =
     indexLayers(spark, dir).filter(_.isBase).lastOption.flatMap(_.pruneN)
 
+  /** `pruneBuckets` sentinel: derive N at each compaction from the
+    * index's own row count (next power of two of
+    * rows / [[AutoPruneTargetRows]], clamped to [16, 2^16]) instead of
+    * a hand-picked constant — the 100 TB read bound should not depend
+    * on the operator guessing the index's eventual size. The derived N
+    * is tagged on the base dir exactly like a manual N, and a resize
+    * adopts at compaction through the same lifecycle. */
+  val AutoPrune: Int = -1
+
+  /** Target rows per prune bucket under [[AutoPrune]]: small enough
+    * that a micro-batch's bucket share is a small fraction of the
+    * index, large enough that base partitions are not a tiny-file
+    * spray (4096 rows of band/hash entries per parquet partition). */
+  private[graft] val AutoPruneTargetRows = 4096L
+
+  /** Upper clamp on any prune modulus (manual or auto): past 2^16
+    * partition dirs the filesystem metadata cost dominates whatever
+    * the extra pruning saves. */
+  private[graft] val MaxPruneN = 1 << 16
+
+  /** Buckets past which a batch's restriction is NOT applied: the
+    * bucket set is collected to the driver (bounded by this, never by
+    * N or the batch), and a batch touching this many buckets reads
+    * ~the whole index under any restriction, so the fallback to the
+    * unrestricted standing read costs nothing (ADVICE r13: no
+    * unbounded driver materialization on the trigger path). */
+  private[graft] val MaxRestrictBuckets = 4096
+
+  private[graft] def autoPruneN(rows: Long): Int = {
+    val want = math.max(16L, rows / AutoPruneTargetRows)
+    // next power of two >= want (powers of two keep pmod cheap and
+    // make resize ratios clean in the layout tags)
+    val p2 = java.lang.Long.highestOneBit(want * 2 - 1)
+    math.min(MaxPruneN.toLong, p2).toInt
+  }
+
   /** Bucket-pruning harness shared by the four screens (one
     * implementation of the effective-N/restrict/delta/adopt
     * invariants). The EFFECTIVE modulus for a batch is the LAYOUT's
     * `_n` tag — pruning is a property of the index, not of the call:
-    * a restart with a different `param` (including 0, or against a
-    * pre-pruning/legacy index with no `b` column) keeps reading and
-    * writing under the layout's current scheme and ADOPTS the new
-    * parameter at the next compaction, the only point that rewrites
-    * every row. This is what makes N changes and on/off toggles safe:
-    * a batch never computes `b` under one modulus and filters a base
-    * written under another (which would silently drop true matches),
-    * and never unions a b-carrying delta onto a b-less layout (which
-    * would throw).
+    * a restart with a different `param` (including 0, [[AutoPrune]],
+    * or against a pre-pruning/legacy index with no `b` column) keeps
+    * reading and writing under the layout's current scheme and ADOPTS
+    * the new parameter at the next compaction, the only point that
+    * rewrites every row. This is what makes N changes and on/off
+    * toggles safe: a batch never computes `b` under one modulus and
+    * filters a base written under another (which would silently drop
+    * true matches), and never unions a b-carrying delta onto a b-less
+    * layout (which would throw).
     *
     * `attach` overwrites/creates the `b` column from the screen's
     * JOIN KEY under a given modulus — b must be functional on the key
@@ -420,28 +458,46 @@ object Ingest {
     def withB(df: DataFrame): DataFrame =
       if (on) attach(df, effN) else df
     /** Restrict the standing read to the probe's bucket set —
-      * partition pruning on the base, a data filter on deltas. */
+      * partition pruning on the base, a data filter on deltas.
+      * The collect is bounded by [[MaxRestrictBuckets]] (the limit
+      * pushes into the distinct, so the driver never materializes
+      * more); a batch touching more buckets than that falls back to
+      * the unrestricted read, which it was going to pay anyway. */
     def restrict(standing: Option[DataFrame], probeWithB: DataFrame)
         : Option[DataFrame] =
       if (!on) standing
       else standing.map { idx =>
         val wanted = probeWithB.select("b").distinct()
-          .collect().map(_.getInt(0)).toSeq // <= probe rows, bounded
-        idx.filter(col("b").isin(wanted: _*))
+          .limit(MaxRestrictBuckets + 1)
+          .collect().map(_.getInt(0)).toSeq
+        if (wanted.size > MaxRestrictBuckets) idx
+        else idx.filter(col("b").isin(wanted: _*))
       }
     /** Adopt `param` at compaction: re-derive b for every row (or
-      * drop it when turning pruning off). */
-    def adopt(df: DataFrame): DataFrame =
-      if (param > 0) attach(df, param)
-      else if (df.columns.contains("b")) df.drop("b")
-      else df
+      * drop it when turning pruning off), resolving [[AutoPrune]]
+      * against `rows` (by-name — the count is only evaluated when the
+      * param IS auto; the ANN screen passes its already-computed
+      * rotation count). Returns the frame and the adopted N for the
+      * base dir's `_n` tag. */
+    def adoptN(df: DataFrame, rows: => Long): (DataFrame, Int) = {
+      val n =
+        if (param == AutoPrune) autoPruneN(rows)
+        else math.min(param, MaxPruneN)
+      val out =
+        if (n > 0) attach(df, n)
+        else if (df.columns.contains("b")) df.drop("b")
+        else df
+      (out, n)
+    }
   }
 
   private[graft] def pruneFor(spark: SparkSession, idxDir: String, param: Int,
       attach: (DataFrame, Int) => DataFrame): Prune = {
     val layers = indexLayers(spark, idxDir)
     val effN =
-      if (layers.isEmpty) param // fresh index: the param creates it
+      if (layers.isEmpty) math.max(param, 0) // fresh index: the param
+        // creates it (auto resolves at the seeding compaction, so the
+        // very first batch computes no b — the seed base adopts one)
       else layers.filter(_.isBase).lastOption
         .flatMap(_.pruneN).getOrElse(0) // existing: the layout's truth
     Prune(effN, param, attach)
@@ -449,18 +505,31 @@ object Ingest {
 
   /** Exactly-once append of a micro-batch's NEW index rows into the
     * layered standing index at `baseDir`. A normal batch writes one
-    * delta dir of exactly `fresh`; every `compactEvery`-th batch (and
-    * the first, which seeds the base) compacts base+deltas+fresh
-    * through `compact`, which may rewrite rows (e.g. the ANN rotation
-    * re-buckets) and returns an optional planes tag for the base dir
-    * name. Replayed batches append nothing; stale pre-base layers are
+    * delta dir of exactly `fresh` — unless `fresh` is EMPTY (an
+    * all-duplicate web batch, an all-undecodable media batch), which
+    * writes nothing: an empty delta would consume a layer toward
+    * `compactEvery` and trigger needless full compactions on
+    * idle/duplicate-heavy streams, and replay stays safe because a
+    * replayed empty batch recomputes an identical empty delta and
+    * skips again (ADVICE r13). Every `compactEvery`-th batch (and the
+    * first, which seeds the base) compacts base+deltas+fresh through
+    * `compact`, which may rewrite rows (e.g. the ANN rotation
+    * re-buckets) and returns the planes tag and the ADOPTED
+    * prune-bucket modulus for the base dir name (0 = unpruned; the
+    * modulus is a compact-time result, not a parameter, so
+    * [[AutoPrune]] sizing can derive it from the compacted count).
+    * Replayed batches append nothing; stale pre-base layers are
     * self-healed on every call.
+    *
+    * Returns `Some(batchId)` iff THIS call promoted a new base
+    * (callers hang compaction-time artifacts — e.g. the media
+    * screen's hot-band stats — off that signal); `None` for delta
+    * appends and replays.
     */
   private[graft] def appendVersioned(spark: SparkSession, baseDir: String,
       batchId: Long, fresh: DataFrame, compactEvery: Int,
-      compact: DataFrame => (DataFrame, Option[Int]) =
-        df => (df, None),
-      pruneN: Int = 0): Unit = {
+      compact: DataFrame => (DataFrame, Option[Int], Int) =
+        df => (df, None, 0)): Option[Long] = {
     import org.apache.hadoop.fs.Path
     val base = new Path(baseDir)
     val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -470,7 +539,7 @@ object Ingest {
       latestBase.foreach(b => ls.filter(_.batchId < b.batchId)
         .foreach(l => fsys.delete(l.path, true)))
     }
-    if (layers.exists(_.batchId == batchId)) selfHeal(layers) // replay
+    if (layers.exists(_.batchId == batchId)) { selfHeal(layers); None }
     else {
       val baseOpt = layers.filter(_.isBase).lastOption
       val deltas = layers.filter(l =>
@@ -481,7 +550,7 @@ object Ingest {
           if (standing.isEmpty) fresh
           else standing.map(spark.read.parquet(_))
             .reduce(_.unionByName(_)).unionByName(fresh)
-        val (compacted, planes) = compact(unioned)
+        val (compacted, planes, pruneN) = compact(unioned)
         // the base dir name carries BOTH layout generations: the ANN
         // plane count (_p) and the prune-bucket modulus (_n) — each a
         // property of the INDEX, not of the call, so restarts with a
@@ -499,9 +568,12 @@ object Ingest {
         // promote so a crash in between leaves a readable (stale but
         // complete) state that the next call self-heals
         layers.foreach(l => fsys.delete(l.path, true))
+        Some(batchId)
       } else {
         selfHeal(layers)
-        promoteNamed(spark, baseDir, f"v_$batchId%020dd", fresh)
+        if (!fresh.isEmpty)
+          promoteNamed(spark, baseDir, f"v_$batchId%020dd", fresh)
+        None
       }
     }
   }
@@ -869,8 +941,10 @@ object Ingest {
           if (standingAll.isEmpty) seedFallback.unionByName(freshBands)
           else freshBands
         appendVersioned(spark, idxDir, batchId, init, compactEvery,
-          compact = u => (prune.adopt(u), None),
-          pruneN = pruneBuckets)
+          compact = u => {
+            val (adopted, n) = prune.adoptN(u, u.count())
+            (adopted, None, n)
+          })
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -966,10 +1040,11 @@ object Ingest {
                   graft.operators.Similarity.lshBucket(col("v"), next))
               else unioned
             // adopt the prune parameter on the (possibly rotated)
-            // bucket — b must follow the NEW bucket function
-            (prune.adopt(rotated), Some(next))
-          },
-          pruneN = pruneBuckets)
+            // bucket — b must follow the NEW bucket function; the
+            // rotation count doubles as the AutoPrune sizing input
+            val (adopted, nAdopt) = prune.adoptN(rotated, n)
+            (adopted, Some(next), nAdopt)
+          })
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1044,13 +1119,20 @@ object Ingest {
         // bounds the per-batch READ by the batch's bucket share of
         // the index, not the whole index. Size N well above the
         // typical batch row count or the batch touches every bucket
-        // and nothing prunes.
+        // and nothing prunes — or pass [[AutoPrune]] and let each
+        // compaction derive N from the index's own row count.
         val prune = pruneFor(spark, idxDir, pruneBuckets, (df, n) =>
           df.withColumn("b",
             pmod(xxhash64(col("content_hash")), lit(n)).cast("int")))
         val standingAll = standingIndex(spark, idxDir)
+        // fenced (micro-batch-bounded: <= |batch| distinct hashes):
+        // consumed by the restrict bucket-set collect, the probe join,
+        // and the novel-hash anti-join leg — without the fence the
+        // md5+groupBy pass re-executes per consumer, and the restrict
+        // collect becomes an extra full hash pass per trigger
+        // (ADVICE r13)
         val batchMin = prune.withB(hashed.groupBy("content_hash")
-          .agg(min("doc_id").as("batch_min")))
+          .agg(min("doc_id").as("batch_min"))).localCheckpoint()
         val standing = prune.restrict(standingAll, batchMin)
         // `novel` marks hashes the standing index had not seen — they
         // and ONLY they go into this batch's index delta, which keeps
@@ -1107,9 +1189,9 @@ object Ingest {
           compact = u => {
             val merged = u.groupBy("content_hash")
               .agg(min("canonical").as("canonical"))
-            (prune.adopt(merged), None)
-          },
-          pruneN = pruneBuckets)
+            val (adopted, n) = prune.adoptN(merged, merged.count())
+            (adopted, None, n)
+          })
         ()
       }
       .option("checkpointLocation", checkpointDir)

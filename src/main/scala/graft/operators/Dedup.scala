@@ -825,6 +825,16 @@ object Dedup {
     * never capped — its batches are small by construction); same
     * graceful-recall contract as [[codeHammingPairs]].
     *
+    * `hotBands` lets a caller that ALREADY KNOWS the over-cap band
+    * values (the streaming media screen, which maintains per-band
+    * counts as a compaction artifact — `Ingest.hotBandList`) pass the
+    * exclusion list directly: the per-call [[dropHotBands]] index
+    * aggregation is skipped, so the index is scanned exactly once.
+    * The caller owns exactness — the list must equal what
+    * [[dropHotBands]] would derive over `index` at `maxPosting`
+    * (Ingest's artifact is exact by construction: base counts at
+    * compaction + live delta counts per trigger).
+    *
     * Output: one row per NEW doc — doc_id, is_dup, match_id (the
     * nearest in-range indexed doc: min hamming, min id tie-break;
     * null when none), hamming (null when none).
@@ -832,7 +842,8 @@ object Dedup {
   def codeHammingScreen(newCodes: DataFrame, idCol: String,
       codeCol: String, index: DataFrame, bits: Int, maxHamming: Int,
       bandsCount: Int, maxPosting: Int = 0,
-      broadcastProbe: Boolean = false): DataFrame = {
+      broadcastProbe: Boolean = false,
+      hotBands: Option[DataFrame] = None): DataFrame = {
     require(maxHamming < bandsCount, "need maxHamming < bands (pigeonhole)")
     require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
     // 16-byte rows, consumed by the band probe AND the final left join
@@ -842,7 +853,12 @@ object Dedup {
     val nbands = codeBandIndex(newSh, "doc_id", "code", bits, bandsCount)
       .select(col("doc_id").as("nid"), col("code").as("nc"),
         col("band_idx"), col("band_val"))
-    val idx = dropHotBands(index, maxPosting)
+    val idx = (hotBands match {
+      case Some(h) => index.join(
+        broadcast(h.select("band_idx", "band_val")),
+        Seq("band_idx", "band_val"), "left_anti")
+      case None => dropHotBands(index, maxPosting)
+    })
       .select(col("doc_id").as("oid"), col("code").as("oc"),
         col("band_idx"), col("band_val"))
     // broadcastProbe: the streaming screens' shape — the probe side is
@@ -850,12 +866,10 @@ object Dedup {
     // makes the PROBE JOIN scan-only over the corpus-scale index (no
     // index shuffle per batch — the difference between reading 32 GB
     // and moving it across the cluster, every trigger, forever).
-    // HONESTY: with maxPosting > 0 the dropHotBands pass above still
-    // aggregates the index once per call — map-side combined, so its
-    // exchange carries only the distinct (band_idx, band_val) counts,
-    // but it is a second index SCAN; hoisting the hot-band list to
-    // compaction time is the known follow-up for screens that pass a
-    // cap.
+    // With maxPosting > 0 and no precomputed `hotBands`, the
+    // dropHotBands pass above aggregates the index once per call — a
+    // second index scan; the streaming screen avoids it by passing
+    // the compaction-time artifact.
     val cand = (if (broadcastProbe) broadcast(nbands)
         else nbands.hint("shuffle_hash"))
       .join(if (broadcastProbe) idx else idx.hint("shuffle_hash"),

@@ -423,6 +423,120 @@ object Ingest {
       dir: String): Option[Int] =
     indexLayers(spark, dir).filter(_.isBase).lastOption.flatMap(_.pruneN)
 
+  // ------------------------------------------------------------------
+  // Hot-band stats sidecar — the compaction-time artifact that lets a
+  // CAPPED media screen (maxPosting > 0) build its per-trigger
+  // hot-band exclusion list without re-aggregating the standing index
+  // (ADVICE/VERDICT r13: dropHotBands per call was a second full index
+  // scan on the hot path).
+  //
+  //   idxDir/v_<baseId>s_c<cap> — per-band counts of the base layer
+  //     with that id, computed under that cap, partitioned by
+  //     (hot = n > cap, sb = hash(band) mod StatsBuckets)
+  //
+  // Per trigger the EXACT hot set over base+deltas is then:
+  //   hot(base) ∪ { band ∈ deltas : n_base(band) + n_delta(band) > cap }
+  // which reads the hot=true partitions (tiny), the sb partitions the
+  // DELTA bands hash into (partition-pruned — the cold counts are
+  // index-order, but a trigger touches only its deltas' share), and
+  // the delta layers themselves (O(compactEvery x batch)). Bit-equal
+  // to the per-call aggregation by construction: base counts are
+  // exact at compaction, deltas are pure additions, and under
+  // pruneBuckets a band's full posting lives in one bucket so
+  // restricted-read counts match global counts for every band the
+  // restricted read contains.
+  //
+  // Lifecycle: written right after a compaction promotes its base;
+  // the name is invisible to [[indexLayers]] (neither base, delta,
+  // nor legacy), so layer logic never reads it. A sidecar for an
+  // older base or a different cap is superseded and deleted by
+  // [[ensureBandStats]]; a missing sidecar (crash between base
+  // promote and sidecar write, a pre-feature index, a cap change)
+  // self-heals with one O(index) aggregation — the cost the per-call
+  // path paid EVERY trigger.
+  // ------------------------------------------------------------------
+
+  /** Modulus for the sidecar's `sb` partition column. */
+  private[graft] val StatsBuckets = 256
+
+  private val StatsRe = """v_(\d{20})s_c(\d+)""".r
+
+  /** Ensure the hot-band stats sidecar for the CURRENT base layer and
+    * cap exists (write it if missing, delete superseded ones); None
+    * when the index has no base layer yet. */
+  private[graft] def ensureBandStats(spark: SparkSession, idxDir: String,
+      cap: Int): Option[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val baseOpt = indexLayers(spark, idxDir).filter(_.isBase).lastOption
+    baseOpt.map { b =>
+      val name = f"v_${b.batchId}%020ds_c$cap"
+      val dirPath = new Path(idxDir)
+      val fsys = dirPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // superseded sidecars: another base id or another cap
+      versionPaths(spark, idxDir)
+        .filter(p => StatsRe.pattern.matcher(p.getName).matches()
+          && p.getName != name)
+        .foreach(p => fsys.delete(p, true))
+      val target = new Path(dirPath, name)
+      if (!fsys.exists(target)) {
+        val stats = spark.read.parquet(b.path.toString)
+          .groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("n"))
+          // int flag, not boolean: partition-column type inference on
+          // read-back only covers numeric/date/string
+          .withColumn("hot", (col("n") > cap).cast("int"))
+          .withColumn("sb",
+            pmod(xxhash64(col("band_idx"), col("band_val")),
+              lit(StatsBuckets)).cast("int"))
+        promoteNamed(spark, idxDir, name, stats, Seq("hot", "sb"))
+      }
+      target
+    }
+  }
+
+  /** The EXACT hot-band exclusion list (band_idx, band_val with
+    * posting count > cap over base+deltas) for a capped screen's
+    * current trigger, derived from the sidecar + the live delta
+    * layers — never a scan of the base band rows (the screen join is
+    * then the trigger's ONLY index scan). None before the first base
+    * commit (the caller falls back to the per-call aggregation over
+    * its seed fallback). */
+  private[graft] def hotBandList(spark: SparkSession, idxDir: String,
+      cap: Int): Option[DataFrame] =
+    ensureBandStats(spark, idxDir, cap).map { statsPath =>
+      val stats = spark.read.parquet(statsPath.toString)
+      val baseHot = stats.filter(col("hot") === 1)
+        .select("band_idx", "band_val")
+      val layers = indexLayers(spark, idxDir)
+      val baseId = layers.filter(_.isBase).last.batchId
+      val deltas = layers.filter(l => !l.isBase && l.batchId > baseId)
+      if (deltas.isEmpty) baseHot
+      else {
+        // micro-batch-bounded fence (<= compactEvery x batch band
+        // rows aggregated to distinct bands): consumed by the sb-set
+        // collect AND the cold-count join below
+        val dCounts = spark.read
+          .parquet(deltas.map(_.path.toString): _*)
+          .groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("dn"))
+          .withColumn("sb",
+            pmod(xxhash64(col("band_idx"), col("band_val")),
+              lit(StatsBuckets)).cast("int"))
+          .localCheckpoint()
+        val sbSet = dCounts.select("sb").distinct()
+          .collect().map(_.getInt(0)).toSeq // <= StatsBuckets ints
+        val cold = stats.filter(col("hot") === 0 &&
+          col("sb").isin(sbSet: _*))
+          .select("band_idx", "band_val", "n")
+        val newHot = dCounts
+          .join(cold, Seq("band_idx", "band_val"), "left")
+          .filter(col("dn") + coalesce(col("n"), lit(0L)) > cap)
+          .select("band_idx", "band_val")
+        baseHot.unionByName(newHot)
+      }
+    }
+
   /** `pruneBuckets` sentinel: derive N at each compaction from the
     * index's own row count (next power of two of
     * rows / [[AutoPruneTargetRows]], clamped to [16, 2^16]) instead of
@@ -588,7 +702,7 @@ object Ingest {
         val suffix = "b" + planes.map(p => s"_p$p").getOrElse("") +
           (if (pruneN > 0) s"_n$pruneN" else "")
         promoteNamed(spark, baseDir, f"v_$batchId%020d$suffix",
-          compacted, if (pruneN > 0) Some("b") else None)
+          compacted, if (pruneN > 0) Seq("b") else Nil)
         // compaction supersedes everything older; delete AFTER the
         // promote so a crash in between leaves a readable (stale but
         // complete) state that the next call self-heals
@@ -607,7 +721,7 @@ object Ingest {
     * encodes base/delta and the planes generation in the name). */
   private def promoteNamed(spark: SparkSession, baseDir: String,
       name: String, df: DataFrame,
-      partitionCol: Option[String] = None): Unit = {
+      partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(baseDir)
     val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -615,7 +729,8 @@ object Ingest {
     val tmp = new Path(base, s"_tmp_$name")
     fsys.delete(tmp, true)
     val w = df.write.mode("overwrite")
-    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(tmp.toString)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(tmp.toString)
     if (!fsys.rename(tmp, target))
       throw new java.io.IOException(s"promote failed: $tmp -> $target")
     ()
@@ -957,11 +1072,19 @@ object Ingest {
         // |batch| x bands) only broadcasts while it is actually micro
         val bcast = boundedBroadcast(broadcastProbe,
           hashes.count() * bandsCount, broadcastMaxRows)
+        // capped screens take the hot-band exclusion from the sidecar
+        // artifact + deltas instead of re-aggregating the standing
+        // index every trigger (exact — see the sidecar comment block);
+        // None before the first base commit (seed-fallback phase) or
+        // when uncapped, where the per-call path is the right one
+        val hotList =
+          if (maxPosting > 0) hotBandList(spark, idxDir, maxPosting)
+          else None
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.codeHammingScreen(
             hashes, "doc_id", "dhash", standing.getOrElse(seedFallback),
             bits, maxHamming, bandsCount, maxPosting,
-            broadcastProbe = bcast)
+            broadcastProbe = bcast, hotBands = hotList)
             .withColumn("batch_id", lit(batchId))
         }
         // undecodable rows still get a no-dup DECISION above, but
@@ -970,11 +1093,19 @@ object Ingest {
         val init =
           if (standingAll.isEmpty) seedFallback.unionByName(freshBands)
           else freshBands
-        appendVersioned(spark, idxDir, batchId, init, compactEvery,
+        val compacted = appendVersioned(spark, idxDir, batchId, init,
+          compactEvery,
           compact = u => {
             val (adopted, n) = prune.adoptN(u, u.count())
             (adopted, None, n)
           })
+        // refresh the hot-band sidecar eagerly at compaction cadence
+        // (the O(index) aggregation rides the compaction that already
+        // rewrote the index); a crash before this self-heals on the
+        // next trigger's hotBandList
+        if (maxPosting > 0)
+          compacted.foreach(_ => ensureBandStats(spark, idxDir,
+            maxPosting))
         ()
       }
       .option("checkpointLocation", checkpointDir)

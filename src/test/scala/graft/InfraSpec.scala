@@ -1020,6 +1020,72 @@ class InfraSpec extends SparkTestBase {
       seedIndex.count() + (h1.count() + h2.count()) * 7)
     assert(new java.io.File(outDir).listFiles()
       .count(_.getName.startsWith("v_")) == 2)
+
+    // the capped screen wrote its hot-band stats sidecar at the
+    // seeding compaction (eager refresh — batch 2's hot list read it
+    // instead of re-aggregating the base)
+    assert(new java.io.File(idxDir).listFiles()
+      .exists(_.getName.matches("""v_\d{20}s_c12""")),
+      "capped media screen left no hot-band sidecar")
+  }
+
+  test("hot-band stats sidecar: a capped screen's exclusion list comes " +
+    "from the compaction artifact + deltas (no base band scan per " +
+    "trigger), exact vs the per-call aggregation, cap changes self-heal") {
+    import graft.streaming.Ingest
+    val dir = Files.createTempDirectory("hot-idx").toFile.getAbsolutePath
+    // band-index-shaped layers: band 7 is hot in the BASE alone
+    // (6 > cap 5), band 9 goes hot only ACROSS base+delta (3 + 3),
+    // bands 1/2 stay cold
+    def bandRows(band: Long, n: Int, idOffset: Long) =
+      (0 until n).map(i => (idOffset + i, 1000L + idOffset + i, 0, band))
+        .toDF("doc_id", "code", "band_idx", "band_val")
+    Ingest.appendVersioned(spark, dir, 0L,
+      bandRows(7L, 6, 0).unionByName(bandRows(9L, 3, 100))
+        .unionByName(bandRows(1L, 2, 200)), compactEvery = 99)
+    Ingest.appendVersioned(spark, dir, 1L,
+      bandRows(9L, 3, 300).unionByName(bandRows(2L, 1, 400)), 99)
+
+    val cap = 5
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val hot = Ingest.hotBandList(spark, dir, cap).get
+    assert(setOf(hot) == Set((0, 7L), (0, 9L)))
+
+    // exactness: equals the per-call aggregation over the full
+    // standing index (what dropHotBands would derive)
+    val standing = Ingest.standingIndex(spark, dir).get
+    val perCall = standing.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap)
+      .select("band_idx", "band_val")
+    assert(setOf(hot) == setOf(perCall))
+
+    // ONE index scan per trigger: the hot-list plan reads the sidecar
+    // (partition-pruned) and the deltas, never the base band rows
+    val baseDirName = new java.io.File(dir).listFiles()
+      .map(_.getName).find(_.matches("""v_\d{20}b.*""")).get
+    val plan = hot.queryExecution.executedPlan.toString
+    assert(!plan.contains(baseDirName),
+      s"hot list scanned the base layer:\n$plan")
+    assert(plan.contains("s_c5"), "hot list did not read the sidecar")
+
+    // a later compaction supersedes the sidecar: exactly one remains,
+    // named for the new base; the recomputed hot set is unchanged
+    // (band 9's six rows now all sit in the base)
+    Ingest.appendVersioned(spark, dir, 2L, bandRows(3L, 1, 500),
+      compactEvery = 1)
+    val hot2 = Ingest.hotBandList(spark, dir, cap).get
+    assert(setOf(hot2) == Set((0, 7L), (0, 9L)))
+    def sidecars = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.matches("""v_\d{20}s_c\d+""")).toSeq
+    assert(sidecars == Seq("v_00000000000000000002s_c5"), sidecars)
+
+    // a CAP change invalidates the artifact (the hot flag is
+    // cap-specific): the next call rewrites under the new cap and the
+    // stale one is deleted
+    val hot6 = Ingest.hotBandList(spark, dir, 6).get
+    assert(setOf(hot6) == Set.empty, "nothing exceeds cap 6")
+    assert(sidecars == Seq("v_00000000000000000002s_c6"), sidecars)
   }
 
   test("streaming semantic (embedding) near-dup screen: growing LSH " +
@@ -2221,16 +2287,18 @@ class InfraSpec extends SparkTestBase {
     //   Stats.scala        per-file key manifest (|files| rows)
     val allowed = Map(
       "plans/Fence.scala" -> 1,
-      // seven microbatch-bounded fences: the media screen's per-batch
-      // decode pass; the web screen's per-batch extraction pass, its
-      // distinct-hash probe (|batch| rows, read by the restrict
-      // bucket-set collect + probe join + novel anti-join), its
-      // standing-match set (one index scan read by both resolve legs)
-      // and its canonical-resolve pass (|batch hashes| rows, read by
-      // the decisions leg and the delta leg); the ANN screen's
-      // per-batch LSH projection pass; and the MinHash screen's
-      // per-batch band-row pass (|batch| x bands rows)
-      "streaming/Ingest.scala" -> 7,
+      // eight microbatch-bounded fences: the media screen's per-batch
+      // decode pass and the capped screen's delta band-count pass
+      // (<= compactEvery x batch rows, read by the sb-set collect and
+      // the cold-count join); the web screen's per-batch extraction
+      // pass, its distinct-hash probe (|batch| rows, read by the
+      // restrict bucket-set collect + probe join + novel anti-join),
+      // its standing-match set (one index scan read by both resolve
+      // legs) and its canonical-resolve pass (|batch hashes| rows,
+      // read by the decisions leg and the delta leg); the ANN
+      // screen's per-batch LSH projection pass; and the MinHash
+      // screen's per-batch band-row pass (|batch| x bands rows)
+      "streaming/Ingest.scala" -> 8,
       "operators/Eval.scala" -> 3,
       "operators/Survival.scala" -> 1,
       "queries/ErasUpload.scala" -> 1,

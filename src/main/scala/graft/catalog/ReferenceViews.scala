@@ -99,27 +99,50 @@ object ReferenceViews {
     * manifest deploys. Idempotent; re-binding to a new sfDir replaces
     * the external table.
     *
-    * SINGLE-SESSION-PER-METASTORE ASSUMPTION (ADVICE r12): the catalog
-    * objects created here carry the reference's OWN dataset names
-    * (`base_tables`, the per-experiment raw datasets) — the name
-    * fidelity is the S7 contract, so they are deliberately NOT
-    * session-namespaced the way [[graft.plans.Stage]] namespaces its
-    * scratch tables. Two sessions sharing one persistent (Hive)
-    * metastore would therefore repoint each other's base-table
-    * binding, and the nanosAsLong conf set below is session-scoped
-    * while the tables are not. Run one deploying session per
-    * metastore (the in-memory-catalog default satisfies this
-    * trivially); a multi-tenant deployment should point each driver
-    * at its own metastore or database prefix. */
-  def registerBase(spark: SparkSession, sfDir: String): Unit = {
+    * SINGLE-SESSION-PER-METASTORE CONTRACT (ADVICE r12, ENFORCED
+    * r14): the catalog objects created here carry the reference's OWN
+    * dataset names (`base_tables`, the per-experiment raw datasets) —
+    * the name fidelity is the S7 contract, so they are deliberately
+    * NOT session-namespaced the way [[graft.plans.Stage]] namespaces
+    * its scratch tables. Two sessions sharing one metastore could
+    * therefore repoint each other's base-table binding (and the
+    * nanosAsLong conf set below is session-scoped while the tables
+    * are not). The binding is now OWNED: `events_raw` is stamped with
+    * the owning session's [[graft.plans.Stage.sessionNs]]
+    * discriminator and its bound sfDir, and a DIFFERENT session
+    * re-binding to a DIFFERENT sfDir fails fast instead of silently
+    * repointing the owner's tables — pass `takeOver = true` for a
+    * deliberate hand-over (e.g. a new driver resuming on a persistent
+    * metastore). A same-dir rebind from another session is an
+    * idempotent no-op and stays allowed; a same-session rebind to a
+    * new sfDir replaces the external table, as before. */
+  def registerBase(spark: SparkSession, sfDir: String,
+      takeOver: Boolean = false): Unit = {
     // events.ts is INT64 TIMESTAMP(NANOS) in some generations — read as
     // raw nanos (Tables.load discipline) and rebuild with integer math
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def sql(s: String): Unit = { spark.sql(s); () }
+    val ns = graft.plans.Stage.sessionNs(spark)
+    if (!takeOver && spark.catalog.tableExists("base_tables.events_raw")) {
+      val props = spark.sql(
+          "SHOW TBLPROPERTIES base_tables.events_raw").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val owner = props.get("graft.owner")
+      val bound = props.get("graft.sfdir")
+      // pre-guard bindings (no owner stamp) are adopted, not disputed
+      if (owner.exists(_ != ns) && bound.exists(_ != sfDir))
+        throw new IllegalStateException(
+          s"base_tables.events_raw is bound to '${bound.get}' by " +
+            s"session ${owner.get}; re-binding it to '$sfDir' from " +
+            s"session $ns would repoint that session's base tables. " +
+            "Run one deploying session per metastore, or pass " +
+            "takeOver = true for a deliberate hand-over.")
+    }
     sql("CREATE DATABASE IF NOT EXISTS base_tables")
     sql("DROP TABLE IF EXISTS base_tables.events_raw")
     sql("CREATE TABLE base_tables.events_raw USING parquet " +
-      s"LOCATION '$sfDir/events.parquet'")
+      s"LOCATION '$sfDir/events.parquet' TBLPROPERTIES(" +
+      s"'graft.owner'='$ns','graft.sfdir'='$sfDir')")
     val tsType = spark.table("base_tables.events_raw")
       .schema("ts").dataType.typeName
     val tsDate = tsType match {
@@ -455,13 +478,14 @@ object ReferenceViews {
     * a half-deployed manifest. */
   def deploy(spark: SparkSession, sfDir: String,
       acl: AclRegistry = new AclRegistry,
-      force: Boolean = false): Seq[String] = synchronized {
+      force: Boolean = false, takeOver: Boolean = false): Seq[String] =
+    synchronized {
     if (force || deployedDir.get(spark) != sfDir) {
       // invalidate BEFORE touching the catalog: registerBase rebinds
       // the base tables immediately, so a failure mid-deploy must not
       // leave the memo claiming the PREVIOUS dir is still served
       deployedDir.remove(spark)
-      registerBase(spark, sfDir)
+      registerBase(spark, sfDir, takeOver)
       val names = new ViewRegistry(spark).deployQualified(manifest, acl, vars)
       deployedDir.put(spark, sfDir)
       names

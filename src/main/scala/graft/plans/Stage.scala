@@ -76,8 +76,10 @@ object Stage {
 
   /** `applicationId-sessionHash`: the namespace that makes both stage
     * paths and bucketed-stage catalog names collision-free across
-    * concurrent drivers AND across sessions within one application. */
-  private def sessionNs(spark: SparkSession): String =
+    * concurrent drivers AND across sessions within one application.
+    * (private[graft]: ReferenceViews stamps the same discriminator as
+    * the base-table binding's owner.) */
+  private[graft] def sessionNs(spark: SparkSession): String =
     s"${spark.sparkContext.applicationId}-" +
       Integer.toHexString(System.identityHashCode(spark))
 

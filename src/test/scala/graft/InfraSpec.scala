@@ -1477,6 +1477,33 @@ class InfraSpec extends SparkTestBase {
     assert(Seq(10L, 11L, 30L, 50L, 70L).forall(id => !dec(id)._1))
   }
 
+  test("registerBase ownership: a second session repointing the shared " +
+    "base-table binding to a DIFFERENT sfDir fails fast; same-dir " +
+    "rebind stays a no-op and takeOver hands over deliberately") {
+    import graft.catalog.ReferenceViews
+    ReferenceViews.registerBase(spark, "/root/testdata/sf0.001")
+    // same dir from another session: idempotent rebind, allowed (the
+    // weak-key memo test's single-metastore contract)
+    val s2 = spark.newSession()
+    ReferenceViews.registerBase(s2, "/root/testdata/sf0.001")
+    // DIFFERENT dir from yet another session: would repoint s2's
+    // binding under it — the r13 verdict's multi-tenant hazard
+    val s3 = spark.newSession()
+    val ex = intercept[IllegalStateException] {
+      ReferenceViews.registerBase(s3, "/root/testdata/sf0.01")
+    }
+    assert(ex.getMessage.contains("takeOver"))
+    ReferenceViews.registerBase(s3, "/root/testdata/sf0.01",
+      takeOver = true)
+    // restore the suite's binding (ownership moved to s3, so the
+    // original session now needs the same deliberate hand-over)
+    intercept[IllegalStateException] {
+      ReferenceViews.registerBase(spark, "/root/testdata/sf0.001")
+    }
+    ReferenceViews.registerBase(spark, "/root/testdata/sf0.001",
+      takeOver = true)
+  }
+
   test("deploy memo is weak-keyed: a dead session's entry is " +
     "collectable (no session leak in a long-lived multi-session driver)") {
     import graft.catalog.ReferenceViews

@@ -278,12 +278,24 @@ object Dedup {
     */
   def containmentPrefixPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double,
+      dfOrdered: Boolean = Dedup.dfOrderedDefault): DataFrame =
+    containmentPrefixPairsOnSets(
+      shingleSets(df, idCol, textCol, n), threshold, dfOrdered)
+
+  /** [[containmentPrefixPairs]] over ALREADY-BUILT shingle sets
+    * (doc_id, sh: ascending-sorted distinct hashes — the
+    * [[shingleSets]] contract, which both the value-ordered prefix
+    * slice and the two-pointer verification kernel rely on) — the
+    * entry point for callers that transform the sets before pairing
+    * (the inline boilerplate gate [[containmentPrefixPairsDfGated]]).
+    */
+  private[graft] def containmentPrefixPairsOnSets(rawSets: DataFrame,
+      threshold: Double,
       dfOrdered: Boolean = Dedup.dfOrderedDefault): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefix filtering needs a threshold in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val sets = Fence.corpus(
-      shingleSets(df, idCol, textCol, n), "cpp_sets")
+    val sets = Fence.corpus(rawSets, "cpp_sets")
     // same epsilon-guarded ceil as the Jaccard variant: FP rounding may
     // only LENGTHEN the prefix / RELAX the filters, never tighten them
     def need(sz: Column): Column = ceil(lit(threshold) * sz - lit(1e-6))
@@ -346,6 +358,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") / col("sa")).as("containment"))
       .filter(col("containment") >= threshold)
+  }
+
+  /** [[containmentPrefixPairs]] behind an INLINE document-frequency
+    * boilerplate gate — the raw-web posture for corpora whose shared
+    * boilerplate is NOT line-separable (qS0's C4 line gate presumes a
+    * "…boilerplate on its own line…" page shape; scraped text often
+    * glues the license tail straight into the prose). Shingles whose
+    * document frequency exceeds `maxDfFrac` of the corpus are
+    * BOILERPLATE BY MEASUREMENT — they carry no pairing signal (they
+    * match everything) while inflating true containment AND the
+    * prefix-index postings (the ov-melt fuel) — and are dropped from
+    * every doc's set before pairing; containment is then computed
+    * over the gated sets on both the numerator and the |A|
+    * denominator (changed SEMANTICS, not an approximation of the
+    * ungated relation — the declared query carries its own oracle).
+    *
+    * Scale shape: the df statistic is ONE aggregate over the fenced
+    * shingle inventory (the same statistic the df-ordered prefix
+    * already computes); the hot list is corpus-size-INDEPENDENT —
+    * at most Σ|doc| / (maxDfFrac·N) ≈ avg-doc-shingles / maxDfFrac
+    * entries (each hot shingle needs df > maxDfFrac·N of the N docs),
+    * so it broadcasts at any corpus size. `maxDfFrac = 1` disables
+    * the gate exactly (df ≤ N always) and is bit-equal to
+    * [[containmentPrefixPairs]].
+    *
+    * Output: doc_a, doc_b, containment (≥ threshold, over gated
+    * sets) — doc_a is the contained (denominator) side.
+    */
+  def containmentPrefixPairsDfGated(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, maxDfFrac: Double,
+      dfOrdered: Boolean = Dedup.dfOrderedDefault): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      "maxDfFrac must be in (0, 1]")
+    // corpus-sized (per-doc shingle sets), read by the df aggregate
+    // and the gate anti-join — fence so the shingle pipeline runs once
+    val raw = Fence.corpus(shingleSets(df, idCol, textCol, n),
+      "cppg_sets")
+    val inv = raw.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val nDocs = raw.agg(count(lit(1)).as("nd"))
+    // scalar broadcast join (1-row corpus count), then the bounded hot
+    // list (see scaladoc) — both driver-tiny at any scale
+    val hot = inv.groupBy("shingle").agg(count(lit(1)).as("df_"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df_") > lit(maxDfFrac) * col("nd"))
+      .select("shingle")
+    val gated = inv.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .groupBy("doc_id")
+      // re-sort after the set rebuild: the prefix slice and the
+      // two-pointer intersection kernel both need ascending order
+      .agg(sort_array(collect_set(col("shingle"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    containmentPrefixPairsOnSets(gated, threshold, dfOrdered)
   }
 
   /** Directed n-gram CONTAINMENT pairs — the asymmetric near-dup

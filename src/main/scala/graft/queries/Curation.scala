@@ -2165,5 +2165,75 @@ object Curation {
               |  floor((CAST(common AS DOUBLE) / sa) * 10000.0 + 0.5)
               |    / 10000.0 AS containment
               |FROM p WHERE CAST(common AS DOUBLE) / sa >= 0.6
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The INLINE-boilerplate posture qS0 cannot cover (VERDICT r13
+    // #8): here the corpus-wide boilerplate is glued straight into
+    // the prose — no newlines, so a LINE gate has nothing to strip.
+    // The df gate measures it instead: a shingle in > 50% of docs is
+    // boilerplate by document frequency (the df-ordered prefix
+    // already computes the statistic), dropped from every set BEFORE
+    // pairing — which both restores the pair stage's sub-linear
+    // candidate volume (the hot postings never self-join) and stops
+    // shared boilerplate from inflating true containment. The oracle
+    // replays the gate + brute-force all-pairs containment over the
+    // gated sets in DuckDB, independent of the Spark prefix index.
+    GraftQuery(
+      "qS1_df_gated_containment",
+      "Inline df-gated containment: shingles with document frequency " +
+        "above 50% of the corpus are dropped as boilerplate (no line " +
+        "structure assumed), then directed 3-gram containment " +
+        "(>= 0.6) runs over the gated sets.",
+      (s, d) => {
+        val page = concat(
+          substring(col("text"), 1, 150), lit(". "),
+          lit("Please enable JavaScript to view this page. "),
+          lit("All content copyright of the site owners all rights " +
+            "reserved "),
+          substring(col("text"), 151, 100000), lit("."))
+        Dedup.containmentPrefixPairsDfGated(
+          t(s, d, "documents").select(col("doc_id"), page.as("text")),
+          "doc_id", "text", n = 3, threshold = 0.6, maxDfFrac = 0.5)
+          .select(col("doc_a"), col("doc_b"),
+            graft.functions.SafeOps.stableRound4(col("containment"))
+              .as("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH page AS (SELECT doc_id,
+              |    substr(text, 1, 150) || '. ' ||
+              |    'Please enable JavaScript to view this page. ' ||
+              |    'All content copyright of the site owners all ' ||
+              |      'rights reserved ' ||
+              |    substr(text, 151, 100000) || '.' AS text
+              |  FROM documents),
+              |sets AS (
+              |  SELECT doc_id,
+              |    list_distinct(list_transform(
+              |      list_transform(
+              |        range(1, len(string_split(text,' ')) - 1),
+              |        i -> string_split(text,' ')[i] || ' ' ||
+              |             string_split(text,' ')[i+1] || ' ' ||
+              |             string_split(text,' ')[i+2]),
+              |      g -> ('0x' || substr(md5(g),1,8))::BIGINT)) AS sh
+              |  FROM page
+              |  WHERE len(string_split(text,' ')) >= 3),
+              |nd AS (SELECT count(*) AS n FROM sets),
+              |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+              |hot AS (SELECT shingle FROM inv GROUP BY 1
+              |  HAVING count(*) > 0.5 * (SELECT n FROM nd)),
+              |ginv AS (SELECT i.doc_id, i.shingle FROM inv i
+              |  LEFT JOIN hot h ON i.shingle = h.shingle
+              |  WHERE h.shingle IS NULL),
+              |gsets AS (SELECT doc_id, list(shingle) AS sh
+              |  FROM ginv GROUP BY doc_id),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    len(list_intersect(a.sh, b.sh)) AS common,
+              |    len(a.sh) AS sa
+              |  FROM gsets a JOIN gsets b ON a.doc_id != b.doc_id)
+              |SELECT doc_a, doc_b,
+              |  floor((CAST(common AS DOUBLE) / sa) * 10000.0 + 0.5)
+              |    / 10000.0 AS containment
+              |FROM p WHERE CAST(common AS DOUBLE) / sa >= 0.6
               |ORDER BY doc_a, doc_b""".stripMargin)))
 }

@@ -301,6 +301,50 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("Dedup.containmentPrefixPairsDfGated: maxDfFrac=1 is bit-equal " +
+    "to the ungated operator; a corpus-wide inline boilerplate tail " +
+    "is dropped from every set and stops inflating containment") {
+    // every doc carries the same glued-on license tail (NO line
+    // structure — the posture qS0's C4 line gate cannot cover); doc
+    // 1's unique head is a prefix of doc 2's, but only the shared
+    // tail pushes its ungated containment over the threshold
+    val tail = "all content copyright of the site owners all rights " +
+      "reserved forever"
+    val head = "red apple green pear yellow plum blue berry black grape"
+    val docs = Seq(
+      (1L, s"$head $tail"),
+      (2L, s"$head white peach extra words $tail"),
+      // 3 is SHORT: after the shared tail its ungated containment in
+      // everything is ~0.75 — the boilerplate-inflation failure mode
+      (3L, s"tiny different words $tail"),
+      (4L, s"yet another unrelated document body with its own words " +
+        s"$tail"))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // frac = 1: nothing can exceed df = N, bit-equal to ungated
+    val ungated = Dedup.containmentPrefixPairs(docs, "doc_id", "text",
+      3, 0.6)
+    val frac1 = Dedup.containmentPrefixPairsDfGated(docs, "doc_id",
+      "text", 3, 0.6, maxDfFrac = 1.0)
+    assert(ungated.collect().map(_.toString).sorted.toSeq ==
+      frac1.collect().map(_.toString).sorted.toSeq)
+    // ungated: the shared tail alone puts the short doc 3 >= 0.6
+    // inside docs it shares NOTHING real with (the inflation mode)
+    assert(pairs(ungated).contains((3L, 4L)), pairs(ungated).toString)
+    // gated at 0.5: the tail's shingles sit in all 4 docs (df = N >
+    // 0.5N) and are dropped; the true head containment (1 -> 2)
+    // survives, computed over the gated sets, and every
+    // boilerplate-only pair dies
+    val gated = Dedup.containmentPrefixPairsDfGated(docs, "doc_id",
+      "text", 3, 0.6, maxDfFrac = 0.5)
+    val g = pairs(gated)
+    assert(g.contains((1L, 2L)), s"true containment lost: $g")
+    assert(!g.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"boilerplate-only pairs survived the gate: $g")
+  }
+
   test("Dedup.containmentPrefixPairs keeps the asymmetric " +
     "short-in-long pair a Jaccard threshold misses") {
     // doc 2 (5 shingles) quoted wholesale inside doc 1 (30 shingles):

@@ -382,7 +382,11 @@ class PlanSpec extends SparkTestBase {
       // round-13 addition (audited via PinAudit at declaration time):
       // qA0's cpp machinery behind the C4 gate — the gate itself is a
       // per-row HOF pass and adds no exchange
-      "qS0_gated_containment" -> 8)
+      "qS0_gated_containment" -> 8,
+      // round-14 addition (PinAudit: net 8): the df gate's aggregate +
+      // anti-join live in the fenced gated-sets stage, so the declared
+      // plan is qS0's cpp shape over the staged read
+      "qS1_df_gated_containment" -> 8)
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

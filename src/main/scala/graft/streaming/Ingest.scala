@@ -546,11 +546,15 @@ object Ingest {
     * adopts at compaction through the same lifecycle. */
   val AutoPrune: Int = -1
 
-  /** Target rows per prune bucket under [[AutoPrune]]: small enough
-    * that a micro-batch's bucket share is a small fraction of the
-    * index, large enough that base partitions are not a tiny-file
-    * spray (4096 rows of band/hash entries per parquet partition). */
-  private[graft] val AutoPruneTargetRows = 4096L
+  /** Target rows per prune bucket under [[AutoPrune]]. The trade: a
+    * B-row batch reads ~B/N of the index, so pruning only bites while
+    * N >> B — push N up; but the base is one file per bucket, so
+    * N is also the base's file count — hold N down. 256 rows/bucket
+    * puts a 500k-row index at N = 2048 (a 500-row batch reads ~20%)
+    * and lets the 2^16 clamp take over past ~17M rows, where buckets
+    * grow with the index (a 10^9-row index: 64k files of ~15k rows,
+    * and a 500-row batch reads ~0.8% of it). */
+  private[graft] val AutoPruneTargetRows = 256L
 
   /** Upper clamp on any prune modulus (manual or auto): past 2^16
     * partition dirs the filesystem metadata cost dominates whatever
@@ -728,7 +732,14 @@ object Ingest {
     val target = new Path(base, name)
     val tmp = new Path(base, s"_tmp_$name")
     fsys.delete(tmp, true)
-    val w = df.write.mode("overwrite")
+    // partitioned promotes co-locate each partition value in ONE task
+    // first: partitionBy alone writes a file per (task x value) pair —
+    // at N prune buckets over the default 32 shuffle partitions that
+    // is a 32N tiny-file spray; after the repartition it is exactly
+    // one file per bucket, the layout the read side wants
+    val out = if (partitionCols.isEmpty) df
+      else df.repartition(partitionCols.map(col): _*)
+    val w = out.write.mode("overwrite")
     (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(tmp.toString)
     if (!fsys.rename(tmp, target))

@@ -1847,7 +1847,7 @@ class InfraSpec extends SparkTestBase {
     // the auto floor and clamp: tiny index -> 16; the modulus never
     // exceeds 2^16 however large the count
     assert(Ingest.autoPruneN(100) == 16)
-    assert(Ingest.autoPruneN(4096L * 100) == 128)
+    assert(Ingest.autoPruneN(500L * 1000) == 2048)
     assert(Ingest.autoPruneN(Long.MaxValue / 2) == (1 << 16))
 
     // empty-fresh batches write NO delta layer (ADVICE r13): the

@@ -28,14 +28,21 @@ import graft.operators.Dedup
   * micro-batch cost of the web/ANN screens against decade-scale
   * standing indexes on the layered layout).
   *
+  * Round-14 legs: `prune` (per-batch wall + task input bytes of the
+  * web/ANN screens at decades, pruning off vs AutoPrune — the
+  * read-side bound, measured), `screens2` (the minhash + media
+  * screens' end-to-end decade rows, the r13 web/ANN table's
+  * siblings; media runs maxPosting=64 so every measured trigger
+  * exercises the hot-band sidecar).
+  *
   * Usage: Test/runMain graft.tools.OverlapProbe
   *   [jppv|jppdf|cpp|band|queries|graph|dbscan|gated|gatedov|aborder|
-  *    screens|all]
+  *    screens|prune|screens2|all]
   * The ov legs need `GenScale ov`; gatedov needs `GenScale ovl`;
-  * dbscan/aborder/screens need `GenScale` (+ sf10). Legs whose corpus
-  * is missing are SKIPPED with a message instead of crashing an
-  * hours-long run.
-  * Results recorded in SCALE.md round-12/13 sections.
+  * dbscan/aborder/screens/prune/screens2 need `GenScale` (+ sf10).
+  * Legs whose corpus is missing are SKIPPED with a message instead of
+  * crashing an hours-long run.
+  * Results recorded in SCALE.md round-12/13/14 sections.
   */
 object OverlapProbe {
   def main(args: Array[String]): Unit = {
@@ -322,6 +329,198 @@ object OverlapProbe {
         report(s"annscreen 500-vec batches $label", q, s"$root/idx")
       }
     }
+    // ---- round-14 legs --------------------------------------------
+    // shared bytes-read meter for the prune/screens2 legs: task input
+    // bytes accumulate on the listener bus; snapshots sleep past the
+    // bus lag, so per-window deltas are honest to ~the last task
+    lazy val bytesRead = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val tm = te.taskMetrics
+            if (tm != null) { acc.addAndGet(tm.inputMetrics.bytesRead); () }
+          }
+        })
+      acc
+    }
+    def measured(label: String)(body: => Double): Unit = {
+      Thread.sleep(1200); val b0 = bytesRead.get
+      val t0 = System.nanoTime()
+      val batchSec = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1200); val b1 = bytesRead.get
+      println(f"[ov] $label%-52s wall ${wall}%6.2f s  " +
+        f"batch ${batchSec}%6.2f s  read ${(b1 - b0) / 1048576.0}%9.1f MB")
+    }
+    def await(q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      q.awaitTermination(600000)
+      q.recentProgress.lastOption.map(_.batchDuration / 1000.0)
+        .getOrElse(-1.0)
+    }
+    def page(c: org.apache.spark.sql.Column) =
+      concat(lit("<html><body><p>"), c, lit("</p></body></html>"))
+    def tmpRoot(tag: String) = java.nio.file.Files
+      .createTempDirectory(tag).toFile.getAbsolutePath
+
+    if (wantWith("prune", docsIn(mid, sf1, sf10): _*)) {
+      // read-side bound at decades (VERDICT r14 #2): the standing
+      // index is seeded as ONE compacted bucket-partitioned base
+      // (drop0 = the whole corpus in one batch, compactEvery=2 so the
+      // seed batch compacts); drops 1-3 restart the screen with
+      // compactEvery=999 so every measured batch is a pure
+      // pruned-read + screen + delta write — per-batch wall AND task
+      // input bytes, pruning off vs AutoPrune
+      import graft.streaming.Ingest
+      bytesRead.get // install the listener before the first window
+      for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+          "ov-sf10" -> sf10); pruneN <- Seq(0, Ingest.AutoPrune)) {
+        val tag = if (pruneN == 0) "off" else "auto"
+        val corpus = docs(dir).select(col("doc_id"), col("text"))
+        val root = tmpRoot("pruneweb")
+        corpus.select(col("doc_id"), page(col("text")).as("html"))
+          .write.parquet(s"$root/in/drop0")
+        val schema = spark.read.parquet(s"$root/in/drop0").schema
+        def screen(ce: Int): Double = await(Ingest.startWebScreen(
+          Ingest.streamTable(spark, s"$root/in/drop*", schema),
+          "doc_id", "html", s"$root/idx", s"$root/out", s"$root/ck",
+          compactEvery = ce, pruneBuckets = pruneN))
+        screen(2) // corpus batch -> compacted (partitioned) base
+        for (k <- 1 to 3) {
+          corpus.limit(250)
+            .select((col("doc_id") + 10000000L * k).as("doc_id"),
+              col("text"))
+            .unionAll(corpus.limit(250)
+              .select((col("doc_id") + 20000000L * k).as("doc_id"),
+                concat(col("text"), lit(s" novel tail $k")).as("text")))
+            .select(col("doc_id"), page(col("text")).as("html"))
+            .repartition(1).write.parquet(s"$root/in/drop$k")
+          measured(s"webscreen prune=$tag drop$k @$label")(screen(999))
+        }
+        println(s"[ov]   web @$label prune=$tag layout N = " +
+          Ingest.standingIndexPruneN(spark, s"$root/idx"))
+      }
+      // ANN screen: embeddings grow with sf on the standard shards
+      for ((label, dir) <- Seq(
+          "sf0.1" -> "/root/testdata/sf0.1",
+          "sf1" -> "/root/repo/target/sf1",
+          "sf10" -> "/root/repo/target/sf10")
+            if new java.io.File(s"$dir/embeddings.parquet").exists();
+          pruneN <- Seq(0, Ingest.AutoPrune)) {
+        val tag = if (pruneN == 0) "off" else "auto"
+        val emb = Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val planes = graft.operators.Similarity.adaptivePlanes(emb.count())
+        val seedEmpty = graft.operators.Dedup.embeddingLshIndex(
+          emb.limit(0), "vec_id", "embedding", planes).localCheckpoint()
+        val root = tmpRoot("pruneann")
+        emb.write.parquet(s"$root/in/drop0")
+        val schema = spark.read.parquet(s"$root/in/drop0").schema
+        def screen(ce: Int): Double = await(Ingest.startAnnScreen(
+          Ingest.streamTable(spark, s"$root/in/drop*", schema),
+          "vec_id", "embedding", seedEmpty, planes, threshold = 0.95,
+          idxDir = s"$root/idx", outDir = s"$root/out",
+          checkpointDir = s"$root/ck",
+          compactEvery = ce, pruneBuckets = pruneN))
+        screen(2)
+        for (k <- 1 to 3) {
+          emb.limit(500)
+            .select((col("vec_id") + 10000000L * k).as("vec_id"),
+              col("embedding"))
+            .repartition(1).write.parquet(s"$root/in/drop$k")
+          measured(s"annscreen prune=$tag drop$k @$label")(screen(999))
+        }
+        println(s"[ov]   ann @$label prune=$tag layout N = " +
+          Ingest.standingIndexPruneN(spark, s"$root/idx"))
+      }
+    }
+
+    if (wantWith("screens2", docsIn(mid, sf1, sf10): _*)) {
+      // the minhash + media screens' end-to-end decade rows (VERDICT
+      // r14 #4) — same protocol as the r13 web/ANN table: standing
+      // index seeded from the corpus, then three 500-row drops (half
+      // exact duplicates, half novel), per-batch wall + read bytes
+      import graft.streaming.Ingest
+      bytesRead.get
+      for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+          "ov-sf10" -> sf10)) {
+        val corpus = docs(dir).select(col("doc_id"), col("text"))
+        val root = tmpRoot("mhscreen")
+        corpus.write.parquet(s"$root/in/drop0")
+        val schema = spark.read.parquet(s"$root/in/drop0").schema
+        val seedEmpty = graft.operators.Dedup.lshBandIndex(
+          corpus.limit(0), "doc_id", "text", 3, 8, 4).localCheckpoint()
+        def screen(ce: Int): Double = await(Ingest.startMinhashScreen(
+          Ingest.streamTable(spark, s"$root/in/drop*", schema),
+          "doc_id", "text", seedEmpty, 3, 8, 4, 0.5,
+          s"$root/idx", s"$root/out", s"$root/ck", compactEvery = ce))
+        screen(2)
+        for (k <- 1 to 3) {
+          corpus.limit(250)
+            .select((col("doc_id") + 10000000L * k).as("doc_id"),
+              col("text"))
+            .unionAll(corpus.limit(250)
+              .select((col("doc_id") + 20000000L * k).as("doc_id"),
+                concat(col("text"), lit(s" novel tail $k")).as("text")))
+            .repartition(1).write.parquet(s"$root/in/drop$k")
+          measured(s"minhashscreen drop$k @$label")(screen(999))
+        }
+      }
+      // media screen: deterministic P5 images synthesized per id (the
+      // InfraSpec generator), corpus size matched to the doc decades;
+      // maxPosting=64 exercises the compaction-time hot-band sidecar
+      // on every measured trigger
+      def p5(seed: Long): Array[Byte] = {
+        val w = 18; val h = 14
+        val header = s"P5\n$w $h\n255\n".getBytes("UTF-8")
+        val out = new Array[Byte](header.length + w * h)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var j = 0
+        while (j < w * h) {
+          val x = j % w; val y = j / w
+          out(header.length + j) =
+            (((x + y * 18 + seed * 252 + 1) * 2654435761L >>> 16) % 256)
+              .toByte
+          j += 1
+        }
+        out
+      }
+      val mkImg = udf(p5 _)
+      def imgs(ids: org.apache.spark.sql.DataFrame) = ids
+        .select(col("doc_id"), mkImg(col("seed")).as("media"),
+          lit("image/x-portable-graymap").as("mime"))
+        .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+      for ((label, n) <- Seq("5k" -> 5000L, "50k" -> 50000L,
+          "500k" -> 500000L)) {
+        val root = tmpRoot("medscreen")
+        imgs(spark.range(n).select(col("id").as("doc_id"),
+            col("id").as("seed")))
+          .write.parquet(s"$root/in/drop0")
+        val schema = spark.read.parquet(s"$root/in/drop0").schema
+        val seedEmpty = graft.operators.Dedup.codeBandIndex(
+          spark.range(0).select(col("id").as("doc_id"),
+            col("id").as("dhash")), "doc_id", "dhash", 56, 7)
+          .localCheckpoint()
+        def screen(ce: Int): Double = await(Ingest.startMediaScreen(
+          Ingest.streamTable(spark, s"$root/in/drop*", schema),
+          seedEmpty, 56, 6, 7, maxPosting = 64,
+          idxDir = s"$root/idx", outDir = s"$root/out",
+          checkpointDir = s"$root/ck", compactEvery = ce))
+        screen(2)
+        for (k <- 1 to 3) {
+          imgs(spark.range(250).select(
+              (col("id") + 10000000L * k).as("doc_id"),
+              col("id").as("seed"))
+            .unionAll(spark.range(250).select(
+              (col("id") + 20000000L * k).as("doc_id"),
+              (col("id") + 50000000L * k).as("seed"))))
+            .repartition(1).write.parquet(s"$root/in/drop$k")
+          measured(s"mediascreen drop$k @$label")(screen(999))
+        }
+      }
+    }
+
     val explicitQs =
       which.filter(w => w.startsWith("q") && w != "queries").toSeq.sorted
     if (want("queries") || explicitQs.nonEmpty) {

@@ -546,15 +546,25 @@ object Ingest {
     * adopts at compaction through the same lifecycle. */
   val AutoPrune: Int = -1
 
-  /** Target rows per prune bucket under [[AutoPrune]]. The trade: a
-    * B-row batch reads ~B/N of the index, so pruning only bites while
-    * N >> B — push N up; but the base is one file per bucket, so
-    * N is also the base's file count — hold N down. 256 rows/bucket
-    * puts a 500k-row index at N = 2048 (a 500-row batch reads ~20%)
-    * and lets the 2^16 clamp take over past ~17M rows, where buckets
-    * grow with the index (a 10^9-row index: 64k files of ~15k rows,
-    * and a 500-row batch reads ~0.8% of it). */
-  private[graft] val AutoPruneTargetRows = 256L
+  /** Target rows per prune bucket under [[AutoPrune]]: 128k rows of
+    * band/hash entries keep each bucket file in the multi-MB range.
+    * MEASURED (SCALE.md r14 prune probe): small buckets are a trap —
+    * a 256-row target put a 300k-row index at N = 2048 two-KB files
+    * and the per-batch wall at 2-4x the UNPRUNED read (file-open +
+    * listing overhead swamps byte savings when the whole index is
+    * tens of MB). Pruning is a big-index device: the read saving is
+    * ~indexBytes / (batchBuckets x bucketBytes), which only exceeds 1
+    * when the index is well past batchRows x bucketBytes. */
+  private[graft] val AutoPruneTargetRows = 128L * 1024
+
+  /** Below this index size [[AutoPrune]] stays OFF (adoptN returns 0
+    * and the layout stays unpruned): under the floor N would be small
+    * enough that a realistic batch touches most buckets — all
+    * overhead, no pruning (the measured r14 regime). At the floor
+    * N = 512; from there bucket COUNT grows with the index until the
+    * 2^16 clamp, after which bucket SIZE grows — a 10^10-row index is
+    * 64k files of ~150k rows and a 500-row batch reads < 1% of it. */
+  private[graft] val AutoPruneMinRows = 1L << 26
 
   /** Upper clamp on any prune modulus (manual or auto): past 2^16
     * partition dirs the filesystem metadata cost dominates whatever
@@ -569,13 +579,15 @@ object Ingest {
     * unbounded driver materialization on the trigger path). */
   private[graft] val MaxRestrictBuckets = 4096
 
-  private[graft] def autoPruneN(rows: Long): Int = {
-    val want = math.max(16L, rows / AutoPruneTargetRows)
-    // next power of two >= want (powers of two keep pmod cheap and
-    // make resize ratios clean in the layout tags)
-    val p2 = java.lang.Long.highestOneBit(want * 2 - 1)
-    math.min(MaxPruneN.toLong, p2).toInt
-  }
+  private[graft] def autoPruneN(rows: Long): Int =
+    if (rows < AutoPruneMinRows) 0
+    else {
+      val want = math.max(16L, rows / AutoPruneTargetRows)
+      // next power of two >= want (powers of two keep pmod cheap and
+      // make resize ratios clean in the layout tags)
+      val p2 = java.lang.Long.highestOneBit(want * 2 - 1)
+      math.min(MaxPruneN.toLong, p2).toInt
+    }
 
   /** Bucket-pruning harness shared by the four screens (one
     * implementation of the effective-N/restrict/delta/adopt

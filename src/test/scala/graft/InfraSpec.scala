@@ -1826,28 +1826,36 @@ class InfraSpec extends SparkTestBase {
     assert(off.count() == 140 && !off.columns.contains("b"))
 
     // AUTO sizing: param = AutoPrune derives N from the compacted row
-    // count (next pow2 of rows/target, floor 16) and tags it exactly
-    // like a manual N; the next batch reads the derived N as the
-    // layout's truth
+    // count and tags it exactly like a manual N; the next batch reads
+    // the derived N as the layout's truth. Under the measured floor
+    // auto DECLINES (stays unpruned); the adoption path is driven
+    // with a big synthetic count through adoptN's by-name rows param
+    // (the sizing rule is pure arithmetic — no need to write 10^8
+    // rows to spec-lock it).
     val pr6 = Ingest.pruneFor(spark, dir, Ingest.AutoPrune, attach)
     assert(pr6.effN == 0, "auto must not invent an N before adoption")
     Ingest.appendVersioned(spark, dir, 5L, pr6.withB(rows(140, 150)), 2,
       compact = adoptC(pr6))
-    Ingest.appendVersioned(spark, dir, 6L,
-      Ingest.pruneFor(spark, dir, Ingest.AutoPrune, attach)
-        .withB(rows(150, 160)), 2,
-      compact = adoptC(Ingest.pruneFor(spark, dir, Ingest.AutoPrune,
-        attach)))
+    assert(Ingest.standingIndexPruneN(spark, dir).isEmpty,
+      "auto engaged below the floor")
+    val pr6b = Ingest.pruneFor(spark, dir, Ingest.AutoPrune, attach)
+    Ingest.appendVersioned(spark, dir, 6L, pr6b.withB(rows(150, 160)), 2,
+      compact = u => {
+        val (a, n) = pr6b.adoptN(u, 100L * 1000 * 1000) // as if 10^8
+        (a, None, n)
+      })
     assert(Ingest.standingIndexPruneN(spark, dir)
-      .contains(Ingest.autoPruneN(160)),
+      .contains(Ingest.autoPruneN(100L * 1000 * 1000)),
       s"auto N tag: ${Ingest.standingIndexPruneN(spark, dir)}")
     val pr7 = Ingest.pruneFor(spark, dir, Ingest.AutoPrune, attach)
-    assert(pr7.effN == Ingest.autoPruneN(160) && pr7.on)
+    assert(pr7.effN == Ingest.autoPruneN(100L * 1000 * 1000) && pr7.on)
 
-    // the auto floor and clamp: tiny index -> 16; the modulus never
-    // exceeds 2^16 however large the count
-    assert(Ingest.autoPruneN(100) == 16)
-    assert(Ingest.autoPruneN(500L * 1000) == 2048)
+    // the sizing rule: OFF below the measured floor; engages at 512;
+    // the modulus never exceeds 2^16 however large the count
+    assert(Ingest.autoPruneN(100) == 0)
+    assert(Ingest.autoPruneN((1L << 26) - 1) == 0)
+    assert(Ingest.autoPruneN(1L << 26) == 512)
+    assert(Ingest.autoPruneN(100L * 1000 * 1000) == 1024)
     assert(Ingest.autoPruneN(Long.MaxValue / 2) == (1 << 16))
 
     // empty-fresh batches write NO delta layer (ADVICE r13): the

@@ -36,8 +36,8 @@ import graft.operators.Dedup
   * exercises the hot-band sidecar).
   *
   * Usage: Test/runMain graft.tools.OverlapProbe
-  *   [jppv|jppdf|cpp|band|queries|graph|dbscan|gated|gatedov|aborder|
-  *    screens|prune|screens2|all]
+  *   [jppv|jppdf|cpp|band|queries|graph|dbscan|gated|gatedov|dfgated|
+  *    aborder|screens|prune|screens2|all]
   * The ov legs need `GenScale ov`; gatedov needs `GenScale ovl`;
   * dbscan/aborder/screens/prune/screens2 need `GenScale` (+ sf10).
   * Legs whose corpus is missing are SKIPPED with a message instead of
@@ -221,6 +221,19 @@ object OverlapProbe {
             n = 3, threshold = 0.6)
         }
     }
+    if (wantWith("dfgated", docsIn(mid, sf1, sf10): _*)) {
+      // the INLINE-boilerplate posture on the RAW ov corpus (VERDICT
+      // r13 #8): every ov doc shares 10 corpus-wide hot shingles with
+      // NO line structure — qS0's line gate has nothing to strip, but
+      // the df gate drops them by measurement before pairing; this is
+      // the declared qS1 composition (threshold 0.6, frac 0.5)
+      for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+          "ov-sf10" -> sf10))
+        timed(s"df-gated cpp $label") {
+          Dedup.containmentPrefixPairsDfGated(docs(dir), "doc_id",
+            "text", 3, 0.6, maxDfFrac = 0.5)
+        }
+    }
     if (want("aborder")) {
       // per-QUERY A/B of the df-order default (VERDICT r12 #2: the
       // operator-grain A/B said FREE, the consuming queries regressed
@@ -374,9 +387,14 @@ object OverlapProbe {
       // input bytes, pruning off vs AutoPrune
       import graft.streaming.Ingest
       bytesRead.get // install the listener before the first window
+      // manual N=64: AutoPrune DECLINES at these index sizes by
+      // design (the first run of this leg, with the old 256-row
+      // target, measured the small-bucket regime as a 2-4x loss —
+      // SCALE.md r14 — which is what set the auto floor); the manual
+      // leg keeps a regression watch on the prune machinery overhead
       for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
-          "ov-sf10" -> sf10); pruneN <- Seq(0, Ingest.AutoPrune)) {
-        val tag = if (pruneN == 0) "off" else "auto"
+          "ov-sf10" -> sf10); pruneN <- Seq(0, 64)) {
+        val tag = if (pruneN == 0) "off" else s"n$pruneN"
         val corpus = docs(dir).select(col("doc_id"), col("text"))
         val root = tmpRoot("pruneweb")
         corpus.select(col("doc_id"), page(col("text")).as("html"))
@@ -407,8 +425,8 @@ object OverlapProbe {
           "sf1" -> "/root/repo/target/sf1",
           "sf10" -> "/root/repo/target/sf10")
             if new java.io.File(s"$dir/embeddings.parquet").exists();
-          pruneN <- Seq(0, Ingest.AutoPrune)) {
-        val tag = if (pruneN == 0) "off" else "auto"
+          pruneN <- Seq(0, 64)) {
+        val tag = if (pruneN == 0) "off" else s"n$pruneN"
         val emb = Tables.load(spark, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         val planes = graft.operators.Similarity.adaptivePlanes(emb.count())

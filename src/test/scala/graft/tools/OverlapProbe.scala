@@ -228,11 +228,20 @@ object OverlapProbe {
       // the df gate drops them by measurement before pairing; this is
       // the declared qS1 composition (threshold 0.6, frac 0.5)
       for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
-          "ov-sf10" -> sf10))
+          "ov-sf10" -> sf10)) {
         timed(s"df-gated cpp $label") {
           Dedup.containmentPrefixPairsDfGated(docs(dir), "doc_id",
             "text", 3, 0.6, maxDfFrac = 0.5)
         }
+        // output size is the adjudication evidence: post-gate true
+        // pairs are ov's WITHIN-shard near-dup structure x shards
+        // (cross-shard overlap is only the now-dropped tail), so the
+        // answer itself grows ~linearly with n — an exact operator
+        // cannot emit fewer rows than the answer
+        val n = Dedup.containmentPrefixPairsDfGated(docs(dir), "doc_id",
+          "text", 3, 0.6, maxDfFrac = 0.5).count()
+        println(s"[ov]   df-gated pairs $label = $n")
+      }
     }
     if (want("aborder")) {
       // per-QUERY A/B of the df-order default (VERDICT r12 #2: the

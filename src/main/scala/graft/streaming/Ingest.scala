@@ -538,12 +538,16 @@ object Ingest {
     }
 
   /** `pruneBuckets` sentinel: derive N at each compaction from the
-    * index's own row count (next power of two of
-    * rows / [[AutoPruneTargetRows]], clamped to [16, 2^16]) instead of
-    * a hand-picked constant — the 100 TB read bound should not depend
-    * on the operator guessing the index's eventual size. The derived N
-    * is tagged on the base dir exactly like a manual N, and a resize
-    * adopts at compaction through the same lifecycle. */
+    * index's own row count — 0 (pruning declined) below
+    * [[AutoPruneMinRows]], else the next power of two of
+    * rows / [[AutoPruneTargetRows]] clamped to [[MaxPruneN]] — instead
+    * of a hand-picked constant: the 100 TB read bound should not
+    * depend on the operator guessing the index's eventual size, and
+    * the measured small-index regime (SCALE.md r14) should not pay
+    * pruning overhead for nothing. The derived N is tagged on the
+    * base dir exactly like a manual N, and a resize (including the
+    * decline→engage transition as the index grows) adopts at
+    * compaction through the same lifecycle. */
   val AutoPrune: Int = -1
 
   /** Target rows per prune bucket under [[AutoPrune]]: 128k rows of

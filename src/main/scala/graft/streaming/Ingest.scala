@@ -680,6 +680,20 @@ object Ingest {
     * Replayed batches append nothing; stale pre-base layers are
     * self-healed on every call.
     *
+    * COMPACTION POLICY: count-based (`compactEvery` layers) OR
+    * size-ratio, whichever fires first. The count alone is wrong
+    * under variable batch sizes — one backfill-sized delta would sit
+    * unfolded for compactEvery-1 more triggers, inflating every
+    * standing read and restatement in between — so once the base is
+    * past `sizePolicyMinBase` bytes (below it, parquet per-file
+    * metadata dominates and the ratio is meaningless — unit-scale
+    * indexes stay count-based), committed delta bytes reaching
+    * `compactDeltaFrac` of the base also trigger a fold: the LSM
+    * bound that keeps the layered read amplification ≤ 1 + frac
+    * whatever the arrival pattern. Cost of the check: one recursive
+    * length listing per live layer per trigger (≤ compactEvery small
+    * dirs).
+    *
     * Returns `Some(batchId)` iff THIS call promoted a new base
     * (callers hang compaction-time artifacts — e.g. the media
     * screen's hot-band stats — off that signal); `None` for delta
@@ -688,7 +702,9 @@ object Ingest {
   private[graft] def appendVersioned(spark: SparkSession, baseDir: String,
       batchId: Long, fresh: DataFrame, compactEvery: Int,
       compact: DataFrame => (DataFrame, Option[Int], Int) =
-        df => (df, None, 0)): Option[Long] = {
+        df => (df, None, 0),
+      compactDeltaFrac: Double = 1.0,
+      sizePolicyMinBase: Long = 64L << 20): Option[Long] = {
     import org.apache.hadoop.fs.Path
     val base = new Path(baseDir)
     val fsys = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -703,7 +719,16 @@ object Ingest {
       val baseOpt = layers.filter(_.isBase).lastOption
       val deltas = layers.filter(l =>
         !l.isBase && baseOpt.forall(_.batchId < l.batchId))
-      if (baseOpt.isEmpty || deltas.size + 1 >= compactEvery) {
+      def bytes(l: IndexLayer): Long =
+        fsys.getContentSummary(l.path).getLength
+      val sizeTrip = compactDeltaFrac > 0 && deltas.nonEmpty &&
+        baseOpt.exists { b =>
+          val bb = bytes(b)
+          bb >= sizePolicyMinBase &&
+            deltas.map(bytes).sum >= compactDeltaFrac * bb
+        }
+      if (baseOpt.isEmpty || deltas.size + 1 >= compactEvery ||
+          sizeTrip) {
         val standing = (baseOpt.toSeq ++ deltas).map(_.path.toString)
         val unioned =
           if (standing.isEmpty) fresh

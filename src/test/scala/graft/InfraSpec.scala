@@ -1275,6 +1275,46 @@ class InfraSpec extends SparkTestBase {
       == (0L until 50030L).sum)
   }
 
+  test("size-ratio compaction: a backfill-sized delta trips the fold " +
+    "before the count threshold; small deltas and sub-floor bases " +
+    "stay count-based") {
+    import graft.streaming.Ingest
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), (col("id") * 3).as("payload"))
+    def census(dir: String) = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("v_")).sorted.toSeq
+
+    // floor lowered to 1 byte so the ratio is live at unit scale
+    val dir = Files.createTempDirectory("lsm").toFile.getAbsolutePath
+    Ingest.appendVersioned(spark, dir, 0L, rows(0, 50000), 99,
+      sizePolicyMinBase = 1L)
+    // small delta, well under frac x base: stays a delta
+    Ingest.appendVersioned(spark, dir, 1L, rows(50000, 50100), 99,
+      sizePolicyMinBase = 1L)
+    assert(census(dir).count(_.endsWith("d")) == 1)
+    // a backfill-sized batch lands as a (large) delta — the ratio
+    // check sees COMMITTED deltas, so the trip happens on the NEXT
+    // append, which folds everything despite compactEvery = 99
+    Ingest.appendVersioned(spark, dir, 2L, rows(60000, 160000), 99,
+      sizePolicyMinBase = 1L)
+    assert(census(dir).count(_.endsWith("d")) == 2)
+    Ingest.appendVersioned(spark, dir, 3L, rows(200000, 200010), 99,
+      sizePolicyMinBase = 1L)
+    assert(census(dir) == Seq("v_00000000000000000003b"),
+      census(dir).toString)
+    assert(Ingest.standingIndex(spark, dir).get.count() ==
+      50000 + 100 + 100000 + 10)
+
+    // the DEFAULT floor (64 MB): the same pattern at unit scale is
+    // metadata-dominated, the ratio stays out of it, count rules
+    val dir2 = Files.createTempDirectory("lsm2").toFile.getAbsolutePath
+    Ingest.appendVersioned(spark, dir2, 0L, rows(0, 50000), 99)
+    Ingest.appendVersioned(spark, dir2, 1L, rows(50000, 50100), 99)
+    Ingest.appendVersioned(spark, dir2, 2L, rows(60000, 160000), 99)
+    Ingest.appendVersioned(spark, dir2, 3L, rows(200000, 200010), 99)
+    assert(census(dir2).count(_.endsWith("d")) == 3, census(dir2).toString)
+  }
+
   test("layered index crash windows: a stale pre-base state (old base " +
     "+ old delta left by a mid-compaction crash) is invisible to " +
     "readers and self-healed by the next call") {

@@ -1,0 +1,116 @@
+package graft.catalog
+
+/** Minimal legacySQL dialect shim — SURVEY §2 U3, the one view family
+  * the reference still ships in the legacy dialect
+  * (reference: schema/views_legacysql/ndt_plx.sql:1-20). That file's
+  * only NON-standard constructs are:
+  *
+  *   - the `#legacySQL` marker line;
+  *   - bracket table references `[${PROJECT}:dataset.table]`;
+  *   - the COMMA-UNION: in legacySQL a comma between items of the
+  *     outer FROM means UNION ALL. This is the load-bearing rewrite —
+  *     standard SQL (and Spark) reads the same comma as an implicit
+  *     CROSS JOIN, so passing the text through unrewritten would be
+  *     silently, catastrophically wrong (a self-cross of two
+  *     table-scale legs), not merely a syntax error.
+  *
+  * [[translate]] rewrites exactly that subset to Spark SQL and leaves
+  * everything else untouched (`--` comments, `struct.*` expansion and
+  * the partition pseudo-column are already valid Spark — P5/S3 cover
+  * them). Scope is deliberately the reference's actual usage: the
+  * comma-union scanner tracks parenthesis depth only (the legacy view
+  * bodies contain no string literals with parens or commas in the
+  * outer FROM), and splits the OUTER query's FROM list — nested
+  * queries' own FROMs sit at depth ≥ 1 and are never touched.
+  */
+object LegacySql {
+
+  private val Bracket = """\[\$\{PROJECT\}:([A-Za-z0-9_$.]+)\]""".r
+
+  /** Rewrite a legacySQL view body to Spark SQL. `tableRef` maps the
+    * dataset.table inside a bracket reference to the name it should
+    * resolve to in the session catalog (identity keeps it as
+    * `dataset.table`). */
+  def translate(sql: String, tableRef: String => String = identity)
+      : String = {
+    val noMarker = sql.linesIterator
+      .filterNot(_.trim.equalsIgnoreCase("#legacySQL"))
+      .mkString("\n")
+    val mapped = Bracket.replaceAllIn(noMarker, m =>
+      java.util.regex.Matcher.quoteReplacement(tableRef(m.group(1))))
+    rewriteCommaUnion(mapped)
+  }
+
+  private def isIdent(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Keyword match at position i, at word boundaries. */
+  private def kwAt(sql: String, i: Int, kw: String): Boolean =
+    sql.regionMatches(true, i, kw, 0, kw.length) &&
+      (i == 0 || !isIdent(sql(i - 1))) &&
+      (i + kw.length >= sql.length || !isIdent(sql(i + kw.length)))
+
+  /** Split the OUTER query's FROM list on depth-0 commas; more than
+    * one item means legacySQL UNION ALL semantics. Items that are
+    * parenthesized subqueries stay as-is; bare table refs become
+    * `SELECT * FROM ref` legs. The clause ends at a depth-0
+    * WHERE/GROUP/ORDER/HAVING/LIMIT or end of text; the tail is
+    * preserved verbatim. */
+  private def rewriteCommaUnion(sql: String): String = {
+    // a `-- comment` runs to end of line: the scanner must not read
+    // keywords out of prose (the reference's legacy views open with a
+    // comment block)
+    def skipComment(k: Int): Int =
+      if (k + 1 < sql.length && sql(k) == '-' && sql(k + 1) == '-') {
+        val nl = sql.indexOf('\n', k)
+        if (nl < 0) sql.length else nl
+      } else k
+    // locate the outer FROM (depth 0)
+    var i = 0; var depth = 0; var fromIdx = -1
+    while (i < sql.length && fromIdx < 0) {
+      val k = skipComment(i)
+      if (k != i) i = k
+      else {
+        sql(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ if depth == 0 && kwAt(sql, i, "FROM") => fromIdx = i
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    if (fromIdx < 0) return sql
+    // scan the FROM list: depth-0 commas separate items, a depth-0
+    // clause keyword (or end of text) terminates it
+    val terminators = Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT")
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = fromIdx + 4
+    var j = start; depth = 0; var endIdx = sql.length
+    while (j < sql.length && endIdx == sql.length) {
+      val k = skipComment(j)
+      if (k != j) j = k
+      else {
+        sql(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
+            items += sql.substring(start, j); start = j + 1
+          case _ if depth == 0 && terminators.exists(kwAt(sql, j, _)) =>
+            endIdx = j
+          case _ =>
+        }
+        j += 1
+      }
+    }
+    items += sql.substring(start, endIdx)
+    if (items.size <= 1) return sql
+    def leg(item: String): String = {
+      val t = item.trim
+      if (t.startsWith("(")) t else s"(SELECT * FROM $t)"
+    }
+    sql.substring(0, fromIdx) +
+      "FROM (" + items.map(leg).mkString(" UNION ALL ") +
+      ") legacy_union " + sql.substring(endIdx)
+  }
+}

@@ -2235,5 +2235,48 @@ object Curation {
               |  floor((CAST(common AS DOUBLE) / sa) * 10000.0 + 0.5)
               |    / 10000.0 AS containment
               |FROM p WHERE CAST(common AS DOUBLE) / sa >= 0.6
-              |ORDER BY doc_a, doc_b""".stripMargin)))
+              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // U3 — the legacySQL dialect shim, exercised on a view body in
+    // the exact shape of the reference's one live legacy view
+    // (views_legacysql/ndt_plx.sql:4-20): `#legacySQL` marker,
+    // bracket table refs, and the COMMA-UNION, which standard SQL
+    // would silently read as a CROSS JOIN. The oracle is the
+    // standard-SQL UNION ALL the legacy text means.
+    GraftQuery(
+      "qS2_legacy_comma_union",
+      "legacySQL dialect shim: #legacySQL marker + bracket table " +
+        "refs + FROM comma-union translated to Spark SQL (UNION " +
+        "ALL), run over two filtered legs of orders.",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_legacy_orders")
+        val legacy = """#legacySQL
+          |-- All order data, both eras, mapped to one leg-tagged
+          |-- stream (the ndt_plx comma-union shape).
+          |SELECT k, price, leg
+          |FROM (
+          |  SELECT o_orderkey AS k, o_totalprice AS price,
+          |    'pre' AS leg
+          |  FROM [${PROJECT}:legacy.orders]
+          |  WHERE o_orderkey % 3 = 0),
+          |  (
+          |  SELECT o_orderkey AS k, o_totalprice AS price,
+          |    'post' AS leg
+          |  FROM [${PROJECT}:legacy.orders]
+          |  WHERE o_orderkey % 3 = 1)""".stripMargin
+        s.sql(graft.catalog.LegacySql.translate(legacy,
+            Map("legacy.orders" -> "graft_legacy_orders")
+              .withDefault(identity)))
+          .orderBy("k", "leg")
+      },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey AS k, o_totalprice AS price,
+             |    'pre' AS leg
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey AS k, o_totalprice AS price,
+             |    'post' AS leg
+             |  FROM orders WHERE o_orderkey % 3 = 1)
+             |SELECT k, price, leg FROM u
+             |ORDER BY k, leg""".stripMargin)))
 }

@@ -147,4 +147,52 @@ class CatalogSpec extends SparkTestBase {
       assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
     }
   }
+  test("LegacySql.translate: marker stripped, bracket refs mapped, " +
+    "comma-union rewritten to UNION ALL (not a cross join); single-" +
+    "item FROM and outer WHERE tails preserved") {
+    import graft.catalog.LegacySql
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the ndt_plx shape: two parenthesized legs, leading comment block
+    val legacy = """#legacySQL
+      |-- All plx-shaped data, with both eras mapped (proper
+      |-- partition handling).
+      |SELECT a, b
+      |FROM (
+      |  SELECT id AS a, id * 2 AS b FROM [${PROJECT}:legacy.t1]),
+      |  (
+      |  SELECT id AS a, id * 3 AS b FROM [${PROJECT}:legacy.t2])""".stripMargin
+    spark.range(0, 5).toDF("id").createOrReplaceTempView("lsq_t1")
+    spark.range(100, 103).toDF("id").createOrReplaceTempView("lsq_t2")
+    val out = LegacySql.translate(legacy,
+      Map("legacy.t1" -> "lsq_t1", "legacy.t2" -> "lsq_t2")
+        .withDefault(identity))
+    assert(!out.contains("#legacySQL") && !out.contains("${PROJECT}"))
+    assert(out.contains("UNION ALL"))
+    val got = spark.sql(out)
+    // UNION ALL semantics: 5 + 3 rows — a cross-join misread would
+    // square the legs (15 rows)
+    assert(got.count() == 8)
+    val expect = spark.sql("SELECT id AS a, id * 2 AS b FROM lsq_t1")
+      .unionAll(spark.sql("SELECT id AS a, id * 3 AS b FROM lsq_t2"))
+    assert(got.collect().map(_.toString).sorted.toSeq ==
+      expect.collect().map(_.toString).sorted.toSeq)
+
+    // a single-item FROM is untouched
+    val one = "SELECT a FROM (SELECT id AS a FROM lsq_t1) x WHERE a > 1"
+    assert(LegacySql.translate(one) == one)
+
+    // an outer depth-0 WHERE terminates the comma list and survives
+    val withTail = LegacySql.translate(
+      "SELECT * FROM (SELECT id AS a FROM lsq_t1), " +
+        "(SELECT id AS a FROM lsq_t2) WHERE a >= 2")
+    assert(withTail.toUpperCase.contains("WHERE A >= 2"))
+    assert(spark.sql(withTail).count() == 3 + 3) // ids 2,3,4 + 100-102
+
+    // bare table refs become SELECT * legs
+    val bare = LegacySql.translate(
+      "SELECT * FROM [${PROJECT}:x.t1], [${PROJECT}:x.t2]",
+      Map("x.t1" -> "lsq_t1", "x.t2" -> "lsq_t2").withDefault(identity))
+    assert(spark.sql(bare).count() == 8)
+  }
 }

@@ -383,10 +383,14 @@ class PlanSpec extends SparkTestBase {
       // qA0's cpp machinery behind the C4 gate — the gate itself is a
       // per-row HOF pass and adds no exchange
       "qS0_gated_containment" -> 8,
-      // round-14 addition (PinAudit: net 8): the df gate's aggregate +
-      // anti-join live in the fenced gated-sets stage, so the declared
-      // plan is qS0's cpp shape over the staged read
-      "qS1_df_gated_containment" -> 8)
+      // round-14 additions (PinAudit at declaration time): qS1 net 8 —
+      // the df gate's aggregate + anti-join live in the fenced
+      // gated-sets stage, so the declared plan is qS0's cpp shape over
+      // the staged read; qS2 net 1 — union of two pruned scans + the
+      // final order (the dialect shim is a string rewrite, zero plan
+      // cost)
+      "qS1_df_gated_containment" -> 8,
+      "qS2_legacy_comma_union" -> 1)
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

@@ -107,10 +107,36 @@ object LegacySql {
     if (items.size <= 1) return sql
     def leg(item: String): String = {
       val t = item.trim
-      if (t.startsWith("(")) t else s"(SELECT * FROM $t)"
+      if (t.startsWith("(")) {
+        // fail FAST on an aliased subquery leg (`(SELECT ...) a`):
+        // passing it through would emit `(...) a UNION ALL ...`,
+        // which parses wrong or not at all — an honest error beats
+        // silently mangled SQL. Match parens on a comment-stripped
+        // copy (comment prose may contain parens); anything after
+        // the close is the alias.
+        val stripped = t.linesIterator
+          .map(_.replaceAll("--.*$", "")).mkString("\n")
+        var d = 0; var k = 0; var close = -1
+        while (k < stripped.length && close < 0) {
+          stripped(k) match {
+            case '(' => d += 1
+            case ')' => d -= 1; if (d == 0) close = k
+            case _ =>
+          }
+          k += 1
+        }
+        val after =
+          if (close < 0) "" else stripped.substring(close + 1).trim
+        require(after.isEmpty, "unsupported legacySQL construct: " +
+          s"aliased comma-union leg ('... $after')")
+        t
+      } else s"(SELECT * FROM $t)"
     }
+    // join on FRESH LINES: a leg whose text ends in a `-- comment`
+    // would otherwise swallow the UNION ALL (or the preserved tail)
+    // into the comment
     sql.substring(0, fromIdx) +
-      "FROM (" + items.map(leg).mkString(" UNION ALL ") +
-      ") legacy_union " + sql.substring(endIdx)
+      "FROM (" + items.map(leg).mkString("\nUNION ALL\n") +
+      "\n) legacy_union " + sql.substring(endIdx)
   }
 }

@@ -115,7 +115,14 @@ object ReferenceViews {
     * deliberate hand-over (e.g. a new driver resuming on a persistent
     * metastore). A same-dir rebind from another session is an
     * idempotent no-op and stays allowed; a same-session rebind to a
-    * new sfDir replaces the external table, as before. */
+    * new sfDir replaces the external table, as before.
+    *
+    * The guard is check-then-act and therefore BEST-EFFORT against
+    * two drivers racing the same metastore in the same instant (both
+    * can read the old owner before either's CREATE lands — metastore
+    * transactions are out of scope here); what it fails fast on is
+    * the steady-state hazard, a second session re-binding an
+    * already-owned deployment. */
   def registerBase(spark: SparkSession, sfDir: String,
       takeOver: Boolean = false): Unit = {
     // events.ts is INT64 TIMESTAMP(NANOS) in some generations — read as

@@ -459,6 +459,14 @@ object Ingest {
   /** Modulus for the sidecar's `sb` partition column. */
   private[graft] val StatsBuckets = 256
 
+  /** Base-layer byte sizes, keyed by base path — a committed base is
+    * immutable, so its recursive content summary is computed once per
+    * base generation, not per trigger. Bounded: superseded entries
+    * are dropped when a new base is promoted (and the map only ever
+    * holds paths of live bases of indexes this JVM appends to). */
+  private val baseBytesCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private val StatsRe = """v_(\d{20})s_c(\d+)""".r
 
   /** Ensure the hot-band stats sidecar for the CURRENT base layer and
@@ -489,7 +497,17 @@ object Ingest {
           .withColumn("sb",
             pmod(xxhash64(col("band_idx"), col("band_val")),
               lit(StatsBuckets)).cast("int"))
-        promoteNamed(spark, idxDir, name, stats, Seq("hot", "sb"))
+        // an EMPTY stats frame must be written UNPARTITIONED: the
+        // dynamic-partition writer emits no parquet files for zero
+        // rows (only _SUCCESS), and the committed-but-unreadable
+        // sidecar would then wedge every later trigger on a schema
+        // inference error, unhealably (the existence check passes) —
+        // an all-undecodable first media batch hits this. The plain
+        // writer keeps one schema-bearing empty file; the read side
+        // filters on hot/sb as DATA columns, which an empty frame
+        // satisfies trivially.
+        val parts = if (stats.isEmpty) Nil else Seq("hot", "sb")
+        promoteNamed(spark, idxDir, name, stats, parts)
       }
       target
     }
@@ -721,9 +739,16 @@ object Ingest {
         !l.isBase && baseOpt.forall(_.batchId < l.batchId))
       def bytes(l: IndexLayer): Long =
         fsys.getContentSummary(l.path).getLength
-      val sizeTrip = compactDeltaFrac > 0 && deltas.nonEmpty &&
+      // def, not val: the size listing runs ONLY when the count
+      // policy did not already decide — and the BASE's length (a
+      // recursive listing over up to 2^16 bucket dirs at the design
+      // point) is memoized per base layer, which is immutable once
+      // promoted, so the per-trigger cost is the ≤compactEvery small
+      // delta dirs the scaladoc claims
+      def sizeTrip = compactDeltaFrac > 0 && deltas.nonEmpty &&
         baseOpt.exists { b =>
-          val bb = bytes(b)
+          val bb = baseBytesCache.getOrElseUpdate(
+            b.path.toString, bytes(b))
           bb >= sizePolicyMinBase &&
             deltas.map(bytes).sum >= compactDeltaFrac * bb
         }
@@ -752,6 +777,8 @@ object Ingest {
         // promote so a crash in between leaves a readable (stale but
         // complete) state that the next call self-heals
         layers.foreach(l => fsys.delete(l.path, true))
+        layers.filter(_.isBase)
+          .foreach(l => baseBytesCache.remove(l.path.toString))
         Some(batchId)
       } else {
         selfHeal(layers)

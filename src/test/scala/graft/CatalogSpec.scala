@@ -194,5 +194,21 @@ class CatalogSpec extends SparkTestBase {
       "SELECT * FROM [${PROJECT}:x.t1], [${PROJECT}:x.t2]",
       Map("x.t1" -> "lsq_t1", "x.t2" -> "lsq_t2").withDefault(identity))
     assert(spark.sql(bare).count() == 8)
+
+    // a leg ending in a `--` comment must not swallow the UNION ALL
+    // (legs are joined on fresh lines — r14 review find)
+    val commented = LegacySql.translate(
+      "SELECT * FROM (SELECT id AS a FROM lsq_t1) -- pre era\n, " +
+        "(SELECT id AS a FROM lsq_t2) -- post era (both)")
+    assert(spark.sql(commented).count() == 8, commented)
+
+    // an ALIASED leg is outside the shim's legacy subset: fail fast
+    // with a named error instead of emitting mangled SQL
+    val ex = intercept[IllegalArgumentException] {
+      LegacySql.translate(
+        "SELECT * FROM (SELECT id AS a FROM lsq_t1) x, " +
+          "(SELECT id AS a FROM lsq_t2) y")
+    }
+    assert(ex.getMessage.contains("aliased"))
   }
 }

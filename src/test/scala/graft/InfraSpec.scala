@@ -935,27 +935,10 @@ class InfraSpec extends SparkTestBase {
   test("streaming media screen: growing band index, exactly-once " +
     "decisions, agrees with the composed batch screens") {
     import graft.operators.{Dedup, Multimodal}
-    // deterministic 18x14 P5 images: hash-grade pixels per seed, so two
-    // seeds differ in far more than maxHamming dhash bits while an
-    // exact byte copy is hamming 0
-    def p5(seed: Int): Array[Byte] = {
-      val w = 18; val h = 14
-      val header = s"P5\n$w $h\n255\n".getBytes("UTF-8")
-      val out = new Array[Byte](header.length + w * h)
-      System.arraycopy(header, 0, out, 0, header.length)
-      var j = 0
-      while (j < w * h) {
-        val x = j % w; val y = j / w
-        // multiplicative mix: the seed must shuffle adjacent-pixel
-        // ORDERINGS (what dHash compares), not just add a constant
-        // that neighbor comparisons cancel out
-        out(header.length + j) =
-          (((x + y * 18 + seed * 252 + 1) * 2654435761L >>> 16) % 256)
-            .toByte
-        j += 1
-      }
-      out
-    }
+    // deterministic 18x14 P5 images — the ONE shared generator
+    // (graft.TestImages.p5), so this spec, the broadcast-bound spec
+    // and the screens2 probe cannot drift apart
+    def p5(seed: Int): Array[Byte] = TestImages.p5(seed.toLong)
     def media(rows: (Long, Int)*) =
       rows.map { case (id, seed) =>
         val b = p5(seed)
@@ -1086,6 +1069,20 @@ class InfraSpec extends SparkTestBase {
     val hot6 = Ingest.hotBandList(spark, dir, 6).get
     assert(setOf(hot6) == Set.empty, "nothing exceeds cap 6")
     assert(sidecars == Seq("v_00000000000000000002s_c6"), sidecars)
+
+    // an EMPTY base (all-undecodable first media batch) must not
+    // wedge the sidecar: the dynamic-partition writer emits no files
+    // for zero rows, so the empty stats frame is written UNPARTITIONED
+    // (schema-bearing) and every later hotBandList read succeeds
+    val dirE = Files.createTempDirectory("hot-empty").toFile
+      .getAbsolutePath
+    Ingest.appendVersioned(spark, dirE, 0L, bandRows(1L, 1, 0).limit(0),
+      compactEvery = 99)
+    val hotE = Ingest.hotBandList(spark, dirE, 5).get
+    assert(hotE.count() == 0)
+    // and the committed sidecar stays readable on the NEXT trigger
+    // (the wedge was exists=true + unreadable)
+    assert(Ingest.hotBandList(spark, dirE, 5).get.count() == 0)
   }
 
   test("streaming semantic (embedding) near-dup screen: growing LSH " +
@@ -1769,22 +1766,9 @@ class InfraSpec extends SparkTestBase {
           s"$root/idx", s"$root/out", s"$root/ck",
           broadcastMaxRows = maxRows))
 
-      // media screen (seed index + one drop of deterministic P5 images)
-      def p5(seed: Int): Array[Byte] = {
-        val w = 18; val h = 14
-        val header = s"P5\n$w $h\n255\n".getBytes("UTF-8")
-        val out = new Array[Byte](header.length + w * h)
-        System.arraycopy(header, 0, out, 0, header.length)
-        var j = 0
-        while (j < w * h) {
-          val x = j % w; val y = j / w
-          out(header.length + j) =
-            (((x + y * 18 + seed * 252 + 1) * 2654435761L >>> 16) % 256)
-              .toByte
-          j += 1
-        }
-        out
-      }
+      // media screen (seed index + one drop of deterministic P5
+      // images — the shared TestImages generator)
+      def p5(seed: Int): Array[Byte] = TestImages.p5(seed.toLong)
       def mediaRows(rows: (Long, Int)*) = rows.map { case (id, s) =>
         val b = p5(s); (id, b, "image/x-portable-graymap", b.length.toLong)
       }.toDF("doc_id", "media", "mime", "n_bytes")

@@ -498,22 +498,7 @@ object OverlapProbe {
       // InfraSpec generator), corpus size matched to the doc decades;
       // maxPosting=64 exercises the compaction-time hot-band sidecar
       // on every measured trigger
-      def p5(seed: Long): Array[Byte] = {
-        val w = 18; val h = 14
-        val header = s"P5\n$w $h\n255\n".getBytes("UTF-8")
-        val out = new Array[Byte](header.length + w * h)
-        System.arraycopy(header, 0, out, 0, header.length)
-        var j = 0
-        while (j < w * h) {
-          val x = j % w; val y = j / w
-          out(header.length + j) =
-            (((x + y * 18 + seed * 252 + 1) * 2654435761L >>> 16) % 256)
-              .toByte
-          j += 1
-        }
-        out
-      }
-      val mkImg = udf(p5 _)
+      val mkImg = udf(graft.TestImages.p5 _)
       def imgs(ids: org.apache.spark.sql.DataFrame) = ids
         .select(col("doc_id"), mkImg(col("seed")).as("media"),
           lit("image/x-portable-graymap").as("mime"))

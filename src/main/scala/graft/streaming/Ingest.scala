@@ -423,6 +423,49 @@ object Ingest {
       dir: String): Option[Int] =
     indexLayers(spark, dir).filter(_.isBase).lastOption.flatMap(_.pruneN)
 
+  /** Operational inspection of a layered-index dir — one row per
+    * COMMITTED object (the surface every LSM layout ships: what is
+    * live, what is a stale crash leftover awaiting self-heal, how big
+    * the base is vs its deltas, which layout generations are tagged).
+    * Columns: name, kind (base|delta|legacy|stats), batch_id, live
+    * (part of the current standing state — stats count as live iff
+    * they describe the live base), bytes, files, planes, prune_n.
+    * Read-only: safe to call concurrently with a running screen
+    * (in-flight `_tmp_*` dirs are never listed). */
+  def describeIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Base = """v_(\d{20})b(?:_p(\d+))?(?:_n(\d+))?""".r
+    val Delta = """v_(\d{20})d""".r
+    val Legacy = """v_(\d{20})""".r
+    val Stats = """v_(\d{20})s_c(\d+)""".r
+    val live = liveLayers(spark, dir)
+    val liveBase = live.filter(_.isBase).lastOption.map(_.batchId)
+    val livePaths = live.map(_.path.toString).toSet
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fsys = hPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    versionPaths(spark, dir).flatMap { p =>
+      val cs = fsys.getContentSummary(p)
+      val row = p.getName match {
+        case Base(id, pl, n) => Some((id.toLong, "base",
+          livePaths(p.toString), Option(pl).map(_.toInt),
+          Option(n).map(_.toInt)))
+        case Delta(id) => Some((id.toLong, "delta",
+          livePaths(p.toString), None, None))
+        case Legacy(id) => Some((id.toLong, "legacy",
+          livePaths(p.toString), None, None))
+        case Stats(id, _) => Some((id.toLong, "stats",
+          liveBase.contains(id.toLong), None, None))
+        case _ => None
+      }
+      row.map { case (id, kind, isLive, planes, pruneN) =>
+        (p.getName, kind, id, isLive, cs.getLength, cs.getFileCount,
+          planes, pruneN)
+      }
+    }.toDF("name", "kind", "batch_id", "live", "bytes", "files",
+      "planes", "prune_n")
+  }
+
   // ------------------------------------------------------------------
   // Hot-band stats sidecar — the compaction-time artifact that lets a
   // CAPPED media screen (maxPosting > 0) build its per-trigger

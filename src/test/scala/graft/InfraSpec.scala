@@ -1312,6 +1312,32 @@ class InfraSpec extends SparkTestBase {
     assert(census(dir2).count(_.endsWith("d")) == 3, census(dir2).toString)
   }
 
+  test("describeIndex: one row per committed object with kind/live/" +
+    "bytes; stats follow the live base; stale layers read live=false") {
+    import graft.streaming.Ingest
+    val dir = Files.createTempDirectory("describe").toFile.getAbsolutePath
+    def bandRows(band: Long, n: Int, off: Long) =
+      (0 until n).map(i => (off + i, 1000L + off + i, 0, band))
+        .toDF("doc_id", "code", "band_idx", "band_val")
+    Ingest.appendVersioned(spark, dir, 0L, bandRows(7L, 6, 0), 99)
+    Ingest.appendVersioned(spark, dir, 1L, bandRows(9L, 3, 100), 99)
+    Ingest.hotBandList(spark, dir, 5) // writes the v_0 stats sidecar
+    val d = Ingest.describeIndex(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    assert(d.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq(("base", 0L, true), ("delta", 1L, true), ("stats", 0L, true)),
+      d.mkString(", "))
+    assert(d.forall(_._4 > 0), "every committed object has bytes")
+    // compaction supersedes: a fresh describe shows ONE live base and
+    // the old stats (now describing a dead base id) as live=false
+    Ingest.appendVersioned(spark, dir, 2L, bandRows(1L, 1, 200), 2)
+    val d2 = Ingest.describeIndex(spark, dir)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(d2.toSet == Set(("base", 2L, true), ("stats", 0L, false)),
+      d2.mkString(", "))
+  }
+
   test("layered index crash windows: a stale pre-base state (old base " +
     "+ old delta left by a mid-compaction crash) is invisible to " +
     "readers and self-healed by the next call") {

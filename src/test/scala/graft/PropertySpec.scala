@@ -464,4 +464,47 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+  test("autoPruneN: 0 exactly below the floor; otherwise a power of " +
+    "two in [512, 2^16], monotone nondecreasing in rows") {
+    import graft.streaming.Ingest
+    val rowsGen = Gen.oneOf(
+      Gen.choose(0L, (1L << 26) + (1L << 27)),
+      Gen.choose(0L, Long.MaxValue / 4))
+    val pts = samples(rowsGen, 400) ++ Seq(0L, (1L << 26) - 1,
+      1L << 26, Long.MaxValue / 2)
+    for (r <- pts) {
+      val n = Ingest.autoPruneN(r)
+      if (r < (1L << 26)) assert(n == 0, s"rows=$r -> $n")
+      else {
+        assert(n >= 512 && n <= (1 << 16), s"rows=$r -> $n")
+        assert(Integer.bitCount(n) == 1, s"rows=$r -> $n not a pow2")
+      }
+    }
+    val sortedPts = pts.sorted
+    val ns = sortedPts.map(Ingest.autoPruneN)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b },
+      "autoPruneN must be monotone in rows")
+  }
+
+  test("LegacySql: n-leg comma-unions translate to n-1 UNION ALLs and " +
+    "the row count is the sum of the legs, for random leg counts and " +
+    "sizes") {
+    import graft.catalog.LegacySql
+    val cases = samples(for {
+      k <- Gen.choose(2, 5)
+      sizes <- Gen.listOfN(k, Gen.choose(0, 7))
+    } yield sizes, 12)
+    for ((sizes, ci) <- cases.zipWithIndex) {
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        spark.range(sz.toLong).toDF("id")
+          .createOrReplaceTempView(s"plsq_${ci}_$i")
+      }
+      val legs = sizes.indices
+        .map(i => s"(SELECT id AS a FROM plsq_${ci}_$i)")
+        .mkString(",\n  ")
+      val out = LegacySql.translate(s"SELECT * FROM $legs")
+      assert("UNION ALL".r.findAllIn(out).length == sizes.length - 1, out)
+      assert(spark.sql(out).count() == sizes.sum.toLong, out)
+    }
+  }
 }

@@ -25,19 +25,30 @@ package graft.catalog
   */
 object LegacySql {
 
-  private val Bracket = """\[\$\{PROJECT\}:([A-Za-z0-9_$.]+)\]""".r
+  private val Bracket = """\[([A-Za-z0-9_.:-]+)\]""".r
 
-  /** Rewrite a legacySQL view body to Spark SQL. `tableRef` maps the
-    * dataset.table inside a bracket reference to the name it should
-    * resolve to in the session catalog (identity keeps it as
-    * `dataset.table`). */
-  def translate(sql: String, tableRef: String => String = identity)
-      : String = {
-    val noMarker = sql.linesIterator
+  /** Rewrite a legacySQL view body to Spark SQL. `vars` are the
+    * deployment substitutions the reference's create_view applies
+    * with envsubst BEFORE bq sees the text (make_views.sh:60 —
+    * `${PROJECT}`, `${DATASET}`, `${INTERMEDIATE}`); `PROJECT`
+    * defaults to the engine's catalog name. `tableRef` then maps the
+    * substituted bracket reference — with any `project:` prefix
+    * stripped, so callers key on `dataset.table` — to the name it
+    * should resolve to in the session catalog (identity keeps it
+    * as-is). */
+  def translate(sql: String, tableRef: String => String = identity,
+      vars: Map[String, String] = Map.empty): String = {
+    val sub = (Map("PROJECT" -> ReferenceViews.Project) ++ vars)
+      .foldLeft(sql) { case (acc, (k, v)) =>
+        acc.replace("${" + k + "}", v) }
+    val noMarker = sub.linesIterator
       .filterNot(_.trim.equalsIgnoreCase("#legacySQL"))
       .mkString("\n")
-    val mapped = Bracket.replaceAllIn(noMarker, m =>
-      java.util.regex.Matcher.quoteReplacement(tableRef(m.group(1))))
+    val mapped = Bracket.replaceAllIn(noMarker, m => {
+      val raw = m.group(1)
+      val ref = raw.substring(raw.lastIndexOf(':') + 1)
+      java.util.regex.Matcher.quoteReplacement(tableRef(ref))
+    })
     rewriteCommaUnion(mapped)
   }
 

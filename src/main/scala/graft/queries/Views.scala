@@ -125,5 +125,49 @@ object ViewSurface {
               |  FLOOR(MIN(mbps) * 10000 + 0.5) / 10000 AS lo,
               |  FLOOR(MAX(mbps) * 10000 + 0.5) / 10000 AS hi
               |FROM u GROUP BY direction, site
-              |ORDER BY direction, site""".stripMargin)))
+              |ORDER BY direction, site""".stripMargin)),
+
+    // U3+S7 over the deployed LEGACY surface (make_views.sh's
+    // lineage, the reference's second deploy script): the public
+    // release link resolves rc/alias -> ndt_downloads -> sensible ->
+    // all -> exhaustive (a legacySQL COMMA-UNION of the ETL and PLX
+    // eras, the PLX side itself a comma-union of two bottom tables)
+    // -> archive — six stacked views, two dialect-translated
+    // comma-unions, and the script's "add the ndt.iupui. prefix
+    // back" quirk, all replayed relationally by the oracle.
+    GraftQuery(
+      "qS3_legacy_lineage_view",
+      "release.ndt_downloads_legacysql through the deployed legacySQL " +
+        "lineage: public alias link over the six-view stacked chain " +
+        "with two translated comma-unions and the hostname-prefix " +
+        "quirk.",
+      (s, d) => {
+        graft.catalog.LegacyViews.deploy(s, d)
+        s.table("release.ndt_downloads_legacysql")
+          .select(col("test_id"), col("partition_date"),
+            r4(col("mbps")).as("mbps"), col("min_rtt"), col("site"),
+            col("country_code"))
+          .orderBy("test_id")
+      },
+      Some(s"""WITH $duckArchive,
+              |nweb AS (SELECT * FROM archive
+              |  WHERE experiment = 'ndt' AND datatype = 'web100'),
+              |ex AS (
+              |  SELECT id AS test_id, date AS partition_date,
+              |    direction, mbps, min_rtt,
+              |    'ndt.iupui.' || site AS site, country_code
+              |  FROM nweb WHERE date >= DATE '2024-01-16'
+              |  UNION ALL
+              |  SELECT id, date, direction, mbps, min_rtt, site,
+              |    country_code
+              |  FROM nweb WHERE date < DATE '2024-01-16')
+              |SELECT test_id, partition_date,
+              |  FLOOR(mbps * 10000 + 0.5) / 10000 AS mbps, min_rtt,
+              |  site, country_code
+              |FROM ex
+              |WHERE mbps IS NOT NULL
+              |  AND site != '13' AND site != 'ndt.iupui.13'
+              |  AND min_rtt >= 2 AND min_rtt < 45
+              |  AND direction = 'download' AND mbps >= 1
+              |ORDER BY test_id""".stripMargin)))
 }

@@ -1540,6 +1540,40 @@ class InfraSpec extends SparkTestBase {
     assert(Seq(10L, 11L, 30L, 50L, 70L).forall(id => !dec(id)._1))
   }
 
+  test("legacySQL lineage deploy: make_views.sh's _legacysql names, " +
+    "datasets and order; the exhaustive comma-union carries both eras " +
+    "(prefix quirk observable) and loses no base row") {
+    import graft.catalog.LegacyViews
+    val names = LegacyViews.deploy(spark, "/root/testdata/sf0.001")
+    assert(names == Seq(
+      "legacy.ndt_plx_legacysql",
+      "intermediate_v3_1_1.common_etl_legacysql",
+      "intermediate_v3_1_1.ndt_exhaustive_legacysql",
+      "intermediate_v3_1_1.ndt_all_legacysql",
+      "intermediate_v3_1_1.ndt_sensible_legacysql",
+      "intermediate_v3_1_1.ndt_downloads_legacysql",
+      "intermediate_v3_1_1.ndt_uploads_legacysql",
+      "rc_v3_1.ndt_all_legacysql", "rc_v3_1.ndt_downloads_legacysql",
+      "rc_v3_1.ndt_uploads_legacysql",
+      "release.ndt_all_legacysql", "release.ndt_downloads_legacysql",
+      "release.ndt_uploads_legacysql"), names.toString)
+    // every deployed name resolves to a queryable view
+    names.foreach(n => spark.table(n).schema)
+    // the comma-union view holds BOTH eras: the ETL face carries the
+    // script's re-added hostname prefix, the PLX face does not
+    val ex = spark.table("intermediate_v3_1_1.ndt_exhaustive_legacysql")
+    val post = ex.filter(col("site").startsWith("ndt.iupui.")).count()
+    val pre = ex.count() - post
+    assert(pre > 0 && post > 0, s"eras pre=$pre post=$post")
+    // positional comma-union loses nothing: exhaustive == the base
+    // web100 row set (the eras partition it)
+    assert(ex.count() == spark.table("base_tables.ndt").count())
+    // the public alias resolves the whole six-view stack
+    assert(spark.table("release.ndt_downloads_legacysql")
+      .columns.toSeq == Seq("test_id", "partition_date", "direction",
+        "mbps", "min_rtt", "site", "country_code"))
+  }
+
   test("registerBase ownership: a second session repointing the shared " +
     "base-table binding to a DIFFERENT sfDir fails fast; same-dir " +
     "rebind stays a no-op and takeOver hands over deliberately") {

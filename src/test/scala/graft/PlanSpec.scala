@@ -390,7 +390,11 @@ class PlanSpec extends SparkTestBase {
       // final order (the dialect shim is a string rewrite, zero plan
       // cost)
       "qS1_df_gated_containment" -> 8,
-      "qS2_legacy_comma_union" -> 1)
+      "qS2_legacy_comma_union" -> 1,
+      // the six-view legacy lineage collapses to a filtered union of
+      // two archive scans + the final order — stacked views cost no
+      // exchanges
+      "qS3_legacy_lineage_view" -> 1)
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

@@ -61,6 +61,34 @@ object LegacySql {
       (i == 0 || !isIdent(sql(i - 1))) &&
       (i + kw.length >= sql.length || !isIdent(sql(i + kw.length)))
 
+  /** Index after a `-- comment` starting at k (to end of line), or k. */
+  private def skipComment(s: String, k: Int): Int =
+    if (k + 1 < s.length && s(k) == '-' && s(k + 1) == '-') {
+      val nl = s.indexOf('\n', k)
+      if (nl < 0) s.length else nl
+    } else k
+
+  /** Index after a 'string literal' starting at k, or k. A literal is
+    * opaque to the scanners: a comma, paren, or clause keyword inside
+    * one must not split or terminate the FROM list (ADVICE r14 — the
+    * old scanner silently mis-split on them). Legacy literals escape
+    * with backslash and with a doubled ''. */
+  private def skipString(s: String, k: Int): Int =
+    if (s(k) != '\'') k
+    else {
+      var m = k + 1
+      while (m < s.length && s(m) != '\'')
+        m += (if (s(m) == '\\' && m + 1 < s.length) 2 else 1)
+      if (m + 1 < s.length && s(m) == '\'' && s(m + 1) == '\'')
+        skipString(s, m + 1) // doubled '' continues the literal
+      else math.min(m + 1, s.length)
+    }
+
+  private def skip(s: String, k: Int): Int = {
+    val c = skipComment(s, k)
+    if (c != k) c else skipString(s, k)
+  }
+
   /** Split the OUTER query's FROM list on depth-0 commas; more than
     * one item means legacySQL UNION ALL semantics. Items that are
     * parenthesized subqueries stay as-is; bare table refs become
@@ -68,18 +96,10 @@ object LegacySql {
     * WHERE/GROUP/ORDER/HAVING/LIMIT or end of text; the tail is
     * preserved verbatim. */
   private def rewriteCommaUnion(sql: String): String = {
-    // a `-- comment` runs to end of line: the scanner must not read
-    // keywords out of prose (the reference's legacy views open with a
-    // comment block)
-    def skipComment(k: Int): Int =
-      if (k + 1 < sql.length && sql(k) == '-' && sql(k + 1) == '-') {
-        val nl = sql.indexOf('\n', k)
-        if (nl < 0) sql.length else nl
-      } else k
     // locate the outer FROM (depth 0)
     var i = 0; var depth = 0; var fromIdx = -1
     while (i < sql.length && fromIdx < 0) {
-      val k = skipComment(i)
+      val k = skip(sql, i)
       if (k != i) i = k
       else {
         sql(i) match {
@@ -99,7 +119,7 @@ object LegacySql {
     var start = fromIdx + 4
     var j = start; depth = 0; var endIdx = sql.length
     while (j < sql.length && endIdx == sql.length) {
-      val k = skipComment(j)
+      val k = skip(sql, j)
       if (k != j) j = k
       else {
         sql(j) match {
@@ -122,24 +142,35 @@ object LegacySql {
         // fail FAST on an aliased subquery leg (`(SELECT ...) a`):
         // passing it through would emit `(...) a UNION ALL ...`,
         // which parses wrong or not at all — an honest error beats
-        // silently mangled SQL. Match parens on a comment-stripped
-        // copy (comment prose may contain parens); anything after
-        // the close is the alias.
-        val stripped = t.linesIterator
-          .map(_.replaceAll("--.*$", "")).mkString("\n")
+        // silently mangled SQL. Match parens with the same comment-
+        // and literal-aware scanner as the FROM split (prose and
+        // 'strings' may contain parens); anything after the close is
+        // the alias.
         var d = 0; var k = 0; var close = -1
-        while (k < stripped.length && close < 0) {
-          stripped(k) match {
-            case '(' => d += 1
-            case ')' => d -= 1; if (d == 0) close = k
-            case _ =>
+        while (k < t.length && close < 0) {
+          val s2 = skip(t, k)
+          if (s2 != k) k = s2
+          else {
+            t(k) match {
+              case '(' => d += 1
+              case ')' => d -= 1; if (d == 0) close = k
+              case _ =>
+            }
+            k += 1
           }
-          k += 1
         }
         val after =
-          if (close < 0) "" else stripped.substring(close + 1).trim
-        require(after.isEmpty, "unsupported legacySQL construct: " +
-          s"aliased comma-union leg ('... $after')")
+          if (close < 0) "" else t.substring(close + 1).trim
+        // strip trailing -- comments from the candidate alias text
+        // (a close paren followed only by a comment is not an alias)
+        val afterNoComment = after.linesIterator
+          .map { l =>
+            val idx = l.indexOf("--")
+            (if (idx < 0) l else l.substring(0, idx)).trim
+          }.filter(_.nonEmpty).mkString(" ")
+        require(afterNoComment.isEmpty,
+          "unsupported legacySQL construct: " +
+          s"aliased comma-union leg ('... $afterNoComment')")
         t
       } else s"(SELECT * FROM $t)"
     }

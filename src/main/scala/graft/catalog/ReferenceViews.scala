@@ -147,9 +147,12 @@ object ReferenceViews {
     }
     sql("CREATE DATABASE IF NOT EXISTS base_tables")
     sql("DROP TABLE IF EXISTS base_tables.events_raw")
+    // single quotes in the dir/namespace would break the DDL text (and
+    // the ownership stamp with it) — escape rather than trust the path
+    def q(s: String): String = s.replace("'", "\\'")
     sql("CREATE TABLE base_tables.events_raw USING parquet " +
-      s"LOCATION '$sfDir/events.parquet' TBLPROPERTIES(" +
-      s"'graft.owner'='$ns','graft.sfdir'='$sfDir')")
+      s"LOCATION '${q(sfDir)}/events.parquet' TBLPROPERTIES(" +
+      s"'graft.owner'='${q(ns)}','graft.sfdir'='${q(sfDir)}')")
     val tsType = spark.table("base_tables.events_raw")
       .schema("ts").dataType.typeName
     val tsDate = tsType match {

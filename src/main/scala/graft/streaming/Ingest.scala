@@ -847,11 +847,16 @@ object Ingest {
     // first: partitionBy alone writes a file per (task x value) pair —
     // at N prune buckets over the default 32 shuffle partitions that
     // is a 32N tiny-file spray; after the repartition it is exactly
-    // one file per bucket, the layout the read side wants
-    val out = if (partitionCols.isEmpty) df
-      else df.repartition(partitionCols.map(col): _*)
+    // one file per bucket, the layout the read side wants.
+    // An EMPTY frame must be written UNPARTITIONED: the dynamic-
+    // partition writer emits no parquet files for zero rows, leaving a
+    // committed dir that fails schema inference on every later read —
+    // a permanent wedge (same guard as ensureBandStats).
+    val parts = if (df.isEmpty) Nil else partitionCols
+    val out = if (parts.isEmpty) df
+      else df.repartition(parts.map(col): _*)
     val w = out.write.mode("overwrite")
-    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+    (if (parts.isEmpty) w else w.partitionBy(parts: _*))
       .parquet(tmp.toString)
     if (!fsys.rename(tmp, target))
       throw new java.io.IOException(s"promote failed: $tmp -> $target")

@@ -210,5 +210,18 @@ class CatalogSpec extends SparkTestBase {
           "(SELECT id AS a FROM lsq_t2) y")
     }
     assert(ex.getMessage.contains("aliased"))
+
+    // 'string literals' are opaque to the scanner (ADVICE r14): a
+    // comma, paren, or clause keyword inside one must not mis-split
+    // the FROM list or terminate it early
+    val lits = LegacySql.translate(
+      "SELECT * FROM (SELECT id AS a, 'x, (WHERE' AS tag FROM lsq_t1)" +
+        ", (SELECT id AS a, 'don''t)' AS tag FROM lsq_t2)")
+    assert(spark.sql(lits).count() == 8, lits)
+    // a literal in the outer SELECT list (before FROM) is also opaque
+    val preLit = LegacySql.translate(
+      "SELECT 'FROM a, b' AS note, a FROM " +
+        "(SELECT id AS a FROM lsq_t1), (SELECT id AS a FROM lsq_t2)")
+    assert(spark.sql(preLit).count() == 8, preLit)
   }
 }

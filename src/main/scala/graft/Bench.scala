@@ -46,6 +46,42 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // I/O-regime canary: a FIXED read (full scan of the largest base
+    // table through noop) and a FIXED write (2M-row parquet overwrite,
+    // the flush-sensitive side — the r14 evening band was D-state
+    // flush load with idle CPU), each min-of-2, plus the raw
+    // /proc/loadavg, captured BEFORE the warmup and AFTER the last
+    // timed pass. A band where the canaries and the trivial tail
+    // inflate uniformly is host weather; a regression confined to
+    // specific queries with flat canaries is code. This makes
+    // dual-band adjudication self-contained in the artifact (r14
+    // needed a manual vmstat session).
+    def loadavg(): String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
+    } catch { case _: Throwable => "" }
+    def canary(): (Double, Double, String) = {
+      def readOnce(): Double = {
+        val t0 = System.nanoTime()
+        try spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      def writeOnce(): Double = {
+        val t0 = System.nanoTime()
+        try spark.range(2000000L)
+          .selectExpr("id", "id * 37 % 1000 AS k",
+            "CAST(id AS STRING) AS s")
+          .write.mode("overwrite").parquet("target/bench_canary.parquet")
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (math.min(readOnce(), readOnce()),
+        math.min(writeOnce(), writeOnce()), loadavg())
+    }
+    val canaryPre = canary()
+
     // Untimed warm-up pass over the full query set: JIT compilation (C2
     // churning under 32 concurrent task threads) and janino codegen of a
     // fresh JVM otherwise land on RANDOM queries, measured as 10-30% noise
@@ -92,6 +128,7 @@ object Bench {
     // machine is badly degraded, skip the refinement pass rather than
     // risk the harness's wall budget — min-of-one is just pass 1.
     val p2 = if (p1.values.sum < nQueries * 2.0) timedPass().toMap else p1
+    val canaryPost = canary()
     val results = benchQueries
       .map(q => q.name -> math.min(p1(q.name), p2(q.name)))
     // The driver parses this line from a 2000-char log tail (measured:
@@ -107,9 +144,16 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // stdout stays numeric-compact (2000-char tail window); the raw
+    // loadavg strings live in the file twin below
+    def canaryJson(c: (Double, Double, String), full: Boolean): String =
+      s"""{"read":${fmt(c._1)},"write":${fmt(c._2)}""" +
+        (if (full) s""","loadavg":"${c._3}"}""" else "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""load_ok":$loadOk,"load1":${fmt(load1)},""" +
+        s""""canary_pre":${canaryJson(canaryPre, full = false)},""" +
+        s""""canary_post":${canaryJson(canaryPost, full = false)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // File twin of the stdout contract: the driver captures stdout from a
@@ -126,6 +170,8 @@ object Bench {
       val fullJson =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
           s""""load_ok":$loadOk,"load1":${fmt(load1)},""" +
+          s""""canary_pre":${canaryJson(canaryPre, full = true)},""" +
+          s""""canary_post":${canaryJson(canaryPost, full = true)},""" +
           s""""n_queries":$nQueries,"queries":$fullQs,"sf":"$sfDir"}"""
       try {
         java.nio.file.Files.writeString(

@@ -46,8 +46,8 @@ object LegacyViews {
   val PublicDs = "rc_v3_1"
   val Aliases: Seq[String] = Seq("release")
 
-  private val EtlBoundary = "DATE '2024-01-16'"
-  private val Pre2015Boundary = "DATE '2024-01-08'"
+  private[catalog] val EtlBoundary = "DATE '2024-01-16'"
+  private[catalog] val Pre2015Boundary = "DATE '2024-01-08'"
 
   private def P = ReferenceViews.Project
 
@@ -139,12 +139,13 @@ object LegacyViews {
   /** Deploy the legacy lineage (idempotent catalog DDL; assumes — and
     * ensures — the base layer via [[ReferenceViews.deploy]]'s memo).
     * Returns the qualified `_legacysql` names in deploy order. */
-  def deploy(spark: SparkSession, sfDir: String): Seq[String] = {
-    ReferenceViews.deploy(spark, sfDir)
+  /** The PLX bottom layer BOTH make_views.sh scripts assume
+    * pre-exists (`LEGACY=${PROJECT}:legacy` is only `bq mk`'d):
+    * era-filtered views of the archive, shared by the legacySQL and
+    * standardSQL lineage deploys. */
+  private[catalog] def ensureBottom(spark: SparkSession): Unit = {
     def sql(s: String): Unit = { spark.sql(s); () }
-    (Seq(LegacyDs, IntermediateDs, PublicDs) ++ Aliases)
-      .foreach(ds => sql(s"CREATE DATABASE IF NOT EXISTS $ds"))
-    // the PLX bottom layer make_views.sh assumes pre-exists
+    sql(s"CREATE DATABASE IF NOT EXISTS $LegacyDs")
     sql(s"CREATE OR REPLACE VIEW $LegacyDs.ndt AS SELECT * FROM " +
       s"$P.base_tables.archive WHERE experiment = 'ndt' AND " +
       s"datatype = 'web100' AND date >= $Pre2015Boundary AND " +
@@ -152,6 +153,14 @@ object LegacyViews {
     sql(s"CREATE OR REPLACE VIEW $LegacyDs.ndt_pre2015 AS SELECT * " +
       s"FROM $P.base_tables.archive WHERE experiment = 'ndt' AND " +
       s"datatype = 'web100' AND date < $Pre2015Boundary")
+  }
+
+  def deploy(spark: SparkSession, sfDir: String): Seq[String] = {
+    ReferenceViews.deploy(spark, sfDir)
+    def sql(s: String): Unit = { spark.sql(s); () }
+    (Seq(LegacyDs, IntermediateDs, PublicDs) ++ Aliases)
+      .foreach(ds => sql(s"CREATE DATABASE IF NOT EXISTS $ds"))
+    ensureBottom(spark)
     val stacked = lineage.map { case (ds, name, body) =>
       val qn = s"$ds.${name}_legacysql"
       sql(s"CREATE OR REPLACE VIEW $qn AS " +

@@ -700,13 +700,38 @@ object Dedup {
     * both the probe and the index merge (the
     * [[embeddingLshScreenOnIndex]] pattern). `ids` is the full new-id
     * universe — docs whose band rows were filtered upstream still get
-    * a no-dup decision row. */
+    * a no-dup decision row.
+    *
+    * `maxPosting > 0` caps hot INDEX bands — a (band_idx, band_key)
+    * whose posting exceeds the cap is boilerplate shingle content
+    * (the minhash twin of [[codeHammingScreen]]'s contract: the new
+    * side is never capped, recall degrades gracefully on exactly the
+    * bands that would otherwise fan the probe join out by the
+    * posting). `hotBands` lets a caller that already KNOWS the
+    * over-cap band keys (the streaming minhash screen's compaction
+    * sidecar — `Ingest.hotBandList`) pass the exclusion list
+    * directly, skipping the per-call index aggregation so the index
+    * is scanned exactly once; the caller owns exactness. */
   private[graft] def screenAgainstIndexRows(newBand: DataFrame,
       ids: DataFrame, oldIndex: DataFrame, threshold: Double,
-      broadcastProbe: Boolean = false): DataFrame = {
+      broadcastProbe: Boolean = false, maxPosting: Int = 0,
+      hotBands: Option[DataFrame] = None): DataFrame = {
+    require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
+    val idx = hotBands match {
+      case Some(h) => oldIndex.join(
+        broadcast(h.select("band_idx", "band_key")),
+        Seq("band_idx", "band_key"), "left_anti")
+      case None if maxPosting > 0 =>
+        val hot = oldIndex.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("n")).filter(col("n") > maxPosting)
+          .select("band_idx", "band_key")
+        oldIndex.join(broadcast(hot), Seq("band_idx", "band_key"),
+          "left_anti")
+      case None => oldIndex
+    }
     // broadcastProbe: micro-batch probe side — broadcast it and leave
     // the corpus-scale index shuffle-free (scan-only per batch)
-    val old = oldIndex.select(col("doc_id").as("old_id"),
+    val old = idx.select(col("doc_id").as("old_id"),
       col("sh").as("sho"), col("band_idx"), col("band_key"))
     if (broadcastProbe)
       screenDecisions(broadcast(newBand), old, ids, threshold)

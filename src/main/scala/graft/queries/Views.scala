@@ -169,5 +169,45 @@ object ViewSurface {
               |  AND site != '13' AND site != 'ndt.iupui.13'
               |  AND min_rtt >= 2 AND min_rtt < 45
               |  AND direction = 'download' AND mbps >= 1
+              |ORDER BY test_id""".stripMargin)),
+
+    // The standardSQL sibling lineage (views_standardsql/
+    // make_views.sh + create_named_views.sh): same seven-view stack
+    // in the standard dialect, deployed under plain names into the
+    // same datasets, with the faithful dialect differences — standard
+    // common_etl reads through the NAMED-VIEW mapping surface
+    // (ndt.web100) with the era WHERE commented out, and standard
+    // ndt_exhaustive carries the PLX union inside a block comment, so
+    // the stack serves ALL web100 rows (both eras) with the
+    // ndt.iupui. prefix applied to every row.
+    GraftQuery(
+      "qS4_standard_lineage_view",
+      "release.ndt_uploads through the deployed standardSQL lineage: " +
+        "public alias link over the stacked chain, named-view source " +
+        "mapping, prefix on every row (the dialect twin of qS3).",
+      (s, d) => {
+        graft.catalog.StandardViews.deploy(s, d)
+        s.table("release.ndt_uploads")
+          .select(col("test_id"), col("partition_date"),
+            r4(col("mbps")).as("mbps"), col("min_rtt"), col("site"),
+            col("country_code"))
+          .orderBy("test_id")
+      },
+      Some(s"""WITH $duckArchive,
+              |nweb AS (SELECT * FROM archive
+              |  WHERE experiment = 'ndt' AND datatype = 'web100'),
+              |ce AS (
+              |  SELECT id AS test_id, date AS partition_date,
+              |    direction, mbps, min_rtt,
+              |    'ndt.iupui.' || site AS site, country_code
+              |  FROM nweb)
+              |SELECT test_id, partition_date,
+              |  FLOOR(mbps * 10000 + 0.5) / 10000 AS mbps, min_rtt,
+              |  site, country_code
+              |FROM ce
+              |WHERE mbps IS NOT NULL
+              |  AND site != '13' AND site != 'ndt.iupui.13'
+              |  AND min_rtt >= 2 AND min_rtt < 45
+              |  AND direction = 'upload' AND mbps >= 1
               |ORDER BY test_id""".stripMargin)))
 }

@@ -93,13 +93,23 @@ object Ingest {
   def startDedupScreen(newDocs: DataFrame, oldIndex: DataFrame,
       idCol: String, textCol: String, shingleN: Int, bands: Int,
       rowsPerBand: Int, threshold: Double, outDir: String,
-      checkpointDir: String, broadcastProbe: Boolean = false)
+      checkpointDir: String, broadcastProbe: Boolean = false,
+      broadcastMaxRows: Long = BroadcastMaxRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // enforced contract (same as the growing-index screens): the
+        // probe — |batch| x bands band rows — only broadcasts while it
+        // is actually micro; a backfill arriving as one giant batch
+        // falls back to the shuffle-hash plan instead of OOMing the
+        // driver. The bound is a conservative upper count (band rows
+        // are at most batch rows x bands), evaluated by name only
+        // when broadcasting was requested.
+        val bcast = boundedBroadcast(broadcastProbe,
+          batch.count() * bands, broadcastMaxRows)
         graft.operators.Dedup.screenAgainstIndex(batch, idCol, textCol,
             oldIndex, shingleN, bands, rowsPerBand, threshold,
-            broadcastProbe)
+            bcast)
           .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", checkpointDir)
@@ -134,13 +144,15 @@ object Ingest {
       rowsPerBand: Int, threshold: Double, idxDir: String,
       outDir: String, checkpointDir: String, compactEvery: Int = 16,
       broadcastProbe: Boolean = true, pruneBuckets: Int = 0,
-      broadcastMaxRows: Long = BroadcastMaxRows)
+      broadcastMaxRows: Long = BroadcastMaxRows, maxPosting: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         // b = hash(band key) mod N (see the Prune harness) — a
         // function of the band join key, so pruning loses no match
+        // (and a band key's full posting lives in ONE bucket, so the
+        // maxPosting hot-band counts stay EXACT under pruning)
         val prune = pruneFor(spark, idxDir, pruneBuckets, (df, n) =>
           df.withColumn("b",
             pmod(xxhash64(col("band_idx"), col("band_key")), lit(n))
@@ -155,21 +167,40 @@ object Ingest {
         // broadcasts while it is actually micro
         val bcast = boundedBroadcast(broadcastProbe, freshBands.count(),
           broadcastMaxRows)
+        // capped screens take the hot-band exclusion from the sidecar
+        // artifact + deltas (one index scan per trigger — the media
+        // screen's machinery with the minhash band column); None
+        // before the first base commit or when uncapped, where
+        // screenAgainstIndexRows' per-call aggregation is the right
+        // path (a boilerplate-hot shingle band in a GROWN text index
+        // otherwise has no exclusion path — VERDICT r14 #3)
+        val hotList =
+          if (maxPosting > 0)
+            hotBandList(spark, idxDir, maxPosting, "band_key")
+          else None
         writeVersionedOnce(spark, outDir, batchId) {
           graft.operators.Dedup.screenAgainstIndexRows(freshBands,
             batch.select(col(idCol).as("doc_id")),
             standing.getOrElse(seedFallback), threshold,
-            broadcastProbe = bcast)
+            broadcastProbe = bcast, maxPosting = maxPosting,
+            hotBands = hotList)
             .withColumn("batch_id", lit(batchId))
         }
         val init =
           if (standingAll.isEmpty) seedFallback.unionByName(freshBands)
           else freshBands
-        appendVersioned(spark, idxDir, batchId, init, compactEvery,
+        val compacted = appendVersioned(spark, idxDir, batchId, init,
+          compactEvery,
           compact = u => {
             val (adopted, n) = prune.adoptN(u, u.count())
             (adopted, None, n)
           })
+        // refresh the sidecar eagerly at compaction cadence (rides the
+        // rewrite that just happened); a crash before this self-heals
+        // on the next trigger's hotBandList
+        if (maxPosting > 0)
+          compacted.foreach(_ => ensureBandStats(spark, idxDir,
+            maxPosting, "band_key"))
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -492,11 +523,13 @@ object Ingest {
   // Lifecycle: written right after a compaction promotes its base;
   // the name is invisible to [[indexLayers]] (neither base, delta,
   // nor legacy), so layer logic never reads it. A sidecar for an
-  // older base or a different cap is superseded and deleted by
-  // [[ensureBandStats]]; a missing sidecar (crash between base
-  // promote and sidecar write, a pre-feature index, a cap change)
-  // self-heals with one O(index) aggregation — the cost the per-call
-  // path paid EVERY trigger.
+  // older base is superseded and deleted by [[ensureBandStats]];
+  // same-base sidecars for OTHER caps coexist (callers alternating
+  // caps each pay one aggregation per base, never a per-trigger
+  // thrash). A missing sidecar (crash between base promote and
+  // sidecar write, a pre-feature index, a new cap) self-heals with
+  // one O(index) aggregation — the cost the per-call path paid EVERY
+  // trigger.
   // ------------------------------------------------------------------
 
   /** Modulus for the sidecar's `sb` partition column. */
@@ -514,9 +547,14 @@ object Ingest {
 
   /** Ensure the hot-band stats sidecar for the CURRENT base layer and
     * cap exists (write it if missing, delete superseded ones); None
-    * when the index has no base layer yet. */
+    * when the index has no base layer yet. `bandCol` names the band
+    * VALUE column of the index's schema — `band_val` for the media
+    * screen's [[graft.operators.Dedup.codeBandIndex]], `band_key` for
+    * the minhash screen's [[graft.operators.Dedup.lshBandIndex]];
+    * the sidecar machinery is otherwise identical. */
   private[graft] def ensureBandStats(spark: SparkSession, idxDir: String,
-      cap: Int): Option[org.apache.hadoop.fs.Path] = {
+      cap: Int, bandCol: String = "band_val")
+      : Option[org.apache.hadoop.fs.Path] = {
     import org.apache.hadoop.fs.Path
     val baseOpt = indexLayers(spark, idxDir).filter(_.isBase).lastOption
     baseOpt.map { b =>
@@ -524,21 +562,27 @@ object Ingest {
       val dirPath = new Path(idxDir)
       val fsys = dirPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      // superseded sidecars: another base id or another cap
+      // superseded = sidecars of OLDER BASES only. Same-base sidecars
+      // for other caps are KEPT: deleting them would make two callers
+      // alternating caps on one index thrash an O(index) aggregation
+      // per trigger (each deleting the other's artifact) — kept, each
+      // (base, cap) pays its aggregation once, storage is bounded by
+      // the distinct caps in use, and every stale cap's sidecar dies
+      // with its base at the next compaction.
       versionPaths(spark, idxDir)
-        .filter(p => StatsRe.pattern.matcher(p.getName).matches()
-          && p.getName != name)
+        .filter(p => StatsRe.findFirstMatchIn(p.getName)
+          .exists(_.group(1).toLong != b.batchId))
         .foreach(p => fsys.delete(p, true))
       val target = new Path(dirPath, name)
       if (!fsys.exists(target)) {
         val stats = spark.read.parquet(b.path.toString)
-          .groupBy("band_idx", "band_val")
+          .groupBy("band_idx", bandCol)
           .agg(count(lit(1)).as("n"))
           // int flag, not boolean: partition-column type inference on
           // read-back only covers numeric/date/string
           .withColumn("hot", (col("n") > cap).cast("int"))
           .withColumn("sb",
-            pmod(xxhash64(col("band_idx"), col("band_val")),
+            pmod(xxhash64(col("band_idx"), col(bandCol)),
               lit(StatsBuckets)).cast("int"))
         // an EMPTY stats frame must be written UNPARTITIONED: the
         // dynamic-partition writer emits no parquet files for zero
@@ -564,11 +608,11 @@ object Ingest {
     * commit (the caller falls back to the per-call aggregation over
     * its seed fallback). */
   private[graft] def hotBandList(spark: SparkSession, idxDir: String,
-      cap: Int): Option[DataFrame] =
-    ensureBandStats(spark, idxDir, cap).map { statsPath =>
+      cap: Int, bandCol: String = "band_val"): Option[DataFrame] =
+    ensureBandStats(spark, idxDir, cap, bandCol).map { statsPath =>
       val stats = spark.read.parquet(statsPath.toString)
       val baseHot = stats.filter(col("hot") === 1)
-        .select("band_idx", "band_val")
+        .select("band_idx", bandCol)
       val layers = indexLayers(spark, idxDir)
       val baseId = layers.filter(_.isBase).last.batchId
       val deltas = layers.filter(l => !l.isBase && l.batchId > baseId)
@@ -579,21 +623,21 @@ object Ingest {
         // collect AND the cold-count join below
         val dCounts = spark.read
           .parquet(deltas.map(_.path.toString): _*)
-          .groupBy("band_idx", "band_val")
+          .groupBy("band_idx", bandCol)
           .agg(count(lit(1)).as("dn"))
           .withColumn("sb",
-            pmod(xxhash64(col("band_idx"), col("band_val")),
+            pmod(xxhash64(col("band_idx"), col(bandCol)),
               lit(StatsBuckets)).cast("int"))
           .localCheckpoint()
         val sbSet = dCounts.select("sb").distinct()
           .collect().map(_.getInt(0)).toSeq // <= StatsBuckets ints
         val cold = stats.filter(col("hot") === 0 &&
           col("sb").isin(sbSet: _*))
-          .select("band_idx", "band_val", "n")
+          .select("band_idx", bandCol, "n")
         val newHot = dCounts
-          .join(cold, Seq("band_idx", "band_val"), "left")
+          .join(cold, Seq("band_idx", bandCol), "left")
           .filter(col("dn") + coalesce(col("n"), lit(0L)) > cap)
-          .select("band_idx", "band_val")
+          .select("band_idx", bandCol)
         baseHot.unionByName(newHot)
       }
     }

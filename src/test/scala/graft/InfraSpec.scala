@@ -14,6 +14,34 @@ import graft.views._
 class InfraSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Capture every executed plan during `body` — foreachBatch actions
+    * post to the execution-listener bus asynchronously, so poll until
+    * the captured set is quiescent before returning. */
+  private def capturePlans(body: => Unit): Seq[String] = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val l = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution,
+          d: Long): Unit = { buf.add(qe.executedPlan.toString); () }
+      override def onFailure(f: String, qe: QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      body
+      var last = -1; var same = 0
+      while (same < 3) { // 3 x 200 ms without a new event = drained
+        Thread.sleep(200)
+        val n = buf.size()
+        if (n == last) same += 1 else { same = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(l)
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq
+  }
+
   // --- ViewRegistry -------------------------------------------------------
 
   test("ViewRegistry renders templates, extracts deps, sorts, deploys") {
@@ -1063,12 +1091,23 @@ class InfraSpec extends SparkTestBase {
       .map(_.getName).filter(_.matches("""v_\d{20}s_c\d+""")).toSeq
     assert(sidecars == Seq("v_00000000000000000002s_c5"), sidecars)
 
-    // a CAP change invalidates the artifact (the hot flag is
-    // cap-specific): the next call rewrites under the new cap and the
-    // stale one is deleted
+    // a CAP change writes a SIBLING sidecar under the new cap and
+    // KEEPS the same-base one for the old cap: callers alternating
+    // caps on one index each pay one O(index) aggregation per base
+    // instead of thrashing a rewrite per trigger (each deleting the
+    // other's artifact — r14 verdict #7); stale-cap sidecars die with
+    // their base at the next compaction
     val hot6 = Ingest.hotBandList(spark, dir, 6).get
     assert(setOf(hot6) == Set.empty, "nothing exceeds cap 6")
-    assert(sidecars == Seq("v_00000000000000000002s_c6"), sidecars)
+    assert(sidecars.sorted == Seq("v_00000000000000000002s_c5",
+      "v_00000000000000000002s_c6"), sidecars)
+    // alternating back is served from the KEPT artifact — no rewrite
+    val c5dir = new java.io.File(dir, "v_00000000000000000002s_c5")
+    val mt5 = c5dir.lastModified
+    assert(setOf(Ingest.hotBandList(spark, dir, cap).get) ==
+      Set((0, 7L), (0, 9L)))
+    assert(c5dir.lastModified == mt5,
+      "alternating caps rewrote the kept sidecar")
 
     // an EMPTY base (all-undecodable first media batch) must not
     // wedge the sidecar: the dynamic-partition writer emits no files
@@ -1574,6 +1613,62 @@ class InfraSpec extends SparkTestBase {
         "mbps", "min_rtt", "site", "country_code"))
   }
 
+  test("standardSQL lineage deploy: make_views.sh's plain names, " +
+    "datasets and order; named-view source mapping; the faithful " +
+    "dialect differences vs the legacy twin (era WHERE and PLX union " +
+    "commented out => all rows, prefix on every row)") {
+    import graft.catalog.{LegacyViews, StandardViews}
+    val names = StandardViews.deploy(spark, "/root/testdata/sf0.001")
+    assert(names == Seq(
+      "legacy.ndt_plx",
+      "intermediate_v3_1_1.common_etl",
+      "intermediate_v3_1_1.ndt_exhaustive",
+      "intermediate_v3_1_1.ndt_all",
+      "intermediate_v3_1_1.ndt_sensible",
+      "intermediate_v3_1_1.ndt_downloads",
+      "intermediate_v3_1_1.ndt_uploads",
+      "rc_v3_1.ndt_all", "rc_v3_1.ndt_downloads", "rc_v3_1.ndt_uploads",
+      "release.ndt_all", "release.ndt_downloads",
+      "release.ndt_uploads"), names.toString)
+    names.foreach(n => spark.table(n).schema)
+    // create_named_views.sh's mapping surface: global.sidestream is
+    // created as the bare pass-through; ndt.web100 already belongs to
+    // the 79-view manifest (the richer annotated body) and is LEFT in
+    // place — clobbering it would repoint the deployed unified chain
+    val mapped = StandardViews.createNamedViews(spark)
+    assert(mapped.map(t => (t._1, t._3)) == Seq(
+      ("ndt.web100", false), ("global.sidestream", false)))
+    assert(spark.table("global.sidestream").count() ==
+      spark.table("base_tables.sidestream").count())
+    assert(spark.table("ndt.web100").columns.contains("ann_value"),
+      "manifest's annotated ndt.web100 must survive the named deploy")
+    // faithful dialect difference #1: standard common_etl has the era
+    // WHERE commented out — ALL web100 rows, prefix on EVERY row
+    val ce = spark.table("intermediate_v3_1_1.common_etl")
+    assert(ce.count() == spark.table("base_tables.ndt").count())
+    assert(ce.filter(!col("site").startsWith("ndt.iupui.")).count() == 0)
+    // faithful dialect difference #2: standard ndt_exhaustive carries
+    // the PLX union inside a block comment — common_etl rows only,
+    // while the legacy twin serves both eras distinctly
+    val ex = spark.table("intermediate_v3_1_1.ndt_exhaustive")
+    assert(ex.count() == ce.count())
+    LegacyViews.deploy(spark, "/root/testdata/sf0.001")
+    val legacyEx =
+      spark.table("intermediate_v3_1_1.ndt_exhaustive_legacysql")
+    assert(legacyEx.filter(!col("site").startsWith("ndt.iupui."))
+      .count() > 0, "legacy twin keeps an unprefixed PLX era")
+    // ndt_plx is deployed-but-unreferenced, exactly as the script
+    // leaves it: the standard UNION ALL still resolves and carries
+    // the two bottom-era row sets
+    val plx = spark.table("legacy.ndt_plx")
+    assert(plx.count() == spark.table("legacy.ndt").count() +
+      spark.table("legacy.ndt_pre2015").count())
+    // the public alias resolves the whole stack
+    assert(spark.table("release.ndt_uploads").columns.toSeq ==
+      Seq("test_id", "partition_date", "direction", "mbps", "min_rtt",
+        "site", "country_code"))
+  }
+
   test("registerBase ownership: a second session repointing the shared " +
     "base-table binding to a DIFFERENT sfDir fails fast; same-dir " +
     "rebind stays a no-op and takeOver hands over deliberately") {
@@ -1701,34 +1796,6 @@ class InfraSpec extends SparkTestBase {
     "broadcast of a corpus-scale probe) with bit-equal decisions") {
     import graft.operators.{Dedup, Multimodal}
     import graft.streaming.Ingest
-    import org.apache.spark.sql.execution.QueryExecution
-    import org.apache.spark.sql.util.QueryExecutionListener
-
-    // capture every executed plan during `body` — foreachBatch actions
-    // post to the execution-listener bus asynchronously, so poll until
-    // the captured set is quiescent before returning
-    def capturePlans(body: => Unit): Seq[String] = {
-      val buf = java.util.Collections.synchronizedList(
-        new java.util.ArrayList[String]())
-      val l = new QueryExecutionListener {
-        override def onSuccess(f: String, qe: QueryExecution,
-            d: Long): Unit = { buf.add(qe.executedPlan.toString); () }
-        override def onFailure(f: String, qe: QueryExecution,
-            e: Exception): Unit = ()
-      }
-      spark.listenerManager.register(l)
-      try {
-        body
-        var last = -1; var same = 0
-        while (same < 3) { // 3 x 200 ms without a new event = drained
-          Thread.sleep(200)
-          val n = buf.size()
-          if (n == last) same += 1 else { same = 0; last = n }
-        }
-      } finally spark.listenerManager.unregister(l)
-      import scala.jdk.CollectionConverters._
-      buf.asScala.toSeq
-    }
 
     // the only broadcast join that can appear below is the explicit
     // probe hint: auto-broadcast is disabled for the duration so tiny
@@ -1849,6 +1916,157 @@ class InfraSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("static dedup screen honors the broadcast bound: a batch past " +
+    "broadcastMaxRows falls back to the shuffle plan with bit-equal " +
+    "decisions (the backfill-in-one-batch shape reaches this screen " +
+    "too)") {
+    import graft.operators.Dedup
+    import graft.streaming.Ingest
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val texts = (0 until 12).map(i => (i.toLong,
+        s"document number $i speaks about topic ${i % 4} in long " +
+          s"winding sentences that continue for a while item$i"))
+        .toDF("doc_id", "text")
+      val idx = Dedup.lshBandIndex(texts, "doc_id", "text", 3, 4, 2)
+        .localCheckpoint()
+      def run(maxRows: Long): (Seq[String], Seq[String]) = {
+        val root = Files.createTempDirectory("sb").toFile.getAbsolutePath
+        Seq((100L, texts.collect()(3).getString(1)),
+            (101L, "completely novel content nothing shared at all"))
+          .toDF("doc_id", "text").repartition(1)
+          .write.parquet(s"$root/in/d0")
+        var out = Seq.empty[String]
+        val plans = capturePlans {
+          val q = Ingest.startDedupScreen(
+            Ingest.streamTable(spark, s"$root/in/d*",
+              spark.read.parquet(s"$root/in/d0").schema),
+            idx, "doc_id", "text", 3, 4, 2, 0.5,
+            s"$root/out", s"$root/ck", broadcastProbe = true,
+            broadcastMaxRows = maxRows)
+          q.awaitTermination(120000)
+          out = spark.read.parquet(s"$root/out")
+            .collect().map(_.toString).sorted.toSeq
+        }
+        (out, plans)
+      }
+      val (dB, pB) = run(Long.MaxValue)
+      val (dG, pG) = run(0L)
+      assert(dB.nonEmpty && dB == dG, "static screen decisions drifted")
+      assert(pB.exists(_.contains("BroadcastHashJoin")),
+        "control run never broadcast the probe")
+      assert(!pG.exists(_.contains("BroadcastHashJoin")),
+        "bound exceeded but a broadcast still fired")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("capped minhash screen: hot shingle bands past maxPosting are " +
+    "excluded via the compaction sidecar (one index scan per trigger), " +
+    "bit-equal to the per-call aggregation; boilerplate copies stop " +
+    "fanning the probe join out") {
+    import graft.operators.Dedup
+    import graft.streaming.Ingest
+    val boiler = "this exact boilerplate paragraph repeats verbatim " +
+      "across the whole crawl navigation header footer copyright " +
+      "notice subscribe newsletter cookie banner"
+    def distinctDoc(i: Long) =
+      s"document number $i speaks about topic ${i % 4} in long " +
+        s"winding sentences that continue for a while item$i"
+    // 8 boilerplate copies: every one of their band keys has posting
+    // 8 > cap 5; 4 distinct docs keep posting 1
+    val seed = ((0 until 8).map(i => (i.toLong, boiler)) ++
+      (10 until 14).map(i => (i.toLong, distinctDoc(i))))
+      .toDF("doc_id", "text")
+    val seedIdx = Dedup.lshBandIndex(seed, "doc_id", "text", 3, 4, 2)
+      .localCheckpoint()
+    val drop1 = Seq((100L, distinctDoc(11)), // dup of a distinct doc
+      (101L, boiler),                        // boilerplate copy
+      (102L, "entirely novel content nothing shared with anything " +
+        "else in this corpus at all")).toDF("doc_id", "text")
+    val drop2 = Seq((200L, drop1.collect()(2).getString(1)))
+      .toDF("doc_id", "text")                // cross-batch dup of 102
+    val root = Files.createTempDirectory("mh-cap").toFile.getAbsolutePath
+    drop1.repartition(1).write.parquet(s"$root/in/d0")
+    drop2.repartition(1).write.parquet(s"$root/in/d1")
+    val cap = 5
+    val q = Ingest.startMinhashScreen(
+      Ingest.streamTable(spark, s"$root/in/d*", drop1.schema,
+        maxFilesPerTrigger = 1),
+      "doc_id", "text", seedIdx, 3, 4, 2, 0.5,
+      s"$root/idx", s"$root/out", s"$root/ck", compactEvery = 2,
+      maxPosting = cap)
+    q.awaitTermination(120000)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "is_dup", "dup_of").orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    val got = norm(Ingest.versionedRows(spark, s"$root/out"))
+    // 100 matches its distinct twin; 101's bands are ALL capped-hot
+    // (graceful recall on exactly the boilerplate); 102 novel; 200
+    // matches drop1's 102 — the growing-index property
+    assert(got == Seq(
+      (100L, true, Some(11L)), (101L, false, None),
+      (102L, false, None), (200L, true, Some(102L))), got.toString)
+    // bit-equal to the composed batch screens with the PER-CALL
+    // aggregation at the same cap
+    val b1 = Dedup.lshBandIndex(drop1, "doc_id", "text", 3, 4, 2)
+    val batch = Dedup.screenAgainstIndexRows(
+      b1, drop1.select(col("doc_id")), seedIdx, 0.5, maxPosting = cap)
+      .unionByName(Dedup.screenAgainstIndexRows(
+        Dedup.lshBandIndex(drop2, "doc_id", "text", 3, 4, 2),
+        drop2.select(col("doc_id")), seedIdx.unionByName(b1), 0.5,
+        maxPosting = cap))
+    assert(got == norm(batch))
+    // the seeding compaction wrote the sidecar (eager refresh), under
+    // the minhash band column
+    assert(new java.io.File(s"$root/idx").listFiles()
+      .exists(_.getName.matches(s"""v_\\d{20}s_c$cap""")),
+      "capped minhash screen left no hot-band sidecar")
+    // one index scan per trigger: the hot list reads sidecar + deltas,
+    // never the base band rows
+    val baseDirName = new java.io.File(s"$root/idx").listFiles()
+      .map(_.getName).find(_.matches("""v_\d{20}b.*""")).get
+    val hot = Ingest.hotBandList(spark, s"$root/idx", cap, "band_key").get
+    val plan = hot.queryExecution.executedPlan.toString
+    assert(!plan.contains(baseDirName),
+      s"minhash hot list scanned the base layer:\n$plan")
+  }
+
+  test("empty compaction under a PRUNED layout stays readable: the " +
+    "empty base is written UNPARTITIONED (schema-bearing) instead of " +
+    "a dynamic-partition dir with no parquet files, so later triggers " +
+    "never wedge on schema inference") {
+    import graft.streaming.Ingest
+    val dir = Files.createTempDirectory("empty-prune").toFile
+      .getAbsolutePath
+    def attach(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.withColumn("b", pmod(xxhash64(col("id")), lit(n)).cast("int"))
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id"), (col("id") * 2).as("payload"))
+    // empty first micro-batch with an empty seed and manual
+    // pruneBuckets > 0: AvailableNow fires batch 0 even with no input,
+    // and the seeding compaction promotes an EMPTY pruned base
+    Ingest.appendVersioned(spark, dir, 0L, attach(rows(0, 0), 64),
+      compactEvery = 2, compact = u => (attach(u, 64), None, 64))
+    assert(Ingest.standingIndexPruneN(spark, dir).contains(64))
+    // the wedge was: exists=true + schema-unreadable on EVERY later
+    // read; the guard keeps a schema-bearing empty file instead
+    assert(Ingest.standingIndex(spark, dir).get.count() == 0)
+    // later triggers append and read through the same layout
+    Ingest.appendVersioned(spark, dir, 1L, attach(rows(0, 5), 64),
+      compactEvery = 99)
+    assert(Ingest.standingIndex(spark, dir).get.count() == 5)
+    // and the next compaction adopts a real partitioned base again
+    Ingest.appendVersioned(spark, dir, 2L, attach(rows(5, 8), 64),
+      compactEvery = 1, compact = u => (attach(u, 64), None, 64))
+    assert(Ingest.standingIndex(spark, dir).get.count() == 8)
   }
 
   test("prune lifecycle: N is the LAYOUT's property -- parameter " +
@@ -2201,6 +2419,84 @@ class InfraSpec extends SparkTestBase {
         s"era scan read ${s.selectedPartitions.partitionCount} " +
           "partitions, expected 1")
     }
+  }
+
+  test("streaming view-chain ingest: file-arrival ndt7 raw drops -> " +
+    "watermarked dropDuplicates(id) -> extendedDownloads -> " +
+    "unifiedDownloads under readStream; stream == batch over the same " +
+    "files, replayed file collapsed (SURVEY 7.6)") {
+    import graft.views.UnifiedViews
+    UnifiedViews.prepare(spark)
+    // the partition-incremental test's fixture recipe, parameterized
+    // by id range so drops are disjoint except the deliberate replay
+    def rawRows(lo: Int, hi: Int): org.apache.spark.sql.DataFrame =
+      spark.range(lo, hi).toDF("n").select(
+        concat(lit("uuid-s-"), col("n").cast("string")).as("id"),
+        when(col("n") % 2 === 0, lit("2024-03-01"))
+          .otherwise(lit("2024-03-02")).cast("date").as("date"),
+        struct(lit("v1").as("Version"),
+          to_timestamp(lit("2024-03-01 00:00:00")).as("Time"),
+          lit("gs://archive/mlab2-abc01-x.tgz").as("ArchiveURL"),
+          lit("f.tgz").as("Filename")).as("parser"),
+        struct(lit("1.2.3.4").as("IP"), lit(443L).as("Port")).as("server"),
+        struct(lit("203.0.113.5").as("IP"), lit(5201L).as("Port"))
+          .as("client"),
+        struct(struct(
+          concat(lit("uuid-s-"), col("n").cast("string")).as("UUID"),
+          to_timestamp(lit("2024-03-01 00:00:00")).as("StartTime"),
+          lit("bbr").as("CongestionControl"),
+          transform(sequence(lit(1), lit(20)), i => struct(
+            (i.cast("long") * 500000L).as("ElapsedTime"),
+            struct(
+              (i.cast("long") * 50000L + col("n") * 7L).as("BytesAcked"),
+              (col("n") % 50 * 1000L + 1000L).as("MinRTT"),
+              lit(0L).as("BytesRetrans"),
+              (i.cast("long") * 50000L + col("n") * 7L + 1000L)
+                .as("BytesSent")).as("TCPInfo")))
+            .as("ServerMeasurements")).as("Download")).as("raw"))
+    val root = Files.createTempDirectory("stream-chain").toFile
+      .getAbsolutePath
+    // drop1: ids 0-11; drop2: ids 12-23 PLUS a replayed copy of ids
+    // 0-2 (the at-least-once file-redelivery shape the dedup absorbs)
+    rawRows(0, 12).repartition(1).write.parquet(s"$root/in/d0")
+    rawRows(12, 24).unionAll(rawRows(0, 3)).repartition(1)
+      .write.parquet(s"$root/in/d1")
+    val schema = spark.read.parquet(s"$root/in/d0").schema
+
+    // the chain itself is the DEPLOYED views' code — per-row
+    // projections/filters/union, so the same functions lift onto a
+    // streaming frame unchanged (every view is
+    // incremental-by-partition); the only streaming-specific operator
+    // is the watermarked id-dedup at the raw edge
+    def chain(raw: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      UnifiedViews.unifiedDownloads(Seq(
+        UnifiedViews.extendedDownloads(raw)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in/d*")
+      .withColumn("ts", col("raw.Download.StartTime"))
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("id")
+      .drop("ts")
+    val q = chain(stream).writeStream
+      .format("parquet").option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val batch = chain(spark.read.parquet(s"$root/in/d0", s"$root/in/d1")
+      .dropDuplicates("id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("date"), col("a.MeanThroughputMbps"),
+        col("a.MinRTT"), col("IsValidBest"))
+        .orderBy("id").collect().toSeq
+    val got = rows(spark.read.parquet(s"$root/out"))
+    assert(got.nonEmpty && got == rows(batch),
+      "stream != batch through the unified chain")
+    // the replayed ids appear exactly once
+    assert(spark.read.parquet(s"$root/out")
+      .groupBy("id").count().filter(col("count") > 1).count() == 0)
   }
 
   test("durable stage writer: parquet round-trip preserves the frame, " +

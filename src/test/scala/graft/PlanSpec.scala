@@ -394,7 +394,14 @@ class PlanSpec extends SparkTestBase {
       // the six-view legacy lineage collapses to a filtered union of
       // two archive scans + the final order — stacked views cost no
       // exchanges
-      "qS3_legacy_lineage_view" -> 1)
+      "qS3_legacy_lineage_view" -> 1,
+      // round-15 (PinAudit at declaration): the standardSQL twin
+      // collapses further — ONE pruned archive scan + the final order;
+      // Catalyst eliminates the named-view annotation LEFT JOIN
+      // outright because ann_value is never selected (deduped right
+      // side => join removable), exactly the plan a stacked view
+      // lineage should cost
+      "qS4_standard_lineage_view" -> 1)
     val failures = pins.flatMap { case (name, cap) =>
       val p = planOf(name)
       val n = "Exchange ".r.findAllIn(p).length -

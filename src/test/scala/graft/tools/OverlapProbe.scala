@@ -35,9 +35,15 @@ import graft.operators.Dedup
   * siblings; media runs maxPosting=64 so every measured trigger
   * exercises the hot-band sidecar).
   *
+  * Round-15 leg: `pruneengage` (AutoPrune's ENGAGE regime — a 2^26-row
+  * synthetic web-screen index, the floor where auto-N turns on, read
+  * bytes + wall pruned vs unpruned across a batch-size sweep;
+  * self-generating, needs no GenScale corpus; NOT in `all` — it seeds
+  * two 67M-row indexes and runs ~30-60 min on its own).
+  *
   * Usage: Test/runMain graft.tools.OverlapProbe
   *   [jppv|jppdf|cpp|band|queries|graph|dbscan|gated|gatedov|dfgated|
-  *    aborder|screens|prune|screens2|all]
+  *    aborder|screens|prune|screens2|pruneengage|all]
   * The ov legs need `GenScale ov`; gatedov needs `GenScale ovl`;
   * dbscan/aborder/screens/prune/screens2 need `GenScale` (+ sf10).
   * Legs whose corpus is missing are SKIPPED with a message instead of
@@ -460,6 +466,79 @@ object OverlapProbe {
         }
         println(s"[ov]   ann @$label prune=$tag layout N = " +
           Ingest.standingIndexPruneN(spark, s"$root/idx"))
+      }
+    }
+
+    // explicitly requested only (never part of `all`): seeds two
+    // 67M-row indexes, ~30-60 min on its own
+    if (which.contains("pruneengage")) {
+      // AutoPrune's ENGAGE regime, measured (VERDICT r14 #1): a
+      // standing web-screen index at exactly the 2^26-row floor — the
+      // smallest index where autoPruneN engages (N = 512, 128k-row
+      // buckets) — seeded through the REAL lifecycle (drop0 = the
+      // whole corpus in one batch, compactEvery=2 so the seed
+      // compaction itself adopts auto-N), then measured drops at
+      // three batch sizes with pruning AUTO vs OFF: per-batch wall +
+      // task input bytes. The batch-size sweep (512/64/8 rows) maps
+      // the 100 TB claim into the sandbox: the pruned read should
+      // scale with the BATCH'S BUCKET SHARE (~62%/12%/1.6% of 512
+      // buckets) while the unpruned read stays pinned at the full
+      // index. Self-generating (no GenScale corpus needed).
+      import graft.streaming.Ingest
+      bytesRead.get // install the listener before the first window
+      // -Dgraft.engage.rows=... shrinks the corpus for a mechanics
+      // smoke (auto declines below the floor, but the whole protocol
+      // still runs); the MEASUREMENT is the 2^26 default
+      val nRows = sys.props.get("graft.engage.rows")
+        .map(_.toLong).getOrElse(1L << 26)
+      // >= 25 chars after extraction (HtmlOps.MinBlockChars) and
+      // unique per id => 2^26 distinct content hashes
+      def baseText(c: org.apache.spark.sql.Column) =
+        concat(lit("synthetic prune engage probe content block row "), c)
+      // baseline (off) runs FIRST so residual JVM warmup lands on it,
+      // keeping any pruned-side win conservative; each tag also gets
+      // its own untimed warmup drop so the per-drop plan shapes are
+      // janino-compiled before the measured windows
+      for ((tag, pruneN) <- Seq("off" -> 0, "auto" -> Ingest.AutoPrune)) {
+        val root = tmpRoot("pruneengage")
+        spark.range(nRows).select(col("id").as("doc_id"),
+            page(baseText(col("id"))).as("html"))
+          .write.parquet(s"$root/in/drop0")
+        val schema = spark.read.parquet(s"$root/in/drop0").schema
+        def screen(ce: Int): Double = await(Ingest.startWebScreen(
+          Ingest.streamTable(spark, s"$root/in/drop*", schema),
+          "doc_id", "html", s"$root/idx", s"$root/out", s"$root/ck",
+          compactEvery = ce, pruneBuckets = pruneN))
+        measured(s"webscreen engage seed 2^26 prune=$tag")(screen(2))
+        def mkDrop(k: Int, bs: Int): Unit = {
+          val half = bs / 2
+          spark.range(half).select(
+              (col("id") + 10000000L * k).as("doc_id"),
+              baseText(col("id")).as("text"))
+            .unionAll(spark.range(half).select(
+              (col("id") + 20000000L * k).as("doc_id"),
+              concat(baseText(col("id")), lit(s" novel tail $k"))
+                .as("text")))
+            .select(col("doc_id"), page(col("text")).as("html"))
+            .repartition(1).write.parquet(s"$root/in/drop$k")
+        }
+        mkDrop(9, 512); screen(999) // untimed per-tag warmup
+        for ((bs, k) <- Seq((512, 1), (512, 2), (64, 3), (64, 4),
+            (8, 5), (8, 6))) {
+          mkDrop(k, bs)
+          measured(f"webscreen engage bs=$bs%3d drop$k prune=$tag")(
+            screen(999))
+        }
+        println(s"[ov]   engage prune=$tag layout N = " +
+          Ingest.standingIndexPruneN(spark, s"$root/idx"))
+        Ingest.describeIndex(spark, s"$root/idx")
+          .select("name", "kind", "live", "bytes", "files")
+          .collect().foreach(r => println(s"[ov]   engage $tag idx: $r"))
+        // reclaim the ~8 GB per tag before the next seed
+        val rp = new org.apache.hadoop.fs.Path(root)
+        rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(rp, true)
+        ()
       }
     }
 

@@ -35,15 +35,20 @@ import graft.operators.Dedup
   * siblings; media runs maxPosting=64 so every measured trigger
   * exercises the hot-band sidecar).
   *
-  * Round-15 leg: `pruneengage` (AutoPrune's ENGAGE regime — a 2^26-row
-  * synthetic web-screen index, the floor where auto-N turns on, read
-  * bytes + wall pruned vs unpruned across a batch-size sweep;
+  * Round-15 legs: `pruneengage` (AutoPrune's ENGAGE regime — a
+  * 2^26-row synthetic web-screen index, the floor where auto-N turns
+  * on, wall pruned vs unpruned across a batch-size sweep;
   * self-generating, needs no GenScale corpus; NOT in `all` — it seeds
-  * two 67M-row indexes and runs ~30-60 min on its own).
+  * two 67M-row indexes and runs ~17 min on its own; read-bytes
+  * companion: [[EngageReadDiag]] on a preserved base copy, because
+  * the task-level input meter under-reports the standing scan inside
+  * foreachBatch), `screens2cap` (the minhash decade rows at
+  * maxPosting=64 — every measured trigger takes its exclusion from
+  * the band_key sidecar).
   *
   * Usage: Test/runMain graft.tools.OverlapProbe
   *   [jppv|jppdf|cpp|band|queries|graph|dbscan|gated|gatedov|dfgated|
-  *    aborder|screens|prune|screens2|pruneengage|all]
+  *    aborder|screens|prune|screens2|screens2cap|pruneengage|all]
   * The ov legs need `GenScale ov`; gatedov needs `GenScale ovl`;
   * dbscan/aborder/screens/prune/screens2 need `GenScale` (+ sf10).
   * Legs whose corpus is missing are SKIPPED with a message instead of
@@ -539,6 +544,44 @@ object OverlapProbe {
         rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(rp, true)
         ()
+      }
+    }
+
+    if (wantWith("screens2cap", docsIn(mid, sf1, sf10): _*)) {
+      // the CAPPED minhash screen's decade rows (VERDICT r14 #3):
+      // same protocol as the screens2 minhash series with
+      // maxPosting=64, so every measured trigger takes its hot-band
+      // exclusion from the compaction sidecar (generalized to
+      // band_key) instead of a second index aggregation
+      import graft.streaming.Ingest
+      bytesRead.get
+      for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+          "ov-sf10" -> sf10)) {
+        val corpus = docs(dir).select(col("doc_id"), col("text"))
+        val root = tmpRoot("mhscreencap")
+        corpus.write.parquet(s"$root/in/drop0")
+        val schema = spark.read.parquet(s"$root/in/drop0").schema
+        val seedEmpty = graft.operators.Dedup.lshBandIndex(
+          corpus.limit(0), "doc_id", "text", 3, 8, 4).localCheckpoint()
+        def screen(ce: Int): Double = await(Ingest.startMinhashScreen(
+          Ingest.streamTable(spark, s"$root/in/drop*", schema),
+          "doc_id", "text", seedEmpty, 3, 8, 4, 0.5,
+          s"$root/idx", s"$root/out", s"$root/ck", compactEvery = ce,
+          maxPosting = 64))
+        screen(2)
+        for (k <- 1 to 3) {
+          corpus.limit(250)
+            .select((col("doc_id") + 10000000L * k).as("doc_id"),
+              col("text"))
+            .unionAll(corpus.limit(250)
+              .select((col("doc_id") + 20000000L * k).as("doc_id"),
+                concat(col("text"), lit(s" novel tail $k")).as("text")))
+            .repartition(1).write.parquet(s"$root/in/drop$k")
+          measured(s"minhashscreen cap=64 drop$k @$label")(screen(999))
+        }
+        println(s"[ov]   minhash cap=64 @$label sidecar = " +
+          new java.io.File(s"$root/idx").listFiles()
+            .map(_.getName).filter(_.contains("s_c64")).mkString(","))
       }
     }
 

@@ -2039,6 +2039,63 @@ class InfraSpec extends SparkTestBase {
       s"minhash hot list scanned the base layer:\n$plan")
   }
 
+  test("sidecar across compaction generations: a capped minhash " +
+    "screen's SECOND compaction supersedes the seed sidecar and the " +
+    "new artifact equals a full re-aggregation of the new base") {
+    // (An LSM-style INCREMENTAL stats build — outgoing sidecar +
+    // folded counts instead of re-aggregating the new base — was
+    // implemented, measured SLOWER at every decade, and reverted; see
+    // SCALE.md round 15. The full re-aggregation below IS the design.)
+    import graft.streaming.Ingest
+    import graft.operators.Dedup
+    def doc(i: Long) = s"document number $i speaks about topic " +
+      s"${i % 3} in long winding sentences that keep going item$i"
+    val seed = (0 until 6).map(i => (i.toLong, doc(i))).toDF("doc_id",
+      "text")
+    val seedIdx = Dedup.lshBandIndex(seed, "doc_id", "text", 3, 4, 2)
+      .localCheckpoint()
+    val root = Files.createTempDirectory("inc-e2e").toFile
+      .getAbsolutePath
+    // three drops with compactEvery=2: batch0 seed-compacts (first
+    // sidecar), batch1 delta, batch2 compacts (second generation)
+    Seq(Seq((100L, doc(1)), (101L, "novel alpha content one")),
+      Seq((200L, doc(2)), (201L, "novel beta content two")),
+      Seq((300L, "novel alpha content one"), (301L, doc(4))))
+      .zipWithIndex.foreach { case (drop, i) =>
+        drop.toDF("doc_id", "text").repartition(1)
+          .write.parquet(s"$root/in/d$i")
+      }
+    val cap = 5
+    val q = Ingest.startMinhashScreen(
+      Ingest.streamTable(spark, s"$root/in/d*",
+        Seq((0L, "")).toDF("doc_id", "text").schema,
+        maxFilesPerTrigger = 1),
+      "doc_id", "text", seedIdx, 3, 4, 2, 0.5,
+      s"$root/idx", s"$root/out", s"$root/ck", compactEvery = 2,
+      maxPosting = cap)
+    q.awaitTermination(120000)
+    val files = new java.io.File(s"$root/idx").listFiles()
+    val baseName = files.map(_.getName)
+      .filter(_.matches("""v_\d{20}b.*""")).max
+    assert(baseName.startsWith("v_00000000000000000002"),
+      s"expected the batch-2 compaction, got $baseName")
+    val sideName = files.map(_.getName)
+      .find(_.matches(s"""v_0*2s_c$cap""")).getOrElse(
+        fail(s"no batch-2 sidecar among ${files.map(_.getName).toSeq}"))
+    val side = spark.read.parquet(s"$root/idx/$sideName")
+      .select("band_idx", "band_key", "n").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val full = spark.read.parquet(s"$root/idx/$baseName")
+      .groupBy("band_idx", "band_key").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(side == full,
+      "second-generation sidecar diverges from the new base's truth")
+    // the seed-generation sidecar was superseded and removed
+    assert(!files.map(_.getName).exists(_.matches(s"""v_0*0s_c$cap""")),
+      "seed sidecar survived its base's supersession")
+  }
+
   test("empty compaction under a PRUNED layout stays readable: the " +
     "empty base is written UNPARTITIONED (schema-bearing) instead of " +
     "a dynamic-partition dir with no parquet files, so later triggers " +

@@ -507,4 +507,38 @@ class PropertySpec extends SparkTestBase {
       assert(spark.sql(out).count() == sizes.sum.toLong, out)
     }
   }
+
+  test("StandardSql.translate: whole-reference backticks split " +
+    "per-part, idempotently, with envsubst applied and the dialect " +
+    "marker dropped, for random identifier paths") {
+    import graft.catalog.{ReferenceViews, StandardSql}
+    val part = for {
+      h <- Gen.alphaChar
+      t <- Gen.listOf(Gen.frequency(8 -> Gen.alphaNumChar,
+        1 -> Gen.const('_'), 1 -> Gen.const('-')))
+    } yield (h :: t.take(12)).mkString
+    val pathGen = for {
+      k <- Gen.choose(1, 4)
+      ps <- Gen.listOfN(k, part)
+    } yield ps
+    for (parts <- samples(pathGen, 24)) {
+      val sql = s"""#standardSQL
+                   |-- body comment
+                   |SELECT * FROM `$${PROJECT}.${parts.mkString(".")}`
+                   |""".stripMargin
+      val out = StandardSql.translate(sql)
+      // each dot-part re-quoted individually, project substituted
+      val want = (ReferenceViews.Project +: parts)
+        .map(p => s"`$p`").mkString(".")
+      assert(out.contains(want), s"$out missing $want")
+      assert(!out.toLowerCase.contains("#standardsql"), out)
+      // idempotent: per-part quoting re-translates to itself
+      assert(StandardSql.translate(out) == out, out)
+      // custom vars beat nothing, defaults still apply elsewhere
+      val out2 = StandardSql.translate(sql,
+        vars = Map("PROJECT" -> "proj2"))
+      assert(out2.contains(("proj2" +: parts)
+        .map(p => s"`$p`").mkString(".")), out2)
+    }
+  }
 }

@@ -388,7 +388,14 @@ object OverlapProbe {
         f"batch ${batchSec}%6.2f s  read ${(b1 - b0) / 1048576.0}%9.1f MB")
     }
     def await(q: org.apache.spark.sql.streaming.StreamingQuery): Double = {
-      q.awaitTermination(600000)
+      // 1h cap: an AvailableNow query terminates on its own; a cap a
+      // big seed can outrun would leave the stream RUNNING while the
+      // protocol moves on (the 2^27 engage seed outran a 10-min cap —
+      // every row after it was garbage), so a breach now fails loudly
+      // instead of corrupting every subsequent measurement
+      if (!q.awaitTermination(3600000))
+        sys.error(s"stream ${q.name} outran the await cap; " +
+          "measurements past this point would be invalid")
       q.recentProgress.lastOption.map(_.batchDuration / 1000.0)
         .getOrElse(-1.0)
     }
@@ -496,6 +503,9 @@ object OverlapProbe {
       // still runs); the MEASUREMENT is the 2^26 default
       val nRows = sys.props.get("graft.engage.rows")
         .map(_.toLong).getOrElse(1L << 26)
+      // honest labels when -Dgraft.engage.rows overrides the floor
+      // (e.g. the 2^27 / N=1024 second engage point)
+      val expo = 63 - java.lang.Long.numberOfLeadingZeros(nRows)
       // >= 25 chars after extraction (HtmlOps.MinBlockChars) and
       // unique per id => 2^26 distinct content hashes
       def baseText(c: org.apache.spark.sql.Column) =
@@ -514,7 +524,7 @@ object OverlapProbe {
           Ingest.streamTable(spark, s"$root/in/drop*", schema),
           "doc_id", "html", s"$root/idx", s"$root/out", s"$root/ck",
           compactEvery = ce, pruneBuckets = pruneN))
-        measured(s"webscreen engage seed 2^26 prune=$tag")(screen(2))
+        measured(s"webscreen engage seed 2^$expo prune=$tag")(screen(2))
         def mkDrop(k: Int, bs: Int): Unit = {
           val half = bs / 2
           spark.range(half).select(

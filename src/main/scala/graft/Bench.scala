@@ -61,24 +61,31 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).trim
     } catch { case _: Throwable => "" }
     def canary(): (Double, Double, String) = {
+      // a FAILED canary must record -1, not its time-to-exception: a
+      // fast failure reads as "healthy I/O" and flips the dual-band
+      // adjudication to exactly the wrong verdict
       def readOnce(): Double = {
         val t0 = System.nanoTime()
-        try spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
       }
       def writeOnce(): Double = {
         val t0 = System.nanoTime()
-        try spark.range(2000000L)
-          .selectExpr("id", "id * 37 % 1000 AS k",
-            "CAST(id AS STRING) AS s")
-          .write.mode("overwrite").parquet("target/bench_canary.parquet")
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          spark.range(2000000L)
+            .selectExpr("id", "id * 37 % 1000 AS k",
+              "CAST(id AS STRING) AS s")
+            .write.mode("overwrite").parquet("target/bench_canary.parquet")
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
       }
-      (math.min(readOnce(), readOnce()),
-        math.min(writeOnce(), writeOnce()), loadavg())
+      def minOk(a: Double, b: Double): Double =
+        if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      (minOk(readOnce(), readOnce()),
+        minOk(writeOnce(), writeOnce()), loadavg())
     }
     val canaryPre = canary()
 

@@ -68,21 +68,25 @@ object LegacySql {
       if (nl < 0) s.length else nl
     } else k
 
-  /** Index after a 'string literal' starting at k, or k. A literal is
+  /** Index after a string literal starting at k, or k. A literal is
     * opaque to the scanners: a comma, paren, or clause keyword inside
     * one must not split or terminate the FROM list (ADVICE r14 — the
-    * old scanner silently mis-split on them). Legacy literals escape
-    * with backslash and with a doubled ''. */
-  private def skipString(s: String, k: Int): Int =
-    if (s(k) != '\'') k
+    * old scanner silently mis-split on them). Legacy SQL quotes
+    * strings with EITHER ' or " (identifiers use [brackets], so a
+    * double quote is always a string); both escape with backslash and
+    * with a doubled quote. */
+  private def skipString(s: String, k: Int): Int = {
+    val q = s(k)
+    if (q != '\'' && q != '"') k
     else {
       var m = k + 1
-      while (m < s.length && s(m) != '\'')
+      while (m < s.length && s(m) != q)
         m += (if (s(m) == '\\' && m + 1 < s.length) 2 else 1)
-      if (m + 1 < s.length && s(m) == '\'' && s(m + 1) == '\'')
-        skipString(s, m + 1) // doubled '' continues the literal
+      if (m + 1 < s.length && s(m) == q && s(m + 1) == q)
+        skipString(s, m + 1) // doubled quote continues the literal
       else math.min(m + 1, s.length)
     }
+  }
 
   private def skip(s: String, k: Int): Int = {
     val c = skipComment(s, k)

@@ -104,7 +104,10 @@ object StandardViews {
     assignments.map { a =>
       val src = a.takeWhile(_ != '=')
       val dest = a.drop(a.indexOf('=') + 1)
-      val Array(destDs, destView) = dest.split('.')
+      require(a.contains('=') && dest.count(_ == '.') == 1 &&
+        src.nonEmpty && !dest.startsWith(".") && !dest.endsWith("."),
+        s"named-view assignment must be src.table=dataset.view, got: $a")
+      val destDs = dest.takeWhile(_ != '.')
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $destDs")
       val exists = spark.catalog.tableExists(dest)
       if (!exists)

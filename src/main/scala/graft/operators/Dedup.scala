@@ -717,16 +717,22 @@ object Dedup {
       broadcastProbe: Boolean = false, maxPosting: Int = 0,
       hotBands: Option[DataFrame] = None): DataFrame = {
     require(maxPosting >= 0, "maxPosting must be >= 0 (0 = uncapped)")
+    // the hot-list anti-joins are deliberately UNHINTED: a forced
+    // broadcast(hot) is unbounded — the over-cap list can reach
+    // |index|/cap rows (15M+ at 10^9 band rows, cap 64), the same
+    // footgun class boundedBroadcast closes for the probe side. AQE
+    // (on in every session config) converts the anti-join to a
+    // broadcast at runtime whenever the list is actually small — the
+    // common boilerplate case — and shuffles safely when it is not.
     val idx = hotBands match {
       case Some(h) => oldIndex.join(
-        broadcast(h.select("band_idx", "band_key")),
+        h.select("band_idx", "band_key"),
         Seq("band_idx", "band_key"), "left_anti")
       case None if maxPosting > 0 =>
         val hot = oldIndex.groupBy("band_idx", "band_key")
           .agg(count(lit(1)).as("n")).filter(col("n") > maxPosting)
           .select("band_idx", "band_key")
-        oldIndex.join(broadcast(hot), Seq("band_idx", "band_key"),
-          "left_anti")
+        oldIndex.join(hot, Seq("band_idx", "band_key"), "left_anti")
       case None => oldIndex
     }
     // broadcastProbe: micro-batch probe side — broadcast it and leave
@@ -867,11 +873,13 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Drop (band_idx, band_val) groups hotter than `maxPosting` via a
-    * broadcast anti-join on the (tiny) over-cap list — the shared
-    * hot-band screen of [[codeHammingPairs]] and [[codeHammingScreen]].
-    * No-op when maxPosting <= 0.
-    */
+  /** Drop (band_idx, band_val) groups hotter than `maxPosting` via an
+    * anti-join on the over-cap list — the shared hot-band screen of
+    * [[codeHammingPairs]] and [[codeHammingScreen]]. No-op when
+    * maxPosting <= 0. Unhinted on purpose: the over-cap list is tiny
+    * for real boilerplate (AQE broadcasts it at runtime) but its
+    * worst case is |bands|/cap rows — a forced broadcast would be the
+    * unbounded-broadcast footgun. */
   private def dropHotBands(bands: DataFrame, maxPosting: Int)
       : DataFrame =
     if (maxPosting <= 0) bands
@@ -879,8 +887,7 @@ object Dedup {
       val hot = bands.groupBy("band_idx", "band_val")
         .agg(count(lit(1)).as("n")).filter(col("n") > maxPosting)
         .select("band_idx", "band_val")
-      bands.join(broadcast(hot), Seq("band_idx", "band_val"),
-        "left_anti")
+      bands.join(hot, Seq("band_idx", "band_val"), "left_anti")
     }
 
   /** Persistable band index of a bit-signature table — the media twin of
@@ -942,9 +949,12 @@ object Dedup {
     val nbands = codeBandIndex(newSh, "doc_id", "code", bits, bandsCount)
       .select(col("doc_id").as("nid"), col("code").as("nc"),
         col("band_idx"), col("band_val"))
+    // unhinted hot anti-join (see [[dropHotBands]]): AQE broadcasts
+    // the sidecar-derived list at runtime when it is small; a forced
+    // hint would be unbounded in the adversarial many-hot-bands case
     val idx = (hotBands match {
       case Some(h) => index.join(
-        broadcast(h.select("band_idx", "band_val")),
+        h.select("band_idx", "band_val"),
         Seq("band_idx", "band_val"), "left_anti")
       case None => dropHotBands(index, maxPosting)
     })

@@ -584,17 +584,11 @@ object Ingest {
           .withColumn("sb",
             pmod(xxhash64(col("band_idx"), col(bandCol)),
               lit(StatsBuckets)).cast("int"))
-        // an EMPTY stats frame must be written UNPARTITIONED: the
-        // dynamic-partition writer emits no parquet files for zero
-        // rows (only _SUCCESS), and the committed-but-unreadable
-        // sidecar would then wedge every later trigger on a schema
-        // inference error, unhealably (the existence check passes) —
-        // an all-undecodable first media batch hits this. The plain
-        // writer keeps one schema-bearing empty file; the read side
-        // filters on hot/sb as DATA columns, which an empty frame
-        // satisfies trivially.
-        val parts = if (stats.isEmpty) Nil else Seq("hot", "sb")
-        promoteNamed(spark, idxDir, name, stats, parts)
+        // an EMPTY stats frame must be written UNPARTITIONED — the
+        // read side filters on hot/sb as DATA columns, which an empty
+        // frame satisfies trivially; promoteNamed's partitioned-write
+        // guard handles the empty case (one isEmpty probe, not two)
+        promoteNamed(spark, idxDir, name, stats, Seq("hot", "sb"))
       }
       target
     }
@@ -895,8 +889,14 @@ object Ingest {
     // An EMPTY frame must be written UNPARTITIONED: the dynamic-
     // partition writer emits no parquet files for zero rows, leaving a
     // committed dir that fails schema inference on every later read —
-    // a permanent wedge (same guard as ensureBandStats).
-    val parts = if (df.isEmpty) Nil else partitionCols
+    // a permanent wedge (same guard as ensureBandStats). The wedge
+    // only exists for PARTITIONED writes, and isEmpty is not free — it
+    // is a limit(1) job over the frame's full lineage, which for the
+    // screens' per-trigger decision writes (partitionCols = Nil) would
+    // re-run the corpus-scale index join a second time per trigger —
+    // so the probe is gated on partitionCols.nonEmpty.
+    val parts =
+      if (partitionCols.nonEmpty && df.isEmpty) Nil else partitionCols
     val out = if (parts.isEmpty) df
       else df.repartition(parts.map(col): _*)
     val w = out.write.mode("overwrite")

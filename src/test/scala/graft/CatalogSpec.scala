@@ -223,5 +223,18 @@ class CatalogSpec extends SparkTestBase {
       "SELECT 'FROM a, b' AS note, a FROM " +
         "(SELECT id AS a FROM lsq_t1), (SELECT id AS a FROM lsq_t2)")
     assert(spark.sql(preLit).count() == 8, preLit)
+    // legacy SQL also quotes strings with DOUBLE quotes (identifiers
+    // use [brackets], so " is always a string) — the same opacity
+    // contract holds for them (review find: the first literal-aware
+    // scanner only skipped the single-quote form)
+    val dq = LegacySql.translate(
+      "SELECT * FROM (SELECT id AS a, \"x, (WHERE\" AS tag " +
+        "FROM lsq_t1), (SELECT id AS a, \"don\\\"t)\" AS tag " +
+        "FROM lsq_t2)")
+    assert(spark.sql(dq).count() == 8, dq)
+    val preDq = LegacySql.translate(
+      "SELECT \"FROM a, b\" AS note, a FROM " +
+        "(SELECT id AS a FROM lsq_t1), (SELECT id AS a FROM lsq_t2)")
+    assert(spark.sql(preDq).count() == 8, preDq)
   }
 }

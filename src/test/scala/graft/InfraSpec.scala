@@ -2039,6 +2039,49 @@ class InfraSpec extends SparkTestBase {
       s"minhash hot list scanned the base layer:\n$plan")
   }
 
+  test("decision write evaluates its lineage ONCE per trigger: the " +
+    "standing index is scanned by exactly one executed plan (the " +
+    "screen join) — promoteNamed's empty-frame probe must not re-run " +
+    "corpus-scale work for unpartitioned writes") {
+    // Review find: the empty-wedge guard's unconditional df.isEmpty
+    // was a limit(1) job over the decision frame's FULL lineage —
+    // for the screens (partitionCols = Nil) that re-ran the standing
+    // index join a second time on every trigger. The guard is now
+    // gated on partitionCols.nonEmpty; this spec pins the contract.
+    import graft.streaming.Ingest
+    import graft.operators.Dedup
+    def doc(i: Long) = s"document number $i about subject ${i % 3} " +
+      s"keeps talking at length item$i"
+    val root = Files.createTempDirectory("once-scan").toFile
+      .getAbsolutePath
+    // standing index pre-seeded as a compacted BASE layer
+    val seedBands = Dedup.lshBandIndex(
+      (0 until 8).map(i => (i.toLong, doc(i))).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 4, 2)
+    Ingest.appendVersioned(spark, s"$root/idx", 99L, seedBands,
+      compactEvery = 2)
+    val baseName = new java.io.File(s"$root/idx").listFiles()
+      .map(_.getName).find(_.matches("""v_\d{20}b.*""")).get
+    Seq((100L, doc(1)), (101L, "fresh novel content"))
+      .toDF("doc_id", "text").repartition(1)
+      .write.parquet(s"$root/in/d0")
+    val plans = capturePlans {
+      val q = Ingest.startMinhashScreen(
+        Ingest.streamTable(spark, s"$root/in/d*",
+          Seq((0L, "")).toDF("doc_id", "text").schema),
+        "doc_id", "text", seedBands.limit(0).localCheckpoint(),
+        3, 4, 2, 0.5, s"$root/idx", s"$root/out", s"$root/ck",
+        compactEvery = 99)
+      q.awaitTermination(120000)
+    }
+    val scanning = plans.filter(_.contains(baseName))
+    assert(scanning.size == 1,
+      s"standing index scanned by ${scanning.size} executed plans " +
+        s"(want exactly 1 — the screen join):\n" +
+        scanning.map(_.linesIterator.take(6).mkString("\n"))
+          .mkString("\n---\n"))
+  }
+
   test("sidecar across compaction generations: a capped minhash " +
     "screen's SECOND compaction supersedes the seed sidecar and the " +
     "new artifact equals a full re-aggregation of the new base") {

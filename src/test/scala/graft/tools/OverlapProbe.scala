@@ -316,10 +316,10 @@ object OverlapProbe {
           .write.parquet(s"$root/in/drop0")
         for (k <- 1 to 3)
           corpus.limit(250)
-            .select((col("doc_id") + 10000000L * k).as("doc_id"),
+            .select((col("doc_id") + 1000000000000L + 10000000L * k).as("doc_id"),
               col("text"))
             .unionAll(corpus.limit(250)
-              .select((col("doc_id") + 20000000L * k).as("doc_id"),
+              .select((col("doc_id") + 2000000000000L + 10000000L * k).as("doc_id"),
                 concat(col("text"), lit(s" novel tail $k")).as("text")))
             .select(col("doc_id"), page(col("text")).as("html"))
             .repartition(1).write.parquet(s"$root/in/drop$k")
@@ -348,7 +348,7 @@ object OverlapProbe {
         // screen's match path); the seed folds into batch 0's base
         for (k <- 1 to 3)
           emb.limit(500)
-            .select((col("vec_id") + 10000000L * k).as("vec_id"),
+            .select((col("vec_id") + 1000000000000L + 10000000L * k).as("vec_id"),
               col("embedding"))
             .repartition(1).write.parquet(s"$root/in/drop$k")
         val schema = spark.read.parquet(s"$root/in/drop1").schema
@@ -434,10 +434,10 @@ object OverlapProbe {
         screen(2) // corpus batch -> compacted (partitioned) base
         for (k <- 1 to 3) {
           corpus.limit(250)
-            .select((col("doc_id") + 10000000L * k).as("doc_id"),
+            .select((col("doc_id") + 1000000000000L + 10000000L * k).as("doc_id"),
               col("text"))
             .unionAll(corpus.limit(250)
-              .select((col("doc_id") + 20000000L * k).as("doc_id"),
+              .select((col("doc_id") + 2000000000000L + 10000000L * k).as("doc_id"),
                 concat(col("text"), lit(s" novel tail $k")).as("text")))
             .select(col("doc_id"), page(col("text")).as("html"))
             .repartition(1).write.parquet(s"$root/in/drop$k")
@@ -471,7 +471,7 @@ object OverlapProbe {
         screen(2)
         for (k <- 1 to 3) {
           emb.limit(500)
-            .select((col("vec_id") + 10000000L * k).as("vec_id"),
+            .select((col("vec_id") + 1000000000000L + 10000000L * k).as("vec_id"),
               col("embedding"))
             .repartition(1).write.parquet(s"$root/in/drop$k")
           measured(s"annscreen prune=$tag drop$k @$label")(screen(999))
@@ -528,10 +528,10 @@ object OverlapProbe {
         def mkDrop(k: Int, bs: Int): Unit = {
           val half = bs / 2
           spark.range(half).select(
-              (col("id") + 10000000L * k).as("doc_id"),
+              (col("id") + 1000000000000L + 10000000L * k).as("doc_id"),
               baseText(col("id")).as("text"))
             .unionAll(spark.range(half).select(
-              (col("id") + 20000000L * k).as("doc_id"),
+              (col("id") + 2000000000000L + 10000000L * k).as("doc_id"),
               concat(baseText(col("id")), lit(s" novel tail $k"))
                 .as("text")))
             .select(col("doc_id"), page(col("text")).as("html"))
@@ -581,10 +581,10 @@ object OverlapProbe {
         screen(2)
         for (k <- 1 to 3) {
           corpus.limit(250)
-            .select((col("doc_id") + 10000000L * k).as("doc_id"),
+            .select((col("doc_id") + 1000000000000L + 10000000L * k).as("doc_id"),
               col("text"))
             .unionAll(corpus.limit(250)
-              .select((col("doc_id") + 20000000L * k).as("doc_id"),
+              .select((col("doc_id") + 2000000000000L + 10000000L * k).as("doc_id"),
                 concat(col("text"), lit(s" novel tail $k")).as("text")))
             .repartition(1).write.parquet(s"$root/in/drop$k")
           measured(s"minhashscreen cap=64 drop$k @$label")(screen(999))
@@ -617,10 +617,10 @@ object OverlapProbe {
         screen(2)
         for (k <- 1 to 3) {
           corpus.limit(250)
-            .select((col("doc_id") + 10000000L * k).as("doc_id"),
+            .select((col("doc_id") + 1000000000000L + 10000000L * k).as("doc_id"),
               col("text"))
             .unionAll(corpus.limit(250)
-              .select((col("doc_id") + 20000000L * k).as("doc_id"),
+              .select((col("doc_id") + 2000000000000L + 10000000L * k).as("doc_id"),
                 concat(col("text"), lit(s" novel tail $k")).as("text")))
             .repartition(1).write.parquet(s"$root/in/drop$k")
           measured(s"minhashscreen drop$k @$label")(screen(999))
@@ -654,10 +654,10 @@ object OverlapProbe {
         screen(2)
         for (k <- 1 to 3) {
           imgs(spark.range(250).select(
-              (col("id") + 10000000L * k).as("doc_id"),
+              (col("id") + 1000000000000L + 10000000L * k).as("doc_id"),
               col("id").as("seed"))
             .unionAll(spark.range(250).select(
-              (col("id") + 20000000L * k).as("doc_id"),
+              (col("id") + 2000000000000L + 10000000L * k).as("doc_id"),
               (col("id") + 50000000L * k).as("seed"))))
             .repartition(1).write.parquet(s"$root/in/drop$k")
           measured(s"mediascreen drop$k @$label")(screen(999))

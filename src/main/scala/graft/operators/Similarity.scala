@@ -144,6 +144,14 @@ object Similarity {
     * substitution [[lshTopK]] makes for [[bruteForceTopK]]: bucket both
     * sides, join on the bucket key.
     * Output: q_id, label_q, cand_id, label_c, cosine, rank.
+    *
+    * NULL labels follow SQL `!=` semantics BY CONTRACT: a null-labeled
+    * candidate never qualifies as a hard negative and a null-labeled
+    * anchor yields no rows (null != x is null, filtered). This matches
+    * the declared query's SQL oracle exactly; callers mining from
+    * semi-supervised corpora should filter or impute labels first —
+    * a null-safe "different" here would silently diverge from every
+    * SQL consumer of the same definition.
     */
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String, isAnchor: Column, k: Int): DataFrame = {
@@ -381,11 +389,21 @@ object Similarity {
     require(subspaces >= 1 && dim % subspaces == 0,
       s"dim $dim must split evenly into $subspaces subspaces")
     val m = dim / subspaces
-    val seeds = a.cells.filter(pmod(col("vid"), lit(pqEvery)) === 0)
+    val seedsAll = a.cells.filter(pmod(col("vid"), lit(pqEvery)) === 0)
       .select(col("vid").cast("long"), col("v")).collect()
       .sortBy(_.getLong(0))
-    require(seeds.nonEmpty,
+    require(seedsAll.nonEmpty,
       s"no PQ seed ids divisible by $pqEvery — empty sub-codebooks")
+    // same hard cap as the coarse codebook: a fixed pqEvery on a 100x
+    // corpus would otherwise grow the sub-codebooks (and the
+    // per-codeword LUT literals in the compiled plan — the exact
+    // melt the adaptiveEvery scaladoc records) without bound.
+    // Deterministic stride thinning keeps results reproducible; below
+    // maxCentroids seeds the stride is 1 and nothing changes.
+    val pqStride = (seedsAll.length + maxCentroids - 1) / maxCentroids
+    val seeds = seedsAll.indices.collect {
+      case j if j % pqStride == 0 => seedsAll(j)
+    }.toArray
     val seedVecs = seeds.map(_.getSeq[Double](1).toArray)
     val ords = seedVecs.indices.map(_.toLong).toArray
     // per-subspace sub-codebooks (ordinal ids -> argmin returns the
@@ -547,13 +565,18 @@ object Similarity {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     // fence: tf feeds both posting sides AND the norms — unfenced, the
     // scan→explode→groupBy pipeline re-evaluates once per consumer
-    // (audited: 8 scans / 24 exchanges in the declared query's plan)
+    // (audited: 8 scans / 24 exchanges in the declared query's plan).
+    // Under maxPosting, tf0 itself has TWO consumers (the hot-term
+    // aggregate and the anti-join's probe side), so it gets its own
+    // fence first — otherwise the full tokenize pass runs twice
+    // (review find).
     val tf1 =
       if (maxPosting == Int.MaxValue) tf0
       else {
-        val hot = tf0.groupBy("tok").agg(count(lit(1)).as("posting_n"))
+        val tfR = graft.plans.Fence.corpus(tf0, "cosine_tf_raw")
+        val hot = tfR.groupBy("tok").agg(count(lit(1)).as("posting_n"))
           .filter(col("posting_n") > maxPosting)
-        tf0.join(hot, Seq("tok"), "left_anti")
+        tfR.join(hot, Seq("tok"), "left_anti")
       }
     val tf = graft.plans.Fence.corpus(tf1, "cosine_tf")
     // keep the exact integer norm-square; the pair cosine divides by

@@ -31,24 +31,34 @@ object Ingest {
   /** At-least-once → effectively-once: drop duplicate test ids within the
     * watermark horizon (the reference relies on the parser's daily
     * idempotence; here it is explicit state).
-    */
+    *
+    * dropDuplicatesWithinWatermark, NOT dropDuplicates: with the
+    * event-time column absent from the dedup keys, plain
+    * dropDuplicates keeps one state entry per distinct id FOREVER —
+    * the watermark bounds nothing, a long-running ingest stream fills
+    * the state store, and the semantics silently become
+    * "dedup across all history" instead of the documented horizon
+    * (review find; the batch-mode spec could never catch it because
+    * batch execution ignores watermarks). Streaming-only by contract —
+    * the WithinWatermark operator has no batch counterpart. */
   def dedupByIdWithWatermark(df: DataFrame, idCol: String, tsCol: String,
       watermark: String = "1 day"): DataFrame =
-    df.withWatermark(tsCol, watermark).dropDuplicates(Seq(idCol))
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
 
   /** Tumbling-window counts per key — the streaming analog of the
     * reference's hourly rollups
     * (views/website/entry07_platform_hourly_downloads_after.sql:76).
     */
   def windowedCounts(df: DataFrame, tsCol: String, keyCol: String,
-      window: String = "1 hour", watermark: Option[String] = None)
-      : DataFrame =
+      window: String = "1 hour", watermark: Option[String] = None,
+      valueCol: String = "value"): DataFrame =
     watermark.fold(df)(w => df.withWatermark(tsCol, w))
       .groupBy(
         org.apache.spark.sql.functions.window(col(tsCol), window),
         col(keyCol))
       .agg(count(lit(1)).as("cnt"),
-        sum("value").as("total_value"))
+        sum(valueCol).as("total_value"))
       .select(col("window.start").as("window_start"), col(keyCol),
         col("cnt"), col("total_value"))
 
@@ -70,12 +80,18 @@ object Ingest {
       : DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // the surviving key must COALESCE the two sides, not just keep the
+    // left one: under right_outer/full_outer an unmatched right row
+    // has a null left key, and dropping r(keyCol) would emit the row
+    // with no key at all (review find)
     l.join(r,
       l(keyCol) === r(keyCol) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $maxDelaySec SECONDS") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelaySec SECONDS"),
       joinType)
-      .drop(r(keyCol))
+      .withColumn("__ij_key", coalesce(l(keyCol), r(keyCol)))
+      .drop(l(keyCol)).drop(r(keyCol))
+      .withColumnRenamed("__ij_key", keyCol)
   }
 
   /** Streaming incremental dedup: screen every arriving micro-batch of
@@ -97,7 +113,7 @@ object Ingest {
       broadcastMaxRows: Long = BroadcastMaxRows)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // enforced contract (same as the growing-index screens): the
         // probe — |batch| x bands band rows — only broadcasts while it
         // is actually micro; a backfill arriving as one giant batch
@@ -107,10 +123,16 @@ object Ingest {
         // when broadcasting was requested.
         val bcast = boundedBroadcast(broadcastProbe,
           batch.count() * bands, broadcastMaxRows)
-        graft.operators.Dedup.screenAgainstIndex(batch, idCol, textCol,
-            oldIndex, shingleN, bands, rowsPerBand, threshold,
-            bcast)
-          .write.mode("append").parquet(outDir)
+        // exactly-once like every sibling screen: a crash between a
+        // plain append and the checkpoint commit would replay the
+        // batch and append DUPLICATE decision rows — corrupting a
+        // downstream disposition join, with no batch_id to dedup on
+        // (review find; this was the one screen still on mode(append))
+        writeVersionedOnce(batch.sparkSession, outDir, batchId) {
+          graft.operators.Dedup.screenAgainstIndex(batch, idCol, textCol,
+            oldIndex, shingleN, bands, rowsPerBand, threshold, bcast)
+            .withColumn("batch_id", lit(batchId))
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -944,7 +944,7 @@ class InfraSpec extends SparkTestBase {
       outDir = outDir, checkpointDir = ckpt)
     q.awaitTermination(60000)
 
-    val got = spark.read.parquet(outDir)
+    val got = Ingest.versionedRows(spark, outDir)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
         r.getBoolean(3))).toSeq
@@ -1949,7 +1949,7 @@ class InfraSpec extends SparkTestBase {
             s"$root/out", s"$root/ck", broadcastProbe = true,
             broadcastMaxRows = maxRows)
           q.awaitTermination(120000)
-          out = spark.read.parquet(s"$root/out")
+          out = Ingest.versionedRows(spark, s"$root/out")
             .collect().map(_.toString).sorted.toSeq
         }
         (out, plans)

@@ -136,6 +136,67 @@ object Bench {
     // risk the harness's wall budget — min-of-one is just pass 1.
     val p2 = if (p1.values.sum < nQueries * 2.0) timedPass().toMap else p1
     val canaryPost = canary()
+
+    // Regime self-classification (VERDICT r15 #5): the artifact carries
+    // its own verdict, so a band shift needs no judge-side vmstat
+    // archaeology. Three signals:
+    //   - inflated: the start load failed the fence, the POST read
+    //     canary sits >30% above the pre one (the host degraded DURING
+    //     the run; the opposite direction is just JIT warm-in — the pre
+    //     canary runs on a cold JVM and is systematically slower), or —
+    //     same container as the recorded baseline — the canary floor
+    //     sits >30% above it: neighbor weather, discard the band.
+    //   - shifted: a DIFFERENT container (boot_id) whose stable canary
+    //     floor differs >15% from the recorded baseline — the r15 swap
+    //     case: container drift, compare ratios not absolutes.
+    //   - healthy: everything else.
+    // The baseline is a COMMITTED file {boot_id, read, write} refreshed
+    // from the first non-inflated full run on each container, so the
+    // next artifact on the same host classifies against a measured
+    // reference rather than its own run.
+    val bootId = try {
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/proc/sys/kernel/random/boot_id"))).trim
+    } catch { case _: Throwable => "" }
+    // the read canary scans $sfDir/lineitem, so a baseline only means
+    // something at the SAME sf — a mismatched record is ignored and
+    // (on a healthy run) replaced
+    val basePath = java.nio.file.Paths.get("BENCH_canary_baseline.json")
+    val baseline: Option[(String, Double, Double)] = try {
+      val t = new String(java.nio.file.Files.readAllBytes(basePath))
+      val re = (""""boot_id":"([^"]*)".*"read":([0-9.]+)""" +
+        """.*"write":([0-9.]+).*"sf":"([^"]*)"""").r
+      re.findFirstMatchIn(t).collect {
+        case m if m.group(4) == sfDir =>
+          (m.group(1), m.group(2).toDouble, m.group(3).toDouble) }
+    } catch { case _: Throwable => None }
+    val readPair = Seq(canaryPre._1, canaryPost._1)
+    val regime: String =
+      if (readPair.exists(_ < 0)) "unknown"
+      else {
+        val readMin = readPair.min
+        val degraded = canaryPost._1 > canaryPre._1 * 1.3
+        if (!loadOk || degraded) "inflated"
+        else baseline match {
+          case Some((bid, bread, _)) if bid == bootId && bid.nonEmpty =>
+            if (readMin > bread * 1.3) "inflated" else "healthy"
+          case Some((_, bread, _)) =>
+            if (math.abs(readMin - bread) / bread > 0.15) "shifted"
+            else "healthy"
+          case None => "healthy"
+        }
+      }
+    if (only.isEmpty && regime != "inflated" && regime != "unknown" &&
+        bootId.nonEmpty && !baseline.exists(_._1 == bootId)) {
+      val readMin = readPair.min
+      val writeMin = Seq(canaryPre._2, canaryPost._2).min
+      try java.nio.file.Files.writeString(basePath,
+        s"""{"boot_id":"$bootId","read":${"%.3f".formatLocal(
+          java.util.Locale.ROOT, readMin)},"write":${"%.3f".formatLocal(
+          java.util.Locale.ROOT, writeMin)},"sf":"$sfDir"}""" + "\n")
+      catch { case _: Throwable => () }
+    }
+
     val results = benchQueries
       .map(q => q.name -> math.min(p1(q.name), p2(q.name)))
     // The driver parses this line from a 2000-char log tail (measured:
@@ -158,7 +219,7 @@ object Bench {
         (if (full) s""","loadavg":"${c._3}"}""" else "}")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""load_ok":$loadOk,"load1":${fmt(load1)},""" +
+        s""""load_ok":$loadOk,"load1":${fmt(load1)},"regime":"$regime",""" +
         s""""canary_pre":${canaryJson(canaryPre, full = false)},""" +
         s""""canary_post":${canaryJson(canaryPost, full = false)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
@@ -177,6 +238,10 @@ object Bench {
       val fullJson =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
           s""""load_ok":$loadOk,"load1":${fmt(load1)},""" +
+          s""""regime":"$regime","boot_id":"$bootId",""" +
+          baseline.map { case (bid, br, bw) =>
+            s""""canary_baseline":{"boot_id":"$bid","read":${fmt(br)},""" +
+              s""""write":${fmt(bw)}},""" }.getOrElse("") +
           s""""canary_pre":${canaryJson(canaryPre, full = true)},""" +
           s""""canary_post":${canaryJson(canaryPost, full = true)},""" +
           s""""n_queries":$nQueries,"queries":$fullQs,"sf":"$sfDir"}"""

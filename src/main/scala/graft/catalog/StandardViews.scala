@@ -105,7 +105,9 @@ object StandardViews {
       val src = a.takeWhile(_ != '=')
       val dest = a.drop(a.indexOf('=') + 1)
       require(a.contains('=') && dest.count(_ == '.') == 1 &&
-        src.nonEmpty && !dest.startsWith(".") && !dest.endsWith("."),
+        src.count(_ == '.') == 1 &&
+        !src.startsWith(".") && !src.endsWith(".") &&
+        !dest.startsWith(".") && !dest.endsWith("."),
         s"named-view assignment must be src.table=dataset.view, got: $a")
       val destDs = dest.takeWhile(_ != '.')
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $destDs")

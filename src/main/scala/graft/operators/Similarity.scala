@@ -194,16 +194,56 @@ object Similarity {
   /** (vid, v, nrm, cell) for the whole corpus: cell = argmin-L2 centroid
     * over the deterministic every-`centroidEvery`-th-id codebook.
     *
-    * The one driver-side collect: |corpus|/centroidEvery codebook rows,
-    * the IVF "train then broadcast the codebook" step — not a data scan.
-    * Invariant: the codebook must stay driver-sized. every-Nth selection
-    * grows linearly with the corpus, so a fixed `centroidEvery` at 100 TB
-    * would collect the corpus — `maxCentroids` hard-caps the collect by
-    * deterministic stride-thinning (same cap a trained k-means codebook
-    * has by construction). Default 4096 × 64 dims × 8 B ≈ 2 MB shipped.
+    * The one driver-side collect — the IVF "train then broadcast the
+    * codebook" step — is HARD-BOUNDED at `maxCentroids` rows: the
+    * candidate set is counted, the thinning stride derived, and every
+    * stride-th candidate (vid-ascending ordinals, the same selection a
+    * driver-side thin produced) picked EXECUTOR-side before anything is
+    * collected. A fixed `centroidEvery` at 100 TB grows the candidate
+    * set linearly, but only ≤ maxCentroids full vectors ever reach the
+    * driver. Default 4096 × 64 dims × 8 B ≈ 2 MB shipped.
     */
   private final case class CellAssignment(cells: DataFrame,
       cids: Array[Long], vecs: Array[Array[Double]], cn2s: Array[Double])
+
+  /** The frame whose rows become the codebook: every stride-th row of
+    * `cands` in vid-ascending ordinal order, stride = ceil(n /
+    * maxCentroids) — ≤ maxCentroids rows by construction
+    * (ceil(n/ceil(n/m)) ≤ m). `cands` must carry a unique long `vid`
+    * first; payload columns pass through untouched.
+    *
+    * Ordinal (not vid-modulo) selection is what the codebook contract
+    * promises — candidate ids need not be dense — so the ranking runs on
+    * the NARROW vid column only (one long per candidate through a
+    * single-partition window sort: ~8 MB per 10⁶ candidates, executor
+    * memory, not driver) and the ≤ maxCentroids surviving ids
+    * broadcast-join back to the full-vector payload. Package-visible so
+    * the spec can assert the collected-row bound directly.
+    */
+  private[graft] def codebookKept(cands: DataFrame,
+      maxCentroids: Int): DataFrame = {
+    val n = cands.select(col("vid")).count()
+    val stride = ((n + maxCentroids - 1) / maxCentroids).toInt
+    if (stride <= 1) cands
+    else {
+      val ids = cands.select(col("vid"))
+        .withColumn("__ord",
+          row_number().over(Window.orderBy(col("vid"))))
+        .filter(pmod(col("__ord") - 1, lit(stride)) === 0)
+        .select(col("vid"))
+      cands.join(broadcast(ids), Seq("vid"))
+    }
+  }
+
+  /** Count → stride → executor-side thin → collect ≤ maxCentroids rows;
+    * driver-sorted by vid (the collect arrives in join order).
+    */
+  private def selectCodebook(cands: DataFrame, maxCentroids: Int,
+      emptyMsg: => String): Array[org.apache.spark.sql.Row] = {
+    val rows = codebookKept(cands, maxCentroids).collect()
+    require(rows.nonEmpty, emptyMsg)
+    rows.sortBy(_.getLong(0))
+  }
 
   private def assignCellsWithCodebook(df: DataFrame, idCol: String,
       vecCol: String, centroidEvery: Int,
@@ -211,17 +251,12 @@ object Similarity {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val base = df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val picked = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
-      .select(col("vid").cast("long"), col("v"),
-        (col("nrm") * col("nrm")).as("cn2"))
-      .collect()
-      .sortBy(_.getLong(0))
-    require(picked.nonEmpty,
+    val centRows = selectCodebook(
+      base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
+        .select(col("vid").cast("long"), col("v"),
+          (col("nrm") * col("nrm")).as("cn2")),
+      maxCentroids,
       s"no centroid ids divisible by $centroidEvery — empty codebook")
-    val stride = (picked.length + maxCentroids - 1) / maxCentroids
-    val centRows = picked.indices.collect {
-      case j if j % stride == 0 => picked(j)
-    }.toArray
     val cids = centRows.map(_.getLong(0))
     val vecs = centRows.map(_.getSeq[Double](1).toArray)
     val cn2s = centRows.map(_.getDouble(2))
@@ -389,21 +424,19 @@ object Similarity {
     require(subspaces >= 1 && dim % subspaces == 0,
       s"dim $dim must split evenly into $subspaces subspaces")
     val m = dim / subspaces
-    val seedsAll = a.cells.filter(pmod(col("vid"), lit(pqEvery)) === 0)
-      .select(col("vid").cast("long"), col("v")).collect()
-      .sortBy(_.getLong(0))
-    require(seedsAll.nonEmpty,
+    // same hard cap as the coarse codebook, applied BEFORE the collect:
+    // a fixed pqEvery on a 100x corpus would otherwise grow the
+    // sub-codebooks, the per-codeword LUT literals in the compiled plan
+    // (the exact melt the adaptiveEvery scaladoc records), AND the
+    // driver collect itself without bound. Executor-side ordinal
+    // thinning (selectCodebook) keeps results bit-reproducible and the
+    // collect ≤ maxCentroids rows; below maxCentroids seeds the stride
+    // is 1 and nothing changes.
+    val seeds = selectCodebook(
+      a.cells.filter(pmod(col("vid"), lit(pqEvery)) === 0)
+        .select(col("vid").cast("long"), col("v")),
+      maxCentroids,
       s"no PQ seed ids divisible by $pqEvery — empty sub-codebooks")
-    // same hard cap as the coarse codebook: a fixed pqEvery on a 100x
-    // corpus would otherwise grow the sub-codebooks (and the
-    // per-codeword LUT literals in the compiled plan — the exact
-    // melt the adaptiveEvery scaladoc records) without bound.
-    // Deterministic stride thinning keeps results reproducible; below
-    // maxCentroids seeds the stride is 1 and nothing changes.
-    val pqStride = (seedsAll.length + maxCentroids - 1) / maxCentroids
-    val seeds = seedsAll.indices.collect {
-      case j if j % pqStride == 0 => seedsAll(j)
-    }.toArray
     val seedVecs = seeds.map(_.getSeq[Double](1).toArray)
     val ords = seedVecs.indices.map(_.toLong).toArray
     // per-subspace sub-codebooks (ordinal ids -> argmin returns the
@@ -491,20 +524,16 @@ object Similarity {
       df.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
         .withColumn("nrm", norm(col("v"))),
       "kmeans_base") // embedded once, re-read per round as a file scan
-    val picked = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
-      .select(col("vid").cast("long"), col("v"),
-        (col("nrm") * col("nrm")).as("cn2"))
-      .collect()
-      .sortBy(_.getLong(0))
-    require(picked.nonEmpty,
-      s"no centroid ids divisible by $centroidEvery — empty codebook")
-    val stride = (picked.length + maxCentroids - 1) / maxCentroids
-    var cids = picked.indices.collect {
-      case j if j % stride == 0 => picked(j).getLong(0) }.toArray
-    var vecs = picked.indices.collect {
-      case j if j % stride == 0 => picked(j).getSeq[Double](1).toArray }.toArray
-    var cn2s = picked.indices.collect {
-      case j if j % stride == 0 => picked(j).getDouble(2) }.toArray
+    // founding codebook via the shared IVF selection (count → stride →
+    // executor-side ordinal thin → collect ≤ maxCentroids rows); the
+    // fenced base makes the count + thin passes plain file re-scans.
+    // base already carries (vid, double v, nrm), so the helper's
+    // re-derivation is a bit-exact no-op projection over the fence.
+    val seed = assignCellsWithCodebook(base, "vid", "v", centroidEvery,
+      maxCentroids)
+    var cids = seed.cids
+    var vecs = seed.vecs
+    var cn2s = seed.cn2s
 
     def assignAndPool(): DataFrame = {
       val cells = base.withColumn("cell",

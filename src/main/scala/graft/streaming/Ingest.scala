@@ -13,7 +13,11 @@ import org.apache.spark.sql.types.StructType
   *
   * All transforms here are also valid on batch DataFrames (Structured
   * Streaming's unified-API contract), which is how the specs assert
-  * semantics without a long-running query.
+  * semantics without a long-running query — with ONE exception:
+  * [[dedupByIdWithWatermark]] uses `dropDuplicatesWithinWatermark`,
+  * which Spark defines for streaming Datasets only (its state-expiry
+  * semantics have no batch meaning), so that transform throws on a
+  * batch frame; its spec drives it through a real stream.
   */
 object Ingest {
 
@@ -70,9 +74,11 @@ object Ingest {
     * both streams forever. State per key is bounded by
     * watermark + maxDelay.
     *
-    * Left columns keep their names; right payload columns must not
-    * collide (rename before calling). Valid on batch frames too (the
-    * unified-API contract) — the spec asserts batch/stream agreement.
+    * Left columns keep their names AND positions (keyCol included),
+    * followed by the right payload columns in source order; right
+    * payload columns must not collide (rename before calling). Valid
+    * on batch frames too (the unified-API contract) — the spec asserts
+    * batch/stream agreement.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, maxDelaySec: Long,
@@ -84,7 +90,7 @@ object Ingest {
     // left one: under right_outer/full_outer an unmatched right row
     // has a null left key, and dropping r(keyCol) would emit the row
     // with no key at all (review find)
-    l.join(r,
+    val joined = l.join(r,
       l(keyCol) === r(keyCol) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $maxDelaySec SECONDS") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelaySec SECONDS"),
@@ -92,6 +98,11 @@ object Ingest {
       .withColumn("__ij_key", coalesce(l(keyCol), r(keyCol)))
       .drop(l(keyCol)).drop(r(keyCol))
       .withColumnRenamed("__ij_key", keyCol)
+    // the coalesce/drop/rename moved keyCol to the end; re-select the
+    // schema into left-then-right source order so positional consumers
+    // see the same layout the join inputs promise (ADVICE r15)
+    joined.select((left.columns ++
+      right.columns.filterNot(_ == keyCol)).map(col).toSeq: _*)
   }
 
   /** Streaming incremental dedup: screen every arriving micro-batch of

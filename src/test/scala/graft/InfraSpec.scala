@@ -2442,6 +2442,112 @@ class InfraSpec extends SparkTestBase {
       .getAs[Any]("added") == null)
   }
 
+  test("schema sync mirrors sync_tables_with_schema.sh: dry-run default, " +
+    "partitioned create, structural diff, additive update (nested too), " +
+    "non-additive rejected; era rows round-trip through the sink") {
+    import graft.catalog.{ConnectorSink, SchemaSync}
+    import graft.schema.BqSchema
+    // idempotence across JVM runs: the in-memory catalog forgets the
+    // managed table but its warehouse directory survives, and CREATE
+    // then fails with LOCATION_ALREADY_EXISTS — drop both
+    spark.sql("DROP DATABASE IF EXISTS sync_demo CASCADE")
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete(); ()
+    }
+    rmr(new java.io.File("spark-warehouse/sync_demo.db"))
+    val era1 = BqSchema.parse("""[
+      {"name":"test_id","type":"STRING","mode":"REQUIRED"},
+      {"name":"date","type":"DATE","mode":"NULLABLE"},
+      {"name":"mbps","type":"FLOAT64","mode":"NULLABLE"},
+      {"name":"meta","type":"RECORD","mode":"NULLABLE","fields":[
+        {"name":"site","type":"STRING","mode":"NULLABLE"}]}]""")
+    // dry-run (the default) plans the create but changes nothing
+    val r1 = SchemaSync.sync(spark, "sync_demo", Seq("measurements" -> era1))
+    assert(r1.map(t => (t.table, t.action, t.applied)) ==
+      Seq(("measurements", "create", false)))
+    assert(!spark.catalog.tableExists("sync_demo.measurements"))
+    // nodryrun creates the date-partitioned table; re-sync is a match
+    assert(SchemaSync.sync(spark, "sync_demo", Seq("measurements" -> era1),
+      dryRun = false).head.applied)
+    assert(spark.catalog.tableExists("sync_demo.measurements"))
+    assert(SchemaSync.sync(spark, "sync_demo", Seq("measurements" -> era1),
+      dryRun = false).head.action == "match")
+    // era-1 rows arrive through the pluggable sink (parquet plan)
+    val p = ConnectorSink.plan("sync_demo", "measurements",
+      partitionCol = Some("date"))
+    ConnectorSink.write(
+      Seq(("t1", java.sql.Date.valueOf("2024-03-01"), 12.5, "abc01"))
+        .toDF("test_id", "date", "mbps", "site")
+        .select(col("test_id"), col("date"), col("mbps"),
+          struct(col("site").as("site")).as("meta")), p)
+    assert(spark.table("sync_demo.measurements").count() == 1)
+    // era 2 adds a top-level column AND a nested RECORD field — the
+    // shape v1 ALTER TABLE ADD COLUMNS cannot express but bq update can
+    val era2 = BqSchema.parse("""[
+      {"name":"test_id","type":"STRING","mode":"REQUIRED"},
+      {"name":"date","type":"DATE","mode":"NULLABLE"},
+      {"name":"mbps","type":"FLOAT64","mode":"NULLABLE"},
+      {"name":"uploaded","type":"INT64","mode":"NULLABLE"},
+      {"name":"meta","type":"RECORD","mode":"NULLABLE","fields":[
+        {"name":"site","type":"STRING","mode":"NULLABLE"},
+        {"name":"client","type":"STRING","mode":"NULLABLE"}]}]""")
+    val dry = SchemaSync.sync(spark, "sync_demo", Seq("measurements" -> era2))
+    assert(dry.head.action == "update" && !dry.head.applied)
+    assert(dry.head.diff.added.toSet == Set("uploaded", "meta.client"))
+    assert(!spark.table("sync_demo.measurements").columns.contains("uploaded"))
+    val app = SchemaSync.sync(spark, "sync_demo",
+      Seq("measurements" -> era2), dryRun = false)
+    assert(app.head.action == "update" && app.head.applied)
+    val evolved = spark.table("sync_demo.measurements")
+    assert(evolved.columns.contains("uploaded"))
+    // pre-evolution files read the added column and subfield as null
+    val old = evolved.filter(col("test_id") === "t1").collect()(0)
+    assert(old.getAs[Any]("uploaded") == null)
+    assert(old.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[String]("client") == null)
+    // an era-2 row round-trips beside the era-1 one
+    ConnectorSink.write(
+      Seq(("t2", java.sql.Date.valueOf("2024-03-02"), 99.0, 42L,
+          "def02", "ndt7-client"))
+        .toDF("test_id", "date", "mbps", "uploaded", "site", "client")
+        .select(col("test_id"), col("date"), col("mbps"), col("uploaded"),
+          struct(col("site").as("site"), col("client").as("client"))
+            .as("meta")), p)
+    val after = spark.table("sync_demo.measurements")
+    assert(after.count() == 2)
+    assert(after.filter(col("test_id") === "t2").collect()(0)
+      .getAs[Long]("uploaded") == 42L)
+    // a non-additive local schema (mbps retyped to STRING) is REFUSED on
+    // apply, the bq-update rejection
+    val bad = BqSchema.parse("""[
+      {"name":"test_id","type":"STRING","mode":"REQUIRED"},
+      {"name":"date","type":"DATE","mode":"NULLABLE"},
+      {"name":"mbps","type":"STRING","mode":"NULLABLE"},
+      {"name":"uploaded","type":"INT64","mode":"NULLABLE"},
+      {"name":"meta","type":"RECORD","mode":"NULLABLE","fields":[
+        {"name":"site","type":"STRING","mode":"NULLABLE"},
+        {"name":"client","type":"STRING","mode":"NULLABLE"}]}]""")
+    intercept[SchemaSync.SyncRejected] {
+      SchemaSync.sync(spark, "sync_demo", Seq("measurements" -> bad),
+        dryRun = false)
+    }
+    // ...but the dry-run reports it harmlessly (the script's default)
+    val badDry = SchemaSync.sync(spark, "sync_demo",
+      Seq("measurements" -> bad))
+    assert(badDry.head.diff.retyped.map(_._1) == Seq("mbps") &&
+      !badDry.head.applied)
+    // the bigquery connector plan carries the PUBLIC option surface:
+    // table addressing + DAY partition mapping + caller extras
+    val bq = ConnectorSink.plan("sync_demo", "measurements",
+      format = "bigquery", partitionCol = Some("date"),
+      extra = Map("writeMethod" -> "indirect"))
+    assert(bq.format == "bigquery" && bq.partitionBy.isEmpty &&
+      bq.options == Map("table" -> "sync_demo.measurements",
+        "partitionField" -> "date", "partitionType" -> "DAY",
+        "writeMethod" -> "indirect"))
+  }
+
   test("partition-incremental unified refresh: one new date partition " +
     "equals the full recompute's slice, scanning exactly one " +
     "partition of each era table") {

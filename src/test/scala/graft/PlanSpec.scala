@@ -293,6 +293,48 @@ class PlanSpec extends SparkTestBase {
       s"100x-scale plan invariants violated:\n${failures.mkString("\n")}")
   }
 
+  test("unpartitioned-window lint: every empty-partition WindowExec in a " +
+    "declared plan is pinned by name and count (VERDICT r15 #7)") {
+    // The single-task window shape is legal ONLY over an
+    // already-aggregated frame bounded at |groups| rows (the global
+    // sweep asserts the aggregate-beneath structure); this lint pins
+    // WHICH queries carry one and HOW MANY, so a future query that
+    // "just needs a global row_number" over corpus-scale input fails
+    // review here instead of shipping a one-task sort. The pinned set
+    // is the global-ordering statistics family: ranks over score
+    // distributions (AUC, PR, lift, KS, QQ, conformal), sequential
+    // scans over per-step aggregates (CUSUM, SPRT, ACF, vocab growth),
+    // and the two-phase pack/shuffle block-offset frames — all
+    // |groups|-bounded by construction.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val pinned = Map(
+      "q65_sql_surface" -> 1, "q72_pack_sequences" -> 1,
+      "q81_global_shuffle" -> 1, "q86_corpus_build" -> 1,
+      "q90_binpack_bytes" -> 1, "qC2_vocab_growth" -> 1,
+      "qC4_gated_pack" -> 1, "qD7_heavy_hitters" -> 1,
+      "qD9_negative_sample" -> 1, "qE9_sorted_neighborhood" -> 2,
+      "qF1_er_chain" -> 2, "qH3_binary_auc" -> 1, "qH8_pr_curve" -> 1,
+      "qJ0_ks_drift" -> 1, "qJ5_cusum" -> 2, "qK6_zipf_slope" -> 1,
+      "qK7_acf" -> 2, "qL3_quantiles_merged" -> 1, "qL9_gini" -> 1,
+      "qL4_fellegi_sunter" -> 2, "qM2_sprt" -> 3, "qM9_qq_table" -> 2,
+      "qN0_conformal" -> 1, "qN1_fs_patterns" -> 2, "qO6_lift_table" -> 1)
+    val census = SparkEntry.allQueries.flatMap { q =>
+      val n = q.run(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) Some(q.name -> n) else None
+    }.toMap
+    val drift = (census.keySet ++ pinned.keySet).toSeq.sorted.flatMap { k =>
+      (census.getOrElse(k, 0), pinned.getOrElse(k, 0)) match {
+        case (c, p) if c == p => None
+        case (c, p) => Some(s"$k: planned $c empty-partition windows, pinned $p")
+      }
+    }
+    assert(drift.isEmpty,
+      s"empty-partition window census drifted:\n${drift.mkString("\n")}")
+  }
+
   test("exchange-count pins: the most expensive queries keep their " +
     "audited shuffle shapes") {
     // Pinned at the audited round-6 counts (SCALE.md shapes). A future

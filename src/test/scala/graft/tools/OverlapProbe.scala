@@ -563,10 +563,17 @@ object OverlapProbe {
       // maxPosting=64, so every measured trigger takes its hot-band
       // exclusion from the compaction sidecar (generalized to
       // band_key) instead of a second index aggregation
+      // round-16 (VERDICT r15 #6): a CAP-SENSITIVITY grid around the
+      // measured 64 — maxPosting 16 and 256 at the same decades, so the
+      // exclusion's cost/benefit is demonstrably not a knife-edge at
+      // the chosen cap (caps overridable: -Dgraft.screens2cap.caps)
       import graft.streaming.Ingest
       bytesRead.get
-      for ((label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
-          "ov-sf10" -> sf10)) {
+      val caps = sys.props.get("graft.screens2cap.caps")
+        .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(16, 64, 256))
+      for (cap <- caps;
+          (label, dir) <- Seq("ov-mid" -> mid, "ov-sf1" -> sf1,
+            "ov-sf10" -> sf10)) {
         val corpus = docs(dir).select(col("doc_id"), col("text"))
         val root = tmpRoot("mhscreencap")
         corpus.write.parquet(s"$root/in/drop0")
@@ -577,7 +584,7 @@ object OverlapProbe {
           Ingest.streamTable(spark, s"$root/in/drop*", schema),
           "doc_id", "text", seedEmpty, 3, 8, 4, 0.5,
           s"$root/idx", s"$root/out", s"$root/ck", compactEvery = ce,
-          maxPosting = 64))
+          maxPosting = cap))
         screen(2)
         for (k <- 1 to 3) {
           corpus.limit(250)
@@ -587,11 +594,14 @@ object OverlapProbe {
               .select((col("doc_id") + 2000000000000L + 10000000L * k).as("doc_id"),
                 concat(col("text"), lit(s" novel tail $k")).as("text")))
             .repartition(1).write.parquet(s"$root/in/drop$k")
-          measured(s"minhashscreen cap=64 drop$k @$label")(screen(999))
+          measured(s"minhashscreen cap=$cap drop$k @$label")(screen(999))
         }
-        println(s"[ov]   minhash cap=64 @$label sidecar = " +
+        println(s"[ov]   minhash cap=$cap @$label sidecar = " +
           new java.io.File(s"$root/idx").listFiles()
-            .map(_.getName).filter(_.contains("s_c64")).mkString(","))
+            .map(_.getName).filter(_.contains(s"s_c$cap")).mkString(","))
+        val rp = new org.apache.hadoop.fs.Path(root)
+        rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(rp, true)
       }
     }
 

@@ -10,6 +10,32 @@ import org.apache.spark.sql.SparkSession
   * which would under-report; noop materializes the full result columns.
   */
 object Bench {
+
+  /** Regime adjudication, pure so the spec pins the table (see main for
+    * the signal rationale): `unknown` on a failed canary, `inflated` on
+    * a failed start-load fence / post-canary degradation >30% over pre /
+    * same-container floor >30% over baseline, `shifted` on a DIFFERENT
+    * container whose stable floor is >15% off the baseline, else
+    * `healthy`. `baseline` is (boot_id, read, write) from
+    * BENCH_canary_baseline.json, already filtered to the matching sf.
+    */
+  private[graft] def classifyRegime(loadOk: Boolean, preRead: Double,
+      postRead: Double, baseline: Option[(String, Double, Double)],
+      bootId: String): String =
+    if (preRead < 0 || postRead < 0) "unknown"
+    else {
+      val readMin = math.min(preRead, postRead)
+      if (!loadOk || postRead > preRead * 1.3) "inflated"
+      else baseline match {
+        case Some((bid, bread, _)) if bid == bootId && bid.nonEmpty =>
+          if (readMin > bread * 1.3) "inflated" else "healthy"
+        case Some((_, bread, _)) =>
+          if (math.abs(readMin - bread) / bread > 0.15) "shifted"
+          else "healthy"
+        case None => "healthy"
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -172,20 +198,7 @@ object Bench {
     } catch { case _: Throwable => None }
     val readPair = Seq(canaryPre._1, canaryPost._1)
     val regime: String =
-      if (readPair.exists(_ < 0)) "unknown"
-      else {
-        val readMin = readPair.min
-        val degraded = canaryPost._1 > canaryPre._1 * 1.3
-        if (!loadOk || degraded) "inflated"
-        else baseline match {
-          case Some((bid, bread, _)) if bid == bootId && bid.nonEmpty =>
-            if (readMin > bread * 1.3) "inflated" else "healthy"
-          case Some((_, bread, _)) =>
-            if (math.abs(readMin - bread) / bread > 0.15) "shifted"
-            else "healthy"
-          case None => "healthy"
-        }
-      }
+      classifyRegime(loadOk, canaryPre._1, canaryPost._1, baseline, bootId)
     if (only.isEmpty && regime != "inflated" && regime != "unknown" &&
         bootId.nonEmpty && !baseline.exists(_._1 == bootId)) {
       val readMin = readPair.min

@@ -289,14 +289,22 @@ object Similarity {
     * Output per cluster: cell, n, mean_sil (4 dp).
     */
   def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
-      centroidEvery: Int): DataFrame = {
+      centroidEvery: Int, maxCentroids: Int = 4096): DataFrame = {
     graft.functions.GraftFunctions.registerAll(df.sparkSession)
     import graft.functions.GraftFunctions.vecDot
     val base = df.select(col(idCol).cast("long").as("vid"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       .withColumn("n2", col("nrm") * col("nrm"))
-    val cents = base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
+    // same maxCentroids ordinal-thinning as the IVF codebook: the
+    // broadcast side of the n×k distance join stays bounded at any
+    // corpus size instead of growing as |corpus|/centroidEvery (below
+    // the cap codebookKept is the identity, so the plan — and the
+    // every-Nth oracle contract — is unchanged)
+    val cents = codebookKept(
+      base.filter(pmod(col("vid"), lit(centroidEvery)) === 0)
+        .select(col("vid").cast("long"), col("v"), col("n2")),
+      maxCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"),
         col("n2").as("cn2"))
     val d2 = base.crossJoin(broadcast(cents))

@@ -2442,6 +2442,32 @@ class InfraSpec extends SparkTestBase {
       .getAs[Any]("added") == null)
   }
 
+  test("Bench.classifyRegime: the band-adjudication table is pinned") {
+    import graft.Bench.classifyRegime
+    val here = Some(("boot-A", 0.30, 0.40))
+    // a failed canary must read as unknown, never as healthy I/O
+    assert(classifyRegime(true, -1.0, 0.2, here, "boot-A") == "unknown")
+    assert(classifyRegime(true, 0.2, -1.0, here, "boot-A") == "unknown")
+    // start-load fence
+    assert(classifyRegime(false, 0.3, 0.3, here, "boot-A") == "inflated")
+    // host degrading DURING the run is inflation; the opposite
+    // direction is JIT warm-in (pre canary runs on a cold JVM) and fine
+    assert(classifyRegime(true, 0.3, 0.45, here, "boot-A") == "inflated")
+    assert(classifyRegime(true, 0.45, 0.3, here, "boot-A") == "healthy")
+    // same container with the floor >30% over its recorded baseline:
+    // neighbor weather
+    assert(classifyRegime(true, 0.50, 0.45, here, "boot-A") == "inflated")
+    // the r15 container swap, replayed: new boot_id, stable floor 0.285
+    // vs recorded 0.242 (+18%) => shifted, not a code regression
+    assert(classifyRegime(true, 0.30, 0.285,
+      Some(("boot-old", 0.242, 0.4)), "boot-B") == "shifted")
+    // new container within 15% of the old floor: healthy
+    assert(classifyRegime(true, 0.26, 0.25,
+      Some(("boot-old", 0.242, 0.4)), "boot-B") == "healthy")
+    // no baseline recorded: nothing to adjudicate against
+    assert(classifyRegime(true, 0.9, 0.8, None, "boot-A") == "healthy")
+  }
+
   test("schema sync mirrors sync_tables_with_schema.sh: dry-run default, " +
     "partitioned create, structural diff, additive update (nested too), " +
     "non-additive rejected; era rows round-trip through the sink") {

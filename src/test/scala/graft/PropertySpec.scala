@@ -541,4 +541,29 @@ class PropertySpec extends SparkTestBase {
         .map(p => s"`$p`").mkString(".")), out2)
     }
   }
+
+  test("codebookKept == the driver-side ordinal reference on random " +
+    "non-dense id sets, always within the cap") {
+    // random candidate-set sizes and GAPPED, shuffled vids; the kept set
+    // must equal "sort by vid, keep every ceil(n/cap)-th ordinal"
+    // exactly — the contract the executor-side thinning promises — and
+    // never exceed the cap (ceil(n/ceil(n/m)) <= m)
+    val caseGen = for {
+      n <- Gen.choose(1, 700)
+      cap <- Gen.choose(1, 90)
+      gaps <- Gen.listOfN(n, Gen.choose(1L, 9L))
+    } yield (cap, gaps.scanLeft(0L)(_ + _).tail)
+    for ((cap, vids) <- samples(caseGen, 12)) {
+      val cands = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(cap)).shuffle(vids)
+        .map(v => (v, v * 3 + 1)).toDF("vid", "payload")
+      val kept = graft.operators.Similarity.codebookKept(cands, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val stride = ((vids.size + cap - 1) / cap).toInt
+      val want = vids.sorted.zipWithIndex.collect {
+        case (v, j) if j % stride == 0 => (v, v * 3 + 1) }
+      assert(kept.length <= cap, s"n=${vids.size} cap=$cap -> ${kept.length}")
+      assert(kept.toSeq == want, s"n=${vids.size} cap=$cap")
+    }
+  }
 }

@@ -199,10 +199,21 @@ object Bench {
     val readPair = Seq(canaryPre._1, canaryPost._1)
     val regime: String =
       classifyRegime(loadOk, canaryPre._1, canaryPost._1, baseline, bootId)
-    if (only.isEmpty && regime != "inflated" && regime != "unknown" &&
-        bootId.nonEmpty && !baseline.exists(_._1 == bootId)) {
-      val readMin = readPair.min
-      val writeMin = Seq(canaryPre._2, canaryPost._2).min
+    // refresh rules: adopt the floor on the first non-inflated full run
+    // of a container (recording the shift is the artifact's job — the
+    // regime field flags it once), then RATCHET DOWN on any later run
+    // with a lower floor, so a first run that happened to be stably
+    // degraded self-heals instead of poisoning the baseline forever.
+    // A failed write canary (-1) must never be written: it would not
+    // re-parse and would silently disable adjudication for good.
+    val readMin = readPair.min
+    val writeMin = Seq(canaryPre._2, canaryPost._2).min
+    val adoptNew = !baseline.exists(_._1 == bootId)
+    val ratchet = baseline.exists(b => b._1 == bootId && readMin < b._2)
+    val refresh = only.isEmpty && regime != "inflated" &&
+      regime != "unknown" && bootId.nonEmpty && writeMin >= 0 &&
+      (adoptNew || ratchet)
+    if (refresh) {
       try java.nio.file.Files.writeString(basePath,
         s"""{"boot_id":"$bootId","read":${"%.3f".formatLocal(
           java.util.Locale.ROOT, readMin)},"write":${"%.3f".formatLocal(

@@ -81,56 +81,80 @@ object SchemaSync {
     * schema — the script's `*.json` directory listing; parse real
     * schema files with [[BqSchema.parseFile]].
     */
+  /** Two phases — PLAN (read-only: every table classified create /
+    * match / update / reject and the diffs printed), then APPLY (only
+    * when `dryRun = false`, and only after the whole plan validated:
+    * one `reject` anywhere aborts BEFORE any mutation, so a
+    * multi-table sync never half-applies and then throws away its
+    * report). `reject` improves on the script here: the script's
+    * dry-run prints "Updating" for a change BigQuery would refuse and
+    * only finds out on the real run — a dry run exists to predict
+    * that, so this one does.
+    */
   def sync(spark: SparkSession, dataset: String,
       schemas: Seq[(String, StructType)], dryRun: Boolean = true,
       partitionCol: String = "date"): Seq[TableSyncReport] = {
     val tag = if (dryRun) "dryrun" else "nodryrun"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $dataset")
-    schemas.map { case (table, localRaw) =>
-      val local = relaxed(localRaw)
-      val full = s"$dataset.$table"
-      if (!spark.catalog.tableExists(full)) {
-        println(s"Creating($tag): $full")
-        if (!dryRun) {
+    // phase 1: classify everything, mutating NOTHING (a dry run that
+    // created the database would already violate its contract)
+    val planned: Seq[(String, StructType, String, BqSchema.SchemaDiff)] =
+      schemas.map { case (table, localRaw) =>
+        val local = relaxed(localRaw)
+        val full = s"$dataset.$table"
+        if (!spark.catalog.tableExists(full)) {
+          println(s"Creating($tag): $full")
+          (table, local, "create", BqSchema.SchemaDiff(Nil, Nil, Nil))
+        } else {
+          val live = relaxed(spark.table(full).schema)
+          val d = BqSchema.diff(local, live)
+          if (d.isEmpty) {
+            println(s"Success($tag): $full matches local schema")
+            (table, local, "match", d)
+          } else {
+            println(s"WARNING: remote and local schemas do not match:")
+            println(s"WARNING: (<) $full")
+            println(s"WARNING: (>) local $table")
+            d.added.foreach(p => println(s"  > added   $p"))
+            d.removed.foreach(p => println(s"  < removed $p"))
+            d.retyped.foreach { case (p, from, to) =>
+              println(s"  ! retyped $p: $from -> $to") }
+            val additive = d.removed.isEmpty && d.retyped.isEmpty
+            val action = if (additive) "update" else "reject"
+            println(s"${if (additive) "Updating" else "Rejecting"}($tag): $full")
+            (table, local, action, d)
+          }
+        }
+      }
+    // phase 2: apply, all-or-nothing against rejects
+    if (!dryRun) {
+      planned.find(_._3 == "reject").foreach { case (table, _, _, d) =>
+        throw new SyncRejected(s"$dataset.$table", d)
+      }
+      if (planned.exists(p => p._3 == "create" || p._3 == "update"))
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $dataset")
+      planned.foreach {
+        case (table, local, "create", _) =>
           val part =
             if (local.fieldNames.contains(partitionCol))
               s" PARTITIONED BY ($partitionCol)"
             else ""
-          spark.sql(
-            s"CREATE TABLE $full (${local.toDDL}) USING parquet$part")
-        }
-        TableSyncReport(table, "create", !dryRun,
-          BqSchema.SchemaDiff(Nil, Nil, Nil))
-      } else {
-        val live = relaxed(spark.table(full).schema)
-        val d = BqSchema.diff(local, live)
-        if (d.isEmpty) {
-          println(s"Success($tag): $full matches local schema")
-          TableSyncReport(table, "match", applied = false, d)
-        } else {
-          println(s"WARNING: remote and local schemas do not match:")
-          println(s"WARNING: (<) $full")
-          println(s"WARNING: (>) local $table")
-          d.added.foreach(p => println(s"  > added   $p"))
-          d.removed.foreach(p => println(s"  < removed $p"))
-          d.retyped.foreach { case (p, from, to) =>
-            println(s"  ! retyped $p: $from -> $to") }
-          println(s"Updating($tag): $full")
-          if (!dryRun) {
-            if (d.removed.nonEmpty || d.retyped.nonEmpty)
-              throw new SyncRejected(full, d)
-            val ident = TableIdentifier(table, Some(dataset))
-            val parts = spark.sessionState.catalog
-              .getTableMetadata(ident).partitionColumnNames.toSet
-            spark.sessionState.catalog.alterTableDataSchema(ident,
-              StructType(local.fields.filterNot(f => parts(f.name))))
-            // catalog relation plans cache by name; the schema change
-            // must invalidate them or readers keep the old shape
-            spark.catalog.refreshTable(full)
-          }
-          TableSyncReport(table, "update", !dryRun, d)
-        }
+          spark.sql(s"CREATE TABLE $dataset.$table (${local.toDDL}) " +
+            s"USING parquet$part")
+        case (table, local, "update", _) =>
+          val ident = TableIdentifier(table, Some(dataset))
+          val parts = spark.sessionState.catalog
+            .getTableMetadata(ident).partitionColumnNames.toSet
+          spark.sessionState.catalog.alterTableDataSchema(ident,
+            StructType(local.fields.filterNot(f => parts(f.name))))
+          // catalog relation plans cache by name; the schema change
+          // must invalidate them or readers keep the old shape
+          spark.catalog.refreshTable(s"$dataset.$table")
+        case _ => ()
       }
+    }
+    planned.map { case (table, _, action, d) =>
+      TableSyncReport(table, action,
+        applied = !dryRun && (action == "create" || action == "update"), d)
     }
   }
 }

@@ -213,10 +213,15 @@ object Similarity {
     * first; payload columns pass through untouched.
     *
     * Ordinal (not vid-modulo) selection is what the codebook contract
-    * promises — candidate ids need not be dense — so the ranking runs on
-    * the NARROW vid column only (one long per candidate through a
-    * single-partition window sort: ~8 MB per 10⁶ candidates, executor
-    * memory, not driver) and the ≤ maxCentroids surviving ids
+    * promises — candidate ids need not be dense — and the ranking uses
+    * the [[Order.globalIndex]] two-phase shape rather than a global
+    * window (which would funnel every candidate id through ONE task —
+    * the melt class the empty-partition-window lint exists to block,
+    * merely hidden in a build-time job): the vid RANGE is value-bucketed
+    * into order-preserving blocks (deterministic arithmetic, no
+    * sampling), per-block counts aggregate to a ≤`blocks`-row frame
+    * whose prefix sum is the only single-task step, and each block ranks
+    * its own ids in parallel. The ≤ maxCentroids surviving ids then
     * broadcast-join back to the full-vector payload. Package-visible so
     * the spec can assert the collected-row bound directly.
     */
@@ -226,12 +231,25 @@ object Similarity {
     val stride = ((n + maxCentroids - 1) / maxCentroids).toInt
     if (stride <= 1) cands
     else {
-      val ids = cands.select(col("vid"))
+      val ids0 = cands.select(col("vid"))
+      val mm = ids0.agg(min(col("vid")).as("lo"), max(col("vid")).as("hi"))
+        .collect()(0)
+      val lo = mm.getLong(0)
+      val width = math.max(1L, (mm.getLong(1) - lo) / 1024 + 1)
+      val ids = ids0.withColumn("__blk",
+        ((col("vid") - lo) / width).cast("long"))
+      val wB = Window.orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = ids.groupBy("__blk").agg(count(lit(1)).as("bn"))
+        .select(col("__blk"),
+          coalesce(sum("bn").over(wB), lit(0L)).as("boff"))
+      val wIn = Window.partitionBy("__blk").orderBy("vid")
+      val kept = ids.join(broadcast(offs), "__blk")
         .withColumn("__ord",
-          row_number().over(Window.orderBy(col("vid"))))
-        .filter(pmod(col("__ord") - 1, lit(stride)) === 0)
+          col("boff") + row_number().over(wIn).cast("long") - 1L)
+        .filter(pmod(col("__ord"), lit(stride.toLong)) === 0)
         .select(col("vid"))
-      cands.join(broadcast(ids), Seq("vid"))
+      cands.join(broadcast(kept), Seq("vid"))
     }
   }
 

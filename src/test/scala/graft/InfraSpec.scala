@@ -2488,10 +2488,12 @@ class InfraSpec extends SparkTestBase {
       {"name":"mbps","type":"FLOAT64","mode":"NULLABLE"},
       {"name":"meta","type":"RECORD","mode":"NULLABLE","fields":[
         {"name":"site","type":"STRING","mode":"NULLABLE"}]}]""")
-    // dry-run (the default) plans the create but changes nothing
+    // dry-run (the default) plans the create but changes NOTHING — not
+    // even the database comes into existence
     val r1 = SchemaSync.sync(spark, "sync_demo", Seq("measurements" -> era1))
     assert(r1.map(t => (t.table, t.action, t.applied)) ==
       Seq(("measurements", "create", false)))
+    assert(!spark.catalog.databaseExists("sync_demo"))
     assert(!spark.catalog.tableExists("sync_demo.measurements"))
     // nodryrun creates the date-partitioned table; re-sync is a match
     assert(SchemaSync.sync(spark, "sync_demo", Seq("measurements" -> era1),
@@ -2558,11 +2560,32 @@ class InfraSpec extends SparkTestBase {
       SchemaSync.sync(spark, "sync_demo", Seq("measurements" -> bad),
         dryRun = false)
     }
-    // ...but the dry-run reports it harmlessly (the script's default)
+    // ...the dry-run PREDICTS the rejection (improving on the script,
+    // whose dry-run prints "Updating" and only fails on the real run)
     val badDry = SchemaSync.sync(spark, "sync_demo",
       Seq("measurements" -> bad))
-    assert(badDry.head.diff.retyped.map(_._1) == Seq("mbps") &&
+    assert(badDry.head.action == "reject" &&
+      badDry.head.diff.retyped.map(_._1) == Seq("mbps") &&
       !badDry.head.applied)
+    // ...and a nodryrun batch with one reject anywhere applies NOTHING:
+    // the additive era-3 column on the sibling entry must not land
+    val era3 = BqSchema.parse("""[
+      {"name":"test_id","type":"STRING","mode":"REQUIRED"},
+      {"name":"date","type":"DATE","mode":"NULLABLE"},
+      {"name":"mbps","type":"FLOAT64","mode":"NULLABLE"},
+      {"name":"uploaded","type":"INT64","mode":"NULLABLE"},
+      {"name":"era3_extra","type":"STRING","mode":"NULLABLE"},
+      {"name":"meta","type":"RECORD","mode":"NULLABLE","fields":[
+        {"name":"site","type":"STRING","mode":"NULLABLE"},
+        {"name":"client","type":"STRING","mode":"NULLABLE"}]}]""")
+    SchemaSync.sync(spark, "sync_demo",
+      Seq("annotations" -> era1), dryRun = false) // second table
+    intercept[SchemaSync.SyncRejected] {
+      SchemaSync.sync(spark, "sync_demo",
+        Seq("measurements" -> era3, "annotations" -> bad), dryRun = false)
+    }
+    assert(!spark.table("sync_demo.measurements").columns
+      .contains("era3_extra"))
     // the bigquery connector plan carries the PUBLIC option surface:
     // table addressing + DAY partition mapping + caller extras
     val bq = ConnectorSink.plan("sync_demo", "measurements",

@@ -209,15 +209,24 @@ object Bench {
     val readMin = readPair.min
     val writeMin = Seq(canaryPre._2, canaryPost._2).min
     val adoptNew = !baseline.exists(_._1 == bootId)
-    val ratchet = baseline.exists(b => b._1 == bootId && readMin < b._2)
+    // per-FIELD ratchet: each floor only ever moves down on its own
+    // evidence — a run with a better read but a transiently-worse write
+    // must not raise the committed write floor (and vice versa)
+    val (keepRead, keepWrite) = baseline match {
+      case Some((bid, br, bw)) if bid == bootId =>
+        (math.min(readMin, br), math.min(writeMin, bw))
+      case _ => (readMin, writeMin)
+    }
+    val ratchet = baseline.exists(b => b._1 == bootId &&
+      (keepRead < b._2 || keepWrite < b._3))
     val refresh = only.isEmpty && regime != "inflated" &&
       regime != "unknown" && bootId.nonEmpty && writeMin >= 0 &&
       (adoptNew || ratchet)
     if (refresh) {
       try java.nio.file.Files.writeString(basePath,
         s"""{"boot_id":"$bootId","read":${"%.3f".formatLocal(
-          java.util.Locale.ROOT, readMin)},"write":${"%.3f".formatLocal(
-          java.util.Locale.ROOT, writeMin)},"sf":"$sfDir"}""" + "\n")
+          java.util.Locale.ROOT, keepRead)},"write":${"%.3f".formatLocal(
+          java.util.Locale.ROOT, keepWrite)},"sf":"$sfDir"}""" + "\n")
       catch { case _: Throwable => () }
     }
 

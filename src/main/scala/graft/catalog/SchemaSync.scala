@@ -50,9 +50,10 @@ object SchemaSync {
         s"removed=${diff.removed.mkString(",")} " +
         s"retyped=${diff.retyped.map(_._1).mkString(",")}")
 
-  /** One table's sync outcome: `action` ∈ create|update|match, `applied`
-    * false on dry-run (and always on `match`), `diff` the structural
-    * report backing an update decision.
+  /** One table's sync outcome: `action` ∈ create|update|match|reject
+    * (reject = the plan found a non-additive change a real run would
+    * refuse), `applied` false on dry-run (and always on match/reject),
+    * `diff` the structural report backing the decision.
     */
   final case class TableSyncReport(table: String, action: String,
       applied: Boolean, diff: BqSchema.SchemaDiff)
@@ -95,14 +96,24 @@ object SchemaSync {
       schemas: Seq[(String, StructType)], dryRun: Boolean = true,
       partitionCol: String = "date"): Seq[TableSyncReport] = {
     val tag = if (dryRun) "dryrun" else "nodryrun"
+    // duplicate entries would classify against the PRE-sync catalog
+    // twice (both as "create") and then collide in the apply phase,
+    // half-mutating the batch — refuse them at the door
+    require(schemas.map(_._1).distinct.size == schemas.size,
+      s"duplicate table entries in sync batch: ${schemas.map(_._1)
+        .groupBy(identity).collect { case (t, g) if g.size > 1 => t }
+        .mkString(",")}")
     // phase 1: classify everything, mutating NOTHING (a dry run that
-    // created the database would already violate its contract)
+    // created the database would already violate its contract). Action
+    // lines print here only on dry-run — on a real run they accompany
+    // the actual mutation in phase 2, so an aborted batch never logs
+    // "Creating(nodryrun)" for a create that did not happen.
     val planned: Seq[(String, StructType, String, BqSchema.SchemaDiff)] =
       schemas.map { case (table, localRaw) =>
         val local = relaxed(localRaw)
         val full = s"$dataset.$table"
         if (!spark.catalog.tableExists(full)) {
-          println(s"Creating($tag): $full")
+          if (dryRun) println(s"Creating($tag): $full")
           (table, local, "create", BqSchema.SchemaDiff(Nil, Nil, Nil))
         } else {
           val live = relaxed(spark.table(full).schema)
@@ -120,7 +131,9 @@ object SchemaSync {
               println(s"  ! retyped $p: $from -> $to") }
             val additive = d.removed.isEmpty && d.retyped.isEmpty
             val action = if (additive) "update" else "reject"
-            println(s"${if (additive) "Updating" else "Rejecting"}($tag): $full")
+            if (action == "reject" || dryRun)
+              println(
+                s"${if (additive) "Updating" else "Rejecting"}($tag): $full")
             (table, local, action, d)
           }
         }
@@ -134,6 +147,7 @@ object SchemaSync {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS $dataset")
       planned.foreach {
         case (table, local, "create", _) =>
+          println(s"Creating($tag): $dataset.$table")
           val part =
             if (local.fieldNames.contains(partitionCol))
               s" PARTITIONED BY ($partitionCol)"
@@ -141,6 +155,7 @@ object SchemaSync {
           spark.sql(s"CREATE TABLE $dataset.$table (${local.toDDL}) " +
             s"USING parquet$part")
         case (table, local, "update", _) =>
+          println(s"Updating($tag): $dataset.$table")
           val ident = TableIdentifier(table, Some(dataset))
           val parts = spark.sessionState.catalog
             .getTableMetadata(ident).partitionColumnNames.toSet

@@ -227,16 +227,25 @@ object Similarity {
     */
   private[graft] def codebookKept(cands: DataFrame,
       maxCentroids: Int): DataFrame = {
-    val n = cands.select(col("vid")).count()
+    // one candidate-frame pass serves the whole decision: count (for
+    // the stride) and min/max (for the block width) in a single
+    // aggregate — the candidate frame is itself a full-corpus filter,
+    // so a second scan would double the codebook build's read
+    val stats = cands.agg(count(lit(1)).as("n"),
+      min(col("vid")).as("lo"), max(col("vid")).as("hi")).collect()(0)
+    val n = stats.getLong(0)
     val stride = ((n + maxCentroids - 1) / maxCentroids).toInt
     if (stride <= 1) cands
     else {
-      val ids0 = cands.select(col("vid"))
-      val mm = ids0.agg(min(col("vid")).as("lo"), max(col("vid")).as("hi"))
-        .collect()(0)
-      val lo = mm.getLong(0)
-      val width = math.max(1L, (mm.getLong(1) - lo) / 1024 + 1)
-      val ids = ids0.withColumn("__blk",
+      val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+      // (hi - lo) overflows only when the id space spans more than 2^63
+      // (a hugely negative AND hugely positive id in one corpus); block
+      // arithmetic would silently mis-bucket, so refuse loudly instead
+      require(hi - lo >= 0,
+        s"vid range [$lo, $hi] spans more than 2^63 — " +
+          "re-id the corpus before codebook selection")
+      val width = math.max(1L, (hi - lo) / 1024 + 1)
+      val ids = cands.select(col("vid")).withColumn("__blk",
         ((col("vid") - lo) / width).cast("long"))
       val wB = Window.orderBy("__blk")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -2586,6 +2586,13 @@ class InfraSpec extends SparkTestBase {
     }
     assert(!spark.table("sync_demo.measurements").columns
       .contains("era3_extra"))
+    // duplicate table entries are refused before anything is classified
+    // (they would both plan "create" against the pre-sync catalog and
+    // collide mid-apply)
+    intercept[IllegalArgumentException] {
+      SchemaSync.sync(spark, "sync_demo",
+        Seq("twice" -> era1, "twice" -> era2))
+    }
     // the bigquery connector plan carries the PUBLIC option surface:
     // table addressing + DAY partition mapping + caller extras
     val bq = ConnectorSink.plan("sync_demo", "measurements",

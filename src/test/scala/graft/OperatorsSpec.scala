@@ -631,6 +631,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(kept.collect().forall(r => r.getString(1) == s"payload${r.getLong(0)}"))
     // under the cap the frame passes through whole (stride 1)
     assert(Similarity.codebookKept(cands, maxCentroids = 1000).count() == 500L)
+    // NEGATIVE ids are legal (block arithmetic is offset from min)...
+    val neg = (0 until 300).map(i => (i.toLong * 11 - 1650, i))
+      .toDF("vid", "p")
+    val negKept = Similarity.codebookKept(neg, maxCentroids = 32)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val negWant = neg.collect().map(_.getLong(0)).sorted.toSeq
+      .zipWithIndex.collect { case (v, j) if j % 10 == 0 => v }
+    assert(negKept == negWant)
+    // ...but a >2^63 id span is refused loudly, not silently mis-bucketed
+    val spanned = Seq((Long.MinValue + 1, 0), (Long.MaxValue - 1, 1))
+      .toDF("vid", "p")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.codebookKept(spanned, maxCentroids = 1)
+    }
+    assert(e.getMessage.contains("re-id the corpus"))
   }
 
   test("Skew.saltedJoin: matches plain join, inner and left, salt dropped") {

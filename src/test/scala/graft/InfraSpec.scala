@@ -2604,6 +2604,38 @@ class InfraSpec extends SparkTestBase {
         "writeMethod" -> "indirect"))
   }
 
+  test("schema sync over the REAL reference schemas: the script's *.json " +
+    "loop creates all three tables and a full re-sync is all matches") {
+    import graft.catalog.SchemaSync
+    import graft.schema.BqSchema
+    spark.sql("DROP DATABASE IF EXISTS ref_sync CASCADE")
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete(); ()
+    }
+    rmr(new java.io.File("spark-warehouse/ref_sync.db"))
+    // the script's `ls ${BASEDIR}/*.json` loop, verbatim inputs
+    val tables = Seq("ndt", "sidestream", "switch").map { tn =>
+      tn -> BqSchema.parseFile(s"/root/reference/schema/$tn.json")
+    }
+    val dry = SchemaSync.sync(spark, "ref_sync", tables)
+    assert(dry.map(_.action) == Seq("create", "create", "create"))
+    assert(!spark.catalog.databaseExists("ref_sync"))
+    val applied = SchemaSync.sync(spark, "ref_sync", tables, dryRun = false)
+    assert(applied.forall(r => r.action == "create" && r.applied))
+    // the DDL → catalog → read round-trip preserves the full structural
+    // schema — including ndt's 296-field, 4-deep web100 shape — so the
+    // re-sync's structural diff is empty for every table
+    val again = SchemaSync.sync(spark, "ref_sync", tables, dryRun = false)
+    assert(again.map(_.action) == Seq("match", "match", "match"))
+    val snap = spark.table("ref_sync.ndt").schema("web100_log_entry")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(snap.fieldNames.contains("snap"))
+    // switch keeps its REPEATED RECORD time series through the catalog
+    assert(spark.table("ref_sync.switch").schema("sample").dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+  }
+
   test("partition-incremental unified refresh: one new date partition " +
     "equals the full recompute's slice, scanning exactly one " +
     "partition of each era table") {

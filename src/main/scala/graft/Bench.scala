@@ -12,23 +12,38 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Regime adjudication, pure so the spec pins the table (see main for
-    * the signal rationale): `unknown` on a failed canary, `inflated` on
-    * a failed start-load fence / post-canary degradation >30% over pre /
-    * same-container floor >30% over baseline, `shifted` on a DIFFERENT
-    * container whose stable floor is >15% off the baseline, else
-    * `healthy`. `baseline` is (boot_id, read, write) from
-    * BENCH_canary_baseline.json, already filtered to the matching sf.
+    * the signal rationale): `unknown` on a failed READ canary,
+    * `inflated` on a failed start-load fence / post-canary degradation
+    * (read >30% or write >50% over pre — the r14 evening band was
+    * WRITE-side D-state flush with healthy reads, so the write canary
+    * participates; its threshold is wider because fsync timing is
+    * noisier) / same-container floors >30% read or >50% write over
+    * baseline, `shifted` on a DIFFERENT container whose stable READ
+    * floor is >15% off the baseline (container comparison stays
+    * read-only: the read canary is the stable axis the r15 swap was
+    * adjudicated on), else `healthy`. A failed write canary (-1) simply
+    * drops the write signals — reads alone still classify. `baseline`
+    * is (boot_id, read, write) from BENCH_canary_baseline.json, already
+    * filtered to the matching sf.
     */
   private[graft] def classifyRegime(loadOk: Boolean, preRead: Double,
       postRead: Double, baseline: Option[(String, Double, Double)],
-      bootId: String): String =
+      bootId: String, preWrite: Double = -1.0,
+      postWrite: Double = -1.0): String =
     if (preRead < 0 || postRead < 0) "unknown"
     else {
       val readMin = math.min(preRead, postRead)
-      if (!loadOk || postRead > preRead * 1.3) "inflated"
+      val writeOk = preWrite >= 0 && postWrite >= 0
+      val writeMin = math.min(preWrite, postWrite)
+      val degraded = postRead > preRead * 1.3 ||
+        (writeOk && postWrite > preWrite * 1.5)
+      if (!loadOk || degraded) "inflated"
       else baseline match {
-        case Some((bid, bread, _)) if bid == bootId && bid.nonEmpty =>
-          if (readMin > bread * 1.3) "inflated" else "healthy"
+        case Some((bid, bread, bwrite)) if bid == bootId && bid.nonEmpty =>
+          if (readMin > bread * 1.3 ||
+              (writeOk && bwrite > 0 && writeMin > bwrite * 1.5))
+            "inflated"
+          else "healthy"
         case Some((_, bread, _)) =>
           if (math.abs(readMin - bread) / bread > 0.15) "shifted"
           else "healthy"
@@ -198,7 +213,8 @@ object Bench {
     } catch { case _: Throwable => None }
     val readPair = Seq(canaryPre._1, canaryPost._1)
     val regime: String =
-      classifyRegime(loadOk, canaryPre._1, canaryPost._1, baseline, bootId)
+      classifyRegime(loadOk, canaryPre._1, canaryPost._1, baseline, bootId,
+        canaryPre._2, canaryPost._2)
     // refresh rules: adopt the floor on the first non-inflated full run
     // of a container (recording the shift is the artifact's job — the
     // regime field flags it once), then RATCHET DOWN on any later run

@@ -224,6 +224,15 @@ object Similarity {
     * its own ids in parallel. The ≤ maxCentroids surviving ids then
     * broadcast-join back to the full-vector payload. Package-visible so
     * the spec can assert the collected-row bound directly.
+    *
+    * Honest residual: blocks split the id VALUE range, so an adversarial
+    * id distribution (a narrow dense cluster inside a huge outlier span)
+    * degrades the in-block rank back toward one task over the candidate
+    * SET — never the corpus, and the driver bound (≤ maxCentroids rows)
+    * is unaffected; only executor-side parallelism degrades. Assigned
+    * ids in practice are dense-ish, and a count-balanced split would
+    * cost a second full candidate pass (approxQuantile) for a regime
+    * that has not been observed.
     */
   private[graft] def codebookKept(cands: DataFrame,
       maxCentroids: Int): DataFrame = {

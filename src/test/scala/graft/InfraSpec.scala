@@ -2466,6 +2466,24 @@ class InfraSpec extends SparkTestBase {
       Some(("boot-old", 0.242, 0.4)), "boot-B") == "healthy")
     // no baseline recorded: nothing to adjudicate against
     assert(classifyRegime(true, 0.9, 0.8, None, "boot-A") == "healthy")
+    // WRITE-side signals (the r14 evening band: D-state flush load with
+    // healthy reads): in-run write degradation >50% is inflation...
+    assert(classifyRegime(true, 0.3, 0.3, here, "boot-A",
+      preWrite = 0.4, postWrite = 0.7) == "inflated")
+    // ...same-container write floor >50% over baseline too
+    assert(classifyRegime(true, 0.3, 0.3, here, "boot-A",
+      preWrite = 0.9, postWrite = 0.8) == "inflated")
+    // ...but a healthy write band changes nothing
+    assert(classifyRegime(true, 0.3, 0.3, here, "boot-A",
+      preWrite = 0.5, postWrite = 0.45) == "healthy")
+    // a FAILED write canary drops the write signals; reads still rule
+    assert(classifyRegime(true, 0.3, 0.3, here, "boot-A",
+      preWrite = -1.0, postWrite = 0.7) == "healthy")
+    // container comparison stays read-only: a new container's different
+    // write floor alone does not flag shifted
+    assert(classifyRegime(true, 0.25, 0.245,
+      Some(("boot-old", 0.242, 0.2)), "boot-B",
+      preWrite = 0.9, postWrite = 0.85) == "healthy")
   }
 
   test("schema sync mirrors sync_tables_with_schema.sh: dry-run default, " +

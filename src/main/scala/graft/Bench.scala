@@ -17,14 +17,24 @@ object Bench {
     * (read >30% or write >50% over pre — the r14 evening band was
     * WRITE-side D-state flush with healthy reads, so the write canary
     * participates; its threshold is wider because fsync timing is
-    * noisier) / same-container floors >30% read or >50% write over
-    * baseline, `shifted` on a DIFFERENT container whose stable READ
-    * floor is >15% off the baseline (container comparison stays
-    * read-only: the read canary is the stable axis the r15 swap was
-    * adjudicated on), else `healthy`. A failed write canary (-1) simply
-    * drops the write signals — reads alone still classify. `baseline`
-    * is (boot_id, read, write) from BENCH_canary_baseline.json, already
-    * filtered to the matching sf.
+    * noisier) / same-container READ floor >30% over baseline, `shifted`
+    * on a DIFFERENT container whose stable READ floor is >15% off the
+    * baseline (container comparison stays read-only: the read canary is
+    * the stable axis the r15 swap was adjudicated on), else `healthy`.
+    *
+    * The write canary deliberately has NO floor-vs-baseline check: a
+    * lucky-low adopted write floor (writeback absorbing all four
+    * baseline-run writes) would permanently classify honest
+    * fsync-bound runs as inflated with no self-heal path — inflated
+    * runs never refresh the baseline and the ratchet only moves down.
+    * The in-run post-vs-pre signal is baseline-free and catches flush
+    * load that evolves during the run; write degradation that is steady
+    * across an ENTIRE run and across runs is a documented blind spot of
+    * any single-artifact scheme (the read canary and load fence still
+    * bound it). A failed write canary (-1) simply drops the write
+    * signals — reads alone still classify. `baseline` is (boot_id,
+    * read, write) from BENCH_canary_baseline.json, already filtered to
+    * the matching sf.
     */
   private[graft] def classifyRegime(loadOk: Boolean, preRead: Double,
       postRead: Double, baseline: Option[(String, Double, Double)],
@@ -34,16 +44,12 @@ object Bench {
     else {
       val readMin = math.min(preRead, postRead)
       val writeOk = preWrite >= 0 && postWrite >= 0
-      val writeMin = math.min(preWrite, postWrite)
       val degraded = postRead > preRead * 1.3 ||
         (writeOk && postWrite > preWrite * 1.5)
       if (!loadOk || degraded) "inflated"
       else baseline match {
-        case Some((bid, bread, bwrite)) if bid == bootId && bid.nonEmpty =>
-          if (readMin > bread * 1.3 ||
-              (writeOk && bwrite > 0 && writeMin > bwrite * 1.5))
-            "inflated"
-          else "healthy"
+        case Some((bid, bread, _)) if bid == bootId && bid.nonEmpty =>
+          if (readMin > bread * 1.3) "inflated" else "healthy"
         case Some((_, bread, _)) =>
           if (math.abs(readMin - bread) / bread > 0.15) "shifted"
           else "healthy"

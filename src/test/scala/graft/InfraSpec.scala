@@ -14,6 +14,14 @@ import graft.views._
 class InfraSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Recursive delete for stale managed-table warehouse directories —
+    * the in-memory catalog forgets tables between JVM runs but their
+    * files survive and wedge CREATE with LOCATION_ALREADY_EXISTS. */
+  private def rmr(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmr))
+    f.delete(); ()
+  }
+
   /** Capture every executed plan during `body` — foreachBatch actions
     * post to the execution-listener bus asynchronously, so poll until
     * the captured set is quiescent before returning. */
@@ -2470,10 +2478,13 @@ class InfraSpec extends SparkTestBase {
     // healthy reads): in-run write degradation >50% is inflation...
     assert(classifyRegime(true, 0.3, 0.3, here, "boot-A",
       preWrite = 0.4, postWrite = 0.7) == "inflated")
-    // ...same-container write floor >50% over baseline too
+    // ...but there is deliberately NO write-floor-vs-baseline check: a
+    // lucky-low adopted write floor would trap every later honest run
+    // as inflated with no heal path (the ratchet only moves down), so a
+    // steady write band far above the recorded floor stays healthy
     assert(classifyRegime(true, 0.3, 0.3, here, "boot-A",
-      preWrite = 0.9, postWrite = 0.8) == "inflated")
-    // ...but a healthy write band changes nothing
+      preWrite = 0.9, postWrite = 0.8) == "healthy")
+    // ...and a healthy write band changes nothing
     assert(classifyRegime(true, 0.3, 0.3, here, "boot-A",
       preWrite = 0.5, postWrite = 0.45) == "healthy")
     // a FAILED write canary drops the write signals; reads still rule
@@ -2495,10 +2506,6 @@ class InfraSpec extends SparkTestBase {
     // managed table but its warehouse directory survives, and CREATE
     // then fails with LOCATION_ALREADY_EXISTS — drop both
     spark.sql("DROP DATABASE IF EXISTS sync_demo CASCADE")
-    def rmr(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmr)
-      f.delete(); ()
-    }
     rmr(new java.io.File("spark-warehouse/sync_demo.db"))
     val era1 = BqSchema.parse("""[
       {"name":"test_id","type":"STRING","mode":"REQUIRED"},
@@ -2627,10 +2634,6 @@ class InfraSpec extends SparkTestBase {
     import graft.catalog.SchemaSync
     import graft.schema.BqSchema
     spark.sql("DROP DATABASE IF EXISTS ref_sync CASCADE")
-    def rmr(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmr)
-      f.delete(); ()
-    }
     rmr(new java.io.File("spark-warehouse/ref_sync.db"))
     // the script's `ls ${BASEDIR}/*.json` loop, verbatim inputs
     val tables = Seq("ndt", "sidestream", "switch").map { tn =>

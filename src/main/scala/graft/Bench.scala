@@ -11,33 +11,55 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Exact median of a non-empty sequence (sorted middle; even count
+    * averages the two middles) — shared by the write-floor window and
+    * the cross-round drift ratio.
+    */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty seq")
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** Regime adjudication, pure so the spec pins the table (see main for
     * the signal rationale): `unknown` on a failed READ canary,
     * `inflated` on a failed start-load fence / post-canary degradation
     * (read >30% or write >50% over pre — the r14 evening band was
     * WRITE-side D-state flush with healthy reads, so the write canary
     * participates; its threshold is wider because fsync timing is
-    * noisier) / same-container READ floor >30% over baseline, `shifted`
-    * on a DIFFERENT container whose stable READ floor is >15% off the
-    * baseline (container comparison stays read-only: the read canary is
-    * the stable axis the r15 swap was adjudicated on), else `healthy`.
+    * noisier) / same-container READ floor >30% over baseline,
+    * `write-degraded` on a same-container write floor >1.75× the median
+    * of the rolling write WINDOW (see below), `shifted` on a DIFFERENT
+    * container whose stable READ floor is >15% off the baseline
+    * (container comparison stays read-only: the read canary is the
+    * stable axis the r15 swap was adjudicated on), else `healthy`.
     *
-    * The write canary deliberately has NO floor-vs-baseline check: a
-    * lucky-low adopted write floor (writeback absorbing all four
-    * baseline-run writes) would permanently classify honest
-    * fsync-bound runs as inflated with no self-heal path — inflated
-    * runs never refresh the baseline and the ratchet only moves down.
-    * The in-run post-vs-pre signal is baseline-free and catches flush
-    * load that evolves during the run; write degradation that is steady
-    * across an ENTIRE run and across runs is a documented blind spot of
-    * any single-artifact scheme (the read canary and load fence still
-    * bound it). A failed write canary (-1) simply drops the write
-    * signals — reads alone still classify. `baseline` is (boot_id,
-    * read, write) from BENCH_canary_baseline.json, already filtered to
-    * the matching sf.
+    * The write floor compares against a rolling WINDOW (the last ≤5
+    * write canaries from read-healthy runs), not a ratchet-down floor:
+    * a ratchet traps a lucky-low first adoption (writeback absorbing
+    * all four baseline-run writes) as permanent inflation with no heal
+    * path, while NO floor leaves steady whole-run write degradation
+    * invisible (the r16 blind spot — VERDICT r16 #2). The window gives
+    * both: a lucky-low first entry is diluted as honest runs append
+    * (flagged runs still append — that IS the self-heal), and a steady
+    * 2× degradation against an honest window is flagged for the next
+    * few runs before the window accepts the new floor as the host's
+    * reality. `write-degraded` is distinct from `inflated` so the read
+    * floor ratchet and the drift reference stay usable on such runs.
+    * The in-run post-vs-pre signal is unchanged and baseline-free.
+    * A failed write canary (-1) simply drops the write signals — reads
+    * alone still classify.
+    *
+    * `baseline` is (boot_id, read, write window) from
+    * BENCH_canary_baseline.json, already filtered to the matching sf.
+    * An EMPTY local bootId means the container identity is unreadable —
+    * floor adjudication is skipped entirely (treated as no-baseline)
+    * rather than mislabeling a same-container run as `shifted` through
+    * the cross-container branch.
     */
   private[graft] def classifyRegime(loadOk: Boolean, preRead: Double,
-      postRead: Double, baseline: Option[(String, Double, Double)],
+      postRead: Double, baseline: Option[(String, Double, Seq[Double])],
       bootId: String, preWrite: Double = -1.0,
       postWrite: Double = -1.0): String =
     if (preRead < 0 || postRead < 0) "unknown"
@@ -47,15 +69,64 @@ object Bench {
       val degraded = postRead > preRead * 1.3 ||
         (writeOk && postWrite > preWrite * 1.5)
       if (!loadOk || degraded) "inflated"
-      else baseline match {
-        case Some((bid, bread, _)) if bid == bootId && bid.nonEmpty =>
-          if (readMin > bread * 1.3) "inflated" else "healthy"
+      else (if (bootId.isEmpty) None else baseline) match {
+        case Some((bid, bread, wwin)) if bid == bootId && bid.nonEmpty =>
+          if (readMin > bread * 1.3) "inflated"
+          else if (writeOk && wwin.nonEmpty &&
+            math.min(preWrite, postWrite) > median(wwin) * 1.75)
+            "write-degraded"
+          else "healthy"
         case Some((_, bread, _)) =>
           if (math.abs(readMin - bread) / bread > 0.15) "shifted"
           else "healthy"
         case None => "healthy"
       }
     }
+
+  /** Cross-round drift: shared-query median time ratio vs the previous
+    * committed artifact, with the read-canary ratio divided out so
+    * host-floor movement and code regression separate (VERDICT r16 #1:
+    * the r16 driver artifact read `healthy` at a judge-computed 1.235
+    * median over r15 because the canaries moved in lockstep — the
+    * classifier could not say so itself).
+    *
+    * `median` is the exact median of cur/prev over the shared query
+    * names (additions/removals drop out), `canary` = curRead/prevRead
+    * (the two runs' min-of-pre/post read canaries), `residual` =
+    * median/canary — drift the canary does NOT explain. Verdicts:
+    *   - `no-prior`: <20 shared queries (no reference worth a verdict);
+    *   - `stable`: median ≤ 1.15 (improvements included — residual is
+    *     still reported, so a host speedup masking a code slowdown is
+    *     visible in the artifact even though wall time rules the label);
+    *   - `drifted-unadjudicated`: median > 1.15 with no canary on one
+    *     side — drift is real but host/code cannot be separated;
+    *   - `drifted-host`: median > 1.15 and residual ≤ 1.15 (the canary
+    *     moved with the tail — weather, not code);
+    *   - `drifted-code`: median > 1.15 and residual > 1.15.
+    */
+  private[graft] final case class Drift(n: Int, median: Double,
+      canary: Double, residual: Double, verdict: String)
+
+  private[graft] def classifyDrift(prev: Map[String, Double],
+      cur: Map[String, Double], prevRead: Double,
+      curRead: Double): Drift = {
+    val ratios = prev.keysIterator
+      .filter(k => prev(k) > 0 && cur.get(k).exists(_ >= 0))
+      .map(k => cur(k) / prev(k)).toSeq
+    if (ratios.size < 20) Drift(ratios.size, -1, -1, -1, "no-prior")
+    else {
+      val med = median(ratios)
+      val canary =
+        if (prevRead > 0 && curRead > 0) curRead / prevRead else -1.0
+      val residual = if (canary > 0) med / canary else -1.0
+      val verdict =
+        if (med <= 1.15) "stable"
+        else if (canary < 0) "drifted-unadjudicated"
+        else if (residual <= 1.15) "drifted-host"
+        else "drifted-code"
+      Drift(ratios.size, med, canary, residual, verdict)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -186,19 +257,21 @@ object Bench {
 
     // Regime self-classification (VERDICT r15 #5): the artifact carries
     // its own verdict, so a band shift needs no judge-side vmstat
-    // archaeology. Three signals:
-    //   - inflated: the start load failed the fence, the POST read
-    //     canary sits >30% above the pre one (the host degraded DURING
-    //     the run; the opposite direction is just JIT warm-in — the pre
-    //     canary runs on a cold JVM and is systematically slower), or —
-    //     same container as the recorded baseline — the canary floor
-    //     sits >30% above it: neighbor weather, discard the band.
-    //   - shifted: a DIFFERENT container (boot_id) whose stable canary
+    // archaeology. Signals (full table in classifyRegime's scaladoc):
+    //   - inflated: failed start-load fence, in-run canary degradation
+    //     (the host changed DURING the run; the opposite direction is
+    //     just JIT warm-in — the pre canary runs on a cold JVM and is
+    //     systematically slower), or — same container as the recorded
+    //     baseline — a read floor >30% above it.
+    //   - write-degraded: same container, read-side healthy, but the
+    //     write floor sits >1.75x the median of the rolling write
+    //     window (steady flush-side degradation — the r16 blind spot).
+    //   - shifted: a DIFFERENT container (boot_id) whose stable read
     //     floor differs >15% from the recorded baseline — the r15 swap
     //     case: container drift, compare ratios not absolutes.
     //   - healthy: everything else.
-    // The baseline is a COMMITTED file {boot_id, read, write} refreshed
-    // from the first non-inflated full run on each container, so the
+    // The baseline is a COMMITTED file {boot_id, read, write_window}
+    // refreshed from non-inflated full runs on each container, so the
     // next artifact on the same host classifies against a measured
     // reference rather than its own run.
     val bootId = try {
@@ -209,13 +282,28 @@ object Bench {
     // something at the SAME sf — a mismatched record is ignored and
     // (on a healthy run) replaced
     val basePath = java.nio.file.Paths.get("BENCH_canary_baseline.json")
-    val baseline: Option[(String, Double, Double)] = try {
+    val baseline: Option[(String, Double, Seq[Double])] = try {
       val t = new String(java.nio.file.Files.readAllBytes(basePath))
-      val re = (""""boot_id":"([^"]*)".*"read":([0-9.]+)""" +
-        """.*"write":([0-9.]+).*"sf":"([^"]*)"""").r
-      re.findFirstMatchIn(t).collect {
-        case m if m.group(4) == sfDir =>
-          (m.group(1), m.group(2).toDouble, m.group(3).toDouble) }
+      // tolerate both the window format ("write_window":[..], possibly
+      // empty — a run whose write canary failed still records its read
+      // floor) and the legacy single-value "write":W (read as a 1-entry
+      // window)
+      val head = (""""boot_id":"([^"]*)".*?"read":([0-9.]+)""").r
+      val sfRe = (""""sf":"([^"]*)"""").r
+      val winRe = (""""write_window":\[([0-9.,\s]*)\]""").r
+      val legacyRe = (""""write":([0-9.]+)""").r
+      for {
+        m <- head.findFirstMatchIn(t)
+        s <- sfRe.findFirstMatchIn(t) if s.group(1) == sfDir
+      } yield {
+        val win = winRe.findFirstMatchIn(t) match {
+          case Some(w) => w.group(1).split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          case None => legacyRe.findFirstMatchIn(t)
+            .map(w => Seq(w.group(1).toDouble)).getOrElse(Seq.empty)
+        }
+        (m.group(1), m.group(2).toDouble, win)
+      }
     } catch { case _: Throwable => None }
     val readPair = Seq(canaryPre._1, canaryPost._1)
     val regime: String =
@@ -223,44 +311,95 @@ object Bench {
         canaryPre._2, canaryPost._2)
     // refresh rules: adopt the floor on the first non-inflated full run
     // of a container (recording the shift is the artifact's job — the
-    // regime field flags it once), then RATCHET DOWN on any later run
-    // with a lower floor, so a first run that happened to be stably
-    // degraded self-heals instead of poisoning the baseline forever.
-    // A failed write canary (-1) must never be written: it would not
-    // re-parse and would silently disable adjudication for good.
+    // regime field flags it once), then RATCHET DOWN the read floor on
+    // any later run with a lower one, so a first run that happened to
+    // be stably degraded self-heals instead of poisoning the baseline
+    // forever. The write WINDOW appends the run's write floor on every
+    // read-healthy run (write-degraded runs included — that append IS
+    // the window's self-heal; read-inflated runs are neighbor storms
+    // and contribute nothing), keeping the last 5. A failed write
+    // canary (-1) is never written — but it no longer blocks the READ
+    // floor from being adopted or ratcheted (a host whose write canary
+    // persistently fails would otherwise never get a baseline at all).
     val readMin = readPair.min
     val writeMin = Seq(canaryPre._2, canaryPost._2).min
     val adoptNew = !baseline.exists(_._1 == bootId)
-    // per-FIELD ratchet: each floor only ever moves down on its own
-    // evidence — a run with a better read but a transiently-worse write
-    // must not raise the committed write floor (and vice versa)
-    val (keepRead, keepWrite) = baseline match {
+    val regimeOkForBase = regime != "inflated" && regime != "unknown"
+    val (keepRead, keepWin) = baseline match {
       case Some((bid, br, bw)) if bid == bootId =>
-        (math.min(readMin, br), math.min(writeMin, bw))
-      case _ => (readMin, writeMin)
+        (math.min(readMin, br),
+          if (writeMin >= 0) (bw :+ writeMin).takeRight(5) else bw)
+      case _ =>
+        (readMin, if (writeMin >= 0) Seq(writeMin) else Seq.empty[Double])
     }
-    val ratchet = baseline.exists(b => b._1 == bootId &&
-      (keepRead < b._2 || keepWrite < b._3))
-    val refresh = only.isEmpty && regime != "inflated" &&
-      regime != "unknown" && bootId.nonEmpty && writeMin >= 0 &&
-      (adoptNew || ratchet)
+    val changed = baseline match {
+      case Some((bid, br, bw)) if bid == bootId =>
+        keepRead < br || keepWin != bw
+      case _ => true
+    }
+    val refresh = only.isEmpty && regimeOkForBase && bootId.nonEmpty &&
+      (adoptNew || changed)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     if (refresh) {
       try java.nio.file.Files.writeString(basePath,
-        s"""{"boot_id":"$bootId","read":${"%.3f".formatLocal(
-          java.util.Locale.ROOT, keepRead)},"write":${"%.3f".formatLocal(
-          java.util.Locale.ROOT, keepWrite)},"sf":"$sfDir"}""" + "\n")
+        s"""{"boot_id":"$bootId","read":${fmt(keepRead)},""" +
+          s""""write_window":[${keepWin.map(fmt).mkString(",")}],""" +
+          s""""sf":"$sfDir"}""" + "\n")
       catch { case _: Throwable => () }
     }
 
     val results = benchQueries
       .map(q => q.name -> math.min(p1(q.name), p2(q.name)))
+
+    // Cross-round drift (VERDICT r16 #1): compare this run's per-query
+    // times against the previous committed reference artifact
+    // (BENCH_prev.json: full query names + that run's read canary) and
+    // divide out the canary ratio, so the artifact itself says whether
+    // a band move is host weather or code. The reference refreshes only
+    // from stable healthy runs (a drifted-code run must not normalize
+    // itself; a drifted-host run would make the next comparison
+    // weather-vs-weather) — SPARK_GRAFT_ADOPT_PREV=1 forces adoption
+    // after an intentional perf-profile change.
+    val prevPath = java.nio.file.Paths.get("BENCH_prev.json")
+    val prevParsed: Option[(Double, Map[String, Double])] = try {
+      val t = new String(java.nio.file.Files.readAllBytes(prevPath))
+      val sfRe = (""""sf":"([^"]*)"""").r
+      if (!sfRe.findFirstMatchIn(t).exists(_.group(1) == sfDir)) None
+      else {
+        val read = (""""read":([0-9.-]+)""").r.findFirstMatchIn(t)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+        val qsec = t.substring(t.indexOf("\"queries\":{"))
+        val qs = ("\"([^\"]+)\":([0-9.]+)").r.findAllMatchIn(qsec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        Some((read, qs))
+      }
+    } catch { case _: Throwable => None }
+    val drift: Drift = prevParsed match {
+      case Some((pRead, pQs)) =>
+        classifyDrift(pQs, results.toMap, pRead, readMin)
+      case None => Drift(0, -1, -1, -1, "no-prior")
+    }
+    val adoptPrev = only.isEmpty &&
+      (sys.env.get("SPARK_GRAFT_ADOPT_PREV").contains("1") ||
+        (regime == "healthy" &&
+          (drift.verdict == "stable" || drift.verdict == "no-prior")))
+    if (adoptPrev) {
+      try {
+        val qsJson = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.writeString(prevPath,
+          s"""{"boot_id":"$bootId","read":${fmt(readMin)},""" +
+            s""""total":${fmt(results.map(_._2).sum)},"sf":"$sfDir",""" +
+            s""""queries":$qsJson}""" + "\n")
+      } catch { case _: Throwable => () }
+    }
+
     // The driver parses this line from a 2000-char log tail (measured:
     // BENCH_r03's "tail" field is exactly 2000 chars and all three rounds
     // recorded "parsed": null). 3-decimal values plus qNN-prefix keys keep
-    // the full 84-query line ~1.1 KB — inside the window with headroom.
+    // the query map compact; the intact artifact is the file twin below.
     // Full query names remain in CORRECTNESS_r*.json; qNN is the unique
     // prefix of each.
-    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size ==
       results.size, "bench short keys collide — fix query numbering")
     val qs = results.map { case (k, v) =>
@@ -272,9 +411,15 @@ object Bench {
     def canaryJson(c: (Double, Double, String), full: Boolean): String =
       s"""{"read":${fmt(c._1)},"write":${fmt(c._2)}""" +
         (if (full) s""","loadavg":"${c._3}"}""" else "}")
+    val driftJson =
+      s"""{"n":${drift.n},"median":${fmt(drift.median)},""" +
+        s""""canary":${fmt(drift.canary)},""" +
+        s""""residual":${fmt(drift.residual)},""" +
+        s""""verdict":"${drift.verdict}"}"""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""load_ok":$loadOk,"load1":${fmt(load1)},"regime":"$regime",""" +
+        s""""drift":$driftJson,""" +
         s""""canary_pre":${canaryJson(canaryPre, full = false)},""" +
         s""""canary_post":${canaryJson(canaryPost, full = false)},""" +
         s""""queries":$qs,"sf":"$sfDir"}"""
@@ -294,9 +439,11 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
           s""""load_ok":$loadOk,"load1":${fmt(load1)},""" +
           s""""regime":"$regime","boot_id":"$bootId",""" +
+          s""""drift":$driftJson,"prev_adopted":$adoptPrev,""" +
           baseline.map { case (bid, br, bw) =>
             s""""canary_baseline":{"boot_id":"$bid","read":${fmt(br)},""" +
-              s""""write":${fmt(bw)}},""" }.getOrElse("") +
+              s""""write_window":[${bw.map(fmt).mkString(",")}]},""" }
+            .getOrElse("") +
           s""""canary_pre":${canaryJson(canaryPre, full = true)},""" +
           s""""canary_post":${canaryJson(canaryPost, full = true)},""" +
           s""""n_queries":$nQueries,"queries":$fullQs,"sf":"$sfDir"}"""

@@ -58,6 +58,20 @@ object SchemaSync {
   final case class TableSyncReport(table: String, action: String,
       applied: Boolean, diff: BqSchema.SchemaDiff)
 
+  /** Backtick-quoted identifier for DDL/catalog interpolation: a
+    * dataset or table name with a hyphen, dot, or reserved word would
+    * otherwise break the generated statement — or address a DIFFERENT
+    * table — despite passing the plan phase through the catalog API
+    * (ADVICE r16). Backticks themselves are refused up front rather
+    * than escaped: BigQuery's own identifier charset excludes them, so
+    * one in a sync batch is a config error, not a name.
+    */
+  private[catalog] def quoted(name: String): String = {
+    require(name.nonEmpty && !name.contains("`") && !name.contains("\n"),
+      s"illegal identifier for schema sync: '$name'")
+    "`" + name + "`"
+  }
+
   /** Recursive REQUIRED→NULLABLE relaxation (asNullable is
     * private[spark]): containers relax their element/value nullability
     * too, so a live catalog schema and a local REQUIRED-mode schema
@@ -108,10 +122,16 @@ object SchemaSync {
     // lines print here only on dry-run — on a real run they accompany
     // the actual mutation in phase 2, so an aborted batch never logs
     // "Creating(nodryrun)" for a create that did not happen.
+    // identifier validation happens before anything is classified —
+    // the quoted forms feed every catalog lookup and DDL statement, so
+    // a dotted or hyphenated name resolves to the intended table
+    // instead of mis-parsing as a longer namespace path
+    val qds = quoted(dataset)
+    schemas.foreach { case (t, _) => quoted(t) }
     val planned: Seq[(String, StructType, String, BqSchema.SchemaDiff)] =
       schemas.map { case (table, localRaw) =>
         val local = relaxed(localRaw)
-        val full = s"$dataset.$table"
+        val full = s"$qds.${quoted(table)}"
         if (!spark.catalog.tableExists(full)) {
           if (dryRun) println(s"Creating($tag): $full")
           (table, local, "create", BqSchema.SchemaDiff(Nil, Nil, Nil))
@@ -144,16 +164,16 @@ object SchemaSync {
         throw new SyncRejected(s"$dataset.$table", d)
       }
       if (planned.exists(p => p._3 == "create" || p._3 == "update"))
-        spark.sql(s"CREATE DATABASE IF NOT EXISTS $dataset")
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS $qds")
       planned.foreach {
         case (table, local, "create", _) =>
           println(s"Creating($tag): $dataset.$table")
           val part =
             if (local.fieldNames.contains(partitionCol))
-              s" PARTITIONED BY ($partitionCol)"
+              s" PARTITIONED BY (${quoted(partitionCol)})"
             else ""
-          spark.sql(s"CREATE TABLE $dataset.$table (${local.toDDL}) " +
-            s"USING parquet$part")
+          spark.sql(s"CREATE TABLE $qds.${quoted(table)} " +
+            s"(${local.toDDL}) USING parquet$part")
         case (table, local, "update", _) =>
           println(s"Updating($tag): $dataset.$table")
           val ident = TableIdentifier(table, Some(dataset))
@@ -163,7 +183,7 @@ object SchemaSync {
             StructType(local.fields.filterNot(f => parts(f.name))))
           // catalog relation plans cache by name; the schema change
           // must invalidate them or readers keep the old shape
-          spark.catalog.refreshTable(s"$dataset.$table")
+          spark.catalog.refreshTable(s"$qds.${quoted(table)}")
         case _ => ()
       }
     }
@@ -209,7 +229,12 @@ object ConnectorSink {
     val full = s"$dataset.$table"
     format match {
       case "parquet" =>
-        WriterPlan("parquet", mode, extra, partitionCol.toSeq, full)
+        // catalog-addressed target: backtick-quoted so hyphenated or
+        // dotted names survive saveAsTable's identifier parse (the
+        // bigquery branch keeps the PLAIN dataset.table — the connector
+        // option is not a SQL identifier)
+        WriterPlan("parquet", mode, extra, partitionCol.toSeq,
+          s"${SchemaSync.quoted(dataset)}.${SchemaSync.quoted(table)}")
       case "bigquery" =>
         val partOpts = partitionCol.map(c =>
           Map("partitionField" -> c, "partitionType" -> "DAY"))
@@ -227,16 +252,37 @@ object ConnectorSink {
     * against any era's column order); everything else goes through
     * `format(...).save()` and resolves the connector from the
     * classpath.
+    *
+    * OVERWRITE of an EXISTING catalog table routes through TRUNCATE +
+    * name-resolved append rather than saveAsTable's drop-and-recreate,
+    * which would silently replace the SchemaSync-managed schema and
+    * partition layout with whatever the frame happens to carry
+    * (ADVICE r16): the synced table definition survives, only the rows
+    * change. BigQuery's own overwrite behaves the same way — the table
+    * resource and its schema outlive a WRITE_TRUNCATE load.
     */
   def write(df: DataFrame, p: WriterPlan): Unit = {
     p.format match {
       case "parquet" =>
-        // saveAsTable requires the declared partitioning to MATCH an
-        // existing table's layout, so the plan's partitionBy applies on
-        // create and append alike
-        p.partitionBy.foldLeft(
-          df.write.mode(p.mode).format("parquet").options(p.options))(
-          (acc, c) => acc.partitionBy(c)).saveAsTable(p.target)
+        val spark = df.sparkSession
+        if (p.mode == "overwrite" && spark.catalog.tableExists(p.target)) {
+          spark.sql(s"TRUNCATE TABLE ${p.target}")
+          // append into the EXISTING layout: saveAsTable validates the
+          // writer's declared partitioning against the table's, so the
+          // catalog's own partition columns apply — not the plan's
+          val parts = spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(p.target))
+            .partitionColumnNames
+          parts.foldLeft(
+            df.write.mode("append").format("parquet").options(p.options))(
+            (acc, c) => acc.partitionBy(c)).saveAsTable(p.target)
+        } else
+          // saveAsTable requires the declared partitioning to MATCH an
+          // existing table's layout, so the plan's partitionBy applies
+          // on create and append alike
+          p.partitionBy.foldLeft(
+            df.write.mode(p.mode).format("parquet").options(p.options))(
+            (acc, c) => acc.partitionBy(c)).saveAsTable(p.target)
       case _ =>
         p.partitionBy.foldLeft(
           df.write.mode(p.mode).format(p.format).options(p.options))(

@@ -2751,6 +2751,71 @@ class InfraSpec extends SparkTestBase {
       .isInstanceOf[org.apache.spark.sql.types.ArrayType])
   }
 
+  test("schema sync quoting + overwrite lifecycle (ADVICE r16): " +
+    "reserved-word names round-trip quoted, illegal names fail as ONE " +
+    "identifier, and an overwrite write preserves the synced table " +
+    "definition") {
+    import graft.catalog.{ConnectorSink, SchemaSync}
+    import graft.schema.BqSchema
+    spark.sql("DROP DATABASE IF EXISTS quote_demo CASCADE")
+    rmr(new java.io.File("spark-warehouse/quote_demo.db"))
+    val sch = BqSchema.parse("""[
+      {"name":"test_id","type":"STRING","mode":"REQUIRED"},
+      {"name":"date","type":"DATE","mode":"NULLABLE"},
+      {"name":"mbps","type":"FLOAT64","mode":"NULLABLE"}]""")
+    // a RESERVED-WORD table name (`table`) used to break the unquoted
+    // CREATE TABLE interpolation outright; quoted it creates, matches
+    // on re-sync, and reads back like any other name
+    val r = SchemaSync.sync(spark, "quote_demo", Seq("table" -> sch),
+      dryRun = false)
+    assert(r.map(t => (t.action, t.applied)) == Seq(("create", true)))
+    assert(spark.catalog.tableExists("quote_demo.`table`"))
+    assert(SchemaSync.sync(spark, "quote_demo", Seq("table" -> sch),
+      dryRun = false).head.action == "match")
+    // a DOTTED name travels as one quoted identifier into the session
+    // catalog's own validator (alphanumeric + _ only here) instead of
+    // silently splitting into a longer namespace path — the refusal is
+    // the catalog's name validation, not a mangled-SQL parse error
+    // (the message's `bad`.`ds` split is toSQLId's display formatting)
+    val dotted = intercept[org.apache.spark.sql.AnalysisException] {
+      SchemaSync.sync(spark, "bad.ds", Seq("t" -> sch), dryRun = false)
+    }
+    assert(dotted.getMessage.contains("not a valid name") &&
+      dotted.getMessage.contains("bad"))
+    // a backtick in a name is a config error, refused before anything
+    // is classified (BigQuery's identifier charset excludes it)
+    intercept[IllegalArgumentException] {
+      SchemaSync.sync(spark, "quote`demo", Seq("t" -> sch))
+    }
+    intercept[IllegalArgumentException] {
+      SchemaSync.sync(spark, "quote_demo", Seq("t`b" -> sch))
+    }
+    // OVERWRITE through the sink keeps the SchemaSync-managed
+    // definition: the old saveAsTable route dropped and recreated the
+    // table from the frame — here the plan omits partitionBy entirely
+    // and the frame carries no date partitioning hint, yet the synced
+    // DATE-partitioned layout must survive and only the rows change
+    val rows1 = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("b", java.sql.Date.valueOf("2024-01-02"), 2.0))
+      .toDF("test_id", "date", "mbps")
+    val p = ConnectorSink.plan("quote_demo", "table", mode = "overwrite")
+    ConnectorSink.write(rows1, p)
+    val rows2 = Seq(("c", java.sql.Date.valueOf("2024-02-01"), 3.0))
+      .toDF("test_id", "date", "mbps")
+    ConnectorSink.write(rows2, p)
+    val after = spark.table("quote_demo.`table`")
+    assert(after.count() == 1 &&
+      after.collect()(0).getAs[String]("test_id") == "c")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "table", Some("quote_demo")))
+    assert(meta.partitionColumnNames == Seq("date"),
+      s"synced partition layout lost: ${meta.partitionColumnNames}")
+    // the re-sync still matches: overwrite did not replace the schema
+    assert(SchemaSync.sync(spark, "quote_demo", Seq("table" -> sch),
+      dryRun = false).head.action == "match")
+  }
+
   test("partition-incremental unified refresh: one new date partition " +
     "equals the full recompute's slice, scanning exactly one " +
     "partition of each era table") {

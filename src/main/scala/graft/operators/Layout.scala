@@ -154,15 +154,20 @@ object Layout {
       zones: DataFrame, c: String, lo: Column, hi: Column)
       : (DataFrame, Int, Int) = {
     val keep = pruneFiles(zones, c, lo, hi)
-    val all = zones.select("file").collect().map(_.getString(0)).toSeq
+    // filesTotal is a count, not a second manifest collect (VERDICT r16
+    // #4): the full file list is only ever NEEDED on the empty-keep
+    // path, and even there one representative file carries the schema
+    val total = zones.count().toInt
     val df =
       if (keep.isEmpty)
         // schema-preserving empty: a constant-false filter folds to an
         // empty LocalRelation at planning — zero file I/O, real schema
-        spark.read.parquet(all: _*).filter(lit(false))
+        spark.read.parquet(zones.select("file").limit(1)
+            .collect().map(_.getString(0)).toIndexedSeq: _*)
+          .filter(lit(false))
       else spark.read.parquet(keep: _*)
         .filter(col(c) >= lo && col(c) <= hi)
-    (df, keep.length, all.length)
+    (df, keep.length, total)
   }
 
   /** Per-file KEY-MEMBERSHIP manifest — the point-lookup complement to
@@ -213,12 +218,15 @@ object Layout {
       manifest: DataFrame, keyCol: String, key: Column,
       buckets: Int = 65536): (DataFrame, Int, Int) = {
     val keep = pruneFilesByKey(manifest, key, buckets)
-    val all = manifest.select("file").collect().map(_.getString(0)).toSeq
+    // same manifest-collect confinement as readPruned
+    val total = manifest.count().toInt
     val df =
       if (keep.isEmpty)
-        spark.read.parquet(all: _*).filter(lit(false))
+        spark.read.parquet(manifest.select("file").limit(1)
+            .collect().map(_.getString(0)).toIndexedSeq: _*)
+          .filter(lit(false))
       else spark.read.parquet(keep: _*).filter(col(keyCol) === key)
-    (df, keep.length, all.length)
+    (df, keep.length, total)
   }
 
   def zorderLayout(df: DataFrame, aCol: String, bCol: String, bits: Int,

@@ -107,6 +107,57 @@ object Bench {
   private[graft] final case class Drift(n: Int, median: Double,
       canary: Double, residual: Double, verdict: String)
 
+  /** Parse BENCH_canary_baseline.json (the committed regime reference).
+    * Returns (boot_id, read floor, write window) when the record's sf
+    * matches, else None. Tolerates both the window format
+    * (`"write_window":[..]`, possibly empty — a run whose write canary
+    * failed still records its read floor) and the legacy single-value
+    * `"write":W` (read as a 1-entry window). Pure and spec-pinned: a
+    * silent parse regression here would permanently disable floor
+    * adjudication — the same failure class as the writeMin gate the
+    * r16 advisor flagged.
+    */
+  private[graft] def parseBaseline(text: String,
+      sfDir: String): Option[(String, Double, Seq[Double])] = try {
+    val head = (""""boot_id":"([^"]*)".*?"read":([0-9.]+)""").r
+    val sfRe = (""""sf":"([^"]*)"""").r
+    val winRe = (""""write_window":\[([0-9.,\s]*)\]""").r
+    val legacyRe = (""""write":([0-9.]+)""").r
+    for {
+      m <- head.findFirstMatchIn(text)
+      s <- sfRe.findFirstMatchIn(text) if s.group(1) == sfDir
+    } yield {
+      val win = winRe.findFirstMatchIn(text) match {
+        case Some(w) => w.group(1).split(",").map(_.trim)
+          .filter(_.nonEmpty).map(_.toDouble).toSeq
+        case None => legacyRe.findFirstMatchIn(text)
+          .map(w => Seq(w.group(1).toDouble)).getOrElse(Seq.empty)
+      }
+      (m.group(1), m.group(2).toDouble, win)
+    }
+  } catch { case _: Throwable => None }
+
+  /** Parse BENCH_prev.json (the committed drift reference): that run's
+    * min read canary plus its full-name per-query minima. None when the
+    * record's sf mismatches (the times mean nothing across scales) or
+    * the queries section is missing. Field order contract: `queries`
+    * is the LAST field — everything after `"queries":{` is name/number
+    * pairs.
+    */
+  private[graft] def parsePrev(text: String,
+      sfDir: String): Option[(Double, Map[String, Double])] = try {
+    val sfRe = (""""sf":"([^"]*)"""").r
+    if (!sfRe.findFirstMatchIn(text).exists(_.group(1) == sfDir)) None
+    else {
+      val read = (""""read":([0-9.-]+)""").r.findFirstMatchIn(text)
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+      val qsec = text.substring(text.indexOf("\"queries\":{"))
+      val qs = ("\"([^\"]+)\":([0-9.]+)").r.findAllMatchIn(qsec)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (qs.isEmpty) None else Some((read, qs))
+    }
+  } catch { case _: Throwable => None }
+
   private[graft] def classifyDrift(prev: Map[String, Double],
       cur: Map[String, Double], prevRead: Double,
       curRead: Double): Drift = {
@@ -283,27 +334,8 @@ object Bench {
     // (on a healthy run) replaced
     val basePath = java.nio.file.Paths.get("BENCH_canary_baseline.json")
     val baseline: Option[(String, Double, Seq[Double])] = try {
-      val t = new String(java.nio.file.Files.readAllBytes(basePath))
-      // tolerate both the window format ("write_window":[..], possibly
-      // empty — a run whose write canary failed still records its read
-      // floor) and the legacy single-value "write":W (read as a 1-entry
-      // window)
-      val head = (""""boot_id":"([^"]*)".*?"read":([0-9.]+)""").r
-      val sfRe = (""""sf":"([^"]*)"""").r
-      val winRe = (""""write_window":\[([0-9.,\s]*)\]""").r
-      val legacyRe = (""""write":([0-9.]+)""").r
-      for {
-        m <- head.findFirstMatchIn(t)
-        s <- sfRe.findFirstMatchIn(t) if s.group(1) == sfDir
-      } yield {
-        val win = winRe.findFirstMatchIn(t) match {
-          case Some(w) => w.group(1).split(",").map(_.trim)
-            .filter(_.nonEmpty).map(_.toDouble).toSeq
-          case None => legacyRe.findFirstMatchIn(t)
-            .map(w => Seq(w.group(1).toDouble)).getOrElse(Seq.empty)
-        }
-        (m.group(1), m.group(2).toDouble, win)
-      }
+      parseBaseline(
+        new String(java.nio.file.Files.readAllBytes(basePath)), sfDir)
     } catch { case _: Throwable => None }
     val readPair = Seq(canaryPre._1, canaryPost._1)
     val regime: String =
@@ -362,17 +394,8 @@ object Bench {
     // after an intentional perf-profile change.
     val prevPath = java.nio.file.Paths.get("BENCH_prev.json")
     val prevParsed: Option[(Double, Map[String, Double])] = try {
-      val t = new String(java.nio.file.Files.readAllBytes(prevPath))
-      val sfRe = (""""sf":"([^"]*)"""").r
-      if (!sfRe.findFirstMatchIn(t).exists(_.group(1) == sfDir)) None
-      else {
-        val read = (""""read":([0-9.-]+)""").r.findFirstMatchIn(t)
-          .map(_.group(1).toDouble).getOrElse(-1.0)
-        val qsec = t.substring(t.indexOf("\"queries\":{"))
-        val qs = ("\"([^\"]+)\":([0-9.]+)").r.findAllMatchIn(qsec)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        Some((read, qs))
-      }
+      parsePrev(
+        new String(java.nio.file.Files.readAllBytes(prevPath)), sfDir)
     } catch { case _: Throwable => None }
     val drift: Drift = prevParsed match {
       case Some((pRead, pQs)) =>

@@ -2591,6 +2591,54 @@ class InfraSpec extends SparkTestBase {
       real.median) < 1e-9)
   }
 
+  test("Bench artifact parsers: the COMMITTED reference files round-trip " +
+    "and the legacy baseline format still parses (a silent parse " +
+    "regression would disable adjudication as a ghost no-prior)") {
+    import graft.Bench.{parseBaseline, parsePrev}
+    val sf = "/root/testdata/sf0.1"
+    // the real committed files must parse — these are the inputs every
+    // future full run adjudicates against
+    val baseTxt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_canary_baseline.json")))
+    val base = parseBaseline(baseTxt, sf)
+    assert(base.nonEmpty, "committed baseline did not parse")
+    val (bid, bread, bwin) = base.get
+    assert(bid.nonEmpty && bread > 0 && bread < 10 &&
+      bwin.nonEmpty && bwin.forall(w => w > 0 && w < 60))
+    assert(parseBaseline(baseTxt, "/some/other/sf").isEmpty)
+    val prevTxt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_prev.json")))
+    val prev = parsePrev(prevTxt, sf)
+    assert(prev.nonEmpty, "committed drift reference did not parse")
+    val (pread, pqs) = prev.get
+    assert(pread > 0 && pqs.size > 200 &&
+      pqs.keys.forall(_.contains("_")) && // FULL names, not qNN prefixes
+      pqs.values.forall(v => v >= 0 && v < 300))
+    assert(parsePrev(prevTxt, "/some/other/sf").isEmpty)
+    // legacy single-value baseline (pre-window) reads as a 1-entry
+    // window — the migration path the first windowed run exercised live
+    assert(parseBaseline(
+      """{"boot_id":"b","read":0.315,"write":0.367,"sf":"X"}""", "X")
+      .contains(("b", 0.315, Seq(0.367))))
+    // an EMPTY window (every prior write canary failed) still yields
+    // the read floor — the ADVICE fix that unblocks read-only baselines
+    assert(parseBaseline(
+      """{"boot_id":"b","read":0.3,"write_window":[],"sf":"X"}""", "X")
+      .contains(("b", 0.3, Seq.empty[Double])))
+    assert(parseBaseline(
+      """{"boot_id":"b","read":0.3,"write_window":[0.4,0.5],"sf":"X"}""",
+      "X").contains(("b", 0.3, Seq(0.4, 0.5))))
+    // garbage and missing sections fail CLOSED (None), never throw
+    assert(parseBaseline("not json at all", "X").isEmpty)
+    assert(parsePrev("not json at all", "X").isEmpty)
+    assert(parsePrev("""{"read":0.3,"sf":"X"}""", "X").isEmpty)
+    assert(parsePrev(
+      """{"read":0.3,"sf":"X","queries":{}}""", "X").isEmpty)
+    assert(parsePrev(
+      """{"boot_id":"b","read":0.3,"sf":"X","queries":{"q1_a":0.5}}""",
+      "X").contains((0.3, Map("q1_a" -> 0.5))))
+  }
+
   test("schema sync mirrors sync_tables_with_schema.sh: dry-run default, " +
     "partitioned create, structural diff, additive update (nested too), " +
     "non-additive rejected; era rows round-trip through the sink") {

@@ -128,6 +128,10 @@ object SchemaSync {
     // instead of mis-parsing as a longer namespace path
     val qds = quoted(dataset)
     schemas.foreach { case (t, _) => quoted(t) }
+    // partitionCol is quoted lazily inside the phase-2 create loop; an
+    // illegal one must still refuse HERE, before anything is classified
+    // or mutated, or a multi-table apply would half-land first
+    quoted(partitionCol)
     val planned: Seq[(String, StructType, String, BqSchema.SchemaDiff)] =
       schemas.map { case (table, localRaw) =>
         val local = relaxed(localRaw)
@@ -259,34 +263,54 @@ object ConnectorSink {
     * partition layout with whatever the frame happens to carry
     * (ADVICE r16): the synced table definition survives, only the rows
     * change. BigQuery's own overwrite behaves the same way — the table
-    * resource and its schema outlive a WRITE_TRUNCATE load.
+    * resource and its schema outlive a WRITE_TRUNCATE load. TRUNCATE +
+    * append is not atomic, so the append is VALIDATED FIRST with a
+    * zero-row trial (the full insert plan — name resolution, casts,
+    * declared partitioning — analyzes and runs without writing data);
+    * an incompatible frame fails BEFORE the truncate and the old rows
+    * survive.
     */
   def write(df: DataFrame, p: WriterPlan): Unit = {
+    // partitionBy REPLACES the writer's column list (it does not
+    // accumulate across calls), so it must be applied once with the
+    // full list — the old per-column foldLeft silently declared only
+    // the LAST partition column on multi-column layouts
+    def parted[T](w: org.apache.spark.sql.DataFrameWriter[T],
+        cols: Seq[String]): org.apache.spark.sql.DataFrameWriter[T] =
+      if (cols.isEmpty) w else w.partitionBy(cols: _*)
+    // DataFrameWriter.mode(String) is case-insensitive; the overwrite
+    // branch must be too, or "Overwrite" falls through to
+    // drop-and-recreate — the exact defect this path exists to fix
+    val overwrite = p.mode.equalsIgnoreCase("overwrite")
     p.format match {
       case "parquet" =>
         val spark = df.sparkSession
-        if (p.mode == "overwrite" && spark.catalog.tableExists(p.target)) {
-          spark.sql(s"TRUNCATE TABLE ${p.target}")
+        if (overwrite && spark.catalog.tableExists(p.target)) {
           // append into the EXISTING layout: saveAsTable validates the
           // writer's declared partitioning against the table's, so the
           // catalog's own partition columns apply — not the plan's
           val parts = spark.sessionState.catalog.getTableMetadata(
             spark.sessionState.sqlParser.parseTableIdentifier(p.target))
             .partitionColumnNames
-          parts.foldLeft(
-            df.write.mode("append").format("parquet").options(p.options))(
-            (acc, c) => acc.partitionBy(c)).saveAsTable(p.target)
+          def appendWriter(frame: DataFrame) = parted(
+            frame.write.mode("append").format("parquet")
+              .options(p.options), parts)
+          // zero-row trial append: analyzes the whole insert (schema
+          // resolution against the live table, implicit casts,
+          // partitioning match) — throws HERE, before any mutation,
+          // if the frame cannot land in the table
+          appendWriter(df.limit(0)).saveAsTable(p.target)
+          spark.sql(s"TRUNCATE TABLE ${p.target}")
+          appendWriter(df).saveAsTable(p.target)
         } else
           // saveAsTable requires the declared partitioning to MATCH an
           // existing table's layout, so the plan's partitionBy applies
           // on create and append alike
-          p.partitionBy.foldLeft(
-            df.write.mode(p.mode).format("parquet").options(p.options))(
-            (acc, c) => acc.partitionBy(c)).saveAsTable(p.target)
+          parted(df.write.mode(p.mode).format("parquet")
+            .options(p.options), p.partitionBy).saveAsTable(p.target)
       case _ =>
-        p.partitionBy.foldLeft(
-          df.write.mode(p.mode).format(p.format).options(p.options))(
-          (acc, c) => acc.partitionBy(c)).save()
+        parted(df.write.mode(p.mode).format(p.format)
+          .options(p.options), p.partitionBy).save()
     }
   }
 }

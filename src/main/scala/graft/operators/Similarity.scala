@@ -250,6 +250,15 @@ object Similarity {
     * uniform value-range split is skew-collapsed. Package-visible so
     * the spec can assert the rebalance fires (and balances) on an
     * adversarial id set without going through a full codebook build.
+    *
+    * PRECONDITION (as for every codebook input): `cands` must be
+    * re-execution-deterministic — the counts job and the later ranking
+    * job evaluate the lineage independently (true of the previous
+    * window shape too, whose groupBy and join branches each scanned
+    * the lineage), so a non-deterministic candidate filter (sampling,
+    * ties off a shuffle) could mis-align offsets with blocks. Codebook
+    * candidates are `pmod(vid, centroidEvery) === 0` filters over a
+    * stored corpus, which is deterministic by construction.
     */
   private[graft] def planBlocks(cands: DataFrame, n: Long, lo: Long,
       hi: Long, rebalanceFloor: Long = 1L << 20): BlockPlan = {
@@ -262,9 +271,19 @@ object Similarity {
       ((col("vid") - lo) / width).cast("long"))
     val cnts = blockCounts(uniform)
     val maxBn = cnts.map(_._2).max
-    if (maxBn <= math.max(n / 32, rebalanceFloor))
+    if (maxBn <= math.max(n / 32, rebalanceFloor)) {
+      // below the floor the single-task rank is trivial, but the
+      // scaladoc promises the degradation is VISIBLE with numbers
+      // either way — an operator watching for skew must not need the
+      // package-private counts to see it
+      if (maxBn > n / 32 && n > 32)
+        System.err.println(s"[codebook] value-skewed vid space below " +
+          s"the rebalance floor: largest uniform block holds $maxBn of " +
+          s"$n candidates (floor $rebalanceFloor) — in-block ranking " +
+          "runs single-task at this size, which is cheap; the quantile " +
+          "rescue engages past the floor")
       BlockPlan(uniform, cnts, rebalanced = false)
-    else {
+    } else {
       // detected: one uniform block would rank maxBn of n candidates in
       // a single task — rebucket on quantile cut points instead
       System.err.println(s"[codebook] value-skewed vid space: largest " +

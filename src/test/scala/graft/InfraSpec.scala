@@ -2864,6 +2864,64 @@ class InfraSpec extends SparkTestBase {
       dryRun = false).head.action == "match")
   }
 
+  test("ConnectorSink overwrite hardening (r17 self-review): multi-column " +
+    "partition layouts survive, mode is case-insensitive, an " +
+    "incompatible frame fails BEFORE the truncate, and an illegal " +
+    "partitionCol refuses before any mutation") {
+    import graft.catalog.{ConnectorSink, SchemaSync}
+    import graft.schema.BqSchema
+    spark.sql("DROP DATABASE IF EXISTS ow_demo CASCADE")
+    rmr(new java.io.File("spark-warehouse/ow_demo.db"))
+    spark.sql("CREATE DATABASE ow_demo")
+    // a TWO-column partition layout: partitionBy REPLACES the writer's
+    // list (it does not accumulate), so the old per-column foldLeft
+    // declared only the last column — after the truncate, losing the
+    // data to the mismatch error
+    spark.sql("CREATE TABLE ow_demo.twopart (test_id STRING, mbps DOUBLE, " +
+      "date DATE, region STRING) USING parquet PARTITIONED BY (date, region)")
+    def frame(id: String, d: String, r: String) =
+      Seq((id, 1.5, java.sql.Date.valueOf(d), r))
+        .toDF("test_id", "mbps", "date", "region")
+    val p = ConnectorSink.plan("ow_demo", "twopart", mode = "overwrite")
+    ConnectorSink.write(frame("a", "2024-01-01", "eu"), p)
+    ConnectorSink.write(frame("b", "2024-02-02", "us"), p)
+    assert(spark.table("ow_demo.twopart").collect()
+      .map(_.getAs[String]("test_id")).toSeq == Seq("b"))
+    val meta2 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "twopart", Some("ow_demo")))
+    assert(meta2.partitionColumnNames == Seq("date", "region"))
+    // mode comparison is case-insensitive like DataFrameWriter.mode:
+    // "Overwrite" must NOT fall through to drop-and-recreate
+    ConnectorSink.write(frame("c", "2024-03-03", "ap"),
+      ConnectorSink.plan("ow_demo", "twopart", mode = "Overwrite"))
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "twopart", Some("ow_demo"))).partitionColumnNames ==
+      Seq("date", "region"))
+    assert(spark.table("ow_demo.twopart").count() == 1)
+    // an INCOMPATIBLE frame (missing columns) throws on the zero-row
+    // trial append — BEFORE the truncate — so the old rows survive the
+    // failed overwrite (truncate+append is not atomic; validate-first
+    // makes the failure mode read-only)
+    intercept[Exception] {
+      ConnectorSink.write(Seq(("x", 1.0)).toDF("test_id", "mbps"), p)
+    }
+    assert(spark.table("ow_demo.twopart").count() == 1,
+      "failed overwrite must not have truncated")
+    // an illegal partitionCol is refused up front, before ANY table of
+    // the batch is created (the all-or-nothing contract)
+    val sch = BqSchema.parse("""[
+      {"name":"test_id","type":"STRING","mode":"REQUIRED"},
+      {"name":"date","type":"DATE","mode":"NULLABLE"}]""")
+    intercept[IllegalArgumentException] {
+      SchemaSync.sync(spark, "ow_demo", Seq("t1" -> sch, "t2" -> sch),
+        dryRun = false, partitionCol = "da`te")
+    }
+    assert(!spark.catalog.tableExists("ow_demo.t1") &&
+      !spark.catalog.tableExists("ow_demo.t2"))
+  }
+
   test("partition-incremental unified refresh: one new date partition " +
     "equals the full recompute's slice, scanning exactly one " +
     "partition of each era table") {

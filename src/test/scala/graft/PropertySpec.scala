@@ -566,4 +566,40 @@ class PropertySpec extends SparkTestBase {
       assert(kept.toSeq == want, s"n=${vids.size} cap=$cap")
     }
   }
+
+  test("classifyDrift invariants on random query maps: uniform scaling, " +
+    "canary lockstep, permutation invariance, reference-vs-self") {
+    import graft.Bench.classifyDrift
+    val mapGen = for {
+      n <- Gen.choose(25, 200)
+      ts <- Gen.listOfN(n, Gen.choose(0.05, 20.0))
+    } yield ts.zipWithIndex.map { case (t, i) => s"q$i" -> t }.toMap
+    for ((m, i) <- samples(mapGen, 10).zipWithIndex) {
+      val read = 0.2 + (i % 5) * 0.1
+      // a run compared against itself is stable at exactly 1.0
+      val self = classifyDrift(m, m, read, read)
+      assert(self.verdict == "stable" && math.abs(self.median - 1.0) < 1e-9)
+      // a uniform c-times slowdown with FLAT canaries is drifted-code
+      // with median == residual == c ...
+      val c = 1.2 + (i % 4) * 0.2
+      val slowed = m.map { case (k, v) => k -> v * c }
+      val code = classifyDrift(m, slowed, read, read)
+      assert(math.abs(code.median - c) < 1e-9 &&
+        math.abs(code.residual - c) < 1e-9)
+      assert(code.verdict == (if (c <= 1.15) "stable" else "drifted-code"))
+      // ...and the SAME slowdown with the canary moving in lockstep is
+      // canary-explained: residual 1.0, drifted-host (or stable under
+      // the wall-time band)
+      val host = classifyDrift(m, slowed, read, read * c)
+      assert(math.abs(host.residual - 1.0) < 1e-9)
+      assert(host.verdict == (if (c <= 1.15) "stable" else "drifted-host"))
+      // the median is a set property: key relabeling cannot move it
+      val relabeled = m.map { case (k, v) => s"x$k" -> v }
+      val slowedRe = slowed.map { case (k, v) => s"x$k" -> v }
+      assert(math.abs(classifyDrift(relabeled, slowedRe, read, read).median -
+        code.median) < 1e-9)
+      // disjoint maps never manufacture a verdict
+      assert(classifyDrift(m, relabeled, read, read).verdict == "no-prior")
+    }
+  }
 }

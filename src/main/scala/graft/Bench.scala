@@ -103,9 +103,24 @@ object Bench {
     *   - `drifted-host`: median > 1.15 and residual ≤ 1.15 (the canary
     *     moved with the tail — weather, not code);
     *   - `drifted-code`: median > 1.15 and residual > 1.15.
+    *
+    * `movers`/`top` close the median's localized blind spot (VERDICT
+    * r17 #1): a single query regressing 5× while 262 stay flat leaves
+    * the median at 1.0 — verdict `stable` — and before r18 the
+    * artifact carried no signal at all; the reader had to run
+    * DriftReport by hand. `movers` counts the shared queries whose
+    * CANARY-NORMALIZED ratio (ratio ÷ canary when both canaries exist,
+    * the raw ratio otherwise) exceeds 1.5×, and `top` names the worst
+    * ≤3 with their normalized ratios, so the artifact itself says
+    * "stable, movers:1 [qXX 5.0x]". Normalizing by the canary keeps a
+    * uniform host slowdown from manufacturing 263 phantom movers; the
+    * flip side (a host SPEEDUP inflating normalized ratios of queries
+    * that don't track I/O) is why the threshold sits at 1.5×, well
+    * above the 1.15 the verdict bands use.
     */
   private[graft] final case class Drift(n: Int, median: Double,
-      canary: Double, residual: Double, verdict: String)
+      canary: Double, residual: Double, verdict: String,
+      movers: Int = 0, top: Seq[(String, Double)] = Nil)
 
   /** Parse BENCH_canary_baseline.json (the committed regime reference).
     * Returns (boot_id, read floor, write window) when the record's sf
@@ -140,16 +155,20 @@ object Bench {
   /** Parse BENCH_prev.json (the committed drift reference): that run's
     * min read canary plus its full-name per-query minima. None when the
     * record's sf mismatches (the times mean nothing across scales) or
-    * the queries section is missing. Field order contract: `queries`
-    * is the LAST field — everything after `"queries":{` is name/number
-    * pairs.
+    * the queries section is missing. Field order contract, pinned with
+    * the writer by the round-trip spec: `read` immediately follows
+    * `boot_id` (the regex is ANCHORED to that pair, so a future field
+    * merely containing the substring `"read":` cannot shadow it —
+    * ADVICE r17), and `queries` is the LAST field — everything after
+    * `"queries":{` is name/number pairs.
     */
   private[graft] def parsePrev(text: String,
       sfDir: String): Option[(Double, Map[String, Double])] = try {
     val sfRe = (""""sf":"([^"]*)"""").r
     if (!sfRe.findFirstMatchIn(text).exists(_.group(1) == sfDir)) None
     else {
-      val read = (""""read":([0-9.-]+)""").r.findFirstMatchIn(text)
+      val read = (""""boot_id":"[^"]*","read":([0-9.-]+)""").r
+        .findFirstMatchIn(text)
         .map(_.group(1).toDouble).getOrElse(-1.0)
       val qsec = text.substring(text.indexOf("\"queries\":{"))
       val qs = ("\"([^\"]+)\":([0-9.]+)").r.findAllMatchIn(qsec)
@@ -158,12 +177,33 @@ object Bench {
     }
   } catch { case _: Throwable => None }
 
+  /** sf write-guard for BOTH committed reference files (r18, found
+    * live when this round's sf0.001 bench smoke silently REPLACED the
+    * driver's sf0.1 baseline and drift reference): a run may adopt or
+    * refresh a committed reference only when the existing record is
+    * for the SAME sf — or no record exists at all. A mismatched-sf
+    * record correctly parses as None for ADJUDICATION (the times mean
+    * nothing across scales), but "no usable reference" must not mean
+    * "mine now": the smoke run would trade the real reference for its
+    * own, and the next driver run at the canonical sf would see
+    * no-prior/adopt-new against smoke-scale numbers. An intentional sf
+    * migration deletes the two files instead. Missing files and
+    * records without an `sf` field are compatible (fail-open: there is
+    * nothing worth protecting).
+    */
+  private[graft] def sfCompatible(path: java.nio.file.Path,
+      sfDir: String): Boolean = (try {
+    (""""sf":"([^"]*)"""").r.findFirstMatchIn(
+      new String(java.nio.file.Files.readAllBytes(path))).map(_.group(1))
+  } catch { case _: Throwable => None }).forall(_ == sfDir)
+
   private[graft] def classifyDrift(prev: Map[String, Double],
       cur: Map[String, Double], prevRead: Double,
       curRead: Double): Drift = {
-    val ratios = prev.keysIterator
+    val named = prev.keysIterator
       .filter(k => prev(k) > 0 && cur.get(k).exists(_ >= 0))
-      .map(k => cur(k) / prev(k)).toSeq
+      .map(k => k -> cur(k) / prev(k)).toSeq
+    val ratios = named.map(_._2)
     if (ratios.size < 20) Drift(ratios.size, -1, -1, -1, "no-prior")
     else {
       val med = median(ratios)
@@ -175,7 +215,13 @@ object Bench {
         else if (canary < 0) "drifted-unadjudicated"
         else if (residual <= 1.15) "drifted-host"
         else "drifted-code"
-      Drift(ratios.size, med, canary, residual, verdict)
+      // localized movers: canary-normalized so a uniform host band
+      // doesn't read as 263 regressions (scaladoc above)
+      val normed = named.map { case (k, r) =>
+        k -> (if (canary > 0) r / canary else r) }
+      val moved = normed.filter(_._2 > 1.5).sortBy(-_._2)
+      Drift(ratios.size, med, canary, residual, verdict,
+        moved.size, moved.take(3))
     }
   }
 
@@ -370,7 +416,7 @@ object Bench {
       case _ => true
     }
     val refresh = only.isEmpty && regimeOkForBase && bootId.nonEmpty &&
-      (adoptNew || changed)
+      (adoptNew || changed) && sfCompatible(basePath, sfDir)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     if (refresh) {
       try java.nio.file.Files.writeString(basePath,
@@ -402,8 +448,18 @@ object Bench {
         classifyDrift(pQs, results.toMap, pRead, readMin)
       case None => Drift(0, -1, -1, -1, "no-prior")
     }
-    val adoptPrev = only.isEmpty &&
-      (sys.env.get("SPARK_GRAFT_ADOPT_PREV").contains("1") ||
+    // the forced override still requires a non-inflated regime (ADVICE
+    // r17): a forced adoption during a neighbor storm would poison the
+    // next round's drift comparison with weather, exactly what the
+    // stable+healthy rule exists to prevent
+    val forceAdopt = sys.env.get("SPARK_GRAFT_ADOPT_PREV").contains("1")
+    if (forceAdopt && !regimeOkForBase)
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ADOPT_PREV=1 " +
+        s"REFUSED — regime '$regime' would poison the drift reference; " +
+        "re-run on an idle host")
+    val adoptPrev = only.isEmpty && regimeOkForBase &&
+      sfCompatible(prevPath, sfDir) &&
+      (forceAdopt ||
         (regime == "healthy" &&
           (drift.verdict == "stable" || drift.verdict == "no-prior")))
     if (adoptPrev) {
@@ -434,10 +490,13 @@ object Bench {
     def canaryJson(c: (Double, Double, String), full: Boolean): String =
       s"""{"read":${fmt(c._1)},"write":${fmt(c._2)}""" +
         (if (full) s""","loadavg":"${c._3}"}""" else "}")
+    val topJson = drift.top
+      .map { case (q, x) => s"""["$q",${fmt(x)}]""" }.mkString("[", ",", "]")
     val driftJson =
       s"""{"n":${drift.n},"median":${fmt(drift.median)},""" +
         s""""canary":${fmt(drift.canary)},""" +
         s""""residual":${fmt(drift.residual)},""" +
+        s""""movers":${drift.movers},"top":$topJson,""" +
         s""""verdict":"${drift.verdict}"}"""
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +

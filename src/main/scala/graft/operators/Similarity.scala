@@ -301,8 +301,13 @@ object Similarity {
     }
   }
 
+  /** `rebalanceFloor` passes through to [[planBlocks]] unchanged by
+    * default; [[graft.tools.RescueProbe]] raises it to force the
+    * uniform path on an adversarial corpus, so the rescue's cost is
+    * measured against the exact code both regimes run.
+    */
   private[graft] def codebookKept(cands: DataFrame,
-      maxCentroids: Int): DataFrame = {
+      maxCentroids: Int, rebalanceFloor: Long = 1L << 20): DataFrame = {
     // one candidate-frame pass serves the whole decision: count (for
     // the stride) and min/max (for the block width) in a single
     // aggregate — the candidate frame is itself a full-corpus filter,
@@ -323,7 +328,7 @@ object Similarity {
       require(hi - lo >= 0,
         s"vid range [$lo, $hi] spans more than 2^63 — " +
           "re-id the corpus before codebook selection")
-      val plan = planBlocks(cands, n, lo, hi)
+      val plan = planBlocks(cands, n, lo, hi, rebalanceFloor)
       // block offsets: a prefix sum over the ≤1025 collected counts —
       // driver-side arithmetic replaces the old single-task
       // Window.orderBy prefix-sum job over the same tiny frame

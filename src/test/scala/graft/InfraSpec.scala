@@ -2591,6 +2591,53 @@ class InfraSpec extends SparkTestBase {
       real.median) < 1e-9)
   }
 
+  test("Bench.classifyDrift movers: a localized 5x regression is NAMED in " +
+    "the artifact even though the median verdict stays `stable` " +
+    "(VERDICT r17 #1), and host bands manufacture no phantom movers") {
+    import graft.Bench.classifyDrift
+    def tailTimes(path: String): Map[String, Double] = {
+      val t = new String(Files.readAllBytes(java.nio.file.Paths.get(path)))
+      """\\?"(q[0-9A-Z]+)\\?":([0-9.]+)""".r.findAllMatchIn(t)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val r16 = tailTimes("BENCH_r16.json")
+    // the motivating blind spot: every query flat except ONE at 5x, flat
+    // canaries — the median reads 1.0 (`stable`) and before r18 the
+    // artifact carried no signal at all. Now it says stable WITH the
+    // mover named.
+    val victim = r16.keys.head
+    val oneBad = r16.map { case (k, v) =>
+      k -> (if (k == victim) v * 5.0 else v) }
+    val d = classifyDrift(r16, oneBad, 0.327, 0.327)
+    assert(d.verdict == "stable" && math.abs(d.median - 1.0) < 1e-9,
+      d.toString)
+    assert(d.movers == 1 && d.top.size == 1, d.toString)
+    assert(d.top.head._1 == victim &&
+      math.abs(d.top.head._2 - 5.0) < 1e-9, d.toString)
+    // several movers: top-3 named, worst first, count carries the rest
+    val bad4 = r16.keys.take(4).toSeq
+    val fourBad = r16.map { case (k, v) =>
+      val i = bad4.indexOf(k)
+      k -> (if (i >= 0) v * (2.0 + i) else v) }
+    val d4 = classifyDrift(r16, fourBad, 0.327, 0.327)
+    assert(d4.movers == 4 && d4.top.size == 3, d4.toString)
+    assert(d4.top.map(_._1) == bad4.reverse.take(3), d4.toString)
+    // a UNIFORM host band (tail and canary moving 1.25x in lockstep)
+    // normalizes out: drifted-host with ZERO movers — the signal stays
+    // localized-code-regression-shaped
+    val slower = r16.map { case (k, v) => k -> v * 1.25 }
+    val host = classifyDrift(r16, slower, 0.327, 0.327 * 1.25)
+    assert(host.verdict == "drifted-host" && host.movers == 0, host.toString)
+    // the REAL committed r16→r17 pair (judge table: worst shared
+    // regression 1.08x, qK8): no canary-normalized mover clears 1.5x
+    val r17 = tailTimes("BENCH_r17.json")
+    // readMins per the two artifacts' adjudications: r16 min(0.468,
+    // 0.327), r17 0.249 (the committed baseline ratchet value)
+    val real = classifyDrift(r16, r17, 0.327, 0.249)
+    assert(real.n >= 150 && real.movers == 0 && real.top.isEmpty,
+      real.toString)
+  }
+
   test("Bench artifact parsers: the COMMITTED reference files round-trip " +
     "and the legacy baseline format still parses (a silent parse " +
     "regression would disable adjudication as a ghost no-prior)") {
@@ -2637,6 +2684,85 @@ class InfraSpec extends SparkTestBase {
     assert(parsePrev(
       """{"boot_id":"b","read":0.3,"sf":"X","queries":{"q1_a":0.5}}""",
       "X").contains((0.3, Map("q1_a" -> 0.5))))
+    // the anchored read regex (ADVICE r17): a stray `"read":` substring
+    // in some FUTURE field cannot shadow the boot_id-adjacent one the
+    // writer emits — the decoy below parses to the REAL 0.3, not 9.9
+    assert(parsePrev(
+      """{"thread":9.9,"boot_id":"b","read":0.3,"sf":"X",""" +
+        """"queries":{"q1_a":0.5}}""",
+      "X").contains((0.3, Map("q1_a" -> 0.5))))
+    // sf WRITE-guard (r18, found live): a bench run at a different sf
+    // must not replace the committed references — the round's sf0.001
+    // smoke traded the driver's sf0.1 baseline for smoke-scale numbers
+    import graft.Bench.sfCompatible
+    val tmp = java.nio.file.Files.createTempFile("sfguard", ".json")
+    java.nio.file.Files.writeString(tmp,
+      """{"boot_id":"b","read":0.3,"sf":"/root/testdata/sf0.1"}""")
+    assert(sfCompatible(tmp, "/root/testdata/sf0.1"))
+    assert(!sfCompatible(tmp, "/root/testdata/sf0.001"),
+      "a mismatched-sf committed reference must block the write")
+    // both committed files carry sf0.1 — the guard protects them from
+    // any smoke run as committed
+    assert(!graft.Bench.sfCompatible(
+      java.nio.file.Paths.get("BENCH_prev.json"), "/root/testdata/sf0.001"))
+    assert(!graft.Bench.sfCompatible(
+      java.nio.file.Paths.get("BENCH_canary_baseline.json"),
+      "/root/testdata/sf0.001"))
+    // nothing committed (or no sf field) = nothing to protect
+    assert(sfCompatible(
+      java.nio.file.Paths.get("/no/such/file.json"), "/x"))
+    java.nio.file.Files.writeString(tmp, """{"read":0.3}""")
+    assert(sfCompatible(tmp, "/x"))
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("DriftReport.parseFull round-trips BOTH committed artifact shapes " +
+    "(VERDICT r17 #3): a silent parse regression in the CLI is the same " +
+    "ghost no-prior class the bench parsers are pinned against") {
+    import graft.tools.DriftReport.parseFull
+    // shape 1: the flat committed drift reference (BENCH_prev.json) —
+    // same file the bench's own parsePrev adjudicates against
+    val prevTxt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_prev.json")))
+    val (pRead, pQs) = parseFull(prevTxt)
+    assert(pRead > 0 && pRead < 10, s"prev read $pRead")
+    assert(pQs.size > 200 && pQs.keys.forall(_.contains("_")) &&
+      pQs.values.forall(v => v >= 0 && v < 300))
+    // ...and it agrees with the bench's own parser on the same file
+    val benchView = graft.Bench.parsePrev(prevTxt, "/root/testdata/sf0.1")
+    assert(benchView.map(_._2).contains(pQs))
+    assert(benchView.map(_._1).contains(pRead))
+    // shape 2: the full-artifact form (target/BENCH_full.json) — pinned
+    // on a literal mirroring the writer's field order, min-of-pre/post
+    // canary selection included
+    val fullTxt =
+      """{"metric":"total","value":10.0,"unit":"sec","load_ok":true,""" +
+        """"load1":1.0,"regime":"healthy","boot_id":"b",""" +
+        """"drift":{"n":2,"median":1.0,"canary":1.0,"residual":1.0,""" +
+        """"movers":0,"top":[],"verdict":"stable"},"prev_adopted":true,""" +
+        """"canary_pre":{"read":0.468,"write":0.5,"loadavg":"0.1"},""" +
+        """"canary_post":{"read":0.327,"write":0.4,"loadavg":"0.2"},""" +
+        """"n_queries":2,"queries":{""" +
+        """"q01_scan":{"min":0.5,"p1":0.6,"p2":0.5},""" +
+        """"q02_filter":{"min":1.5,"p1":1.5,"p2":1.6}},"sf":"X"}"""
+    val (fRead, fQs) = parseFull(fullTxt)
+    assert(fRead == 0.327, s"min-of-pre/post read, got $fRead")
+    assert(fQs == Map("q01_scan" -> 0.5, "q02_filter" -> 1.5), fQs.toString)
+    // a failed canary (-1) is excluded from the min, not adopted
+    val failedPre = fullTxt.replace(""""canary_pre":{"read":0.468""",
+      """"canary_pre":{"read":-1.000""")
+    assert(parseFull(failedPre)._1 == 0.327)
+    // wrong-shape input yields the EMPTY map and no read — a downstream
+    // classifyDrift sees no-prior instead of a silent partial verdict
+    val (gRead, gQs) = parseFull("not an artifact at all")
+    assert(gQs.isEmpty && gRead == -1.0)
+    // the live file, when a full run has produced it, must also parse
+    // (same-shape guarantee between the writer and this reader)
+    val live = java.nio.file.Paths.get("target/BENCH_full.json")
+    if (java.nio.file.Files.exists(live)) {
+      val (lRead, lQs) = parseFull(new String(Files.readAllBytes(live)))
+      assert(lQs.size > 200 && lRead > 0, s"live artifact: $lRead ${lQs.size}")
+    }
   }
 
   test("schema sync mirrors sync_tables_with_schema.sh: dry-run default, " +
@@ -2900,15 +3026,14 @@ class InfraSpec extends SparkTestBase {
         "twopart", Some("ow_demo"))).partitionColumnNames ==
       Seq("date", "region"))
     assert(spark.table("ow_demo.twopart").count() == 1)
-    // an INCOMPATIBLE frame (missing columns) throws on the zero-row
-    // trial append — BEFORE the truncate — so the old rows survive the
-    // failed overwrite (truncate+append is not atomic; validate-first
-    // makes the failure mode read-only)
+    // an INCOMPATIBLE frame (missing columns) throws while writing the
+    // STAGING table — before the target is touched — so the old rows
+    // survive the failed overwrite
     intercept[Exception] {
       ConnectorSink.write(Seq(("x", 1.0)).toDF("test_id", "mbps"), p)
     }
     assert(spark.table("ow_demo.twopart").count() == 1,
-      "failed overwrite must not have truncated")
+      "failed overwrite must not have touched the target")
     // an illegal partitionCol is refused up front, before ANY table of
     // the batch is created (the all-or-nothing contract)
     val sch = BqSchema.parse("""[
@@ -2920,6 +3045,80 @@ class InfraSpec extends SparkTestBase {
     }
     assert(!spark.catalog.tableExists("ow_demo.t1") &&
       !spark.catalog.tableExists("ow_demo.t2"))
+  }
+
+  test("ConnectorSink overwrite crash-safety (VERDICT r17 #2, ADVICE " +
+    "r17): a RUNTIME write failure leaves the old rows intact, a " +
+    "self-read overwrite evaluates before the target moves, and an " +
+    "interrupted swap self-recovers") {
+    import graft.catalog.ConnectorSink
+    spark.sql("DROP DATABASE IF EXISTS cs_demo CASCADE")
+    rmr(new java.io.File("spark-warehouse/cs_demo.db"))
+    spark.sql("CREATE DATABASE cs_demo")
+    spark.sql("CREATE TABLE cs_demo.m (test_id STRING, mbps DOUBLE, " +
+      "date DATE) USING parquet PARTITIONED BY (date)")
+    val p = ConnectorSink.plan("cs_demo", "m", mode = "overwrite")
+    ConnectorSink.write(
+      Seq(("a", 1.0, java.sql.Date.valueOf("2024-01-01")),
+        ("b", 2.0, java.sql.Date.valueOf("2024-01-02")))
+        .toDF("test_id", "mbps", "date"), p)
+    assert(spark.table("cs_demo.m").count() == 2)
+    // RUNTIME failure (not analysis): the frame is schema-compatible —
+    // r17's zero-row trial would PASS it — but a row-level
+    // raise_error fires mid-job. The r17 TRUNCATE+append path lost the
+    // old rows here; the staging path must keep both of them.
+    val boom = spark.range(4).selectExpr(
+      "CAST(id AS STRING) AS test_id",
+      "IF(id = 3, CAST(raise_error('mid-job failure') AS DOUBLE), " +
+        "CAST(id AS DOUBLE)) AS mbps",
+      "DATE'2024-02-02' AS date")
+    intercept[Exception] { ConnectorSink.write(boom, p) }
+    assert(spark.table("cs_demo.m").count() == 2,
+      "runtime write failure must leave the old rows")
+    // ...and the failed attempt's staging table was cleaned up
+    assert(!spark.catalog.tableExists("cs_demo.m__ow_staging"))
+    // SELF-READ overwrite (the advisor's medium finding): the frame's
+    // lineage reads the TARGET. The old path truncated the source
+    // files out from under the final append; here the lineage fully
+    // evaluates into staging first, so the doubled rows land.
+    val doubled = spark.table("cs_demo.m")
+      .withColumn("mbps", col("mbps") * 2)
+    ConnectorSink.write(doubled, p)
+    val afterSelf = spark.table("cs_demo.m").collect()
+      .map(r => r.getAs[String]("test_id") -> r.getAs[Double]("mbps"))
+      .toMap
+    assert(afterSelf == Map("a" -> 2.0, "b" -> 4.0), afterSelf.toString)
+    // ...the synced partition layout survived the swap
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("m", Some("cs_demo")))
+      .partitionColumnNames == Seq("date"))
+    // INTERRUPTED SWAP: reproduce the exact crash window — target
+    // dropped, staging holding the new rows — and show the next
+    // overwrite completes the swap first (no window ever shows an
+    // EMPTY table; the dangling instant recovers to the interrupted
+    // write's result, then the new overwrite applies on top)
+    spark.sql("CREATE TABLE cs_demo.m2 (test_id STRING, date DATE) " +
+      "USING parquet PARTITIONED BY (date)")
+    val p2 = ConnectorSink.plan("cs_demo", "m2", mode = "overwrite")
+    ConnectorSink.write(Seq(("old", java.sql.Date.valueOf("2024-01-01")))
+      .toDF("test_id", "date"), p2)
+    // hand-build the crash state: staging = a finished write of "mid",
+    // target dropped (the instant between DROP and RENAME)
+    spark.sql("CREATE TABLE cs_demo.m2__ow_staging (test_id STRING, " +
+      "date DATE) USING parquet PARTITIONED BY (date)")
+    Seq(("mid", java.sql.Date.valueOf("2024-02-01"))).toDF("test_id", "date")
+      .write.mode("append").format("parquet").partitionBy("date")
+      .saveAsTable("cs_demo.m2__ow_staging")
+    spark.sql("DROP TABLE cs_demo.m2")
+    ConnectorSink.write(Seq(("new", java.sql.Date.valueOf("2024-03-01")))
+      .toDF("test_id", "date"), p2)
+    val rec = spark.table("cs_demo.m2").collect()
+      .map(_.getAs[String]("test_id")).toSeq
+    assert(rec == Seq("new"), rec.toString)
+    assert(!spark.catalog.tableExists("cs_demo.m2__ow_staging"))
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("m2", Some("cs_demo")))
+      .partitionColumnNames == Seq("date"))
   }
 
   test("partition-incremental unified refresh: one new date partition " +

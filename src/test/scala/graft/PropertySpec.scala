@@ -593,6 +593,14 @@ class PropertySpec extends SparkTestBase {
       val host = classifyDrift(m, slowed, read, read * c)
       assert(math.abs(host.residual - 1.0) < 1e-9)
       assert(host.verdict == (if (c <= 1.15) "stable" else "drifted-host"))
+      // mover invariants (r18): self and canary-lockstep runs carry
+      // ZERO movers (the canary normalizes the band away); a uniform
+      // flat-canary slowdown makes EVERY query a mover exactly when it
+      // clears the 1.5x threshold, with at most 3 named
+      assert(self.movers == 0 && self.top.isEmpty)
+      assert(host.movers == 0, host.toString)
+      assert(code.movers == (if (c > 1.5) m.size else 0), code.toString)
+      assert(code.top.size == (if (c > 1.5) math.min(3, m.size) else 0))
       // the median is a set property: key relabeling cannot move it
       val relabeled = m.map { case (k, v) => s"x$k" -> v }
       val slowedRe = slowed.map { case (k, v) => s"x$k" -> v }

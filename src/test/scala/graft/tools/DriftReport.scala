@@ -59,6 +59,8 @@ object DriftReport {
     println(f"median ratio:   ${d.median}%.3f   residual " +
       f"(canary divided out): ${d.residual}%.3f")
     println(s"verdict:        ${d.verdict}")
+    println(s"movers (>1.5x canary-normalized): ${d.movers}" +
+      d.top.map { case (q, x) => f" $q ${x}%.2fx" }.mkString)
     val ratios = prev.keys.filter(k => prev(k) > 0 && cur.contains(k))
       .map(k => (k, cur(k) / prev(k), prev(k), cur(k))).toSeq
     def row(t: (String, Double, Double, Double)): String =

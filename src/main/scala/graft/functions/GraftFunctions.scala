@@ -35,6 +35,7 @@ object GraftFunctions {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "sorted_intersect_size" -> (es => SortedIntersectSizeExpr(es(0), es(1))),
     "simhash60" -> (es => SimHash60Expr(es.head)),
+    "cuts_bucket" -> (es => CutsBucketExpr(es(0), es(1))),
     "minhash_sig" -> (es => MinHashSigExpr(es(0),
       es(1).eval().asInstanceOf[Int])),
     "shingle_hash_set" -> (es => ShingleHashSetExpr(es(0),

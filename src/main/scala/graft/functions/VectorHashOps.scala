@@ -226,6 +226,25 @@ object VectorHashOps {
     c
   }
 
+  /** Upper-bound binary search: how many elements of the ASCENDING-
+    * sorted `cuts` are <= v — identical to
+    * `size(filter(cuts, c -> c <= v))` in O(log n) instead of O(n) per
+    * row. The linear HOF filter was measured as the dominant cost of
+    * the codebook quantile rescue (RescueProbe r18: 1023 comparisons
+    * per row across the candidate corpus dwarfed both the quantile
+    * pass and the ranking it rescues); this is the same monotone
+    * bucketing, so ordinals stay exact.
+    */
+  def upperBound(cuts: ArrayData, v: Long): Long = {
+    var lo = 0
+    var hi = cuts.numElements()
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cuts.getLong(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
   /** Hash each token (portable md5-prefix32), preserving order/duplicates —
     * the SimHash input. Identical to transform(tokens, hash32).
     */
@@ -434,6 +453,28 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedIntersectSizeExpr =
     copy(left = l, right = r)
   override def prettyName: String = "sorted_intersect_size"
+}
+
+/** cuts_bucket(long, array<long>) → long: upper-bound binary search —
+  * the count of elements of the ascending-sorted cuts array that are
+  * <= the value. Equals size(filter(cuts, c -> c <= v)) (the HOF form
+  * it replaces in the codebook quantile rescue) but O(log n) per row
+  * and codegen-native instead of a CodegenFallback lambda filter.
+  */
+case class CutsBucketExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any, cuts: Any): Any =
+    VectorHashOps.upperBound(cuts.asInstanceOf[ArrayData],
+      v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, cuts) => s"graft.functions.VectorHashOps.upperBound($cuts, $v)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CutsBucketExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "cuts_bucket"
 }
 
 /** simhash60(array<long>) → long. */

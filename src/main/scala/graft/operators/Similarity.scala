@@ -292,11 +292,18 @@ object Similarity {
       val probs = (1 to 1023).map(_ / 1024.0).toArray
       val cuts = cands.stat.approxQuantile("vid", probs, 0.001)
         .map(_.toLong).distinct.sorted.toSeq
-      // __blk = #cuts <= vid: monotone in vid (order-preserving), and
-      // codegen-native (array filter over a ≤1023-long literal) — no
-      // UDF in the hot column
+      // __blk = #cuts <= vid: monotone in vid (order-preserving).
+      // cuts_bucket is an upper-bound BINARY search (native codegen
+      // expression) — the r17 shape computed the same count with a
+      // linear HOF filter over the ≤1023-long literal, 1023
+      // comparisons per row, which RescueProbe measured as the
+      // dominant rescue cost (3.5-3.9x the collapsed path it rescues
+      // at 2^22-2^24); log-time bucketing makes the rescue pay what
+      // the scaladoc claims: ~the quantile pass
+      graft.functions.GraftFunctions.registerAll(cands.sparkSession)
       val balanced = cands.select(col("vid")).withColumn("__blk",
-        size(filter(typedlit(cuts), c => c <= col("vid"))).cast("long"))
+        call_function("cuts_bucket", col("vid"),
+          typedlit(cuts)).cast("long"))
       BlockPlan(balanced, blockCounts(balanced), rebalanced = true)
     }
   }

@@ -445,4 +445,36 @@ class FunctionsSpec extends SparkTestBase {
       .collect()(0).getBoolean(0)
     assert(ip)
   }
+
+  test("cuts_bucket: upper-bound binary search equals the HOF " +
+    "size(filter(cuts, c <= v)) it replaced in the quantile rescue, " +
+    "on random sorted cut arrays and boundary values") {
+    GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(18)
+    for (trial <- 1 to 5) {
+      val cuts = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong() % 1000L)
+        .distinct.sorted
+      // values at, between, below, and above every cut
+      val vals = (cuts ++ cuts.map(_ - 1) ++ cuts.map(_ + 1) ++
+        Seq(Long.MinValue + 1, Long.MaxValue)).distinct
+      val got = vals.toDF("v").select(col("v"),
+        call_function("cuts_bucket", col("v"), typedlit(cuts)).as("b"),
+        size(filter(typedlit(cuts), c => c <= col("v")))
+          .cast("long").as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"trial $trial v=${r.getLong(0)}: " +
+            s"got ${r.getLong(1)} want ${r.getLong(2)}")
+      }
+    }
+    // null value -> null bucket (same as the HOF form's null-in)
+    val nulls = spark.sql(
+      "SELECT cuts_bucket(CAST(NULL AS BIGINT), array(1L, 2L)) AS b")
+      .collect()
+    assert(nulls(0).isNullAt(0))
+    // empty cuts -> bucket 0 for everything
+    assert(spark.sql("SELECT cuts_bucket(7L, array()) AS b")
+      .collect()(0).getLong(0) == 0L)
+  }
 }

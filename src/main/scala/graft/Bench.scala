@@ -457,6 +457,11 @@ object Bench {
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ADOPT_PREV=1 " +
         s"REFUSED — regime '$regime' would poison the drift reference; " +
         "re-run on an idle host")
+    if (forceAdopt && !sfCompatible(prevPath, sfDir))
+      System.err.println("[bench] WARNING: SPARK_GRAFT_ADOPT_PREV=1 " +
+        s"REFUSED — committed BENCH_prev.json is for a different sf " +
+        s"than $sfDir; an intentional sf migration deletes " +
+        "BENCH_prev.json and BENCH_canary_baseline.json first")
     val adoptPrev = only.isEmpty && regimeOkForBase &&
       sfCompatible(prevPath, sfDir) &&
       (forceAdopt ||

@@ -286,12 +286,22 @@ object ConnectorSink {
     * The swap itself (DROP target; RENAME staging) is two metadata
     * ops — a crash between them leaves the table name dangling for
     * that instant, but BOTH row sets exist on disk and the next
-    * overwrite through this sink COMPLETES the swap (rename-recovery
-    * below) before proceeding. At no point does a crash leave an
-    * EMPTY table: every window holds either the old rows, the new
-    * rows, or both. Known non-goal: table properties/comments outside
-    * the SchemaSync surface (schema + partition layout) do not survive
-    * the swap — the staging CREATE carries only the synced definition.
+    * parquet write through this sink — ANY mode, append included —
+    * COMPLETES the swap (rename-recovery below) before proceeding. At
+    * no point does a crash leave an EMPTY table: every window holds
+    * either the old rows, the new rows, or both.
+    *
+    * Guard rails (self-review r18): staging tables are MARKED with the
+    * `graft.ow_staging` table property — a user table that merely
+    * carries the `<table>__ow_staging` name is never dropped, renamed,
+    * or recovered-over; it refuses the overwrite loudly instead.
+    * EXTERNAL targets refuse overwrite up front: the swap would
+    * silently convert them to managed tables at the warehouse path
+    * (the replaced TRUNCATE path also failed on external tables — the
+    * failure stays loud, and earlier). Known non-goal: table
+    * properties/comments outside the SchemaSync surface (schema +
+    * partition layout) do not survive the swap — the staging CREATE
+    * carries only the synced definition.
     */
   def write(df: DataFrame, p: WriterPlan): Unit = {
     // partitionBy REPLACES the writer's column list (it does not
@@ -310,37 +320,87 @@ object ConnectorSink {
         val spark = df.sparkSession
         // staging identity: derived from the target's parsed name so a
         // quoted/reserved-word target yields a legal quoted sibling in
-        // the same database (lazy: only the overwrite path parses —
-        // append/create targets go straight to saveAsTable's own parse)
-        lazy val ident = spark.sessionState.sqlParser
-          .parseTableIdentifier(p.target)
-        lazy val staging = ident.database
-          .map(d => SchemaSync.quoted(d) + ".").getOrElse("") +
-          SchemaSync.quoted(ident.table + "__ow_staging")
-        // rename-recovery: a crash between the previous overwrite's
+        // the same database. None when the target doesn't parse as a
+        // 1/2-part identifier — such targets never went through the
+        // staging machinery, so there is nothing to recover either.
+        val stagingOpt: Option[String] = try {
+          val ident = spark.sessionState.sqlParser
+            .parseTableIdentifier(p.target)
+          Some(ident.database
+            .map(d => SchemaSync.quoted(d) + ".").getOrElse("") +
+            SchemaSync.quoted(ident.table + "__ow_staging"))
+        } catch { case _: Throwable => None }
+        // a sink-created staging table is MARKED (table property), so
+        // a user's own table that merely happens to carry the staging
+        // name is never dropped, renamed, or hijacked by this sink —
+        // it is a loud refusal instead (self-review r18 #2)
+        def sinkStaging(name: String): Boolean = try {
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(name))
+            .properties.get("graft.ow_staging").contains("true")
+        } catch { case _: Throwable => false }
+        // rename-recovery on EVERY parquet write, not just overwrite
+        // (self-review r18 #1): a crash between a previous overwrite's
         // DROP and RENAME leaves the new rows in staging and no
-        // target — complete that swap before doing anything else, so
-        // the interrupted overwrite's result becomes visible and this
-        // call proceeds against a normal existing table
-        if (overwrite && !spark.catalog.tableExists(p.target) &&
-            spark.catalog.tableExists(staging))
-          spark.sql(s"ALTER TABLE $staging RENAME TO ${p.target}")
+        // target; an append that then recreated the target from its
+        // own frame would silently lose both the committed overwrite's
+        // rows and the synced definition. Completing the swap first
+        // makes the interrupted overwrite's result visible and every
+        // mode proceeds against a normal existing table.
+        // best-effort: the marker must not outlive the swap on the
+        // published table (it only ever gates staging-NAME tables, but
+        // leaking it onto the target is untidy and confusing to ops)
+        def unmark(): Unit =
+          try spark.sql(s"ALTER TABLE ${p.target} UNSET TBLPROPERTIES " +
+            "IF EXISTS ('graft.ow_staging')")
+          catch { case _: Throwable => () }
+        stagingOpt.foreach { staging =>
+          if (!spark.catalog.tableExists(p.target) &&
+              spark.catalog.tableExists(staging) && sinkStaging(staging)) {
+            spark.sql(s"ALTER TABLE $staging RENAME TO ${p.target}")
+            unmark()
+          }
+        }
         if (overwrite && spark.catalog.tableExists(p.target)) {
+          val staging = stagingOpt.get // target parsed: it exists
+          val ident = spark.sessionState.sqlParser
+            .parseTableIdentifier(p.target)
           val meta = spark.sessionState.catalog.getTableMetadata(ident)
+          // an EXTERNAL target cannot swap: the rename would publish a
+          // managed table at the warehouse path, silently flipping the
+          // table type and stranding the external location with stale
+          // data. The replaced TRUNCATE path also failed on external
+          // tables (TRUNCATE refuses them) — keep that failure LOUD
+          // and early, before any staging work (self-review r18 #3).
+          if (meta.tableType ==
+              org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL)
+            throw new UnsupportedOperationException(
+              s"overwrite of EXTERNAL table ${p.target} is not " +
+                "supported: the staging swap would convert it to a " +
+                "managed table at a different location. Overwrite the " +
+                "external path directly, or re-create the table as " +
+                "managed.")
           // write into the TARGET's layout: saveAsTable validates the
           // writer's declared partitioning against the table's, so the
           // catalog's own partition columns apply — not the plan's
           val parts = meta.partitionColumnNames
-          // a stale staging here means a prior overwrite failed MID-
-          // WRITE (the target kept its rows, so nothing in it is
-          // needed) — clear it for this attempt
+          // a stale SINK staging here means a prior overwrite failed
+          // MID-WRITE (the target kept its rows, so nothing in it is
+          // needed) — clear it for this attempt; anything unmarked
+          // under that name is a user table and refuses the overwrite
+          if (spark.catalog.tableExists(staging) && !sinkStaging(staging))
+            throw new IllegalStateException(
+              s"refusing overwrite of ${p.target}: $staging exists and " +
+                "is not a sink-created staging table (missing the " +
+                "graft.ow_staging marker) — rename or drop it first")
           spark.sql(s"DROP TABLE IF EXISTS $staging")
           val partDdl =
             if (parts.isEmpty) ""
             else parts.map(SchemaSync.quoted)
               .mkString(" PARTITIONED BY (", ", ", ")")
           spark.sql(s"CREATE TABLE $staging (${meta.schema.toDDL}) " +
-            s"USING parquet$partDdl")
+            s"USING parquet$partDdl " +
+            "TBLPROPERTIES ('graft.ow_staging'='true')")
           try
             // name-resolved append against the target's OWN definition
             // (staging carries it verbatim): analysis and runtime
@@ -357,6 +417,7 @@ object ConnectorSink {
           // recovery above if interrupted
           spark.sql(s"DROP TABLE ${p.target}")
           spark.sql(s"ALTER TABLE $staging RENAME TO ${p.target}")
+          unmark()
         } else
           // saveAsTable requires the declared partitioning to MATCH an
           // existing table's layout, so the plan's partitionBy applies

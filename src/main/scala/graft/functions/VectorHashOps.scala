@@ -228,8 +228,12 @@ object VectorHashOps {
 
   /** Upper-bound binary search: how many elements of the ASCENDING-
     * sorted `cuts` are <= v — identical to
-    * `size(filter(cuts, c -> c <= v))` in O(log n) instead of O(n) per
-    * row. The linear HOF filter was measured as the dominant cost of
+    * `size(filter(cuts, c -> c <= v))` for NON-NULL v, in O(log n)
+    * instead of O(n) per row. Null handling differs at the expression
+    * layer: [[CutsBucketExpr]] is null-in/null-out (standard
+    * expression semantics), while the HOF form's lambda null-drops
+    * every element and yields 0 — callers with nullable inputs must
+    * coalesce explicitly. The linear HOF filter was measured as the dominant cost of
     * the codebook quantile rescue (RescueProbe r18: 1023 comparisons
     * per row across the candidate corpus dwarfed both the quantile
     * pass and the ranking it rescues); this is the same monotone
@@ -458,8 +462,11 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
 /** cuts_bucket(long, array<long>) → long: upper-bound binary search —
   * the count of elements of the ascending-sorted cuts array that are
   * <= the value. Equals size(filter(cuts, c -> c <= v)) (the HOF form
-  * it replaces in the codebook quantile rescue) but O(log n) per row
-  * and codegen-native instead of a CodegenFallback lambda filter.
+  * it replaces in the codebook quantile rescue) for NON-NULL v, but
+  * O(log n) per row and codegen-native instead of a CodegenFallback
+  * lambda filter. Null v yields null (the HOF form yielded 0) — the
+  * rescue's vids are non-null by precondition (stored corpus ids), as
+  * planBlocks documents.
   */
 case class CutsBucketExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -258,7 +258,9 @@ object Similarity {
     * the lineage), so a non-deterministic candidate filter (sampling,
     * ties off a shuffle) could mis-align offsets with blocks. Codebook
     * candidates are `pmod(vid, centroidEvery) === 0` filters over a
-    * stored corpus, which is deterministic by construction.
+    * stored corpus, which is deterministic by construction. `vid` must
+    * also be NON-NULL (true of stored ids): a null vid would null its
+    * `__blk` on either path and fail the counts collect loudly.
     */
   private[graft] def planBlocks(cands: DataFrame, n: Long, lo: Long,
       hi: Long, rebalanceFloor: Long = 1L << 20): BlockPlan = {

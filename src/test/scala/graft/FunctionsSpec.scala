@@ -468,7 +468,11 @@ class FunctionsSpec extends SparkTestBase {
             s"got ${r.getLong(1)} want ${r.getLong(2)}")
       }
     }
-    // null value -> null bucket (same as the HOF form's null-in)
+    // null value -> null bucket. This is the ONE input where the two
+    // forms diverge (standard expression null-in/null-out vs the HOF
+    // lambda null-dropping every element to 0) — pinned here so the
+    // divergence is a documented choice, not a surprise; planBlocks'
+    // vids are non-null by precondition
     val nulls = spark.sql(
       "SELECT cuts_bucket(CAST(NULL AS BIGINT), array(1L, 2L)) AS b")
       .collect()

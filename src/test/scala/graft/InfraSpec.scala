@@ -3102,23 +3102,89 @@ class InfraSpec extends SparkTestBase {
     val p2 = ConnectorSink.plan("cs_demo", "m2", mode = "overwrite")
     ConnectorSink.write(Seq(("old", java.sql.Date.valueOf("2024-01-01")))
       .toDF("test_id", "date"), p2)
-    // hand-build the crash state: staging = a finished write of "mid",
+    // hand-build the crash state: staging = a finished write of "mid"
+    // (carrying the sink's marker property, as the real CREATE does),
     // target dropped (the instant between DROP and RENAME)
-    spark.sql("CREATE TABLE cs_demo.m2__ow_staging (test_id STRING, " +
-      "date DATE) USING parquet PARTITIONED BY (date)")
-    Seq(("mid", java.sql.Date.valueOf("2024-02-01"))).toDF("test_id", "date")
-      .write.mode("append").format("parquet").partitionBy("date")
-      .saveAsTable("cs_demo.m2__ow_staging")
-    spark.sql("DROP TABLE cs_demo.m2")
+    def buildCrashState(mid: String): Unit = {
+      spark.sql("CREATE TABLE cs_demo.m2__ow_staging (test_id STRING, " +
+        "date DATE) USING parquet PARTITIONED BY (date) " +
+        "TBLPROPERTIES ('graft.ow_staging'='true')")
+      Seq((mid, java.sql.Date.valueOf("2024-02-01"))).toDF("test_id", "date")
+        .write.mode("append").format("parquet").partitionBy("date")
+        .saveAsTable("cs_demo.m2__ow_staging")
+      spark.sql("DROP TABLE cs_demo.m2")
+    }
+    buildCrashState("mid")
     ConnectorSink.write(Seq(("new", java.sql.Date.valueOf("2024-03-01")))
       .toDF("test_id", "date"), p2)
     val rec = spark.table("cs_demo.m2").collect()
       .map(_.getAs[String]("test_id")).toSeq
     assert(rec == Seq("new"), rec.toString)
     assert(!spark.catalog.tableExists("cs_demo.m2__ow_staging"))
+    val m2meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("m2", Some("cs_demo")))
+    assert(m2meta.partitionColumnNames == Seq("date"))
+    // ...and the staging marker did not leak onto the published table
+    assert(!m2meta.properties.contains("graft.ow_staging"))
+    // recovery also fires on an APPEND after the crash (self-review r18
+    // #1): without it the append would RECREATE the target from its own
+    // frame — losing the committed overwrite's rows and the layout
+    buildCrashState("mid2")
+    ConnectorSink.write(Seq(("app", java.sql.Date.valueOf("2024-04-01")))
+      .toDF("test_id", "date"),
+      ConnectorSink.plan("cs_demo", "m2", mode = "append",
+        partitionCol = Some("date")))
+    val rec2 = spark.table("cs_demo.m2").collect()
+      .map(_.getAs[String]("test_id")).toSet
+    assert(rec2 == Set("mid2", "app"), rec2.toString)
     assert(spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier("m2", Some("cs_demo")))
       .partitionColumnNames == Seq("date"))
+    // a USER table that merely carries the staging name (no marker) is
+    // never dropped, renamed, or hijacked (self-review r18 #2): the
+    // overwrite refuses loudly and both tables survive untouched
+    spark.sql("CREATE TABLE cs_demo.u (k STRING) USING parquet")
+    spark.sql("INSERT INTO cs_demo.u VALUES ('keep-target')")
+    spark.sql("CREATE TABLE cs_demo.u__ow_staging (k STRING) USING parquet")
+    spark.sql("INSERT INTO cs_demo.u__ow_staging VALUES ('user-data')")
+    val refusal = intercept[IllegalStateException] {
+      ConnectorSink.write(Seq("x").toDF("k"),
+        ConnectorSink.plan("cs_demo", "u", mode = "overwrite"))
+    }
+    assert(refusal.getMessage.contains("not a sink-created staging"))
+    assert(spark.table("cs_demo.u").collect()
+      .map(_.getString(0)).toSeq == Seq("keep-target"))
+    assert(spark.table("cs_demo.u__ow_staging").collect()
+      .map(_.getString(0)).toSeq == Seq("user-data"))
+    // ...and the unmarked table never recovery-renames over a missing
+    // target: an append to absent cs_demo.v beside a user table named
+    // cs_demo.v__ow_staging just creates v from the frame
+    spark.sql("CREATE TABLE cs_demo.v__ow_staging (k STRING) USING parquet")
+    spark.sql("INSERT INTO cs_demo.v__ow_staging VALUES ('mine')")
+    ConnectorSink.write(Seq("fresh").toDF("k"),
+      ConnectorSink.plan("cs_demo", "v", mode = "append"))
+    assert(spark.table("cs_demo.v").collect()
+      .map(_.getString(0)).toSeq == Seq("fresh"))
+    assert(spark.table("cs_demo.v__ow_staging").collect()
+      .map(_.getString(0)).toSeq == Seq("mine"))
+    // an EXTERNAL target refuses overwrite up front (self-review r18
+    // #3): the swap would silently convert it to a managed table at the
+    // warehouse path — the old TRUNCATE path failed on external tables
+    // too, so the failure stays loud (and now earlier, before staging)
+    val extDir = java.nio.file.Files.createTempDirectory("cs_ext").toFile
+    Seq(("e1", 1.0)).toDF("test_id", "mbps")
+      .write.parquet(s"${extDir.getAbsolutePath}/ext")
+    spark.sql("CREATE TABLE cs_demo.ext (test_id STRING, mbps DOUBLE) " +
+      s"USING parquet LOCATION '${extDir.getAbsolutePath}/ext'")
+    val extRefusal = intercept[UnsupportedOperationException] {
+      ConnectorSink.write(Seq(("e2", 2.0)).toDF("test_id", "mbps"),
+        ConnectorSink.plan("cs_demo", "ext", mode = "overwrite"))
+    }
+    assert(extRefusal.getMessage.contains("EXTERNAL"))
+    assert(spark.table("cs_demo.ext").collect()
+      .map(_.getString(0)).toSeq == Seq("e1"),
+      "external table must be untouched by the refused overwrite")
+    assert(!spark.catalog.tableExists("cs_demo.ext__ow_staging"))
   }
 
   test("partition-incremental unified refresh: one new date partition " +

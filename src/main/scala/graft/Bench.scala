@@ -225,6 +225,23 @@ object Bench {
     }
   }
 
+  /** The drift-reference adoption rule, factored pure so the spec can
+    * pin it (same ghost-rule class as the parsers). Auto-adoption
+    * requires a healthy regime AND a verdict of no-prior or stable
+    * WITH ZERO MOVERS: a stable median with a named localized
+    * regression must not become the next reference — one adoption
+    * would normalize exactly the single-query case the movers field
+    * exists to surface (review r18). The forced override (the
+    * documented escape hatch after an intentional perf-profile change)
+    * bypasses the verdict but NOT the regime/sf guards, which the
+    * caller applies around this. */
+  private[graft] def shouldAdoptPrev(regime: String, drift: Drift,
+      forceAdopt: Boolean): Boolean =
+    forceAdopt ||
+      (regime == "healthy" &&
+        (drift.verdict == "no-prior" ||
+          (drift.verdict == "stable" && drift.movers == 0)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -464,9 +481,13 @@ object Bench {
         "BENCH_prev.json and BENCH_canary_baseline.json first")
     val adoptPrev = only.isEmpty && regimeOkForBase &&
       sfCompatible(prevPath, sfDir) &&
-      (forceAdopt ||
-        (regime == "healthy" &&
-          (drift.verdict == "stable" || drift.verdict == "no-prior")))
+      shouldAdoptPrev(regime, drift, forceAdopt)
+    if (!forceAdopt && regime == "healthy" && drift.verdict == "stable" &&
+        drift.movers > 0)
+      System.err.println(s"[bench] drift reference NOT adopted: verdict " +
+        s"stable but ${drift.movers} mover(s) named " +
+        s"(${drift.top.map(t => s"${t._1} ${t._2}x").mkString(", ")}) — " +
+        "adopting would normalize a localized regression")
     if (adoptPrev) {
       try {
         val qsJson = results.map { case (k, v) => s""""$k":${fmt(v)}""" }

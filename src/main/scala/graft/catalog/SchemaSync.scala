@@ -362,7 +362,14 @@ object ConnectorSink {
           }
         }
         if (overwrite && spark.catalog.tableExists(p.target)) {
-          val staging = stagingOpt.get // target parsed: it exists
+          // tableExists can resolve names the 1/2-part staging parse
+          // cannot (3-part catalog names, exotic quoting) — refuse
+          // those with the identifier named, not a bare .get crash
+          val staging = stagingOpt.getOrElse(throw
+            new IllegalArgumentException(
+              s"cannot stage overwrite of ${p.target}: the name does " +
+                "not parse as a 1/2-part table identifier, so no " +
+                "staging sibling can be derived"))
           val ident = spark.sessionState.sqlParser
             .parseTableIdentifier(p.target)
           val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -380,6 +387,24 @@ object ConnectorSink {
                 "managed table at a different location. Overwrite the " +
                 "external path directly, or re-create the table as " +
                 "managed.")
+          // the staging CREATE carries only the synced definition
+          // (schema + partition columns, USING parquet) — a target
+          // whose provider differs or that is bucketed would be
+          // SILENTLY converted by the swap, where the replaced
+          // TRUNCATE+append path failed loudly at the trial append
+          // ("format ... does not match" / bucketing mismatch). Keep
+          // that failure loud, and earlier (review r18).
+          val provider = meta.provider.map(_.toLowerCase).getOrElse("")
+          if (provider != "parquet")
+            throw new UnsupportedOperationException(
+              s"overwrite of ${p.target} (provider '$provider') with a " +
+                "parquet plan is not supported: the staging swap would " +
+                "silently convert the table to parquet")
+          if (meta.bucketSpec.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"overwrite of BUCKETED table ${p.target} is not " +
+                "supported: the staging swap would drop the bucket " +
+                s"spec (${meta.bucketSpec.get})")
           // write into the TARGET's layout: saveAsTable validates the
           // writer's declared partitioning against the table's, so the
           // catalog's own partition columns apply — not the plan's

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -469,7 +469,17 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
   * planBlocks documents.
   */
 case class CutsBucketExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // declared input types (review r18): without them the PUBLIC SQL
+  // registration accepts the natural literal `array(1, 2)` — an
+  // array<int> — and codegen reads 8-byte slots over 4-byte-packed
+  // elements: garbage buckets with no error (and a divergent CCE on
+  // the interpreted path). The implicit cast coerces int inputs to
+  // the declared long shapes instead. (The signature's element type,
+  // AbstractDataType, is private[sql] — the inferred Seq[DataType]
+  // conforms without naming it.)
+  override def inputTypes: Seq[DataType] =
+    Seq(LongType, ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any, cuts: Any): Any =

@@ -480,5 +480,15 @@ class FunctionsSpec extends SparkTestBase {
     // empty cuts -> bucket 0 for everything
     assert(spark.sql("SELECT cuts_bucket(7L, array()) AS b")
       .collect()(0).getLong(0) == 0L)
+    // INT-typed inputs coerce to the declared long shapes (review r18):
+    // the natural SQL literal array(1, 2) is array<int>; without the
+    // declared input types codegen read 8-byte slots over 4-byte-packed
+    // elements — garbage buckets with no error
+    val ints = spark.sql(
+      "SELECT cuts_bucket(2, array(1, 2, 5)) AS b, " +
+        "cuts_bucket(0, array(1, 2, 5)) AS lo, " +
+        "cuts_bucket(9, array(1, 2, 5)) AS hi").collect()(0)
+    assert(ints.getLong(0) == 2L && ints.getLong(1) == 0L &&
+      ints.getLong(2) == 3L, ints.toString)
   }
 }

@@ -2638,6 +2638,35 @@ class InfraSpec extends SparkTestBase {
       real.toString)
   }
 
+  test("Bench.shouldAdoptPrev: a stable run with a NAMED mover never " +
+    "auto-adopts as the drift reference (adopting would normalize a " +
+    "localized regression); force bypasses the verdict only") {
+    import graft.Bench.{shouldAdoptPrev, Drift}
+    def drift(verdict: String, movers: Int = 0) =
+      Drift(263, 1.0, 1.0, 1.0, verdict, movers,
+        if (movers > 0) Seq("qXX" -> 5.0) else Nil)
+    // the clean paths adopt
+    assert(shouldAdoptPrev("healthy", drift("stable"), forceAdopt = false))
+    assert(shouldAdoptPrev("healthy", drift("no-prior"), forceAdopt = false))
+    // the review-r18 case: stable MEDIAN, one 5x mover — refused; one
+    // adoption would bake the regression into the baseline and movers
+    // would read 0 next round
+    assert(!shouldAdoptPrev("healthy", drift("stable", movers = 1),
+      forceAdopt = false))
+    // non-stable verdicts and non-healthy regimes refuse
+    assert(!shouldAdoptPrev("healthy", drift("drifted-host"),
+      forceAdopt = false))
+    assert(!shouldAdoptPrev("healthy", drift("drifted-code"),
+      forceAdopt = false))
+    assert(!shouldAdoptPrev("write-degraded", drift("stable"),
+      forceAdopt = false))
+    // force bypasses the verdict AND the movers gate (the intentional
+    // perf-profile-change escape hatch) — regime/sf guards stay with
+    // the caller
+    assert(shouldAdoptPrev("write-degraded", drift("drifted-code",
+      movers = 5), forceAdopt = true))
+  }
+
   test("Bench artifact parsers: the COMMITTED reference files round-trip " +
     "and the legacy baseline format still parses (a silent parse " +
     "regression would disable adjudication as a ghost no-prior)") {
@@ -2686,9 +2715,13 @@ class InfraSpec extends SparkTestBase {
       "X").contains((0.3, Map("q1_a" -> 0.5))))
     // the anchored read regex (ADVICE r17): a stray `"read":` substring
     // in some FUTURE field cannot shadow the boot_id-adjacent one the
-    // writer emits — the decoy below parses to the REAL 0.3, not 9.9
+    // writer emits — the decoy below parses to the REAL 0.3, not 9.9.
+    // The decoy must contain the LITERAL `"read":` token (a nested
+    // canary-style object does; a field merely ENDING in read, like
+    // "thread", never matched even the old unanchored regex — that
+    // earlier decoy was vacuous, review r18)
     assert(parsePrev(
-      """{"thread":9.9,"boot_id":"b","read":0.3,"sf":"X",""" +
+      """{"canary_pre":{"read":9.9},"boot_id":"b","read":0.3,"sf":"X",""" +
         """"queries":{"q1_a":0.5}}""",
       "X").contains((0.3, Map("q1_a" -> 0.5))))
     // sf WRITE-guard (r18, found live): a bench run at a different sf
@@ -2756,6 +2789,16 @@ class InfraSpec extends SparkTestBase {
     // classifyDrift sees no-prior instead of a silent partial verdict
     val (gRead, gQs) = parseFull("not an artifact at all")
     assert(gQs.isEmpty && gRead == -1.0)
+    // the flat-shape read fallback is ANCHORED like Bench.parsePrev
+    // (review r18 — the ADVICE fix had been applied to one parser but
+    // not the CLI's): a stray nested "read": before the boot_id-
+    // adjacent pair must not shadow it
+    val decoyed =
+      """{"weather":{"read":9.9},"boot_id":"b","read":0.3,"sf":"X",""" +
+        """"queries":{"q1_a":0.5}}"""
+    val (dRead, dQs) = parseFull(decoyed)
+    assert(dRead == 0.3 && dQs == Map("q1_a" -> 0.5),
+      s"decoy shadowed the anchored read: $dRead $dQs")
     // the live file, when a full run has produced it, must also parse
     // (same-shape guarantee between the writer and this reader)
     val live = java.nio.file.Paths.get("target/BENCH_full.json")
@@ -3185,6 +3228,33 @@ class InfraSpec extends SparkTestBase {
       .map(_.getString(0)).toSeq == Seq("e1"),
       "external table must be untouched by the refused overwrite")
     assert(!spark.catalog.tableExists("cs_demo.ext__ow_staging"))
+    // a non-parquet-provider target refuses a parquet overwrite up
+    // front (review r18): the staging CREATE carries USING parquet, so
+    // the swap would SILENTLY convert an ORC table's provider — the
+    // replaced TRUNCATE path failed loudly at the trial append
+    spark.sql("CREATE TABLE cs_demo.orc_t (k STRING) USING orc")
+    spark.sql("INSERT INTO cs_demo.orc_t VALUES ('orc-rows')")
+    val orcRefusal = intercept[UnsupportedOperationException] {
+      ConnectorSink.write(Seq("x").toDF("k"),
+        ConnectorSink.plan("cs_demo", "orc_t", mode = "overwrite"))
+    }
+    assert(orcRefusal.getMessage.contains("provider"), orcRefusal.getMessage)
+    assert(spark.table("cs_demo.orc_t").collect()
+      .map(_.getString(0)).toSeq == Seq("orc-rows"))
+    assert(!spark.catalog.tableExists("cs_demo.orc_t__ow_staging"))
+    // ...and a BUCKETED target refuses too: the synced definition
+    // carries schema + partition columns only, so the swap would drop
+    // the bucket spec without a word
+    spark.sql("CREATE TABLE cs_demo.bkt (k STRING, n INT) USING parquet " +
+      "CLUSTERED BY (k) INTO 4 BUCKETS")
+    spark.sql("INSERT INTO cs_demo.bkt VALUES ('b', 1)")
+    val bktRefusal = intercept[UnsupportedOperationException] {
+      ConnectorSink.write(Seq(("x", 2)).toDF("k", "n"),
+        ConnectorSink.plan("cs_demo", "bkt", mode = "overwrite"))
+    }
+    assert(bktRefusal.getMessage.contains("BUCKETED"), bktRefusal.getMessage)
+    assert(spark.table("cs_demo.bkt").collect()
+      .map(_.getAs[String]("k")).toSeq == Seq("b"))
   }
 
   test("partition-incremental unified refresh: one new date partition " +

@@ -39,7 +39,12 @@ object DriftReport {
       .map(_.group(2).toDouble).filter(_ >= 0).toSeq
     val read =
       if (reads.nonEmpty) reads.min
-      else """"read":(-?[0-9.]+)""".r.findFirstMatchIn(text)
+      // flat (BENCH_prev.json) shape: anchor to the boot_id-adjacent
+      // pair the writer emits, same as Bench.parsePrev (ADVICE r17) —
+      // a stray nested `"read":` in a future field must not shadow it
+      // and silently diverge the CLI from the bench's own parser
+      else """"boot_id":"[^"]*","read":(-?[0-9.]+)""".r
+        .findFirstMatchIn(text)
         .map(_.group(1).toDouble).getOrElse(-1.0)
     (read, qs)
   }

@@ -426,7 +426,13 @@ object VectorHashOps {
 
 /** vec_dot(array<double>, array<double>) → double. */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // declared input types (review r18, same class as cuts_bucket): the
+  // packed-ArrayData readers return GARBAGE, not an error, when SQL
+  // hands them an int/float-typed array literal — the implicit cast
+  // coerces to the declared element types instead
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -444,7 +450,9 @@ case class VecDot(left: Expression, right: Expression)
   * inputs without the per-row hash-set/result-array allocation.
   */
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -495,7 +503,9 @@ case class CutsBucketExpr(left: Expression, right: Expression)
 }
 
 /** simhash60(array<long>) → long. */
-case class SimHash60Expr(child: Expression) extends UnaryExpression {
+case class SimHash60Expr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
@@ -708,7 +718,10 @@ object Codebook {
   * reference object (same pattern as [[StopHitsExpr]]'s word set).
   */
 case class ArgminCellExpr(left: Expression, right: Expression,
-    codebook: Codebook) extends BinaryExpression {
+    codebook: Codebook) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any, nrm: Any): Any =
@@ -759,7 +772,8 @@ case class VocabEncodeExpr(child: Expression, vocabTokens: Seq[String])
 
 /** minhash_sig(array<long>, numHashes literal) → array<long>. */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(v: Any): Any =
@@ -780,8 +794,11 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   * Morton interleave.
   */
 case class HilbertExpr(left: Expression, right: Expression, bits: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+  // scalar ints WIDEN under codegen but CCE on the interpreted path —
+  // declaring the long inputs makes the two paths agree (review r18)
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   private val max = 1L << bits

@@ -491,4 +491,27 @@ class FunctionsSpec extends SparkTestBase {
     assert(ints.getLong(0) == 2L && ints.getLong(1) == 0L &&
       ints.getLong(2) == 3L, ints.toString)
   }
+
+  test("packed-array expressions coerce INT-typed SQL literals to their " +
+    "declared long/double element types (review r18): the ArrayData " +
+    "readers would otherwise return garbage, not an error") {
+    GraftFunctions.registerAll(spark)
+    // each function: the natural int-literal call equals the explicitly
+    // long/double-typed call (which was always correct)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1, 2, 3), array(4, 5, 6)) AS dot, " +
+        "sorted_intersect_size(array(1, 2, 5), array(2, 5, 9)) AS isz, " +
+        "simhash60(array(1, 2)) = simhash60(array(1L, 2L)) AS sh, " +
+        "minhash_sig(array(1, 2), 4) = minhash_sig(array(1L, 2L), 4) " +
+        "AS mh, " +
+        "hilbert_xy2d(3, 5, 4) = hilbert_xy2d(3L, 5L, 4) AS hb, " +
+        "argmin_cell(array(1, 0), 1.0D, array(7L), array(1.0D, 0.0D), " +
+        "array(1.0D)) AS cell").collect()(0)
+    assert(r.getDouble(0) == 32.0, s"vec_dot ${r.getDouble(0)}")
+    assert(r.getLong(1) == 2L, s"sorted_intersect_size ${r.getLong(1)}")
+    assert(r.getBoolean(2), "simhash60 int != long form")
+    assert(r.getBoolean(3), "minhash_sig int != long form")
+    assert(r.getBoolean(4), "hilbert_xy2d int != long form")
+    assert(r.getLong(5) == 7L, s"argmin_cell ${r.getLong(5)}")
+  }
 }

@@ -63,7 +63,12 @@ object Evaluation {
     import spark.implicits._
     val w = 18
     val h = 14
-    docs.select(col("doc_id").cast("long")).as[Long]
+    // floor on the 8-byte id frame, BELOW the digest synthesis: the
+    // builder's md5 work is the expensive part, so it must be born
+    // distributed (graft.plans.Parallel scaladoc; round-18 A/B)
+    graft.plans.Parallel.cpuFloor(
+        docs.select(col("doc_id").cast("long")), "doc_id")
+      .as[Long]
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.map { id =>
@@ -102,7 +107,10 @@ object Evaluation {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = 114
-    docs.select(col("doc_id").cast("long")).as[Long]
+    // same id-frame floor as trioImageMedia (digest synthesis below)
+    graft.plans.Parallel.cpuFloor(
+        docs.select(col("doc_id").cast("long")), "doc_id")
+      .as[Long]
       .mapPartitions { ids =>
         val md = java.security.MessageDigest.getInstance("MD5")
         ids.map { id =>
@@ -145,9 +153,12 @@ object Evaluation {
         unhex(payloadHex))
     }
     val media = concat((0 until frames).map(frameBin): _*)
-    docs.select(col("doc_id"),
-      media.as("media"), lit("video/x-pnm-frames").as("mime"),
-      octet_length(media).cast("long").as("n_bytes"))
+    // id-frame floor below the per-frame md5 expression chain — the
+    // same §8 shape as the typed builders above
+    graft.plans.Parallel.cpuFloor(docs.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"),
+        media.as("media"), lit("video/x-pnm-frames").as("mime"),
+        octet_length(media).cast("long").as("n_bytes"))
   }
 
   /** qP4 oracle cell: the 9×7 box-mean over frame `fE`'s 18×14 grid —

@@ -1132,11 +1132,22 @@ object LlmOps {
           shingleN = 3, bands = 8, rowsPerBand = 4, threshold = 0.5,
           maxBucket = 256)
           .select("doc_a", "doc_b")
-        val hits = exact.join(lsh.hint("shuffle_hash"),
-          Seq("doc_a", "doc_b"), "left_semi")
-        exact.agg(count(lit(1)).as("n_exact"))
-          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        // ONE full-outer co-group instead of a semi-join plus three
+        // separately-aggregated branches cross-joined together: the
+        // branch form evaluated the exact pipeline twice and the LSH
+        // pipeline twice (the initial plan scanned documents 24 times
+        // — plans/r18/qC5_dedup_eval_before.txt), where one join over
+        // the two unique pair sets yields all three counts in a single
+        // pass (guide §2.4: duplicated subtrees are removed shuffles).
+        // count(col) keeps n_exact/n_lsh/n_hit the same non-null
+        // BIGINTs the count(lit(1)) branches produced.
+        val co = exact.withColumn("in_e", lit(1))
+          .join(lsh.withColumn("in_l", lit(1)).hint("shuffle_hash"),
+            Seq("doc_a", "doc_b"), "full_outer")
+        co.agg(count(col("in_e")).as("n_exact"),
+            count(col("in_l")).as("n_lsh"),
+            count(when(col("in_e").isNotNull && col("in_l").isNotNull,
+              lit(1))).as("n_hit"))
           .select(col("n_exact"), col("n_lsh"), col("n_hit"),
             (floor(col("n_hit").cast("double") /
               col("n_exact").cast("double") * 10000.0 + 0.5) / 10000.0)

@@ -459,4 +459,37 @@ class PlanSpec extends SparkTestBase {
     val n = "ObjectHashAggregate".r.findAllIn(p).length
     assert(n >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
   }
+
+  test("scan-parallelism floor: fires only when splits < floor, keyed " +
+    "on the join key, value-identical, and off at the audited scale " +
+    "shape") {
+    // dedicated sessions: Tables.load memoizes frames PER SESSION, so
+    // the conf must differ at first load — the shared suite session
+    // runs floor-off (SparkTestBase) and is not disturbed here
+    val on = spark.newSession()
+    on.conf.set("graft.scan.parallelismFloor", "4")
+    val off = spark.newSession()
+    off.conf.set("graft.scan.parallelismFloor", "0")
+    val li = graft.Tables.load(on, sf, "lineitem")
+    val liOff = graft.Tables.load(off, sf, "lineitem")
+    // single-file fixture: 1 split < 4 -> the floor's repartition fires
+    assert(li.rdd.getNumPartitions == 4,
+      s"floor should lift 1 split to 4, got ${li.rdd.getNumPartitions}")
+    assert(liOff.rdd.getNumPartitions == 1,
+      "floor=0 must leave the raw scan split count")
+    assert(plan(li).contains("REPARTITION_BY_NUM") &&
+      plan(li).contains("l_orderkey"),
+      s"floor exchange missing or mis-keyed:\n${plan(li)}")
+    assert(!plan(liOff).contains("Exchange"),
+      s"floor=0 must plan a bare scan:\n${plan(liOff)}")
+    // the floor is partitioning-only: bit-identical content
+    assert(li.count() == liOff.count())
+    val s1 = li.selectExpr("sum(hash(l_orderkey, l_partkey, l_quantity))")
+      .head.getLong(0)
+    val s2 = liOff.selectExpr("sum(hash(l_orderkey, l_partkey, l_quantity))")
+      .head.getLong(0)
+    assert(s1 == s2, "floored scan changed table content")
+    // dimension tables are never floored (broadcast-sized by design)
+    assert(graft.Tables.load(on, sf, "region").rdd.getNumPartitions == 1)
+  }
 }

@@ -23,6 +23,15 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // The scan/CPU parallelism floor (Tables.load, Parallel.cpuFloor)
+      // fires exactly when splits < cores — i.e. on every single-file
+      // test fixture but never at cluster scale. The suite's plan-shape
+      // pins audit the SCALE shape, so the shared session runs with the
+      // floor off; the floor's own conditional behavior has a dedicated
+      // spec on a fresh newSession (PlanSpec). Set at session creation
+      // because Tables.load memoizes frames per session — a mid-suite
+      // conf flip would race the cache.
+      .config("graft.scan.parallelismFloor", "0")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.registerAll(s)

@@ -38,53 +38,19 @@ object Tables {
     * TimestampType column (sessions here run UTC, so the NTZ cast is
     * value-preserving) so every downstream operator sees one type.
     */
+  // NOTE (round-18): a loader-level scan-parallelism floor (conditional
+  // repartition of the fact tables when splits < cores) was tried here
+  // and REVERTED on full-bench evidence: the heavy map-stage consumers
+  // it helps (q13's percentile buffers 1.26-1.36x, qF5's struct
+  // synthesis 1.34-1.41x) are outnumbered ~30-to-2 by sub-second
+  // scan-aggregate queries where the extra exchange costs 1.6-2.3x —
+  // the bench's own drift-mover machinery flagged them. The floor
+  // lives in graft.plans.Parallel.cpuFloor and is applied PER CONSUMER
+  // at the measured winners (q13, the unified-era raw builders, the
+  // media fixture builders), never blanket at the loader.
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((System.identityHashCode(spark).toString,
-      s"$sfDir/$name"), _ =>
-        withScanFloor(spark, loadUncached(spark, sfDir, name), name))
-
-  // Scan-parallelism floor for the two FACT tables (guide §2.5's "one
-  // huge unsplittable file" case): a single-row-group parquet file is
-  // one scan split, so every downstream map stage — parquet decode,
-  // projections, partial aggregation — runs on ONE core while the rest
-  // idle. When the scan has fewer splits than the session's
-  // parallelism, redistribute on the table's primary key (unique →
-  // uniform, and the common join key, so the introduced
-  // HashPartitioning is reusable by downstream joins/aggregations
-  // instead of forcing a second exchange). At cluster scale a
-  // date-partitioned table has splits >> cores and this is a no-op —
-  // the floor adapts to the data, it is not a local[32] constant.
-  //
-  // Scope, from the round-18 interleaved A/B (OPTIMIZATION_r18.md):
-  // lineitem/orders map-heavy aggregates gain 1.1-1.4x; events,
-  // embeddings and documents queries LOSE 10-40% — their heavy work is
-  // already post-shuffle (fence-staged prefix/graph loops, per-group
-  // windows), so the floor only adds an exchange and 32-task micro
-  // stages ahead of every fence. The documents-derived media paths,
-  // which do gain (up to 2.3x), get the floor on their lightweight
-  // id frame inside the media builders instead
-  // (graft.plans.Parallel.cpuFloor), below the expensive synthesis.
-  // Dimension tables (region..part, customer, supplier) are excluded:
-  // they are broadcast-sized by design and a shuffle ahead of a
-  // broadcast build is pure overhead.
-  private val scanFloorKey = Map(
-    "lineitem" -> "l_orderkey",
-    "orders" -> "o_orderkey")
-
-  private def withScanFloor(spark: SparkSession, df: DataFrame,
-      name: String): DataFrame =
-    scanFloorKey.get(name) match {
-      case Some(key) =>
-        // conf-overridable for clusters whose scan-split floor should
-        // differ from defaultParallelism; 0 disables the floor
-        val p = spark.conf.getOption("graft.scan.parallelismFloor")
-          .map(_.toInt)
-          .getOrElse(spark.sparkContext.defaultParallelism)
-        if (p > 0 && df.rdd.getNumPartitions < p)
-          df.repartition(p, org.apache.spark.sql.functions.col(key))
-        else df
-      case None => df
-    }
+      s"$sfDir/$name"), _ => loadUncached(spark, sfDir, name))
 
   // Corpus-stats surface: row counts memoized per (session, table).
   // Every corpus-adaptive parameter rule (LSH plane count, and any

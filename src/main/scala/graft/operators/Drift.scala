@@ -163,6 +163,53 @@ object Drift {
       .select(col("q"), col("target_rank"), col("v"))
   }
 
+  /** GROUPED [[quantilesFromCounts]]: exact lower-rank quantiles per
+    * group from one (g, v, cnt) table in ONE pass — for callers that
+    * need quantiles of SEVERAL distributions (RFM's three metric
+    * dimensions, per-slice monitoring): N separate
+    * [[quantilesFromCounts]] mini-queries are N scans of the same
+    * upstream plus N driver round-trips, where one tagged union is a
+    * single scan (round-18; qO1 ran ~50 micro jobs, 3 quantile
+    * pipelines of them). Same block prefix-sum shape with every
+    * window/aggregate additionally keyed by `g` — per-group frames stay
+    * |blocks|- and |qs|-bounded, so broadcasts stay bounded at
+    * |groups|·|blocks|. Output: g, q, target_rank, v.
+    */
+  def quantilesFromCountsBy(counts: DataFrame, qs: Seq[Double],
+      nBlocks: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    require(nBlocks > 0, "nBlocks must be > 0")
+    val bounds = counts.groupBy("g").agg(min("v").as("lo"),
+      max("v").as("hi"), sum("cnt").as("n"))
+    val blocked = counts.join(broadcast(bounds), "g")
+      .withColumn("block",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(nBlocks - 1L), floor(
+            (col("v") - col("lo")) / (col("hi") - col("lo")) * nBlocks)
+            .cast("long"))))
+    val wBlocks = Window.partitionBy("g").orderBy("block")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy("g", "block")
+      .agg(sum("cnt").as("bc"))
+      .select(col("g"), col("block"),
+        coalesce(sum("bc").over(wBlocks), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("g", "block").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = blocked.join(broadcast(offsets), Seq("g", "block"))
+      .withColumn("cc", col("off") + sum("cnt").over(wIn))
+    val targets = qs.distinct.sorted
+      .map(q => s"SELECT CAST($q AS DOUBLE) AS q")
+      .mkString(" UNION ALL ")
+    val qdf = counts.sparkSession.sql(targets).distinct()
+    cum.crossJoin(broadcast(qdf))
+      .withColumn("target_rank", ceil(col("q") * col("n")).cast("long"))
+      .filter(col("cc") >= col("target_rank"))
+      .groupBy("g", "q", "target_rank")
+      .agg(min("v").as("v"))
+      .select(col("g"), col("q"), col("target_rank"), col("v"))
+  }
+
   /** Mergeable CATEGORY counts — the categorical sibling of
     * [[valueCounts]] (same sum-merge lifecycle, string keys).
     */
@@ -221,11 +268,23 @@ object Drift {
     */
   def qqTable(aCounts: DataFrame, bCounts: DataFrame,
       qs: Seq[Double], nBlocks: Int = 256): DataFrame = {
-    val qa = quantilesFromCounts(aCounts, qs, nBlocks)
-      .select(col("q"), col("v").as("v_a"))
-    val qb = quantilesFromCounts(bCounts, qs, nBlocks)
-      .select(col("q"), col("v").as("v_b"))
-    qa.join(qb, Seq("q"))
+    // one side-tagged grouped pass instead of two independent quantile
+    // pipelines (round-18, the qO1 consolidation): identical per-side
+    // results — the grouped reduction is the same algorithm keyed by
+    // the tag — at half the scans and half the shuffle stages
+    val both = quantilesFromCountsBy(
+      aCounts.select(lit("a").as("g"), col("v"), col("cnt"))
+        .unionAll(bCounts.select(lit("b").as("g"), col("v"),
+          col("cnt"))),
+      qs, nBlocks)
+    // pivot by tag in ONE aggregate (a filter-per-side self-join would
+    // re-evaluate the pipeline per leg — the duplicated-subtree trap
+    // this rewrite removes); the null filter reproduces the original
+    // inner join's behavior when one side is empty
+    both.groupBy("q")
+      .agg(min(when(col("g") === "a", col("v"))).as("v_a"),
+        min(when(col("g") === "b", col("v"))).as("v_b"))
+      .filter(col("v_a").isNotNull && col("v_b").isNotNull)
       .select(col("q"), col("v_a"), col("v_b"),
         (col("v_b") - col("v_a")).as("gap"))
   }

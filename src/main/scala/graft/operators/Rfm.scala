@@ -40,16 +40,27 @@ object Rfm {
         count(lit(1)).as("frequency"),
         sum("c").as("monetary_c"))
     val metrics = graft.plans.Fence.corpus(metrics0,
-      "rfm_metrics") // three quantile passes + the final projection
-    def cuts(metric: Column): Seq[Double] = {
-      val counts = metrics.select(metric.cast("double").as("v"))
-        .groupBy("v").agg(count(lit(1)).as("cnt"))
-      Drift.quantilesFromCounts(counts, Seq(0.2, 0.4, 0.6, 0.8))
-        .orderBy("q").collect().map(_.getAs[Double]("v")).toSeq
-    }
-    val rc = cuts(col("recency_days"))
-    val fc = cuts(col("frequency"))
-    val mc = cuts(col("monetary_c"))
+      "rfm_metrics") // the one quantile pass + the final projection
+    // ONE grouped quantile pass for all three dimensions (round-18;
+    // guide §2.4): three per-metric quantilesFromCounts mini-queries
+    // were three scans of the metrics stage and three driver
+    // round-trips — a tagged explode folds them into a single
+    // (dim, v, cnt) pipeline with identical per-dimension cut points
+    // (the grouped reduction is the same algorithm keyed by dim).
+    val counts3 = metrics.select(explode(map(
+        lit("r"), col("recency_days").cast("double"),
+        lit("f"), col("frequency").cast("double"),
+        lit("m"), col("monetary_c").cast("double"))).as(Seq("g", "v")))
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val cutRows = Drift.quantilesFromCountsBy(
+      counts3, Seq(0.2, 0.4, 0.6, 0.8))
+      .orderBy("g", "q").collect()
+    def cutsOf(dim: String): Seq[Double] = cutRows.toSeq
+      .filter(_.getAs[String]("g") == dim)
+      .map(_.getAs[Double]("v"))
+    val rc = cutsOf("r")
+    val fc = cutsOf("f")
+    val mc = cutsOf("m")
     def bucket(metric: Column, cs: Seq[Double]): Column =
       cs.map(c => when(metric.cast("double") > lit(c), 1).otherwise(0))
         .reduce(_ + _) + 1

@@ -220,7 +220,11 @@ object ErasUpload {
     */
   private def unifiedBranches(s: SparkSession, d: String): Seq[DataFrame] = {
     UnifiedViews.prepare(s)
-    val orders = t(s, d, "orders")
+    // cpuFloor: each era branch synthesizes a deep raw struct per order
+    // row — expression-dense map work that serializes on a single-split
+    // scan (round-18 A/B: qF5 1.34-1.41x; no-op at cluster scale)
+    val orders = graft.plans.Parallel.cpuFloor(
+      t(s, d, "orders"), "o_orderkey")
     Seq(
       UnifiedViews.extendedNdt7Uploads(ndt7Raw(orders)),
       UnifiedViews.extendedNdt5Uploads(ndt5Raw(orders),

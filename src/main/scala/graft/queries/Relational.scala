@@ -287,7 +287,12 @@ object Relational {
         "posexplode = UNNEST WITH OFFSET (A5 + array ops). Scale " +
         "alternatives: Ops.decilesByRank (rank selection, no O(distinct) " +
         "buffer) and Ops.decilesApprox (sketch), spec-tested.",
-      (s, d) => t(s, d, "lineitem")
+      // cpuFloor: the exact-percentile partial aggregation builds
+      // per-group value buffers over the whole scan — CPU-dense map
+      // work that serializes on a single-split input (round-18 A/B:
+      // 1.26-1.36x; no-op at cluster scale, see Parallel.cpuFloor)
+      (s, d) => graft.plans.Parallel.cpuFloor(
+          t(s, d, "lineitem"), "l_orderkey")
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_extendedprice, array(0.0,0.1,0.2,0.3,0.4," +
           "0.5,0.6,0.7,0.8,0.9,1.0))").as("qs"))

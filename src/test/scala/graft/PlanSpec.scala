@@ -316,7 +316,10 @@ class PlanSpec extends SparkTestBase {
       "qF1_er_chain" -> 2, "qH3_binary_auc" -> 1, "qH8_pr_curve" -> 1,
       "qJ0_ks_drift" -> 1, "qJ5_cusum" -> 2, "qK6_zipf_slope" -> 1,
       "qK7_acf" -> 2, "qL3_quantiles_merged" -> 1, "qL9_gini" -> 1,
-      "qL4_fellegi_sunter" -> 2, "qM2_sprt" -> 3, "qM9_qq_table" -> 2,
+      "qL4_fellegi_sunter" -> 2, "qM2_sprt" -> 3,
+      // qM9 r18: the side-tagged grouped quantile pass partitions both
+      // prefix-sum windows by the side tag — the 2 global windows the
+      // r15 census pinned are GONE (OPTIMIZATION_r18.md §4)
       "qN0_conformal" -> 1, "qN1_fs_patterns" -> 2, "qO6_lift_table" -> 1)
     val census = SparkEntry.allQueries.flatMap { q =>
       val n = q.run(spark, sf).queryExecution.sparkPlan.collect {
@@ -460,18 +463,19 @@ class PlanSpec extends SparkTestBase {
     assert(n >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
   }
 
-  test("scan-parallelism floor: fires only when splits < floor, keyed " +
-    "on the join key, value-identical, and off at the audited scale " +
-    "shape") {
-    // dedicated sessions: Tables.load memoizes frames PER SESSION, so
-    // the conf must differ at first load — the shared suite session
-    // runs floor-off (SparkTestBase) and is not disturbed here
+  test("Parallel.cpuFloor: fires only when splits < floor, keyed on " +
+    "the given key, value-identical, off under the audited scale " +
+    "shape's conf") {
+    // dedicated sessions so the conf differs per arm; the shared suite
+    // session runs floor-off (SparkTestBase) and is not disturbed here
     val on = spark.newSession()
     on.conf.set("graft.scan.parallelismFloor", "4")
     val off = spark.newSession()
     off.conf.set("graft.scan.parallelismFloor", "0")
-    val li = graft.Tables.load(on, sf, "lineitem")
-    val liOff = graft.Tables.load(off, sf, "lineitem")
+    val li = graft.plans.Parallel.cpuFloor(
+      graft.Tables.load(on, sf, "lineitem"), "l_orderkey")
+    val liOff = graft.plans.Parallel.cpuFloor(
+      graft.Tables.load(off, sf, "lineitem"), "l_orderkey")
     // single-file fixture: 1 split < 4 -> the floor's repartition fires
     assert(li.rdd.getNumPartitions == 4,
       s"floor should lift 1 split to 4, got ${li.rdd.getNumPartitions}")
@@ -482,6 +486,11 @@ class PlanSpec extends SparkTestBase {
       s"floor exchange missing or mis-keyed:\n${plan(li)}")
     assert(!plan(liOff).contains("Exchange"),
       s"floor=0 must plan a bare scan:\n${plan(liOff)}")
+    // an input already at/above the floor is returned untouched
+    val wide = graft.Tables.load(on, sf, "lineitem").repartition(8)
+    assert(graft.plans.Parallel.cpuFloor(wide, "l_orderkey")
+      .rdd.getNumPartitions == 8,
+      "cpuFloor must be a no-op when partitions >= floor")
     // the floor is partitioning-only: bit-identical content
     assert(li.count() == liOff.count())
     val s1 = li.selectExpr("sum(hash(l_orderkey, l_partkey, l_quantity))")
@@ -489,7 +498,5 @@ class PlanSpec extends SparkTestBase {
     val s2 = liOff.selectExpr("sum(hash(l_orderkey, l_partkey, l_quantity))")
       .head.getLong(0)
     assert(s1 == s2, "floored scan changed table content")
-    // dimension tables are never floored (broadcast-sized by design)
-    assert(graft.Tables.load(on, sf, "region").rdd.getNumPartitions == 1)
   }
 }

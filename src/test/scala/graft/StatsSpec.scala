@@ -151,6 +151,32 @@ class StatsSpec extends SparkTestBase {
     assert(q3(1).getAs[Double]("v") == 2.0)
   }
 
+  test("Drift.quantilesFromCountsBy == per-group quantilesFromCounts " +
+    "(the one-pass RFM consolidation)") {
+    // three deliberately different distributions under one tag column —
+    // the qO1 shape (r/f/m metric dims), including a one-block group
+    // (all-equal values) and a skewed group
+    val gvs = (1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(_ => ("b", 7.0)) ++
+      (Seq.fill(90)(1.0) ++ Seq.fill(10)(2.0)).map(("c", _))
+    val counts = gvs.toDF("g", "v")
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val qs = Seq(0.2, 0.5, 0.95, 1.0)
+    val grouped = Drift.quantilesFromCountsBy(counts, qs, nBlocks = 4)
+      .orderBy("g", "q").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("q"),
+        r.getAs[Long]("target_rank"), r.getAs[Double]("v"))).toSeq
+    val single = Seq("a", "b", "c").flatMap { g =>
+      Drift.quantilesFromCounts(
+        counts.filter(col("g") === g).select("v", "cnt"), qs,
+        nBlocks = 4)
+        .orderBy("q").collect()
+        .map(r => (g, r.getAs[Double]("q"),
+          r.getAs[Long]("target_rank"), r.getAs[Double]("v"))).toSeq
+    }
+    assert(grouped == single)
+  }
+
   // ---- logistic regression -----------------------------------------
 
   test("LogReg.gradStepFromZero computes the exact half-sum gradient") {

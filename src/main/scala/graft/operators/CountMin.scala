@@ -139,9 +139,16 @@ object CountMin {
     *
     * Output: groupCols..., probe, est_count.
     */
-  def estimate(sk: DataFrame, groupCols: Seq[String], probes: DataFrame,
+  def estimate(sk0: DataFrame, groupCols: Seq[String], probes: DataFrame,
       probeCol: String, depth: Int, width: Int,
       saltedDepth: Boolean = false): DataFrame = {
+    // the sketch is ≤ |groups|·depth·width rows by construction — fence
+    // it once: the hit join AND the group-universe leg below otherwise
+    // each re-evaluate the sketch build (and the stream scan under it;
+    // the round-19 qE4/qP2 plan audit showed the documents table
+    // scanned twice through the full md5 pipeline). Bounded tier (the
+    // sketch-register class); streaming frames pass through.
+    val sk = if (sk0.isStreaming) sk0 else graft.plans.Fence.bounded(sk0)
     val pr = probes.select(col(probeCol).as("probe")).distinct()
       .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
       .withColumn("cell",

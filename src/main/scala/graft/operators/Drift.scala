@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** Fence for the (v, cnt)-style bounded count tables every reduction
+    * here reads several times (bounds + block offsets + the in-block
+    * cumulative leg): without it each leg re-evaluates the count
+    * aggregation AND the corpus scan under it — the round-19 qM9 plan
+    * audit showed 16 scans of the events table for one QQ query.
+    * Bounded tier by the quantize-first contract (per-distinct-value
+    * counts, the [[Eval.scorePartials]] class). Streaming frames pass
+    * through untouched (they cannot be checkpointed; the streaming
+    * screens feed BATCH partials here from foreachBatch).
+    */
+  private def fenceCounts(df: DataFrame): DataFrame =
+    if (df.isStreaming) df else graft.plans.Fence.bounded(df)
+
   /** Per-bin PSI contributions. Inputs: (bin, n) tables. Output:
     * bin, n_a, n_b, psi.
     */
@@ -123,11 +136,12 @@ object Drift {
     * window); the quantile targets are a broadcast |qs|-row frame.
     * Rank arithmetic is integer-only. Output: q, target_rank, v.
     */
-  def quantilesFromCounts(counts: DataFrame, qs: Seq[Double],
+  def quantilesFromCounts(counts0: DataFrame, qs: Seq[Double],
       nBlocks: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "quantiles must lie in (0, 1]")
     require(nBlocks > 0, "nBlocks must be > 0")
+    val counts = fenceCounts(counts0)
     val bounds = counts.agg(min("v").as("lo"), max("v").as("hi"),
       sum("cnt").as("n"))
     val blocked = counts.crossJoin(broadcast(bounds))
@@ -175,11 +189,12 @@ object Drift {
     * |blocks|- and |qs|-bounded, so broadcasts stay bounded at
     * |groups|·|blocks|. Output: g, q, target_rank, v.
     */
-  def quantilesFromCountsBy(counts: DataFrame, qs: Seq[Double],
+  def quantilesFromCountsBy(counts0: DataFrame, qs: Seq[Double],
       nBlocks: Int = 256): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       "quantiles must lie in (0, 1]")
     require(nBlocks > 0, "nBlocks must be > 0")
+    val counts = fenceCounts(counts0)
     val bounds = counts.groupBy("g").agg(min("v").as("lo"),
       max("v").as("hi"), sum("cnt").as("n"))
     val blocked = counts.join(broadcast(bounds), "g")
@@ -267,16 +282,26 @@ object Drift {
     * Output: q, v_a, v_b, gap (= v_b − v_a).
     */
   def qqTable(aCounts: DataFrame, bCounts: DataFrame,
-      qs: Seq[Double], nBlocks: Int = 256): DataFrame = {
+      qs: Seq[Double], nBlocks: Int = 256): DataFrame =
     // one side-tagged grouped pass instead of two independent quantile
     // pipelines (round-18, the qO1 consolidation): identical per-side
     // results — the grouped reduction is the same algorithm keyed by
     // the tag — at half the scans and half the shuffle stages
-    val both = quantilesFromCountsBy(
+    qqTableTagged(
       aCounts.select(lit("a").as("g"), col("v"), col("cnt"))
         .unionAll(bCounts.select(lit("b").as("g"), col("v"),
           col("cnt"))),
       qs, nBlocks)
+
+  /** [[qqTable]] from ONE side-tagged (g ∈ {'a','b'}, v, cnt) count
+    * table — for callers whose two sides partition a single source by
+    * a row predicate: tagging at scan time collapses the two per-side
+    * count scans into one (round-19; qM9's events table was scanned
+    * once per side per reduction leg before this).
+    */
+  def qqTableTagged(tagged: DataFrame, qs: Seq[Double],
+      nBlocks: Int = 256): DataFrame = {
+    val both = quantilesFromCountsBy(tagged, qs, nBlocks)
     // pivot by tag in ONE aggregate (a filter-per-side self-join would
     // re-evaluate the pipeline per leg — the duplicated-subtree trap
     // this rewrite removes); the null filter reproduces the original
@@ -290,9 +315,9 @@ object Drift {
   }
 
   /** Shared KS reduction over the (v, ca, cb) table. */
-  private def ksReduce(byV: DataFrame, nBlocks: Int): DataFrame = {
+  private def ksReduce(byV0: DataFrame, nBlocks: Int): DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")
-
+    val byV = fenceCounts(byV0)
     val bounds = byV.agg(min("v").as("lo"), max("v").as("hi"),
       sum("ca").as("na"), sum("cb").as("nb"))
     val blocked = byV.crossJoin(broadcast(bounds))

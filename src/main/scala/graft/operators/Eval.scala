@@ -116,12 +116,16 @@ object Eval {
     */
   private def fitBlocks(bounded: DataFrame,
       maxDistinctScores: Long): Seq[IsoBlock] = {
-    val nDistinct = bounded.count()
-    require(nDistinct <= maxDistinctScores,
-      s"isotonic: $nDistinct distinct scores exceed the " +
-        s"$maxDistinctScores driver-fit cap — quantize scores first " +
-        "(the PAV-path contract) or raise maxDistinctScores")
-    val rows = bounded.orderBy("s").collect()
+    // guard and collect in ONE job: pulling cap+1 rows bounds the
+    // driver transfer exactly like the separate count() did (the limit
+    // stops the scan), minus one job per fit (round 19, guide §1 —
+    // these fits are micro-job-bound locally)
+    val capped = math.min(maxDistinctScores, Int.MaxValue - 1L).toInt
+    val rows = bounded.orderBy("s").limit(capped + 1).collect()
+    require(rows.length <= maxDistinctScores,
+      s"isotonic: more than $maxDistinctScores distinct scores — " +
+        "quantize scores first (the PAV-path contract) or raise " +
+        "maxDistinctScores")
     val stack = scala.collection.mutable.ArrayBuffer.empty[IsoBlock]
     rows.foreach { r =>
       var b = IsoBlock(r.getDouble(0), r.getDouble(0),

@@ -138,11 +138,18 @@ object Info {
     val levels = df.select(a.cast("string").as("av"))
       .filter(col("av").isNotNull)
       .groupBy("av").agg(count(lit(1)).as("c"))
-    val tot = levels.agg(sum("c").as("n"),
-      count(lit(1)).as("levels"))
+    // ONE aggregate over the level table for all four partials (n,
+    // levels, and the two ordered folds): the totals and the folds as
+    // separate aggregates cross-joined together evaluated the level
+    // aggregation — and the corpus scan under it — twice (round 19;
+    // guide §2.4 duplicated subtrees). The folds stay collect_list +
+    // sort_array + HOF fold, NOT sum(c·ln c): the oracle sums in av
+    // order and double addition is order-sensitive, so the ordered
+    // fold is what keeps the comparison bit-exact.
     val folds = levels
-      .agg(sort_array(collect_list(struct(col("av"), col("c")))).as("xs"))
-      .select(
+      .agg(sum("c").as("n"), count(lit(1)).as("levels"),
+        sort_array(collect_list(struct(col("av"), col("c")))).as("xs"))
+      .select(col("n"), col("levels"),
         aggregate(col("xs"), lit(0.0),
           (acc, s) => acc + s.getField("c") * log(s.getField("c")
             .cast("double"))).as("s_clnc"),
@@ -151,7 +158,7 @@ object Info {
             s.getField("c")).as("s_c2"))
     def r6(c: Column) = floor(c * 1000000.0 + 0.5) / 1000000.0
     def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
-    tot.crossJoin(broadcast(folds))
+    folds
       .withColumn("shannon_raw",
         log(col("n").cast("double")) - col("s_clnc") / col("n"))
       .withColumn("simpson_raw",

@@ -62,7 +62,11 @@ object Rfm {
     val fc = cutsOf("f")
     val mc = cutsOf("m")
     def bucket(metric: Column, cs: Seq[Double]): Column =
-      cs.map(c => when(metric.cast("double") > lit(c), 1).otherwise(0))
+      // empty cuts = the dimension was entirely null (its rows drop out
+      // of the grouped quantile pass): every row lands in band 1
+      // instead of reduce() throwing on an empty list (round-19 ADVICE)
+      if (cs.isEmpty) lit(1)
+      else cs.map(c => when(metric.cast("double") > lit(c), 1).otherwise(0))
         .reduce(_ + _) + 1
     def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
     metrics

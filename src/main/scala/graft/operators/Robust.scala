@@ -261,10 +261,17 @@ object Robust {
     * Output: one row — n, r_levels, c_levels, df, chi2 (4 dp).
     */
   def chi2Independence(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val cells = df.select(a.cast("string").as("av"),
-        b.cast("string").as("bv"))
-      .filter(col("av").isNotNull && col("bv").isNotNull)
-      .groupBy("av", "bv").agg(count(lit(1)).as("o"))
+    // the contingency table is |levels_a × levels_b|-bounded by design
+    // — fence it once: the row-margin, column-margin, total and grid
+    // legs otherwise each re-evaluate the cell aggregation AND the
+    // corpus scan under it (4 scans in the round-19 qM1 plan audit;
+    // guide §2.4). Bounded tier per the Fence policy (same class as
+    // cut points and sketch registers).
+    val cells = graft.plans.Fence.bounded(
+      df.select(a.cast("string").as("av"),
+          b.cast("string").as("bv"))
+        .filter(col("av").isNotNull && col("bv").isNotNull)
+        .groupBy("av", "bv").agg(count(lit(1)).as("o")))
     val rowM = cells.groupBy("av").agg(sum("o").as("rm"))
     val colM = cells.groupBy("bv").agg(sum("o").as("cm"))
     val tot = cells.agg(sum("o").as("n"))

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions.col
   * §2.5, the "one unsplittable input" case): a single-row-group parquet
   * file — or any single-task upstream — caps the whole downstream map
   * stage at one core, which starves per-row work (digest-based media
-  * synthesis, image/audio decode) that costs orders of magnitude more
-  * than the scan feeding it.
+  * synthesis, image/audio decode, per-token hashing) that costs orders
+  * of magnitude more than the scan feeding it.
   *
   * [[cpuFloor]] redistributes on a KEY COLUMN (deterministic and
   * retry-safe — no round-robin pre-sort pass) to the session's
@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions.col
   * sits under the md5 synthesis, and a 15-25% LOSS when it sits above
   * it — the payload shuffle plus a serialized generator.)
   *
+  * RAW-SCAN-ONLY BY CONSTRUCTION (round-18 ADVICE): counting a frame's
+  * partitions via `df.rdd` would, under AQE, materialize every
+  * upstream query stage at plan-build time — and the later
+  * `repartition` would silently re-execute them all. The floor
+  * therefore NO-OPS on any plan containing an exchange (shuffle or
+  * broadcast): those frames already crossed a shuffle, so their
+  * parallelism is the session's anyway, and the partition probe stays
+  * a metadata-only operation on the scan-shaped plans the floor is
+  * for.
+  *
   * `graft.scan.parallelismFloor` (session conf) overrides the floor
   * target; 0 disables.
   */
@@ -33,7 +43,12 @@ object Parallel {
     val p = spark.conf.getOption("graft.scan.parallelismFloor")
       .map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    if (p > 0 && !df.isStreaming && df.rdd.getNumPartitions < p)
+    if (p <= 0 || df.isStreaming) return df
+    // exchange gate BEFORE the rdd probe — see the scaladoc
+    val exchangeFree = df.queryExecution.sparkPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isEmpty
+    if (exchangeFree && df.rdd.getNumPartitions < p)
       df.repartition(p, col(key))
     else df
   }

@@ -917,8 +917,16 @@ object Curation {
         import s.implicits._
         import graft.functions.TextOps
         val probeVals = Seq("the", "agg", "spark", "row", "zzz_absent")
-        val toks = t(s, d, "documents").select(col("source"),
-          explode(TextOps.tokens(col("text"))).as("item"))
+        // id-keyed floor below the tokenize+md5 sketch build: the
+        // single-split local scan otherwise runs the whole per-token
+        // hash pipeline on one core (a 1.6 s one-task job in the
+        // round-19 profile; guide §2.5 — no-op at cluster scale)
+        val toks = graft.plans.Parallel.cpuFloor(
+            t(s, d, "documents")
+              .select(col("doc_id"), col("source"), col("text")),
+            "doc_id")
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("item"))
         val sk = CountMin.sketch(toks, Seq("source"), col("item"),
           depth = 4, width = 8192)
         val est = CountMin.estimate(sk, Seq("source"),
@@ -984,8 +992,14 @@ object Curation {
         import s.implicits._
         import graft.functions.TextOps
         val probeVals = Seq("the", "agg", "spark", "row", "zzz_absent")
-        val toks = t(s, d, "documents").select(col("source"),
-          explode(TextOps.tokens(col("text"))).as("item"))
+        // same id-keyed floor as qE4 — saltedDepth runs ~4x the md5s,
+        // so the one-core sketch build is even more starved here
+        val toks = graft.plans.Parallel.cpuFloor(
+            t(s, d, "documents")
+              .select(col("doc_id"), col("source"), col("text")),
+            "doc_id")
+          .select(col("source"),
+            explode(TextOps.tokens(col("text"))).as("item"))
         val sk = CountMin.sketch(toks, Seq("source"), col("item"),
           depth = 4, width = 8192, saltedDepth = true)
         val est = CountMin.estimate(sk, Seq("source"),

@@ -1433,17 +1433,28 @@ object Evaluation {
         val stride = 16
         import graft.functions.TextOps
         import graft.operators.Bm25
-        val chunks = t(s, d, "documents")
-          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-          .withColumn("start", explode(sequence(lit(0),
-            greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
-          .select(
-            (col("doc_id") * 1000 + (col("start") / stride).cast("long"))
-              .as("cid"),
-            array_join(slice(col("toks"), col("start") + 1, lit(window)),
-              " ").as("chunk_text"),
-            size(slice(col("toks"), col("start") + 1, lit(window)))
-              .cast("long").as("n_toks"))
+        // id-keyed floor below the chunking + BM25 tf pipeline: the
+        // single-split scan otherwise tokenizes, slices and scores on
+        // one core (0.42 + 0.54 s one-task jobs in the round-19
+        // profile; guide §2.5 — no-op at cluster scale). Fenced: the
+        // chunk table is read three times (BM25 stats pass, scoring
+        // pass, the n_toks attach) and each leg otherwise re-runs the
+        // tokenize+slice chain over the corpus (guide §2.4).
+        val chunks = graft.plans.Fence.corpus(
+          graft.plans.Parallel.cpuFloor(
+              t(s, d, "documents").select(col("doc_id"), col("text")),
+              "doc_id")
+            .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+            .withColumn("start", explode(sequence(lit(0),
+              greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+            .select(
+              (col("doc_id") * 1000 + (col("start") / stride).cast("long"))
+                .as("cid"),
+              array_join(slice(col("toks"), col("start") + 1, lit(window)),
+                " ").as("chunk_text"),
+              size(slice(col("toks"), col("start") + 1, lit(window)))
+                .cast("long").as("n_toks")),
+          "qk1_chunks")
         val ranked = Bm25.topK(chunks, "cid", "chunk_text",
           Seq(
             "q_sparkjoin" -> Seq("spark", "join"),

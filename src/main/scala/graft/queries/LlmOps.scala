@@ -1141,6 +1141,12 @@ object LlmOps {
         // pass (guide §2.4: duplicated subtrees are removed shuffles).
         // count(col) keeps n_exact/n_lsh/n_hit the same non-null
         // BIGINTs the count(lit(1)) branches produced.
+        // INVARIANT the counts rely on: both inputs are duplicate-free
+        // on (doc_a, doc_b) — ngramJaccardPairs groups by the pair and
+        // minhashLshPairs dropDuplicates it — so the full-outer join
+        // has at most one row per pair per side. A generator change
+        // that emits duplicate pairs would silently inflate all three
+        // counts here (round-19 ADVICE).
         val co = exact.withColumn("in_e", lit(1))
           .join(lsh.withColumn("in_l", lit(1)).hint("shuffle_hash"),
             Seq("doc_a", "doc_b"), "full_outer")

@@ -889,12 +889,19 @@ object Stats {
       "Quantile-quantile table (p10/p25/p50/p75/p90) of event value, " +
         "first half of the month vs the rest, with per-quantile gaps.",
       (s, d) => {
+        // side tag computed at scan time: ONE events pass builds both
+        // sides' count tables (the per-side filter form scanned the
+        // table once per side; round 19, guide §2.4). A null ts drops
+        // on both sides in the filter form — the g-null filter
+        // reproduces that.
         val ev = t(s, d, "events")
-        val a = Drift.valueCounts(
-          ev.filter(dayofmonth(col("ts")) <= 15), col("value"))
-        val b = Drift.valueCounts(
-          ev.filter(dayofmonth(col("ts")) > 15), col("value"))
-        Drift.qqTable(a, b, Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+        val tagged = ev
+          .select(when(dayofmonth(col("ts")) <= 15, "a")
+              .when(dayofmonth(col("ts")) > 15, "b").as("g"),
+            col("value").cast("double").as("v"))
+          .filter(col("g").isNotNull && col("v").isNotNull)
+          .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+        Drift.qqTableTagged(tagged, Seq(0.1, 0.25, 0.5, 0.75, 0.9))
           .select(col("q"), col("v_a"), col("v_b"), col("gap"))
           .orderBy("q")
       },

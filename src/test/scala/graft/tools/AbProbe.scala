@@ -39,10 +39,16 @@ object AbProbe {
     val qs = graft.SparkEntry.allQueries.filter(q => wanted(q.name))
     def run(s: SparkSession, q: graft.GraftQuery): Double = {
       val t0 = System.nanoTime()
-      try q.run(s, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[ab] ${q.name} failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        q.run(s, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[ab] ${q.name} failed: ${e.getMessage}")
+        // a fast failure must NOT win the min-of-passes comparison —
+        // NaN poisons that query's min and the TOTAL, so a broken arm
+        // reads as broken, not fast (round-19 ADVICE)
+        Double.NaN
+      }
     }
     // warm both arms (JIT + codegen + table caches per session)
     qs.foreach { q => run(sa, q); run(sb, q) }

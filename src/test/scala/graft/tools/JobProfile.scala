@@ -84,8 +84,16 @@ object JobProfile {
       catch { case e: Throwable => println(s"[profile] ${q.name} failed: $e") }
       val total = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.setJobDescription(null)
-      // listener events are async; give the bus a moment to drain
-      Thread.sleep(300)
+      // listener events are async: poll until the row count stabilizes
+      // (a fixed sleep dropped late onJobEnd rows on a loaded bus —
+      // round-19 ADVICE), bounded at 3 s
+      var prev = -1
+      var waited = 0
+      while (rows.size != prev && waited < 3000) {
+        prev = rows.size
+        Thread.sleep(150)
+        waited += 150
+      }
       println(f"%n==== ${q.name}: total $total%.3f s, ${rows.size} jobs ====")
       val it = rows.iterator()
       var sum = 0.0

@@ -1203,25 +1203,31 @@ object Dedup {
     // is a constant 2x re-read of shuffle files per round, never
     // exponential re-computation. The batch cap (4) bounds both the
     // plan depth and the wasted no-op rounds after convergence.
-    // The convergence check rides INSIDE the stage-writing job via an
-    // accumulator counting shrunk labels: one job per batch instead of
-    // a write + a separate count. Retry- and fan-out-safe for the
-    // boolean we need — task retries and the 2x reference re-reads can
-    // only inflate a non-zero count, never turn a genuine zero
-    // non-zero (a batch is converged iff NO round in it shrank a
-    // label, and no-op rounds add exactly 0).
+    // The convergence check rides INSIDE the stage-writing job via
+    // PER-ROUND accumulators counting shrunk labels: one job per batch
+    // instead of a write + a separate count. Retry- and fan-out-safe
+    // for the boolean we need — task retries and the 2x reference
+    // re-reads can only inflate a non-zero count, never turn a genuine
+    // zero non-zero. Convergence keys on the batch's LAST round:
+    // relaxation is monotone, so a round that shrank nothing proves the
+    // fixpoint — where the old whole-batch count forced one entire
+    // extra no-op batch (4 rounds + a stage write + the jump) purely to
+    // OBSERVE the zero (round 19; every CC consumer converged one batch
+    // later than necessary).
     var batch = 1
     while (!converged && iter < maxIter) {
       val rounds = math.min(batch, maxIter - iter)
-      val changed = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val changed = Array.tabulate(rounds)(r =>
+        spark.sparkContext.longAccumulator(s"cc_changed_${iter}_$r"))
       var cur = labels
       val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      for (_ <- 1 to rounds) {
+      for (r <- 0 until rounds) {
         // One join + one aggregate per round: neighbor labels and the
         // node's own label meet in a union tagged by provenance, so the
         // min-propagation AND the old label fall out of a single groupBy
         // (the textbook shape joins labels a second time to recover the
         // old value — one more shuffle of the label table per round).
+        val acc = changed(r)
         cur = sym.join(cur, col("b") === col("node"))
           .select(col("a"), col("component"), lit(false).as("self"))
           .unionAll(cur.select(col("node").as("a"), col("component"),
@@ -1230,7 +1236,7 @@ object Dedup {
           .agg(min("component").as("component"),
             min(when(col("self"), col("component"))).as("old_c"))
           .as[(Long, Long, Long)]
-          .map { r => if (r._2 < r._3) changed.add(1L); (r._1, r._2) }
+          .map { row => if (row._2 < row._3) acc.add(1L); (row._1, row._2) }
           .toDF("node", "component")
         // GraphX's checkpoint-interval pattern: persist (NOT
         // localCheckpoint) every in-batch round — the two references
@@ -1250,7 +1256,11 @@ object Dedup {
       // propagation holds at most 2 label stages at any moment
       Fence.reclaim(stagedLabels)
       stagedLabels = next
-      converged = changed.value == 0L
+      converged = changed.last.value == 0L
+      if (sys.env.contains("GRAFT_STAGE_DEBUG"))
+        System.err.println(
+          s"[cc] batch at iter=$iter rounds=$rounds changed=" +
+            changed.map(_.value).mkString(","))
       // POINTER JUMP between batches: label <- min(label,
       // label(label)) — the shortcut that turns O(diameter) relax
       // rounds into ~O(log d) (HashMin labels only ever point at
@@ -1263,6 +1273,11 @@ object Dedup {
       // just wrote, free — where an in-round jump would double the
       // per-round persist pressure. The next batch's fence evaluates
       // jump + rounds in one job.
+      // (A chained DOUBLE jump — label(label(label(label))) — was
+      // A/B'd in round 19 and measured a wash: B/A 0.99-1.05 on
+      // qO9/qH6/qD5/q86, no query reproducibly faster. At scale each
+      // extra jump is two more shuffles of the corpus-sized label
+      // table per batch, so the single jump stays.)
       labels =
         if (converged) next
         else next.join(

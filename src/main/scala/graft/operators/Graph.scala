@@ -71,9 +71,18 @@ object Graph {
     // each round's two joins inherit/meet HashPartitioning(node|src)
     // on every side and the round's ONLY exchange is the groupBy(dst)
     // contribution aggregate.
+    // ALL of this loop's bucketed stages pin buckets to the session's
+    // shuffle partitioning: the per-round contrib aggregate lands on
+    // exactly numShufflePartitions, and the rank-update join is
+    // exchange-free ONLY when the bucketed node stage matches it — an
+    // adaptive (size-derived) count here would re-shuffle the rank
+    // table every round to meet the stage (round-19 pin audit). The
+    // knob stays scale-correct because numShufflePartitions IS the
+    // session's scale setting, not a local constant.
+    val prBuckets = spark.sessionState.conf.numShufflePartitions
     val e = Fence.corpusBucketed(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
-      "pr_edges", "src")
+      "pr_edges", "src", prBuckets)
     // deg join shuffle-pinned like the rank join: deg has one row per
     // node WITH out-edges (corpus-sized at 100 TB) and AQE's small-SF
     // estimate would broadcast it; pinned, both sides sit on the
@@ -91,7 +100,8 @@ object Graph {
     // expensive caller-side node derivation now runs once, not
     // iterations+1 times.
     val ids = Fence.corpusBucketed(
-      nodes.select(col(nodeCol).as("node")), "pr_nodes", "node")
+      nodes.select(col(nodeCol).as("node")), "pr_nodes", "node",
+      prBuckets)
     val n = ids.count()
     val teleport = (1.0 - damping) / n.toDouble
     var ranks = ids.withColumn("r", lit(1.0) / n.toDouble)
@@ -110,7 +120,8 @@ object Graph {
       if (i % 8 == 0 && i < iterations) {
         // bucketed on node so the re-fenced rank table re-enters the
         // loop with the partitioning the contrib join expects
-        ranks = Fence.corpusBucketed(ranks, "pr_ranks", "node")
+        ranks = Fence.corpusBucketed(ranks, "pr_ranks", "node",
+          prBuckets)
         // this fence's write consumed the previous one; storage stays
         // bounded by the 2 live rank stages, not iterations/8
         if (prevFence != null) Fence.reclaim(prevFence)

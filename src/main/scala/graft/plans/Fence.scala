@@ -35,10 +35,14 @@ object Fence {
     Stage.materializeUnique(df, name)
 
   /** Durable fence for a corpus-sized frame probed on `bucketCol`
-    * every round by an iterative consumer. */
+    * every round by an iterative consumer. `buckets = 0` (default)
+    * derives the count from the optimizer's size estimate (see
+    * [[Stage.materializeBucketed]]); pass an explicit count when a
+    * loop's exchange-free plan shape requires the stage to match the
+    * session's shuffle partitioning exactly (PageRank). */
   def corpusBucketed(df: DataFrame, name: String,
-      bucketCol: String): DataFrame =
-    Stage.materializeBucketed(df, name, bucketCol)
+      bucketCol: String, buckets: Int = 0): DataFrame =
+    Stage.materializeBucketed(df, name, bucketCol, buckets)
 
   /** Eager executor-local fence for a DRIVER-BOUNDED partial. */
   def bounded(df: DataFrame): DataFrame = df.localCheckpoint(true)

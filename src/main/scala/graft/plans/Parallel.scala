@@ -27,16 +27,20 @@ import org.apache.spark.sql.functions.col
   * partitions via `df.rdd` would, under AQE, materialize every
   * upstream query stage at plan-build time — and the later
   * `repartition` would silently re-execute them all. The floor
-  * therefore NO-OPS on any plan containing an exchange (shuffle or
-  * broadcast): those frames already crossed a shuffle, so their
-  * parallelism is the session's anyway, and the partition probe stays
-  * a metadata-only operation on the scan-shaped plans the floor is
-  * for.
+  * therefore NO-OPS unless the optimized plan is scan-shaped
+  * (projections/filters over a leaf): anything else already crossed or
+  * will cross a shuffle, so its parallelism is the session's anyway,
+  * and the partition probe stays a metadata-only operation on the
+  * plans the floor is for. (The gate reads the LOGICAL plan — the
+  * physical `sparkPlan` is pre-EnsureRequirements and carries no
+  * exchanges to look for.)
   *
   * `graft.scan.parallelismFloor` (session conf) overrides the floor
   * target; 0 disables.
   */
 object Parallel {
+
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project, SubqueryAlias}
 
   def cpuFloor(df: DataFrame, key: String): DataFrame = {
     val spark = df.sparkSession
@@ -44,11 +48,12 @@ object Parallel {
       .map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
     if (p <= 0 || df.isStreaming) return df
-    // exchange gate BEFORE the rdd probe — see the scaladoc
-    val exchangeFree = df.queryExecution.sparkPlan.find(
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-      .isEmpty
-    if (exchangeFree && df.rdd.getNumPartitions < p)
+    // scan-shape gate BEFORE the rdd probe — see the scaladoc
+    val scanShaped = df.queryExecution.optimizedPlan.find {
+      case _: Project | _: Filter | _: SubqueryAlias | _: LeafNode => false
+      case _ => true
+    }.isEmpty
+    if (scanShaped && df.rdd.getNumPartitions < p)
       df.repartition(p, col(key))
     else df
   }

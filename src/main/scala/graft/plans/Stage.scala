@@ -222,11 +222,37 @@ object Stage {
     * names would let `saveAsTable(overwrite)` repoint the other
     * driver's stage table mid-read (ADVICE r11).
     */
+  /** Bucket count for an adaptive (`buckets = 0`) bucketed stage:
+    * size-derived instead of a flat numShufflePartitions, so a
+    * KB-sized edge table (a 500-node local component graph) stages as
+    * ONE bucket and every downstream propagation round runs 1-task
+    * stages, while a TB-sized table at cluster scale still gets the
+    * full shuffle parallelism (guide §2 — scale-adaptive partitioning,
+    * not a local[32] constant). The size source is the optimizer's
+    * estimate for the input plan, trusted only DOWNWARD: an inflated
+    * join estimate (the common failure mode — Catalyst multiplies
+    * selectivities up) simply hits the numShufflePartitions cap, which
+    * is exactly the pre-round-19 behavior. The per-bucket target is
+    * half the usual 64 MB advisory to absorb parquet-vs-in-memory
+    * expansion when the estimate comes from a scan
+    * (`graft.stage.bucketTargetBytes` overrides).
+    */
+  private def adaptiveBuckets(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val cap = spark.sessionState.conf.numShufflePartitions
+    val target = spark.conf.getOption("graft.stage.bucketTargetBytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(-1) }
+    if (est <= 0 || target <= 0) cap
+    else ((est + target - 1) / target).min(cap).max(1).toInt
+  }
+
   def materializeBucketed(df: DataFrame, name: String,
       bucketCol: String, buckets: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val nb = if (buckets > 0) buckets
-      else spark.sessionState.conf.numShufflePartitions
+    val nb = if (buckets > 0) buckets else adaptiveBuckets(df)
     val unique = s"${name}_${seq.incrementAndGet()}"
     val path = s"${stageRoot(spark)}/$unique"
     val table = ("graft_stage_" + sessionNs(spark) + "_" + unique)
@@ -238,7 +264,7 @@ object Stage {
       .bucketBy(nb, bucketCol)
       .saveAsTable(table)
     if (sys.env.contains("GRAFT_STAGE_DEBUG"))
-      System.err.println(f"[stage] $unique (bucketed) ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      System.err.println(f"[stage] $unique (bucketed nb=$nb) ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val back = spark.table(table)
     stagedFrames.put(back, (path, Some(table)))
     back

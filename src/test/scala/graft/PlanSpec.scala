@@ -499,4 +499,60 @@ class PlanSpec extends SparkTestBase {
       .head.getLong(0)
     assert(s1 == s2, "floored scan changed table content")
   }
+
+  test("Parallel.cpuFloor: no-op on exchange-bearing plans (the plan-" +
+    "build materialization trap)") {
+    val on = spark.newSession()
+    on.conf.set("graft.scan.parallelismFloor", "16")
+    // a shuffle-bearing frame: the partition probe (df.rdd) would
+    // materialize the aggregation under AQE at plan-build time, so the
+    // floor must return it untouched without probing
+    val shuffled = graft.Tables.load(on, sf, "lineitem")
+      .groupBy("l_orderkey").count()
+    val out = graft.plans.Parallel.cpuFloor(shuffled, "l_orderkey")
+    assert(out eq shuffled,
+      "cpuFloor must return an exchange-bearing frame untouched")
+  }
+
+  test("Stage.materializeBucketed: adaptive bucket count is size-" +
+    "derived (small scan -> 1 bucket), capped at shuffle partitions, " +
+    "and the explicit count still wins") {
+    import graft.plans.Stage
+    val s = spark.newSession()
+    // empty buckets write no file, so count buckets from the catalog's
+    // bucketSpec, not the staged directory
+    def numBuckets(sess: org.apache.spark.sql.SparkSession,
+        frag: String): Int = {
+      val id = sess.sessionState.catalog.listTables("default")
+        .filter(_.table.contains(frag)).maxBy(_.table)
+      sess.sessionState.catalog.getTableMetadata(id)
+        .bucketSpec.get.numBuckets
+    }
+    // KB-sized scan-shaped input: the optimizer's estimate is accurate
+    // and far below the per-bucket target -> ONE bucket, so iterative
+    // consumers run 1-task rounds instead of numShufflePartitions-task
+    // micro-stages (scale-adaptive partitioning, guide §2)
+    val tiny = graft.Tables.load(s, sf, "region").select(
+      col("r_regionkey").cast("long").as("k"), col("r_name"))
+    val small = Stage.materializeBucketed(tiny, "adapt_small", "k")
+    assert(numBuckets(s, "adapt_small") == 1,
+      s"tiny input should stage as 1 bucket")
+    // a tiny per-bucket target forces the cap: never more buckets than
+    // the session's shuffle parallelism (the pre-adaptive default)
+    val s2 = spark.newSession()
+    s2.conf.set("graft.stage.bucketTargetBytes", "1")
+    Stage.materializeBucketed(
+      graft.Tables.load(s2, sf, "region").select(
+        col("r_regionkey").cast("long").as("k")), "adapt_capped", "k")
+    assert(numBuckets(s2, "adapt_capped") ==
+      s2.sessionState.conf.numShufflePartitions,
+      "estimate above target*cap must clamp to numShufflePartitions")
+    // explicit bucket count bypasses the estimate entirely
+    Stage.materializeBucketed(tiny, "adapt_explicit", "k", buckets = 3)
+    assert(numBuckets(s, "adapt_explicit") == 3,
+      "explicit bucket count must be honored")
+    // content identical through the adaptive path
+    assert(small.orderBy("k").collect().toSeq ==
+      tiny.orderBy("k").collect().toSeq)
+  }
 }

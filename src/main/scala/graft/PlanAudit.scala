@@ -21,6 +21,13 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // PLAN_CONF="k=v,k2=v2": session confs for the audited plans —
+    // lets a conf-gated optimization dump its before shape (e.g.
+    // graft.scan.parallelismFloor=0)
+    sys.env.get("PLAN_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     SparkEntry.allQueries
       .filter(q => wanted.isEmpty || wanted(q.name))

@@ -82,7 +82,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       maxPosting: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n)
+    // same scoped id-keyed floor as bandRowsOf: the shingle-hash map
+    // stage of the inverted index is CPU-dense single-core work on a
+    // single-split scan (guide §2.5; no-op at scale)
+    val sets = shingleSets(
+      graft.plans.Parallel.cpuFloor(df, idCol), idCol, textCol, n)
     // Carry the set size through the explode: the Jaccard denominator then
     // falls out of the pair aggregation directly — no back-joins against
     // the corpus (which would re-shingle it twice).
@@ -573,7 +577,15 @@ object Dedup {
       shingleN: Int, bands: Int, rowsPerBand: Int,
       extra: Seq[String] = Nil): DataFrame = {
     GraftFunctions.registerAll(df.sparkSession)
-    val sets = shingleSets(df, idCol, textCol, shingleN, extra)
+    // id-keyed floor below the shingle+MinHash projection (guide §2.5):
+    // a single-split local scan runs the whole tokenize + shingle-hash
+    // + signature pipeline on one core. Scoped HERE — not in the shared
+    // shingleSets — because the prefix-filter family measurably LOSES
+    // from a floor on its staged pipeline (round-18 blanket A/B);
+    // no-op at cluster scale and on non-scan inputs (streaming
+    // micro-batch probes pass through untouched).
+    val floored = graft.plans.Parallel.cpuFloor(df, idCol)
+    val sets = shingleSets(floored, idCol, textCol, shingleN, extra)
     val sigs = sets.withColumn("sig",
       GraftFunctions.minhashSig(col("sh"), bands * rowsPerBand))
     sigs.select(

@@ -267,6 +267,34 @@ object Stage {
       System.err.println(f"[stage] $unique (bucketed nb=$nb) ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val back = spark.table(table)
     stagedFrames.put(back, (path, Some(table)))
+    // POST-WRITE COMPACT for the adaptive path: when the estimate was
+    // inflated (a pair-generator join plan) the stage landed on the
+    // numShufflePartitions cap, and now the ACTUAL staged bytes are
+    // known for free. If the stage turned out tiny (< 8 targets) and
+    // clearly over-scattered (needed ≤ nb/4), rewrite it at the right
+    // bucket count — a trivial re-read of KBs locally, so every
+    // iterative round downstream runs 1-task stages instead of
+    // cap-task micro-stages. A big stage (the 100 TB case) skips this
+    // entirely: one filesystem stat is the only added cost, and the
+    // original single write stands.
+    if (buckets == 0 && nb > 1) {
+      val target = spark.conf.getOption("graft.stage.bucketTargetBytes")
+        .map(_.toLong).getOrElse(32L * 1024 * 1024)
+      val actual = try {
+        val p = new Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+      if (target > 0 && actual >= 0 && actual < 8 * target) {
+        val needed = math.max(1L, (actual + target - 1) / target).toInt
+        if (needed * 4 <= nb) {
+          val compacted =
+            materializeBucketed(back, s"${name}_c", bucketCol, needed)
+          reclaim(back)
+          return compacted
+        }
+      }
+    }
     back
   }
 }

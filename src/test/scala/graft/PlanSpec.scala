@@ -554,5 +554,19 @@ class PlanSpec extends SparkTestBase {
     // content identical through the adaptive path
     assert(small.orderBy("k").collect().toSeq ==
       tiny.orderBy("k").collect().toSeq)
+    // post-write compact: an INFLATED estimate (cross-join plan) lands
+    // on the cap, but the actual staged bytes are tiny -> the stage is
+    // rewritten at the derived count (1 bucket) and the over-scattered
+    // original reclaimed
+    import s.implicits._
+    val inflated = s.range(0, 100000).toDF("k")
+      .crossJoin(s.range(0, 50).toDF("j"))
+      .filter(col("k") < 3 && col("j") < 3)
+      .select((col("k") * 100 + col("j")).as("k"))
+    val compacted = Stage.materializeBucketed(inflated, "adapt_infl", "k")
+    assert(numBuckets(s, "adapt_infl_c") == 1,
+      "tiny actual bytes under an inflated estimate must compact to 1")
+    assert(compacted.count() == 9,
+      "compacted stage must carry the original rows")
   }
 }

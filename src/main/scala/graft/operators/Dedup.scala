@@ -1226,6 +1226,14 @@ object Dedup {
     // extra no-op batch (4 rounds + a stage write + the jump) purely to
     // OBSERVE the zero (round 19; every CC consumer converged one batch
     // later than necessary).
+    // batch cap: 4 (r12 measurement, RE-CONFIRMED r19: with the
+    // per-round convergence accumulators in place — removing the
+    // coarse-check waste r12 partly blamed — an interleaved A/B of
+    // cap 4|8 still measured qO9 2.63x WORSE at cap 8; the deep lazy
+    // 8-round chain itself is the cost, not the convergence check).
+    // `graft.cc.batchCap` stays as the re-measurement knob.
+    val batchCap = spark.conf.getOption("graft.cc.batchCap")
+      .map(_.toInt).getOrElse(4)
     var batch = 1
     while (!converged && iter < maxIter) {
       val rounds = math.min(batch, maxIter - iter)
@@ -1300,7 +1308,7 @@ object Dedup {
             least(col("component"), coalesce(col("jc"), col("component")))
               .as("component"))
       iter += rounds
-      batch = math.min(batch * 2, 4)
+      batch = math.min(batch * 2, math.max(1, batchCap))
     }
     labels
   }

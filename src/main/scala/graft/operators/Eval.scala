@@ -398,7 +398,11 @@ object Eval {
       // residual in 1e-2-cent integer units: exact rank arithmetic
       .select(floor(abs(col("c") - col("m")) * 100 + 0.5)
         .cast("long").as("r"))
-    val counts = resid.groupBy("r").agg(count(lit(1)).as("cnt"))
+    // fence the bounded residual counts: the bounds / offset / qhat
+    // legs otherwise re-run the means join + residual aggregation from
+    // the staged base per leg (round-19 audit: qN0 at 48 exchanges)
+    val counts = graft.plans.Fence.boundedIfBatch(
+      resid.groupBy("r").agg(count(lit(1)).as("cnt")))
     val bounds = counts.agg(min("r").as("lo"), max("r").as("hi"),
       sum("cnt").as("n"))
     val blocked = counts.crossJoin(broadcast(bounds))
@@ -456,10 +460,12 @@ object Eval {
           isCalib.as("cal"))
         .filter(col("c").isNotNull && col("g").isNotNull),
       "conformal_by_base")
-    val means = base.filter(col("cal"))
+    // means is |groups|-bounded and read by four legs (residuals, the
+    // qhat rank, the test pass, the anchor join) — fence it once
+    val means = graft.plans.Fence.boundedIfBatch(base.filter(col("cal"))
       .groupBy("g").agg(count(lit(1)).as("n_cal"), sum("c").as("s_g"))
       .select(col("g"), col("n_cal"),
-        (col("s_g").cast("double") / col("n_cal")).as("m"))
+        (col("s_g").cast("double") / col("n_cal")).as("m")))
     val residCounts = base.filter(col("cal"))
       .join(broadcast(means), Seq("g"))
       .select(col("g"),
@@ -467,14 +473,15 @@ object Eval {
       .groupBy("g", "r").agg(count(lit(1)).as("cnt"))
     val wG = Window.partitionBy("g").orderBy("r")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val qhat = residCounts
+    // qhat is |groups|-bounded and read twice (test pass + anchor)
+    val qhat = graft.plans.Fence.boundedIfBatch(residCounts
       .withColumn("cc", sum("cnt").over(wG))
       .join(broadcast(means.select(col("g"), col("n_cal"))), Seq("g"))
       .withColumn("k",
         ceil((col("n_cal") + 1).cast("double") * lit(1.0 - alpha))
           .cast("long"))
       .filter(col("cc") >= least(col("k"), col("n_cal")))
-      .groupBy("g").agg(min("r").as("qr"))
+      .groupBy("g").agg(min("r").as("qr")))
     def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
     val testAgg = base.filter(!col("cal"))
       .join(broadcast(means), Seq("g"))
@@ -512,9 +519,14 @@ object Eval {
   /** Exact AUC from a (s, cnt, pos) partials table — [[binaryAuc]]'s
     * reduction stage.
     */
-  def aucFromPartials(byScore: DataFrame, nBlocks: Int = 256)
+  def aucFromPartials(byScore0: DataFrame, nBlocks: Int = 256)
       : DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")
+    // fence the (quantize-first-bounded) partials once: the bounds,
+    // block-offset and ranked legs each re-evaluated the partial
+    // aggregation and the corpus scan under it (round-19 plan audit:
+    // qH3 scanned events 14x; guide §2.4)
+    val byScore = graft.plans.Fence.boundedIfBatch(byScore0)
     // Two-phase prefix sum over ascending score: range blocks derived
     // from the (tiny, broadcast) min/max, monotonic in s, so block-local
     // cumulative counts + per-block start offsets equal the global
@@ -573,12 +585,13 @@ object Eval {
   def binaryAucBy(df: DataFrame, group: Column, score: Column,
       label: Column, nBlocks: Int = 64): DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")
-    val byScore = df
+    // same once-fenced partials as [[aucFromPartials]] (guide §2.4)
+    val byScore = graft.plans.Fence.boundedIfBatch(df
       .select(group.as("g"), score.cast("double").as("s"),
         when(label, 1L).otherwise(0L).as("y"))
       .filter(col("s").isNotNull)
       .groupBy("g", "s")
-      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos")))
 
     val bounds = byScore.groupBy("g")
       .agg(min("s").as("lo"), max("s").as("hi"))
@@ -633,12 +646,13 @@ object Eval {
   def prCurve(df: DataFrame, threshold: Column, label: Column,
       nBlocks: Int = 256): DataFrame = {
     require(nBlocks > 0, "nBlocks must be > 0")
-    val byT = df
+    // same once-fenced partials as [[aucFromPartials]] (guide §2.4)
+    val byT = graft.plans.Fence.boundedIfBatch(df
       .select(threshold.cast("double").as("t"),
         when(label, 1L).otherwise(0L).as("y"))
       .filter(col("t").isNotNull)
       .groupBy("t")
-      .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+      .agg(count(lit(1)).as("cnt"), sum("y").as("pos")))
 
     val bounds = byT.agg(min("t").as("lo"), max("t").as("hi"),
       sum("cnt").as("n"), sum("pos").as("np"))

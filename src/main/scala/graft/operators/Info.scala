@@ -31,10 +31,14 @@ object Info {
     * null when min(h_a,h_b) = 0, i.e. a constant column).
     */
   def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
-    val cells = df.select(a.cast("string").as("av"),
-        b.cast("string").as("bv"))
-      .filter(col("av").isNotNull && col("bv").isNotNull)
-      .groupBy("av", "bv").agg(count(lit(1)).as("o"))
+    // |levels_a × levels_b|-bounded contingency table read by four
+    // legs (row/col margins, total, joint fold) — fence it once (the
+    // round-19 chi2Independence treatment; guide §2.4)
+    val cells = graft.plans.Fence.boundedIfBatch(
+      df.select(a.cast("string").as("av"),
+          b.cast("string").as("bv"))
+        .filter(col("av").isNotNull && col("bv").isNotNull)
+        .groupBy("av", "bv").agg(count(lit(1)).as("o")))
     val rowM = cells.groupBy("av").agg(sum("o").as("rm"))
     val colM = cells.groupBy("bv").agg(sum("o").as("cm"))
     val tot = cells.agg(sum("o").as("n"))
@@ -87,10 +91,12 @@ object Info {
       nBlocks: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBlocks > 0, "nBlocks must be > 0")
-    val counts = df
+    // fence the bounded value counts once: bounds / offsets / ranked
+    // legs otherwise re-run the count aggregation per leg (guide §2.4)
+    val counts = graft.plans.Fence.boundedIfBatch(df
       .select(floor(value.cast("double") * 100 + 0.5).cast("long").as("v"))
       .filter(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as("c"))
+      .groupBy("v").agg(count(lit(1)).as("c")))
     val bounds = counts.agg(min("v").as("lo"), max("v").as("hi"))
     val blocked = counts.crossJoin(broadcast(bounds))
       .withColumn("block",

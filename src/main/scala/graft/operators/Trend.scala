@@ -45,8 +45,12 @@ object Trend {
   def acfDaily(df: DataFrame, tsCol: String, value: Column,
       maxLag: Int): DataFrame = {
     require(maxLag > 0, "maxLag must be positive")
-    val daily = dailyCents(df, tsCol, value)
-      .withColumn("x", col("sc") / col("n") / 100.0)
+    // |days|-bounded daily aggregate, read by the mean fold AND the
+    // deviation frame — fence it once (guide §2.4; the round-19 audit
+    // had qK7 at 34 exchanges, its daily aggregate re-run per leg)
+    val daily = graft.plans.Fence.boundedIfBatch(
+      dailyCents(df, tsCol, value)
+        .withColumn("x", col("sc") / col("n") / 100.0))
     // grand mean of the DAILY series (unweighted, standard ACF input);
     // Σx is |days| doubles — fold it in day order via the bounded
     // sorted-array aggregate so the sum order is pinned on both engines.
@@ -55,12 +59,15 @@ object Trend {
       .select(aggregate(col("xs"), lit(0.0),
         (acc, s) => acc + s.getField("x")).as("sx"),
         size(col("xs")).as("nd"))
-    val withMean = daily.crossJoin(broadcast(meanRow))
-      .withColumn("d",
-        floor((col("x") - col("sx") / col("nd")) * 10000.0 + 0.5)
-          .cast("long"))
-      .withColumn("rk", row_number().over(Window.orderBy("day")))
-      .select("rk", "d")
+    // deviation frame read by the denominator and BOTH lag-join legs —
+    // fence it once (|days|-bounded)
+    val withMean = graft.plans.Fence.boundedIfBatch(
+      daily.crossJoin(broadcast(meanRow))
+        .withColumn("d",
+          floor((col("x") - col("sx") / col("nd")) * 10000.0 + 0.5)
+            .cast("long"))
+        .withColumn("rk", row_number().over(Window.orderBy("day")))
+        .select("rk", "d"))
     val den = withMean.agg(sum(col("d") * col("d")).as("ss"))
     // lag join on the day-rank key: for each lag in 1..maxLag, pair
     // (rk, rk+lag). The lag list is exploded per LEFT row (|days|·maxLag

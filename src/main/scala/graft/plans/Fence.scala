@@ -47,6 +47,19 @@ object Fence {
   /** Eager executor-local fence for a DRIVER-BOUNDED partial. */
   def bounded(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** [[bounded]] for operators whose frames may arrive from a
+    * streaming micro-batch pipeline: streaming frames cannot be
+    * checkpointed and pass through untouched (their duplicated legs
+    * are a per-micro-batch cost the stream owner already accepted).
+    * `graft.fence.bounded=0` (session conf) disables the fence — the
+    * A/B switch for measuring checkpoint cost vs duplicated-leg cost
+    * on a given corpus size. */
+  def boundedIfBatch(df: DataFrame): DataFrame =
+    if (df.isStreaming ||
+        df.sparkSession.conf.getOption("graft.fence.bounded")
+          .contains("0")) df
+    else bounded(df)
+
   /** Eagerly reclaim a SUPERSEDED [[corpus]]/[[corpusBucketed]] frame
     * — the iterative-operator discipline: once round N+1's fence has
     * committed (the write is an action) and round N's frame has no

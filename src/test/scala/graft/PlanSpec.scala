@@ -315,7 +315,12 @@ class PlanSpec extends SparkTestBase {
       "qD9_negative_sample" -> 1, "qE9_sorted_neighborhood" -> 2,
       "qF1_er_chain" -> 2, "qH3_binary_auc" -> 1, "qH8_pr_curve" -> 1,
       "qJ0_ks_drift" -> 1, "qJ5_cusum" -> 2, "qK6_zipf_slope" -> 1,
-      "qK7_acf" -> 2, "qL3_quantiles_merged" -> 1, "qL9_gini" -> 1,
+      // qK7 r19: both |days|-bounded windows (day-rank + the mean fold
+      // order) now run INSIDE the eager bounded fence of the deviation
+      // frame (Trend.acfDaily), so the censused final plan no longer
+      // carries them — the windows themselves are unchanged and still
+      // aggregate-bounded (OPTIMIZATION_r19.md §2.4 sweep)
+      "qL3_quantiles_merged" -> 1, "qL9_gini" -> 1,
       "qL4_fellegi_sunter" -> 2, "qM2_sprt" -> 3,
       // qM9 r18: the side-tagged grouped quantile pass partitions both
       // prefix-sum windows by the side tag — the 2 global windows the

@@ -25,7 +25,7 @@ object Drift {
     * screens feed BATCH partials here from foreachBatch).
     */
   private def fenceCounts(df: DataFrame): DataFrame =
-    if (df.isStreaming) df else graft.plans.Fence.bounded(df)
+    graft.plans.Fence.boundedIfBatch(df)
 
   /** Per-bin PSI contributions. Inputs: (bin, n) tables. Output:
     * bin, n_a, n_b, psi.
